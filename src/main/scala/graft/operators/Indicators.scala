@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Technical-indicator window operators mirroring the reference's
+  * `technical_indicators` transformer
+  * (`/root/reference/src/data_extractor/transformers/finance_transformer.py:35-144`).
+  *
+  * Component functions (`withSma`, `withBollinger`, `withRsi`, `withMacd`) are
+  * reusable over any (partitioned) ordered series; `technicalIndicators`
+  * reproduces the reference transformer end-to-end, including its quirks:
+  * lowercased column names, dates re-emitted as ISO-8601 UTC strings, numeric
+  * coercion with null-on-failure, output column names hardcoded to
+  * `sma_50, rsi_14, bb_upper, bb_lower, macd, macd_signal, macd_histogram`
+  * regardless of configured periods, and warmup rows (any null indicator)
+  * dropped.
+  *
+  * Scale note: with `partitionCols` (e.g. a symbol column) every window and
+  * EMA scan distributes per key. A single global series degrades to one task —
+  * correct, and matching the reference's single-series scope.
+  */
+object Indicators {
+
+  final case class Config(
+      rsiPeriod: Int = 14,
+      smaPeriod: Int = 50,
+      bbPeriod: Int = 20,
+      bbStd: Double = 2.0,
+      macdFast: Int = 12,
+      macdSlow: Int = 26,
+      macdSignal: Int = 9)
+
+  private def baseWindow(partitionCols: Seq[String], orderCol: String): WindowSpec =
+    if (partitionCols.isEmpty) Window.orderBy(orderCol)
+    else Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCol)
+
+  /** W1 — simple moving average over the trailing `period` rows; null until a
+    * full window is present (pandas `rolling(period).mean()`). Exact decimal
+    * window sum keeps the value oracle-stable.
+    */
+  def withSma(
+      df: DataFrame, closeCol: String, outCol: String, period: Int,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    val w = baseWindow(partitionCols, orderCol).rowsBetween(-(period - 1), 0)
+    val cnt = count(col(closeCol)).over(w)
+    val s = sum(col(closeCol)).over(w)
+    df.withColumn(outCol, when(cnt === period, s / period.toDouble))
+  }
+
+  /** W3 — Bollinger bands: SMA ± k·(sample stddev) over the trailing window.
+    * Variance is computed from exact decimal window sums of x and x², then
+    * combined in double — deterministic cross-engine, unlike `stddev_samp`
+    * whose accumulation order is engine-internal.
+    * Inputs are expected 4-decimal-canonical (see [[graft.exprs.Exact]]).
+    */
+  def withBollinger(
+      df: DataFrame, closeCol: String, upperCol: String, lowerCol: String,
+      period: Int, k: Double, orderCol: String,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val w = baseWindow(partitionCols, orderCol).rowsBetween(-(period - 1), 0)
+    val c = col(closeCol)
+    val cnt = count(c).over(w)
+    // Plain double window sums of x and x·x. For integer-valued series (the
+    // oracle-checked path — see [[graft.queries.Series]]) these are exact and
+    // order-independent; for general series they carry the usual float-sum
+    // order caveat, same as pandas' rolling std.
+    val s1 = sum(c).over(w)
+    val s2 = sum(c * c).over(w)
+    val n = period.toDouble
+    val mean = s1 / n
+    val variance = greatest((s2 - s1 * s1 / n) / (n - 1.0), lit(0.0))
+    val std = sqrt(variance)
+    df.withColumn(upperCol, when(cnt === period, mean + lit(k) * std))
+      .withColumn(lowerCol, when(cnt === period, mean - lit(k) * std))
+  }
+
+  /** W2 — Wilder RSI: EMA(α=1/period) of gains and losses from one-step price
+    * deltas, masked until `period` observations (pandas
+    * `ewm(alpha=1/n, min_periods=n, adjust=False)`), then
+    * `100 − 100/(1+avgGain/avgLoss)`; all-loss-zero → 100, both-zero → null.
+    */
+  def withRsi(
+      df: DataFrame, closeCol: String, outCol: String, period: Int,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    val w = baseWindow(partitionCols, orderCol)
+    val delta = col(closeCol) - lag(col(closeCol), 1).over(w)
+    val withGl = df
+      .withColumn("__delta", delta)
+      .withColumn("__gain", when(col("__delta") > 0, col("__delta"))
+        .otherwise(when(col("__delta").isNotNull, lit(0.0))))
+      .withColumn("__loss", when(col("__delta") < 0, -col("__delta"))
+        .otherwise(when(col("__delta").isNotNull, lit(0.0))))
+    val alpha = 1.0 / period.toDouble
+    val smoothed = Ema.withEma(
+      withGl,
+      Seq(
+        Ema.Spec("__gain", "__avg_gain", alpha, period),
+        Ema.Spec("__loss", "__avg_loss", alpha, period)),
+      Seq(orderCol), partitionCols)
+    smoothed
+      .withColumn(outCol,
+        when(col("__avg_loss") === 0.0 && col("__avg_gain").isNotNull, lit(100.0))
+          .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("__avg_gain") / col("__avg_loss"))))
+      .drop("__delta", "__gain", "__loss", "__avg_gain", "__avg_loss")
+  }
+
+  /** W4 — MACD: EMA(fast) − EMA(slow) with α = 2/(span+1) seeded at x₀;
+    * signal = EMA(signalSpan) of the MACD line; histogram = macd − signal.
+    */
+  def withMacd(
+      df: DataFrame, closeCol: String,
+      macdCol: String, signalCol: String, histCol: String,
+      fast: Int, slow: Int, signalSpan: Int,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    def a(span: Int): Double = 2.0 / (span.toDouble + 1.0)
+    val withEmas = Ema.withEma(
+      df,
+      Seq(Ema.Spec(closeCol, "__ema_fast", a(fast)), Ema.Spec(closeCol, "__ema_slow", a(slow))),
+      Seq(orderCol), partitionCols)
+    val withMacdLine = withEmas
+      .withColumn(macdCol, col("__ema_fast") - col("__ema_slow"))
+    val withSignal = Ema.withEma(
+      withMacdLine, Seq(Ema.Spec(macdCol, signalCol, a(signalSpan))),
+      Seq(orderCol), partitionCols)
+    withSignal
+      .withColumn(histCol, col(macdCol) - col(signalCol))
+      .drop("__ema_fast", "__ema_slow")
+  }
+
+  /** The full reference transformer. Requires (case-insensitively)
+    * `date, open, high, low, close, volume`; appends the seven hardcoded
+    * indicator columns and drops warmup rows.
+    */
+  def technicalIndicators(
+      df: DataFrame, cfg: Config = Config(),
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    val lower = Cleaning.lowercaseColumns(df)
+    val required = Seq("date", "open", "high", "low", "close", "volume")
+    val missing = required.filterNot(lower.columns.contains)
+    require(missing.isEmpty, s"technical_indicators: missing required columns: ${missing.mkString(",")}")
+
+    // Reference pre-processing: dates → ISO-8601 UTC strings; numerics coerced
+    // with null-on-failure; sort ascending by date (string sort == time sort
+    // for this format).
+    val prepped = lower
+      .withColumn("date", date_format(try_to_timestamp(col("date")), "yyyy-MM-dd'T'HH:mm:ss'Z'"))
+      .withColumn("open", col("open").cast(DoubleType))
+      .withColumn("high", col("high").cast(DoubleType))
+      .withColumn("low", col("low").cast(DoubleType))
+      .withColumn("close", col("close").cast(DoubleType))
+      .withColumn("volume", col("volume").cast(DoubleType))
+
+    val withInd = {
+      val s = withSma(prepped, "close", "sma_50", cfg.smaPeriod, "date", partitionCols)
+      val r = withRsi(s, "close", "rsi_14", cfg.rsiPeriod, "date", partitionCols)
+      val b = withBollinger(r, "close", "bb_upper", "bb_lower", cfg.bbPeriod, cfg.bbStd, "date", partitionCols)
+      withMacd(b, "close", "macd", "macd_signal", "macd_histogram",
+        cfg.macdFast, cfg.macdSlow, cfg.macdSignal, "date", partitionCols)
+    }
+    val indicatorCols = Seq("sma_50", "rsi_14", "bb_upper", "bb_lower", "macd", "macd_signal", "macd_histogram")
+    withInd.na.drop("any", indicatorCols).orderBy((partitionCols :+ "date").map(col): _*)
+  }
+}

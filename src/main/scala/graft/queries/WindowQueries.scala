@@ -1,0 +1,130 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Indicators, MlPrep}
+
+/** Time-series window operators (SURVEY.md §2.4 W1–W4) and ML preparation
+  * (§2.7 M2–M3) over the shared daily price series.
+  *
+  * The recursive-EMA operators (RSI, MACD) are checked against DuckDB
+  * recursive CTEs that evaluate the *identical* IEEE recurrence
+  * `y ← α·x + (1−α)·y`, so values are bit-exact, not approximately equal.
+  */
+object WindowQueries {
+
+  // α snippets reused in the SQL oracles; the Scala side computes the same
+  // doubles (1.0/period, 2.0/(span+1), 1.0 − α).
+  private def aSpan(span: Int) = s"(CAST(2.0 AS DOUBLE)/${span + 1}.0)"
+  private def bSpan(span: Int) = s"(1.0 - CAST(2.0 AS DOUBLE)/${span + 1}.0)"
+
+  val w1Sma: Q = Q(
+    "w1_sma",
+    s"""WITH ${Series.DailySql},
+       |s AS (SELECT d, close, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily)
+       |SELECT d, close,
+       |  SUM(close) OVER (ORDER BY d ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)/50.0 AS sma_50
+       |FROM s QUALIFY rn >= 50 ORDER BY d""".stripMargin) { (spark, dir) =>
+    Indicators.withSma(Series.daily(spark, dir), "close", "sma_50", 50, "d")
+      .filter(col("sma_50").isNotNull)
+      .orderBy(col("d"))
+  }
+
+  val w3Bollinger: Q = Q(
+    "w3_bollinger",
+    s"""WITH ${Series.DailySql},
+       |s AS (SELECT d, close, ROW_NUMBER() OVER (ORDER BY d) AS rn,
+       |  SUM(close) OVER w AS s1,
+       |  SUM(close*close) OVER w AS s2
+       |  FROM daily WINDOW w AS (ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+       |SELECT d, close,
+       |  s1/20.0 + 2.0 * sqrt(GREATEST((s2 - s1*s1/20.0)/19.0, 0.0)) AS bb_upper,
+       |  s1/20.0 - 2.0 * sqrt(GREATEST((s2 - s1*s1/20.0)/19.0, 0.0)) AS bb_lower
+       |FROM s WHERE rn >= 20 ORDER BY d""".stripMargin) { (spark, dir) =>
+    Indicators.withBollinger(Series.daily(spark, dir), "close", "bb_upper", "bb_lower", 20, 2.0, "d")
+      .filter(col("bb_upper").isNotNull)
+      .orderBy(col("d"))
+  }
+
+  val w2Rsi: Q = Q(
+    "w2_rsi",
+    s"""WITH RECURSIVE ${Series.DailySql},
+       |s AS (SELECT d, close, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily),
+       |gl AS (
+       |  SELECT rn, d, close,
+       |    CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+       |    CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+       |  FROM (SELECT rn, d, close, close - LAG(close) OVER (ORDER BY rn) AS delta FROM s)
+       |  WHERE delta IS NOT NULL),
+       |rec AS (
+       |  SELECT rn, gain AS ag, loss AS al FROM gl WHERE rn = 2
+       |  UNION ALL
+       |  SELECT g.rn,
+       |    (CAST(1.0 AS DOUBLE)/14.0) * g.gain + (1.0 - CAST(1.0 AS DOUBLE)/14.0) * r.ag,
+       |    (CAST(1.0 AS DOUBLE)/14.0) * g.loss + (1.0 - CAST(1.0 AS DOUBLE)/14.0) * r.al
+       |  FROM gl g JOIN rec r ON g.rn = r.rn + 1)
+       |SELECT s.d, s.close,
+       |  CASE WHEN r.al = 0.0 THEN 100.0
+       |       ELSE 100.0 - 100.0/(1.0 + r.ag/r.al) END AS rsi_14
+       |FROM rec r JOIN s ON s.rn = r.rn
+       |WHERE r.rn >= 15 ORDER BY s.d""".stripMargin) { (spark, dir) =>
+    Indicators.withRsi(Series.daily(spark, dir), "close", "rsi_14", 14, "d")
+      .filter(col("rsi_14").isNotNull)
+      .orderBy(col("d"))
+  }
+
+  val w4Macd: Q = {
+    val (a12, b12) = (aSpan(12), bSpan(12))
+    val (a26, b26) = (aSpan(26), bSpan(26))
+    val (a9, b9) = (aSpan(9), bSpan(9))
+    val e12 = s"$a12*s.close + $b12*r.e12"
+    val e26 = s"$a26*s.close + $b26*r.e26"
+    Q(
+      "w4_macd",
+      s"""WITH RECURSIVE ${Series.DailySql},
+         |s AS (SELECT d, close, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily),
+         |rec AS (
+         |  SELECT rn, d, close, close AS e12, close AS e26,
+         |         CAST(0.0 AS DOUBLE) AS macd, CAST(0.0 AS DOUBLE) AS sig
+         |  FROM s WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.rn, s.d, s.close,
+         |    $e12 AS e12,
+         |    $e26 AS e26,
+         |    ($e12) - ($e26) AS macd,
+         |    $a9*(($e12) - ($e26)) + $b9*r.sig AS sig
+         |  FROM s JOIN rec r ON s.rn = r.rn + 1)
+         |SELECT d, close, macd, sig AS macd_signal, macd - sig AS macd_histogram
+         |FROM rec ORDER BY d""".stripMargin) { (spark, dir) =>
+      Indicators.withMacd(Series.daily(spark, dir), "close",
+        "macd", "macd_signal", "macd_histogram", 12, 26, 9, "d")
+        .select("d", "close", "macd", "macd_signal", "macd_histogram")
+        .orderBy(col("d"))
+    }
+  }
+
+  val m2Target: Q = Q(
+    "m2_target_return",
+    s"""WITH ${Series.DailySql},
+       |t AS (SELECT d, close, LEAD(close) OVER (ORDER BY d) AS nxt FROM daily)
+       |SELECT d, close, (nxt - close)/close*100.0 AS target_return
+       |FROM t WHERE nxt IS NOT NULL ORDER BY d""".stripMargin) { (spark, dir) =>
+    MlPrep.withTargetReturn(Series.daily(spark, dir), "close", "d")
+      .orderBy(col("d"))
+  }
+
+  val m3CvSplits: Q = Q(
+    "m3_cv_splits",
+    s"""WITH ${Series.DailySql},
+       |s AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d) AS rn FROM daily),
+       |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(FLOOR(COUNT(*) / 6.0) AS BIGINT) AS tsz FROM s),
+       |folds AS (
+       |  SELECT CAST(f.fold AS BIGINT) AS fold, p.n - (6 - f.fold) * p.tsz AS train_rows, p.tsz AS test_rows
+       |  FROM (VALUES (1),(2),(3),(4),(5)) AS f(fold) CROSS JOIN p)
+       |SELECT fold, train_rows, test_rows, MIN(s.d) AS test_start, MAX(s.d) AS test_end
+       |FROM folds JOIN s ON s.rn > folds.train_rows AND s.rn <= folds.train_rows + folds.test_rows
+       |GROUP BY fold, train_rows, test_rows ORDER BY fold""".stripMargin) { (spark, dir) =>
+    MlPrep.timeSeriesSplitSummary(Series.daily(spark, dir), "d", 5)
+  }
+
+  val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits)
+}
