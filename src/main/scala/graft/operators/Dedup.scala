@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for web-scale corpora: exact (hash group-by),
+  * MinHash+LSH (shingle → minhash → band → bucket-join → verify), SimHash,
+  * and n-gram Jaccard with an inverted-index candidate generator.
+  *
+  * Scale design: every stage is a narrow map or a key-partitioned
+  * shuffle/join — no driver-side state, no O(n²) step. Candidate generation
+  * (LSH bands / rare-gram inverted index) bounds the pair space so the exact
+  * verification join touches only plausible near-duplicates; this is the
+  * standard architecture for 100 TB dedup (band keys and gram keys partition
+  * evenly, and skewed hot buckets can be salted).
+  *
+  * Numerics/hashing: token and shingle hashes derive from `md5` hex prefixes
+  * (32-bit), so signatures are engine-independent and reproducible anywhere
+  * md5 exists (the DuckDB oracles compute the identical signatures in SQL).
+  */
+object Dedup {
+
+  /** 32-bit deterministic content hash as BIGINT (md5 hex prefix). */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact duplicate groups: one row per distinct content hash with the
+    * surviving (minimum) id and the group size.
+    */
+  def exactDuplicateGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup: keep the row with the smallest id per content hash. */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word k-shingles over a token-array column (by name). Callers
+    * must pre-filter rows with fewer than k tokens.
+    */
+  def wordShinglesExpr(tokensCol: String, k: Int): Column = {
+    val parts = (0 until k).map(o => s"element_at($tokensCol, i + $o)").mkString(", ")
+    array_distinct(expr(
+      s"transform(sequence(1, size($tokensCol) - ${k - 1}), i -> concat_ws(' ', $parts))"))
+  }
+
+  /** Distinct character n-grams over a text column (by name). Callers must
+    * pre-filter rows shorter than n characters.
+    */
+  def charNgramsExpr(textCol: String, n: Int): Column =
+    array_distinct(expr(
+      s"transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n))"))
+
+  // -------------------------------------------------------------- minhash
+
+  val MinhashPrime = 4294967311L // smallest prime > 2^32
+
+  /** k-permutation MinHash signature over a (distinct) shingle array column
+    * named `shCol`: h_j = min over shingles of ((2j+1)·hash32(s) + (104729j
+    * + 12345)) mod p. All arithmetic stays below 2^63.
+    */
+  def minhashSignatureExpr(shCol: String, k: Int): Column = expr(
+    s"""transform(sequence(0, ${k - 1}), j -> array_min(transform($shCol, s ->
+       |  (cast(2*j+1 as bigint) * cast(conv(substring(md5(s),1,8),16,10) as bigint)
+       |   + cast(104729*j + 12345 as bigint)) % ${MinhashPrime}L)))""".stripMargin)
+
+  /** Full MinHash+LSH near-duplicate pipeline: returns verified pairs
+    * (id_a < id_b) with exact Jaccard ≥ `threshold` over word k-shingles.
+    * `bands`×`rowsPerBand` = signature length.
+    */
+  def minhashNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSh = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+      .withColumn("ts", split(lower(col("txt")), " "))
+      .filter(size(col("ts")) >= shingleK)
+      .withColumn("sh", wordShinglesExpr("ts", shingleK))
+      .withColumn("sig", minhashSignatureExpr("sh", k))
+      .select("doc_id", "sh", "sig")
+    // Band keys: one row per (doc, band); join on equal band key.
+    val bandsDf = withSh.select(col("doc_id"),
+      posexplode(expr(s"""transform(sequence(0, ${bands - 1}), b ->
+        array_join(transform(slice(sig, b*$rowsPerBand + 1, $rowsPerBand), x -> cast(x as string)), '-'))""")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key"))
+    val a = bandsDf.as("a"); val b = bandsDf.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, withSh.select(col("doc_id"), col("sh")), threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against distinct-element
+    * array sets; jaccard = |∩| / (|A|+|B|−|∩|), exact integer ratio.
+    */
+  def verifyJaccard(pairs: DataFrame, sets: DataFrame, threshold: Double): DataFrame = {
+    val sa = sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 32-bit SimHash over a BIGINT token-hash array column (by name): bit j is
+    * set when the strict majority of token-hash bits at position j are 1
+    * (tie → 0). Returned as BIGINT.
+    */
+  def simhashExpr(hashArrayCol: String): Column = expr(
+    s"""aggregate(transform(sequence(0, 31), j ->
+       |  IF(aggregate(transform($hashArrayCol, h -> IF((shiftright(h, j) & 1) = 1, 1, -1)),
+       |              0, (acc, x) -> acc + x) > 0,
+       |     shiftleft(cast(1 as bigint), j), cast(0 as bigint))),
+       |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
+
+  /** doc_id → 32-bit simhash for a corpus. */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+      .withColumn("hs", expr(
+        """transform(array_distinct(split(lower(txt), ' ')), t ->
+          |  cast(conv(substring(md5(t),1,8),16,10) as bigint))""".stripMargin))
+      .withColumn("simhash", simhashExpr("hs"))
+      .select("doc_id", "simhash")
+
+  // ------------------------------------------------- n-gram inverted index
+
+  /** Character-n-gram near-duplicates with rare-gram candidate generation:
+    * only grams with document frequency ≤ `maxDf` generate candidate pairs
+    * (bounds the join fan-out; near-dups share rare grams), then exact
+    * Jaccard over the full gram sets ≥ `threshold`.
+    */
+  def ngramNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, maxDf: Int = 10, threshold: Double = 0.8): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+      .filter(length(col("txt")) >= n)
+      .withColumn("sh", array_distinct(
+        expr(s"transform(sequence(1, length(txt) - ${n - 1}), i -> substring(txt, i, $n))")))
+      .select("doc_id", "sh")
+    val x = grams.select(col("doc_id"), explode(col("sh")).as("gram"))
+    val rare = x.groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("gram")
+    val xr = x.join(rare, "gram")
+    val cand = xr.as("a").join(xr.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(cand, grams, threshold)
+  }
+}

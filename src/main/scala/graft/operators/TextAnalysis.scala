@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, heuristic language ID, quality scoring, and document
+  * fingerprinting. All are single-pass, codegen-friendly Column expressions —
+  * no UDFs, no shuffles — so they scale linearly with the corpus.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Whitespace token count (pandas `str.split().len()` shape). */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** Marker stopwords per language, used by [[languageId]]. Deliberately tiny:
+    * this is the classic n-gram/stopword-presence heuristic, not a model.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "es"),
+    "fr" -> Seq("le", "les", "des", "une", "est"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  /** Distinct-marker hit count for one language. */
+  def langScore(toks: Column, lang: String): Column = {
+    val markers = langMarkers.toMap.apply(lang)
+    size(array_intersect(toks, array(markers.map(lit): _*)))
+  }
+
+  /** Predicted language: argmax of marker scores, ties broken by the fixed
+    * language order (de, en, es, fr, zh). Pure CASE chain — deterministic.
+    */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = langMarkers.map(_._1)
+    val scores = langs.map(l => l -> langScore(toks, l)).toMap
+    langs.init.zipWithIndex.foldLeft(when(lit(false), lit(""))) { case (acc, (l, i)) =>
+      val rest = langs.drop(i + 1)
+      val cond = rest.map(r => scores(l) >= scores(r)).reduce(_ && _)
+      acc.when(cond, lit(l))
+    }.otherwise(lit(langs.last))
+  }
+
+  /** Heuristic quality score in [0,1]: length, stopword density and word
+    * shape. Components are exact-integer ratios, so the score is
+    * cross-engine deterministic.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTokens = size(split(text, " "))
+    val nChars = length(text)
+    val stops = langMarkers.toMap.apply("en")
+    val stopOcc = size(filter(split(lower(text), " "), t => t.isin(stops: _*)))
+    val avgWordLen = (nChars - (nTokens - 1)) / nTokens
+    lit(0.5) * (least(nTokens, lit(100)) / 100.0) +
+      lit(0.3) * (stopOcc / nTokens) +
+      lit(0.2) * (least(avgWordLen, lit(10.0)) / 10.0)
+  }
+
+  /** Normalized-token fingerprint: md5 over the sorted distinct lowercase
+    * tokens — the standard "fingerprint" key for exact-after-normalization
+    * dedup (case/word-order/duplication insensitive).
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+}

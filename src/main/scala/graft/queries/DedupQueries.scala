@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** Deduplication operators over `documents`: exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. Oracles recompute the identical hash pipelines in DuckDB
+  * SQL (same md5-derived 32-bit hashes, same band/bucket structure).
+  */
+object DedupQueries {
+
+  /** Shared SQL: lowercased tokens → distinct word 3-shingles. */
+  private val ShinglesSql =
+    """tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+      |         i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))) AS sh
+      |       FROM tok WHERE len(ts) >= 3)""".stripMargin
+
+  private val JaccardSql =
+    "len(list_intersect(ga.sh, gb.sh)) / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)))"
+
+  val dd1ExactDedup: Q = Q(
+    "dd1_dedup_exact",
+    """SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+      |  CAST(COUNT(*) AS BIGINT) AS dup_count
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin) { (spark, dir) =>
+    Dedup.exactDuplicateGroups(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("keep_id"))
+  }
+
+  val dd2MinhashLsh: Q = Q(
+    "dd2_minhash_lsh",
+    s"""WITH $ShinglesSql,
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+       |     + (104729*j + 12345)) % 4294967311))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, t.b AS band,
+       |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+       |  FROM sig CROSS JOIN range(0, 16) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT * FROM (
+       |  SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
+       |  FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
+       |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    Dedup.minhashNearDuplicates(Tables.documents(spark, dir), "doc_id", "text",
+      shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val dd3Simhash: Q = Q(
+    "dd3_simhash",
+    """WITH h AS (SELECT doc_id,
+      |    list_transform(list_distinct(string_split(lower(text), ' ')),
+      |      t -> CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT)) AS hs
+      |  FROM documents)
+      |SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), j ->
+      |  CASE WHEN CAST(list_sum(list_transform(hs, x ->
+      |         CASE WHEN ((x >> CAST(j AS INT)) & 1) = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+      |       THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+      |FROM h ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Dedup.simhashes(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val dd4NgramJaccard: Q = Q(
+    "dd4_ngram_jaccard",
+    """WITH g AS (SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 2),
+      |    i -> substr(text, CAST(i AS INT), 4))) AS sh
+      |  FROM documents WHERE length(text) >= 4),
+      |x AS (SELECT doc_id, unnest(sh) AS gram FROM g),
+      |r AS (SELECT gram FROM (SELECT gram, COUNT(*) AS df FROM x GROUP BY gram) WHERE df <= 10),
+      |xr AS (SELECT x.doc_id, x.gram FROM x JOIN r USING (gram)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM xr a JOIN xr b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+      |SELECT * FROM (
+      |  SELECT c.doc_a, c.doc_b,
+      |    len(list_intersect(ga.sh, gb.sh)) / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))) AS jaccard
+      |  FROM cand c JOIN g ga ON ga.doc_id = c.doc_a JOIN g gb ON gb.doc_id = c.doc_b)
+      |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    Dedup.ngramNearDuplicates(Tables.documents(spark, dir), "doc_id", "text",
+      n = 4, maxDf = 10, threshold = 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard)
+}

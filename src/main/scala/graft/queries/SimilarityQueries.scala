@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Similarity
+
+/** Similarity search over the `embeddings` table: exact brute-force top-k
+  * (baseline), exact near-duplicate pair scan, and the LSH-bucketed
+  * approximate variant (scale path).
+  */
+object SimilarityQueries {
+
+  /** Shared SQL: vectors as doubles with L2 norms. */
+  private val NormedSql =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v,
+      |        sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm
+      |      FROM e)""".stripMargin
+
+  val sim1BruteTopK: Q = Q(
+    "sim1_ann_brute_topk",
+    s"""WITH $NormedSql,
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 10),
+       |s AS (SELECT q.q_id, c.vec_id AS neighbor,
+       |        list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.v[i])) / (q.qn*c.nrm) AS cosine
+       |      FROM q JOIN n c ON c.vec_id <> q.q_id),
+       |r AS (SELECT q_id, neighbor, cosine,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor) AS BIGINT) AS rnk
+       |      FROM s)
+       |SELECT q_id, neighbor, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val dd5EmbeddingNearDup: Q = Q(
+    "dd5_dedup_embedding",
+    s"""WITH $NormedSql
+       |SELECT * FROM (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |    list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm) AS cosine
+       |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+       |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
+    Similarity.nearDuplicatePairs(Tables.embeddings(spark, dir), "vec_id", "embedding", 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val sim2LshTopK: Q = {
+    val coef = "(((1103515245 * (j*64 + (i - 1)) + 12345) % 2147483648) / 2147483648.0 - 0.5)"
+    Q(
+      "sim2_ann_lsh_topk",
+      s"""WITH $NormedSql,
+         |sg AS (SELECT vec_id, v, nrm,
+         |  CAST(list_sum(list_transform(range(0, 6), j ->
+         |    CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * $coef)) > 0.0
+         |         THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+         |  FROM n),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket FROM sg WHERE vec_id < 10),
+         |s AS (SELECT q.q_id, c.vec_id AS neighbor,
+         |        list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.v[i])) / (q.qn*c.nrm) AS cosine
+         |      FROM q JOIN sg c ON c.bucket = q.bucket AND c.vec_id <> q.q_id),
+         |r AS (SELECT q_id, neighbor, cosine,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor) AS BIGINT) AS rnk
+         |      FROM s)
+         |SELECT q_id, neighbor, cosine, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, bits = 6, dims = 64)
+        .orderBy(col("q_id"), col("rnk"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, sim2LshTopK)
+}

@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.operators.TextAnalysis
+
+/** Text-analysis operators over the `documents` table (beyond-reference
+  * surface for training-data pipelines): token counting, heuristic language
+  * ID, quality scoring, fingerprinting.
+  */
+object TextQueries {
+
+  val tx1TokenCount: Q = Q(
+    "tx1_token_count",
+    """SELECT doc_id, n_chars, CAST(length(text) AS BIGINT) AS n_chars_computed,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("n_chars"),
+      length(col("text")).cast(LongType).as("n_chars_computed"),
+      TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tx2LangId: Q = {
+    def markersSql(lang: String) =
+      TextAnalysis.langMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("[", ", ", "]")
+    Q(
+      "tx2_langid",
+      s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  len(list_intersect(toks, ${markersSql("de")})) AS s_de,
+         |  len(list_intersect(toks, ${markersSql("en")})) AS s_en,
+         |  len(list_intersect(toks, ${markersSql("es")})) AS s_es,
+         |  len(list_intersect(toks, ${markersSql("fr")})) AS s_fr,
+         |  len(list_intersect(toks, ${markersSql("zh")})) AS s_zh
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS predicted_lang
+         |FROM s ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      Tables.documents(spark, dir).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.languageId(col("text")).as("predicted_lang"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  val tx3Quality: Q = Q(
+    "tx3_quality_score",
+    """WITH t AS (SELECT doc_id, text,
+      |    len(string_split(text, ' ')) AS n_tokens_i, length(text) AS n_chars_i,
+      |    len(list_filter(string_split(lower(text), ' '),
+      |        t -> t IN ('the','a','of','and','is'))) AS stop_occ_i
+      |  FROM documents)
+      |SELECT doc_id, CAST(n_tokens_i AS BIGINT) AS n_tokens,
+      |  0.5 * (LEAST(n_tokens_i, 100) / 100.0)
+      |  + 0.3 * (stop_occ_i / n_tokens_i)
+      |  + 0.2 * (LEAST((n_chars_i - (n_tokens_i - 1)) / n_tokens_i, 10.0) / 10.0) AS quality
+      |FROM t ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tx4Fingerprint: Q = Q(
+    "tx4_fingerprint",
+    """SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint)
+}
