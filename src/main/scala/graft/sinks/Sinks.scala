@@ -1,0 +1,15 @@
+package graft.sinks
+
+import graft.core.Registries
+
+/** Registration of the built-in loaders. */
+object Sinks {
+  @volatile private var done = false
+
+  def register(): Unit = synchronized {
+    if (done) return
+    done = true
+    Registries.loaders.register("json_local")((_, c) => new JsonLocalLoader(c))
+    Registries.loaders.register("sql_database")((_, c) => new JdbcLoader(c))
+  }
+}

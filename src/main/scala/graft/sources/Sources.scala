@@ -1,0 +1,25 @@
+package graft.sources
+
+import graft.core.Registries
+
+/** Registration of the built-in extractors (the reference registers via
+  * decorators at subpackage import; `Registries.bootstrap()` calls this).
+  *
+  * `playwright_scraper` requires a [[ContentFetcher]]; the registry wires a
+  * URL-fetching default via [[JdkHttpTransport]] (tests construct
+  * [[ScraperExtractor]] directly with a [[StaticFetcher]]).
+  */
+object Sources {
+  @volatile private var done = false
+
+  def register(): Unit = synchronized {
+    if (done) return
+    done = true
+    Registries.extractors.register("json_file")((s, c) => new JsonFileExtractor(s, c))
+    Registries.extractors.register("rest_api")((s, c) => new RestApiExtractor(s, c))
+    Registries.extractors.register("alpha_vantage")((s, c) => new AlphaVantageExtractor(s, c))
+    Registries.extractors.register("playwright_scraper") { (s, c) =>
+      new ScraperExtractor(s, c, (url: String) => JdkHttpTransport.get(url, Map.empty).body)
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Sanity for the beyond-reference operators (the oracle queries cover full
+  * cross-engine exactness; these cover operator semantics on crafted data).
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "completely different content about spark engines and distributed queries here"),
+    (5L, "Dog lazy the over jumps fox brown quick the")) // same tokens as 1-ish, reordered
+    .toDF("doc_id", "text")
+
+  test("exact duplicate groups keep min id") {
+    val groups = Dedup.exactDuplicateGroups(docs, "doc_id", "text")
+    val dup = groups.filter($"dup_count" > 1).collect()
+    assert(dup.length == 1)
+    assert(dup.head.getAs[Long]("keep_id") == 1L)
+    assert(Dedup.dropExactDuplicates(docs, "doc_id", "text").count() == 4)
+  }
+
+  test("minhash LSH finds the near-duplicate pair and the exact pair") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "doc_id", "text", threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical texts hash identically, different texts differ") {
+    val hs = Dedup.simhashes(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs(1L) == hs(2L))
+    assert(hs(1L) != hs(4L))
+  }
+
+  test("ngram near-duplicates verifies jaccard on rare-gram candidates") {
+    val pairs = Dedup.ngramNearDuplicates(docs, "doc_id", "text",
+      n = 4, maxDf = 4, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("fingerprint is insensitive to case and word order") {
+    val fps = docs.select($"doc_id", TextAnalysis.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(4L))
+    // doc 5 = subset/reorder of doc 1's tokens → differs (different token set)
+    assert(fps(5L) != fps(1L))
+  }
+
+  test("languageId picks the max-marker language deterministically") {
+    val d = Seq(
+      (1L, "the cat of the house is a pet"),
+      (2L, "el perro es de la casa que")).toDF("doc_id", "text")
+    val out = d.select($"doc_id", TextAnalysis.languageId($"text").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+  }
+
+  test("cosine top-k ranks an identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to 0
+      (2L, Array(0.9f, 0.1f, 0.0f)),   // close
+      (3L, Array(0.0f, 1.0f, 0.0f)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), "vec_id", "embedding", 3)
+      .orderBy("rnk").collect()
+    assert(out(0).getAs[Long]("neighbor") == 1L)
+    assert(math.abs(out(0).getAs[Double]("cosine") - 1.0) < 1e-12)
+    assert(out(1).getAs[Long]("neighbor") == 2L)
+    assert(out(2).getAs[Long]("neighbor") == 3L)
+  }
+
+  test("LSH buckets put identical vectors together") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(1.0f)),
+      (2L, Array.fill(8)(-1.0f))).toDF("vec_id", "embedding")
+    val b = Similarity.lshBuckets(vecs, "vec_id", "embedding", bits = 4, dims = 8)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Ema, Indicators}
+
+/** EMA recursion + indicator invariants, mirroring the reference's
+  * `tests/test_finance_transformer.py` numeric assertions on seeded
+  * synthetic data.
+  */
+class IndicatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Deterministic synthetic daily bars (like the reference's rng(42) walk). */
+  private def bars(n: Int): Seq[(String, Double, Double, Double, Double, Double)] = {
+    var price = 100.0
+    (0 until n).map { i =>
+      val step = math.sin(i * 1.7) * 2.0 + math.cos(i * 0.3)
+      price = math.max(1.0, price + step)
+      val date = java.time.LocalDate.of(2023, 1, 1).plusDays(i).toString
+      (date, price - 0.5, price + 1.0, price - 1.0, price, 1000.0 + i)
+    }
+  }
+
+  private def barsDf(n: Int) =
+    bars(n).toDF("date", "open", "high", "low", "close", "volume")
+
+  test("Ema.withEma matches the hand-rolled recurrence, seeds y0=x0") {
+    val xs = Seq(10.0, 12.0, 11.0, 15.0, 14.0)
+    val df = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("i", "x")
+    val out = Ema.withEma(df, Seq(Ema.Spec("x", "ema", 0.5, 0)), Seq("i"))
+      .orderBy("i").select("ema").as[Double].collect()
+    var y = xs.head
+    val expected = xs.zipWithIndex.map { case (x, i) => if (i == 0) { y = x; y } else { y = 0.5 * x + 0.5 * y; y } }
+    assert(out.toSeq == expected)
+  }
+
+  test("Ema minPeriods masks early outputs but recursion still advances") {
+    val df = Seq((0, 1.0), (1, 2.0), (2, 3.0)).toDF("i", "x")
+    val out = Ema.withEma(df, Seq(Ema.Spec("x", "ema", 0.5, 3)), Seq("i"))
+      .orderBy("i").select("ema").collect().map(r => Option(r.get(0)))
+    assert(out(0).isEmpty && out(1).isEmpty)
+    assert(out(2).contains(0.5 * 3.0 + 0.5 * (0.5 * 2.0 + 0.5 * 1.0)))
+  }
+
+  test("Ema resets state per partition key") {
+    val df = Seq(("a", 0, 10.0), ("a", 1, 20.0), ("b", 0, 100.0), ("b", 1, 200.0))
+      .toDF("k", "i", "x")
+    val out = Ema.withEma(df, Seq(Ema.Spec("x", "ema", 0.5, 0)), Seq("i"), Seq("k"))
+      .orderBy("k", "i").select("ema").as[Double].collect()
+    assert(out.toSeq == Seq(10.0, 15.0, 100.0, 150.0))
+  }
+
+  test("technicalIndicators: output columns hardcoded regardless of periods") {
+    val out = Indicators.technicalIndicators(barsDf(80),
+      Indicators.Config(smaPeriod = 5, rsiPeriod = 5, bbPeriod = 5))
+    val expected = Seq("sma_50", "rsi_14", "bb_upper", "bb_lower", "macd", "macd_signal", "macd_histogram")
+    assert(expected.forall(out.columns.contains))
+  }
+
+  test("technicalIndicators invariants on 120 bars") {
+    val out = Indicators.technicalIndicators(barsDf(120)).cache()
+    val n = out.count()
+    // warmup dropped: longest warmup is sma_50 → 120-49 = 71 rows survive
+    assert(n == 71)
+    // no nulls in any indicator column
+    val indCols = Seq("sma_50", "rsi_14", "bb_upper", "bb_lower", "macd", "macd_signal", "macd_histogram")
+    indCols.foreach(c => assert(out.filter(col(c).isNull).count() == 0, s"nulls in $c"))
+    // RSI in [0, 100]
+    assert(out.filter(col("rsi_14") < 0 || col("rsi_14") > 100).count() == 0)
+    // Bollinger band ordering
+    assert(out.filter(col("bb_upper") <= col("bb_lower")).count() == 0)
+    // histogram identity to 1e-10
+    assert(out.filter(abs(col("macd_histogram") - (col("macd") - col("macd_signal"))) > 1e-10).count() == 0)
+    // dates re-emitted as ISO-8601 Z strings, sorted ascending
+    val dates = out.select("date").as[String].collect()
+    assert(dates.forall(_.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z""")))
+    assert(dates.toSeq == dates.toSeq.sorted)
+    // SMA spot check: last sma_50 == mean of last 50 closes
+    val closes = bars(120).map(_._5)
+    val expectSma = closes.takeRight(50).sum / 50.0
+    val gotSma = out.orderBy(desc("date")).select("sma_50").as[Double].head()
+    assert(math.abs(gotSma - expectSma) < 1e-9)
+    out.unpersist()
+  }
+
+  test("technicalIndicators coerces string numerics") {
+    val d = bars(80).map(t => (t._1, t._2.toString, t._3.toString, t._4.toString, t._5.toString, t._6.toString))
+      .toDF("date", "open", "high", "low", "close", "volume")
+    val out = Indicators.technicalIndicators(d)
+    assert(out.count() == 31)
+    assert(out.schema("close").dataType == org.apache.spark.sql.types.DoubleType)
+  }
+}

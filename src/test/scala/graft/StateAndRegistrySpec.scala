@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Registries, StateManager}
+
+/** State-machine + registry behavior (`tests/test_state_manager.py`,
+  * `tests/test_registry.py`).
+  */
+class StateAndRegistrySpec extends AnyFunSuite {
+
+  private def tmpState(): Path = {
+    val dir = Files.createTempDirectory("graft-state")
+    dir.resolve("state.json")
+  }
+
+  test("state round-trips values per pipeline") {
+    val sm = new StateManager(tmpState().toString)
+    sm.set("p1", 42L)
+    sm.set("p2", "2024-01-01")
+    assert(sm.get("p1").contains(42))
+    assert(sm.get("p2").contains("2024-01-01"))
+  }
+
+  test("state overwrite keeps other pipelines") {
+    val sm = new StateManager(tmpState().toString)
+    sm.set("p1", 1)
+    sm.set("p1", 2)
+    sm.set("p2", 3)
+    assert(sm.get("p1").contains(2))
+    assert(sm.get("p2").contains(3))
+  }
+
+  test("corrupt state file resets to empty instead of crashing") {
+    val p = tmpState()
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, "{not json!!")
+    val sm = new StateManager(p.toString)
+    assert(sm.get("p1").isEmpty)
+    sm.set("p1", 7) // and it is writable afterwards
+    assert(sm.get("p1").contains(7))
+  }
+
+  test("non-object state resets to empty") {
+    val p = tmpState()
+    Files.writeString(p, "[1,2,3]")
+    assert(new StateManager(p.toString).readAll().isEmpty)
+  }
+
+  test("missing state file reads empty") {
+    assert(new StateManager(tmpState().toString).readAll().isEmpty)
+  }
+
+  test("registry: unknown key raises with Available list") {
+    Registries.bootstrap()
+    val e = intercept[IllegalArgumentException](Registries.extractors.resolve("nope"))
+    assert(e.getMessage.contains("Unknown extractor 'nope'"))
+    assert(e.getMessage.contains("Available:"))
+    assert(e.getMessage.contains("json_file"))
+  }
+
+  test("registry: duplicate registration is an error") {
+    Registries.bootstrap()
+    val e = intercept[IllegalStateException] {
+      Registries.extractors.register("json_file")((s, c) => null)
+    }
+    assert(e.getMessage.contains("Duplicate"))
+  }
+
+  test("list-modules output groups all three plugin kinds") {
+    val s = Registries.listRegistered()
+    assert(s.contains("Extractors:") && s.contains("Transformers:") && s.contains("Loaders:"))
+    assert(s.contains("alpha_vantage") && s.contains("data_cleaning") && s.contains("sql_database"))
+  }
+}
