@@ -25,6 +25,16 @@ object Dedup {
   def hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
 
+  /** A small corpus read from one parquet file arrives as ONE partition, and
+    * the signature/shingle expressions would run on a single core. Spread the
+    * input across the cluster's parallelism BEFORE the expensive per-row
+    * stages (on a many-file corpus at real scale this is a no-op).
+    */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact duplicate groups: one row per distinct content hash with the
@@ -64,13 +74,21 @@ object Dedup {
 
   val MinhashPrime = 4294967311L // smallest prime > 2^32
 
-  /** k-permutation MinHash signature over a (distinct) shingle array column
-    * named `shCol`: h_j = min over shingles of ((2j+1)·hash32(s) + (104729j
-    * + 12345)) mod p. All arithmetic stays below 2^63.
+  /** 32-bit hashes of a (distinct) shingle array column — computed ONCE per
+    * shingle; the k permutations then run over these integers (md5 is ~64×
+    * more expensive than the LCG permutation, so hashing inside the
+    * permutation loop would dominate the whole dedup pipeline).
     */
-  def minhashSignatureExpr(shCol: String, k: Int): Column = expr(
-    s"""transform(sequence(0, ${k - 1}), j -> array_min(transform($shCol, s ->
-       |  (cast(2*j+1 as bigint) * cast(conv(substring(md5(s),1,8),16,10) as bigint)
+  def shingleHashesExpr(shCol: String): Column = expr(
+    s"transform($shCol, s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))")
+
+  /** k-permutation MinHash signature over a BIGINT hash-array column named
+    * `hvCol`: h_j = min over hashes of ((2j+1)·h + (104729j + 12345)) mod p.
+    * All arithmetic stays below 2^63.
+    */
+  def minhashSignatureExpr(hvCol: String, k: Int): Column = expr(
+    s"""transform(sequence(0, ${k - 1}), j -> array_min(transform($hvCol, h ->
+       |  (cast(2*j+1 as bigint) * h
        |   + cast(104729*j + 12345 as bigint)) % ${MinhashPrime}L)))""".stripMargin)
 
   /** Full MinHash+LSH near-duplicate pipeline: returns verified pairs
@@ -82,13 +100,16 @@ object Dedup {
       shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val k = bands * rowsPerBand
-    val withSh = df
-      .select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+    val withSh = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
       .withColumn("ts", split(lower(col("txt")), " "))
       .filter(size(col("ts")) >= shingleK)
       .withColumn("sh", wordShinglesExpr("ts", shingleK))
-      .withColumn("sig", minhashSignatureExpr("sh", k))
+      .withColumn("hv", shingleHashesExpr("sh"))
+      .withColumn("sig", minhashSignatureExpr("hv", k))
       .select("doc_id", "sh", "sig")
+      // reused by band explode AND both sides of the verify join — cache the
+      // signature table rather than recomputing shingles+hashes three times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band keys: one row per (doc, band); join on equal band key.
     val bandsDf = withSh.select(col("doc_id"),
       posexplode(expr(s"""transform(sequence(0, ${bands - 1}), b ->
@@ -132,7 +153,7 @@ object Dedup {
 
   /** doc_id → 32-bit simhash for a corpus. */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+    spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
       .withColumn("hs", expr(
         """transform(array_distinct(split(lower(txt), ' ')), t ->
           |  cast(conv(substring(md5(t),1,8),16,10) as bigint))""".stripMargin))
@@ -149,8 +170,7 @@ object Dedup {
   def ngramNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 4, maxDf: Int = 10, threshold: Double = 0.8): DataFrame = {
-    val grams = df
-      .select(col(idCol).as("doc_id"), col(textCol).as("txt"))
+    val grams = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
       .filter(length(col("txt")) >= n)
       .withColumn("sh", array_distinct(
         expr(s"transform(sequence(1, length(txt) - ${n - 1}), i -> substring(txt, i, $n))")))

