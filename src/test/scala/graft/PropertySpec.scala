@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.apache.spark.sql.functions._
+import graft.operators.{Cleaning, Ema, MlPrep}
+
+/** Property-based invariants (ScalaCheck) — the upgrade over the reference's
+  * hand-rolled numeric spot checks (SURVEY.md §5).
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Draw n samples from a generator (scalatest/scalacheck bridge is not on
+    * the offline classpath, so properties sample explicitly). */
+  private def forAll[A](g: Gen[A], n: Int = 8)(body: A => Unit): Unit = {
+    val seed0 = org.scalacheck.rng.Seed(42L)
+    Iterator.iterate(seed0)(_.next).map(s => g.apply(Gen.Parameters.default, s))
+      .flatten.take(n).foreach(body)
+  }
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(body: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => body(t._1, t._2))
+
+  test("TimeSeriesSplit bounds: expanding, contiguous, equal test sizes, within n") {
+    forAll(Gen.choose(12L, 5000L), Gen.choose(2, 8)) { (n: Long, splits: Int) =>
+      val folds = MlPrep.timeSeriesSplitBounds(n, splits)
+      assert(folds.size == splits)
+      val tsz = n / (splits + 1)
+      folds.foreach { f =>
+        assert(f.testRows == tsz)
+        assert(f.trainRows > 0 && f.trainRows + f.testRows <= n)
+      }
+      // expanding train, contiguous test blocks
+      folds.sliding(2).foreach {
+        case Seq(a, b) => assert(b.trainRows == a.trainRows + tsz)
+        case _ => ()
+      }
+      assert(folds.last.trainRows + tsz == n)
+    }
+  }
+
+  test("strip_whitespace equals String.trim on string columns") {
+    val g = Gen.listOfN(6, for {
+      pad1 <- Gen.choose(0, 3); pad2 <- Gen.choose(0, 3)
+      s <- Gen.alphaNumStr.map(_.take(8))
+    } yield " " * pad1 + s + " " * pad2)
+    forAll(g) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.zipWithIndex.map { case (s, i) => (i, s) }.toDF("i", "s")
+        val out = Cleaning.stripWhitespace(df).orderBy("i").select("s").as[String].collect()
+        assert(out.toSeq == rows.map(_.trim))
+      }
+    }
+  }
+
+  test("dedup is idempotent and bounded by input size") {
+    val g = Gen.listOfN(12, Gen.choose(0, 3).map(i => (i.toLong, s"v$i")))
+    forAll(g) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("k", "v")
+        val once = Cleaning.deduplicate(df)
+        assert(once.count() <= rows.size)
+        assert(Cleaning.deduplicate(once).count() == once.count())
+        assert(once.count() == rows.distinct.size)
+      }
+    }
+  }
+
+  test("EMA output stays within the running [min,max] envelope of inputs") {
+    val g = Gen.listOfN(30, Gen.choose(1.0, 1000.0))
+    forAll(g, Gen.choose(0.05, 0.95)) { (xs: List[Double], alpha: Double) =>
+      if (xs.nonEmpty) {
+        val df = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("i", "x")
+        val out = Ema.withEma(df, Seq(Ema.Spec("x", "ema", alpha, 0)), Seq("i"))
+          .orderBy("i").select("ema").as[Double].collect()
+        out.zipWithIndex.foreach { case (y, i) =>
+          val seen = xs.take(i + 1)
+          assert(y >= seen.min - 1e-9 && y <= seen.max + 1e-9)
+        }
+      }
+    }
+  }
+
+  test("drop_nulls is at least as aggressive as any subset drop") {
+    val g = Gen.listOfN(10, for {
+      a <- Gen.option(Gen.choose(0L, 5L)); b <- Gen.option(Gen.alphaStr.map(_.take(3)))
+    } yield (a, b))
+    forAll(g) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.map { case (a, b) => (a.map(Long.box).orNull, b.orNull) }.toDF("a", "b")
+        val full = Cleaning.dropNulls(df).count()
+        val subA = Cleaning.dropNullColumns(df, Seq("a")).count()
+        val subB = Cleaning.dropNullColumns(df, Seq("b")).count()
+        assert(full <= subA && full <= subB)
+        assert(full == rows.count { case (a, b) => a.isDefined && b.isDefined })
+      }
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Skew, Temporal}
+
+class TemporalSkewSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Long) = new java.sql.Timestamp(min * 60000)
+
+  test("asofJoin picks the latest right row at-or-before, per key") {
+    val left = Seq(
+      (1L, ts(10), "p1"), (1L, ts(20), "p2"), (1L, ts(5), "p0"),
+      (2L, ts(10), "q1")).toDF("user_id", "ts", "name")
+    val right = Seq(
+      (1L, ts(8), 100.0), (1L, ts(15), 200.0),
+      (3L, ts(1), 999.0)).toDF("user_id", "ts", "price")
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts", Map("price" -> "last_price"))
+      .orderBy("user_id", "ts")
+      .select("user_id", "name", "last_price")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+    assert(out.toSeq == Seq(
+      (1L, "p0", None),          // before any right row
+      (1L, "p1", Some(100.0)),   // ts(8) is latest ≤ 10
+      (1L, "p2", Some(200.0)),   // ts(15) is latest ≤ 20
+      (2L, "q1", None)))         // no right rows for key 2
+  }
+
+  test("asofJoin treats equal timestamps as at-or-before") {
+    val left = Seq((1L, ts(10), "p")).toDF("user_id", "ts", "name")
+    val right = Seq((1L, ts(10), 5.0)).toDF("user_id", "ts", "price")
+    val out = Temporal.asofJoin(left, right, Seq("user_id"), "ts", Map("price" -> "last_price"))
+    assert(out.select("last_price").head().getDouble(0) == 5.0)
+  }
+
+  test("saltedJoin returns exactly the plain join's rows") {
+    val big = (1 to 1000).map(i => (i % 3L, i.toLong)).toDF("k", "v") // skewed: 3 keys
+    val small = Seq((0L, "zero"), (1L, "one"), (2L, "two"), (9L, "unmatched")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), buckets = 8).select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+}
