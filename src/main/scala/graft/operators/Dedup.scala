@@ -95,18 +95,60 @@ object Dedup {
     * (id_a < id_b) with exact Jaccard ≥ `threshold` over word k-shingles.
     * `bands`×`rowsPerBand` = signature length.
     */
+  /** Same 32-bit hash as [[hash32]] (`conv(substring(md5(s),1,8),16,10)`):
+    * first 4 MD5 bytes, big-endian, as an unsigned long.
+    */
+  private def hash32Jvm(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** MinHash signatures via a compiled partition kernel. The expression form
+    * ([[minhashSignatureExpr]]) computes the identical values but pays boxed
+    * per-element lambda overhead ~k× per shingle; the loop below is ~20×
+    * faster and arithmetic-identical (same md5-prefix hash, same LCG mod p).
+    */
+  private def withSignatures(shingled: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val outSchema = shingled.schema.add("sig", ArrayType(LongType, containsNull = false))
+    val shIdx = shingled.schema.fieldIndex("sh")
+    shingled.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        val sh = r.getSeq[String](shIdx)
+        val hv = sh.map(hash32Jvm(md, _)).toArray
+        val sig = new Array[Long](k)
+        var j = 0
+        while (j < k) {
+          val a = 2L * j + 1
+          val b = 104729L * j + 12345L
+          var best = Long.MaxValue
+          var i = 0
+          while (i < hv.length) {
+            val h = (a * hv(i) + b) % MinhashPrime
+            if (h < best) best = h
+            i += 1
+          }
+          sig(j) = best
+          j += 1
+        }
+        Row.fromSeq(r.toSeq :+ (sig: Seq[Long]))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   def minhashNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val k = bands * rowsPerBand
-    val withSh = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
+    val shingled = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
       .withColumn("ts", split(lower(col("txt")), " "))
       .filter(size(col("ts")) >= shingleK)
       .withColumn("sh", wordShinglesExpr("ts", shingleK))
-      .withColumn("hv", shingleHashesExpr("sh"))
-      .withColumn("sig", minhashSignatureExpr("hv", k))
-      .select("doc_id", "sh", "sig")
+      .select("doc_id", "sh")
+    val withSh = withSignatures(shingled, k)
       // reused by band explode AND both sides of the verify join — cache the
       // signature table rather than recomputing shingles+hashes three times
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
