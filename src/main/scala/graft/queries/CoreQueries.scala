@@ -112,16 +112,18 @@ object CoreQueries {
       |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (spark, dir) =>
-    val l = Tables.lineitem(spark, dir)
-    val big = l.groupBy(col("l_orderkey"))
+    // One lineitem scan: l_orderkey is the whole group key on the lineitem
+    // side, so the per-order sum IS the output aggregate — no re-aggregation
+    // after the joins (the oracle SQL keeps the textbook Q18 shape; same rows).
+    val big = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
       .agg(sum(col("l_quantity").cast(D2)).as("q"))
       .filter(col("q") > new java.math.BigDecimal("150.00"))
-      .select(col("l_orderkey").as("big_orderkey"))
-    l.join(big, col("l_orderkey") === col("big_orderkey"), "left_semi")
-      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .withColumn("sum_qty", col("q").cast(DoubleType))
+    big.join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_totalprice"))
-      .agg(dsum(col("l_quantity")).as("sum_qty"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("sum_qty"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
   }
