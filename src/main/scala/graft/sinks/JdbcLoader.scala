@@ -61,15 +61,18 @@ class JdbcLoader(conf: Conf) extends Loader {
 
     ensureTable(schema)
 
+    // column identifiers are quoted throughout: frame columns like "close",
+    // "open" or "date" are Derby reserved words
+    def q(c: String): String = "\"" + c + "\""
     val cols = schema.fieldNames.toSeq
     val nonPk = cols.filterNot(primaryKeys.contains)
-    val colsDdl = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
-    val onClause = primaryKeys.map(k => s"t.$k = v.$k").mkString(" AND ")
+    val colsDdl = schema.fields.map(f => s"${q(f.name)} ${sqlType(f.dataType)}").mkString(", ")
+    val onClause = primaryKeys.map(k => s"t.${q(k)} = v.${q(k)}").mkString(" AND ")
     val updateClause =
       if (nonPk.isEmpty) ""
-      else "WHEN MATCHED THEN UPDATE SET " + nonPk.map(c => s"t.$c = v.$c").mkString(", ")
-    val insertCols = cols.mkString(", ")
-    val insertVals = cols.map(c => s"v.$c").mkString(", ")
+      else "WHEN MATCHED THEN UPDATE SET " + nonPk.map(c => s"t.${q(c)} = v.${q(c)}").mkString(", ")
+    val insertCols = cols.map(q).mkString(", ")
+    val insertVals = cols.map(c => s"v.${q(c)}").mkString(", ")
     val placeholders = cols.map(_ => "?").mkString(", ")
 
     // Derby's MERGE requires a base table as source, so each partition batch-
@@ -120,10 +123,11 @@ class JdbcLoader(conf: Conf) extends Loader {
     val conn = DriverManager.getConnection(url)
     try {
       if (!tableExists(conn)) {
-        val colsDdl = schema.fields.map(f => s"${f.name} ${sqlType(f.dataType)}").mkString(", ")
+        def q(c: String): String = "\"" + c + "\""
+        val colsDdl = schema.fields.map(f => s"${q(f.name)} ${sqlType(f.dataType)}").mkString(", ")
         exec(conn, s"CREATE TABLE $table ($colsDdl)")
         val idxName = s"uq_${table}_${primaryKeys.mkString("_")}".take(120)
-        exec(conn, s"CREATE UNIQUE INDEX $idxName ON $table (${primaryKeys.mkString(", ")})")
+        exec(conn, s"CREATE UNIQUE INDEX $idxName ON $table (${primaryKeys.map(q).mkString(", ")})")
       }
     } finally conn.close()
   }

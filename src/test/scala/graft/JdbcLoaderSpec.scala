@@ -47,9 +47,9 @@ class JdbcLoaderSpec extends AnyFunSuite {
       "connection_string" -> url, "table" -> "t2",
       "if_exists" -> "upsert", "primary_keys" -> Seq("id")))
     loader.load(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
-    assert(queryAll(url, "t2", quoted = false) == Seq((1L, "a"), (2L, "b")))
+    assert(queryAll(url, "t2") == Seq((1L, "a"), (2L, "b")))
     loader.load(Seq((2L, "B2"), (3L, "c")).toDF("id", "v"))
-    assert(queryAll(url, "t2", quoted = false) == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    assert(queryAll(url, "t2") == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
   }
 
   test("upsert supports composite keys") {
@@ -62,7 +62,7 @@ class JdbcLoaderSpec extends AnyFunSuite {
     val conn = DriverManager.getConnection(url)
     val rs = conn.createStatement().executeQuery("SELECT COUNT(*) FROM t3")
     rs.next(); assert(rs.getLong(1) == 3)
-    val rs2 = conn.createStatement().executeQuery("SELECT v FROM t3 WHERE a=1 AND b=2")
+    val rs2 = conn.createStatement().executeQuery("SELECT \"v\" FROM t3 WHERE \"a\"=1 AND \"b\"=2")
     rs2.next(); assert(rs2.getString(1) == "Y2")
     conn.close()
   }
