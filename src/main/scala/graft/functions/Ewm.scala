@@ -87,9 +87,12 @@ object GraftFunctions {
     Ewm(exprs.head, alpha, minPeriods)
   }
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ewm", build, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hash32", exprs => Hash32Expr(exprs.head), "scala_udf")
+  }
 }
 
 /** `SparkSession.builder.withExtensions(new GraftExtensions)` installer. */

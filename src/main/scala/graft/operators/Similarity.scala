@@ -113,6 +113,41 @@ object Similarity {
     prepared(df, idCol, vecCol).withColumn("bucket", bucket)
   }
 
+  /** IVF-structured ANN: assign every vector to its nearest "centroid" cell,
+    * then answer queries by exact cosine ranking within the query's cell.
+    *
+    * The coarse quantizer here is deliberately trivial — the first
+    * `nCells` vectors by id act as centroids (deterministic, reproducible in
+    * a SQL oracle). Production IVF plugs k-means centroids into the same
+    * structure; the Spark plumbing (broadcast centroids → argmax-cosine
+    * assignment via one ranked window → equi-join on cell) is identical and
+    * is what scales: assignment is one narrow pass, search is an equi-join.
+    */
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nCells: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = prepared(df, idCol, vecCol)
+    val cents = broadcast(p.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = p.join(cents)
+      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("__rn", row_number().over(wAssign))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+    val q = assigned.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"), col("cell"))
+    val joined = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cosine", dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    joined.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cosine"), col("rnk"))
+  }
+
   /** Approximate top-k: exact cosine ranking within the query's LSH bucket.
     * Deterministic; recall depends on bits/bucket balance.
     */

@@ -70,5 +70,28 @@ object SimilarityQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, sim2LshTopK)
+  val sim3IvfTopK: Q = Q(
+    "sim3_ann_ivf_topk",
+    s"""WITH $NormedSql,
+       |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+       |a AS (SELECT vec_id, v, nrm, c_id AS cell FROM (
+       |  SELECT n.vec_id, n.v, n.nrm, c.c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])) / (n.nrm*c.cn) DESC,
+       |      c.c_id) AS rn
+       |  FROM n CROSS JOIN c) WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, cell FROM a WHERE vec_id < 10),
+       |s AS (SELECT q.q_id, x.vec_id AS neighbor,
+       |        list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*x.v[i])) / (q.qn*x.nrm) AS cosine
+       |      FROM q JOIN a x ON x.cell = q.cell AND x.vec_id <> q.q_id),
+       |r AS (SELECT q_id, neighbor, cosine,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor) AS BIGINT) AS rnk
+       |      FROM s)
+       |SELECT q_id, neighbor, cosine, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
+    Similarity.ivfTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 5, nCells = 16)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, sim2LshTopK, sim3IvfTopK)
 }
