@@ -48,5 +48,49 @@ object MiscQueries {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup)
+  val qOuterJoin: Q = Q(
+    "q_outer_join",
+    """SELECT COALESCE(c.k, s.k) AS nationkey, c.n_cust, s.n_supp
+      |FROM (SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_cust FROM customer GROUP BY c_nationkey) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_supp FROM supplier GROUP BY s_nationkey) s
+      |  ON c.k = s.k
+      |ORDER BY nationkey""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir).groupBy(col("c_nationkey").as("k"))
+      .agg(count(lit(1)).as("n_cust"))
+    val s = Tables.supplier(spark, dir).groupBy(col("s_nationkey").as("ks"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(s, col("k") === col("ks"), "full_outer")
+      .select(coalesce(col("k"), col("ks")).as("nationkey"), col("n_cust"), col("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  val qAntiCustomers: Q = Q(
+    "q_anti_customers",
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy(col("c_custkey"))
+  }
+
+  val qSemiCustomers: Q = Q(
+    "q_semi_customers",
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |              AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |              AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val o97 = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+    Tables.customer(spark, dir)
+      .join(o97, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy(col("c_custkey"))
+  }
+
+  val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup,
+    qOuterJoin, qAntiCustomers, qSemiCustomers)
 }
