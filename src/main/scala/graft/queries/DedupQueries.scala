@@ -87,5 +87,46 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard)
+  /** SimHash near-duplicates: candidates from 8-bit band equality (4 bands
+    * over the 32-bit hash), verified by exact Hamming distance ≤ 3.
+    * DuckDB `^` is power, so the oracle uses `xor()`; Spark uses `^`.
+    */
+  val dd6SimhashHamming: Q = Q(
+    "dd6_simhash_hamming",
+    """WITH h AS (SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 32), j ->
+      |      CASE WHEN CAST(list_sum(list_transform(
+      |             list_transform(list_distinct(string_split(lower(text), ' ')),
+      |               t -> CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT)),
+      |             x -> CASE WHEN ((x >> CAST(j AS INT)) & 1) = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+      |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sim
+      |  FROM documents),
+      |b AS (SELECT doc_id, sim, t.k AS band, (sim >> CAST(t.k*8 AS INT)) & 255 AS bv
+      |  FROM h CROSS JOIN range(0, 4) t(k)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+      |SELECT * FROM (
+      |  SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
+      |  FROM cand c JOIN h x ON x.doc_id = c.doc_a JOIN h y ON y.doc_id = c.doc_b)
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val h = Dedup.simhashes(Tables.documents(spark, dir), "doc_id", "text")
+      .withColumnRenamed("simhash", "sim")
+      .persist()
+    val b = h.select(col("doc_id"), col("sim"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bv", expr("(sim >> cast(band*8 as int)) & 255"))
+    val cand = b.as("a").join(b.as("b2"),
+        col("a.band") === col("b2.band") && col("a.bv") === col("b2.bv") &&
+          col("a.doc_id") < col("b2.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"))
+      .distinct()
+    cand.join(h.select(col("doc_id").as("doc_a"), col("sim").as("sa")), "doc_a")
+      .join(h.select(col("doc_id").as("doc_b"), col("sim").as("sb")), "doc_b")
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard, dd6SimhashHamming)
 }

@@ -91,6 +91,42 @@ object MiscQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Exact median without engine-specific percentile interpolation: the
+    * middle one-or-two ranked values averaged through an exact decimal sum
+    * (cross-engine percentile functions interpolate with different formula
+    * shapes, so the oracle-stable form ranks explicitly).
+    */
+  val qMedianPrice: Q = Q(
+    "q_median_price",
+    """WITH r AS (
+      |  SELECT c_mktsegment, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT c_mktsegment,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS median_price,
+      |  CAST(MIN(cnt) AS BIGINT) AS n_orders
+      |FROM r
+      |WHERE rn IN ((cnt + 1) // 2, (cnt + 2) // 2)
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val joined = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+    val r = joined.select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .withColumn("cnt", count(lit(1)).over(w))
+    r.filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+        col("rn") === floor((col("cnt") + 2) / 2))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType) / count(lit(1)))
+          .as("median_price"),
+        min(col("cnt")).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup,
-    qOuterJoin, qAntiCustomers, qSemiCustomers)
+    qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice)
 }
