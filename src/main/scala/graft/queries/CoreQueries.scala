@@ -268,8 +268,32 @@ object CoreQueries {
       .orderBy(col("region"), col("nation"))
   }
 
+  val q10ReturnedCustomers: Q = Q(
+    "q10_returned_top_customers",
+    s"""SELECT c_custkey, c_name, CAST(SUM($DiscPriceSql) AS DOUBLE) AS revenue, n_name
+       |FROM customer, orders, lineitem, nation
+       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       |GROUP BY c_custkey, c_name, n_name
+       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+      .select("c_custkey", "c_name", "revenue", "n_name")
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
-    q1PricingSummary, q3TopRevenueOrders, q5NationRevenue, q18LargeOrders,
-    qTopkOrders, qDistinctUsers, qSetOps, qSessionize, qJsonExtract,
-    qHourlyEvents, qRankCustomers, qRollupCustomers)
+    q1PricingSummary, q3TopRevenueOrders, q5NationRevenue, q10ReturnedCustomers,
+    q18LargeOrders, qTopkOrders, qDistinctUsers, qSetOps, qSessionize,
+    qJsonExtract, qHourlyEvents, qRankCustomers, qRollupCustomers)
 }

@@ -16,8 +16,10 @@ object Sources {
     if (done) return
     done = true
     Registries.extractors.register("json_file")((s, c) => new JsonFileExtractor(s, c))
-    Registries.extractors.register("rest_api")((s, c) => new RestApiExtractor(s, c))
-    Registries.extractors.register("alpha_vantage")((s, c) => new AlphaVantageExtractor(s, c))
+    Registries.extractors.register("rest_api")((s, c) =>
+      new RestApiExtractor(s, c, env = graft.core.EnvFile.get))
+    Registries.extractors.register("alpha_vantage")((s, c) =>
+      new AlphaVantageExtractor(s, c, env = graft.core.EnvFile.get))
     Registries.extractors.register("playwright_scraper") { (s, c) =>
       new ScraperExtractor(s, c, (url: String) => JdkHttpTransport.get(url, Map.empty).body)
     }
