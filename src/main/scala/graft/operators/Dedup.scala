@@ -193,14 +193,39 @@ object Dedup {
        |     shiftleft(cast(1 as bigint), j), cast(0 as bigint))),
        |  cast(0 as bigint), (acc, x) -> acc + x)""".stripMargin)
 
-  /** doc_id → 32-bit simhash for a corpus. */
-  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
-      .withColumn("hs", expr(
-        """transform(array_distinct(split(lower(txt), ' ')), t ->
-          |  cast(conv(substring(md5(t),1,8),16,10) as bigint))""".stripMargin))
-      .withColumn("simhash", simhashExpr("hs"))
-      .select("doc_id", "simhash")
+  /** doc_id → 32-bit simhash for a corpus, via a compiled partition kernel
+    * (same values as [[simhashExpr]] over md5-prefix token hashes; the
+    * interpreted nested-lambda form costs ~bits×tokens boxed calls per doc).
+    */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val base = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
+    val outSchema = StructType(Seq(
+      base.schema("doc_id").copy(name = "doc_id"),
+      StructField("simhash", LongType, nullable = false)))
+    base.mapPartitions { rows =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map { r =>
+        // split(lower(txt), ' ') with trailing empties, distinct first-occurrence
+        val toks = new java.util.LinkedHashSet[String]()
+        r.getString(1).toLowerCase.split(" ", -1).foreach(toks.add)
+        val counts = new Array[Int](32)
+        val it = toks.iterator()
+        while (it.hasNext) {
+          val h = hash32Jvm(md, it.next())
+          var j = 0
+          while (j < 32) {
+            if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            j += 1
+          }
+        }
+        var sim = 0L
+        var j = 0
+        while (j < 32) { if (counts(j) > 0) sim |= (1L << j); j += 1 }
+        Row(r.get(0), sim)
+      }
+    }(Encoders.row(outSchema))
+  }
 
   // ------------------------------------------------- n-gram inverted index
 

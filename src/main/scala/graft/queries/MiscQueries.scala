@@ -127,6 +127,25 @@ object MiscQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Correlated scalar subquery through the SQL surface — Catalyst
+    * decorrelates it into an aggregate + join (no per-row re-execution),
+    * which is the 100 TB-safe plan. The inner mean uses the exact-decimal
+    * convention so both engines compare against the identical double.
+    */
+  val qAboveAvgOrders: Q = {
+    val sql =
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        |FROM orders o
+        |WHERE o.o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o.o_orderkey""".stripMargin
+    Q("q_above_avg_orders", sql) { (spark, dir) =>
+      Tables.orders(spark, dir).createOrReplaceTempView("orders")
+      spark.sql(sql)
+    }
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup,
-    qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice)
+    qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qAboveAvgOrders)
 }
