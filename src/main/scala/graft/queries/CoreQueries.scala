@@ -292,8 +292,26 @@ object CoreQueries {
       .limit(20)
   }
 
+  val qCubeOrders: Q = Q(
+    "q_cube_orders",
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin) { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+  }
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, q3TopRevenueOrders, q5NationRevenue, q10ReturnedCustomers,
     q18LargeOrders, qTopkOrders, qDistinctUsers, qSetOps, qSessionize,
-    qJsonExtract, qHourlyEvents, qRankCustomers, qRollupCustomers)
+    qJsonExtract, qHourlyEvents, qRankCustomers, qRollupCustomers, qCubeOrders)
 }
