@@ -126,5 +126,68 @@ object WindowQueries {
     MlPrep.timeSeriesSplitSummary(Series.daily(spark, dir), "d", 5)
   }
 
-  val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits)
+  /** Multi-symbol daily series: `o_orderpriority` stands in for the symbol,
+    * so every window/EMA below runs per-key — the shape that scales to
+    * millions of series (one shuffle on the key, per-key O(1) state).
+    */
+  private val DailyBySymSql =
+    """daily2 AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |         CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) AS close
+      |  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE))""".stripMargin
+
+  private def dailyBySym(spark: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(floor(sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast(org.apache.spark.sql.types.DoubleType) / 100.0)
+        .cast(org.apache.spark.sql.types.DoubleType).as("close"))
+
+  /** W1 partitioned: SMA-20 per symbol. */
+  val w5SmaBySymbol: Q = Q(
+    "w5_sma_by_symbol",
+    s"""WITH $DailyBySymSql,
+       |s AS (SELECT sym, d, close, ROW_NUMBER() OVER (PARTITION BY sym ORDER BY d) AS rn FROM daily2)
+       |SELECT sym, d, close,
+       |  SUM(close) OVER (PARTITION BY sym ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)/20.0 AS sma_20
+       |FROM s QUALIFY rn >= 20 ORDER BY sym, d""".stripMargin) { (spark, dir) =>
+    Indicators.withSma(dailyBySym(spark, dir), "close", "sma_20", 20, "d", partitionCols = Seq("sym"))
+      .filter(col("sma_20").isNotNull)
+      .orderBy(col("sym"), col("d"))
+  }
+
+  /** W2 partitioned: the recursive Wilder RSI per symbol — exercises the
+    * per-key EMA scan (repartition + sorted partition pass with state reset
+    * on key change) against a per-key recursive-CTE oracle.
+    */
+  val w6RsiBySymbol: Q = Q(
+    "w6_rsi_by_symbol",
+    s"""WITH RECURSIVE $DailyBySymSql,
+       |s AS (SELECT sym, d, close, ROW_NUMBER() OVER (PARTITION BY sym ORDER BY d) AS rn FROM daily2),
+       |gl AS (
+       |  SELECT sym, rn, d, close,
+       |    CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+       |    CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+       |  FROM (SELECT sym, rn, d, close,
+       |          close - LAG(close) OVER (PARTITION BY sym ORDER BY rn) AS delta FROM s)
+       |  WHERE delta IS NOT NULL),
+       |rec AS (
+       |  SELECT sym, rn, gain AS ag, loss AS al FROM gl WHERE rn = 2
+       |  UNION ALL
+       |  SELECT g.sym, g.rn,
+       |    (CAST(1.0 AS DOUBLE)/14.0) * g.gain + (1.0 - CAST(1.0 AS DOUBLE)/14.0) * r.ag,
+       |    (CAST(1.0 AS DOUBLE)/14.0) * g.loss + (1.0 - CAST(1.0 AS DOUBLE)/14.0) * r.al
+       |  FROM gl g JOIN rec r ON g.sym = r.sym AND g.rn = r.rn + 1)
+       |SELECT s.sym, s.d, s.close,
+       |  CASE WHEN r.al = 0.0 THEN 100.0
+       |       ELSE 100.0 - 100.0/(1.0 + r.ag/r.al) END AS rsi_14
+       |FROM rec r JOIN s ON s.sym = r.sym AND s.rn = r.rn
+       |WHERE r.rn >= 15 ORDER BY s.sym, s.d""".stripMargin) { (spark, dir) =>
+    Indicators.withRsi(dailyBySym(spark, dir), "close", "rsi_14", 14, "d", partitionCols = Seq("sym"))
+      .filter(col("rsi_14").isNotNull)
+      .orderBy(col("sym"), col("d"))
+  }
+
+  val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
+    w5SmaBySymbol, w6RsiBySymbol)
 }
