@@ -188,6 +188,90 @@ object WindowQueries {
       .orderBy(col("sym"), col("d"))
   }
 
+  /** The COMPLETE reference transformer (`technical_indicators`) as one
+    * oracle query, per symbol: OHLCV in → ISO-8601 date strings, all seven
+    * hardcoded indicator columns, warmup rows dropped — every piece of the
+    * flagship operator checked at once against a DuckDB reconstruction.
+    */
+  val w7IndicatorsFull: Q = {
+    val (a12, b12) = (aSpan(12), bSpan(12))
+    val (a26, b26) = (aSpan(26), bSpan(26))
+    val (a9, b9) = (aSpan(9), bSpan(9))
+    val e12 = s"$a12*s.close + $b12*r.e12"
+    val e26 = s"$a26*s.close + $b26*r.e26"
+    Q(
+      "w7_technical_indicators_full",
+      s"""WITH RECURSIVE bars AS (
+         |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+         |    CAST(FLOOR(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) AS open,
+         |    CAST(FLOOR(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) + 1.0 AS high,
+         |    CAST(FLOOR(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) - 1.0 AS low,
+         |    CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) AS close,
+         |    CAST(COUNT(*) AS DOUBLE) AS volume
+         |  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)),
+         |s AS (
+         |  SELECT sym, strftime(CAST(d AS TIMESTAMP), '%Y-%m-%dT%H:%M:%SZ') AS date,
+         |    open, high, low, close, volume,
+         |    ROW_NUMBER() OVER w AS rn,
+         |    SUM(close) OVER (PARTITION BY sym ORDER BY d ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS sma_sum,
+         |    SUM(close) OVER w20 AS s1,
+         |    SUM(close*close) OVER w20 AS s2,
+         |    close - LAG(close) OVER w AS delta
+         |  FROM bars
+         |  WINDOW w AS (PARTITION BY sym ORDER BY d),
+         |         w20 AS (PARTITION BY sym ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+         |gl AS (
+         |  SELECT sym, rn,
+         |    CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+         |    CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+         |  FROM s WHERE delta IS NOT NULL),
+         |rsirec AS (
+         |  SELECT sym, rn, gain AS ag, loss AS al FROM gl WHERE rn = 2
+         |  UNION ALL
+         |  SELECT g.sym, g.rn,
+         |    (CAST(1.0 AS DOUBLE)/14.0) * g.gain + (1.0 - CAST(1.0 AS DOUBLE)/14.0) * r.ag,
+         |    (CAST(1.0 AS DOUBLE)/14.0) * g.loss + (1.0 - CAST(1.0 AS DOUBLE)/14.0) * r.al
+         |  FROM gl g JOIN rsirec r ON g.sym = r.sym AND g.rn = r.rn + 1),
+         |macdrec AS (
+         |  SELECT sym, rn, close AS e12, close AS e26,
+         |         CAST(0.0 AS DOUBLE) AS macd, CAST(0.0 AS DOUBLE) AS sig
+         |  FROM s WHERE rn = 1
+         |  UNION ALL
+         |  SELECT s.sym, s.rn,
+         |    $e12 AS e12,
+         |    $e26 AS e26,
+         |    ($e12) - ($e26) AS macd,
+         |    $a9*(($e12) - ($e26)) + $b9*r.sig AS sig
+         |  FROM (SELECT sym, rn, close FROM s) s JOIN macdrec r ON s.sym = r.sym AND s.rn = r.rn + 1)
+         |SELECT s.sym, s.date, s.open, s.high, s.low, s.close, s.volume,
+         |  s.sma_sum/50.0 AS sma_50,
+         |  CASE WHEN rr.al = 0.0 THEN 100.0
+         |       ELSE 100.0 - 100.0/(1.0 + rr.ag/rr.al) END AS rsi_14,
+         |  s.s1/20.0 + 2.0 * sqrt(GREATEST((s.s2 - s.s1*s.s1/20.0)/19.0, 0.0)) AS bb_upper,
+         |  s.s1/20.0 - 2.0 * sqrt(GREATEST((s.s2 - s.s1*s.s1/20.0)/19.0, 0.0)) AS bb_lower,
+         |  m.macd, m.sig AS macd_signal, m.macd - m.sig AS macd_histogram
+         |FROM s
+         |JOIN rsirec rr ON rr.sym = s.sym AND rr.rn = s.rn
+         |JOIN macdrec m ON m.sym = s.sym AND m.rn = s.rn
+         |WHERE s.rn >= 50 ORDER BY s.sym, s.date""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.types._
+      val D2 = DecimalType(18, 2)
+      def fl(c: org.apache.spark.sql.Column) =
+        floor(c.cast(DoubleType) / 100.0).cast(DoubleType)
+      val bars = graft.Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+        .agg(
+          fl(min(col("o_totalprice").cast(D2))).as("open"),
+          (fl(max(col("o_totalprice").cast(D2))) + 1.0).as("high"),
+          (fl(min(col("o_totalprice").cast(D2))) - 1.0).as("low"),
+          fl(sum(col("o_totalprice").cast(D2))).as("close"),
+          count(lit(1)).cast(DoubleType).as("volume"))
+        .withColumn("date", col("d").cast(StringType)).drop("d")
+      Indicators.technicalIndicators(bars, Indicators.Config(), partitionCols = Seq("sym"))
+        .orderBy(col("sym"), col("date"))
+    }
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
-    w5SmaBySymbol, w6RsiBySymbol)
+    w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull)
 }
