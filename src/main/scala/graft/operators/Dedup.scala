@@ -232,7 +232,16 @@ object Dedup {
   /** Character-n-gram near-duplicates with rare-gram candidate generation:
     * only grams with document frequency ≤ `maxDf` generate candidate pairs
     * (bounds the join fan-out; near-dups share rare grams), then exact
-    * Jaccard over the full gram sets ≥ `threshold`.
+    * Jaccard over the full (string) gram sets ≥ `threshold`.
+    *
+    * Scale shape: the gram kernel runs ONCE and is persisted (it feeds the
+    * inverted index and both sides of the verify join), and the whole
+    * candidate pipeline — explode, document-frequency count, rare filter,
+    * self-join — runs on 32-bit gram *hashes* (int64 columns) rather than
+    * gram strings, shrinking shuffle bytes ~4× and making the joins narrow
+    * fixed-width exchanges. Hash collisions only perturb the candidate set
+    * (df counts / bucket keys), never the result values: verification is
+    * exact string-set Jaccard.
     */
   def ngramNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
@@ -240,30 +249,37 @@ object Dedup {
     val base = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
       .filter(length(col("txt")) >= n)
     // compiled distinct-n-gram kernel (same values as the transform/
-    // array_distinct expression, first-occurrence order, ~10× faster)
+    // array_distinct expression, first-occurrence order, ~10× faster);
+    // emits the md5-prefix 32-bit hash of each gram alongside the strings
     val gramSchema = StructType(Seq(
       StructField("doc_id", base.schema("doc_id").dataType),
-      StructField("sh", ArrayType(StringType, containsNull = false))))
+      StructField("sh", ArrayType(StringType, containsNull = false)),
+      StructField("hv", ArrayType(LongType, containsNull = false))))
     val grams = {
       import org.apache.spark.sql.{Encoders, Row}
       base.mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         rows.map { r =>
           val txt = r.getString(1)
           val seen = new java.util.LinkedHashSet[String]()
           var i = 0
           while (i <= txt.length - n) { seen.add(txt.substring(i, i + n)); i += 1 }
-          Row(r.get(0), seen.toArray.toSeq)
+          val sh = seen.toArray(new Array[String](seen.size))
+          val hv = new Array[Long](sh.length)
+          i = 0
+          while (i < sh.length) { hv(i) = hash32Jvm(md, sh(i)); i += 1 }
+          Row(r.get(0), sh.toSeq, hv.toSeq)
         }
       }(Encoders.row(gramSchema))
-    }
-    val x = grams.select(col("doc_id"), explode(col("sh")).as("gram"))
-    val rare = x.groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf).select("gram")
-    val xr = x.join(rare, "gram")
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val x = grams.select(col("doc_id"), explode(col("hv")).as("gh"))
+    val rare = x.groupBy("gh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("gh")
+    val xr = x.join(rare, "gh")
     val cand = xr.as("a").join(xr.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, grams, threshold)
+    verifyJaccard(cand, grams.select(col("doc_id"), col("sh")), threshold)
   }
 }

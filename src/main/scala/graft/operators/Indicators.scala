@@ -80,11 +80,19 @@ object Indicators {
   /** W2 — Wilder RSI: EMA(α=1/period) of gains and losses from one-step price
     * deltas, masked until `period` observations (pandas
     * `ewm(alpha=1/n, min_periods=n, adjust=False)`), then
-    * `100 − 100/(1+avgGain/avgLoss)`; all-loss-zero → 100, both-zero → null.
+    * `100 − 100/(1+avgGain/avgLoss)`; all-loss-zero → 100, both-zero → null
+    * (pandas 0/0 → NaN, dropped by the transformer's warmup dropna).
+    *
+    * Both EMAs run through the native [[graft.functions.Ewm]] window function
+    * so they share ONE WindowExec (and its shuffle/sort) with each other —
+    * the upstream plan stays distributed instead of being funneled through a
+    * single-task `mapPartitions` pass per call. [[Ema.withEma]] remains the
+    * bit-exact-tested fallback for callers without a window-able plan.
     */
   def withRsi(
       df: DataFrame, closeCol: String, outCol: String, period: Int,
       orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val w = baseWindow(partitionCols, orderCol)
     val delta = col(closeCol) - lag(col(closeCol), 1).over(w)
     val withGl = df
@@ -94,38 +102,38 @@ object Indicators {
       .withColumn("__loss", when(col("__delta") < 0, -col("__delta"))
         .otherwise(when(col("__delta").isNotNull, lit(0.0))))
     val alpha = 1.0 / period.toDouble
-    val smoothed = Ema.withEma(
-      withGl,
-      Seq(
-        Ema.Spec("__gain", "__avg_gain", alpha, period),
-        Ema.Spec("__loss", "__avg_loss", alpha, period)),
-      Seq(orderCol), partitionCols)
+    val smoothed = withGl
+      .withColumn("__avg_gain", expr(s"ewm(__gain, $alpha, $period)").over(w))
+      .withColumn("__avg_loss", expr(s"ewm(__loss, $alpha, $period)").over(w))
     smoothed
       .withColumn(outCol,
-        when(col("__avg_loss") === 0.0 && col("__avg_gain").isNotNull, lit(100.0))
+        when(col("__avg_loss") === 0.0, when(col("__avg_gain") > 0.0, lit(100.0)))
           .otherwise(lit(100.0) - lit(100.0) / (lit(1.0) + col("__avg_gain") / col("__avg_loss"))))
       .drop("__delta", "__gain", "__loss", "__avg_gain", "__avg_loss")
   }
 
   /** W4 — MACD: EMA(fast) − EMA(slow) with α = 2/(span+1) seeded at x₀;
     * signal = EMA(signalSpan) of the MACD line; histogram = macd − signal.
+    *
+    * Fast and slow EMAs evaluate in ONE WindowExec via the native
+    * [[graft.functions.Ewm]] window function; the signal EMA (which consumes
+    * the MACD line) stacks a second Window over the same spec, reusing the
+    * first's partitioning and sort — no second shuffle, and the upstream plan
+    * runs distributed exactly once (the previous `Ema.withEma` route funneled
+    * the whole upstream into a `coalesce(1)` task twice in sequence).
     */
   def withMacd(
       df: DataFrame, closeCol: String,
       macdCol: String, signalCol: String, histCol: String,
       fast: Int, slow: Int, signalSpan: Int,
       orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     def a(span: Int): Double = 2.0 / (span.toDouble + 1.0)
-    val withEmas = Ema.withEma(
-      df,
-      Seq(Ema.Spec(closeCol, "__ema_fast", a(fast)), Ema.Spec(closeCol, "__ema_slow", a(slow))),
-      Seq(orderCol), partitionCols)
-    val withMacdLine = withEmas
+    val w = baseWindow(partitionCols, orderCol)
+    df.withColumn("__ema_fast", expr(s"ewm(`$closeCol`, ${a(fast)}, 0)").over(w))
+      .withColumn("__ema_slow", expr(s"ewm(`$closeCol`, ${a(slow)}, 0)").over(w))
       .withColumn(macdCol, col("__ema_fast") - col("__ema_slow"))
-    val withSignal = Ema.withEma(
-      withMacdLine, Seq(Ema.Spec(macdCol, signalCol, a(signalSpan))),
-      Seq(orderCol), partitionCols)
-    withSignal
+      .withColumn(signalCol, expr(s"ewm(`$macdCol`, ${a(signalSpan)}, 0)").over(w))
       .withColumn(histCol, col(macdCol) - col(signalCol))
       .drop("__ema_fast", "__ema_slow")
   }

@@ -55,40 +55,98 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cosine"), col("rnk"))
   }
 
-  /** All pairs (a < b) with cosine ≥ threshold — exact near-duplicate scan.
+  /** All pairs (a < b) with cosine ≥ threshold — exact near-duplicate scan,
+    * fully distributed (no driver-side materialization).
     *
-    * Implementation: the corpus (ids, vectors, norms) is broadcast once and
-    * each task loops its partition's rows against it with a primitive-array
-    * dot product — a compiled O(n²/p) kernel instead of a cross-join of
-    * higher-order-function folds (~50× faster, identical IEEE arithmetic:
-    * same left-to-right accumulation as [[dot]]). Quadratic by nature: this
-    * is the exact baseline; [[lshBuckets]] + bucket-local pairing is the
-    * scale path.
+    * Block-partitioned all-pairs: each vector lands in block `id mod B`, and
+    * every unordered block pair (i ≤ j) becomes one shuffle group holding the
+    * vectors of both blocks. A compiled kernel then compares the group's two
+    * block lists — every id pair is covered by exactly one group, so the
+    * result is the exact quadratic scan spread over B(B+1)/2 tasks with
+    * replication factor B (shuffle = B·n vectors, work = n²/2 dot products
+    * total). The dot product is the same left-to-right accumulation as
+    * [[dot]]/the DuckDB oracle, so values are bit-identical. Driver memory is
+    * O(1); executor memory per task is two blocks (2n/B vectors).
+    *
+    * Still quadratic by nature — this is the exact baseline, and B is the
+    * knob that spreads it over a cluster; [[lshBuckets]] + bucket-local
+    * pairing is the subquadratic scale path.
     */
   def nearDuplicatePairs(
-      df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      blocks: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val p = prepared(df, idCol, vecCol)
-      .select(col("vec_id"), col("v"), col("nrm"))
-      .as[(Long, Array[Double], Double)]
-    val corpus = p.collect().sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(corpus)
-    val thr = threshold
-    p.mapPartitions { it =>
-      val all = bc.value
-      it.flatMap { case (idA, va, na) =>
-        all.iterator
-          .filter(_._1 > idA)
-          .map { case (idB, vb, nb) =>
-            var acc = 0.0
-            var i = 0
-            while (i < va.length) { acc += va(i) * vb(i); i += 1 }
-            (idA, idB, acc / (na * nb))
-          }
-          .filter(_._3 >= thr)
+    val b =
+      if (blocks > 0) blocks
+      // B(B+1)/2 groups ≈ 2× parallelism so tasks stay balanced
+      else math.max(4, math.ceil(math.sqrt(4.0 * spark.sparkContext.defaultParallelism)).toInt)
+    // Compiled prep: widen float→double and take the sequential-fold norm —
+    // identical arithmetic to prepared()/norm() column expressions.
+    val prepped = df.select(col(idCol).cast(LongType).as("vec_id"), col(vecCol).as("emb"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, vf) =>
+          val v = new Array[Double](vf.length)
+          var i = 0
+          var acc = 0.0
+          while (i < v.length) { v(i) = vf(i).toDouble; acc += v(i) * v(i); i += 1 }
+          (((id % b) + b) % b, id, v, math.sqrt(acc))
+        }
       }
-    }.toDF("vec_a", "vec_b", "cosine")
+      .toDF("blk", "vec_id", "v", "nrm")
+    val combos = (for { i <- 0 until b; j <- i until b } yield (i, j))
+      .toDF("ci", "cj")
+    val thr = threshold
+    prepped.join(broadcast(combos),
+        col("blk") === col("ci").cast(LongType) || col("blk") === col("cj").cast(LongType))
+      .select(col("ci"), col("cj"), col("blk"), col("vec_id"), col("v"), col("nrm"))
+      .as[(Int, Int, Long, Long, Array[Double], Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Long, Array[Double], Double)]) =>
+        val (ci, cj) = key
+        val left = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+        val right = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+        it.foreach { case (_, _, blk, id, v, nrm) =>
+          if (blk == ci.toLong) left += ((id, v, nrm)) else right += ((id, v, nrm))
+        }
+        def dotP(va: Array[Double], vb: Array[Double]): Double = {
+          var acc = 0.0
+          var i = 0
+          while (i < va.length) { acc += va(i) * vb(i); i += 1 }
+          acc
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        if (ci == cj) {
+          var i = 0
+          while (i < left.length) {
+            var j = i + 1
+            while (j < left.length) {
+              val (ia, va, na) = left(i)
+              val (ib, vb, nb) = left(j)
+              val c = dotP(va, vb) / (na * nb)
+              if (c >= thr) out += (if (ia < ib) (ia, ib, c) else (ib, ia, c))
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          var i = 0
+          while (i < left.length) {
+            var j = 0
+            while (j < right.length) {
+              val (ia, va, na) = left(i)
+              val (ib, vb, nb) = right(j)
+              val c = dotP(va, vb) / (na * nb)
+              if (c >= thr) out += (if (ia < ib) (ia, ib, c) else (ib, ia, c))
+              j += 1
+            }
+            i += 1
+          }
+        }
+        out
+      }
+      .toDF("vec_a", "vec_b", "cosine")
   }
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim d):

@@ -72,11 +72,12 @@ object DedupQueries {
     """WITH g AS (SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 2),
       |    i -> substr(text, CAST(i AS INT), 4))) AS sh
       |  FROM documents WHERE length(text) >= 4),
-      |x AS (SELECT doc_id, unnest(sh) AS gram FROM g),
-      |r AS (SELECT gram FROM (SELECT gram, COUNT(*) AS df FROM x GROUP BY gram) WHERE df <= 10),
-      |xr AS (SELECT x.doc_id, x.gram FROM x JOIN r USING (gram)),
+      |x AS (SELECT doc_id, unnest(list_transform(sh,
+      |    s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT))) AS gh FROM g),
+      |r AS (SELECT gh FROM (SELECT gh, COUNT(*) AS df FROM x GROUP BY gh) WHERE df <= 10),
+      |xr AS (SELECT x.doc_id, x.gh FROM x JOIN r USING (gh)),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM xr a JOIN xr b ON a.gram = b.gram AND a.doc_id < b.doc_id)
+      |  FROM xr a JOIN xr b ON a.gh = b.gh AND a.doc_id < b.doc_id)
       |SELECT * FROM (
       |  SELECT c.doc_a, c.doc_b,
       |    len(list_intersect(ga.sh, gb.sh)) / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))) AS jaccard

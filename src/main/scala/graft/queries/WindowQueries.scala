@@ -63,10 +63,10 @@ object WindowQueries {
        |    (CAST(1.0 AS DOUBLE)/14.0) * g.loss + (1.0 - CAST(1.0 AS DOUBLE)/14.0) * r.al
        |  FROM gl g JOIN rec r ON g.rn = r.rn + 1)
        |SELECT s.d, s.close,
-       |  CASE WHEN r.al = 0.0 THEN 100.0
+       |  CASE WHEN r.al = 0.0 THEN (CASE WHEN r.ag > 0.0 THEN 100.0 ELSE NULL END)
        |       ELSE 100.0 - 100.0/(1.0 + r.ag/r.al) END AS rsi_14
        |FROM rec r JOIN s ON s.rn = r.rn
-       |WHERE r.rn >= 15 ORDER BY s.d""".stripMargin) { (spark, dir) =>
+       |WHERE r.rn >= 15 AND NOT (r.al = 0.0 AND r.ag = 0.0) ORDER BY s.d""".stripMargin) { (spark, dir) =>
     Indicators.withRsi(Series.daily(spark, dir), "close", "rsi_14", 14, "d")
       .filter(col("rsi_14").isNotNull)
       .orderBy(col("d"))
@@ -179,10 +179,10 @@ object WindowQueries {
        |    (CAST(1.0 AS DOUBLE)/14.0) * g.loss + (1.0 - CAST(1.0 AS DOUBLE)/14.0) * r.al
        |  FROM gl g JOIN rec r ON g.sym = r.sym AND g.rn = r.rn + 1)
        |SELECT s.sym, s.d, s.close,
-       |  CASE WHEN r.al = 0.0 THEN 100.0
+       |  CASE WHEN r.al = 0.0 THEN (CASE WHEN r.ag > 0.0 THEN 100.0 ELSE NULL END)
        |       ELSE 100.0 - 100.0/(1.0 + r.ag/r.al) END AS rsi_14
        |FROM rec r JOIN s ON s.sym = r.sym AND s.rn = r.rn
-       |WHERE r.rn >= 15 ORDER BY s.sym, s.d""".stripMargin) { (spark, dir) =>
+       |WHERE r.rn >= 15 AND NOT (r.al = 0.0 AND r.ag = 0.0) ORDER BY s.sym, s.d""".stripMargin) { (spark, dir) =>
     Indicators.withRsi(dailyBySym(spark, dir), "close", "rsi_14", 14, "d", partitionCols = Seq("sym"))
       .filter(col("rsi_14").isNotNull)
       .orderBy(col("sym"), col("d"))
@@ -245,7 +245,7 @@ object WindowQueries {
          |  FROM (SELECT sym, rn, close FROM s) s JOIN macdrec r ON s.sym = r.sym AND s.rn = r.rn + 1)
          |SELECT s.sym, s.date, s.open, s.high, s.low, s.close, s.volume,
          |  s.sma_sum/50.0 AS sma_50,
-         |  CASE WHEN rr.al = 0.0 THEN 100.0
+         |  CASE WHEN rr.al = 0.0 THEN (CASE WHEN rr.ag > 0.0 THEN 100.0 ELSE NULL END)
          |       ELSE 100.0 - 100.0/(1.0 + rr.ag/rr.al) END AS rsi_14,
          |  s.s1/20.0 + 2.0 * sqrt(GREATEST((s.s2 - s.s1*s.s1/20.0)/19.0, 0.0)) AS bb_upper,
          |  s.s1/20.0 - 2.0 * sqrt(GREATEST((s.s2 - s.s1*s.s1/20.0)/19.0, 0.0)) AS bb_lower,
@@ -253,7 +253,8 @@ object WindowQueries {
          |FROM s
          |JOIN rsirec rr ON rr.sym = s.sym AND rr.rn = s.rn
          |JOIN macdrec m ON m.sym = s.sym AND m.rn = s.rn
-         |WHERE s.rn >= 50 ORDER BY s.sym, s.date""".stripMargin) { (spark, dir) =>
+         |WHERE s.rn >= 50 AND NOT (rr.al = 0.0 AND rr.ag = 0.0)
+         |ORDER BY s.sym, s.date""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.types._
       val D2 = DecimalType(18, 2)
       def fl(c: org.apache.spark.sql.Column) =
