@@ -15,7 +15,7 @@ object SparkEntry {
   def suites: Seq[Q] =
     CoreQueries.all ++ CleaningQueries.all ++ WindowQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      MiscQueries.all
+      MultimodalQueries.all ++ MiscQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

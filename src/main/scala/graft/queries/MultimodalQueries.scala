@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.Tables
+import graft.multimodal.Multimodal
+
+/** Oracle coverage for the multimodal-column plumbing
+  * ([[graft.multimodal.Multimodal]]): payloads are built deterministically
+  * from `documents` (UTF-8 text bytes standing in for image/audio/video
+  * bytes), so the byte-level operators AND the deterministic decode stub are
+  * SQL-reconstructible in DuckDB.
+  */
+object MultimodalQueries {
+
+  /** Byte-feature extraction over media payloads — length + md5 content hash,
+    * both codegen'd expressions over the binary column (no UDF).
+    */
+  val mm1ByteFeatures: Q = Q(
+    "mm1_byte_features",
+    """SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_hash
+      |FROM documents ORDER BY media_id""".stripMargin) { (spark, dir) =>
+    val media = Multimodal.fromDocuments(Tables.documents(spark, dir), "doc_id", "text")
+    Multimodal.byteFeatures(media)
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("content_hash"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Frame sampling over decoded video metadata: the decode stub's
+    * `n_frames = 1 + payload_bytes mod 300` is deterministic, so the oracle
+    * reconstructs it and the every-5th-frame-index explode exactly.
+    */
+  val mm2FrameSampling: Q = Q(
+    "mm2_frame_sampling",
+    """WITH v AS (
+      |  SELECT doc_id AS media_id, 1 + octet_length(encode(text)) % 300 AS nf
+      |  FROM documents WHERE doc_id % 3 = 2)
+      |SELECT media_id, unnest(range(0, nf, 5)) AS frame_idx
+      |FROM v ORDER BY media_id, frame_idx""".stripMargin) { (spark, dir) =>
+    val media = Multimodal.fromDocuments(Tables.documents(spark, dir), "doc_id", "text")
+    Multimodal.sampleFrames(Multimodal.decodeMeta(media), everyK = 5)
+      .select(col("media_id"), col("frame_idx").cast(LongType).as("frame_idx"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  val all: Seq[Q] = Seq(mm1ByteFeatures, mm2FrameSampling)
+}
