@@ -46,6 +46,18 @@ object Predict {
     MlPrep.withTargetReturn(ind, "close", "date")
   }
 
+  /** M1 — the reference's actual load path (`predict.py:31-36`): read the
+    * feature table back from the database the pipeline upserted
+    * (`SELECT * FROM <table>` via `spark.read.jdbc`, sorted by date), then
+    * derive the next-day target exactly as [[features]] does. Column names
+    * come back in their exact (quoted, lowercase) created form.
+    */
+  def featuresFromDb(spark: SparkSession, url: String, table: String): DataFrame = {
+    val raw = spark.read.jdbc(url, table, new java.util.Properties())
+      .orderBy("date")
+    MlPrep.withTargetReturn(raw, "close", "date")
+  }
+
   final case class FoldResult(fold: Long, trainRows: Long, testRows: Long, rmse: Double)
 
   /** Expanding-window CV of one regressor; returns per-fold RMSE. */

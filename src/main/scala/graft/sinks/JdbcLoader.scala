@@ -75,12 +75,30 @@ class JdbcLoader(conf: Conf) extends Loader {
     val insertVals = cols.map(c => s"v.${q(c)}").mkString(", ")
     val placeholders = cols.map(_ => "?").mkString(", ")
 
+    // Concurrent MERGEs against one target are only safe when no key appears
+    // in two partitions (or twice in one staging table): both copies would
+    // take the NOT-MATCHED path → unique-index violations / Derby lock
+    // timeouts. So first drop intra-frame PK duplicates keep-LAST (the
+    // reference's sequential row-wise upsert let later rows win), then the
+    // key-partitioned window shuffle guarantees each PK lands in exactly one
+    // partition exactly once.
+    val deduped = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy(primaryKeys.map(col): _*)
+        .orderBy(col("__seq").desc)
+      df.withColumn("__seq", monotonically_increasing_id())
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__seq", "__rn")
+    }
+
     // Derby's MERGE requires a base table as source, so each partition batch-
     // inserts into its own staging table and merges from it — which is also
     // the scalable shape (one bulk MERGE per partition, not one statement per
     // row like the reference).
     val u = url; val bs = batchSize; val tbl = table
-    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+    deduped.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.nonEmpty) {
         val conn = DriverManager.getConnection(u)
         try {
@@ -88,31 +106,41 @@ class JdbcLoader(conf: Conf) extends Loader {
           val st0 = conn.createStatement()
           st0.execute(s"CREATE TABLE $stage ($colsDdl)")
           st0.close()
-          conn.setAutoCommit(false)
-          val ins = conn.prepareStatement(s"INSERT INTO $stage ($insertCols) VALUES ($placeholders)")
-          var inBatch = 0
-          rows.foreach { r =>
-            var i = 1
-            while (i <= r.length) { ins.setObject(i, r.get(i - 1)); i += 1 }
-            ins.addBatch()
-            inBatch += 1
-            if (inBatch >= bs) { ins.executeBatch(); inBatch = 0 }
+          // From here the stage table exists: drop it in a finally so a failed
+          // MERGE/commit doesn't leak stage_* tables across Engine retries.
+          try {
+            conn.setAutoCommit(false)
+            val ins = conn.prepareStatement(s"INSERT INTO $stage ($insertCols) VALUES ($placeholders)")
+            var inBatch = 0
+            rows.foreach { r =>
+              var i = 1
+              while (i <= r.length) { ins.setObject(i, r.get(i - 1)); i += 1 }
+              ins.addBatch()
+              inBatch += 1
+              if (inBatch >= bs) { ins.executeBatch(); inBatch = 0 }
+            }
+            if (inBatch > 0) ins.executeBatch()
+            ins.close()
+            val merge = conn.createStatement()
+            merge.execute(
+              s"""MERGE INTO $tbl t
+                 |USING $stage v
+                 |ON $onClause
+                 |$updateClause
+                 |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin)
+            merge.close()
+            conn.commit()
+          } catch {
+            case e: Throwable =>
+              try conn.rollback() catch { case _: Throwable => () }
+              throw e
+          } finally {
+            try {
+              conn.setAutoCommit(true)
+              val drop = conn.createStatement()
+              try drop.execute(s"DROP TABLE $stage") finally drop.close()
+            } catch { case _: Throwable => () } // best-effort cleanup
           }
-          if (inBatch > 0) ins.executeBatch()
-          ins.close()
-          val merge = conn.createStatement()
-          merge.execute(
-            s"""MERGE INTO $tbl t
-               |USING $stage v
-               |ON $onClause
-               |$updateClause
-               |WHEN NOT MATCHED THEN INSERT ($insertCols) VALUES ($insertVals)""".stripMargin)
-          merge.close()
-          conn.commit()
-          conn.setAutoCommit(true)
-          val drop = conn.createStatement()
-          drop.execute(s"DROP TABLE $stage")
-          drop.close()
         } finally conn.close()
       }
     }

@@ -98,12 +98,29 @@ class RestApiExtractor(
     }
   }
 
+  /** Pagination numbers accept any YAML numeric (Int/Long/…) or a numeric
+    * string; anything unparseable is an explicit config error rather than a
+    * silent fall-back to the default.
+    */
+  private def pagInt(key: String, default: Int): Int = pagination.get(key) match {
+    case Some(n: Number) => n.intValue()
+    case Some(s: String) =>
+      try s.trim.toInt
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"rest_api: pagination '$key' must be an integer, got '$s'")
+      }
+    case Some(other) => throw new IllegalArgumentException(
+      s"rest_api: pagination '$key' must be an integer, got $other")
+    case None => default
+  }
+
   /** S2 — stop on empty page, short page, or max_pages. */
   private def paginatePageParam(): DataFrame = {
     val pageParam = pagination.get("page_param").map(String.valueOf).getOrElse("page")
     val perPageParam = pagination.get("per_page_param").map(String.valueOf).getOrElse("per_page")
-    val perPage = pagination.get("per_page").collect { case i: Int => i }.getOrElse(100)
-    val maxPages = pagination.get("max_pages").collect { case i: Int => i }.getOrElse(10)
+    val perPage = pagInt("per_page", 100)
+    val maxPages = pagInt("max_pages", 10)
     val bodies = Vector.newBuilder[String]
     var page = 1
     var done = false
@@ -132,7 +149,7 @@ class RestApiExtractor(
       }
 
   private def paginateLinkHeader(): DataFrame = {
-    val maxPages = pagination.get("max_pages").collect { case i: Int => i }.getOrElse(10)
+    val maxPages = pagInt("max_pages", 10)
     var url = urlWith(queryParams)
     var bodies = Vector.empty[String]
     var page = 0
@@ -140,9 +157,13 @@ class RestApiExtractor(
       val res = transport.get(url, headers)
       if (res.status >= 400)
         throw new RuntimeException(s"rest_api: GET $url returned ${res.status}")
-      bodies :+= res.body
-      page += 1
-      url = res.headers.get("link").flatMap(parseNextLink).orNull
+      if (recordCount(res.body) == 0) {
+        url = null // empty body: stop, exclude the page, don't follow its link
+      } else {
+        bodies :+= res.body
+        page += 1
+        url = res.headers.get("link").flatMap(parseNextLink).orNull
+      }
     }
     toDf(if (bodies.isEmpty) Seq("[]") else bodies)
   }

@@ -11,10 +11,19 @@ import graft.core.PluginConfig._
   * Browser automation is orthogonal to the engine, so acquisition is a
   * pluggable [[ContentFetcher]] (any headless fetcher, or pre-fetched HTML in
   * tests — the reference never tests against a live browser either).
-  * Selectors are interpreted as regexes with one capture group standing in
-  * for CSS text_content extraction. The reference's load-bearing contract is
-  * preserved: N selectors → N columns, and ALL selectors must match the same
-  * element count or the extract fails (`playwright_scraper.py:64-71`).
+  *
+  * Selectors accept BOTH shapes:
+  *  - the reference's `selectors: [{name: ..., css: ...}]` list — CSS
+  *    (tag/#id/.class + descendant combinator, via [[MiniHtml]]) extracting
+  *    stripped `text_content`, exactly the reference semantics
+  *    (`playwright_scraper.py:54-63`)
+  *  - a plain string list (+ optional `column_names`): parsed as the CSS
+  *    subset when it fits, else treated as a regex whose first capture group
+  *    is the extracted text (engine-specific extension for non-CSS scraping)
+  *
+  * The reference's load-bearing contract is preserved either way: N selectors
+  * → N columns, and ALL selectors must match the same element count or the
+  * extract fails (`playwright_scraper.py:64-71`).
   */
 trait ContentFetcher {
   def fetch(url: String): String
@@ -31,20 +40,41 @@ class ScraperExtractor(
 
   private val url = conf.str("url").getOrElse(
     throw new IllegalArgumentException("scraper: 'url' is required"))
-  private val selectors = conf.strSeq("selectors")
-  private val columns = {
-    val names = conf.strSeq("column_names")
-    if (names.nonEmpty) names else selectors.indices.map(i => s"col_$i")
+
+  /** (column name, selector) pairs from either config shape. */
+  private val selectorSpecs: Seq[(String, String)] = conf.get("selectors") match {
+    case Some(s: Seq[_]) if s.nonEmpty && s.forall(_.isInstanceOf[Map[_, _]]) =>
+      s.map { m =>
+        val mm = m.asInstanceOf[Map[Any, Any]].map { case (k, v) => k.toString -> v }
+        val name = mm.getOrElse("name",
+          throw new IllegalArgumentException("scraper: selector entry missing 'name'")).toString
+        val css = mm.getOrElse("css",
+          throw new IllegalArgumentException("scraper: selector entry missing 'css'")).toString
+        name -> css
+      }
+    case Some(s: Seq[_]) if s.nonEmpty =>
+      val sels = s.map(String.valueOf)
+      val names = conf.strSeq("column_names")
+      val cols = if (names.nonEmpty) names else sels.indices.map(i => s"col_$i")
+      require(cols.size == sels.size,
+        "scraper: column_names must match selectors in length")
+      cols.zip(sels)
+    case _ => throw new IllegalArgumentException("scraper: 'selectors' is required")
   }
-  require(selectors.nonEmpty, "scraper: 'selectors' is required")
-  require(columns.size == selectors.size,
-    "scraper: column_names must match selectors in length")
+
+  private def columns = selectorSpecs.map(_._1)
 
   override def extract(): DataFrame = {
     val html = fetcher.fetch(url)
-    val extracted: Seq[Seq[String]] = selectors.map { sel =>
-      sel.r.findAllMatchIn(html).map(m =>
-        if (m.groupCount >= 1) m.group(1) else m.matched).toSeq
+    lazy val dom = MiniHtml.parse(html)
+    val extracted: Seq[Seq[String]] = selectorSpecs.map { case (_, sel) =>
+      MiniHtml.parseSelector(sel) match {
+        case Some(chain) => // reference semantics: stripped text_content
+          MiniHtml.selectAll(dom, chain).map(e => MiniHtml.textContent(e).trim)
+        case None => // regex-with-capture-group extension
+          sel.r.findAllMatchIn(html).map(m =>
+            if (m.groupCount >= 1) m.group(1) else m.matched).toSeq
+      }
     }
     // equal-cardinality contract
     val counts = extracted.map(_.size).distinct

@@ -12,16 +12,24 @@ import graft.core.Registries
 object Sources {
   @volatile private var done = false
 
+  /** Test seam mirroring the reference's `patch("...httpx.Client")`: when
+    * set, HTTP extractors resolved through the REGISTRY use this transport
+    * instead of [[JdkHttpTransport]], so full Engine pipelines run
+    * hermetically (the reference's mocked alpha_vantage → DB E2E).
+    */
+  @volatile var transportOverride: Option[HttpTransport] = None
+  private def transport: HttpTransport = transportOverride.getOrElse(JdkHttpTransport)
+
   def register(): Unit = synchronized {
     if (done) return
     done = true
     Registries.extractors.register("json_file")((s, c) => new JsonFileExtractor(s, c))
     Registries.extractors.register("rest_api")((s, c) =>
-      new RestApiExtractor(s, c, env = graft.core.EnvFile.get))
+      new RestApiExtractor(s, c, transport, env = graft.core.EnvFile.get))
     Registries.extractors.register("alpha_vantage")((s, c) =>
-      new AlphaVantageExtractor(s, c, env = graft.core.EnvFile.get))
+      new AlphaVantageExtractor(s, c, transport, env = graft.core.EnvFile.get))
     Registries.extractors.register("playwright_scraper") { (s, c) =>
-      new ScraperExtractor(s, c, (url: String) => JdkHttpTransport.get(url, Map.empty).body)
+      new ScraperExtractor(s, c, (url: String) => transport.get(url, Map.empty).body)
     }
   }
 }

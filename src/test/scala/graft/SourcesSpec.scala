@@ -78,6 +78,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 2)
   }
 
+  test("rest_api link_header stops on empty body without following its link") {
+    val t = new FakeHttpTransport({
+      case "http://api.test/items" =>
+        HttpResult(200, """[{"id":1}]""",
+          Map("link" -> """<http://api.test/items?p=2>; rel="next""""))
+      case "http://api.test/items?p=2" =>
+        HttpResult(200, "[]",
+          Map("link" -> """<http://api.test/items?p=3>; rel="next"""")) // link must not be followed
+      case "http://api.test/items?p=3" =>
+        HttpResult(200, """[{"id":99}]""", Map.empty)
+    })
+    val conf = restConf(Map("pagination" -> Map("mode" -> "link_header")))
+    val df = new RestApiExtractor(spark, conf, t).extract()
+    assert(df.count() == 1)
+    assert(t.requests.size == 2)
+  }
+
+  test("rest_api pagination numbers coerce from Long/string and reject junk") {
+    val t = new FakeHttpTransport({
+      case _ => HttpResult(200, """[{"id":1},{"id":2}]""", Map.empty)
+    })
+    val conf = restConf(Map("pagination" -> Map(
+      "mode" -> "page_param", "per_page" -> 2L, "max_pages" -> "3")))
+    assert(new RestApiExtractor(spark, conf, t).extract().count() == 6)
+    val bad = restConf(Map("pagination" -> Map("mode" -> "page_param", "max_pages" -> "lots")))
+    intercept[IllegalArgumentException](new RestApiExtractor(spark, bad, t).extract())
+  }
+
   test("rest_api path params interpolate and bearer auth header is attached") {
     val t = new FakeHttpTransport({
       case _ => HttpResult(200, """[{"id":1}]""", Map.empty)
@@ -167,6 +195,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.count() == 2)
 
     val bad = conf + ("selectors" -> Seq("""<li class=t>([^<]*)</li>""", """<li class=zz>([^<]*)</li>"""))
+    intercept[RuntimeException](new ScraperExtractor(spark, bad, fetcher).extract())
+  }
+
+  test("scraper: reference-shaped CSS selectors extract stripped text_content") {
+    // the reference's webscrape_example.yaml selector shapes
+    val html =
+      """<html><body>
+        |<article class="product_pod"><h3><a href="/b1">Book&nbsp;One</a></h3>
+        |  <p class="price_color"> &#163;51.77 </p></article>
+        |<article class="product_pod"><h3><a href="/b2">Book <em>Two</em></a></h3>
+        |  <p class="price_color">£12.00</p></article>
+        |<article class="other"><h3><a>Not a product</a></h3>
+        |  <p class="price_color">£9</p></article>
+        |</body></html>""".stripMargin
+    val fetcher = new StaticFetcher(Map("http://books" -> html))
+    val conf = Map(
+      "url" -> "http://books",
+      "selectors" -> Seq(
+        Map("name" -> "title", "css" -> "article.product_pod h3 a"),
+        Map("name" -> "price", "css" -> "article.product_pod .price_color")))
+    val df = new ScraperExtractor(spark, conf, fetcher).extract()
+    assert(df.columns.toSeq == Seq("title", "price"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // text_content semantics: nested tags flattened, entities decoded
+    // (&nbsp; stays U+00A0 as in a browser), edges stripped
+    assert(rows == Seq("Book One" -> "£51.77", "Book Two" -> "£12.00"))
+
+    // equal-cardinality contract holds for CSS selectors too: bare
+    // .price_color also matches the non-product article (3 vs 2) → raises
+    val bad = conf + ("selectors" -> Seq(
+      Map("name" -> "title", "css" -> "article.product_pod h3 a"),
+      Map("name" -> "price", "css" -> ".price_color")))
     intercept[RuntimeException](new ScraperExtractor(spark, bad, fetcher).extract())
   }
 
