@@ -104,36 +104,59 @@ object Dedup {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
-  /** MinHash signatures via a compiled partition kernel. The expression form
-    * ([[minhashSignatureExpr]]) computes the identical values but pays boxed
-    * per-element lambda overhead ~k× per shingle; the loop below is ~20×
-    * faster and arithmetic-identical (same md5-prefix hash, same LCG mod p).
+  /** Tokenize → distinct word k-shingles → 32-bit hashes → k-permutation
+    * MinHash signature, all in ONE compiled partition pass. The expression
+    * forms ([[wordShinglesExpr]] + [[minhashSignatureExpr]]) compute the
+    * identical values but pay boxed per-element lambda overhead per token ×
+    * permutation; this kernel is arithmetic-identical (same `split(lower, ' ')`
+    * tokenization with trailing empties, same first-occurrence-distinct
+    * shingles, same md5-prefix hash, same LCG mod p) and keeps the whole
+    * signature stage a narrow map.
     */
-  private def withSignatures(shingled: DataFrame, k: Int): DataFrame = {
+  private def shingleSignatures(base: DataFrame, shingleK: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
-    val outSchema = shingled.schema.add("sig", ArrayType(LongType, containsNull = false))
-    val shIdx = shingled.schema.fieldIndex("sh")
-    shingled.mapPartitions { rows =>
+    val outSchema = StructType(Seq(
+      StructField("doc_id", base.schema("doc_id").dataType),
+      StructField("sh", ArrayType(StringType, containsNull = false)),
+      StructField("sig", ArrayType(LongType, containsNull = false))))
+    base.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
-      rows.map { r =>
-        val sh = r.getSeq[String](shIdx)
-        val hv = sh.map(hash32Jvm(md, _)).toArray
-        val sig = new Array[Long](k)
-        var j = 0
-        while (j < k) {
-          val a = 2L * j + 1
-          val b = 104729L * j + 12345L
-          var best = Long.MaxValue
+      rows.flatMap { r =>
+        // split(lower(txt), ' ') with trailing empties preserved (Spark/DuckDB
+        // string_split semantics), then k-shingles, distinct first-occurrence
+        val toks = r.getString(1).toLowerCase.split(" ", -1)
+        if (toks.length < shingleK) None
+        else {
+          val seen = new java.util.LinkedHashSet[String]()
           var i = 0
-          while (i < hv.length) {
-            val h = (a * hv(i) + b) % MinhashPrime
-            if (h < best) best = h
+          while (i <= toks.length - shingleK) {
+            val sb = new java.lang.StringBuilder(toks(i))
+            var o = 1
+            while (o < shingleK) { sb.append(' ').append(toks(i + o)); o += 1 }
+            seen.add(sb.toString)
             i += 1
           }
-          sig(j) = best
-          j += 1
+          val sh = seen.toArray(new Array[String](seen.size))
+          val hv = new Array[Long](sh.length)
+          i = 0
+          while (i < sh.length) { hv(i) = hash32Jvm(md, sh(i)); i += 1 }
+          val sig = new Array[Long](k)
+          var j = 0
+          while (j < k) {
+            val a = 2L * j + 1
+            val b = 104729L * j + 12345L
+            var best = Long.MaxValue
+            i = 0
+            while (i < hv.length) {
+              val h = (a * hv(i) + b) % MinhashPrime
+              if (h < best) best = h
+              i += 1
+            }
+            sig(j) = best
+            j += 1
+          }
+          Some(Row(r.get(0), sh.toSeq, sig.toSeq))
         }
-        Row.fromSeq(r.toSeq :+ (sig: Seq[Long]))
       }
     }(Encoders.row(outSchema))
   }
@@ -143,12 +166,8 @@ object Dedup {
       shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
     val k = bands * rowsPerBand
-    val shingled = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
-      .withColumn("ts", split(lower(col("txt")), " "))
-      .filter(size(col("ts")) >= shingleK)
-      .withColumn("sh", wordShinglesExpr("ts", shingleK))
-      .select("doc_id", "sh")
-    val withSh = withSignatures(shingled, k)
+    val base = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
+    val withSh = shingleSignatures(base, shingleK, k)
       // reused by band explode AND both sides of the verify join — cache the
       // signature table rather than recomputing shingles+hashes three times
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

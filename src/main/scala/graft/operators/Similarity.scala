@@ -149,6 +149,26 @@ object Similarity {
       .toDF("vec_a", "vec_b", "cosine")
   }
 
+  /** Near-duplicate pairs via LSH buckets — the subquadratic scale path for
+    * [[nearDuplicatePairs]]: candidates are bucket-local (equi-join on the
+    * hyperplane signature), verified by exact cosine ≥ threshold. Recall is
+    * governed by `bits` (fewer bits → bigger buckets → higher recall, more
+    * work); the candidate space is Σ n_b² instead of n², and bucket keys
+    * partition evenly at any corpus size.
+    */
+  def lshNearDuplicatePairs(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bits: Int, dims: Int): DataFrame = {
+    val b = lshBuckets(df, idCol, vecCol, bits, dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = b.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val r = b.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    l.join(r, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
   /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim d):
     * LCG over the flattened index, mapped to [−0.5, 0.5). Exact integer
     * arithmetic + one exact power-of-two division → identical whether

@@ -70,6 +70,30 @@ object SimilarityQueries {
     }
   }
 
+  /** The scale path for dd5: bucket-local candidate pairs (same hyperplane
+    * signature CTE as sim2) + exact cosine verify — Σ n_b² work instead of n².
+    */
+  val dd7EmbeddingLshNearDup: Q = {
+    val coef = "(((1103515245 * (j*64 + (i - 1)) + 12345) % 2147483648) / 2147483648.0 - 0.5)"
+    Q(
+      "dd7_dedup_embedding_lsh",
+      s"""WITH $NormedSql,
+         |sg AS (SELECT vec_id, v, nrm,
+         |  CAST(list_sum(list_transform(range(0, 6), j ->
+         |    CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * $coef)) > 0.0
+         |         THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+         |  FROM n)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    list_sum(list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])) / (a.nrm*b.nrm) AS cosine
+         |  FROM sg a JOIN sg b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.4 ORDER BY vec_a, vec_b""".stripMargin) { (spark, dir) =>
+      Similarity.lshNearDuplicatePairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        threshold = 0.4, bits = 6, dims = 64)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }
+  }
+
   val sim3IvfTopK: Q = Q(
     "sim3_ann_ivf_topk",
     s"""WITH $NormedSql,
@@ -93,5 +117,6 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
-  val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, sim2LshTopK, sim3IvfTopK)
+  val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, dd7EmbeddingLshNearDup,
+    sim2LshTopK, sim3IvfTopK)
 }
