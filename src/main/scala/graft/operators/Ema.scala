@@ -22,8 +22,20 @@ import org.apache.spark.sql.types._
   * [[graft.queries]] do.
   *
   * `minPeriods` masks output until that many non-null observations have been
-  * seen (pandas `min_periods`); the recurrence itself still advances. Null
-  * inputs emit null and leave state untouched.
+  * seen (pandas `min_periods`); the recurrence itself still advances.
+  *
+  * Null handling is selectable per call:
+  *  - `ignoreNa = true` (default): null inputs emit null and leave state
+  *    untouched — pandas `ignore_na=True`, the null-transparent semantics the
+  *    engine's oracle-checked paths use.
+  *  - `ignoreNa = false`: pandas' DEFAULT gap re-weighting (and the
+  *    reference transformer's behavior on coerce-failed rows): a gap of g
+  *    nulls decays the old weight to `(1−α)^(g+1)`, the next observation
+  *    averages as `(w·y + α·x)/(w + α)`, and null rows emit the CARRIED value
+  *    once seeded (pandas `ewma` aggregation, including its skip-update-when-
+  *    equal quirk). On gap-free series both modes produce bit-identical
+  *    values (the division reduces to the pure recurrence; verified against
+  *    pandas in `IndicatorsSpec`).
   */
 object Ema {
   final case class Spec(valueCol: String, outCol: String, alpha: Double, minPeriods: Int = 0)
@@ -32,7 +44,8 @@ object Ema {
       df: DataFrame,
       specs: Seq[Spec],
       orderCols: Seq[String],
-      partitionCols: Seq[String] = Nil): DataFrame = {
+      partitionCols: Seq[String] = Nil,
+      ignoreNa: Boolean = true): DataFrame = {
     require(specs.nonEmpty)
     val inSchema = df.schema
     val outSchema = specs.foldLeft(inSchema)((s, sp) => s.add(sp.outCol, DoubleType, nullable = true))
@@ -42,6 +55,7 @@ object Ema {
     val betas = specs.map(sp => 1.0 - sp.alpha).toArray
     val minP = specs.map(_.minPeriods).toArray
     val nSpecs = specs.size
+    val ignNa = ignoreNa
 
     val parted =
       if (partitionCols.isEmpty) df.coalesce(1)
@@ -51,6 +65,7 @@ object Ema {
     sorted.mapPartitions { it =>
       var curKey: Seq[Any] = null
       val state = new Array[Double](nSpecs)
+      val oldWt = new Array[Double](nSpecs)
       val seeded = new Array[Boolean](nSpecs)
       val seen = new Array[Int](nSpecs)
       it.map { row =>
@@ -59,20 +74,37 @@ object Ema {
           curKey = k
           java.util.Arrays.fill(seeded, false)
           java.util.Arrays.fill(seen, 0)
+          java.util.Arrays.fill(oldWt, 1.0)
         }
         val outs = new Array[Any](nSpecs)
         var i = 0
         while (i < nSpecs) {
           val v = row.get(valIdx(i))
-          if (v == null) outs(i) = null
-          else {
+          if (v == null) {
+            if (ignNa) outs(i) = null
+            else {
+              // pandas ignore_na=False: decay the old weight, emit the carried
+              // value once seeded and past min_periods
+              if (seeded(i)) oldWt(i) *= betas(i)
+              outs(i) = if (seeded(i) && seen(i) >= minP(i))
+                java.lang.Double.valueOf(state(i)) else null
+            }
+          } else {
             val x = v match {
               case d: java.lang.Double => d.doubleValue()
               case f: java.lang.Float  => f.doubleValue()
               case n: java.lang.Number => n.doubleValue()
             }
-            val y = if (!seeded(i)) { seeded(i) = true; x }
-                    else alphas(i) * x + betas(i) * state(i)
+            val y =
+              if (!seeded(i)) { seeded(i) = true; oldWt(i) = 1.0; x }
+              else if (ignNa) alphas(i) * x + betas(i) * state(i)
+              else {
+                val w = oldWt(i) * betas(i)
+                oldWt(i) = 1.0
+                // pandas ewma skips the update when cur equals the carried avg
+                if (state(i) != x) (w * state(i) + alphas(i) * x) / (w + alphas(i))
+                else state(i)
+              }
             state(i) = y
             seen(i) += 1
             outs(i) = if (seen(i) >= minP(i)) java.lang.Double.valueOf(y) else null

@@ -36,6 +36,36 @@ class IndicatorsSpec extends AnyFunSuite {
     assert(out.toSeq == expected)
   }
 
+  test("Ema ignoreNa=false reproduces pandas ignore_na=False gap re-weighting bit-exactly") {
+    // ground truth: pandas 2.x  s.ewm(alpha=…, adjust=False, ignore_na=False,
+    // min_periods=…).mean()  over  [2.0, NaN, 4.0, 1.0, NaN, NaN, 8.0]
+    val xs: Seq[java.lang.Double] = Seq(2.0, null, 4.0, 1.0, null, null, 8.0)
+    val df = xs.zipWithIndex.map { case (x, i) => (i, x) }.toDF("i", "x")
+
+    def run(alpha: Double, minP: Int): Seq[java.lang.Double] =
+      Ema.withEma(df, Seq(Ema.Spec("x", "ema", alpha, minP)), Seq("i"), ignoreNa = false)
+        .orderBy("i").select("ema").collect()
+        .map(r => if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0))).toSeq
+
+    assert(run(0.5, 1) == Seq[java.lang.Double](
+      2.0, 2.0, 3.3333333333333335, 2.166666666666667,
+      2.166666666666667, 2.166666666666667, 6.833333333333333))
+    assert(run(0.5, 3) == Seq[java.lang.Double](
+      null, null, null, 2.166666666666667,
+      2.166666666666667, 2.166666666666667, 6.833333333333333))
+    assert(run(1.0 / 14.0, 1) == Seq[java.lang.Double](
+      2.0, 2.0, 2.153005464480874, 2.070647931303669,
+      2.070647931303669, 2.070647931303669, 2.5562948203402263))
+
+    // gap-free series: both modes reduce to the pure recurrence (pandas parity)
+    val clean = Seq(2.0, 4.0, 1.0, 8.0).zipWithIndex.map { case (x, i) => (i, x) }.toDF("i", "x")
+    def mode(ign: Boolean) =
+      Ema.withEma(clean, Seq(Ema.Spec("x", "ema", 1.0 / 14.0, 0)), Seq("i"), ignoreNa = ign)
+        .orderBy("i").select("ema").as[Double].collect().toSeq
+    assert(mode(true) == mode(false))
+    assert(mode(false) == Seq(2.0, 2.142857142857143, 2.0612244897959187, 2.4854227405247817))
+  }
+
   test("Ema minPeriods masks early outputs but recursion still advances") {
     val df = Seq((0, 1.0), (1, 2.0), (2, 3.0)).toDF("i", "x")
     val out = Ema.withEma(df, Seq(Ema.Spec("x", "ema", 0.5, 3)), Seq("i"))
