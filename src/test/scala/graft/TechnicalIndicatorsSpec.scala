@@ -1,0 +1,141 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Indicators
+
+/** Mirror of the reference's `tests/test_finance_transformer.py` behavioral
+  * suite over `Indicators.technicalIndicators` (the `technical_indicators`
+  * transformer): column contract, warmup drop, numeric invariants, input
+  * tolerance (case, order, string numerics), config propagation, and
+  * degenerate inputs.
+  */
+class TechnicalIndicatorsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val IndicatorCols = Seq(
+    "sma_50", "rsi_14", "bb_upper", "bb_lower", "macd", "macd_signal", "macd_histogram")
+
+  /** Deterministic synthetic daily bars (reference rng(42)-walk analogue). */
+  private def bars(n: Int): Seq[(String, Double, Double, Double, Double, Double)] = {
+    var price = 100.0
+    (0 until n).map { i =>
+      val step = math.sin(i * 1.7) * 2.0 + math.cos(i * 0.3)
+      price = math.max(1.0, price + step)
+      val date = java.time.LocalDate.of(2023, 1, 1).plusDays(i).toString
+      (date, price - 0.5, price + 1.0, price - 1.0, price, 1000.0 + i)
+    }
+  }
+
+  private def barsDf(n: Int) =
+    bars(n).toDF("date", "open", "high", "low", "close", "volume")
+
+  private lazy val out120 = Indicators.technicalIndicators(barsDf(120)).cache()
+
+  test("output has the seven indicator columns and preserves the originals") {
+    val cols = out120.columns.toSeq
+    assert(Seq("date", "open", "high", "low", "close", "volume").forall(cols.contains))
+    assert(IndicatorCols.forall(cols.contains))
+  }
+
+  test("warmup rows are dropped: 120 bars -> 71 rows (sma_50 dominates)") {
+    assert(out120.count() == 71)
+  }
+
+  test("no null indicator or OHLCV values remain in the output") {
+    val anyNull = (IndicatorCols ++ Seq("open", "high", "low", "close", "volume"))
+      .map(c => col(c).isNull).reduce(_ || _)
+    assert(out120.filter(anyNull).count() == 0)
+  }
+
+  test("rsi_14 is bounded to [0, 100]") {
+    assert(out120.filter(col("rsi_14") < 0.0 || col("rsi_14") > 100.0).count() == 0)
+  }
+
+  test("sma_50 equals the mean of the trailing 50 closes (bit-exact)") {
+    val closes = bars(120).map(_._5)
+    val rows = out120.orderBy("date").select("date", "sma_50").collect()
+    // output row i corresponds to bar 49+i; same left-to-right summation order
+    rows.zipWithIndex.foreach { case (r, i) =>
+      var s = 0.0
+      closes.slice(i, i + 50).foreach(s += _)
+      assert(r.getDouble(1) == s / 50.0, s"row $i (${r.getString(0)})")
+    }
+  }
+
+  test("bollinger upper strictly above lower") {
+    assert(out120.filter(col("bb_upper") <= col("bb_lower")).count() == 0)
+  }
+
+  test("macd_histogram equals macd - macd_signal exactly") {
+    assert(out120.filter(col("macd_histogram") =!= col("macd") - col("macd_signal")).count() == 0)
+  }
+
+  test("dates are re-emitted as ISO-8601 UTC strings") {
+    val d = out120.orderBy("date").select("date").head().getString(0)
+    assert(d.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z"""), d)
+  }
+
+  test("unsorted input produces the same output as sorted input") {
+    val shuffled = barsDf(120).orderBy(rand(7))
+    val a = Indicators.technicalIndicators(shuffled).orderBy("date").collect().toSeq
+    val b = out120.orderBy("date").collect().toSeq
+    assert(a == b)
+  }
+
+  test("string numeric columns are coerced (pandas to_numeric parity)") {
+    val stringly = barsDf(120).select(
+      col("date"),
+      col("open").cast("string").as("open"),
+      col("high").cast("string").as("high"),
+      col("low").cast("string").as("low"),
+      col("close").cast("string").as("close"),
+      col("volume").cast("string").as("volume"))
+    val res = Indicators.technicalIndicators(stringly).orderBy("date").collect().toSeq
+    assert(res == out120.orderBy("date").collect().toSeq)
+  }
+
+  test("uppercase column names are handled (case-insensitive contract)") {
+    val upper = barsDf(120).toDF("DATE", "OPEN", "HIGH", "LOW", "CLOSE", "VOLUME")
+    assert(Indicators.technicalIndicators(upper).count() == 71)
+  }
+
+  test("missing required column raises with the column named") {
+    val noClose = barsDf(120).drop("close")
+    val e = intercept[IllegalArgumentException](Indicators.technicalIndicators(noClose))
+    assert(e.getMessage.contains("close"))
+  }
+
+  test("shorter periods produce more rows") {
+    val shorter = Indicators.technicalIndicators(
+      barsDf(120), Indicators.Config(smaPeriod = 20, bbPeriod = 10))
+    assert(shorter.count() > out120.count())
+  }
+
+  test("config values propagate: different rsi_period changes rsi values") {
+    val alt = Indicators.technicalIndicators(barsDf(120), Indicators.Config(rsiPeriod = 7))
+      .orderBy("date").select("rsi_14").as[Double].collect().toSeq
+    val base = out120.orderBy("date").select("rsi_14").as[Double].collect().toSeq
+    // column NAME stays rsi_14 (hardcoded contract) but the values differ
+    assert(alt.size >= base.size)
+    assert(alt.takeRight(base.size) != base)
+  }
+
+  test("empty input frame yields an empty output") {
+    val empty = barsDf(5).filter(lit(false))
+    assert(Indicators.technicalIndicators(empty).count() == 0)
+  }
+
+  test("too few rows for the warmup yields an empty output") {
+    assert(Indicators.technicalIndicators(barsDf(10)).count() == 0)
+  }
+
+  test("constant price: RSI 0/0 is null so every row is dropped (pandas NaN parity)") {
+    val flat = (0 until 120).map { i =>
+      (java.time.LocalDate.of(2023, 1, 1).plusDays(i).toString,
+        100.0, 100.0, 100.0, 100.0, 1000.0)
+    }.toDF("date", "open", "high", "low", "close", "volume")
+    assert(Indicators.technicalIndicators(flat).count() == 0)
+  }
+}
