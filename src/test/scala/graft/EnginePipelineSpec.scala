@@ -155,6 +155,9 @@ class EnginePipelineSpec extends AnyFunSuite {
     new Engine(spark).run(Config.parse(yaml), fullRefresh = true)
     val qp2 = seenConf("query_params").asInstanceOf[Map[String, Any]]
     assert(qp2("since") == 0) // initial value under full refresh
+    // full refresh still SAVES the new cursor after a successful load
+    // (reference test_full_refresh_still_saves_cursor)
+    assert(st.get("cap_pipe").contains(1))
   }
 
   test("config validation fails fast: missing extract config") {

@@ -183,6 +183,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(row.isNullAt(1))
   }
 
+  test("alpha_vantage auto-detects a weekly series key and types numerics as double") {
+    val body =
+      """{"Meta Data": {"2. Symbol": "T"},
+        | "Weekly Time Series": {
+        |   "2024-01-05": {"1. open": "10", "2. high": "11", "3. low": "9", "4. close": "10.5", "5. volume": "100"}}}""".stripMargin
+    val t = new FakeHttpTransport({ case _ => HttpResult(200, body, Map.empty) })
+    val df = new AlphaVantageExtractor(spark, Map("symbol" -> "T"), t, env = _ => Some("k")).extract()
+    assert(df.count() == 1) // first non-"Meta Data" key detected, no config needed
+    import org.apache.spark.sql.types._
+    assert(df.schema.fields.map(_.dataType).toSeq ==
+      Seq(StringType, DoubleType, DoubleType, DoubleType, DoubleType, DoubleType))
+    assert(intercept[RuntimeException] {
+      val empty = new FakeHttpTransport({ case _ => HttpResult(200, """{"Meta Data": {}}""", Map.empty) })
+      new AlphaVantageExtractor(spark, Map("symbol" -> "T"), empty, env = _ => Some("k")).extract()
+    }.getMessage.contains("no time-series key"))
+  }
+
+  test("alpha_vantage builds the request URL with the env api key and params") {
+    val t = new FakeHttpTransport({
+      case _ => HttpResult(200, """{"Meta Data": {}, "S": {}}""", Map.empty)
+    })
+    new AlphaVantageExtractor(spark,
+      Map("symbol" -> "IBM", "function" -> "TIME_SERIES_WEEKLY", "outputsize" -> "full"),
+      t, env = Map("ALPHAVANTAGE_API_KEY" -> "s3cr3t").get).extract()
+    assert(t.requests.head._1 ==
+      "https://www.alphavantage.co/query?function=TIME_SERIES_WEEKLY&symbol=IBM&outputsize=full&apikey=s3cr3t")
+  }
+
   test("scraper: selectors extract equal-cardinality columns; mismatch raises") {
     val html = "<li class=t>alpha</li><li class=t>beta</li><li class=p>1</li><li class=p>2</li>"
     val fetcher = new StaticFetcher(Map("http://x" -> html))

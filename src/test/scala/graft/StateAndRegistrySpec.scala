@@ -72,4 +72,28 @@ class StateAndRegistrySpec extends AnyFunSuite {
     assert(s.contains("Extractors:") && s.contains("Transformers:") && s.contains("Loaders:"))
     assert(s.contains("alpha_vantage") && s.contains("data_cleaning") && s.contains("sql_database"))
   }
+
+  test("registry: every reference plugin key resolves (test_registry.py parity)") {
+    Registries.bootstrap()
+    assert(Registries.extractors.keys ==
+      Seq("alpha_vantage", "json_file", "playwright_scraper", "rest_api"))
+    assert(Registries.transformers.keys ==
+      Seq("data_cleaning", "pass_through", "pydantic_validation", "technical_indicators"))
+    assert(Registries.loaders.keys == Seq("json_local", "sql_database"))
+  }
+
+  test("state: atomic write leaves valid JSON, creates parent dirs, string cursors round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-state")
+    val nested = dir.resolve("a/b/state.json")
+    val st = new graft.core.StateManager(nested.toString)
+    st.set("p1", "2024-01-02T03:04:05") // string cursor
+    st.set("p2", 7)
+    assert(java.nio.file.Files.exists(nested)) // parents created
+    // file parses as a JSON object at any point after a write (atomic move)
+    val parsed = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(java.nio.file.Files.readString(nested), classOf[java.util.Map[String, Object]])
+    assert(parsed.get("p1") == "2024-01-02T03:04:05")
+    assert(new graft.core.StateManager(nested.toString).get("p1").contains("2024-01-02T03:04:05"))
+    assert(st.get("unknown").isEmpty)
+  }
 }
