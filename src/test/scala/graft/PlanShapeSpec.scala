@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.{DedupQueries, SimilarityQueries, WindowQueries}
+
+/** Physical-plan regression guards for the round-2 scale fixes: these assert
+  * the SHAPE of the plan (what `.explain` shows), not just the values, so a
+  * future change that silently reintroduces a driver funnel or a single-task
+  * coalesce fails loudly.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("w4 macd: EMAs run as stacked Window ops, no Coalesce(1) funnel") {
+    val p = plan(WindowQueries.w4Macd.run(spark, sf))
+    assert(!p.contains("Coalesce"), p.linesIterator.take(20).mkString("\n"))
+    // fast+slow share one Window; the signal EMA stacks a second over the
+    // same spec (no further exchange between them)
+    val windows = p.linesIterator.count(_.contains("- Window ["))
+    assert(windows == 2, s"expected 2 Window nodes, got $windows")
+    assert(p.contains("ewm("))
+  }
+
+  test("dd5 embedding near-dup: block-pair compare is a grouped kernel after a key shuffle") {
+    val p = plan(SimilarityQueries.dd5EmbeddingNearDup.run(spark, sf))
+    // no n×n cartesian: the only nested-loop join is the broadcast of the
+    // TINY block-pair table (B(B+1)/2 rows) that replicates vectors to groups
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("MapGroups"))
+    assert(p.contains("Exchange hashpartitioning"), "compare must run after a key shuffle, not on the driver")
+  }
+
+  test("dd4 ngram: gram kernel persisted and candidate joins on int64 hashes") {
+    val df = DedupQueries.dd4NgramJaccard.run(spark, sf)
+    val p = plan(df)
+    assert(p.contains("InMemoryTableScan"), "gram kernel should be cached (persist)")
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("gh"), "candidate pipeline should key on gram hashes")
+    spark.catalog.clearCache()
+  }
+
+  test("dd2 minhash: signature table persisted (computed once, reused 3x)") {
+    val p = plan(DedupQueries.dd2MinhashLsh.run(spark, sf))
+    assert(p.contains("InMemoryTableScan"))
+    spark.catalog.clearCache()
+  }
+}
