@@ -201,20 +201,38 @@ object Similarity {
     * assignment via one ranked window → equi-join on cell) is identical and
     * is what scales: assignment is one narrow pass, search is an equi-join.
     */
-  def ivfTopK(
-      df: DataFrame, idCol: String, vecCol: String,
-      queryPred: Column, k: Int, nCells: Int): DataFrame = {
+  /** Argmax-cosine cell assignment against a (small, broadcast) centroid
+    * frame `(c_id, cv, cn)`. One narrow pass over the corpus; ties broken by
+    * lowest centroid id. Output: `(vec_id, v, nrm, cell, cell_cos)`.
+    */
+  def assignCells(p: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val p = prepared(df, idCol, vecCol)
-    val cents = broadcast(p.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = p.join(cents)
+    p.join(broadcast(cents))
       .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
       .withColumn("__rn", row_number().over(wAssign))
       .filter(col("__rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("c_id").as("cell"), col("c_cos").as("cell_cos"))
+  }
+
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nCells: Int): DataFrame = {
+    val p = prepared(df, idCol, vecCol)
+    val cents = p.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    ivfTopKWithCentroids(p, cents, queryPred, k)
+  }
+
+  /** IVF search against an arbitrary centroid frame (e.g. from
+    * [[kmeansCentroids]]): assignment pass, then an equi-join on the cell.
+    */
+  def ivfTopKWithCentroids(
+      p: DataFrame, cents: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignCells(p, cents).drop("cell_cos")
     val q = assigned.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"), col("cell"))
     val joined = assigned.join(broadcast(q), Seq("cell"))
@@ -224,6 +242,58 @@ object Similarity {
     joined.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cosine"), col("rnk"))
+  }
+
+  /** Corpus prepared for [[ivfTopKWithCentroids]]/[[assignCells]]:
+    * `(vec_id, v, nrm)`. */
+  def preparedCorpus(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    prepared(df, idCol, vecCol)
+
+  /** Spherical k-means (Lloyd) coarse quantizer — the production centroid
+    * source for IVF. Deterministic: init = the first `k` vectors by id, a
+    * fixed `iters` iteration count, argmax-cosine assignment (ties → lowest
+    * cell id), update = componentwise mean of members; an emptied cell keeps
+    * its previous centroid.
+    *
+    * Scale shape: each round is ONE broadcast-assignment pass over the corpus
+    * plus one key-grouped mean kernel; only the centroid set itself
+    * (k × dims doubles — small by construction, same as any broadcast dim)
+    * ever reaches the driver. Returns a centroid frame `(c_id, cv, cn)`.
+    */
+  def kmeansCentroids(
+      df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = prepared(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def centFrame(cs: Array[(Long, Array[Double])]): DataFrame =
+      cs.toSeq.toDF("c_id", "cv")
+        .withColumn("cn", norm(col("cv")))
+    var cents: Array[(Long, Array[Double])] = p.orderBy("vec_id").limit(k)
+      .select(col("vec_id"), col("v")).as[(Long, Array[Double])].collect()
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    var it = 0
+    while (it < iters) {
+      val means = assignCells(p, centFrame(cents))
+        .select(col("cell"), col("v")).as[(Long, Array[Double])]
+        .groupByKey(_._1)
+        .mapGroups { (cell: Long, rows: Iterator[(Long, Array[Double])]) =>
+          var n = 0L
+          var acc: Array[Double] = null
+          rows.foreach { case (_, v) =>
+            if (acc == null) acc = new Array[Double](v.length)
+            var i = 0
+            while (i < v.length) { acc(i) += v(i); i += 1 }
+            n += 1
+          }
+          (cell, acc.map(_ / n))
+        }
+        .collect().toMap
+      cents = cents.map { case (id, v) => (id, means.getOrElse(id, v)) }
+      it += 1
+    }
+    p.unpersist()
+    centFrame(cents)
   }
 
   /** Approximate top-k: exact cosine ranking within the query's LSH bucket.
