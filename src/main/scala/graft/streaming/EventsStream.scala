@@ -40,6 +40,20 @@ object EventsStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup — the streaming form of the batch `dd1` hash
+    * dedup: re-deliveries of the same content hash within the watermark
+    * horizon are dropped, and the per-hash state expires WITH the watermark,
+    * so the state store stays bounded at (arrival rate × horizon) no matter
+    * how long the stream runs. At 100 TB/day this is the ingest-side
+    * first-seen filter in front of the batch near-dup passes.
+    */
+  def dedupByContent(
+      events: DataFrame, contentCol: String, delay: String = "2 hours"): DataFrame =
+    events
+      .withColumn("content_hash", md5(col(contentCol).cast(StringType)))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long, total: Double)

@@ -84,6 +84,29 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming dedup drops same-content re-deliveries within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("event_id", "ts", "props")
+    val q = EventsStream.dedupByContent(events, "props", delay = "10 minutes").writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_test")
+      .start()
+    def ev(id: Long, minute: Long, body: String) =
+      (id, new java.sql.Timestamp(minute * 60000), body)
+    mem.addData(ev(1, 0, "hello"), ev(2, 1, "hello"), ev(3, 2, "world"))
+    q.processAllAvailable()
+    // exactly one survivor per content within the horizon (which duplicate
+    // survives inside a batch is not specified)
+    val ids1 = spark.sql("SELECT event_id FROM dedup_test").as[Long].collect().toSet
+    assert(ids1.size == 2 && ids1.contains(3L) && ids1.intersect(Set(1L, 2L)).size == 1)
+    mem.addData(ev(4, 3, "hello"), ev(5, 4, "fresh"))
+    q.processAllAvailable()
+    val ids2 = spark.sql("SELECT event_id FROM dedup_test").as[Long].collect().toSet
+    assert(ids2 == ids1 + 5L) // later "hello" re-delivery dropped by keyed state
+    q.stop()
+  }
+
   test("multimodal: metadata decode stub + byte features + frame sampling") {
     val docs = Seq((0L, "img payload here"), (1L, "audio payload"), (2L, "video payload longer"))
       .toDF("doc_id", "text")
