@@ -75,11 +75,28 @@ class StateAndRegistrySpec extends AnyFunSuite {
 
   test("registry: every reference plugin key resolves (test_registry.py parity)") {
     Registries.bootstrap()
-    assert(Registries.extractors.keys ==
-      Seq("alpha_vantage", "json_file", "playwright_scraper", "rest_api"))
-    assert(Registries.transformers.keys ==
-      Seq("data_cleaning", "pass_through", "pydantic_validation", "technical_indicators"))
-    assert(Registries.loaders.keys == Seq("json_local", "sql_database"))
+    // subset, not equality: other suites may register test-only plugins
+    assert(Set("alpha_vantage", "json_file", "playwright_scraper", "rest_api")
+      .subsetOf(Registries.extractors.keys.toSet))
+    assert(Set("data_cleaning", "pass_through", "pydantic_validation", "technical_indicators")
+      .subsetOf(Registries.transformers.keys.toSet))
+    assert(Set("json_local", "sql_database").subsetOf(Registries.loaders.keys.toSet))
+  }
+
+  test("cli: flag parsing mirrors the reference argparse surface") {
+    // long and short flags
+    assert(Cli.parse(Array("-c", "p.yaml")) == Cli.Args(config = Some("p.yaml")))
+    assert(Cli.parse(Array("--config", "p.yaml", "--full-refresh")) ==
+      Cli.Args(config = Some("p.yaml"), fullRefresh = true))
+    // -l works without --config and together with it (config ignored by main)
+    assert(Cli.parse(Array("-l")) == Cli.Args(listModules = true))
+    assert(Cli.parse(Array("--list-modules", "-c", "p.yaml")) ==
+      Cli.Args(config = Some("p.yaml"), listModules = true))
+    // errors: unknown flag, missing config, dangling -c
+    intercept[IllegalArgumentException](Cli.parse(Array("--nope")))
+    intercept[IllegalArgumentException](Cli.parse(Array.empty[String]))
+    intercept[IllegalArgumentException](Cli.parse(Array("-f")))
+    intercept[IllegalArgumentException](Cli.parse(Array("-c")))
   }
 
   test("state: atomic write leaves valid JSON, creates parent dirs, string cursors round-trip") {
