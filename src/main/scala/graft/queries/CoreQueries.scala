@@ -310,8 +310,100 @@ object CoreQueries {
       .orderBy(col("status"), col("priority"))
   }
 
+  /** TPC-H Q4 pattern — correlated EXISTS as a left-semi join: orders in a
+    * quarter having at least one lineitem shipped after the order date.
+    */
+  val q4OrderPriorityExists: Q = Q(
+    "q4_order_priority_exists",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+    val l = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    o.join(l, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q12 pattern — CASE aggregation over a fact-fact join: per line
+    * status, how many lines belong to high- vs low-priority orders.
+    */
+  val q12PrioritySplit: Q = Q(
+    "q12_priority_split",
+    """SELECT l_linestatus,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (spark, dir) =>
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.orders(spark, dir).join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** TPC-H Q14 pattern — conditional revenue ratio: the promo share of one
+    * month's revenue. Both operands are exact decimal sums cast to double;
+    * the single division and ×100 run in the identical IEEE shape on both
+    * engines.
+    */
+  val q14PromoRevenue: Q = Q(
+    "q14_promo_revenue",
+    s"""SELECT 100.0 * (
+       |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN $DiscPriceSql ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       |  / CAST(SUM($DiscPriceSql) AS DOUBLE)) AS promo_revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin) { (spark, dir) =>
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= to_timestamp(lit("1996-03-01 00:00:00")) &&
+        col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+    l.join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * (
+        sum(when(col("p_type") === "PROMO", discPrice)
+          .otherwise(lit(new java.math.BigDecimal("0.00")).cast(D2)))
+          .cast(DoubleType)
+          / sum(discPrice).cast(DoubleType))).as("promo_revenue"))
+  }
+
+  /** TPC-H Q19 pattern — OR-of-ANDs predicate over a part join: three
+    * brand/size/quantity bands summed as one revenue figure. Exercises
+    * disjunctive predicate pushdown through the join.
+    */
+  val q19BandedRevenue: Q = Q(
+    "q19_banded_revenue",
+    s"""SELECT CAST(SUM($DiscPriceSql) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN part ON p_partkey = l_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin) { (spark, dir) =>
+    def band(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("p_partkey") === col("l_partkey"))
+      .filter(band("Brand#1", 5, 1, 11) || band("Brand#2", 10, 10, 20) || band("Brand#3", 15, 20, 30))
+      .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+  }
+
   val all: Seq[Q] = Seq(
     q1PricingSummary, q3TopRevenueOrders, q5NationRevenue, q10ReturnedCustomers,
     q18LargeOrders, qTopkOrders, qDistinctUsers, qSetOps, qSessionize,
-    qJsonExtract, qHourlyEvents, qRankCustomers, qRollupCustomers, qCubeOrders)
+    qJsonExtract, qHourlyEvents, qRankCustomers, qRollupCustomers, qCubeOrders,
+    q4OrderPriorityExists, q12PrioritySplit, q14PromoRevenue, q19BandedRevenue)
 }
