@@ -85,6 +85,23 @@ class CleaningSpec extends AnyFunSuite {
     assert(out.collect().toSeq == df3.collect().toSeq)
   }
 
+  test("lowercase_columns disabled (or absent) leaves names untouched") {
+    val mixed = df3.toDF("Id", "Name", "Score")
+    val keepCase = new graft.transformers.Transformers.DataCleaningTransformer(
+      Map("strip_whitespace" -> true)).transform(mixed)
+    assert(keepCase.columns.toSeq == Seq("Id", "Name", "Score"))
+    val lowered = new graft.transformers.Transformers.DataCleaningTransformer(
+      Map("lowercase_columns" -> true)).transform(mixed)
+    assert(lowered.columns.toSeq == Seq("id", "name", "score"))
+  }
+
+  test("standardize_dates skips a missing column instead of failing") {
+    val df = Seq((1L, "2024-01-02")).toDF("id", "d")
+    val out = Cleaning.standardizeDates(df, Seq("d", "ghost"))
+    assert(out.columns.toSeq == Seq("id", "d"))
+    assert(out.head().getTimestamp(1) != null)
+  }
+
   test("fixed rule order: rename before dedup-subset") {
     val d = Seq((1L, "a"), (2L, "a")).toDF("id", "k")
     val out = Cleaning(d, Cleaning.Config(
