@@ -67,4 +67,30 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  // ------------------------------------------- repetition (Gopher-style)
+
+  /** Fraction of word occurrences that are repeats of an earlier word —
+    * the cheap per-document repetition filter (Gopher's duplicate-fraction
+    * family) applied before any expensive near-dup pass. Exact-integer
+    * ratio → cross-engine deterministic.
+    */
+  def dupWordFraction(text: Column): Column = {
+    val ws = tokens(text)
+    lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws).cast("double")
+  }
+
+  /** Mean word length (total word chars / word count, exact ints). */
+  def meanWordLength(text: Column): Column = {
+    val ws = split(text, " ")
+    aggregate(transform(ws, w => length(w)), lit(0), (a, x) => a + x).cast("double") /
+      size(ws).cast("double")
+  }
+
+  /** Fraction of characters outside [a-zA-Z0-9 ] — the symbol-to-text ratio
+    * quality signal.
+    */
+  def symbolRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
 }

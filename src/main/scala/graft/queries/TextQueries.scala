@@ -80,5 +80,28 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint)
+  /** Gopher-style repetition/shape signals — the cheap per-document filters a
+    * training-data pipeline runs before the expensive near-dup passes.
+    */
+  val tx5Repetition: Q = Q(
+    "tx5_repetition",
+    """WITH t AS (SELECT doc_id, text,
+      |    string_split(lower(text), ' ') AS ws,
+      |    string_split(text, ' ') AS ws0
+      |  FROM documents)
+      |SELECT doc_id,
+      |  1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS dup_word_fraction,
+      |  CAST(list_sum(list_transform(ws0, w -> length(w))) AS DOUBLE) / CAST(len(ws0) AS DOUBLE) AS mean_word_len,
+      |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |    / CAST(GREATEST(length(text), 1) AS DOUBLE) AS symbol_ratio
+      |FROM t ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.dupWordFraction(col("text")).as("dup_word_fraction"),
+      TextAnalysis.meanWordLength(col("text")).as("mean_word_len"),
+      TextAnalysis.symbolRatio(col("text")).as("symbol_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint, tx5Repetition)
 }
