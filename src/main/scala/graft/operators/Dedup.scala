@@ -301,4 +301,39 @@ object Dedup {
       .distinct()
     verifyJaccard(cand, grams.select(col("doc_id"), col("sh")), threshold)
   }
+
+  // --------------------------------------------------- composite pipeline
+
+  /** The end-to-end corpus-cleaning pipeline a training-data run executes,
+    * composed from the operators above — each stage feeds the next without
+    * materializing between them:
+    *
+    *  1. quality gate: repetition / symbol-ratio / minimum-length filters
+    *     (cheap narrow map, prunes before anything shuffles)
+    *  2. exact dedup: keep the lowest doc_id per content hash
+    *  3. near-dup removal: MinHash+LSH pairs among the survivors; the higher
+    *     id of every verified pair loses (greedy keep-lowest), dropped with
+    *     one anti-join
+    *
+    * Returns the surviving (doc_id, text) rows. Every stage is the scale
+    * architecture already argued in docs/SCALE.md; the composition adds no
+    * new shuffle beyond the stages' own.
+    */
+  def cleanCorpus(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDupWordFraction: Double = 0.5, maxSymbolRatio: Double = 0.3,
+      minTokens: Int = 5,
+      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val quality = base.filter(
+      TextAnalysis.dupWordFraction(col("text")) <= maxDupWordFraction &&
+        TextAnalysis.symbolRatio(col("text")) <= maxSymbolRatio &&
+        TextAnalysis.tokenCount(col("text")) >= minTokens)
+    val exact = dropExactDuplicates(quality, "doc_id", "text")
+    val losers = minhashNearDuplicates(exact, "doc_id", "text",
+        shingleK, bands, rowsPerBand, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    exact.join(losers, Seq("doc_id"), "left_anti")
+  }
 }

@@ -129,5 +129,52 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard, dd6SimhashHamming)
+  /** The composite corpus-cleaning pipeline (quality gate → exact dedup →
+    * MinHash near-dup removal) as ONE oracle query — proves the operators
+    * compose end-to-end with identical semantics in both engines.
+    */
+  val dd8CleanCorpus: Q = Q(
+    "dd8_corpus_clean",
+    """WITH q AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE 1.0 - CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+      |            / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) <= 0.5
+      |    AND CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+      |      / CAST(GREATEST(length(text), 1) AS DOUBLE) <= 0.3
+      |    AND len(string_split(text, ' ')) >= 5),
+      |ex AS (
+      |  SELECT doc_id, text FROM (
+      |    SELECT doc_id, text,
+      |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM q)
+      |  WHERE rn = 1),
+      |tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM ex),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+      |         i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))) AS sh
+      |       FROM tok WHERE len(ts) >= 3),
+      |sig AS (SELECT doc_id, sh,
+      |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+      |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+      |     + (104729*j + 12345)) % 4294967311))) AS sig
+      |  FROM sh),
+      |bands AS (SELECT doc_id, t.b AS band,
+      |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+      |  FROM sig CROSS JOIN range(0, 16) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |losers AS (SELECT DISTINCT doc_b AS doc_id FROM (
+      |  SELECT c.doc_a, c.doc_b,
+      |    len(list_intersect(ga.sh, gb.sh)) / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))) AS jaccard
+      |  FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
+      |  WHERE jaccard >= 0.8)
+      |SELECT doc_id, text FROM ex
+      |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Dedup.cleanCorpus(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
+    dd6SimhashHamming, dd8CleanCorpus)
 }
