@@ -16,6 +16,18 @@ object TextAnalysis {
   /** Whitespace token count (pandas `str.split().len()` shape). */
   def tokenCount(text: Column): Column = size(split(text, " "))
 
+  /** BPE-style pre-tokenization pattern (the GPT-2 pattern's shape, reduced
+    * to classes both Java regex and RE2 interpret identically): letter runs,
+    * digit runs, and non-alphanumeric-non-space runs each become one
+    * pre-token. Counting these approximates subword-token budget ~linearly —
+    * the cheap "how many tokens is this corpus" estimator.
+    */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]+"
+
+  /** BPE-ish pre-token count via the codegen'd regexp machinery. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpePattern), lit(0)))
+
   /** Marker stopwords per language, used by [[languageId]]. Deliberately tiny:
     * this is the classic n-gram/stopword-presence heuristic, not a model.
     */

@@ -103,5 +103,22 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint, tx5Repetition)
+  /** BPE-ish pre-token counting (letter runs / digit runs / symbol runs) —
+    * the linear token-budget estimator next to tx1's whitespace count.
+    */
+  val tx6BpeTokens: Q = Q(
+    "tx6_bpe_tokens",
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.bpeTokenCount(col("text")).cast(LongType).as("n_bpe_tokens"),
+      TextAnalysis.tokenCount(col("text")).cast(LongType).as("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
+    tx5Repetition, tx6BpeTokens)
 }
