@@ -119,6 +119,40 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing (MOSS) fingerprints — the rolling-hash fingerprinting scheme:
+    * positional char-4-gram hashes, then the min hash of every width-4
+    * rolling window; the distinct selected mins are the document's
+    * fingerprint set. Guarantees any shared substring of length ≥ n+w−1
+    * contributes a shared fingerprint. All integer arithmetic on md5-prefix
+    * hashes → oracle-exact.
+    */
+  val tx7Winnowing: Q = Q(
+    "tx7_winnowing",
+    """WITH g AS (SELECT doc_id,
+      |    list_transform(range(1, length(text) - 2), i -> substr(text, CAST(i AS INT), 4)) AS gs
+      |  FROM documents WHERE length(text) >= 7),
+      |h AS (SELECT doc_id,
+      |    list_transform(gs, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hv
+      |  FROM g),
+      |m AS (SELECT doc_id,
+      |    list_sort(list_distinct(list_transform(range(1, len(hv) - 2), i -> list_min(hv[i:i+3])))) AS fps
+      |  FROM h)
+      |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+      |  md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), '-')) AS winnow_hash
+      |FROM m ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val n = 4; val w = 4
+    Tables.documents(spark, dir)
+      .filter(length(col("text")) >= n + w - 1)
+      .withColumn("gs", expr(s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))"))
+      .withColumn("hv", expr("transform(gs, s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))"))
+      .withColumn("fps", expr(s"array_sort(array_distinct(transform(sequence(1, size(hv) - ${w - 1}), i -> array_min(slice(hv, i, $w)))))"))
+      .select(
+        col("doc_id"),
+        size(col("fps")).cast(LongType).as("n_fingerprints"),
+        md5(array_join(expr("transform(fps, x -> cast(x as string))"), "-")).as("winnow_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
-    tx5Repetition, tx6BpeTokens)
+    tx5Repetition, tx6BpeTokens, tx7Winnowing)
 }
