@@ -331,8 +331,6 @@ object Dedup {
         TextAnalysis.symbolRatio(col("text")) <= maxSymbolRatio &&
         TextAnalysis.tokenCount(col("text")) >= minTokens)
     val exact = dropExactDuplicates(quality, "doc_id", "text")
-      // feeds the minhash chain AND the final anti-join — cache one pass
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val losers = minhashNearDuplicates(exact, "doc_id", "text",
         shingleK, bands, rowsPerBand, threshold)
       .select(col("doc_b").as("doc_id")).distinct()
