@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Both values measured on this box against the 68-query bench:
+  //  - ReservedCodeCacheSize: the default 240m fills with whole-stage-codegen
+  //    classes partway through the suite, HotSpot disables the JIT, and the
+  //    object-heavy dedup kernels run interpreted (dd8: 4.4s → 30s). 512m
+  //    keeps every generated class compiled; the suite is stable at ~64s.
+  //  - Heap: ≥16g (G1 region size ≥8MB) runs the same kernels 6-8× slower
+  //    than 8-12g (dd8 first run 46s vs 7s, reproducible) — stay at 8g.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )
