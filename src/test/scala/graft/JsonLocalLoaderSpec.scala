@@ -1,0 +1,46 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sinks.JsonLocalLoader
+import graft.transformers.Transformers
+
+/** Direct mirrors of `tests/test_json_local_loader.py` and
+  * `tests/test_pass_through_transformer.py`.
+  */
+class JsonLocalLoaderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("json_local writes one ordered JSON array with typed values") {
+    val dir = Files.createTempDirectory("jsonlocal")
+    val path = dir.resolve("out.json")
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", 3.5))
+      .toDF("id", "name", "score").orderBy("id")
+    val loader = new JsonLocalLoader(Map("path" -> path.toString))
+    loader.connect(); loader.load(df); loader.disconnect()
+
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(path))
+    assert(node.isArray && node.size() == 3)
+    // row order preserved; numbers stay numbers, strings stay strings
+    assert((0 until 3).map(i => node.get(i).get("id").asLong()) == Seq(1L, 2L, 3L))
+    assert(node.get(0).get("name").isTextual && node.get(0).get("score").isDouble)
+  }
+
+  test("json_local creates missing parent directories on connect") {
+    val dir = Files.createTempDirectory("jsonlocal2")
+    val nested = dir.resolve("a/b/c/out.json")
+    val loader = new JsonLocalLoader(Map("path" -> nested.toString))
+    loader.connect()
+    loader.load(Seq((1, "x")).toDF("id", "v"))
+    assert(Files.exists(nested))
+  }
+
+  test("pass_through preserves rows, columns and values exactly") {
+    val df = Seq((1L, "a", Some(1.5)), (2L, "b", None)).toDF("id", "name", "score")
+    val out = Transformers.PassThrough.transform(df)
+    assert(out.schema == df.schema)
+    assert(out.collect().toSeq == df.collect().toSeq)
+  }
+}
