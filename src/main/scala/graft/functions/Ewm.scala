@@ -92,6 +92,8 @@ object GraftFunctions {
       "ewm", build, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash32", exprs => Hash32Expr(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dotp", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
   }
 }
 

@@ -23,9 +23,14 @@ object Similarity {
   /** Vector as double array (floats widen exactly). */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast(DoubleType))
 
-  /** Sequential-fold dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product of two double-array columns — evaluated by
+    * the native codegen'd [[graft.functions.DotProductExpr]] (identical IEEE
+    * accumulation to the `aggregate`/`zip_with` fold and the DuckDB
+    * `list_sum` oracles, one primitive loop instead of two interpreted HOFs).
+    * `dotp` is registered by [[prepared]] on every corpus the operators
+    * touch, so resolution always finds it.
+    */
+  def dot(a: Column, b: Column): Column = call_function("dotp", a, b)
 
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
@@ -33,9 +38,11 @@ object Similarity {
   /** Cosine similarity of two double-array columns. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  private def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private def prepared(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("nrm", norm(col("v")))
+  }
 
   /** Exact top-k neighbors by cosine for each query vector (query set is
     * broadcast; ranking ties broken by neighbor id).
@@ -184,8 +191,7 @@ object Similarity {
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String, bits: Int, dims: Int): DataFrame = {
     val bucket = (0 until bits).map { j =>
       val plane = array((0 until dims).map(d => lit(planeCoef(j, d, dims))): _*)
-      when(aggregate(zip_with(col("v"), plane, (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) > 0.0, lit(1L << j))
+      when(dot(col("v"), plane) > 0.0, lit(1L << j))
         .otherwise(lit(0L))
     }.reduce(_ + _)
     prepared(df, idCol, vecCol).withColumn("bucket", bucket)

@@ -21,6 +21,21 @@ class Hash32IvfSpec extends AnyFunSuite {
     assert(n.isNullAt(0))
   }
 
+  test("dotp native expression equals the aggregate/zip_with fold bit-exactly") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.5, -2.25, 3.125), Array(0.5, 4.0, -1.75)),
+      (Array(0.1, 0.2, 0.3), Array(0.3, 0.2, 0.1)),
+      (Array.empty[Double], Array.empty[Double])).toDF("a", "b")
+    val out = df.select(
+      expr("dotp(a, b)").as("native"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), cast(0.0 as double), (acc, x) -> acc + x)").as("hof"))
+    assert(out.filter($"native" =!= $"hof").count() == 0)
+    val n = Seq((Option.empty[Array[Double]], Array(1.0))).toDF("a", "b")
+      .select(expr("dotp(a, b)")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("hash32 participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     val df = spark.range(100).select(expr("hash32(cast(id as string))").as("h"))
