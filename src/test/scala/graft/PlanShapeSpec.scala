@@ -48,4 +48,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("InMemoryTableScan"))
     spark.catalog.clearCache()
   }
+
+  test("sim1 cosine scoring runs on the native dotp expression, not interpreted HOFs") {
+    val p = plan(graft.queries.SimilarityQueries.sim1BruteTopK.run(spark, sf))
+    assert(p.contains("dotp("), "cosine should route through DotProductExpr")
+    assert(!p.contains("aggregate(zip_with"), "interpreted HOF fold crept back into the hot path")
+  }
 }
