@@ -117,6 +117,34 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Brute-force ANN over int8-QUANTIZED codes (floor(x·127/max|x|)): scales
+    * cancel in the cosine so ranking runs on exact integer arithmetic — the
+    * 4×-compression scale lever, oracle-exact.
+    */
+  val sim4QuantizedTopK: Q = Q(
+    "sim4_ann_quantized_topk",
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS s FROM e),
+      |qz AS (SELECT vec_id,
+      |    CASE WHEN s = 0 THEN list_transform(v, x -> CAST(0 AS DOUBLE))
+      |         ELSE list_transform(v, x -> CAST(CAST(FLOOR(x * 127.0 / s) AS INT) AS DOUBLE)) END AS qd
+      |  FROM sc),
+      |n AS (SELECT vec_id, qd,
+      |        sqrt(list_sum(list_transform(range(1, len(qd)+1), i -> qd[i]*qd[i]))) AS nrm
+      |      FROM qz),
+      |q AS (SELECT vec_id AS q_id, qd AS q_qd, nrm AS q_nrm FROM n WHERE vec_id < 10),
+      |s AS (SELECT q.q_id, c.vec_id AS neighbor,
+      |        list_sum(list_transform(range(1, len(q.q_qd)+1), i -> q.q_qd[i]*c.qd[i])) / (q.q_nrm*c.nrm) AS cosine
+      |      FROM q JOIN n c ON c.vec_id <> q.q_id),
+      |r AS (SELECT q_id, neighbor, cosine,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor) AS BIGINT) AS rnk
+      |      FROM s)
+      |SELECT q_id, neighbor, cosine, rnk FROM r WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 10)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, dd7EmbeddingLshNearDup,
-    sim2LshTopK, sim3IvfTopK)
+    sim2LshTopK, sim3IvfTopK, sim4QuantizedTopK)
 }
