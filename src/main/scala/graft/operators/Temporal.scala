@@ -48,4 +48,51 @@ object Temporal {
       .withColumn(timeCol, col("__t"))
       .select((leftCols ++ valueCols.values).map(col): _*)
   }
+
+  /** Banded range join: all pairs with equal `keyCols` and
+    * `right.time ∈ [left.time + lowerUs, left.time + upperUs]` (µs bounds,
+    * inclusive/exclusive per `upperExclusive`).
+    *
+    * The naive inequality join degenerates to a per-key cartesian; here both
+    * sides map to fixed-width time buckets (width = band size): a left row's
+    * band overlaps at most TWO buckets, a right row lives in exactly one, so
+    * the pair space becomes a (keys, bucket) EQUI-join — one ordinary
+    * hash-partitioned shuffle, each true pair examined at most twice, then
+    * the exact band predicate filters. This is the standard range-join
+    * decomposition and scales like any keyed join.
+    *
+    * Output: `left.*` (prefixed `l_` where colliding) joined to `right.*`
+    * selected via `rightCols` (name → output name).
+    */
+  def rangeJoin(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], leftTimeCol: String, rightTimeCol: String,
+      lowerUs: Long, upperUs: Long,
+      rightCols: Map[String, String],
+      upperExclusive: Boolean = true): DataFrame = {
+    require(upperUs > lowerUs, "rangeJoin: empty band")
+    val w = upperUs - lowerUs
+    // buckets via exact integer FLOOR division, valid for any sign (a float
+    // divide could mis-bucket a row sitting exactly on a boundary; `div`
+    // truncates toward zero for negatives)
+    def fdiv(a: String): String = s"(($a) - pmod($a, ${w}L)) div ${w}L"
+    val l = left
+      .withColumn("__lt", unix_micros(col(leftTimeCol)))
+      .withColumn("__lbkt", explode(array_distinct(array(
+        expr(fdiv(s"__lt + ${lowerUs}L")),
+        expr(fdiv(s"__lt + ${upperUs}L"))))))
+    val r = right.select(
+      (keyCols.map(c => col(c).as(s"__rk_$c")) :+
+        unix_micros(col(rightTimeCol)).as("__rt")) ++
+        rightCols.map { case (from, to) => col(from).as(to) }.toSeq: _*)
+      .withColumn("__rbkt", expr(fdiv("__rt")))
+    val keyCond = keyCols.map(c => col(c) === col(s"__rk_$c")).reduce(_ && _)
+    val upperPred =
+      if (upperExclusive) col("__rt") < col("__lt") + lit(upperUs)
+      else col("__rt") <= col("__lt") + lit(upperUs)
+    l.join(r, keyCond && col("__lbkt") === col("__rbkt"))
+      .filter(col("__rt") >= col("__lt") + lit(lowerUs) && upperPred)
+      .drop("__lbkt", "__rbkt", "__lt", "__rt")
+      .drop(keyCols.map(c => s"__rk_$c"): _*)
+  }
 }

@@ -146,6 +146,39 @@ object MiscQueries {
     }
   }
 
-  val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup,
+  /** Banded range join (beyond-reference): clicks within the 30 minutes
+    * before each purchase, per user — Spark-side via the bucketized
+    * decomposition in [[Temporal.rangeJoin]] (equi-join on (key, time
+    * bucket), no per-key cartesian); oracle = the plain inequality join.
+    * Zero-click purchases kept via the count-then-left-join composition.
+    */
+  val qRangeJoin: Q = Q(
+    "q_range_join",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |j AS (SELECT p.event_id, CAST(COUNT(c.ts) AS BIGINT) AS n_clicks_30m
+      |      FROM p LEFT JOIN c ON c.user_id = p.user_id
+      |        AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+      |        AND epoch_us(c.ts) < epoch_us(p.ts)
+      |      GROUP BY p.event_id)
+      |SELECT p.user_id, p.event_id, j.n_clicks_30m
+      |FROM p JOIN j ON j.event_id = p.event_id
+      |ORDER BY p.user_id, p.event_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val pairs = Temporal.rangeJoin(purchases, clicks, Seq("user_id"), "ts", "ts",
+      lowerUs = -1800000000L, upperUs = 0L, rightCols = Map("click_id" -> "click_id"))
+    val counts = pairs.groupBy("event_id")
+      .agg(count(lit(1)).as("n_clicks_30m"))
+    purchases.join(counts, Seq("event_id"), "left")
+      .withColumn("n_clicks_30m", coalesce(col("n_clicks_30m"), lit(0L)))
+      .select(col("user_id"), col("event_id"), col("n_clicks_30m"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qAboveAvgOrders)
 }

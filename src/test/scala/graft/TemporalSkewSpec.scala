@@ -35,6 +35,24 @@ class TemporalSkewSpec extends AnyFunSuite {
     assert(out.select("last_price").head().getDouble(0) == 5.0)
   }
 
+  test("rangeJoin: inclusive lower, exclusive upper, per key, boundary-exact") {
+    // band = [left.ts − 10 min, left.ts): right rows at exactly −10 min are
+    // IN, at exactly 0 are OUT — boundary rows sit on bucket edges, so this
+    // also exercises the integer floor-div bucketing
+    val left = Seq((1L, ts(100), "L1"), (2L, ts(100), "L2")).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts(90), "in_lower_edge"),   // == lt - 10min → in
+      (1L, ts(95), "in_mid"),
+      (1L, ts(100), "out_upper_edge"), // == lt → out (exclusive)
+      (1L, ts(89), "out_before"),
+      (2L, ts(95), "in_other_key"),
+      (3L, ts(95), "out_wrong_key")).toDF("user_id", "ts", "label")
+    val out = Temporal.rangeJoin(left, right, Seq("user_id"), "ts", "ts",
+      lowerUs = -600000000L, upperUs = 0L, rightCols = Map("label" -> "label"))
+    val got = out.select("tag", "label").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("L1", "in_lower_edge"), ("L1", "in_mid"), ("L2", "in_other_key")))
+  }
+
   test("saltedJoin returns exactly the plain join's rows") {
     val big = (1 to 1000).map(i => (i % 3L, i.toLong)).toDF("k", "v") // skewed: 3 keys
     val small = Seq((0L, "zero"), (1L, "one"), (2L, "two"), (9L, "unmatched")).toDF("k", "name")
