@@ -90,4 +90,29 @@ object Multimodal {
     df.filter(col("modality") === "video" && col("meta.n_frames").isNotNull)
       .select(col("media_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyK))).as("frame_idx"))
+
+  /** Resize planning: fit each visual payload inside `maxW × maxH` preserving
+    * aspect ratio — integer arithmetic on the decoded metadata (exact:
+    * `w·maxH` vs `h·maxW` cross-compare, floor-scaled target dims, never
+    * upscaled). The PIXEL resample itself would run in the same partition
+    * pass as [[decodeMeta]] and is part of that stub; the planning columns
+    * (`target_width`/`target_height`/`resize_needed`) are real and drive
+    * which payloads a pipeline re-encodes.
+    */
+  def resizePlan(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val w = col("meta.width").cast(LongType)
+    val h = col("meta.height").cast(LongType)
+    val visual = col("modality").isin("image", "video") && w.isNotNull && h.isNotNull
+    val fits = w <= maxW && h <= maxH
+    // scale by the tighter axis: if w/maxW >= h/maxH (i.e. w*maxH >= h*maxW)
+    // the width binds: target = (maxW, floor(h*maxW/w)); else height binds
+    val widthBinds = w * maxH >= h * lit(maxW.toLong)
+    val tw = when(fits, w).otherwise(when(widthBinds, lit(maxW.toLong))
+      .otherwise((w * maxH).cast(LongType) / h))
+    val th = when(fits, h).otherwise(when(widthBinds, (h * maxW).cast(LongType) / w)
+      .otherwise(lit(maxH.toLong)))
+    df.withColumn("resize_needed", when(visual, !fits))
+      .withColumn("target_width", when(visual, tw.cast(IntegerType)))
+      .withColumn("target_height", when(visual, th.cast(IntegerType)))
+  }
 }

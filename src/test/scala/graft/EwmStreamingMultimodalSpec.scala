@@ -107,6 +107,28 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("multimodal: resize planning fits within the box, preserves aspect, never upscales") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      Row(0L, "image", null, Row(2000, 1000, 1, null)), // wide → width binds
+      Row(1L, "image", null, Row(500, 2000, 1, null)),  // tall → height binds
+      Row(2L, "image", null, Row(100, 80, 1, null)),    // fits → untouched
+      Row(3L, "audio", null, Row(null, null, null, 44100))) // non-visual → nulls
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+    val out = Multimodal.resizePlan(df, maxW = 512, maxH = 512)
+      .select("media_id", "resize_needed", "target_width", "target_height")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getBoolean(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3))).toMap
+    assert(out(0L) == ((true, 512, 256)))  // 2000x1000 → 512x256
+    assert(out(1L) == ((true, 128, 512)))  // 500x2000 → 128x512
+    assert(out(2L) == ((false, 100, 80)))  // already fits
+    assert(out(3L) == ((null, -1, -1)))    // audio: no plan
+  }
+
   test("multimodal: metadata decode stub + byte features + frame sampling") {
     val docs = Seq((0L, "img payload here"), (1L, "audio payload"), (2L, "video payload longer"))
       .toDF("doc_id", "text")
