@@ -11,5 +11,6 @@ object Sinks {
     done = true
     Registries.loaders.register("json_local")((_, c) => new JsonLocalLoader(c))
     Registries.loaders.register("sql_database")((_, c) => new JdbcLoader(c))
+    Registries.loaders.register("parquet_local")((_, c) => new ParquetLoader(c))
   }
 }

@@ -37,6 +37,36 @@ class JsonLocalLoaderSpec extends AnyFunSuite {
     assert(Files.exists(nested))
   }
 
+  test("csv_file -> parquet_local -> parquet_file round-trips through the engine") {
+    val dir = Files.createTempDirectory("fmt_rt")
+    val csv = dir.resolve("in.csv")
+    Files.writeString(csv, "id,name,score\n1,a,1.5\n2,b,2.5\n")
+    val out = dir.resolve("out_parquet").toString
+    val cfg = graft.core.Config.parse(
+      s"""pipeline:
+         |  name: fmt_rt
+         |  extract:
+         |    type: csv_file
+         |    inline_config: {path: "${csv.toString}"}
+         |  load:
+         |    type: parquet_local
+         |    inline_config: {path: "$out", if_exists: replace}
+         |""".stripMargin)
+    new graft.core.Engine(spark).run(cfg)
+    val back = new graft.sources.ParquetFileExtractor(spark, Map("path" -> out)).extract()
+    assert(back.count() == 2)
+    assert(back.columns.toSet == Set("id", "name", "score"))
+    // csv inferSchema + parquet preserve types end-to-end
+    assert(back.schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+    assert(back.schema("score").dataType == org.apache.spark.sql.types.DoubleType)
+    // partition_by writes prunable directories
+    val out2 = dir.resolve("out_part").toString
+    val loader = new graft.sinks.ParquetLoader(
+      Map("path" -> out2, "if_exists" -> "replace", "partition_by" -> Seq("name")))
+    loader.load(back)
+    assert(Files.exists(dir.resolve("out_part/name=a")))
+  }
+
   test("pass_through preserves rows, columns and values exactly") {
     val df = Seq((1L, "a", Some(1.5)), (2L, "b", None)).toDF("id", "name", "score")
     val out = Transformers.PassThrough.transform(df)
