@@ -85,6 +85,25 @@ class EnginePipelineSpec extends AnyFunSuite {
       .get("demo_users").map(_.toString).contains("99"))
   }
 
+  test("no incremental block: run succeeds and writes no state file") {
+    val dir = tmp()
+    Files.writeString(dir.resolve("users.json"), """[{"id":1,"name":"a","email":"a@b.co"}]""")
+    val cfg = Config.parse(
+      s"""pipeline:
+         |  name: no_inc
+         |  extract:
+         |    type: json_file
+         |    inline_config: {path: ${dir.resolve("users.json")}}
+         |  load:
+         |    type: json_local
+         |    inline_config: {path: ${dir.resolve("out/x.json")}}
+         |""".stripMargin)
+    new Engine(spark).run(cfg)
+    assert(Files.exists(dir.resolve("out/x.json")))
+    // no incremental block → no StateManager is ever constructed
+    assert(!Files.exists(dir.resolve(".pipeline_state.json")))
+  }
+
   test("cursor NOT saved when load fails; retries happen") {
     val dir = tmp()
     Files.writeString(dir.resolve("broken_users.json"), BrokenUsers)

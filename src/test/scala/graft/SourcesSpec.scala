@@ -183,6 +183,19 @@ class SourcesSpec extends AnyFunSuite {
     assert(row.isNullAt(1))
   }
 
+  test("alpha_vantage values land in the right columns with API prefixes stripped") {
+    val t = new FakeHttpTransport({ case _ => HttpResult(200, avBody, Map.empty) })
+    val ex = new AlphaVantageExtractor(spark, Map("symbol" -> "TEST"), t, env = _ => Some("k"))
+    val rows = ex.extract().collect()
+    assert(rows.length == 2) // one row per date key
+    val first = rows.head // 2024-01-02 after ascending sort
+    assert(first.getDouble(1) == 100.0)  // "1. open" -> open
+    assert(first.getDouble(2) == 102.5)  // "2. high" -> high
+    assert(first.getDouble(3) == 99.0)   // "3. low"  -> low
+    assert(first.getDouble(4) == 101.5)  // "4. close" -> close
+    assert(first.getDouble(5) == 1000.0) // "5. volume" -> volume
+  }
+
   test("alpha_vantage auto-detects a weekly series key and types numerics as double") {
     val body =
       """{"Meta Data": {"2. Symbol": "T"},
