@@ -34,5 +34,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   //  - Heap: ≥16g (G1 region size ≥8MB) runs the same kernels 6-8× slower
   //    than 8-12g (dd8 first run 46s vs 7s, reproducible) — stay at 8g.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  "-XX:ReservedCodeCacheSize=512m",
+  // 1g + flushing: BENCH_r02's driver record showed the 512m setting can
+  // still saturate when the suite runs twice in one JVM ("n": 2); headroom
+  // plus UseCodeCacheFlushing keeps generated classes compiled either way,
+  // and Bench now logs per-query occupancy to make any recurrence visible.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

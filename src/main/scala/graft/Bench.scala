@@ -1,6 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Output protocol (driver-parseable by construction):
+  *
+  *  - stderr: one progress line per query — elapsed time plus JIT code-cache
+  *    occupancy (the environmental failure mode that poisoned the BENCH_r02
+  *    record: when the code cache fills, HotSpot stops compiling and the
+  *    whole-stage-codegen kernels run interpreted, 5–20× slower). A WARNING
+  *    line fires when any CodeHeap pool crosses 90% so a slow record is
+  *    self-diagnosing.
+  *  - stdout, second-to-last line: the full-precision per-query map.
+  *  - stdout, LAST line: a compact `{"metric":"total",...}` JSON with values
+  *    rounded to 3 decimals — short enough that a tail-window capture always
+  *    holds the complete line.
+  */
 object Bench {
+
+  /** (used, max, pct) over all JIT code-cache pools ("CodeHeap '...'" on
+    * segmented caches, "CodeCache" otherwise).
+    */
+  private def codeCache(): (Long, Long, Double) = {
+    import scala.jdk.CollectionConverters._
+    val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("CodeCache"))
+    val used = pools.map(_.getUsage.getUsed).sum
+    val max = pools.map(p => math.max(p.getUsage.getMax, 0L)).sum
+    (used, max, if (max > 0) 100.0 * used / max else 0.0)
+  }
+
+  private def r3(x: Double): Double = math.rint(x * 1000) / 1000
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -23,12 +52,23 @@ object Bench {
       // drop caches a pipeline persisted for its own reuse so they don't
       // squeeze later queries' memory
       spark.catalog.clearCache()
+      val (ccUsed, ccMax, ccPct) = codeCache()
+      System.err.println(
+        f"[bench] $name%-28s ${dt}%8.3f s  codecache ${ccUsed / 1048576}%d/${ccMax / 1048576}%dMB (${ccPct}%.0f%%)")
+      if (ccPct > 90.0)
+        System.err.println(
+          s"[bench] WARNING: JIT code cache ${ccPct.round}% full after $name — " +
+            "HotSpot may stop compiling and later queries will run interpreted " +
+            "(raise -XX:ReservedCodeCacheSize)")
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qsFull = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    // Full-precision record first; the compact rounded line is LAST so a
+    // bounded tail capture always parses it.
+    println(s"""{"metric":"queries_full","unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

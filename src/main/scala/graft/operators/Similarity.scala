@@ -88,16 +88,17 @@ object Similarity {
       if (blocks > 0) blocks
       // B(B+1)/2 groups ≈ 2× parallelism so tasks stay balanced
       else math.max(4, math.ceil(math.sqrt(4.0 * spark.sparkContext.defaultParallelism)).toInt)
-    // Compiled prep: widen float→double and take the sequential-fold norm —
-    // identical arithmetic to prepared()/norm() column expressions.
-    val prepped = df.select(col(idCol).cast(LongType).as("vec_id"), col(vecCol).as("emb"))
-      .as[(Long, Array[Float])]
+    // Widen float→double in SQL (accepts array<float> OR array<double>, like
+    // prepared()), then a compiled sequential-fold norm — identical
+    // arithmetic to the norm() column expression.
+    val prepped = df.select(col(idCol).cast(LongType).as("vec_id"),
+        asDouble(col(vecCol)).as("emb"))
+      .as[(Long, Array[Double])]
       .mapPartitions { it =>
-        it.map { case (id, vf) =>
-          val v = new Array[Double](vf.length)
+        it.map { case (id, v) =>
           var i = 0
           var acc = 0.0
-          while (i < v.length) { v(i) = vf(i).toDouble; acc += v(i) * v(i); i += 1 }
+          while (i < v.length) { acc += v(i) * v(i); i += 1 }
           (((id % b) + b) % b, id, v, math.sqrt(acc))
         }
       }
@@ -165,9 +166,21 @@ object Similarity {
     */
   def lshNearDuplicatePairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      bits: Int, dims: Int): DataFrame = {
-    val b = lshBuckets(df, idCol, vecCol, bits, dims)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bits: Int, dims: Int, maxBucket: Int = 100000): DataFrame = {
+    // No internal persist: the result is lazy, so an unpersist here could
+    // never fire at the right time and the cached blocks would leak across
+    // calls in a long-lived session. The two join sides canonicalize to the
+    // same exchange (ReuseExchange dedupes the bucket computation); callers
+    // who probe the same corpus repeatedly should persist lshBuckets(...)
+    // themselves — the pattern kmeansCentroids uses internally.
+    val b0 = lshBuckets(df, idCol, vecCol, bits, dims)
+    // hot-bucket cap: a bucket with m members emits m²/2 pairs in one task;
+    // drop oversized buckets (monitor via Dedup.oversizedBuckets) so one
+    // degenerate signature can't go quadratic at corpus scale
+    val b =
+      if (maxBucket == Int.MaxValue) b0
+      else b0.join(Dedup.oversizedBuckets(b0.select("bucket"), Seq("bucket"), maxBucket),
+        Seq("bucket"), "left_anti")
     val l = b.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val r = b.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     l.join(r, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
@@ -323,18 +336,20 @@ object Similarity {
     var it = 0
     while (it < iters) {
       val means = assignCells(p, centFrame(cents))
-        .select(col("cell"), col("v")).as[(Long, Array[Double])]
+        .select(col("cell"), col("vec_id"), col("v")).as[(Long, Long, Array[Double])]
         .groupByKey(_._1)
-        .mapGroups { (cell: Long, rows: Iterator[(Long, Array[Double])]) =>
-          var n = 0L
-          var acc: Array[Double] = null
-          rows.foreach { case (_, v) =>
-            if (acc == null) acc = new Array[Double](v.length)
+        .mapGroups { (cell: Long, rows: Iterator[(Long, Long, Array[Double])]) =>
+          // Accumulate in vec_id order so the double sum is bit-reproducible
+          // regardless of shuffle-arrival order (distributed fetch order is
+          // nondeterministic). Buffers one cell's members — bounded by the
+          // per-cell corpus share; train on a sample if cells outgrow a task.
+          val members = rows.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+          val acc = new Array[Double](members(0)._2.length)
+          members.foreach { case (_, v) =>
             var i = 0
             while (i < v.length) { acc(i) += v(i); i += 1 }
-            n += 1
           }
-          (cell, acc.map(_ / n))
+          (cell, acc.map(_ / members.length))
         }
         .collect().toMap
       cents = cents.map { case (id, v) => (id, means.getOrElse(id, v)) }

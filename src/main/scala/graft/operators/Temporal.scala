@@ -61,8 +61,9 @@ object Temporal {
     * the exact band predicate filters. This is the standard range-join
     * decomposition and scales like any keyed join.
     *
-    * Output: `left.*` (prefixed `l_` where colliding) joined to `right.*`
-    * selected via `rightCols` (name → output name).
+    * Output: `left.*` joined to the right columns selected via `rightCols`
+    * (name → output name). Output names must not collide with left columns —
+    * validated up front (rename via the map, e.g. `"ts" -> "r_ts"`).
     */
   def rangeJoin(
       left: DataFrame, right: DataFrame,
@@ -71,6 +72,10 @@ object Temporal {
       rightCols: Map[String, String],
       upperExclusive: Boolean = true): DataFrame = {
     require(upperUs > lowerUs, "rangeJoin: empty band")
+    val collisions = rightCols.values.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"rangeJoin: rightCols output names collide with left columns: " +
+        s"${collisions.mkString(", ")} — rename via the rightCols map")
     val w = upperUs - lowerUs
     // buckets via exact integer FLOOR division, valid for any sign (a float
     // divide could mis-bucket a row sitting exactly on a boundary; `div`

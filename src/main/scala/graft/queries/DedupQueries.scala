@@ -129,6 +129,48 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** 64-bit SimHash near-duplicates — the scale-safe parameterization of dd6
+    * (16-bit bands → 65 536 buckets/band vs dd6's 256): the simhash is carried
+    * as two non-negative 32-bit halves so every shift/mask is sign-free and
+    * engine-identical. Candidates from any equal 16-bit band, verified by
+    * exact 64-bit Hamming ≤ 3.
+    */
+  val dd9Simhash64Hamming: Q = Q(
+    "dd9_simhash64_hamming",
+    """WITH tok AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ts
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |    list_transform(ts, t -> CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT)) AS hhi,
+      |    list_transform(ts, t -> CAST(concat('0x', substr(md5(t),9,8)) AS BIGINT)) AS hlo
+      |  FROM tok),
+      |s AS (SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 32), j ->
+      |      CASE WHEN CAST(list_sum(list_transform(hhi, x ->
+      |             CASE WHEN ((x >> CAST(j AS INT)) & 1) = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+      |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sim_hi,
+      |    CAST(list_sum(list_transform(range(0, 32), j ->
+      |      CASE WHEN CAST(list_sum(list_transform(hlo, x ->
+      |             CASE WHEN ((x >> CAST(j AS INT)) & 1) = 1 THEN 1 ELSE -1 END)) AS BIGINT) > 0
+      |           THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sim_lo
+      |  FROM h),
+      |b AS (SELECT doc_id, sim_hi, sim_lo, t.k AS band,
+      |    CASE WHEN t.k = 0 THEN sim_lo & 65535
+      |         WHEN t.k = 1 THEN (sim_lo >> 16) & 65535
+      |         WHEN t.k = 2 THEN sim_hi & 65535
+      |         ELSE (sim_hi >> 16) & 65535 END AS bv
+      |  FROM s CROSS JOIN range(0, 4) t(k)),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      |  FROM b a JOIN b b2 ON a.band = b2.band AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+      |SELECT * FROM (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(bit_count(xor(x.sim_hi, y.sim_hi)) + bit_count(xor(x.sim_lo, y.sim_lo)) AS BIGINT) AS hamming
+      |  FROM cand c JOIN s x ON x.doc_id = c.doc_a JOIN s y ON y.doc_id = c.doc_b)
+      |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    Dedup.simhash64NearDuplicates(Tables.documents(spark, dir), "doc_id", "text",
+      maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The composite corpus-cleaning pipeline (quality gate → exact dedup →
     * MinHash near-dup removal) as ONE oracle query — proves the operators
     * compose end-to-end with identical semantics in both engines.
@@ -176,5 +218,5 @@ object DedupQueries {
   }
 
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
-    dd6SimhashHamming, dd8CleanCorpus)
+    dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming)
 }

@@ -42,6 +42,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(hs(1L) != hs(4L))
   }
 
+  test("simhash64: halves are 32-bit non-negative; near-dups found; band cap bounds candidates") {
+    val hs = Dedup.simhashes64(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(hs.forall { case (_, hi, lo) =>
+      hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32) })
+    val byId = hs.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(byId(1L) == byId(2L)) // identical text → identical 64-bit simhash
+    val pairs = Dedup.simhash64NearDuplicates(docs, "doc_id", "text", maxHamming = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("hot-bucket cap bounds candidate blowup from boilerplate near-dup bands") {
+    // 60 boilerplate docs sharing one signature (the degenerate crawl case a
+    // prior exact-dedup pass should have caught): every band bucket holds all
+    // 60 docs, so uncapped the self-join emits the full 60·59/2 pair blowup
+    // and capped (cap=30 < 60) every bucket is dropped.
+    val boiler = (1L to 60L).map(i =>
+      (i, "shared boilerplate header repeated across the whole crawl segment"))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashNearDuplicates(boiler, "doc_id", "text",
+      threshold = 0.5, maxBucket = Int.MaxValue).count()
+    assert(uncapped == 60L * 59 / 2) // the quadratic blowup is real
+    val capped = Dedup.minhashNearDuplicates(boiler, "doc_id", "text",
+      threshold = 0.5, maxBucket = 30).count()
+    assert(capped == 0) // every band bucket over the cap was dropped
+    // oversizedBuckets is the monitoring view: it names the hot keys
+    val base = boiler.select(col("doc_id"), lit("k").as("band_key"))
+    assert(Dedup.oversizedBuckets(base, Seq("band_key"), 30).count() == 1)
+    assert(Dedup.oversizedBuckets(base, Seq("band_key"), 100).count() == 0)
+  }
+
   test("ngram near-duplicates verifies jaccard on rare-gram candidates") {
     val pairs = Dedup.ngramNearDuplicates(docs, "doc_id", "text",
       n = 4, maxDf = 4, threshold = 0.8)

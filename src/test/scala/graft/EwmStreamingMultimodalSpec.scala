@@ -129,16 +129,44 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     assert(out(3L) == ((null, -1, -1)))    // audio: no plan
   }
 
-  test("multimodal: metadata decode stub + byte features + frame sampling") {
-    val docs = Seq((0L, "img payload here"), (1L, "audio payload"), (2L, "video payload longer"))
-      .toDF("doc_id", "text")
-    val media = Multimodal.fromDocuments(docs, "doc_id", "text")
-    assert(media.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+  /** A real wxh PNG (via BufferedImage round-trip). */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** A canonical 44-byte-header WAV with the given sample rate (no samples). */
+  private def wavBytes(sampleRate: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(0)
+    b.array()
+  }
+
+  private def mediaDf(rows: Seq[org.apache.spark.sql.Row]) =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+
+  test("multimodal: real image/WAV metadata decode; video stub; junk → null meta") {
+    import org.apache.spark.sql.Row
+    val media = mediaDf(Seq(
+      Row(0L, "image", pngBytes(20, 10), null),
+      Row(1L, "audio", wavBytes(22050), null),
+      Row(2L, "video", "video payload longer".getBytes("UTF-8"), null),
+      Row(3L, "image", "not an image".getBytes("UTF-8"), null),
+      Row(4L, "audio", "not a wav, but long enough to scan for RIFF chunks...".getBytes("UTF-8"), null)))
     val decoded = Multimodal.decodeMeta(media).cache()
-    val img = decoded.filter($"modality" === "image").select("meta.width").head()
-    assert(!img.isNullAt(0) && img.getInt(0) >= 64)
-    val audio = decoded.filter($"modality" === "audio").select("meta.sample_rate").head()
-    assert(Seq(8000, 16000, 44100).contains(audio.getInt(0)))
+    val byId = decoded.select("media_id", "meta").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getStruct(1))).toMap
+    assert(byId(0L).getInt(0) == 20 && byId(0L).getInt(1) == 10 && byId(0L).getInt(2) == 1)
+    assert(byId(1L).getInt(3) == 22050)
+    assert(byId(2L).getInt(2) == 1 + "video payload longer".length % 300) // stub n_frames
+    assert(byId(3L) == null && byId(4L) == null) // decode failure is honest
     // deterministic: same input → same metadata
     val again = Multimodal.decodeMeta(media)
     assert(decoded.select("media_id", "meta").exceptAll(again.select("media_id", "meta")).count() == 0)
@@ -147,6 +175,36 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(decoded, everyK = 10)
     assert(frames.count() > 0)
     decoded.unpersist()
+  }
+
+  test("multimodal: GIF frame count and JPEG/BMP dims decode for real") {
+    // ImageIO's GIF writer supports multi-frame via sequence writing; keep it
+    // simple — verify single-frame GIF + JPEG + BMP all header-decode.
+    for (fmt <- Seq("gif", "jpg", "bmp")) {
+      val img = new java.awt.image.BufferedImage(33, 17, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, baos)
+      val m = Multimodal.decodeImageMeta(baos.toByteArray)
+      assert(m != null && m.getInt(0) == 33 && m.getInt(1) == 17, s"format $fmt")
+    }
+  }
+
+  test("multimodal: resizeImages re-encodes oversized images to the planned dims") {
+    import org.apache.spark.sql.Row
+    val media = mediaDf(Seq(
+      Row(0L, "image", pngBytes(200, 100), null),                    // → 50x25
+      Row(1L, "image", pngBytes(30, 20), null),                      // fits, untouched
+      Row(2L, "audio", wavBytes(8000), null)))                       // non-visual
+    val out = Multimodal.resizeImages(Multimodal.decodeMeta(media), maxW = 50, maxH = 50)
+    assert(out.columns.toSeq == Multimodal.MediaSchema.fieldNames.toSeq)
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    val resized = byId(0L).getAs[Array[Byte]]("payload")
+    val m0 = Multimodal.decodeImageMeta(resized)
+    assert(m0.getInt(0) == 50 && m0.getInt(1) == 25) // payload really re-encoded
+    assert(byId(0L).getStruct(3).getInt(0) == 50 && byId(0L).getStruct(3).getInt(1) == 25)
+    val untouched = byId(1L).getAs[Array[Byte]]("payload")
+    assert(java.util.Arrays.equals(untouched, pngBytes(30, 20))) // byte-identical
+    assert(byId(2L).getStruct(3).getInt(3) == 8000) // audio meta carried through
   }
 
   test("ml features pipeline produces the 12-feature frame with target") {
