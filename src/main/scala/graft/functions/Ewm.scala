@@ -10,20 +10,30 @@ import org.apache.spark.sql.types._
   * (the same recurrence as [[graft.operators.Ema]]'s partition scan, which
   * pandas-on-Spark also implements this way internally).
   *
-  * `ewm(x, alpha, minPeriods)` over `Window.partitionBy(keys).orderBy(t)`:
+  * `ewm(x, alpha, minPeriods[, ignoreNa])` over
+  * `Window.partitionBy(keys).orderBy(t)`:
   *   - running frame (UNBOUNDED PRECEDING → CURRENT ROW), one pass per key
-  *   - buffer = (ema, seen, seeded); update is pure expressions, so Tungsten
-  *     evaluates it without virtual calls and it composes with other window
-  *     functions over the same window spec in a single WindowExec
-  *   - null inputs leave the state untouched and (like pandas) emit the
-  *     current smoothed value only once seeded and past `minPeriods`
-  *     non-null observations
+  *   - buffer = (ema, seen, seeded, lastNull, oldWt); update is pure
+  *     expressions, so Tungsten evaluates it without virtual calls and it
+  *     composes with other window functions over the same window spec in a
+  *     single WindowExec
+  *   - `ignoreNa = true` (pandas `ignore_na=True`): null inputs leave the
+  *     state untouched and emit null; the smoothed value resumes at the next
+  *     observation with no gap re-weighting.
+  *   - `ignoreNa = false` (pandas' DEFAULT, and the reference transformer's
+  *     behavior on coerce-failed closes): a gap of g nulls decays the old
+  *     weight to `(1−α)^(g+1)`, the next observation averages as
+  *     `(w·y + α·x)/(w + α)` (with pandas' skip-update-when-equal quirk), and
+  *     null rows emit the CARRIED value once seeded and past `minPeriods` —
+  *     matching [[graft.operators.Ema.withEma]]`(ignoreNa = false)` bit for
+  *     bit (equality-tested in IndicatorsSpec).
   *
   * Scale: unlike the mapPartitions scan, this needs no extra
   * repartition+sort — it reuses the window shuffle shared with neighboring
   * window aggregates (rank, lag, rolling sums) over the same spec.
   */
-case class Ewm(child: Expression, alpha: Double, minPeriods: Int)
+case class Ewm(child: Expression, alpha: Double, minPeriods: Int,
+    ignoreNa: Boolean = true)
     extends AggregateWindowFunction {
 
   override def children: Seq[Expression] = Seq(child)
@@ -34,27 +44,48 @@ case class Ewm(child: Expression, alpha: Double, minPeriods: Int)
   private lazy val seen = AttributeReference("seen", IntegerType, nullable = false)()
   private lazy val seeded = AttributeReference("seeded", BooleanType, nullable = false)()
   private lazy val lastNull = AttributeReference("lastNull", BooleanType, nullable = false)()
+  private lazy val oldWt = AttributeReference("oldWt", DoubleType, nullable = false)()
 
-  override def aggBufferAttributes: Seq[AttributeReference] = Seq(ema, seen, seeded, lastNull)
+  override def aggBufferAttributes: Seq[AttributeReference] =
+    Seq(ema, seen, seeded, lastNull, oldWt)
 
   override val initialValues: Seq[Expression] =
-    Seq(Literal(0.0), Literal(0), Literal(false), Literal(false))
+    Seq(Literal(0.0), Literal(0), Literal(false), Literal(false), Literal(1.0))
 
   private def x: Expression = Cast(child, DoubleType)
+  private def beta: Expression = Literal(1.0 - alpha)
 
-  // y ← α·x + (1−α)·y, seeded y₀ = x₀ — same double arithmetic as Ema.withEma
+  // Update expressions all evaluate against the PRE-update buffer, then the
+  // buffer is overwritten at once — so `oldWt` below is the pre-row weight.
+  //
+  // ignoreNa=true:  y ← α·x + (1−α)·y, seeded y₀ = x₀ (nulls untouched)
+  // ignoreNa=false: w = oldWt·(1−α); y ← (w·y + α·x)/(w + α) unless x equals
+  //                 the carried y (pandas skips the update then); nulls decay
+  //                 oldWt by (1−α) and leave y carried
   override val updateExpressions: Seq[Expression] = Seq(
     If(IsNull(child), ema,
       If(Not(seeded), x,
-        Add(Multiply(Literal(alpha), x), Multiply(Literal(1.0 - alpha), ema)))),
+        if (ignoreNa)
+          Add(Multiply(Literal(alpha), x), Multiply(beta, ema))
+        else
+          If(EqualTo(ema, x), ema,
+            Divide(
+              Add(Multiply(Multiply(oldWt, beta), ema), Multiply(Literal(alpha), x)),
+              Add(Multiply(oldWt, beta), Literal(alpha)))))),
     If(IsNull(child), seen, Add(seen, Literal(1))),
     Or(seeded, IsNotNull(child)),
-    IsNull(child))
+    IsNull(child),
+    If(IsNull(child), If(seeded, Multiply(oldWt, beta), oldWt), Literal(1.0)))
 
-  // null input rows emit null (pandas ewm), though the carried state survives
+  // ignoreNa=true: null input rows emit null (state survives); =false: null
+  // rows emit the carried value once seeded (pandas ewma aggregation)
   override val evaluateExpression: Expression =
-    If(And(And(seeded, Not(lastNull)), GreaterThanOrEqual(seen, Literal(minPeriods))),
-      ema, Literal(null, DoubleType))
+    if (ignoreNa)
+      If(And(And(seeded, Not(lastNull)), GreaterThanOrEqual(seen, Literal(minPeriods))),
+        ema, Literal(null, DoubleType))
+    else
+      If(And(seeded, GreaterThanOrEqual(seen, Literal(minPeriods))),
+        ema, Literal(null, DoubleType))
 
   override def prettyName: String = "ewm"
 
@@ -64,11 +95,11 @@ case class Ewm(child: Expression, alpha: Double, minPeriods: Int)
 
 /** Registration: `GraftFunctions.register(spark)` (or install
   * [[GraftExtensions]] via `.withExtensions`) exposes `ewm(x, alpha,
-  * min_periods)` to SQL and `expr(...)`.
+  * min_periods[, ignore_na])` to SQL and `expr(...)`.
   */
 object GraftFunctions {
   private[functions] def build(exprs: Seq[Expression]): Expression = {
-    require(exprs.size >= 2, "ewm(x, alpha[, min_periods])")
+    require(exprs.size >= 2, "ewm(x, alpha[, min_periods[, ignore_na]])")
     def lit(e: Expression, what: String): Any = e match {
       case l: Literal => l.value
       case other => throw new IllegalArgumentException(s"ewm: $what must be a literal, got $other")
@@ -84,7 +115,11 @@ object GraftFunctions {
       case l: java.lang.Long => l.intValue()
       case other => throw new IllegalArgumentException(s"ewm: bad min_periods $other")
     }
-    Ewm(exprs.head, alpha, minPeriods)
+    val ignoreNa = if (exprs.size < 4) true else lit(exprs(3), "ignore_na") match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(s"ewm: bad ignore_na $other")
+    }
+    Ewm(exprs.head, alpha, minPeriods, ignoreNa)
   }
 
   def register(spark: SparkSession): Unit = {

@@ -252,6 +252,31 @@ object Similarity {
     prepared(df, idCol, vecCol).withColumn("bucket", bucket)
   }
 
+  /** Multi-table LSH buckets — OR-amplification, the standard recall lever:
+    * `tables` independent plane sets (table t uses planes t·bits … t·bits+
+    * bits−1 of the same deterministic LCG stream; table 0 is exactly
+    * [[lshBuckets]]), one `(tbl, bucket)` row per vector per table. A true
+    * neighbor is a candidate if it collides in ANY table, so recall ≈
+    * 1−(1−p^bits)^tables — tunable upward without coarsening buckets. Cost
+    * scales linearly in `tables` (rows replicated per table, candidates
+    * unioned); still an equi-join, still partitions evenly.
+    */
+  def lshBucketsMulti(
+      df: DataFrame, idCol: String, vecCol: String,
+      bits: Int, dims: Int, tables: Int): DataFrame = {
+    val p = prepared(df, idCol, vecCol)
+    val tb = (0 until tables).map { t =>
+      val bucket = (0 until bits).map { j =>
+        val plane = array((0 until dims).map(d => lit(planeCoef(t * bits + j, d, dims))): _*)
+        when(dot(col("v"), plane) > 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(t).as("tbl"), bucket.as("bucket"))
+    }
+    p.withColumn("__tb", explode(array(tb: _*)))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        col("__tb.tbl").as("tbl"), col("__tb.bucket").as("bucket"))
+  }
+
   /** IVF-structured ANN: assign every vector to its nearest "centroid" cell,
     * then answer queries by exact cosine ranking within the query's cell.
     *
@@ -289,13 +314,24 @@ object Similarity {
 
   /** IVF search against an arbitrary centroid frame (e.g. from
     * [[kmeansCentroids]]): assignment pass, then an equi-join on the cell.
+    * `nProbe` is the recall lever: each query searches its `nProbe` nearest
+    * cells (corpus vectors stay in their one home cell, so the candidate
+    * space grows only on the query side — the standard IVF probe knob;
+    * `nProbe = 1` is the plan the `sim3` oracle pins, `nProbe = nCells` is
+    * exact search).
     */
   def ivfTopKWithCentroids(
-      p: DataFrame, cents: DataFrame, queryPred: Column, k: Int): DataFrame = {
+      p: DataFrame, cents: DataFrame, queryPred: Column, k: Int,
+      nProbe: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = assignCells(p, cents).drop("cell_cos")
-    val q = assigned.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"), col("cell"))
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val q = p.filter(queryPred).join(broadcast(cents))
+      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("__rn", row_number().over(wProbe))
+      .filter(col("__rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
+        col("c_id").as("cell"))
     val joined = assigned.join(broadcast(q), Seq("cell"))
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cosine", dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
@@ -359,18 +395,51 @@ object Similarity {
     centFrame(cents)
   }
 
-  /** Approximate top-k: exact cosine ranking within the query's LSH bucket.
-    * Deterministic; recall depends on bits/bucket balance.
+  /** Recall@k of an approximate ANN result against the exact baseline: per
+    * query, |approx ∩ exact| / |exact| over the neighbor sets (both frames in
+    * the `(q_id, neighbor, ...)` shape the top-k operators emit). THE tuning
+    * number for LSH `bits` / IVF `nCells` at corpus scale — a user trades
+    * recall for the subquadratic candidate space, and this makes the trade
+    * measurable (spec-pinned in KmeansIvfSpec; run it on a sampled query set
+    * in production). Queries the approximate path missed entirely surface
+    * with `hits = 0`, not silently absent.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("q_id"), col("neighbor"))
+    val e = exact.select(col("q_id"), col("neighbor"))
+    val hits = a.join(e, Seq("q_id", "neighbor")).groupBy("q_id")
+      .agg(count(lit(1)).as("hits"))
+    e.groupBy("q_id").agg(count(lit(1)).as("total"))
+      .join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .withColumn("recall", col("hits") / col("total"))
+      .select("q_id", "hits", "total", "recall")
+  }
+
+  /** Approximate top-k: exact cosine ranking within the query's LSH
+    * bucket(s). Deterministic; recall is tuned by `bits` (bucket coarseness)
+    * and `tables` (OR-amplification across independent plane sets — a
+    * candidate needs to collide in ANY table). `tables = 1` is the
+    * single-table plan the `sim2` oracle pins; [[recallAtK]] measures the
+    * operating point.
     */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, vecCol: String, k: Int, bits: Int, dims: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, bits: Int, dims: Int,
+      tables: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = lshBuckets(corpus, idCol, vecCol, bits, dims)
-    val q = lshBuckets(queries, idCol, vecCol, bits, dims)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"), col("bucket"))
-    val joined = c.join(broadcast(q), Seq("bucket"))
+    val c = lshBucketsMulti(corpus, idCol, vecCol, bits, dims, tables)
+    val q = lshBucketsMulti(queries, idCol, vecCol, bits, dims, tables)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
+        col("tbl"), col("bucket"))
+    // candidates = any-table collision; dedupe (q, neighbor) before scoring
+    // so multi-table hits are ranked once
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(first(col("q_v")).as("q_v"), first(col("q_nrm")).as("q_nrm"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+    val joined = cand
       .withColumn("cosine", dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
     joined.withColumn("rnk", row_number().over(w).cast(LongType))

