@@ -28,6 +28,17 @@ class JdbcLoaderSpec extends AnyFunSuite {
     } finally conn.close()
   }
 
+  test("append-mode load of an empty frame succeeds as a no-op") {
+    // test_sqlalchemy_loader.py::test_empty_dataframe parity: loading zero
+    // rows must neither fail nor disturb existing data
+    val url = freshDb()
+    val df = Seq((1L, "a")).toDF("id", "v")
+    new JdbcLoader(Map("connection_string" -> url, "table" -> "t0")).load(df)
+    new JdbcLoader(Map("connection_string" -> url, "table" -> "t0"))
+      .load(Seq.empty[(Long, String)].toDF("id", "v"))
+    assert(queryAll(url, "t0") == Seq((1L, "a")))
+  }
+
   test("append then replace then fail modes") {
     val url = freshDb()
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")

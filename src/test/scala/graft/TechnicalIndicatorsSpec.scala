@@ -77,6 +77,22 @@ class TechnicalIndicatorsSpec extends AnyFunSuite {
     assert(d.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z"""), d)
   }
 
+  test("timezone-aware and naive datetimes both parse; offsets convert to UTC") {
+    // Alpha Vantage style '2024-01-05 16:00:00-04:00' must land at the UTC
+    // instant (20:00Z); naive '09:30:00' is taken as session-TZ (UTC)
+    def withDates(fmt: Int => String) = {
+      val b = bars(30).zipWithIndex.map { case ((_, o, h, l, c, v), i) =>
+        (fmt(i + 1), o, h, l, c, v)
+      }.toDF("date", "open", "high", "low", "close", "volume")
+      Indicators.technicalIndicators(b, Indicators.Config(smaPeriod = 2, bbPeriod = 2, rsiPeriod = 2))
+        .select("date").collect().map(_.getString(0))
+    }
+    val tz = withDates(d => f"2024-01-$d%02d 16:00:00-04:00")
+    assert(tz.nonEmpty && tz.forall(_.endsWith("T20:00:00Z")))
+    val naive = withDates(d => f"2024-01-$d%02d 09:30:00")
+    assert(naive.nonEmpty && naive.forall(_.endsWith("T09:30:00Z")))
+  }
+
   test("unsorted input produces the same output as sorted input") {
     val shuffled = barsDf(120).orderBy(rand(7))
     val a = Indicators.technicalIndicators(shuffled).orderBy("date").collect().toSeq
