@@ -13,9 +13,9 @@ object SparkEntry {
 
   /** All registered query suites. */
   def suites: Seq[Q] =
-    CoreQueries.all ++ CleaningQueries.all ++ WindowQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ MiscQueries.all
+    CoreQueries.all ++ TpchMoreQueries.all ++ CleaningQueries.all ++
+      WindowQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      SimilarityQueries.all ++ MultimodalQueries.all ++ MiscQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

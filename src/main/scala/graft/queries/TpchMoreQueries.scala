@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.exprs.Exact._
+
+/** Second tranche of TPC-H-pattern relational queries (q6/q7/q8/q13/q15/
+  * q17/q21/q22 shapes adapted to the driver's reduced star schema — no
+  * partsupp table, no commitdate/receiptdate/phone/comment columns, so the
+  * date-lag and country-code predicates are re-expressed over the columns
+  * that exist; the PLAN SHAPES are the point and are preserved):
+  *
+  *  - q6: pure scan-filter-aggregate — predicate pushdown to parquet, one
+  *    partial+final agg, no join, no wide shuffle.
+  *  - q7: two-nation volume — nation broadcast twice under different
+  *    aliases, supplier broadcast, one big l⋈o shuffle join.
+  *  - q8: market share — conditional decimal aggregate ratio over a
+  *    six-table join tree, dims broadcast.
+  *  - q13: outer-join distribution — LEFT join with a pushed non-key
+  *    predicate, two-level aggregation.
+  *  - q15: top supplier by revenue view — agg once, reuse for the global
+  *    max (scalar) and the equality filter.
+  *  - q17: correlated avg subquery DECORRELATED to a semi-join-pruned
+  *    per-key aggregate + equi-join (the classic rewrite; no per-row
+  *    subquery execution).
+  *  - q21: EXISTS / NOT EXISTS over the same table → left-semi + left-anti
+  *    joins with a non-equi residual (suppkey ≠) on the orderkey equi-key.
+  *  - q22: scalar aggregate (exact-decimal mean) broadcast into the filter +
+  *    anti-join against orders.
+  *
+  * Numerics follow [[graft.exprs.Exact]]: money sums in DECIMAL(18,2+),
+  * double only at the boundary, so values are bit-identical to DuckDB.
+  */
+object TpchMoreQueries {
+
+  private val D2 = DecimalType(18, 2)
+  private def one = lit(new java.math.BigDecimal("1.00"))
+  private def discPrice = col("l_extendedprice").cast(D2) * (one - col("l_discount").cast(D2))
+  private val DiscPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  val q6ForecastRevenue: Q = Q(
+    "q6_forecast_revenue",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1997-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(D2) * col("l_discount").cast(D2))
+        .cast(DoubleType).as("revenue"))
+  }
+
+  val q7NationVolume: Q = Q(
+    "q7_nation_volume",
+    s"""SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue FROM (
+       | SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year, $DiscPriceSql AS volume
+       | FROM supplier, lineitem, orders, customer, nation n1, nation n2
+       | WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+       |   AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+       |   AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+       |   AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00')
+       |GROUP BY supp_nation, cust_nation, l_year
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (spark, dir) =>
+    val nations = Tables.nation(spark, dir).filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(nations.select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "supp_nation")
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(nations.select(col("n_nationkey"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "cust_nation")
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate").between(ts("1996-01-01 00:00:00"), ts("1997-12-31 00:00:00")))
+    l.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .withColumn("l_year", year(col("l_shipdate")).cast(LongType))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(discPrice).cast(DoubleType).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q8MarketShare: Q = Q(
+    "q8_market_share",
+    s"""SELECT o_year, CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+       |  / CAST(SUM(volume) AS DOUBLE) AS mkt_share FROM (
+       | SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year, $DiscPriceSql AS volume, n2.n_name AS nation
+       | FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+       | WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |   AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+       |   AND s_nationkey = n2.n_nationkey AND p_type = 'PROMO'
+       |   AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00')
+       |GROUP BY o_year ORDER BY o_year""".stripMargin) { (spark, dir) =>
+    val part = Tables.part(spark, dir).filter(col("p_type") === "PROMO").select("p_partkey")
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "nation")
+    val euroNations = Tables.nation(spark, dir)
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(euroNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate").between(ts("1996-01-01 00:00:00"), ts("1997-12-31 00:00:00")))
+    Tables.lineitem(spark, dir)
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .withColumn("o_year", year(col("o_orderdate")).cast(LongType))
+      .withColumn("volume", discPrice)
+      .groupBy("o_year")
+      .agg((sum(when(col("nation") === "NATION_1", col("volume"))
+          .otherwise(lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 4)))).cast(DoubleType)
+        / sum(col("volume")).cast(DoubleType)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q13OrderCountDist: Q = Q(
+    "q13_order_count_dist",
+    """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      | SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      | FROM customer LEFT OUTER JOIN orders
+      |   ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      | GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (spark, dir) =>
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey") && col("o_orderpriority") =!= "1-URGENT",
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q15TopSupplier: Q = Q(
+    "q15_top_supplier",
+    s"""WITH revenue AS (SELECT l_suppkey AS supplier_no, CAST(SUM($DiscPriceSql) AS DOUBLE) AS total_revenue
+       | FROM lineitem
+       | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+       | GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_revenue FROM supplier, revenue
+       |WHERE s_suppkey = supplier_no AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin) { (spark, dir) =>
+    val revenue = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+        col("l_shipdate") < ts("1996-04-01 00:00:00"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(discPrice).cast(DoubleType).as("total_revenue"))
+    val top = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    revenue.join(broadcast(top), col("total_revenue") === col("max_revenue"))
+      .join(Tables.supplier(spark, dir), col("supplier_no") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  val q17SmallQtyRevenue: Q = Q(
+    "q17_small_qty_revenue",
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#1' AND p_size < 10
+      |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin) { (spark, dir) =>
+    val part = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#1" && col("p_size") < 10)
+      .select("p_partkey")
+    val l = Tables.lineitem(spark, dir)
+    // decorrelated: per-part mean quantity, computed only for surviving parts
+    // (semi-join prune), then one equi-join — no per-row subquery
+    val avgQty = l.join(broadcast(part), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey").as("ap_partkey"))
+      .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_limit"))
+    l.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(avgQty, col("l_partkey") === col("ap_partkey"))
+      .filter(col("l_quantity") < col("qty_limit"))
+      .agg((dsum(col("l_extendedprice")) / 7.0).cast(DoubleType).as("avg_yearly"))
+  }
+
+  val q21SoleFaultSupplier: Q = Q(
+    "q21_sole_fault_supplier",
+    """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numfault FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+      |  AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+      |GROUP BY s_name ORDER BY numfault DESC, s_name LIMIT 20""".stripMargin) { (spark, dir) =>
+    val l = Tables.lineitem(spark, dir)
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_1")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name")
+    val l1 = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls"))
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F"),
+        col("lo") === col("o_orderkey"), "left_semi")
+    // EXISTS another supplier on the order → left-semi with non-equi residual
+    val withOther = l1.join(l.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")),
+      col("lo") === col("o2") && col("ls") =!= col("s2"), "left_semi")
+    // NOT EXISTS another supplier who ALSO returned on that order → left-anti
+    val soleFault = withOther.join(
+      l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")),
+      col("lo") === col("o3") && col("ls") =!= col("s3"), "left_anti")
+    soleFault.join(broadcast(s), col("ls") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numfault"))
+      .orderBy(col("numfault").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q22IdleCustomers: Q = Q(
+    "q22_idle_customers",
+    """SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |                   FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_mktsegment ORDER BY segment""".stripMargin) { (spark, dir) =>
+    val c = Tables.customer(spark, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg((dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    c.join(broadcast(avgBal)) // scalar broadcast, no driver round-trip
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("segment")
+  }
+
+  val all: Seq[Q] = Seq(q6ForecastRevenue, q7NationVolume, q8MarketShare,
+    q13OrderCountDist, q15TopSupplier, q17SmallQtyRevenue,
+    q21SoleFaultSupplier, q22IdleCustomers)
+}

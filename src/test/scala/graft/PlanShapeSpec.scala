@@ -54,4 +54,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("dotp("), "cosine should route through DotProductExpr")
     assert(!p.contains("aggregate(zip_with"), "interpreted HOF fold crept back into the hot path")
   }
+
+  test("q6: pure scan-agg — shipdate/quantity predicates pushed to parquet, no join") {
+    val p = plan(graft.queries.TpchMoreQueries.q6ForecastRevenue.run(spark, sf))
+    assert(!p.contains("Join"), "q6 must not join")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      "range predicate should reach the parquet scan")
+  }
+
+  test("q17: correlated avg is decorrelated — semi-join prune + one equi-join, no cartesian") {
+    val p = plan(graft.queries.TpchMoreQueries.q17SmallQtyRevenue.run(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi"), "per-part average should be pruned by a semi join")
+  }
+
+  test("q21: EXISTS/NOT EXISTS run as left-semi + left-anti joins, no cartesian") {
+    val p = plan(graft.queries.TpchMoreQueries.q21SoleFaultSupplier.run(spark, sf))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
+  }
+
+  test("q22: scalar mean enters as a broadcast, idle filter as a left-anti join") {
+    val p = plan(graft.queries.TpchMoreQueries.q22IdleCustomers.run(spark, sf))
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      "the only row-multiplying join allowed is the 1-row scalar broadcast")
+    assert(p.contains("LeftAnti"))
+  }
 }
