@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed global prefix sum — the primitive behind token-stream
+  * chunking: concatenate documents in a total order and cut the stream into
+  * fixed-size context windows (`window = floor(start_offset / budget)`).
+  *
+  * `SUM(...) OVER (ORDER BY k)` expresses this declaratively, but Spark
+  * plans an un-partitioned window as ONE task holding the whole corpus — the
+  * classic scale cliff. This operator is the standard two-pass prefix-sum
+  * instead:
+  *
+  *  1. range-partition by the order key and sort within partitions — a
+  *     total order across partitions, each task holding a contiguous range
+  *     (RangePartitioner's sampled boundaries are seed-deterministic for a
+  *     given input layout, so the split is reproducible);
+  *  2. pass 1: per-partition totals — #partitions longs to the driver
+  *     (bounded, like any broadcast dim);
+  *  3. pass 2: each partition streams once more, adding the exclusive scan
+  *     of the totals before its own running sum.
+  *
+  * Work is two narrow passes + one tiny collect; no task ever holds more
+  * than its partition. Values are exact (long arithmetic), so the DuckDB
+  * `SUM() OVER` oracle matches bit-for-bit.
+  *
+  * The order key must be UNIQUE — a tie would make "global order" ambiguous
+  * (the oracle and the engine could legitimately disagree).
+  */
+object PrefixSum {
+
+  /** Adds `outCol` = exclusive prefix sum of `valueCol` (long) in ascending
+    * `orderCol` order — i.e. each row's START offset in the concatenated
+    * stream. Inclusive sum = outCol + valueCol.
+    */
+  def withStartOffset(
+      df: DataFrame, orderCol: String, valueCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parted = df
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val valIdx = df.schema.fieldIndex(valueCol)
+    // pass 1: per-partition totals (tiny: one long per partition)
+    val partTotals = parted.mapPartitions { it =>
+      var s = 0L
+      it.foreach { r => s += r.getLong(valIdx) }
+      Iterator.single(s)
+    }(Encoders.scalaLong)
+      .collect()
+    // exclusive scan of the totals = each partition's global base offset
+    val bases = partTotals.scanLeft(0L)(_ + _)
+    val basesBc = spark.sparkContext.broadcast(bases)
+    val outSchema = df.schema.add(outCol, LongType, nullable = false)
+    // pass 2: same deterministic partitioning, add base + local running sum
+    parted.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var running = basesBc.value(pid)
+      it.map { r =>
+        val start = running
+        running += r.getLong(valIdx)
+        Row.fromSeq(r.toSeq :+ start)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Token-stream chunking: assign each document its start offset and the
+    * context-window index it begins in (`floor(offset / budget)`), plus its
+    * offset within that window — exactly the bookkeeping a pretraining
+    * pipeline needs to cut a document stream into fixed windows.
+    */
+  def contextWindows(
+      df: DataFrame, orderCol: String, tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    // integer division — exact for any offset, no double rounding at 2^53+
+    withStartOffset(df, orderCol, tokenCol, "start_offset")
+      .withColumn("window_id", expr(s"start_offset div ${budget}L"))
+      .withColumn("window_offset", col("start_offset") % budget)
+  }
+}

@@ -179,6 +179,66 @@ object MiscQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Deterministic hash-threshold Bernoulli sample — the reproducible
+    * training-data sampling primitive ([[graft.operators.Sampling]]): pure
+    * narrow filter, identical row set on every run and engine.
+    */
+  val mx1HashSample: Q = Q(
+    "mx1_hash_sample",
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST(concat('0x', substr(md5(concat('s1:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+      |      < CAST(round(0.25 * 4294967296.0) AS BIGINT)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Sampling.hashSample(
+        Tables.documents(spark, dir), "doc_id", fraction = 0.25, salt = "s1")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language quota (the "mix" of a training-data mix): first `n` docs
+    * per group in deterministic hash order — one shuffle on the group key,
+    * stable across runs.
+    */
+  val mx2LangQuota: Q = Q(
+    "mx2_lang_quota",
+    """SELECT lang, doc_id FROM (
+      |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY CAST(concat('0x', substr(md5(concat('s2:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT),
+      |             doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 40 ORDER BY lang, doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Sampling.quotaPerGroup(
+        Tables.documents(spark, dir), "lang", "doc_id", n = 40, salt = "s2")
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
+  /** Token-stream context-window chunking via the distributed two-pass
+    * prefix sum ([[graft.operators.PrefixSum]]) — bit-equal to the oracle's
+    * `SUM() OVER (ORDER BY ...)` but runs as range-partitioned narrow passes
+    * instead of a single-task global window.
+    */
+  val mx3ContextWindows: Q = Q(
+    "mx3_context_windows",
+    """SELECT doc_id, n_tokens, start_offset,
+      |  start_offset // 2048 AS window_id,
+      |  start_offset % 2048 AS window_offset
+      |FROM (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |      OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{PrefixSum, TextAnalysis}
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    PrefixSum.contextWindows(docs, "doc_id", "n_tokens", budget = 2048L)
+      .select("doc_id", "n_tokens", "start_offset", "window_id", "window_offset")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
-    qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qAboveAvgOrders)
+    qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qAboveAvgOrders,
+    mx1HashSample, mx2LangQuota, mx3ContextWindows)
 }

@@ -75,6 +75,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.oversizedBuckets(base, Seq("band_key"), 100).count() == 0)
   }
 
+  test("hash sampling is deterministic, near the target fraction, salt-independent draws") {
+    import graft.operators.Sampling
+    val ids = (1L to 2000L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "grp")
+    val a = Sampling.hashSample(ids, "doc_id", 0.25, "s1").select("doc_id").as[Long].collect().toSet
+    val b = Sampling.hashSample(ids, "doc_id", 0.25, "s1").select("doc_id").as[Long].collect().toSet
+    assert(a == b) // rerun selects the SAME rows
+    assert(math.abs(a.size - 500) < 100, s"got ${a.size} of 2000 at fraction 0.25")
+    val other = Sampling.hashSample(ids, "doc_id", 0.25, "s2").select("doc_id").as[Long].collect().toSet
+    assert(other != a) // different salt, independent draw
+    // nested property: a 0.1 sample with the same salt is a subset of 0.25
+    val small = Sampling.hashSample(ids, "doc_id", 0.1, "s1").select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(a))
+    // quota: exactly n per group, stable across runs
+    val q1 = Sampling.quotaPerGroup(ids, "grp", "doc_id", 30, "s3").collect().map(r => (r.getLong(0), r.getString(1)))
+    val q2 = Sampling.quotaPerGroup(ids, "grp", "doc_id", 30, "s3").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(q1.sorted.toSeq == q2.sorted.toSeq)
+    assert(q1.groupBy(_._2).values.forall(_.length == 30))
+  }
+
   test("ngram near-duplicates verifies jaccard on rare-gram candidates") {
     val pairs = Dedup.ngramNearDuplicates(docs, "doc_id", "text",
       n = 4, maxDf = 4, threshold = 0.8)

@@ -74,6 +74,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"))
   }
 
+  test("prefix sum: matches the global-window oracle with NO un-partitioned WindowExec") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val df = TestSpark.spark.range(1, 1001).toDF("k")
+      .withColumn("v", (col("k") % 37) + 1)
+    val fast = graft.operators.PrefixSum.withStartOffset(df, "k", "v", "off")
+    val p = plan(fast)
+    assert(!p.contains("Window ["), "two-pass prefix sum must not plan a window")
+    assert(p.contains("rangepartitioning"), "order must come from range partitioning")
+    val naive = df.withColumn("off",
+      coalesce(sum(col("v")).over(
+        Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val a = fast.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    val b = naive.orderBy("k").collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.toSeq == b.toSeq)
+    // windows: contiguous ids, offsets within budget
+    val w = graft.operators.PrefixSum.contextWindows(df, "k", "v", budget = 100L)
+    assert(w.filter(col("window_offset") >= 100 || col("window_offset") < 0).count() == 0)
+    assert(w.filter(col("window_id") =!= expr("start_offset div 100")).count() == 0)
+  }
+
   test("q22: scalar mean enters as a broadcast, idle filter as a left-anti join") {
     val p = plan(graft.queries.TpchMoreQueries.q22IdleCustomers.run(spark, sf))
     assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
