@@ -113,12 +113,15 @@ object Dedup {
     * shingles, same md5-prefix hash, same LCG mod p) and keeps the whole
     * signature stage a narrow map.
     */
-  private def shingleSignatures(base: DataFrame, shingleK: Int, k: Int): DataFrame = {
+  private def shingleSignatures(
+      base: DataFrame, shingleK: Int, k: Int, bands: Int = 0): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
+    val rowsPerBand = if (bands > 0) k / bands else 0
     val outSchema = StructType(Seq(
       StructField("doc_id", base.schema("doc_id").dataType),
       StructField("sh", ArrayType(StringType, containsNull = false)),
-      StructField("sig", ArrayType(LongType, containsNull = false))))
+      StructField("sig", ArrayType(LongType, containsNull = false)),
+      StructField("bk", ArrayType(LongType, containsNull = false))))
     base.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
       rows.flatMap { r =>
@@ -157,7 +160,26 @@ object Dedup {
             sig(j) = best
             j += 1
           }
-          Some(Row(r.get(0), sh.toSeq, sig.toSeq))
+          // Band BUCKET keys as 64-bit FNV-style folds of each band's slice —
+          // a fixed-width join key instead of the dash-joined string (≈10×
+          // fewer shuffle bytes per band). A hash collision can only MERGE
+          // buckets, i.e. add candidate pairs; the exact-Jaccard verify
+          // filters them, so results are identical to string-keyed banding.
+          val bk = new Array[Long](if (bands > 0) bands else 0)
+          var bb = 0
+          while (bb < bk.length) {
+            var h = -3750763034362895579L // FNV-1a 64 offset basis
+            var q = bb * rowsPerBand
+            val end = q + rowsPerBand
+            while (q < end) {
+              h ^= sig(q)
+              h *= 1099511628211L
+              q += 1
+            }
+            bk(bb) = h
+            bb += 1
+          }
+          Some(Row(r.get(0), sh.toSeq, sig.toSeq, bk.toSeq))
         }
       }
     }(Encoders.row(outSchema))
@@ -192,14 +214,15 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 100000): DataFrame = {
     val k = bands * rowsPerBand
     val base = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
-    val withSh = shingleSignatures(base, shingleK, k)
+    val withSh = shingleSignatures(base, shingleK, k, bands)
       // reused by band explode AND both sides of the verify join — cache the
       // signature table rather than recomputing shingles+hashes three times
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Band keys: one row per (doc, band); join on equal band key.
+    // Band keys: one row per (doc, band); join on the 64-bit band-bucket
+    // hash computed inside the signature kernel (fixed-width key, no string
+    // materialization; collisions only add candidates — verify is exact).
     val bandsDf = capBuckets(withSh.select(col("doc_id"),
-      posexplode(expr(s"""transform(sequence(0, ${bands - 1}), b ->
-        array_join(transform(slice(sig, b*$rowsPerBand + 1, $rowsPerBand), x -> cast(x as string)), '-'))""")))
+      posexplode(col("bk")))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key")),
       Seq("band", "band_key"), maxBucket)
     val a = bandsDf.as("a"); val b = bandsDf.as("b")
