@@ -111,6 +111,18 @@ object Predict {
       .sortBy(-_._2).take(k)
   }
 
+  /** M7 artifact — the reference saves `feature_importance.png`
+    * (`predict.py:75-93`); the observable-output analogue here (matplotlib is
+    * out of scope per SURVEY §2.7) is a sorted JSON artifact on disk.
+    */
+  def writeImportances(imps: Seq[(String, Double)], path: String): Unit = {
+    val json = imps.map { case (c, w) => s"""  {"feature": "$c", "importance": $w}""" }
+      .mkString("[\n", ",\n", "\n]\n")
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
@@ -136,7 +148,10 @@ object Predict {
     }
 
     println("\nTop-5 feature importances (full-data GBT):")
-    topImportances(df, "target_return").foreach { case (c, w) => println(f"  $c%-15s $w%.4f") }
+    val imps = topImportances(df, "target_return")
+    imps.foreach { case (c, w) => println(f"  $c%-15s $w%.4f") }
+    writeImportances(imps, "target/feature_importance.json")
+    println("Saved target/feature_importance.json")
     spark.stop()
   }
 }

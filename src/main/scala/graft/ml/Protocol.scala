@@ -60,9 +60,11 @@ object Protocol {
     }
 
     println("\nTop-5 feature importances (full-data GBT):")
-    Predict.topImportances(df, "target_return").foreach {
-      case (c, w) => println(f"  $c%-15s $w%.4f")
-    }
+    val imps = Predict.topImportances(df, "target_return")
+    imps.foreach { case (c, w) => println(f"  $c%-15s $w%.4f") }
+    // the reference's feature_importance.png artifact, as JSON (predict.py:75-93)
+    Predict.writeImportances(imps, "target/feature_importance.json")
+    println("Saved target/feature_importance.json")
     spark.stop()
   }
 }

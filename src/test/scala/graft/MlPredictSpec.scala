@@ -41,6 +41,13 @@ class MlPredictSpec extends AnyFunSuite {
     val imp = Predict.topImportances(df, "target_return")
     assert(imp.size == 5)
     assert(imp.forall { case (c, w) => Predict.FeatureCols.contains(c) && w >= 0.0 })
+
+    // M7 artifact parity: a sorted JSON file on disk (reference writes a PNG)
+    val artifact = java.nio.file.Files.createTempFile("fi", ".json")
+    Predict.writeImportances(imp, artifact.toString)
+    val body = new String(java.nio.file.Files.readAllBytes(artifact), "UTF-8")
+    assert(imp.forall { case (c, _) => body.contains(s""""feature": "$c"""") })
+    java.nio.file.Files.delete(artifact)
     df.unpersist()
   }
 }
