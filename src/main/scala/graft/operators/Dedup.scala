@@ -439,6 +439,39 @@ object Dedup {
     verifyJaccard(cand, grams.select(col("doc_id"), col("sh")), threshold)
   }
 
+  // ------------------------------------------------------ decontamination
+
+  /** Benchmark decontamination: flag corpus documents that share any word
+    * `shingleK`-gram with a benchmark/test set — the overlap check every
+    * training-data pipeline runs before training (the standard operating
+    * point is 13-grams; shorter grams widen the net for noisy matches).
+    *
+    * `benchPred` selects the benchmark rows inside `df` (callers with a
+    * separate benchmark table union it in with a marker column). Scale
+    * shape: the benchmark gram set is SMALL by definition (benchmarks are
+    * thousands of docs, not billions), so it broadcasts, and the corpus side
+    * is one narrow explode + broadcast semi-join — the corpus is never
+    * shuffled at all. Exact string-gram equality (no hashing), so there are
+    * no false positives by construction.
+    *
+    * Returns the distinct non-benchmark `doc_id`s that overlap.
+    */
+  def contaminatedDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      benchPred: Column, shingleK: Int = 13): DataFrame = {
+    val base = df.select(col(idCol).as("doc_id"), col(textCol).as("txt"),
+      benchPred.as("__bench"))
+      .withColumn("ts", split(lower(col("txt")), " "))
+      .filter(size(col("ts")) >= shingleK)
+      .withColumn("sh", wordShinglesExpr("ts", shingleK))
+    val benchGrams = base.filter(col("__bench"))
+      .select(explode(col("sh")).as("g")).distinct()
+    base.filter(!col("__bench"))
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
   // --------------------------------------------------- composite pipeline
 
   /** The end-to-end corpus-cleaning pipeline a training-data run executes,

@@ -217,6 +217,27 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination: corpus docs sharing any word 3-gram with the
+    * "test set" (here: every 97th doc standing in for a benchmark). 3-grams
+    * (vs the production 13-gram default) so the synthetic corpus yields a
+    * non-trivial flagged set; exact string-gram equality, benchmark grams
+    * broadcast — the corpus side never shuffles.
+    */
+  val dd10Decontaminate: Q = Q(
+    "dd10_decontaminate",
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+      |         i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))) AS sh
+      |       FROM tok WHERE len(ts) >= 3),
+      |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+      |cand AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT DISTINCT doc_id FROM cand WHERE g IN (SELECT g FROM bench)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Dedup.contaminatedDocs(Tables.documents(spark, dir), "doc_id", "text",
+      benchPred = col("doc_id") % 97 === 0, shingleK = 3)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
-    dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming)
+    dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate)
 }

@@ -75,6 +75,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(Dedup.oversizedBuckets(base, Seq("band_key"), 100).count() == 0)
   }
 
+  test("decontamination flags only true n-gram overlap with the benchmark set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),          // benchmark
+      (2L, "unrelated text about entirely different things here"),
+      (3L, "prefix words then alpha beta gamma delta suffix"), // shares a 4-gram
+      (4L, "alpha beta only two shared tokens not four"),      // shares no 4-gram
+      (5L, "more unrelated content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val flagged = Dedup.contaminatedDocs(corpus, "doc_id", "text",
+      benchPred = col("doc_id") === 1, shingleK = 4)
+      .as[Long].collect().toSet
+    assert(flagged == Set(3L)) // exact overlap only; benchmark doc itself excluded
+  }
+
   test("hash sampling is deterministic, near the target fraction, salt-independent draws") {
     import graft.operators.Sampling
     val ids = (1L to 2000L).map(i => (i, s"g${i % 4}")).toDF("doc_id", "grp")
