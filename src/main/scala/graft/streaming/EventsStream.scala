@@ -54,6 +54,20 @@ object EventsStream {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Stream-static enrichment: the streaming side left-joins a STATIC
+    * dimension frame — Spark re-plans the static side per micro-batch (a
+    * broadcast hash join when the dim is small), so dimension updates are
+    * picked up batch-to-batch and NO streaming state store is involved.
+    * This is the standard ingest-time attribute attachment at any scale;
+    * unmatched events keep flowing with null attributes (left join), never
+    * silently dropped.
+    */
+  def enrich(
+      events: DataFrame, dim: DataFrame,
+      eventKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(eventKey) === col(dimKey), "left_outer")
+      .drop(dimKey)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long, total: Double)

@@ -98,6 +98,23 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch.select("h", "event_type", "n")).count() == 0)
   }
 
+  test("stream-static enrichment: dim attributes attach per batch, unmatched keep flowing") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Double)]
+    val events = mem.toDF().toDF("event_id", "user_id", "value")
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("c_custkey", "tier")
+    val q = EventsStream.enrich(events, dim, "user_id", "c_custkey").writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("enriched_test")
+      .start()
+    mem.addData((10L, 1L, 5.0), (11L, 2L, 6.0), (12L, 99L, 7.0)) // 99 has no dim row
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT event_id, tier FROM enriched_test").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows == Map(10L -> Some("GOLD"), 11L -> Some("SILVER"), 12L -> None))
+    q.stop()
+  }
+
   test("stateful sessionization carries state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventsStream.Event]
