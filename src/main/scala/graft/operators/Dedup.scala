@@ -456,21 +456,18 @@ object Dedup {
     *
     * Returns the distinct non-benchmark `doc_id`s that overlap.
     */
-  def contaminatedDocs(
-      df: DataFrame, idCol: String, textCol: String,
-      benchPred: Column, shingleK: Int = 13): DataFrame = {
+  /** Compiled word-shingle kernel over `(doc_id, txt)` — same tokenization
+    * and first-occurrence-distinct semantics as [[wordShinglesExpr]]
+    * (split(lower, ' ') with trailing empties) but one primitive pass
+    * instead of interpreted per-element lambdas (measured ~10× faster).
+    * Rows with null text or fewer than k tokens are dropped.
+    */
+  private def wordShingleRows(base: DataFrame, shingleK: Int): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
-    val in = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt"),
-      benchPred.as("__bench")))
-    // Compiled shingle kernel (same tokenization/distinct semantics as the
-    // wordShinglesExpr expression form — split(lower, ' ') with trailing
-    // empties, first-occurrence distinct — but one primitive pass instead of
-    // interpreted per-element lambdas; measured ~10× on this stage).
     val outSchema = StructType(Seq(
-      in.schema("doc_id").copy(name = "doc_id"),
-      StructField("__bench", BooleanType, nullable = false),
+      base.schema("doc_id").copy(name = "doc_id"),
       StructField("sh", ArrayType(StringType, containsNull = false))))
-    val base = in.mapPartitions { rows =>
+    base.mapPartitions { rows =>
       rows.flatMap { r =>
         val toks = if (r.isNullAt(1)) null else r.getString(1).toLowerCase.split(" ", -1)
         if (toks == null || toks.length < shingleK) None
@@ -484,13 +481,23 @@ object Dedup {
             seen.add(sb.toString)
             i += 1
           }
-          Some(Row(r.get(0), r.getBoolean(2), seen.toArray(new Array[String](seen.size)).toSeq))
+          Some(Row(r.get(0), seen.toArray(new Array[String](seen.size)).toSeq))
         }
       }
     }(Encoders.row(outSchema))
-    val benchGrams = base.filter(col("__bench"))
-      .select(explode(col("sh")).as("g")).distinct()
-    base.filter(!col("__bench"))
+  }
+
+  def contaminatedDocs(
+      df: DataFrame, idCol: String, textCol: String,
+      benchPred: Column, shingleK: Int = 13): DataFrame = {
+    // filter each side BEFORE the shingle kernel — the benchmark side is a
+    // tiny fraction of the corpus, so shingling runs once per row, not once
+    // per row per side
+    def side(pred: Column) = wordShingleRows(
+      spread(df.filter(pred).select(col(idCol).as("doc_id"), col(textCol).as("txt"))),
+      shingleK)
+    val benchGrams = side(benchPred).select(explode(col("sh")).as("g")).distinct()
+    side(!benchPred)
       .select(col("doc_id"), explode(col("sh")).as("g"))
       .join(broadcast(benchGrams), Seq("g"), "left_semi")
       .select("doc_id").distinct()
