@@ -15,7 +15,8 @@ object SparkEntry {
   def suites: Seq[Q] =
     CoreQueries.all ++ TpchMoreQueries.all ++ CleaningQueries.all ++
       WindowQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      SimilarityQueries.all ++ MultimodalQueries.all ++ MiscQueries.all
+      SimilarityQueries.all ++ MultimodalQueries.all ++ MiscQueries.all ++
+      AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

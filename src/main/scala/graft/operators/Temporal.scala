@@ -49,6 +49,27 @@ object Temporal {
       .select((leftCols ++ valueCols.values).map(col): _*)
   }
 
+  /** Gap-based batch sessionization: appends a per-key `session_id` (1-based)
+    * that increments whenever the gap to the key's previous event exceeds
+    * `gapUs`. One shuffle (hash-partition by key, sort by time), then two
+    * narrow window passes: `lag` → new-session flag → running sum. Rows tied
+    * on the timestamp share a session (RANGE frame peers), so the assignment
+    * is deterministic regardless of tie order. This is the batch dual of
+    * [[graft.streaming.EventsStream]]'s stateful sessionizer, and the
+    * standard at-scale shape: cost is one keyed sort-shuffle no matter the
+    * corpus size, state bounded by a single key's rows per partition.
+    */
+  def sessionize(
+      df: DataFrame, keyCols: Seq[String], timeCol: String,
+      gapUs: Long, sessionCol: String = "session_id"): DataFrame = {
+    require(gapUs > 0, "sessionize: gap must be positive")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(timeCol))
+    val t = unix_micros(col(timeCol))
+    val prev = lag(t, 1).over(w)
+    val isNew = when(prev.isNull || t - prev > gapUs, 1L).otherwise(0L)
+    df.withColumn(sessionCol, sum(isNew).over(w))
+  }
+
   /** Banded range join: all pairs with equal `keyCols` and
     * `right.time ∈ [left.time + lowerUs, left.time + upperUs]` (µs bounds,
     * inclusive/exclusive per `upperExclusive`).

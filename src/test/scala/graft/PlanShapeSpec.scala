@@ -95,6 +95,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(w.filter(col("window_id") =!= expr("start_offset div 100")).count() == 0)
   }
 
+  test("q_sessionize: session rollup reuses the window's user_id partitioning — one hash exchange") {
+    val p = plan(graft.queries.AnalyticsQueries.qSessionize.run(spark, sf))
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"sessionize+rollup should shuffle once on user_id, got $hashEx hash exchanges:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(p.contains("Window "), "session ids must come from a window pass")
+  }
+
+  test("q_pivot: explicit value list — single scan, single aggregate shuffle, no distinct job") {
+    val df = graft.queries.AnalyticsQueries.qPivot.run(spark, sf)
+    val p = plan(df)
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, s"pivot with explicit values must scan once, got $scans")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected 1 aggregate shuffle, got $hashEx")
+  }
+
   test("q22: scalar mean enters as a broadcast, idle filter as a left-anti join") {
     val p = plan(graft.queries.TpchMoreQueries.q22IdleCustomers.run(spark, sf))
     assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),

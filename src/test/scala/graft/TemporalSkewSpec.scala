@@ -53,6 +53,35 @@ class TemporalSkewSpec extends AnyFunSuite {
     assert(got == Set(("L1", "in_lower_edge"), ("L1", "in_mid"), ("L2", "in_other_key")))
   }
 
+  test("sessionize splits on gap > threshold, per key, 1-based ids") {
+    val df = Seq(
+      (1L, ts(0), "a"), (1L, ts(10), "b"),   // gap 10 ≤ 30 → same session
+      (1L, ts(50), "c"),                     // gap 40 > 30 → new session
+      (1L, ts(70), "d"),
+      (2L, ts(0), "x"), (2L, ts(200), "y")   // key 2 independent
+    ).toDF("user_id", "ts", "tag")
+    val out = Temporal.sessionize(df, Seq("user_id"), "ts", gapUs = 30L * 60000000L)
+      .select("user_id", "tag", "session_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out == Set(
+      (1L, "a", 1L), (1L, "b", 1L), (1L, "c", 2L), (1L, "d", 2L),
+      (2L, "x", 1L), (2L, "y", 2L)))
+  }
+
+  test("sessionize: timestamp ties share a session (RANGE peers), exact-gap stays") {
+    // two rows at the identical timestamp after a session break: both must
+    // land in the NEW session regardless of tie order (the running sum uses
+    // a RANGE frame, so peers see the same prefix)
+    val df = Seq(
+      (1L, ts(0), "a"), (1L, ts(100), "t1"), (1L, ts(100), "t2"),
+      (1L, ts(130), "edge")                  // gap == 30 min exactly → same
+    ).toDF("user_id", "ts", "tag")
+    val out = Temporal.sessionize(df, Seq("user_id"), "ts", gapUs = 30L * 60000000L)
+      .select("tag", "session_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("a" -> 1L, "t1" -> 2L, "t2" -> 2L, "edge" -> 2L))
+  }
+
   test("saltedJoin returns exactly the plain join's rows") {
     val big = (1 to 1000).map(i => (i % 3L, i.toLong)).toDF("k", "v") // skewed: 3 keys
     val small = Seq((0L, "zero"), (1L, "one"), (2L, "two"), (9L, "unmatched")).toDF("k", "name")
