@@ -503,6 +503,98 @@ object Dedup {
       .select("doc_id").distinct()
   }
 
+  // ------------------------------------------- duplicate-cluster components
+
+  /** Connected components over a near-duplicate pair table: every document
+    * gets the MINIMUM doc id reachable through pair edges as its
+    * `cluster_id` — the canonical "group transitive near-dups, keep one
+    * representative per cluster" step that turns pairwise dedup output into
+    * a dedup decision. Only documents that appear in at least one pair are
+    * emitted (singletons are trivially their own cluster).
+    *
+    * Algorithm: iterative min-label propagation ("hash-to-min"): each round
+    * every node takes `min(own label, neighbours' labels)`, until a round
+    * changes nothing. One round = one equi-join of the (symmetrized, deduped,
+    * persisted-once) edge table with the label table + one min-aggregate —
+    * two key-partitioned shuffles, no driver state, per-round cost O(|E|).
+    * Rounds needed = graph diameter, which for near-duplicate graphs is small
+    * (clusters are dense cliques-of-boilerplate, diameter 1–3); for
+    * adversarially long path graphs the alternating large-star/small-star
+    * scheme (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14 — public) converges in O(log²) rounds at the price of edge
+    * rewrites; `maxIter` bounds the worst case either way.
+    *
+    * Convergence is detected from `sum(label)` (exact DECIMAL(38,0) sum):
+    * labels only ever decrease, so the sum is strictly monotone until the
+    * fixpoint — an O(1)-driver check with no extra join. The fixpoint (min
+    * reachable id) is deterministic regardless of partitioning or iteration
+    * interleaving. The returned frame is persisted (its lineage is the whole
+    * loop); callers that keep the session hot should `unpersist()` it when
+    * consumed.
+    */
+  def connectedComponents(
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val e0 = pairs.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst"))
+    val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct() // parallel edges add no information, only join output rows
+      // persist ALREADY partitioned on the per-round join key: the cached
+      // frame reports hashpartitioning(dst), so every round's sort-merge
+      // join re-exchanges only the (changing) label side, not the edges
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.get(0)
+      if (v == null) java.math.BigDecimal.ZERO
+      else v.asInstanceOf[java.math.BigDecimal]
+    }
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var done = prevSum.signum == 0 && labels.isEmpty // empty edge set
+    while (!done && iter < maxIter) {
+      val nbr = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("comp"))
+      val next = labels.select("id", "comp").union(nbr)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val s = labelSum(next) // materializes `next`, so unpersisting the old
+      labels.unpersist()     // labels cannot trigger a recompute cascade
+      labels = next
+      done = s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("comp"))
+  }
+
+  /** Cluster-aware near-duplicate removal: MinHash pairs → connected
+    * components → keep exactly the minimum-id representative of every
+    * duplicate cluster. This is the transitive-closure semantics the big
+    * web-corpus pipelines use (a ~ b and b ~ c collapses all three even when
+    * a ≁ c directly), and it differs from [[cleanCorpus]]'s greedy
+    * pair-loser drop on "local-min" nodes: with verified pairs (1,3) and
+    * (2,3) only, greedy keeps 1 AND 2 (2 is never a pair's higher id) while
+    * the cluster semantics keeps only 1 (the component representative).
+    * Cost on top of pair generation: the O(diameter)-round label loop of
+    * [[connectedComponents]] plus one left-anti join.
+    */
+  def dropClusteredNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val pairs = minhashNearDuplicates(df, idCol, textCol,
+      shingleK, bands, rowsPerBand, threshold)
+    val losers = connectedComponents(pairs, "doc_a", "doc_b")
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------------- composite pipeline
 
   /** The end-to-end corpus-cleaning pipeline a training-data run executes,

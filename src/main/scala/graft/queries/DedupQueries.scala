@@ -238,6 +238,95 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate clusters: connected components over the dd2 MinHash pair
+    * graph — every document in at least one near-dup pair gets the minimum
+    * reachable doc_id as its cluster id, plus the cluster size and the
+    * keep/drop decision (representative = lowest id). The oracle reuses the
+    * dd2 pair SQL verbatim and closes it transitively with a recursive CTE;
+    * Spark runs [[Dedup.connectedComponents]]'s min-label-propagation loop —
+    * both fixpoints are the min reachable id, so they agree exactly.
+    */
+  val dd11DupClusters: Q = Q(
+    "dd11_dup_clusters",
+    s"""WITH RECURSIVE $ShinglesSql,
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+       |     + (104729*j + 12345)) % 4294967311))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, t.b AS band,
+       |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+       |  FROM sig CROSS JOIN range(0, 16) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b FROM (
+       |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
+       |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
+       |  WHERE jaccard >= 0.8),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT a AS id, a AS r FROM edges
+       |          UNION
+       |          SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+       |  c.doc_id = c.cluster_id AS keep
+       |FROM comp c JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |                  FROM comp GROUP BY 1) s USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val pairs = Dedup.minhashNearDuplicates(Tables.documents(spark, dir),
+      "doc_id", "text", shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "comp")
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+        col("cluster_size"), (col("id") === col("comp")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cluster-aware dedup: keep one representative per dd11 component. The
+    * semantic difference vs dd8's greedy pair-loser drop is transitive
+    * closure — see [[Dedup.dropClusteredNearDuplicates]]. Output is the
+    * surviving ids with a content hash (not the full text) so the gate
+    * compares a compact frame.
+    */
+  val dd12ClusterClean: Q = Q(
+    "dd12_cluster_clean",
+    s"""WITH RECURSIVE $ShinglesSql,
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+       |     + (104729*j + 12345)) % 4294967311))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, t.b AS band,
+       |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+       |  FROM sig CROSS JOIN range(0, 16) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b FROM (
+       |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
+       |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
+       |  WHERE jaccard >= 0.8),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT a AS id, a AS r FROM edges
+       |          UNION
+       |          SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+       |SELECT d.doc_id, md5(d.text) AS content_hash
+       |FROM documents d
+       |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Dedup.dropClusteredNearDuplicates(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+      .select(col("doc_id"), md5(col("text")).as("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
-    dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate)
+    dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
+    dd11DupClusters, dd12ClusterClean)
 }

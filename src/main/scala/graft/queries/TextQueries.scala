@@ -153,6 +153,64 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** TF-IDF top-5 terms per document. The score is the LOG-FREE variant
+    * `(tf / doc_len) · (N / df)` — every factor is a correctly-rounded IEEE
+    * division/product of exact integers, so Spark and DuckDB produce the
+    * identical double (ln() is NOT correctly rounded and differs between
+    * libm implementations; a log-idf would break the bit-exact gate while
+    * ranking identically, since ln is monotone). Ties break on token asc, so
+    * the per-doc top-5 is a total order.
+    *
+    * Plan: one explode → one (doc_id, token) count aggregate, then df and
+    * doc_len as WINDOW counts (partition by token / by doc_id) instead of
+    * two extra aggregate+join round-trips, then the ranking window — the
+    * doc_len and rank windows share the doc_id partitioning, so the whole
+    * query is one aggregate shuffle plus two window exchanges, no joins.
+    * N enters as a broadcast 1-row cross join.
+    */
+  val tx9Tfidf: Q = Q(
+    "tx9_tfidf",
+    """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+      |t AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |      FROM tk WHERE token <> '' GROUP BY doc_id, token),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      |s AS (SELECT doc_id, token, tf,
+      |        CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS df,
+      |        CAST(SUM(tf)  OVER (PARTITION BY doc_id) AS BIGINT) AS doc_len
+      |      FROM t),
+      |sc AS (SELECT doc_id, token, tf, df,
+      |         (CAST(tf AS DOUBLE) / CAST(doc_len AS DOUBLE))
+      |           * (CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+      |       FROM s CROSS JOIN n),
+      |r AS (SELECT *, CAST(ROW_NUMBER() OVER
+      |        (PARTITION BY doc_id ORDER BY score DESC, token) AS BIGINT) AS rn
+      |      FROM sc)
+      |SELECT doc_id, token, tf, df, score, rn FROM r
+      |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val n = docs.agg(count(lit(1)).as("n"))
+    val t = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val byToken = Window.partitionBy(col("token"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    t.withColumn("df", count(lit(1)).over(byToken))
+      .withColumn("doc_len", sum(col("tf")).over(byDoc))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf").cast(DoubleType) / col("doc_len").cast(DoubleType))
+          * (col("n").cast(DoubleType) / col("df").cast(DoubleType)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("token")))
+        .cast(LongType))
+      .filter(col("rn") <= 5)
+      .select("doc_id", "token", "tf", "df", "score", "rn")
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
-    tx5Repetition, tx6BpeTokens, tx7Winnowing)
+    tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf)
 }

@@ -149,6 +149,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(2).getAs[Long]("neighbor") == 3L)
   }
 
+  test("connectedComponents: min reachable id, chain forces multiple rounds") {
+    // component A is a 5-node path 10-11-12-13-14 (diameter 4: the min label
+    // needs several propagation rounds to reach the far end), component B a
+    // 2-clique, node 99 appears only as a higher endpoint
+    val edges = Seq((11L, 10L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (50L, 60L), (50L, 99L)).toDF("doc_a", "doc_b")
+    val cc = graft.operators.Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      14L -> 10L, 50L -> 50L, 60L -> 50L, 99L -> 50L))
+    spark.catalog.clearCache()
+  }
+
+  test("dropClusteredNearDuplicates keeps one representative per component") {
+    // docs 1/2/3 form one near-dup cluster (2 exact, 3 one-word-off); 4 is
+    // unrelated and 5 reorders the tokens (different shingles) → survivors
+    // are the cluster min plus the two singletons
+    val out = graft.operators.Dedup.dropClusteredNearDuplicates(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 4L, 5L))
+    spark.catalog.clearCache()
+  }
+
+  test("connectedComponents: empty pair table yields empty labels") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.operators.Dedup.connectedComponents(empty, "doc_a", "doc_b").isEmpty)
+  }
+
   test("LSH buckets put identical vectors together") {
     val vecs = Seq(
       (0L, Array.fill(8)(1.0f)),

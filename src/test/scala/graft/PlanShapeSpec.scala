@@ -113,6 +113,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(hashEx == 1, s"expected 1 aggregate shuffle, got $hashEx")
   }
 
+  test("tx9 tfidf: df/doc_len as windows, no shuffle joins beyond the scalar broadcast") {
+    val p = plan(graft.queries.TextQueries.tx9Tfidf.run(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus statistics must come from window passes, not aggregate+join round-trips")
+    val windows = p.linesIterator.count(_.contains("Window "))
+    assert(windows == 3, s"expected df + doc_len + rank windows, got $windows")
+  }
+
   test("q22: scalar mean enters as a broadcast, idle filter as a left-anti join") {
     val p = plan(graft.queries.TpchMoreQueries.q22IdleCustomers.run(spark, sf))
     assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
