@@ -127,6 +127,30 @@ object MiscQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Sketch-based approximate aggregates — the single-pass, bounded-memory
+    * statistics a 100 TB profile pass actually runs: HyperLogLog++ distinct
+    * counts (`approx_count_distinct`, rsd 1%) and a mergeable quantile
+    * sketch (`percentile_approx`, accuracy 10⁴) per market segment, next to
+    * the exact count for scale. Both sketches are partial-aggregable
+    * (map-side partials merge associatively), so the plan is one shuffle of
+    * fixed-size sketch state per group — no sort, no second pass, unlike
+    * the exact-median window plan in [[qMedianPrice]]. No SQL oracle:
+    * sketch estimates are implementation-defined (DuckDB's HLL parameters
+    * differ), so the driver's rows-only check applies and ApproxAggSpec
+    * asserts the error bounds against the exact values instead.
+    */
+  val qApproxStats: Q = Q.noOracle("q_approx_stats") { (spark, dir) =>
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        approx_count_distinct(col("o_custkey"), 0.01).as("approx_customers"),
+        percentile_approx(col("o_totalprice"), lit(0.5), lit(10000)).as("approx_p50"),
+        percentile_approx(col("o_totalprice"), lit(0.9), lit(10000)).as("approx_p90"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Correlated scalar subquery through the SQL surface — Catalyst
     * decorrelates it into an aggregate + join (no per-row re-execution),
     * which is the 100 TB-safe plan. The inner mean uses the exact-decimal
@@ -239,6 +263,6 @@ object MiscQueries {
   }
 
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
-    qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qAboveAvgOrders,
-    mx1HashSample, mx2LangQuota, mx3ContextWindows)
+    qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
+    qAboveAvgOrders, mx1HashSample, mx2LangQuota, mx3ContextWindows)
 }

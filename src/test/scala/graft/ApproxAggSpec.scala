@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Error-bound contract for the sketch aggregates in `q_approx_stats`: no
+  * SQL oracle can pin sketch estimates (HLL/KLL parameters are
+  * implementation-defined), so this spec asserts them against the EXACT
+  * values on the same data — the check a user of approximate profiling
+  * actually cares about. Also pins single-pass plan shape: sketches must
+  * partial-aggregate (one exchange, no sort/window).
+  */
+class ApproxAggSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct within 3x rsd of exact; percentiles within rank tolerance") {
+    val approx = graft.queries.MiscQueries.qApproxStats.run(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val exact = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        countDistinct(col("o_custkey")).as("nd"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    for ((seg, a) <- approx) {
+      val e = exact(seg)
+      val nd = e.getAs[Long]("nd").toDouble
+      assert(math.abs(a.getAs[Long]("approx_customers") - nd) / nd <= 0.03,
+        s"$seg: HLL estimate ${a.getAs[Long]("approx_customers")} vs exact $nd")
+      // percentile_approx(accuracy=10000) guarantees rank error ≤ n/10000;
+      // translate to a loose value tolerance via the exact p45/p95 envelope
+      val lo50 = e.getAs[Double]("p50") * 0.9; val hi50 = e.getAs[Double]("p50") * 1.1
+      val p50 = a.getAs[Double]("approx_p50")
+      assert(p50 >= lo50 && p50 <= hi50, s"$seg: approx p50 $p50 outside ±10% of exact")
+      val p90 = a.getAs[Double]("approx_p90")
+      val e90 = e.getAs[Double]("p90")
+      assert(math.abs(p90 - e90) / e90 <= 0.1, s"$seg: approx p90 $p90 vs exact $e90")
+    }
+  }
+
+  test("sketch aggregation is a single-pass partial aggregate — one exchange, no sort") {
+    val p = graft.queries.MiscQueries.qApproxStats.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // one exchange for the join (customer side broadcasts) + one for the agg
+    assert(hashEx <= 2, s"expected at most join+agg exchanges, got $hashEx:\n$p")
+    assert(p.contains("partial_approx_count_distinct") ||
+      p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      "sketches must map-side partial-aggregate")
+    assert(!p.contains("Window "), "no window/sort pass for sketch stats")
+  }
+}
