@@ -151,6 +151,36 @@ object MiscQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  private val ProfileCols = Seq("o_custkey", "o_orderdate", "o_orderkey",
+    "o_orderpriority", "o_orderstatus", "o_totalprice")
+
+  /** Exact one-pass column profile of `orders`: rows / nulls / distinct per
+    * column, unpivoted to one row per column via `stack`. All six
+    * `count(distinct)`s run in ONE aggregate — Catalyst plans them with an
+    * Expand (each input row fans out once per distinct clause), so the
+    * single pass costs a ~7× shuffle inflation. That is the standard exact
+    * plan and acceptable for scheduled profiling; at 100 TB the first
+    * choice is [[qApproxStats]]-style HLL sketches, which merge WITHOUT
+    * Expand (fixed-size partials), trading exactness for a flat shuffle.
+    */
+  val qProfile: Q = Q(
+    "q_profile",
+    ProfileCols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")) { (spark, dir) =>
+    val aggs = count(lit(1)).as("n") +: ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+      countDistinct(col(c)).as(s"nd_$c")))
+    val stacked = ProfileCols.map(c => s"'$c', n, null_$c, nd_$c").mkString(", ")
+    Tables.orders(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${ProfileCols.size}, $stacked) AS " +
+        "(col_name, n_rows, n_null, n_distinct)"))
+      .orderBy(col("col_name"))
+  }
+
   /** Correlated scalar subquery through the SQL surface — Catalyst
     * decorrelates it into an aggregate + join (no per-row re-execution),
     * which is the 100 TB-safe plan. The inner mean uses the exact-decimal
@@ -264,5 +294,5 @@ object MiscQueries {
 
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
-    qAboveAvgOrders, mx1HashSample, mx2LangQuota, mx3ContextWindows)
+    qProfile, qAboveAvgOrders, mx1HashSample, mx2LangQuota, mx3ContextWindows)
 }

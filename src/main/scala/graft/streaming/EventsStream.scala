@@ -54,6 +54,60 @@ object EventsStream {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Cross-batch incremental exact dedup — the continuous-ingestion form of
+    * batch `dd1` for a corpus that grows forever: each micro-batch is
+    * deduped against ALL history via a persistent content-hash index, not
+    * just the watermark horizon that bounds [[dedupByContent]]. Per batch:
+    *
+    *  1. in-batch keep-lowest-id per hash (window on the hash — the same
+    *     key the index join shuffles on)
+    *  2. left-anti join against the index parquet (shuffle on the hash; at
+    *     real scale the index is bucketed by hash so this is co-located)
+    *  3. append survivors to `outPath`, THEN their hashes to `indexPath`
+    *
+    * Write order is load-bearing: output-before-index means a crash between
+    * the writes re-emits at most one batch on replay (at-least-once); the
+    * reverse order would silently LOSE the batch (hashes present, rows
+    * never written). A clean replay of a completed batch anti-joins to
+    * zero rows, so steady-state redelivery is idempotent. Returns the
+    * survivor count for monitoring.
+    */
+  def incrementalDedupBatch(
+      batch: DataFrame, idCol: String, textCol: String,
+      indexPath: String, outPath: String): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    val hashed = batch.withColumn("content_hash", md5(col(textCol)))
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    val inBatch = hashed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexPath), spark.sparkContext.hadoopConfiguration)
+    val seen = fs.exists(new org.apache.hadoop.fs.Path(indexPath))
+    val survivors =
+      (if (seen) inBatch.join(spark.read.parquet(indexPath),
+          Seq("content_hash"), "left_anti")
+       else inBatch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = survivors.count()
+      if (n > 0) {
+        survivors.write.mode("append").parquet(outPath)
+        survivors.select(col("content_hash")).write.mode("append").parquet(indexPath)
+      }
+      n
+    } finally survivors.unpersist()
+  }
+
+  /** [[incrementalDedupBatch]] wired as a `foreachBatch` streaming sink. */
+  def incrementalDedup(
+      events: DataFrame, idCol: String, textCol: String,
+      indexPath: String, outPath: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        incrementalDedupBatch(batch.toDF(), idCol, textCol, indexPath, outPath): Unit
+    }
+
   /** Stream-static enrichment: the streaming side left-joins a STATIC
     * dimension frame — Spark re-plans the static side per micro-batch (a
     * broadcast hash join when the dim is small), so dimension updates are

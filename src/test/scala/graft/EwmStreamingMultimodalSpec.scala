@@ -159,6 +159,43 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("incremental dedup: batches dedup against all history, replay is idempotent") {
+    val tmp = java.nio.file.Files.createTempDirectory("incdedup").toString
+    val idx = s"$tmp/index"; val out = s"$tmp/out"
+    import spark.implicits._
+    val b1 = Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta")).toDF("doc_id", "text")
+    val n1 = EventsStream.incrementalDedupBatch(b1, "doc_id", "text", idx, out)
+    assert(n1 == 2) // in-batch dup of "alpha" collapses to the lowest id
+    // batch 2: "beta" is historical (beyond any watermark horizon) → dropped
+    val b2 = Seq((4L, "beta"), (5L, "gamma")).toDF("doc_id", "text")
+    val n2 = EventsStream.incrementalDedupBatch(b2, "doc_id", "text", idx, out)
+    assert(n2 == 1)
+    // clean replay of batch 2 (redelivery): anti-join drops everything
+    val n3 = EventsStream.incrementalDedupBatch(b2, "doc_id", "text", idx, out)
+    assert(n3 == 0)
+    val ids = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L, 5L))
+  }
+
+  test("incremental dedup wired as a foreachBatch stream sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("incdedup_s").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = EventsStream.incrementalDedup(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"$tmp/index", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .start()
+    mem.addData((1L, "one"), (2L, "two"))
+    q.processAllAvailable()
+    mem.addData((3L, "two"), (4L, "three")) // cross-micro-batch duplicate
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val ids = spark.read.parquet(s"$tmp/out").select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 4L))
+  }
+
   test("multimodal: resize planning fits within the box, preserves aspect, never upscales") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
