@@ -205,6 +205,34 @@ object AnalyticsQueries {
       .limit(50)
   }
 
+  /** Time-RANGE window frame: a trailing 7-calendar-day moving sum/count/max
+    * over the (gappy) daily series. RANGE frames answer "last 7 DAYS", not
+    * "last 7 ROWS" — on a series with missing dates the two differ, and the
+    * SMA family (w1/w5) covers the ROWS case. Both engines order by the
+    * integer epoch-day so the frame bounds are plain integer arithmetic;
+    * sums stay exact because the series is integer-valued. Single window
+    * pass, one sort.
+    */
+  val qRangeFrame: Q = Q(
+    "q_range_frame",
+    s"""WITH ${Series.DailySql}
+       |SELECT d, close,
+       |  CAST(SUM(close)  OVER w AS DOUBLE) AS sum_7d,
+       |  CAST(COUNT(*)    OVER w AS BIGINT) AS n_7d,
+       |  CAST(MAX(close)  OVER w AS DOUBLE) AS max_7d
+       |FROM daily
+       |WINDOW w AS (ORDER BY (d - DATE '1970-01-01')
+       |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |ORDER BY d""".stripMargin) { (spark, dir) =>
+    val w = Window.orderBy(unix_date(col("d"))).rangeBetween(-6, 0)
+    Series.daily(spark, dir)
+      .select(col("d"), col("close"),
+        sum(col("close")).over(w).cast(DoubleType).as("sum_7d"),
+        count(lit(1)).over(w).as("n_7d"),
+        max(col("close")).over(w).cast(DoubleType).as("max_7d"))
+      .orderBy(col("d"))
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qPivot, qWindowFns,
-    qHistogram, tx8DocFreq)
+    qHistogram, qRangeFrame, tx8DocFreq)
 }

@@ -292,7 +292,85 @@ object MiscQueries {
       .orderBy("doc_id")
   }
 
+  /** The skew-mitigation salted join under the oracle gate: orders⋈customer
+    * through [[graft.operators.Skew.saltedJoin]] (8 salt buckets — big side
+    * salted by row hash, small side exploded ×8, join key extended with the
+    * salt) must aggregate to EXACTLY the plain join's result. Salting is
+    * the manual fix when one key dominates a shuffle (AQE skew-join splits
+    * oversized partitions post-hoc; salting prevents them up front and
+    * also works for aggregations). The small side stays broadcastable
+    * after the ×8 explode, so the salted plan here is still shuffle-free
+    * on the big side.
+    */
+  val qSaltedJoin: Q = Q(
+    "q_salted_join",
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val orders = Tables.orders(spark, dir).withColumnRenamed("o_custkey", "c_custkey")
+    graft.operators.Skew.saltedJoin(
+        orders, Tables.customer(spark, dir), Seq("c_custkey"), buckets = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** The scalar string/math function library over `part` — the everyday
+    * SELECT-clause surface (SURVEY §2.8 lists it as absent from the
+    * reference). Every function here is exact-valued cross-engine: string
+    * ops are byte-deterministic, integer mod/greatest/least/sign are
+    * integers, floor/ceil of a correctly-rounded division are exact, and
+    * 2^k for small k is an exact double. Pure narrow map — no shuffle but
+    * the final presentation sort.
+    */
+  val qScalarFns: Q = Q(
+    "q_scalar_fns",
+    """SELECT p_partkey,
+      |  upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  substr(p_name, 1, 5) AS name5,
+      |  replace(p_type, ' ', '_') AS type_us,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  split_part(p_type, ' ', 1) AS type_head,
+      |  CAST(strpos(p_name, 'a') AS BIGINT) AS a_pos,
+      |  reverse(p_brand) AS brand_rev,
+      |  CAST(p_size % 7 AS BIGINT) AS size_mod7,
+      |  CAST(FLOOR(p_retailprice / 100.0) AS DOUBLE) AS price_c_floor,
+      |  CAST(CEIL(p_retailprice / 100.0) AS DOUBLE) AS price_c_ceil,
+      |  CAST(SIGN(p_size - 25) AS BIGINT) AS size_sign,
+      |  CAST(GREATEST(p_size, 25) AS BIGINT) AS size_hi,
+      |  CAST(LEAST(p_size, 25) AS BIGINT) AS size_lo,
+      |  CAST(POWER(2, p_size % 10) AS DOUBLE) AS pow2
+      |FROM part ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"), lower(col("p_type")).as("type_l"),
+      length(col("p_name")).cast(LongType).as("name_len"),
+      substring(col("p_name"), 1, 5).as("name5"),
+      regexp_replace(col("p_type"), lit(" "), lit("_")).as("type_us"),
+      lpad(col("p_size").cast(StringType), 4, "0").as("size_pad"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      element_at(split(col("p_type"), " "), 1).as("type_head"),
+      instr(col("p_name"), "a").cast(LongType).as("a_pos"),
+      reverse(col("p_brand")).as("brand_rev"),
+      (col("p_size") % 7).cast(LongType).as("size_mod7"),
+      floor(col("p_retailprice") / 100.0).cast(DoubleType).as("price_c_floor"),
+      ceil(col("p_retailprice") / 100.0).cast(DoubleType).as("price_c_ceil"),
+      signum(col("p_size") - 25).cast(LongType).as("size_sign"),
+      greatest(col("p_size"), lit(25)).cast(LongType).as("size_hi"),
+      least(col("p_size"), lit(25)).cast(LongType).as("size_lo"),
+      pow(lit(2), col("p_size") % 10).cast(DoubleType).as("pow2"))
+      .orderBy(col("p_partkey"))
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
-    qProfile, qAboveAvgOrders, mx1HashSample, mx2LangQuota, mx3ContextWindows)
+    qProfile, qSaltedJoin, qScalarFns, qAboveAvgOrders,
+    mx1HashSample, mx2LangQuota, mx3ContextWindows)
 }
