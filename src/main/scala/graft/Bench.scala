@@ -64,11 +64,11 @@ object Bench {
     }
     val total = results.map(_._2).sum
     val qsFull = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
-    // Full-precision record first; the compact rounded line is LAST so a
-    // bounded tail capture always parses it.
+    // Full-precision per-query record first; the LAST line is a compact total
+    // WITHOUT the per-query map (~100 bytes), so a bounded tail capture always
+    // holds the complete line.
     println(s"""{"metric":"queries_full","unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -80,17 +80,20 @@ object Multimodal {
       (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
         ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
     if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") null
-    else {
+    else try {
       var off = 12
       while (off + 8 <= bytes.length) {
-        val size = u32le(off + 4)
+        val size = u32le(off + 4) // unsigned u32: may exceed Int.MaxValue
         if (tag(off) == "fmt " && off + 12 + 4 <= bytes.length)
           return Row(null, null, null, u32le(off + 12).toInt)
-        off += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
-        if (size <= 0) return null
+        // advance in Long: a crafted size in [2^31, 2^32) truncated to Int
+        // would advance 0/negative (infinite loop or IndexOutOfBounds)
+        val next = off.toLong + 8L + size + (size & 1L) // chunks word-aligned
+        if (size <= 0 || next <= off || next > bytes.length) return null
+        off = next.toInt
       }
       null
-    }
+    } catch { case _: Exception => null } // undecodable ⇒ null meta, never throw
   }
 
   /** Metadata decode, one partition-batch pass (the real contract: iterate a

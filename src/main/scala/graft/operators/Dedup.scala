@@ -35,6 +35,23 @@ object Dedup {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Cache an expensive kernel output that feeds SEVERAL downstream plan
+    * branches (band explode + both sides of a verify join) WITHOUT a
+    * session-lifetime leak. `Dataset.persist` blocks are pinned by the
+    * session's CacheManager until an explicit `unpersist()`/`clearCache()` —
+    * impossible to time correctly when the returned result is lazy (the
+    * pattern r3 removed from `Similarity.lshNearDuplicatePairs`). An
+    * RDD-level persist has no such pin: once the caller drops the returned
+    * frame (the only reference to the RDD), Spark's ContextCleaner GC hook
+    * auto-unpersists the blocks. Same cached-compute-once semantics, bounded
+    * lifetime.
+    */
+  def cachedForReuse(df: DataFrame): DataFrame = {
+    val schema = df.schema
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact duplicate groups: one row per distinct content hash with the
@@ -214,10 +231,10 @@ object Dedup {
       threshold: Double = 0.8, maxBucket: Int = 100000): DataFrame = {
     val k = bands * rowsPerBand
     val base = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
-    val withSh = shingleSignatures(base, shingleK, k, bands)
-      // reused by band explode AND both sides of the verify join — cache the
-      // signature table rather than recomputing shingles+hashes three times
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // reused by band explode AND both sides of the verify join — cache the
+    // signature table (leak-free, see cachedForReuse) rather than recomputing
+    // shingles+hashes three times
+    val withSh = cachedForReuse(shingleSignatures(base, shingleK, k, bands))
     // Band keys: one row per (doc, band); join on the 64-bit band-bucket
     // hash computed inside the signature kernel (fixed-width key, no string
     // materialization; collisions only add candidates — verify is exact).
@@ -355,8 +372,9 @@ object Dedup {
   def simhash64NearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
-    val h = simhashes64(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // reused by band explode + both sides of the Hamming verify join;
+    // leak-free cache (ContextCleaner-released), see cachedForReuse
+    val h = cachedForReuse(simhashes64(df, idCol, textCol))
     val b = capBuckets(
       h.select(col("doc_id"), explode(expr("sequence(0, 3)")).as("band"),
           col("sim_hi"), col("sim_lo"))
@@ -427,8 +445,11 @@ object Dedup {
           Row(r.get(0), sh.toSeq, hv.toSeq)
         }
       }(Encoders.row(gramSchema))
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val x = grams.select(col("doc_id"), explode(col("hv")).as("gh"))
+    }
+    // feeds the inverted index AND both sides of the verify join; leak-free
+    // cache (ContextCleaner-released), see cachedForReuse
+    val gramsCached = cachedForReuse(grams)
+    val x = gramsCached.select(col("doc_id"), explode(col("hv")).as("gh"))
     val rare = x.groupBy("gh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("gh")
     val xr = x.join(rare, "gh")
@@ -436,7 +457,7 @@ object Dedup {
         col("a.gh") === col("b.gh") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    verifyJaccard(cand, grams.select(col("doc_id"), col("sh")), threshold)
+    verifyJaccard(cand, gramsCached.select(col("doc_id"), col("sh")), threshold)
   }
 
   // ------------------------------------------------------ decontamination
@@ -528,9 +549,12 @@ object Dedup {
     * labels only ever decrease, so the sum is strictly monotone until the
     * fixpoint — an O(1)-driver check with no extra join. The fixpoint (min
     * reachable id) is deterministic regardless of partitioning or iteration
-    * interleaving. The returned frame is persisted (its lineage is the whole
-    * loop); callers that keep the session hot should `unpersist()` it when
-    * consumed.
+    * interleaving. Exiting via `maxIter` without reaching the fixpoint
+    * THROWS — silently returning labels that diverge from the
+    * transitive-closure semantics (and from the recursive-CTE oracle) is
+    * impossible; raise `maxIter` for adversarially high-diameter graphs.
+    * The returned frame is cached leak-free (RDD-level, ContextCleaner
+    * releases it when the caller drops the frame — see [[cachedForReuse]]).
     */
   def connectedComponents(
       pairs: DataFrame, srcCol: String, dstCol: String,
@@ -569,7 +593,20 @@ object Dedup {
       iter += 1
     }
     sym.unpersist()
-    labels.select(col("id"), col("comp"))
+    if (!done) {
+      labels.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponents did not reach its fixpoint within $maxIter rounds; " +
+          "labels would silently diverge from transitive-closure semantics — " +
+          "raise maxIter (the graph's diameter exceeds it)")
+    }
+    // Hand back a leak-free frame: copy the (small) label table into an
+    // RDD-level cache (ContextCleaner-released), materialize it from the
+    // still-pinned Dataset cache, then release the loop's cache pin.
+    val out = cachedForReuse(labels.select(col("id"), col("comp")))
+    out.count()
+    labels.unpersist()
+    out
   }
 
   /** Cluster-aware near-duplicate removal: MinHash pairs → connected

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -42,27 +42,44 @@ object PrefixSum {
       .repartitionByRange(spark.sparkContext.defaultParallelism, col(orderCol))
       .sortWithinPartitions(orderCol)
     val valIdx = df.schema.fieldIndex(valueCol)
-    // pass 1: per-partition totals (tiny: one long per partition)
-    val partTotals = parted.mapPartitions { it =>
+    // ONE materialized RDD serves both passes. Two invariants hang on this:
+    //  - boundary stability: RangePartitioner samples its range bounds when
+    //    the shuffle dependency is created; re-planning `parted` per action
+    //    would re-sample and pass 1's bases could describe different
+    //    partitions than pass 2 reads. A single RDD instance has a single
+    //    shuffle dependency, so every action sees the same bounds (and the
+    //    map stage is skipped on re-execution — the shuffle files are reused).
+    //  - index stability: `mapPartitionsWithIndex` hands each closure the
+    //    SPLIT index of this RDD, which survives any downstream narrow
+    //    transformation. `TaskContext.getPartitionId()` does NOT — a
+    //    downstream coalesce(1) fuses all splits into one task whose id is 0,
+    //    which would apply partition 0's base offset everywhere.
+    // Persisted so pass 2 (and the caller's action) re-reads cached blocks
+    // instead of re-sorting the shuffle output; the result frame is lazy, so
+    // release is deferred to Spark's ContextCleaner, which auto-unpersists
+    // once the returned frame (the only reference) is dropped by the caller.
+    val rdd = parted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-partition totals keyed by split index (tiny: one long each)
+    val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
       it.foreach { r => s += r.getLong(valIdx) }
-      Iterator.single(s)
-    }(Encoders.scalaLong)
-      .collect()
+      Iterator.single(pid -> s)
+    }.collect().sortBy(_._1).map(_._2)
     // exclusive scan of the totals = each partition's global base offset
     val bases = partTotals.scanLeft(0L)(_ + _)
     val basesBc = spark.sparkContext.broadcast(bases)
     val outSchema = df.schema.add(outCol, LongType, nullable = false)
-    // pass 2: same deterministic partitioning, add base + local running sum
-    parted.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
+    // pass 2: same splits by construction, add base + local running sum
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var running = basesBc.value(pid)
       it.map { r =>
         val start = running
         running += r.getLong(valIdx)
         Row.fromSeq(r.toSeq :+ start)
       }
-    }(Encoders.row(outSchema))
+    }
+    spark.createDataFrame(out, outSchema)
   }
 
   /** Token-stream chunking: assign each document its start offset and the

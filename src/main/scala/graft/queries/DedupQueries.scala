@@ -110,9 +110,9 @@ object DedupQueries {
       |  SELECT c.doc_a, c.doc_b, CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
       |  FROM cand c JOIN h x ON x.doc_id = c.doc_a JOIN h y ON y.doc_id = c.doc_b)
       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    val h = Dedup.simhashes(Tables.documents(spark, dir), "doc_id", "text")
-      .withColumnRenamed("simhash", "sim")
-      .persist()
+    val h = Dedup.cachedForReuse(
+      Dedup.simhashes(Tables.documents(spark, dir), "doc_id", "text")
+        .withColumnRenamed("simhash", "sim"))
     val b = h.select(col("doc_id"), col("sim"),
       explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("bv", expr("(sim >> cast(band*8 as int)) & 255"))

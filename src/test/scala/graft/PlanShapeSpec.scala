@@ -34,19 +34,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Exchange hashpartitioning"), "compare must run after a key shuffle, not on the driver")
   }
 
-  test("dd4 ngram: gram kernel persisted and candidate joins on int64 hashes") {
+  test("dd4 ngram: gram kernel cached once (RDD-level) and candidate joins on int64 hashes") {
     val df = DedupQueries.dd4NgramJaccard.run(spark, sf)
     val p = plan(df)
-    assert(p.contains("InMemoryTableScan"), "gram kernel should be cached (persist)")
+    // the kernel output is an RDD-level cache (ContextCleaner-released, no
+    // CacheManager pin) — the plan reads it as an ExistingRDD scan
+    assert(p.contains("Scan ExistingRDD"), "gram kernel should be cached for reuse")
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "kernel RDD should be registered persistent")
     val analyzed = df.queryExecution.analyzed.toString
     assert(analyzed.contains("gh"), "candidate pipeline should key on gram hashes")
-    spark.catalog.clearCache()
   }
 
-  test("dd2 minhash: signature table persisted (computed once, reused 3x)") {
+  test("dd2 minhash: signature table cached once (RDD-level), reused 3x") {
     val p = plan(DedupQueries.dd2MinhashLsh.run(spark, sf))
-    assert(p.contains("InMemoryTableScan"))
-    spark.catalog.clearCache()
+    assert(p.contains("Scan ExistingRDD"), "signature kernel should be cached for reuse")
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "signature RDD should be registered persistent")
   }
 
   test("sim1 cosine scoring runs on the native dotp expression, not interpreted HOFs") {
@@ -82,7 +86,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val fast = graft.operators.PrefixSum.withStartOffset(df, "k", "v", "off")
     val p = plan(fast)
     assert(!p.contains("Window ["), "two-pass prefix sum must not plan a window")
-    assert(p.contains("rangepartitioning"), "order must come from range partitioning")
+    // the range shuffle lives in the cached RDD's lineage now; the visible
+    // guarantee is a multi-partition output (no single-task funnel)
+    assert(fast.rdd.getNumPartitions > 1, "output must stay partitioned, not one task")
+    assert(fast.rdd.toDebugString.contains("ShuffledRowRDD"),
+      "order must come from a range shuffle upstream")
     val naive = df.withColumn("off",
       coalesce(sum(col("v")).over(
         Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
