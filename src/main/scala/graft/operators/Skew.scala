@@ -16,13 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** The big side's deterministic per-row salt (hash of the whole row, mod
+    * `buckets`) — exposed so specs can measure the salted shuffle-key
+    * distribution the join actually partitions on.
+    */
+  def withSalt(big: DataFrame, buckets: Int): DataFrame =
+    big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(buckets)).cast("int"))
+
   def saltedJoin(
       big: DataFrame, small: DataFrame,
       keys: Seq[String], buckets: Int,
       joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
-    val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(buckets)).cast("int"))
+    val bigSalted = withSalt(big, buckets)
     val smallExploded = small.withColumn("__salt",
       explode(sequence(lit(0), lit(buckets - 1))))
     bigSalted.join(smallExploded, keys :+ "__salt", joinType)

@@ -181,6 +181,30 @@ object MiscQueries {
       .orderBy(col("col_name"))
   }
 
+  /** The 100 TB profile plan [[qProfile]]'s scaladoc promises: the SAME
+    * per-column rows/nulls/distinct profile with the distinct counts as
+    * HyperLogLog++ sketches (`approx_count_distinct`, rsd 1%) instead of
+    * exact `COUNT(DISTINCT)`. The exact plan pays an Expand — each input row
+    * fans out once per distinct clause, a ~7× shuffle inflation; the sketch
+    * plan aggregates ALL columns in one flat pass with fixed-size mergeable
+    * partials (no Expand node — pinned by ApproxAggSpec), which is why it is
+    * the default at corpus scale. No SQL oracle (HLL estimates are
+    * implementation-defined across engines): the driver applies the
+    * rows-only check and ApproxAggSpec bounds every estimate against
+    * [[qProfile]]'s exact counts at 3×rsd.
+    */
+  val qProfileApprox: Q = Q.noOracle("q_profile_approx") { (spark, dir) =>
+    val aggs = count(lit(1)).as("n") +: ProfileCols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+      approx_count_distinct(col(c), 0.01).as(s"nd_$c")))
+    val stacked = ProfileCols.map(c => s"'$c', n, null_$c, nd_$c").mkString(", ")
+    Tables.orders(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${ProfileCols.size}, $stacked) AS " +
+        "(col_name, n_rows, n_null, n_distinct_approx)"))
+      .orderBy(col("col_name"))
+  }
+
   /** Correlated scalar subquery through the SQL surface — Catalyst
     * decorrelates it into an aggregate + join (no per-row re-execution),
     * which is the 100 TB-safe plan. The inner mean uses the exact-decimal
@@ -371,6 +395,6 @@ object MiscQueries {
 
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
-    qProfile, qSaltedJoin, qScalarFns, qAboveAvgOrders,
+    qProfile, qProfileApprox, qSaltedJoin, qScalarFns, qAboveAvgOrders,
     mx1HashSample, mx2LangQuota, mx3ContextWindows)
 }

@@ -43,6 +43,32 @@ class ApproxAggSpec extends AnyFunSuite {
     }
   }
 
+  test("q_profile_approx: HLL profile within 3x rsd of the exact profile, no Expand") {
+    val exact = graft.queries.MiscQueries.qProfile.run(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = graft.queries.MiscQueries.qProfileApprox.run(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    for ((c, a) <- approx) {
+      val e = exact(c)
+      // rows and null counts are exact in BOTH plans — must match exactly
+      assert(a.getAs[Long]("n_rows") == e.getAs[Long]("n_rows"), s"$c: n_rows")
+      assert(a.getAs[Long]("n_null") == e.getAs[Long]("n_null"), s"$c: n_null")
+      val nd = e.getAs[Long]("n_distinct").toDouble
+      val hll = a.getAs[Long]("n_distinct_approx").toDouble
+      assert(math.abs(hll - nd) / nd <= 0.03,
+        s"$c: HLL estimate $hll vs exact $nd (outside 3x rsd)")
+    }
+    // the reason this is the 100 TB plan: no Expand fan-out, unlike q_profile
+    val pApprox = graft.queries.MiscQueries.qProfileApprox.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pApprox.contains("Expand"), "HLL profile must aggregate in one flat pass")
+    val pExact = graft.queries.MiscQueries.qProfile.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(pExact.contains("Expand"),
+      "exact multi-distinct profile plans an Expand — if this changed, revisit the doc")
+  }
+
   test("sketch aggregation is a single-pass partial aggregate — one exchange, no sort") {
     val p = graft.queries.MiscQueries.qApproxStats.run(spark, sf)
       .queryExecution.executedPlan.toString

@@ -82,6 +82,37 @@ class TemporalSkewSpec extends AnyFunSuite {
     assert(out == Map("a" -> 1L, "t1" -> 2L, "t2" -> 2L, "edge" -> 2L))
   }
 
+  test("saltedJoin skew bound: hot key's max partition input shrinks ~1/buckets") {
+    import org.apache.spark.sql.{Column, DataFrame}
+    val n = 20000
+    val buckets = 8
+    // pathological skew AQE splits can't fix by planning: ONE key holds 60%
+    // of the big side; the remaining 40% spreads over 100 keys
+    val big = spark.range(n).toDF("i").select(
+      when(col("i") % 10 < 6, 0L).otherwise(pmod(col("i"), lit(100L)) + 1).as("k"),
+      col("i").as("v"))
+    // a shuffle join hash-partitions its big side on the join keys; measure
+    // that distribution directly — rows per partition under hashpartitioning
+    // on (k) vs on (k, __salt), with enough partitions that sub-keys separate
+    def maxPartRows(df: DataFrame, keys: Column*): Long =
+      df.repartition(128, keys: _*).rdd
+        .mapPartitions(it => Iterator(it.size.toLong)).collect().max
+    val unsaltedMax = maxPartRows(big, col("k"))
+    val saltedMax = maxPartRows(graft.operators.Skew.withSalt(big, buckets),
+      col("k"), col("__salt"))
+    assert(unsaltedMax >= (0.6 * n).toLong,
+      s"hot key should funnel into one partition unsalted, max=$unsaltedMax")
+    // each of the `buckets` sub-keys carries ~1/buckets of the hot key; allow
+    // 2x for sub-keys that hash-collide into one partition plus cold-key share
+    assert(saltedMax <= unsaltedMax * 2 / buckets,
+      s"salted max partition $saltedMax should be ~unsalted/$buckets (=${unsaltedMax / buckets})")
+    // and the salted join still returns exactly the plain join's rows
+    val small = (0L to 100L).map(kk => (kk, s"name$kk")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).select("k", "v", "name")
+    val salted = Skew.saltedJoin(big, small, Seq("k"), buckets).select("k", "v", "name")
+    assert(salted.exceptAll(plain).count() == 0 && plain.exceptAll(salted).count() == 0)
+  }
+
   test("saltedJoin returns exactly the plain join's rows") {
     val big = (1 to 1000).map(i => (i % 3L, i.toLong)).toDF("k", "v") // skewed: 3 keys
     val small = Seq((0L, "zero"), (1L, "one"), (2L, "two"), (9L, "unmatched")).toDF("k", "name")
