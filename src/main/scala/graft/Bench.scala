@@ -28,6 +28,21 @@ object Bench {
     (used, max, if (max > 0) 100.0 * used / max else 0.0)
   }
 
+  /** Cumulative JIT compilation ms and GC ms — per-query DELTAS of these
+    * attribute a slow query to compilation/GC churn in-band, so a ±3× wobble
+    * on unchanged code (the r3 sim1–sim4 question) is diagnosable from the
+    * bench stderr alone rather than re-run archaeology.
+    */
+  private def jitGcMs(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val jit = Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
+    val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+    (jit, gc)
+  }
+
   private def r3(x: Double): Double = math.rint(x * 1000) / 1000
 
   def main(args: Array[String]): Unit = {
@@ -46,6 +61,7 @@ object Bench {
       try Tables(spark, sfDir, n).count() catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (jit0, gc0) = jitGcMs()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -53,8 +69,9 @@ object Bench {
       // squeeze later queries' memory
       spark.catalog.clearCache()
       val (ccUsed, ccMax, ccPct) = codeCache()
+      val (jit1, gc1) = jitGcMs()
       System.err.println(
-        f"[bench] $name%-28s ${dt}%8.3f s  codecache ${ccUsed / 1048576}%d/${ccMax / 1048576}%dMB (${ccPct}%.0f%%)")
+        f"[bench] $name%-28s ${dt}%8.3f s  codecache ${ccUsed / 1048576}%d/${ccMax / 1048576}%dMB (${ccPct}%.0f%%)  jit +${jit1 - jit0}%dms gc +${gc1 - gc0}%dms")
       if (ccPct > 90.0)
         System.err.println(
           s"[bench] WARNING: JIT code cache ${ccPct.round}% full after $name — " +

@@ -127,32 +127,50 @@ object EventsStream {
   final case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long, total: Double)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, total_value: Double)
 
-  /** Stateful gap sessionization (30-minute inactivity) per user. Emits a
-    * session row whenever a gap closes one; state times out with the
-    * processing-time clock in this demo (event-time timeout works the same
-    * with watermarks).
+  /** Stateful gap sessionization (30-minute inactivity) per user with an
+    * EVENT-TIME timeout: a session closes either when a later event arrives
+    * past the gap, or when the WATERMARK passes `last activity + gap` — the
+    * dormant-user case. On timeout the open session is emitted and the key's
+    * state REMOVED, so the state store stays bounded at (active users within
+    * the watermark horizon), not (all users ever seen) — at 100 TB/day the
+    * difference between a fixed-size store and an unbounded leak.
     */
-  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+  def sessionize(
+      events: Dataset[Event],
+      watermarkDelay: String = "30 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMicros = 30L * 60 * 1000000
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
-          val out = Seq.newBuilder[SessionOut]
-          sorted.foreach { e =>
-            val tsMicros = e.ts.getTime * 1000
-            if (st.nEvents > 0 && tsMicros - st.lastTs > gapMicros) {
-              out += SessionOut(userId, st.sessionId, st.nEvents, st.total)
-              st = SessionState(st.sessionId + 1, tsMicros, 1L, e.value)
-            } else {
-              st = st.copy(lastTs = tsMicros, nEvents = st.nEvents + 1, total = st.total + e.value)
+          if (state.hasTimedOut) {
+            // watermark passed lastTs + gap with no new events: flush the
+            // open session and drop the key's state entirely
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, st.sessionId, st.nEvents, st.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val tsMicros = e.ts.getTime * 1000
+              if (st.nEvents > 0 && tsMicros - st.lastTs > gapMicros) {
+                out += SessionOut(userId, st.sessionId, st.nEvents, st.total)
+                st = SessionState(st.sessionId + 1, tsMicros, 1L, e.value)
+              } else {
+                st = st.copy(lastTs = tsMicros, nEvents = st.nEvents + 1, total = st.total + e.value)
+              }
             }
+            state.update(st)
+            // arm the dormant-flush: fire once event time passes the gap
+            // (Spark requires a timestamp beyond the current watermark)
+            val fireAtMs = st.lastTs / 1000 + gapMicros / 1000
+            state.setTimeoutTimestamp(math.max(fireAtMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
         })
   }
 

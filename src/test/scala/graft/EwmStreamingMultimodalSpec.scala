@@ -122,17 +122,52 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
       .outputMode(OutputMode.Append)
       .format("memory").queryName("sessions_test")
       .start()
+    // minute 60 epoch base: a row whose event time sits AT the initial
+    // watermark (epoch 0) is filtered as late once a watermark is defined
     def ev(id: Long, minute: Long) = EventsStream.Event(
       id, new java.sql.Timestamp(minute * 60000), 1L, "click", 1.0)
     // batch 1: two events 5 min apart (same session)
-    mem.addData(ev(1, 0), ev(2, 5))
+    mem.addData(ev(1, 60), ev(2, 65))
     q.processAllAvailable()
     assert(spark.sql("SELECT * FROM sessions_test").count() == 0) // session still open
     // batch 2: 60-min gap closes session 0
-    mem.addData(ev(3, 65))
+    mem.addData(ev(3, 125))
     q.processAllAvailable()
     val done = spark.sql("SELECT session_id, n_events FROM sessions_test").as[(Long, Long)].collect()
     assert(done.toSeq == Seq((0L, 2L)))
+    q.stop()
+  }
+
+  test("sessionize event-time timeout flushes dormant users and removes their state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionize(mem.toDS()).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_timeout_test")
+      .start()
+    def ev(id: Long, minute: Long, user: Long) = EventsStream.Event(
+      id, new java.sql.Timestamp(minute * 60000), user, "click", 1.0)
+    // user 1 sends ONE event (off the epoch — see the sibling test) and goes
+    // dormant forever
+    mem.addData(ev(1, 60, 1L))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM sessions_timeout_test").count() == 0)
+    // other users' traffic advances the watermark far past user 1's gap;
+    // the extra batch lets the watermark-driven timeout sweep run
+    mem.addData(ev(2, 180, 2L))
+    q.processAllAvailable()
+    mem.addData(ev(3, 185, 2L))
+    q.processAllAvailable()
+    val flushed = spark.sql(
+        "SELECT user_id, session_id, n_events FROM sessions_timeout_test")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(flushed == Set((1L, 0L, 1L)),
+      s"dormant user's open session must flush when the watermark passes, got $flushed")
+    // state is BOUNDED after the flush: only user 2's open session remains
+    val stateRows = q.recentProgress.reverse.flatMap(_.stateOperators.headOption)
+      .headOption.map(_.numRowsTotal)
+    assert(stateRows.contains(1L),
+      s"dormant user's state must be removed, store holds $stateRows rows")
     q.stop()
   }
 
