@@ -8,13 +8,17 @@ import org.apache.spark.sql.types._
   * opaque `binary` columns with a typed metadata struct, processed in
   * batch-shaped partition passes (the Scala analogue of `mapInPandas`).
   *
-  * Decoding is REAL for images (JDK `javax.imageio` — PNG/JPEG/GIF/BMP
-  * header-level width/height/frame-count, no pixel decode) and WAV audio (a
-  * RIFF chunk-scan for the fmt sample rate). Only VIDEO remains a
-  * clearly-marked STUB (no video codec ships with the JDK): a deterministic
-  * fake derives frame counts from the bytes so tests have stable oracles.
-  * Undecodable image/audio payloads yield a null meta struct — honest
-  * "decode failed", never fabricated values.
+  * Metadata decoding is REAL for all three modalities: images via JDK
+  * `javax.imageio` (PNG/JPEG/GIF/BMP header-level width/height/frame-count,
+  * no pixel decode), WAV audio via a RIFF chunk-scan (fmt sample rate), and
+  * video via container-header walks — MP4/ISO-BMFF boxes (`tkhd` dims,
+  * `stsz` sample count) and AVI RIFF (`avih`). Container headers need no
+  * codec; the only remaining out-of-scope piece on this codec-less
+  * classpath is decoding video FRAME DATA (pixels), and the synthetic test
+  * corpus can opt into a clearly-fake deterministic video meta
+  * (`syntheticVideoMeta`) since its "video" payloads are UTF-8 text.
+  * Undecodable payloads yield a null meta struct — honest "decode failed",
+  * never fabricated values.
   *
   * At 100 TB the payload column dominates I/O: keep it in its own parquet
   * column (columnar pruning skips it for metadata queries), partition files
@@ -96,15 +100,107 @@ object Multimodal {
     } catch { case _: Exception => null } // undecodable ⇒ null meta, never throw
   }
 
+  /** MP4 (ISO BMFF) container metadata via a pure box walk — no codec
+    * involved, exactly like the header-only image reads: width/height from
+    * the first `tkhd` with non-zero dims (16.16 fixed-point), frame count
+    * from the first `stsz` sample_count. Box grammar: `[u32 size][4cc type]
+    * [payload]`, size 1 → 64-bit largesize follows, size 0 → to end of
+    * enclosing box; `moov/trak/mdia/minf/stbl` are containers. Returns null
+    * for bytes that are not an MP4 (`ftyp` must lead) or carry no
+    * video-shaped boxes.
+    */
+  def decodeMp4Meta(bytes: Array[Byte]): Row = try {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || tag(4) != "ftyp") return null
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var width = 0; var height = 0; var frames = 0
+    def walk(start: Long, end: Long): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        var size = u32(off.toInt)
+        var hdr = 8L
+        if (size == 1 && off + 16 <= end) { size = u64(off.toInt + 8); hdr = 16 }
+        else if (size == 0) size = end - off
+        if (size < hdr || off + size > end) return
+        val t = tag(off.toInt + 4)
+        if (containers(t)) walk(off + hdr, off + size)
+        else if (t == "tkhd" && width == 0) {
+          val p = (off + hdr).toInt
+          // FullBox version selects 32- vs 64-bit times before the matrix
+          val wOff = p + (if ((bytes(p) & 0xff) == 1) 88 else 76)
+          if (wOff + 8 <= off + size) {
+            val w = (u32(wOff) >> 16).toInt; val h = (u32(wOff + 4) >> 16).toInt
+            if (w > 0 && h > 0) { width = w; height = h }
+          }
+        } else if (t == "stsz" && frames == 0) {
+          val p = (off + hdr).toInt // version/flags, sample_size, sample_count
+          if (p + 12 <= off + size) frames = u32(p + 8).toInt
+        }
+        off += size
+      }
+    }
+    walk(0, bytes.length.toLong)
+    if (width > 0 || frames > 0)
+      Row(if (width > 0) width else null, if (height > 0) height else null,
+        if (frames > 0) frames else null, null)
+    else null
+  } catch { case _: Exception => null }
+
+  /** AVI container metadata via the RIFF walk (same chunk grammar as
+    * [[decodeWavMeta]], LIST chunks recursed): total frames / width / height
+    * from the `avih` MainAVIHeader. Returns null for non-AVI bytes.
+    */
+  def decodeAviMeta(bytes: Array[Byte]): Row = try {
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32le(off: Int): Long =
+      (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
+        ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
+    if (bytes.length < 24 || tag(0) != "RIFF" || tag(8) != "AVI ") return null
+    var result: Row = null
+    def walk(start: Long, end: Long): Unit = {
+      var off = start
+      while (result == null && off + 8 <= end) {
+        val size = u32le(off.toInt + 4)
+        val t = tag(off.toInt)
+        val next = off + 8L + size + (size & 1L)
+        if (size < 0 || next <= off || next > end) return
+        if (t == "LIST") walk(off + 12, math.min(off + 8 + size, end))
+        else if (t == "avih" && size >= 40) {
+          val p = off.toInt + 8
+          val frames = u32le(p + 16).toInt
+          val w = u32le(p + 32).toInt; val h = u32le(p + 36).toInt
+          result = Row(if (w > 0) w else null, if (h > 0) h else null,
+            if (frames > 0) frames else null, null)
+        }
+        off = next
+      }
+    }
+    walk(12, bytes.length.toLong)
+    result
+  } catch { case _: Exception => null }
+
   /** Metadata decode, one partition-batch pass (the real contract: iterate a
     * partition, emit one decoded row per input row, never materialize the
-    * partition). Images and WAV audio decode for REAL via the JDK (see
-    * [[decodeImageMeta]]/[[decodeWavMeta]]); undecodable payloads get a null
-    * meta. VIDEO is the remaining STUB ???: no video codec ships with the
-    * JDK, so a deterministic fake derives `n_frames = 1 + n_bytes mod 300`
-    * (and fake dims) from the bytes — stable for test oracles, clearly fake.
+    * partition). ALL THREE modalities decode their container metadata for
+    * REAL — images/WAV via [[decodeImageMeta]]/[[decodeWavMeta]], video via
+    * the [[decodeMp4Meta]]/[[decodeAviMeta]] box walks (container headers
+    * need no codec; only pixel/frame-data decode is out of scope on the
+    * codec-less classpath). Undecodable payloads get a null meta — honest
+    * "decode failed", never fabricated.
+    *
+    * `syntheticVideoMeta = true` is the TEST-HARNESS escape hatch for the
+    * synthetic corpus whose "video" payloads are UTF-8 text, not containers:
+    * such payloads get the clearly-fake deterministic
+    * `n_frames = 1 + n_bytes mod 300` (and fake dims) so downstream plumbing
+    * has stable oracles. Production callers leave it false.
     */
-  def decodeMeta(df: DataFrame): DataFrame = {
+  def decodeMeta(df: DataFrame, syntheticVideoMeta: Boolean = false): DataFrame = {
     val outSchema = StructType(df.schema.fields.map {
       case f if f.name == "meta" => StructField("meta", MediaSchema("meta").dataType)
       case f => f
@@ -121,10 +217,16 @@ object Multimodal {
           row.getString(modalityIdx) match {
             case "image" => decodeImageMeta(payload)
             case "audio" => decodeWavMeta(payload)
-            case _ => // video STUB: deterministic fake from the bytes
-              val n = payload.length
-              val h = payload.take(8).foldLeft(17)((a, b) => a * 31 + b) & 0x7fffffff
-              Row(320 + h % 640, 240 + (h / 3) % 480, 1 + n % 300, null)
+            case _ => // video: REAL container metadata (MP4 box walk, AVI RIFF)
+              val mp4 = decodeMp4Meta(payload)
+              val real = if (mp4 != null) mp4 else decodeAviMeta(payload)
+              if (real != null) real
+              else if (!syntheticVideoMeta) null
+              else { // harness-only deterministic fake for non-container bytes
+                val n = payload.length
+                val h = payload.take(8).foldLeft(17)((a, b) => a * 31 + b) & 0x7fffffff
+                Row(320 + h % 640, 240 + (h / 3) % 480, 1 + n % 300, null)
+              }
           }
         }
         Row.fromSeq(row.toSeq.updated(metaIdx, meta))

@@ -52,6 +52,20 @@ object Dedup {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Iterative-loop lineage cut: persist `df` at the RDD level and hand back
+    * BOTH a frame whose logical plan is a flat `LogicalRDD` scan and the RDD
+    * handle for explicit unpersist. A loop of the form `x = f(x)` where `f`
+    * references `x` more than once (union + join) multiplies the LOGICAL
+    * plan size every round even when the data is cached — exponential
+    * analyzer memory, the classic iterative-Spark failure. Re-rooting each
+    * round's result on a materialized RDD keeps plan size O(1) per round.
+    */
+  private def cutLineage(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val schema = df.schema
+    val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (df.sparkSession.createDataFrame(rdd, schema), rdd)
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact duplicate groups: one row per distinct content hash with the
@@ -568,9 +582,12 @@ object Dedup {
       // join re-exchanges only the (changing) label side, not the edges
       .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // every round re-roots `labels` on a materialized RDD (cutLineage):
+    // the round body references labels twice (union + join), so carrying the
+    // logical plan forward would double plan size per round — exponential
+    // analyzer memory on high-round runs, independent of data size
+    var (labels, labelsRdd) = cutLineage(
+      sym.select(col("src").as("id")).distinct().withColumn("comp", col("id")))
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.get(0)
       if (v == null) java.math.BigDecimal.ZERO
@@ -582,19 +599,19 @@ object Dedup {
     while (!done && iter < maxIter) {
       val nbr = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
-      val next = labels.select("id", "comp").union(nbr)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val s = labelSum(next) // materializes `next`, so unpersisting the old
-      labels.unpersist()     // labels cannot trigger a recompute cascade
-      labels = next
+      val (next, nextRdd) = cutLineage(
+        labels.select("id", "comp").union(nbr)
+          .groupBy("id").agg(min("comp").as("comp")))
+      val s = labelSum(next)       // materializes `next`, so unpersisting the
+      labelsRdd.unpersist()        // old labels cannot trigger a recompute
+      labels = next; labelsRdd = nextRdd
       done = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
     sym.unpersist()
     if (!done) {
-      labels.unpersist()
+      labelsRdd.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not reach its fixpoint within $maxIter rounds; " +
           "labels would silently diverge from transitive-closure semantics — " +
@@ -602,10 +619,89 @@ object Dedup {
     }
     // Hand back a leak-free frame: copy the (small) label table into an
     // RDD-level cache (ContextCleaner-released), materialize it from the
-    // still-pinned Dataset cache, then release the loop's cache pin.
+    // still-cached loop RDD, then release the loop's cache.
     val out = cachedForReuse(labels.select(col("id"), col("comp")))
     out.count()
-    labels.unpersist()
+    labelsRdd.unpersist()
+    out
+  }
+
+  /** Connected components via alternating large-star/small-star edge
+    * rewriting (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — public literature) — the adversarial-diameter
+    * alternative to [[connectedComponents]]: label propagation needs
+    * diameter-many rounds (a 10⁶-node path graph = 10⁶ rounds), the
+    * star algorithm converges in O(log² n) rounds REGARDLESS of diameter by
+    * rewriting edges toward each neighborhood's minimum:
+    *
+    *  - large-star: for every node u, re-attach each LARGER neighbor v > u
+    *    to m = min(Γ(u) ∪ {u}) — strictly decreases large-endpoint labels;
+    *  - small-star: orient each edge toward its larger endpoint, then
+    *    re-attach each smaller neighbor (and u itself) to the minimum.
+    *
+    * Each round is two grouped-min aggregations + joins on the edge key —
+    * O(|E|) work per round, no driver state beyond the O(1) convergence
+    * check. At the fixpoint the edge set IS the star graph (every node →
+    * its component minimum). Emits the same (id, comp) frame as
+    * [[connectedComponents]]; throws rather than returning silently
+    * non-converged labels if `maxIter` is hit (the paper's bound makes that
+    * unreachable for any real graph: 50 rounds covers n < 2^7 diameters of
+    * doubling).
+    */
+  def connectedComponentsStar(
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    // re-rooted on a materialized RDD every round (cutLineage) — the round
+    // body references `edges` several times (sym union + two grouped joins),
+    // so a carried logical plan would multiply in size per round
+    var (edges, edgesRdd) = cutLineage(pairs
+      .select(col(srcCol).cast(LongType).as("u"), col(dstCol).cast(LongType).as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct())
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is already oriented u > v
+      val mins = e.groupBy("u").agg(min(col("v")).as("m")) // m < u by construction
+      val moved = e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      moved.union(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+    var iter = 0
+    var done = edges.isEmpty
+    while (!done && iter < maxIter) {
+      val (next, nextRdd) = cutLineage(smallStar(largeStar(edges)))
+      // fixpoint test: the oriented, deduped edge sets are identical.
+      // next is materialized by the counts, so unpersisting the old edge
+      // RDD cannot trigger a recompute cascade.
+      done = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
+      edgesRdd.unpersist()
+      edges = next; edgesRdd = nextRdd
+      iter += 1
+    }
+    if (!done && iter >= maxIter) {
+      edgesRdd.unpersist()
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge within $maxIter rounds — " +
+          "raise maxIter (paper bound is O(log^2 n) rounds)")
+    }
+    // fixpoint edge set = star graph: u → component min. Representatives
+    // (the minima) map to themselves, matching connectedComponents' output.
+    val out = cachedForReuse(
+      edges.select(col("u").as("id"), col("v").as("comp"))
+        .union(edges.select(col("v").as("id"), col("v").as("comp")).distinct())
+        .distinct())
+    out.count()
+    edgesRdd.unpersist()
     out
   }
 

@@ -30,9 +30,12 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
-  /** Frame sampling over decoded video metadata: the decode stub's
-    * `n_frames = 1 + payload_bytes mod 300` is deterministic, so the oracle
-    * reconstructs it and the every-5th-frame-index explode exactly.
+  /** Frame sampling over decoded video metadata. The synthetic corpus's
+    * "video" payloads are UTF-8 text, not real containers, so the decode
+    * runs with `syntheticVideoMeta = true`: its deterministic
+    * `n_frames = 1 + payload_bytes mod 300` lets the oracle reconstruct the
+    * every-5th-frame-index explode exactly (real MP4/AVI payloads would
+    * decode via the container box walks instead).
     */
   val mm2FrameSampling: Q = Q(
     "mm2_frame_sampling",
@@ -42,7 +45,7 @@ object MultimodalQueries {
       |SELECT media_id, unnest(range(0, nf, 5)) AS frame_idx
       |FROM v ORDER BY media_id, frame_idx""".stripMargin) { (spark, dir) =>
     val media = Multimodal.fromDocuments(Tables.documents(spark, dir), "doc_id", "text")
-    Multimodal.sampleFrames(Multimodal.decodeMeta(media), everyK = 5)
+    Multimodal.sampleFrames(Multimodal.decodeMeta(media, syntheticVideoMeta = true), everyK = 5)
       .select(col("media_id"), col("frame_idx").cast(LongType).as("frame_idx"))
       .orderBy(col("media_id"), col("frame_idx"))
   }

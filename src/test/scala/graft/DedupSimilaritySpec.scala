@@ -176,6 +176,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("connectedComponents: empty pair table yields empty labels") {
     val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(graft.operators.Dedup.connectedComponents(empty, "doc_a", "doc_b").isEmpty)
+    assert(graft.operators.Dedup.connectedComponentsStar(empty, "doc_a", "doc_b").isEmpty)
+  }
+
+  test("connectedComponentsStar: 200-node path collapses in O(log^2) rounds") {
+    // diameter 199: label propagation would need 199 rounds (its default
+    // maxIter=25 now THROWS here rather than silently diverging); the
+    // large-star/small-star rewrite closes the same graph within its default
+    // round budget
+    val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    assertThrows[IllegalStateException] {
+      graft.operators.Dedup.connectedComponents(chain, "doc_a", "doc_b").count()
+    }
+    val star = graft.operators.Dedup.connectedComponentsStar(chain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(star.keySet == (0L to 199L).toSet)
+    assert(star.values.forall(_ == 0L), "every chain node must label to the min id 0")
+    spark.catalog.clearCache()
+  }
+
+  test("connectedComponentsStar agrees with label propagation on mixed components") {
+    val edges = Seq((11L, 10L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (50L, 60L), (50L, 99L), (3L, 1L), (3L, 2L)).toDF("doc_a", "doc_b")
+    val lp = graft.operators.Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val star = graft.operators.Dedup.connectedComponentsStar(edges, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(star == lp)
+    spark.catalog.clearCache()
   }
 
   test("LSH buckets put identical vectors together") {

@@ -276,7 +276,7 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
   private def mediaDf(rows: Seq[org.apache.spark.sql.Row]) =
     spark.createDataFrame(spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
 
-  test("multimodal: real image/WAV metadata decode; video stub; junk → null meta") {
+  test("multimodal: real image/WAV metadata decode; junk → null meta; synthetic video opt-in") {
     import org.apache.spark.sql.Row
     val media = mediaDf(Seq(
       Row(0L, "image", pngBytes(20, 10), null),
@@ -284,21 +284,67 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
       Row(2L, "video", "video payload longer".getBytes("UTF-8"), null),
       Row(3L, "image", "not an image".getBytes("UTF-8"), null),
       Row(4L, "audio", "not a wav, but long enough to scan for RIFF chunks...".getBytes("UTF-8"), null)))
-    val decoded = Multimodal.decodeMeta(media).cache()
+    // default contract: text bytes are NOT a video container → null meta
+    val honest = Multimodal.decodeMeta(media).select("media_id", "meta").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getStruct(1))).toMap
+    assert(honest(2L) == null)
+    // synthetic-corpus opt-in: deterministic fake for the UTF-8 stand-ins
+    val decoded = Multimodal.decodeMeta(media, syntheticVideoMeta = true).cache()
     val byId = decoded.select("media_id", "meta").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getStruct(1))).toMap
     assert(byId(0L).getInt(0) == 20 && byId(0L).getInt(1) == 10 && byId(0L).getInt(2) == 1)
     assert(byId(1L).getInt(3) == 22050)
-    assert(byId(2L).getInt(2) == 1 + "video payload longer".length % 300) // stub n_frames
+    assert(byId(2L).getInt(2) == 1 + "video payload longer".length % 300) // fake n_frames
     assert(byId(3L) == null && byId(4L) == null) // decode failure is honest
     // deterministic: same input → same metadata
-    val again = Multimodal.decodeMeta(media)
+    val again = Multimodal.decodeMeta(media, syntheticVideoMeta = true)
     assert(decoded.select("media_id", "meta").exceptAll(again.select("media_id", "meta")).count() == 0)
     val feats = Multimodal.byteFeatures(decoded)
     assert(feats.filter($"n_bytes" <= 0).count() == 0)
     val frames = Multimodal.sampleFrames(decoded, everyK = 10)
     assert(frames.count() > 0)
     decoded.unpersist()
+  }
+
+  test("multimodal: MP4 box walk and AVI RIFF decode video container metadata for real") {
+    // hand-assembled minimal containers — metadata parsing needs no codec
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fourcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def box(t: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ fourcc(t) ++ payload
+    // tkhd v0: version/flags(4) + times/track/reserved/duration(20) +
+    // reserved/layer/group/volume(16) + matrix(36) + width/height 16.16
+    val tkhd = box("tkhd", new Array[Byte](76) ++ be32(640L << 16) ++ be32(360L << 16))
+    // stsz: version/flags, sample_size=0, sample_count=123
+    val stsz = box("stsz", be32(0) ++ be32(0) ++ be32(123))
+    val mp4 = box("ftyp", fourcc("isom") ++ be32(512)) ++
+      box("moov", tkhd ++ box("trak", box("mdia", box("minf", box("stbl", stsz)))))
+    val m = Multimodal.decodeMp4Meta(mp4)
+    assert(m != null && m.getInt(0) == 640 && m.getInt(1) == 360 && m.getInt(2) == 123)
+    // AVI: RIFF('AVI ') { LIST('hdrl') { avih(MainAVIHeader) } }
+    val avihPayload = le32(33333) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(456) ++ le32(0) ++ le32(1) ++ le32(0) ++ le32(320) ++ le32(240) ++
+      new Array[Byte](16)
+    val avih = fourcc("avih") ++ le32(avihPayload.length.toLong) ++ avihPayload
+    val hdrl = fourcc("LIST") ++ le32(4L + avih.length) ++ fourcc("hdrl") ++ avih
+    val avi = fourcc("RIFF") ++ le32(4L + hdrl.length) ++ fourcc("AVI ") ++ hdrl
+    val a = Multimodal.decodeAviMeta(avi)
+    assert(a != null && a.getInt(0) == 320 && a.getInt(1) == 240 && a.getInt(2) == 456)
+    // the decodeMeta video path picks the container parse up without the
+    // synthetic fallback
+    import org.apache.spark.sql.Row
+    val media = mediaDf(Seq(Row(10L, "video", mp4, null), Row(11L, "video", avi, null)))
+    val byId = Multimodal.decodeMeta(media).select("media_id", "meta").collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    assert(byId(10L).getInt(2) == 123 && byId(11L).getInt(2) == 456)
+    // junk stays null even at container-magic lengths
+    assert(Multimodal.decodeMp4Meta("x".getBytes("UTF-8")) == null)
+    assert(Multimodal.decodeAviMeta(("RIFF" + " " * 30).getBytes("UTF-8")) == null)
   }
 
   test("multimodal: GIF frame count and JPEG/BMP dims decode for real") {
