@@ -1,0 +1,33 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch profiler for individual SparkEntry queries: runs each named query
+  * N times (default 3) against the given SF dir and prints per-run times —
+  * separates JIT-warmup and ambient-load noise from real plan regressions.
+  * Usage: runMain graft.tools.ProfQueries <sfDir> <n> <query...>
+  */
+object ProfQueries {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val n = args.lift(1).map(_.toInt).getOrElse(3)
+    val names = if (args.length > 2) args.drop(2).toSeq
+      else Seq("dd6_simhash_hamming", "dd11_dup_clusters", "dd4_ngram_jaccard")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val qs = graft.SparkEntry.queries
+    names.foreach { name =>
+      val fn = qs(name)
+      val times = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"$name%-28s ${times.map(t => f"$t%6.2f").mkString(" ")} s")
+    }
+    spark.stop()
+  }
+}
