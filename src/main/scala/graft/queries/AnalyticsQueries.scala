@@ -97,6 +97,28 @@ object AnalyticsQueries {
         col("o_orderstatus").asc_nulls_first)
   }
 
+  /** Arbitrary GROUPING SETS — the general form ROLLUP/CUBE specialize:
+    * two DISJOINT single-dimension sets (per-returnflag and per-linestatus
+    * marginals) in ONE aggregate pass. Not expressible as any rollup/cube of
+    * the same columns; exercised through the SQL surface (the DataFrame API
+    * exposes only the rollup/cube specializations). Still one Expand + one
+    * shuffle — the same single-pass plan shape as [[qRollup]].
+    */
+  val qGroupingSets: Q = {
+    val sql =
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+    Q("q_grouping_sets", sql) { (spark, dir) =>
+      Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+      spark.sql(sql)
+    }
+  }
+
   /** Pivot: per-user event-type counts as columns, written as conditional
     * aggregation (`count(when(type = v, 1))` per value) rather than
     * `RelationalGroupedDataset.pivot` — the explicit-list pivot still plans
@@ -233,6 +255,6 @@ object AnalyticsQueries {
       .orderBy(col("d"))
   }
 
-  val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qPivot, qWindowFns,
-    qHistogram, qRangeFrame, tx8DocFreq)
+  val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
+    qWindowFns, qHistogram, qRangeFrame, tx8DocFreq)
 }

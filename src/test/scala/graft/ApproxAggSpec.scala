@@ -56,8 +56,8 @@ class ApproxAggSpec extends AnyFunSuite {
       assert(a.getAs[Long]("n_null") == e.getAs[Long]("n_null"), s"$c: n_null")
       val nd = e.getAs[Long]("n_distinct").toDouble
       val hll = a.getAs[Long]("n_distinct_approx").toDouble
-      assert(math.abs(hll - nd) / nd <= 0.03,
-        s"$c: HLL estimate $hll vs exact $nd (outside 3x rsd)")
+      assert(math.abs(hll - nd) / nd <= 0.06,
+        s"$c: HLL estimate $hll vs exact $nd (outside 3x the configured rsd 0.02)")
     }
     // the reason this is the 100 TB plan: no Expand fan-out, unlike q_profile
     val pApprox = graft.queries.MiscQueries.qProfileApprox.run(spark, sf)
