@@ -43,4 +43,51 @@ object Sampling {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** Deterministic STRATIFIED Bernoulli sample — per-group fractions, the
+    * ratio knob of a training-data mix ("50% en, 25% de, 10% everything
+    * else"). Same hash-threshold selection as [[hashSample]], so each
+    * group's subset is reproducible and a group's sample is a SUPERSET of
+    * the same group's sample at any smaller fraction (threshold
+    * monotonicity — lets a mix be dialed down without re-selecting).
+    * Still a pure narrow filter: the per-group threshold enters as a CASE
+    * expression, no shuffle, no per-group pass.
+    */
+  def stratifiedHashSample(
+      df: DataFrame, groupCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double,
+      salt: String): DataFrame = {
+    (defaultFraction +: fractions.values.toSeq).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction out of range: $f"))
+    def thr(f: Double): Long = math.round(f * 4294967296.0)
+    val threshold = fractions.toSeq.sortBy(_._1) match {
+      case (k0, f0) +: rest =>
+        rest.foldLeft(when(col(groupCol) === k0, lit(thr(f0)))) {
+          case (acc, (k, f)) => acc.when(col(groupCol) === k, lit(thr(f)))
+        }.otherwise(lit(thr(defaultFraction)))
+      case _ => lit(thr(defaultFraction))
+    }
+    df.filter(selectionHash(col(idCol), salt) < threshold)
+  }
+
+  /** Keep each group's TOP `keepFraction` rows by a score — the
+    * quality-quantile gate of a corpus pipeline ("drop the worst quartile
+    * per language"). Rank-based rather than value-threshold-based so the cut
+    * is exact, deterministic (ties broken by id), and engine-independent —
+    * no percentile interpolation semantics involved: keep
+    * `row_number ≤ floor(keepFraction · group_count)`, one shuffle on the
+    * group key sharing the window partitioning.
+    */
+  def topQuantileByGroup(
+      df: DataFrame, groupCol: String, scoreCol: Column, idCol: String,
+      keepFraction: Double): DataFrame = {
+    require(keepFraction >= 0.0 && keepFraction <= 1.0)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+    val rk = row_number().over(w.orderBy(scoreCol.desc, col(idCol)))
+    val cnt = count(lit(1)).over(w)
+    df.withColumn("__rk", rk).withColumn("__cnt", cnt)
+      .filter(col("__rk") <= floor(col("__cnt") * keepFraction))
+      .drop("__rk", "__cnt")
+  }
 }

@@ -295,6 +295,58 @@ object MiscQueries {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Per-language quality-quantile gate: drop each language's worst quartile
+    * by the [[graft.operators.TextAnalysis.qualityScore]] signal. Rank-based
+    * (ties broken by doc_id), so the cut is exact and engine-independent —
+    * no percentile interpolation; 0.75 is binary-exact so `floor(cnt·0.75)`
+    * agrees bit-for-bit across engines. One shuffle on the language key.
+    */
+  val mx4QualityGate: Q = Q(
+    "mx4_quality_gate",
+    """WITH t AS (SELECT doc_id, lang,
+      |    len(string_split(text, ' ')) AS n_tokens_i, length(text) AS n_chars_i,
+      |    len(list_filter(string_split(lower(text), ' '),
+      |        t -> t IN ('the','a','of','and','is'))) AS stop_occ_i
+      |  FROM documents),
+      |q AS (SELECT doc_id, lang,
+      |    0.5 * (LEAST(n_tokens_i, 100) / 100.0)
+      |    + 0.3 * (stop_occ_i / n_tokens_i)
+      |    + 0.2 * (LEAST((n_chars_i - (n_tokens_i - 1)) / n_tokens_i, 10.0) / 10.0) AS quality
+      |  FROM t),
+      |r AS (SELECT doc_id, lang, quality,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM q)
+      |SELECT doc_id, lang FROM r
+      |WHERE rk <= CAST(FLOOR(cnt * 0.75) AS BIGINT)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Sampling, TextAnalysis}
+    Sampling.topQuantileByGroup(
+        Tables.documents(spark, dir), "lang",
+        TextAnalysis.qualityScore(col("text")), "doc_id", keepFraction = 0.75)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic stratified sample — per-language fractions, the mix-ratio
+    * knob ([[graft.operators.Sampling.stratifiedHashSample]]): pure narrow
+    * filter, reproducible, each group's sample independent of the others.
+    */
+  val mx5StratifiedSample: Q = Q(
+    "mx5_stratified_sample",
+    """SELECT doc_id, lang FROM documents
+      |WHERE CAST(concat('0x', substr(md5(concat('s5:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+      |      < CASE WHEN lang = 'en' THEN CAST(round(0.5 * 4294967296.0) AS BIGINT)
+      |             WHEN lang = 'de' THEN CAST(round(0.25 * 4294967296.0) AS BIGINT)
+      |             ELSE CAST(round(0.1 * 4294967296.0) AS BIGINT) END
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Sampling.stratifiedHashSample(
+        Tables.documents(spark, dir), "lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1, salt = "s5")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-stream context-window chunking via the distributed two-pass
     * prefix sum ([[graft.operators.PrefixSum]]) — bit-equal to the oracle's
     * `SUM() OVER (ORDER BY ...)` but runs as range-partitioned narrow passes
@@ -400,5 +452,6 @@ object MiscQueries {
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
     qProfile, qProfileApprox, qSaltedJoin, qScalarFns, qAboveAvgOrders,
-    mx1HashSample, mx2LangQuota, mx3ContextWindows)
+    mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
+    mx5StratifiedSample)
 }

@@ -174,6 +174,27 @@ object EventsStream {
         })
   }
 
+  /** Declarative gap sessions via Spark's built-in `session_window` — the
+    * engine-managed alternative to the [[sessionize]] state function: the
+    * state store holds merge-capable session windows per key, the watermark
+    * both closes sessions (append-mode emit) and evicts their state, and the
+    * SAME expression runs over a batch frame (the watermark node is
+    * eliminated in batch plans — the parity the spec pins). Prefer this
+    * form when per-session output is an aggregate; drop to
+    * `flatMapGroupsWithState` only for custom per-event state transitions.
+    */
+  def sessionWindows(
+      events: DataFrame, gap: String = "30 minutes",
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("total_value"))
+
   /** Demo main: stream the sf parquet through the hourly aggregation into a
     * memory sink and print the result (batch parity check with
     * `q_hourly_events`).

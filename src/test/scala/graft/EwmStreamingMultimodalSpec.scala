@@ -171,6 +171,45 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("session_window: batch/stream parity — watermark closes sessions, gap merges them") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Row
+    def ts(minute: Long) = new java.sql.Timestamp(minute * 60000)
+    // batch semantics: same expression, watermark node eliminated
+    val batch = Seq(
+      (1L, ts(60), 2.0), (1L, ts(65), 3.0),   // one session (gap 5 ≤ 30)
+      (1L, ts(125), 1.0),                     // 60-min silence → new session
+      (2L, ts(60), 7.0)
+    ).toDF("user_id", "ts", "value")
+    val got = EventsStream.sessionWindows(batch).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 60000,
+        r.getTimestamp(2).getTime / 60000, r.getLong(3), r.getDouble(4))).toSet
+    // session end = last event + gap
+    assert(got == Set((1L, 60L, 95L, 2L, 5.0), (1L, 125L, 155L, 1L, 1.0),
+      (2L, 60L, 90L, 1L, 7.0)))
+    // streaming: sessions emit in append mode once the watermark passes them
+    val mem = MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionWindows(
+        mem.toDF().select(col("user_id"), col("ts"), col("value"))).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("session_window_test")
+      .start()
+    def ev(id: Long, minute: Long, user: Long, v: Double) = EventsStream.Event(
+      id, ts(minute), user, "click", v)
+    mem.addData(ev(1, 60, 1L, 2.0), ev(2, 65, 1L, 3.0))
+    q.processAllAvailable()
+    mem.addData(ev(3, 300, 2L, 1.0)) // advances watermark far past user 1
+    q.processAllAvailable()
+    mem.addData(ev(4, 305, 2L, 1.0)) // extra batch so the emit sweep runs
+    q.processAllAvailable()
+    val emitted = spark.sql(
+        "SELECT user_id, n_events, total_value FROM session_window_test")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(emitted.contains((1L, 2L, 5.0)),
+      s"user 1's closed session must emit once the watermark passes, got $emitted")
+    q.stop()
+  }
+
   test("streaming dedup drops same-content re-deliveries within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
