@@ -83,11 +83,15 @@ object Sampling {
       keepFraction: Double): DataFrame = {
     require(keepFraction >= 0.0 && keepFraction <= 1.0)
     import org.apache.spark.sql.expressions.Window
+    // project the score ONCE before the window: inlining a large score
+    // expression into the window sort key makes codegen compile it into the
+    // sort comparator (slow to compile, evaluated per comparison)
     val w = Window.partitionBy(col(groupCol))
-    val rk = row_number().over(w.orderBy(scoreCol.desc, col(idCol)))
+    val rk = row_number().over(w.orderBy(col("__score").desc, col(idCol)))
     val cnt = count(lit(1)).over(w)
-    df.withColumn("__rk", rk).withColumn("__cnt", cnt)
+    df.withColumn("__score", scoreCol)
+      .withColumn("__rk", rk).withColumn("__cnt", cnt)
       .filter(col("__rk") <= floor(col("__cnt") * keepFraction))
-      .drop("__rk", "__cnt")
+      .drop("__score", "__rk", "__cnt")
   }
 }
