@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequence packing: assign documents to bins of at most `budget` tokens —
+  * the step that turns a filtered corpus into fixed-size training sequences
+  * with minimal padding waste. (Distinct from [[PrefixSum.contextWindows]],
+  * which CONCATENATES the stream in a fixed order and lets documents straddle
+  * window boundaries; packing keeps each document whole in exactly one bin.)
+  *
+  * Bin minimization is NP-hard, so like every production pipeline this is
+  * greedy best-fit-decreasing, distributed the standard way: range-partition
+  * by DESCENDING length (the "decreasing" sort, now global across
+  * partitions), then pack each partition independently in one narrow pass.
+  * BFD inside a partition guarantees ≤ 11/9·OPT + 2/3 bins; packing
+  * partitions independently adds at most one under-filled bin per partition
+  * on top — negligible when a partition holds millions of tokens.
+  *
+  * Scale notes, per the partition-identity invariant (docs/SCALE.md): bin
+  * ids are made globally unique from the SPLIT index handed to
+  * `mapPartitionsWithIndex` (never `TaskContext.getPartitionId`), and the
+  * per-partition state is a capacity-keyed TreeMap of OPEN bins only —
+  * best-fit lookup is O(log open-bins) per document, memory O(open bins),
+  * never the whole partition.
+  *
+  * Documents longer than `budget` get a singleton bin each (whether to
+  * truncate or split them is the caller's policy, upstream of packing).
+  */
+object Packing {
+
+  /** Adds `bin_id` (long, globally unique) such that every bin's token sum
+    * is ≤ `budget` (singleton oversize docs excepted).
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, tokenCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val parted = df
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col(tokenCol).desc, col(idCol))
+      .sortWithinPartitions(col(tokenCol).desc, col(idCol))
+    val tokIdx = df.schema.fieldIndex(tokenCol)
+    val outSchema = df.schema.add("bin_id", LongType, nullable = false)
+    val out = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
+      // open bins keyed by remaining capacity → stack of local bin ids;
+      // best fit = smallest remaining capacity that still holds the doc
+      val open = new java.util.TreeMap[Long, java.util.ArrayDeque[Integer]]()
+      var nextLocal = 0
+      val base = pid.toLong << 32 // globally unique: split id in the high bits
+      it.map { r =>
+        val n = r.getLong(tokIdx)
+        val binLocal: Int = {
+          val entry = open.ceilingEntry(n)
+          if (n < budget && entry != null) {
+            val stack = entry.getValue
+            val b = stack.pop()
+            if (stack.isEmpty) open.remove(entry.getKey)
+            val remaining = entry.getKey - n
+            if (remaining > 0)
+              open.computeIfAbsent(remaining, _ => new java.util.ArrayDeque[Integer]()).push(b)
+            b
+          } else { // no open bin fits (or doc fills/exceeds the budget)
+            val b = nextLocal
+            nextLocal += 1
+            val remaining = budget - n
+            if (remaining > 0)
+              open.computeIfAbsent(remaining, _ => new java.util.ArrayDeque[Integer]()).push(b)
+            b
+          }
+        }
+        Row.fromSeq(r.toSeq :+ (base | binLocal.toLong))
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+}
