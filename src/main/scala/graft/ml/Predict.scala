@@ -150,8 +150,10 @@ object Predict {
     println("\nTop-5 feature importances (full-data GBT):")
     val imps = topImportances(df, "target_return")
     imps.foreach { case (c, w) => println(f"  $c%-15s $w%.4f") }
-    writeImportances(imps, "target/feature_importance.json")
-    println("Saved target/feature_importance.json")
+    val artifactPath = sys.env.getOrElse(
+      "SPARK_GRAFT_IMPORTANCE_PATH", "target/feature_importance.json")
+    writeImportances(imps, artifactPath)
+    println(s"Saved $artifactPath")
     spark.stop()
   }
 }

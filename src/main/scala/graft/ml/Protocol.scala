@@ -62,9 +62,12 @@ object Protocol {
     println("\nTop-5 feature importances (full-data GBT):")
     val imps = Predict.topImportances(df, "target_return")
     imps.foreach { case (c, w) => println(f"  $c%-15s $w%.4f") }
-    // the reference's feature_importance.png artifact, as JSON (predict.py:75-93)
-    Predict.writeImportances(imps, "target/feature_importance.json")
-    println("Saved target/feature_importance.json")
+    // the reference's feature_importance.png artifact, as JSON (predict.py:75-93);
+    // path configurable via first arg or SPARK_GRAFT_IMPORTANCE_PATH
+    val artifactPath = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_IMPORTANCE_PATH", "target/feature_importance.json"))
+    Predict.writeImportances(imps, artifactPath)
+    println(s"Saved $artifactPath")
     spark.stop()
   }
 }
