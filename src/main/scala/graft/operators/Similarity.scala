@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -229,6 +229,130 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cosine"), col("rnk"))
+  }
+
+  /** Product-quantization top-k with asymmetric-distance scoring (ADC) —
+    * the memory-scale path past int8 ([[quantizedTopK]]): each normalized
+    * corpus vector is stored as `m` codes into per-subspace codebooks, and
+    * query scoring reads ONLY the codes via a per-query lookup table
+    * (`cos(q,v) ≈ Σ_j dot(q_j, cb_j[code_j])`), so the rank pass touches
+    * m bytes per vector instead of d doubles — at corpus scale the
+    * difference between an in-memory scan and a disk-bound one (d=64, m=8:
+    * 64× smaller than raw doubles, 8× smaller than int8).
+    *
+    * Codebooks are DETERMINISTIC: the subspace slices of the first
+    * `codebookSize` corpus vectors — the same fixed-seed convention as
+    * [[ivfTopK]], which keeps the SQL oracle replicable bit-for-bit
+    * (k-means-refined codebooks per subspace drop in without changing the
+    * plan: same broadcast shape, see [[kmeansCentroids]]). Encoding is
+    * argmin subspace L2, ties to the lowest code. Scores are approximate by
+    * construction; the oracle computes the IDENTICAL ADC values (all sums
+    * in fixed index order), so the driver check is still exact.
+    *
+    * Plan shape: one narrow encode+score kernel over the corpus (codebooks,
+    * queries, and the ADC lookup tables ride a broadcast; LUT is
+    * queries × m × codebookSize doubles) + one top-k window on q_id.
+    */
+  def pqTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, m: Int = 8, codebookSize: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    // one materialization serves the codebook collect, the query collect,
+    // and the corpus scan (leak-free reuse cache, see Dedup.cachedForReuse)
+    val pn = prepared(df, idCol, vecCol).localCheckpoint(true)
+    def unit(v: Array[Double], nrm: Double): Array[Double] = v.map(_ / nrm)
+    val cbRows = pn.filter(col("vec_id") < codebookSize)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => unit(r.getSeq[Double](1).toArray, r.getDouble(2)))
+    require(cbRows.length == codebookSize, s"corpus smaller than $codebookSize")
+    val dims = cbRows.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val sub = dims / m
+    // cb(j)(c)(i) = codebook vector c's slice in subspace j
+    val cb = Array.tabulate(m, codebookSize, sub)((j, c, i) => cbRows(c)(j * sub + i))
+    val qRows = pn.filter(queryPred)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), unit(r.getSeq[Double](1).toArray, r.getDouble(2))))
+    // per-query ADC lookup table: lut(q)(j)(c) = dot(q_j, cb_j[c]), i ascending
+    val lut = qRows.map { case (_, qu) =>
+      Array.tabulate(m, codebookSize) { (j, c) =>
+        var s = 0.0; var i = 0
+        while (i < sub) { s += qu(j * sub + i) * cb(j)(c)(i); i += 1 }
+        s
+      }
+    }
+    val qIds = qRows.map(_._1)
+    val bc = spark.sparkContext.broadcast((cb, qIds, lut))
+    val outSchema = StructType(Seq(
+      StructField("q_id", LongType, nullable = false),
+      StructField("neighbor", LongType, nullable = false),
+      StructField("adc", DoubleType, nullable = false)))
+    val scored = pn.select(col("vec_id"), col("v"), col("nrm")).rdd
+      .mapPartitions { it =>
+        val (cbl, ids, luts) = bc.value
+        val mm = cbl.length; val subl = cbl(0)(0).length; val size = cbl(0).length
+        it.flatMap { r =>
+          val vid = r.getLong(0)
+          val u = unit(r.getSeq[Double](1).toArray, r.getDouble(2))
+          // encode: argmin subspace L2, ties to the lowest code
+          val codes = new Array[Int](mm)
+          var j = 0
+          while (j < mm) {
+            var best = 0; var bestD = Double.MaxValue
+            var c = 0
+            while (c < size) {
+              var d = 0.0; var i = 0
+              while (i < subl) {
+                val t = u(j * subl + i) - cbl(j)(c)(i); d += t * t; i += 1
+              }
+              if (d < bestD) { bestD = d; best = c }
+              c += 1
+            }
+            codes(j) = best
+            j += 1
+          }
+          // ADC per query: outer sum j ascending (mirrors the oracle)
+          ids.indices.iterator.filter(qi => ids(qi) != vid).map { qi =>
+            var s = 0.0; var jj = 0
+            while (jj < mm) { s += luts(qi)(jj)(codes(jj)); jj += 1 }
+            Row(ids(qi), vid, s)
+          }
+        }
+      }
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("neighbor"))
+    spark.createDataFrame(scored, outSchema)
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("neighbor"), col("adc"), col("rnk"))
+  }
+
+  /** The production PQ shape: ADC shortlist (`shortlist` candidates per
+    * query, codes-only scan via [[pqTopK]]) → EXACT cosine rerank of only
+    * the shortlist → top-k. Recall is set by the shortlist size (the
+    * candidate set), exactness of the final ordering by the rerank — the
+    * same candidates-then-verify structure as every dedup pipeline here.
+    */
+  def pqTopKReranked(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, m: Int = 8, codebookSize: Int = 16,
+      shortlist: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k)
+    val cand = pqTopK(df, idCol, vecCol, queryPred, shortlist, m, codebookSize)
+    val p = prepared(df, idCol, vecCol)
+    val qv = p.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    val scored = cand.select("q_id", "neighbor")
+      .join(p.select(col("vec_id").as("neighbor"), col("v"), col("nrm")), "neighbor")
+      .join(broadcast(qv), "q_id")
+      .withColumn("cosine", dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("neighbor"), col("cosine"), col("rnk"))
   }
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane j, dim d):

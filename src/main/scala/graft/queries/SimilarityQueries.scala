@@ -145,6 +145,40 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Product-quantization ADC top-5 ([[graft.operators.Similarity.pqTopK]]):
+    * codes-only scoring with deterministic codebooks (subspace slices of the
+    * first 16 vectors — the sim3 fixed-seed convention), m=8 subspaces over
+    * 64 dims. The oracle reproduces the encode (argmin subspace L2, ties →
+    * lowest code) and the ADC sums in the identical index order, so the
+    * approximate scores compare bit-exactly.
+    */
+  val sim5PqTopK: Q = Q(
+    "sim5_ann_pq_topk",
+    s"""WITH $NormedSql,
+       |vn AS (SELECT vec_id, list_transform(range(1, len(v)+1), i -> v[i]/nrm) AS u FROM n),
+       |cbl AS (SELECT list(u ORDER BY vec_id) AS cbs FROM vn WHERE vec_id < 16),
+       |enc0 AS (SELECT x.vec_id, t.j, c.c,
+       |    ROW_NUMBER() OVER (PARTITION BY x.vec_id, t.j ORDER BY
+       |      list_sum(list_transform(range(1, 9), i ->
+       |        (x.u[CAST(t.j*8+i AS INT)] - cbl.cbs[CAST(c.c+1 AS INT)][CAST(t.j*8+i AS INT)])^2)) ASC,
+       |      c.c) AS rn
+       |  FROM vn x CROSS JOIN range(0, 8) t(j) CROSS JOIN range(0, 16) c(c) CROSS JOIN cbl),
+       |enc AS (SELECT vec_id, list(c ORDER BY j) AS codes FROM enc0 WHERE rn = 1 GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, u AS qu FROM vn WHERE vec_id < 10),
+       |s AS (SELECT q.q_id, e.vec_id AS neighbor,
+       |    list_sum(list_transform(range(0, 8), j ->
+       |      list_sum(list_transform(range(1, 9), i ->
+       |        q.qu[CAST(j*8+i AS INT)] * cbl.cbs[CAST(e.codes[CAST(j+1 AS INT)]+1 AS INT)][CAST(j*8+i AS INT)])))) AS adc
+       |  FROM q CROSS JOIN enc e CROSS JOIN cbl WHERE e.vec_id <> q.q_id),
+       |r AS (SELECT q_id, neighbor, adc,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, neighbor) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT q_id, neighbor, adc, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
+    Similarity.pqTopK(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 5, m = 8, codebookSize = 16)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, dd7EmbeddingLshNearDup,
-    sim2LshTopK, sim3IvfTopK, sim4QuantizedTopK)
+    sim2LshTopK, sim3IvfTopK, sim4QuantizedTopK, sim5PqTopK)
 }

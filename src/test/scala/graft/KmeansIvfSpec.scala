@@ -79,9 +79,25 @@ class KmeansIvfSpec extends AnyFunSuite {
     val ivf1 = ivf(1)
     val ivf2 = ivf(2)
     val ivf3 = ivf(3)
+    // PQ/ADC: codes-only ranking; recall is the quantization-distortion
+    // measurement a user sizes m/codebookSize with
+    val pq = mean(Similarity.recallAtK(
+      Similarity.pqTopK(emb, "vec_id", "embedding", col("vec_id") < 10, k = 10,
+        m = 8, codebookSize = 16), exact))
+    // production shape: ADC shortlist -> exact rerank; recall is set by the
+    // shortlist size, final ordering is exact
+    def pqR(shortlist: Int) = mean(Similarity.recallAtK(
+      Similarity.pqTopKReranked(emb, "vec_id", "embedding", col("vec_id") < 10,
+        k = 10, m = 8, codebookSize = 16, shortlist = shortlist), exact))
+    val pq64 = pqR(64)
+    val pq128 = pqR(128)
     info(f"recall@10 — lsh(6,1): $lsh6t1%.3f lsh(3,1): $lsh3t1%.3f lsh(3,8): $lsh3t8%.3f " +
       f"lsh(2,8): $lsh2t8%.3f lsh(3,16): $lsh3t16%.3f " +
-      f"ivf(p=1): $ivf1%.3f ivf(p=2): $ivf2%.3f ivf(p=3): $ivf3%.3f")
+      f"ivf(p=1): $ivf1%.3f ivf(p=2): $ivf2%.3f ivf(p=3): $ivf3%.3f " +
+      f"pq(8,16): $pq%.3f pq+rerank(64): $pq64%.3f pq+rerank(128): $pq128%.3f")
+    assert(pq > 0.0 && pq <= 1.0)
+    assert(pq64 >= pq - 1e-9, "exact rerank of a superset shortlist cannot lose recall")
+    assert(pq128 >= pq64 - 1e-9, "a larger shortlist can only add candidates")
     assert(lsh3t1 >= lsh6t1 - 1e-9) // coarser buckets can only add candidates
     assert(lsh3t8 >= lsh3t1 - 1e-9) // more tables can only add candidates
     assert(ivf2 >= ivf1 - 1e-9)     // more probes can only add candidates
