@@ -62,6 +62,28 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cosine"), col("rnk"))
   }
 
+  /** k-NN label prediction: majority vote among each query's `k` nearest
+    * corpus neighbors by exact cosine — the standard embedding-space
+    * label-quality / classifier-free eval. Deterministic (vote ties break to
+    * the smaller label; neighbor ties to the smaller id inside
+    * [[bruteForceTopK]]), so the whole prediction is oracle-exact. Swap the
+    * brute scorer for [[pqTopKReranked]]/[[ivfTopK]] candidates at corpus
+    * scale — the vote is the same one aggregation either way.
+    */
+  def knnPredictLabels(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val knn = bruteForceTopK(corpus, queries, idCol, vecCol, k)
+    val labels = corpus.select(col(idCol).as("neighbor"), col(labelCol).as("n_label"))
+    val votes = knn.join(labels, "neighbor")
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("n_label"))
+    votes.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("q_id"), col("n_label").as("pred_label"), col("votes"))
+  }
+
   /** All pairs (a < b) with cosine ≥ threshold — exact near-duplicate scan,
     * fully distributed (no driver-side materialization).
     *

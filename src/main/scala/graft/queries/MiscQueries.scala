@@ -347,6 +347,43 @@ object MiscQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus curation report: per (source, lang) — doc counts, token volume,
+    * quality range, and an INTEGRITY check (rows whose stored `n_chars`
+    * disagrees with the text) — the per-domain mix table every corpus
+    * pipeline reviews before weighting sources. One groupBy; aggregate
+    * choices are bit-stable across engines (integer sums, min/max of
+    * identical doubles — no order-dependent double accumulation).
+    */
+  val mx6DomainMix: Q = Q(
+    "mx6_domain_mix",
+    """WITH t AS (SELECT source, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_i,
+      |    len(string_split(text, ' ')) AS nt, length(text) AS nc,
+      |    len(list_filter(string_split(lower(text), ' '),
+      |        t -> t IN ('the','a','of','and','is'))) AS so,
+      |    CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END AS bad
+      |  FROM documents),
+      |q AS (SELECT source, lang, n_tokens_i, bad,
+      |    0.5 * (LEAST(nt, 100) / 100.0) + 0.3 * (so / nt)
+      |    + 0.2 * (LEAST((nc - (nt - 1)) / nt, 10.0) / 10.0) AS quality
+      |  FROM t)
+      |SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens_i) AS BIGINT) AS sum_tokens,
+      |  MIN(quality) AS min_quality, MAX(quality) AS max_quality,
+      |  CAST(SUM(bad) AS BIGINT) AS n_chars_mismatch
+      |FROM q GROUP BY source, lang ORDER BY source, lang""".stripMargin) { (spark, dir) =>
+    import graft.operators.TextAnalysis
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens_i", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("bad", when(length(col("text")) =!= col("n_chars"), 1L).otherwise(0L))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens_i")).as("sum_tokens"),
+        min(col("quality")).as("min_quality"), max(col("quality")).as("max_quality"),
+        sum(col("bad")).as("n_chars_mismatch"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   /** Token-stream context-window chunking via the distributed two-pass
     * prefix sum ([[graft.operators.PrefixSum]]) — bit-equal to the oracle's
     * `SUM() OVER (ORDER BY ...)` but runs as range-partitioned narrow passes
@@ -453,5 +490,5 @@ object MiscQueries {
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
     qProfile, qProfileApprox, qSaltedJoin, qScalarFns, qAboveAvgOrders,
     mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
-    mx5StratifiedSample)
+    mx5StratifiedSample, mx6DomainMix)
 }

@@ -179,6 +179,44 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** k-NN label prediction ([[graft.operators.Similarity.knnPredictLabels]]):
+    * majority label among the 10 nearest corpus neighbors, with the true
+    * label alongside — the embedding-space eval that exercises the `label`
+    * column. Queries = vec_id < 20; corpus = the rest.
+    */
+  val sim6KnnLabel: Q = Q(
+    "sim6_knn_label",
+    s"""WITH $NormedSql,
+       |lab AS (SELECT vec_id, label FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 20),
+       |c AS (SELECT vec_id, v, nrm FROM n WHERE vec_id >= 20),
+       |s AS (SELECT q.q_id, c.vec_id AS neighbor,
+       |        list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.v[i])) / (q.qn*c.nrm) AS cosine
+       |      FROM q JOIN c ON true),
+       |r AS (SELECT q_id, neighbor,
+       |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor) AS rnk
+       |      FROM s),
+       |v AS (SELECT r.q_id, lab.label AS n_label, COUNT(*) AS votes
+       |      FROM r JOIN lab ON lab.vec_id = r.neighbor WHERE r.rnk <= 10
+       |      GROUP BY r.q_id, lab.label),
+       |p AS (SELECT q_id, n_label AS pred_label, CAST(votes AS BIGINT) AS votes,
+       |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY votes DESC, n_label) AS rn
+       |      FROM v)
+       |SELECT p.q_id, CAST(t.label AS BIGINT) AS true_label,
+       |  CAST(p.pred_label AS BIGINT) AS pred_label, p.votes
+       |FROM p JOIN lab t ON t.vec_id = p.q_id
+       |WHERE p.rn = 1 ORDER BY p.q_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val corpus = emb.filter(col("vec_id") >= 20)
+    Similarity.knnPredictLabels(corpus, queries, "vec_id", "embedding", "label", k = 10)
+      .join(queries.select(col("vec_id").as("q_id"),
+        col("label").cast("long").as("true_label")), "q_id")
+      .select(col("q_id"), col("true_label"),
+        col("pred_label").cast("long").as("pred_label"), col("votes"))
+      .orderBy(col("q_id"))
+  }
+
   val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, dd7EmbeddingLshNearDup,
-    sim2LshTopK, sim3IvfTopK, sim4QuantizedTopK, sim5PqTopK)
+    sim2LshTopK, sim3IvfTopK, sim4QuantizedTopK, sim5PqTopK, sim6KnnLabel)
 }
