@@ -174,6 +174,26 @@ object EventsStream {
         })
   }
 
+  /** Streaming MATERIALIZED VIEW: the watermarked hourly aggregation upserted
+    * into a SQL serving table per micro-batch (`foreachBatch` +
+    * [[graft.sinks.JdbcLoader]]'s MERGE keyed on the group columns) — the
+    * standard stream→serving-store pattern. Update-mode emits refresh a
+    * window's row every time late-but-in-watermark data revises it, and the
+    * PK-keyed MERGE makes batch replay IDEMPOTENT (a re-delivered batch
+    * rewrites the same rows), so the serving table converges to the batch
+    * answer without exactly-once sink machinery.
+    */
+  def hourlyCountsToJdbc(
+      events: DataFrame, url: String, table: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    hourlyCounts(events).writeStream
+      .outputMode(OutputMode.Update) // emit revised windows only
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        new graft.sinks.JdbcLoader(Map[String, Any](
+          "connection_string" -> url, "table" -> table,
+          "if_exists" -> "upsert",
+          "primary_keys" -> Seq("h", "event_type"))).load(batch.toDF()): Unit
+      }
+
   /** Declarative gap sessions via Spark's built-in `session_window` — the
     * engine-managed alternative to the [[sessionize]] state function: the
     * state store holds merge-capable session windows per key, the watermark

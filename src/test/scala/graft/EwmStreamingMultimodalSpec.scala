@@ -210,6 +210,29 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("streaming materialized view: hourly aggregates upsert into the JDBC store per batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:streammv;create=true"
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "event_type", "value")
+    val q = EventsStream.hourlyCountsToJdbc(events, url, "hourly_mv").start()
+    def ev(id: Long, minute: Long, typ: String, v: Double) =
+      (id, new java.sql.Timestamp(minute * 60000), typ, v)
+    def readMv() = spark.read.jdbc(url, "hourly_mv", new java.util.Properties())
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    // batch 1: two clicks in hour 3 (minutes 180-239)
+    mem.addData(ev(1, 185, "click", 1.0), ev(2, 190, "click", 2.0))
+    q.processAllAvailable()
+    assert(readMv() == Set((180L, "click", 2L, 3.0)))
+    // batch 2: hour-3 revision (late but in-watermark) + a new hour-4 window;
+    // the MERGE must REWRITE hour 3's row, not append a second one
+    mem.addData(ev(3, 195, "click", 4.0), ev(4, 245, "view", 5.0))
+    q.processAllAvailable()
+    assert(readMv() == Set((180L, "click", 3L, 7.0), (240L, "view", 1L, 5.0)))
+    q.stop()
+  }
+
   test("streaming dedup drops same-content re-deliveries within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
