@@ -129,6 +129,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows == 3, s"expected df + doc_len + rank windows, got $windows")
   }
 
+  test("sim5 pq: codes-only scoring is one narrow kernel — no joins, one rank shuffle") {
+    val p = plan(graft.queries.SimilarityQueries.sim5PqTopK.run(spark, sf))
+    assert(!p.contains("Join"), "ADC scoring must read codes via broadcast LUTs, not joins")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected only the per-query rank shuffle, got $hashEx")
+  }
+
+  test("mx6 domain mix: one aggregate shuffle over (source, lang)") {
+    val p = plan(graft.queries.MiscQueries.mx6DomainMix.run(spark, sf))
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected a single groupBy exchange, got $hashEx")
+    assert(!p.contains("Join"))
+  }
+
   test("q22: scalar mean enters as a broadcast, idle filter as a left-anti join") {
     val p = plan(graft.queries.TpchMoreQueries.q22IdleCustomers.run(spark, sf))
     assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
