@@ -294,6 +294,87 @@ object Similarity {
     val sub = dims / m
     // cb(j)(c)(i) = codebook vector c's slice in subspace j
     val cb = Array.tabulate(m, codebookSize, sub)((j, c, i) => cbRows(c)(j * sub + i))
+    pqScore(pn, cb, queryPred, k)
+  }
+
+  /** PQ with per-subspace L2 Lloyd-TRAINED codebooks — the quality path on
+    * top of [[pqTopK]]'s fixed oracle-replicable convention. Codebooks are
+    * classically trained on a bounded sample: the first `sampleN` vectors by
+    * id are collected (sampleN × dims doubles — the same bounded-collect
+    * shape as the IVF centroid set), each subspace runs `iters` Lloyd
+    * rounds on the driver (init = first `codebookSize` distinct subvectors,
+    * argmin-L2 assignment with ties to the lowest code, empty cells keep
+    * their centroid). Deterministic end-to-end; encode/score identical to
+    * [[pqTopK]].
+    */
+  def pqTopKTrained(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, m: Int = 8, codebookSize: Int = 16,
+      iters: Int = 10, sampleN: Int = 2048): DataFrame = {
+    val pn = prepared(df, idCol, vecCol).localCheckpoint(true)
+    def unit(v: Array[Double], nrm: Double): Array[Double] = v.map(_ / nrm)
+    val sample = pn.orderBy(col("vec_id")).limit(sampleN)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .collect()
+      .map(r => unit(r.getSeq[Double](1).toArray, r.getDouble(2)))
+    require(sample.nonEmpty, "empty corpus")
+    val dims = sample.head.length
+    require(dims % m == 0, s"dims $dims not divisible by m=$m")
+    val sub = dims / m
+    val cb = Array.tabulate(m) { j =>
+      lloydL2(sample.map(u => java.util.Arrays.copyOfRange(u, j * sub, (j + 1) * sub)),
+        codebookSize, iters)
+    }
+    pqScore(pn, cb, queryPred, k)
+  }
+
+  /** Driver-side Lloyd iterations under plain L2 — PQ's subspace trainer.
+    * Deterministic: init = first k DISTINCT points in input order (padded
+    * with repeats of the last if fewer), argmin-L2 with ties to the lowest
+    * centroid, empty cells keep their previous centroid.
+    */
+  private def lloydL2(
+      points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val distinct = scala.collection.mutable.LinkedHashSet[Seq[Double]]()
+    points.foreach(p => if (distinct.size < k) distinct += p.toSeq)
+    var cents = Array.tabulate(k)(i =>
+      (if (i < distinct.size) distinct.toSeq(i) else distinct.toSeq.last).toArray)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](points.head.length))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < p.length) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      it += 1
+    }
+    cents
+  }
+
+  /** Shared PQ encode+ADC-score+rank stage over a prepared, checkpointed
+    * corpus frame and in-memory codebooks (see [[pqTopK]] for the contract).
+    */
+  private def pqScore(
+      pn: DataFrame, cb: Array[Array[Array[Double]]],
+      queryPred: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = pn.sparkSession
+    val m = cb.length
+    val codebookSize = cb(0).length
+    val sub = cb(0)(0).length
+    def unit(v: Array[Double], nrm: Double): Array[Double] = v.map(_ / nrm)
     val qRows = pn.filter(queryPred)
       .select(col("vec_id"), col("v"), col("nrm"))
       .collect().sortBy(_.getLong(0))
@@ -360,10 +441,12 @@ object Similarity {
   def pqTopKReranked(
       df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, m: Int = 8, codebookSize: Int = 16,
-      shortlist: Int = 64): DataFrame = {
+      shortlist: Int = 64, trained: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shortlist >= k)
-    val cand = pqTopK(df, idCol, vecCol, queryPred, shortlist, m, codebookSize)
+    val cand =
+      if (trained) pqTopKTrained(df, idCol, vecCol, queryPred, shortlist, m, codebookSize)
+      else pqTopK(df, idCol, vecCol, queryPred, shortlist, m, codebookSize)
     val p = prepared(df, idCol, vecCol)
     val qv = p.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))

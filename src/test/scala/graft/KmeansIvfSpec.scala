@@ -91,13 +91,23 @@ class KmeansIvfSpec extends AnyFunSuite {
         k = 10, m = 8, codebookSize = 16, shortlist = shortlist), exact))
     val pq64 = pqR(64)
     val pq128 = pqR(128)
+    // Lloyd-trained codebooks: lower quantization distortion than the fixed
+    // convention at the same bit budget
+    val pqTrained = mean(Similarity.recallAtK(
+      Similarity.pqTopKTrained(emb, "vec_id", "embedding", col("vec_id") < 10,
+        k = 10, m = 8, codebookSize = 16), exact))
+    val pqTrained64 = mean(Similarity.recallAtK(
+      Similarity.pqTopKReranked(emb, "vec_id", "embedding", col("vec_id") < 10,
+        k = 10, m = 8, codebookSize = 16, shortlist = 64, trained = true), exact))
     info(f"recall@10 — lsh(6,1): $lsh6t1%.3f lsh(3,1): $lsh3t1%.3f lsh(3,8): $lsh3t8%.3f " +
       f"lsh(2,8): $lsh2t8%.3f lsh(3,16): $lsh3t16%.3f " +
       f"ivf(p=1): $ivf1%.3f ivf(p=2): $ivf2%.3f ivf(p=3): $ivf3%.3f " +
-      f"pq(8,16): $pq%.3f pq+rerank(64): $pq64%.3f pq+rerank(128): $pq128%.3f")
+      f"pq(8,16): $pq%.3f pq+rerank(64): $pq64%.3f pq+rerank(128): $pq128%.3f " +
+      f"pq-trained: $pqTrained%.3f pq-trained+rerank(64): $pqTrained64%.3f")
     assert(pq > 0.0 && pq <= 1.0)
     assert(pq64 >= pq - 1e-9, "exact rerank of a superset shortlist cannot lose recall")
     assert(pq128 >= pq64 - 1e-9, "a larger shortlist can only add candidates")
+    assert(pqTrained64 >= pqTrained - 1e-9)
     assert(lsh3t1 >= lsh6t1 - 1e-9) // coarser buckets can only add candidates
     assert(lsh3t8 >= lsh3t1 - 1e-9) // more tables can only add candidates
     assert(ivf2 >= ivf1 - 1e-9)     // more probes can only add candidates
