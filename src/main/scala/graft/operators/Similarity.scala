@@ -186,9 +186,18 @@ object Similarity {
     * work); the candidate space is Σ n_b² instead of n², and bucket keys
     * partition evenly at any corpus size.
     */
+  /** `tables > 1` turns on OR-amplification for the PAIR path, the same
+    * recall lever [[lshTopK]] has: candidates collide in ANY of `tables`
+    * independent plane sets (miss probability (1−p^bits)^tables), deduped
+    * per pair before the exact verify. Cost is linear in `tables`; buckets
+    * cap per (table, bucket).
+    */
   def lshNearDuplicatePairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      bits: Int, dims: Int, maxBucket: Int = 100000): DataFrame = {
+      bits: Int, dims: Int, maxBucket: Int = 100000, tables: Int = 1): DataFrame = {
+    if (tables > 1)
+      return lshNearDuplicatePairsMulti(df, idCol, vecCol, threshold, bits, dims,
+        maxBucket, tables)
     // No internal persist: the result is lazy, so an unpersist here could
     // never fire at the right time and the cached blocks would leak across
     // calls in a long-lived session. The two join sides canonicalize to the
@@ -206,6 +215,30 @@ object Similarity {
     val l = b.select(col("bucket"), col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val r = b.select(col("bucket"), col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
     l.join(r, Seq("bucket")).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
+  private def lshNearDuplicatePairsMulti(
+      df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      bits: Int, dims: Int, maxBucket: Int, tables: Int): DataFrame = {
+    val b0 = lshBucketsMulti(df, idCol, vecCol, bits, dims, tables)
+    val b =
+      if (maxBucket == Int.MaxValue) b0
+      else b0.join(
+        Dedup.oversizedBuckets(b0.select("tbl", "bucket"), Seq("tbl", "bucket"), maxBucket),
+        Seq("tbl", "bucket"), "left_anti")
+    val l = b.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val r = b.select(col("tbl"), col("bucket"), col("vec_id").as("vec_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    // any-table collision; dedupe the pair before the exact verify so a
+    // multi-table hit is scored once
+    l.join(r, Seq("tbl", "bucket")).filter(col("vec_a") < col("vec_b"))
+      .groupBy(col("vec_a"), col("vec_b"))
+      .agg(first(col("va")).as("va"), first(col("na")).as("na"),
+        first(col("vb")).as("vb"), first(col("nb")).as("nb"))
       .withColumn("cosine", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")

@@ -108,6 +108,21 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(pq64 >= pq - 1e-9, "exact rerank of a superset shortlist cannot lose recall")
     assert(pq128 >= pq64 - 1e-9, "a larger shortlist can only add candidates")
     assert(pqTrained64 >= pqTrained - 1e-9)
+    // OR-amplified PAIR path: multi-table near-dup pairs recover more of the
+    // exact pair set than one table at the same per-table coarseness
+    val exactPairs = Similarity.nearDuplicatePairs(emb, "vec_id", "embedding", 0.4)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def pairRecall(tables: Int): Double = {
+      val found = Similarity.lshNearDuplicatePairs(emb, "vec_id", "embedding", 0.4,
+          bits = 6, dims = 64, tables = tables)
+        .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert((found -- exactPairs).isEmpty, "verify step must keep LSH pairs exact")
+      if (exactPairs.isEmpty) 1.0 else found.intersect(exactPairs).size.toDouble / exactPairs.size
+    }
+    val pr1 = pairRecall(1)
+    val pr4 = pairRecall(4)
+    info(f"pair recall @ cos>=0.4 — 1 table: $pr1%.3f, 4 tables: $pr4%.3f (${exactPairs.size} exact pairs)")
+    assert(pr4 >= pr1 - 1e-9, "more tables can only add candidate pairs")
     assert(lsh3t1 >= lsh6t1 - 1e-9) // coarser buckets can only add candidates
     assert(lsh3t8 >= lsh3t1 - 1e-9) // more tables can only add candidates
     assert(ivf2 >= ivf1 - 1e-9)     // more probes can only add candidates
