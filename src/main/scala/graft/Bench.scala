@@ -66,8 +66,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop caches a pipeline persisted for its own reuse so they don't
-      // squeeze later queries' memory
+      // squeeze later queries' memory: CacheManager entries (Dataset.persist)
+      // AND RDD-level blocks (the localCheckpoint reuse caches, which
+      // clearCache cannot see and ContextCleaner frees only on driver GC)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val (ccUsed, ccMax, ccPct) = codeCache()
       val (jit1, gc1) = jitGcMs()
       System.err.println(

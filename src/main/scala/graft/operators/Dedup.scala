@@ -703,11 +703,20 @@ object Dedup {
           "raise maxIter (paper bound is O(log^2 n) rounds)")
     }
     // fixpoint edge set = star graph: u → component min. Representatives
-    // (the minima) map to themselves, matching connectedComponents' output.
-    val out = cachedForReuse(
-      edges.select(col("u").as("id"), col("v").as("comp"))
-        .union(edges.select(col("v").as("id"), col("v").as("comp")).distinct())
-        .distinct())
+    // (the minima) map to themselves; nodes whose only edges were
+    // self-loops (filtered before the loop) re-enter as their own singleton
+    // component — matching connectedComponents, which emits (a, a) for a
+    // node whose only pair is (a, a).
+    val nodes = pairs
+      .select(col(srcCol).cast(LongType).as("id"))
+      .union(pairs.select(col(dstCol).cast(LongType).as("id")))
+      .distinct()
+    val labeled = edges.select(col("u").as("id"), col("v").as("comp"))
+      .union(edges.select(col("v").as("id"), col("v").as("comp")).distinct())
+      .distinct()
+    val singletons = nodes.join(labeled.select("id"), Seq("id"), "left_anti")
+      .withColumn("comp", col("id"))
+    val out = cachedForReuse(labeled.union(singletons))
     edgesRelease()
     out
   }

@@ -311,11 +311,18 @@ object Similarity {
   def pqTopK(
       df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, m: Int = 8, codebookSize: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
     // one materialization serves the codebook collect, the query collect,
     // and the corpus scan (leak-free reuse cache, see Dedup.cachedForReuse)
     val pn = prepared(df, idCol, vecCol).localCheckpoint(true)
+    pqScore(pn, fixedCodebooks(pn, m, codebookSize), queryPred, k)
+  }
+
+  /** Fixed deterministic codebooks: subspace slices of the first
+    * `codebookSize` corpus vectors (the [[ivfTopK]] convention — SQL-oracle
+    * replicable).
+    */
+  private def fixedCodebooks(
+      pn: DataFrame, m: Int, codebookSize: Int): Array[Array[Array[Double]]] = {
     def unit(v: Array[Double], nrm: Double): Array[Double] = v.map(_ / nrm)
     val cbRows = pn.filter(col("vec_id") < codebookSize)
       .select(col("vec_id"), col("v"), col("nrm"))
@@ -326,8 +333,7 @@ object Similarity {
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     val sub = dims / m
     // cb(j)(c)(i) = codebook vector c's slice in subspace j
-    val cb = Array.tabulate(m, codebookSize, sub)((j, c, i) => cbRows(c)(j * sub + i))
-    pqScore(pn, cb, queryPred, k)
+    Array.tabulate(m, codebookSize, sub)((j, c, i) => cbRows(c)(j * sub + i))
   }
 
   /** PQ with per-subspace L2 Lloyd-TRAINED codebooks — the quality path on
@@ -345,6 +351,12 @@ object Similarity {
       queryPred: Column, k: Int, m: Int = 8, codebookSize: Int = 16,
       iters: Int = 10, sampleN: Int = 2048): DataFrame = {
     val pn = prepared(df, idCol, vecCol).localCheckpoint(true)
+    pqScore(pn, trainedCodebooks(pn, m, codebookSize, iters, sampleN), queryPred, k)
+  }
+
+  private def trainedCodebooks(
+      pn: DataFrame, m: Int, codebookSize: Int,
+      iters: Int, sampleN: Int): Array[Array[Array[Double]]] = {
     def unit(v: Array[Double], nrm: Double): Array[Double] = v.map(_ / nrm)
     val sample = pn.orderBy(col("vec_id")).limit(sampleN)
       .select(col("vec_id"), col("v"), col("nrm"))
@@ -354,11 +366,10 @@ object Similarity {
     val dims = sample.head.length
     require(dims % m == 0, s"dims $dims not divisible by m=$m")
     val sub = dims / m
-    val cb = Array.tabulate(m) { j =>
+    Array.tabulate(m) { j =>
       lloydL2(sample.map(u => java.util.Arrays.copyOfRange(u, j * sub, (j + 1) * sub)),
         codebookSize, iters)
     }
-    pqScore(pn, cb, queryPred, k)
   }
 
   /** Driver-side Lloyd iterations under plain L2 — PQ's subspace trainer.
@@ -477,14 +488,18 @@ object Similarity {
       shortlist: Int = 64, trained: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(shortlist >= k)
-    val cand =
-      if (trained) pqTopKTrained(df, idCol, vecCol, queryPred, shortlist, m, codebookSize)
-      else pqTopK(df, idCol, vecCol, queryPred, shortlist, m, codebookSize)
-    val p = prepared(df, idCol, vecCol)
-    val qv = p.filter(queryPred)
+    // ONE checkpointed corpus serves codebook build, ADC scoring, AND the
+    // exact rerank's vector lookups — a fresh prepared(df) here would re-scan
+    // and re-normalize the full corpus a second time
+    val pn = prepared(df, idCol, vecCol).localCheckpoint(true)
+    val cb =
+      if (trained) trainedCodebooks(pn, m, codebookSize, iters = 10, sampleN = 2048)
+      else fixedCodebooks(pn, m, codebookSize)
+    val cand = pqScore(pn, cb, queryPred, shortlist)
+    val qv = pn.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
     val scored = cand.select("q_id", "neighbor")
-      .join(p.select(col("vec_id").as("neighbor"), col("v"), col("nrm")), "neighbor")
+      .join(pn.select(col("vec_id").as("neighbor"), col("v"), col("nrm")), "neighbor")
       .join(broadcast(qv), "q_id")
       .withColumn("cosine", dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor"))

@@ -124,7 +124,13 @@ object EventsStream {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
-  final case class SessionState(sessionId: Long, lastTs: Long, nEvents: Long, total: Double)
+  /** `startUs` doubles as the session id: the session's first event time in
+    * microseconds is unique per (user, session) WITHOUT any cross-session
+    * counter — which matters because the dormant-flush timeout REMOVES the
+    * key's state, and a counter would restart at 0 when the user returns,
+    * colliding with pre-flush session ids downstream.
+    */
+  final case class SessionState(startUs: Long, lastTs: Long, nEvents: Long, total: Double)
   final case class SessionOut(user_id: Long, session_id: Long, n_events: Long, total_value: Double)
 
   /** Stateful gap sessionization (30-minute inactivity) per user with an
@@ -147,19 +153,22 @@ object EventsStream {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) => {
           if (state.hasTimedOut) {
             // watermark passed lastTs + gap with no new events: flush the
-            // open session and drop the key's state entirely
+            // open session and drop the key's state entirely (ids stay
+            // collision-free across the removal — see SessionState.startUs)
             val st = state.get
             state.remove()
-            Iterator.single(SessionOut(userId, st.sessionId, st.nEvents, st.total))
+            Iterator.single(SessionOut(userId, st.startUs, st.nEvents, st.total))
           } else {
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
             val out = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
               val tsMicros = e.ts.getTime * 1000
-              if (st.nEvents > 0 && tsMicros - st.lastTs > gapMicros) {
-                out += SessionOut(userId, st.sessionId, st.nEvents, st.total)
-                st = SessionState(st.sessionId + 1, tsMicros, 1L, e.value)
+              if (st.nEvents == 0) {
+                st = SessionState(tsMicros, tsMicros, 1L, e.value)
+              } else if (tsMicros - st.lastTs > gapMicros) {
+                out += SessionOut(userId, st.startUs, st.nEvents, st.total)
+                st = SessionState(tsMicros, tsMicros, 1L, e.value)
               } else {
                 st = st.copy(lastTs = tsMicros, nEvents = st.nEvents + 1, total = st.total + e.value)
               }

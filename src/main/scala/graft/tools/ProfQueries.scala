@@ -23,8 +23,12 @@ object ProfQueries {
       val times = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9 // time the query, not teardown
+        // free BOTH cache layers between runs so run N+1 doesn't execute
+        // under run N's resident blocks (clearCache misses RDD-level caches)
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        dt
       }
       println(f"$name%-28s ${times.map(t => f"$t%6.2f").mkString(" ")} s")
     }

@@ -196,8 +196,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("connectedComponentsStar agrees with label propagation on mixed components") {
+    // includes a self-loop-only node (7,7): both algorithms must emit (7, 7)
     val edges = Seq((11L, 10L), (11L, 12L), (12L, 13L), (13L, 14L),
-      (50L, 60L), (50L, 99L), (3L, 1L), (3L, 2L)).toDF("doc_a", "doc_b")
+      (50L, 60L), (50L, 99L), (3L, 1L), (3L, 2L), (7L, 7L)).toDF("doc_a", "doc_b")
     val lp = graft.operators.Dedup.connectedComponents(edges, "doc_a", "doc_b")
       .as[(Long, Long)].collect().toSet
     val star = graft.operators.Dedup.connectedComponentsStar(edges, "doc_a", "doc_b")

@@ -134,7 +134,8 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     mem.addData(ev(3, 125))
     q.processAllAvailable()
     val done = spark.sql("SELECT session_id, n_events FROM sessions_test").as[(Long, Long)].collect()
-    assert(done.toSeq == Seq((0L, 2L)))
+    // session_id = the session's start event-time in micros (minute 60)
+    assert(done.toSeq == Seq((60L * 60000 * 1000, 2L)))
     q.stop()
   }
 
@@ -161,13 +162,26 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     val flushed = spark.sql(
         "SELECT user_id, session_id, n_events FROM sessions_timeout_test")
       .as[(Long, Long, Long)].collect().toSet
-    assert(flushed == Set((1L, 0L, 1L)),
+    assert(flushed == Set((1L, 60L * 60000 * 1000, 1L)),
       s"dormant user's open session must flush when the watermark passes, got $flushed")
     // state is BOUNDED after the flush: only user 2's open session remains
     val stateRows = q.recentProgress.reverse.flatMap(_.stateOperators.headOption)
       .headOption.map(_.numRowsTotal)
     assert(stateRows.contains(1L),
       s"dormant user's state must be removed, store holds $stateRows rows")
+    // the RETURNING user's next session must get a DIFFERENT id — state
+    // removal must not reset a per-user counter (ids are session start times)
+    mem.addData(ev(5, 400, 1L))
+    q.processAllAvailable()
+    mem.addData(ev(6, 600, 2L))
+    q.processAllAvailable()
+    mem.addData(ev(7, 605, 2L))
+    q.processAllAvailable()
+    val ids1 = spark.sql(
+        "SELECT session_id FROM sessions_timeout_test WHERE user_id = 1")
+      .as[Long].collect().toSet
+    assert(ids1 == Set(60L * 60000 * 1000, 400L * 60000 * 1000),
+      s"flushed sessions of a returning user must have distinct ids, got $ids1")
     q.stop()
   }
 

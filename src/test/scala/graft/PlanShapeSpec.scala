@@ -35,22 +35,28 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("dd4 ngram: gram kernel cached once (RDD-level) and candidate joins on int64 hashes") {
+    // growth, not nonEmpty: the session is shared, so a stale RDD from
+    // another suite must not be able to satisfy this assertion
+    val before = spark.sparkContext.getPersistentRDDs.size
     val df = DedupQueries.dd4NgramJaccard.run(spark, sf)
     val p = plan(df)
     // the kernel output is an RDD-level cache (ContextCleaner-released, no
     // CacheManager pin) — the plan reads it as an ExistingRDD scan
     assert(p.contains("Scan ExistingRDD"), "gram kernel should be cached for reuse")
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
-      "kernel RDD should be registered persistent")
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "building the query must register the kernel's persistent RDD")
     val analyzed = df.queryExecution.analyzed.toString
     assert(analyzed.contains("gh"), "candidate pipeline should key on gram hashes")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
   test("dd2 minhash: signature table cached once (RDD-level), reused 3x") {
+    val before = spark.sparkContext.getPersistentRDDs.size
     val p = plan(DedupQueries.dd2MinhashLsh.run(spark, sf))
     assert(p.contains("Scan ExistingRDD"), "signature kernel should be cached for reuse")
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
-      "signature RDD should be registered persistent")
+    assert(spark.sparkContext.getPersistentRDDs.size > before,
+      "building the query must register the signature's persistent RDD")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
   }
 
   test("sim1 cosine scoring runs on the native dotp expression, not interpreted HOFs") {
