@@ -211,6 +211,28 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Exact heavy-hitter tokens via the Misra–Gries sketch
+    * ([[graft.operators.Sketches.heavyHitters]]): every token with frequency
+    * > n/(k+1), found WITHOUT a full-domain shuffle (per-partition k-counter
+    * summaries → treeReduce → exact count of ≤k candidates). The MG
+    * superset guarantee makes the final answer exact, so the oracle is the
+    * plain GROUP-BY/HAVING form the sketch avoids at scale.
+    */
+  val tx10HeavyHitters: Q = Q(
+    "tx10_heavy_hitters",
+    """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS value FROM documents),
+      |tot AS (SELECT COUNT(*) AS n FROM toks)
+      |SELECT value, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM toks, tot
+      |GROUP BY value, tot.n
+      |HAVING COUNT(*) > tot.n // 51
+      |ORDER BY cnt DESC, value""".stripMargin) { (spark, dir) =>
+    val toks = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("value"))
+    graft.operators.Sketches.heavyHitters(toks, col("value"), k = 50)
+      .orderBy(col("cnt").desc, col("value"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
-    tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf)
+    tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters)
 }

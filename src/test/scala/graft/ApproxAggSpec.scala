@@ -69,6 +69,31 @@ class ApproxAggSpec extends AnyFunSuite {
       "exact multi-distinct profile plans an Expand — if this changed, revisit the doc")
   }
 
+  test("Misra-Gries heavy hitters: candidates cover every true hitter; output is exact") {
+    import spark.implicits._
+    // skewed stream: "hot" 40%, "warm" 15%, tail spread over 1000 values
+    val n = 20000
+    val vals = spark.range(n).map { i =>
+      if (i % 10 < 4) "hot"                          // 40%
+      else if (i % 20 >= 4 && i % 20 < 7) "warm"     // 15%
+      else s"tail_${i % 1000}"
+    }.toDF("value").repartition(8)
+    val k = 9 // threshold = n/10 — "hot" and "warm" qualify, the tail cannot
+    val exact = vals.groupBy("value").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > n / (k + 1))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exact.keySet == Set("hot", "warm"), s"test data drifted: $exact")
+    // superset guarantee: every true hitter appears among the ≤k candidates
+    val cand = graft.operators.Sketches.mgCandidates(vals, col("value"), k)
+    assert(cand.size <= k)
+    assert(exact.keySet.subsetOf(cand.keySet),
+      s"MG summary lost a true heavy hitter: have ${cand.keySet}")
+    // end-to-end exactness: sketch-then-verify equals the full GROUP BY
+    val got = graft.operators.Sketches.heavyHitters(vals, col("value"), k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact)
+  }
+
   test("sketch aggregation is a single-pass partial aggregate — one exchange, no sort") {
     val p = graft.queries.MiscQueries.qApproxStats.run(spark, sf)
       .queryExecution.executedPlan.toString
