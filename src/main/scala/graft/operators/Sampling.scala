@@ -44,6 +44,19 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Fixed-SIZE uniform sample — the reservoir-sampling use case, done
+    * deterministically: rank ALL rows by the selection hash (ties by id) and
+    * keep the first `n`. Plans as TakeOrderedAndProject: each partition
+    * keeps its local top-n by hash order, the driver merges per-partition
+    * heads — no global sort, no reservoir state, and unlike a reservoir the
+    * result is identical on every run/engine and is a SUBSET of any larger
+    * `n` with the same salt.
+    */
+  def fixedSizeSample(df: DataFrame, idCol: String, n: Int, salt: String): DataFrame = {
+    require(n >= 0)
+    df.orderBy(selectionHash(col(idCol), salt), col(idCol)).limit(n)
+  }
+
   /** Deterministic STRATIFIED Bernoulli sample — per-group fractions, the
     * ratio knob of a training-data mix ("50% en, 25% de, 10% everything
     * else"). Same hash-threshold selection as [[hashSample]], so each

@@ -384,6 +384,25 @@ object MiscQueries {
       .orderBy(col("source"), col("lang"))
   }
 
+  /** Fixed-size deterministic sample ([[graft.operators.Sampling.fixedSizeSample]]):
+    * hash-rank top-n plans as TakeOrderedAndProject (per-partition heads,
+    * no global sort) — the reservoir use case without reservoir state.
+    * Output re-sorted by doc_id for a stable frame.
+    */
+  val mx7FixedSample: Q = Q(
+    "mx7_fixed_sample",
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang FROM documents
+      |  ORDER BY CAST(concat('0x', substr(md5(concat('s7:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT),
+      |           doc_id
+      |  LIMIT 100)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Sampling.fixedSizeSample(
+        Tables.documents(spark, dir), "doc_id", n = 100, salt = "s7")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Token-stream context-window chunking via the distributed two-pass
     * prefix sum ([[graft.operators.PrefixSum]]) — bit-equal to the oracle's
     * `SUM() OVER (ORDER BY ...)` but runs as range-partitioned narrow passes
@@ -490,5 +509,5 @@ object MiscQueries {
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
     qProfile, qProfileApprox, qSaltedJoin, qScalarFns, qAboveAvgOrders,
     mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
-    mx5StratifiedSample, mx6DomainMix)
+    mx5StratifiedSample, mx6DomainMix, mx7FixedSample)
 }

@@ -149,6 +149,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"))
   }
 
+  test("mx7 fixed sample: hash-rank top-n plans as TakeOrderedAndProject") {
+    val p = plan(graft.queries.MiscQueries.mx7FixedSample.run(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"),
+      "fixed-size sample must keep per-partition heads, not globally sort")
+  }
+
   test("q22: scalar mean enters as a broadcast, idle filter as a left-anti join") {
     val p = plan(graft.queries.TpchMoreQueries.q22IdleCustomers.run(spark, sf))
     assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
