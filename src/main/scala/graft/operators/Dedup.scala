@@ -659,11 +659,16 @@ object Dedup {
   def connectedComponentsStar(
       pairs: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
+    // materialize the RAW pair projection once: the loop's edge set AND the
+    // final node set (for self-loop singletons) both derive from it, and
+    // `pairs` can be an arbitrarily expensive upstream pipeline we must not
+    // execute twice
+    val (raw, rawRelease) = cutLineage(pairs
+      .select(col(srcCol).cast(LongType).as("u"), col(dstCol).cast(LongType).as("v")))
     // re-rooted on a materialized RDD every round (cutLineage) — the round
     // body references `edges` several times (sym union + two grouped joins),
     // so a carried logical plan would multiply in size per round
-    var (edges, edgesRelease) = cutLineage(pairs
-      .select(col(srcCol).cast(LongType).as("u"), col(dstCol).cast(LongType).as("v"))
+    var (edges, edgesRelease) = cutLineage(raw
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct())
@@ -697,6 +702,7 @@ object Dedup {
       iter += 1
     }
     if (!done && iter >= maxIter) {
+      rawRelease()
       edgesRelease()
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge within $maxIter rounds — " +
@@ -707,9 +713,8 @@ object Dedup {
     // self-loops (filtered before the loop) re-enter as their own singleton
     // component — matching connectedComponents, which emits (a, a) for a
     // node whose only pair is (a, a).
-    val nodes = pairs
-      .select(col(srcCol).cast(LongType).as("id"))
-      .union(pairs.select(col(dstCol).cast(LongType).as("id")))
+    val nodes = raw.select(col("u").as("id"))
+      .union(raw.select(col("v").as("id")))
       .distinct()
     val labeled = edges.select(col("u").as("id"), col("v").as("comp"))
       .union(edges.select(col("v").as("id"), col("v").as("comp")).distinct())
@@ -717,6 +722,7 @@ object Dedup {
     val singletons = nodes.join(labeled.select("id"), Seq("id"), "left_anti")
       .withColumn("comp", col("id"))
     val out = cachedForReuse(labeled.union(singletons))
+    rawRelease()
     edgesRelease()
     out
   }

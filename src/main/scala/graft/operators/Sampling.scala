@@ -48,9 +48,16 @@ object Sampling {
     * deterministically: rank ALL rows by the selection hash (ties by id) and
     * keep the first `n`. Plans as TakeOrderedAndProject: each partition
     * keeps its local top-n by hash order, the driver merges per-partition
-    * heads — no global sort, no reservoir state, and unlike a reservoir the
-    * result is identical on every run/engine and is a SUBSET of any larger
-    * `n` with the same salt.
+    * heads — no reservoir state, and unlike a reservoir the result is
+    * identical on every run/engine and is a SUBSET of any larger `n` with
+    * the same salt.
+    *
+    * Size the call honestly: the driver merge materializes O(n) rows, and
+    * past `spark.sql.execution.topKSortFallbackThreshold` Spark falls back
+    * to a global sort — so this is for BOUNDED n (up to ~10⁵–10⁶ rows).
+    * For a huge fixed-size draw from a huge corpus, take [[hashSample]] at
+    * a fraction slightly above n/total (distributed, no driver funnel) and
+    * trim the overshoot with one rank over the much smaller result.
     */
   def fixedSizeSample(df: DataFrame, idCol: String, n: Int, salt: String): DataFrame = {
     require(n >= 0)

@@ -48,24 +48,36 @@ object Sketches extends Serializable {
     }
   }
 
-  /** Per-partition Misra–Gries summaries of a string column, treeReduce'd to
-    * one k-counter map on the driver. Candidate counts UNDERCOUNT by at most
-    * n/(k+1) (the classic MG bound); use [[heavyHitters]] for exact output.
+  /** Per-partition Misra–Gries summaries of a string column, tree-aggregated
+    * to one k-counter map on the driver, alongside the exact total row count
+    * (carried for free by the same pass). Candidate counts UNDERCOUNT by at
+    * most n/(k+1) (the classic MG bound); use [[heavyHitters]] for exact
+    * output. `treeAggregate` with an empty-map zero also makes the
+    * empty/zero-partition input well-defined (treeReduce would throw).
     */
-  def mgCandidates(df: DataFrame, valueCol: Column, k: Int): Map[String, Long] = {
+  def mgCandidatesWithTotal(
+      df: DataFrame, valueCol: Column, k: Int): (Map[String, Long], Long) = {
     require(k > 0)
     import org.apache.spark.sql.Encoders
     val vals = df.select(valueCol.cast("string")).na.drop()
     val perPartition = vals.mapPartitions { it =>
       val m = scala.collection.mutable.Map[String, Long]()
-      it.foreach(r => mgAdd(m, k, r.getString(0), 1L))
-      Iterator.single(m.toMap)
-    }(Encoders.kryo[Map[String, Long]])
-    perPartition.rdd.treeReduce { (a, b) =>
-      val m = scala.collection.mutable.Map[String, Long]() ++= a
-      b.foreach { case (v, c) => mgAdd(m, k, v, c) }
-      m.toMap
-    }
+      var n = 0L
+      it.foreach { r => mgAdd(m, k, r.getString(0), 1L); n += 1 }
+      Iterator.single((m.toMap, n))
+    }(Encoders.kryo[(Map[String, Long], Long)])
+    perPartition.rdd.treeAggregate((Map.empty[String, Long], 0L))(
+      seqOp = { case ((a, na), (b, nb)) => (mgMerge(a, b, k), na + nb) },
+      combOp = { case ((a, na), (b, nb)) => (mgMerge(a, b, k), na + nb) })
+  }
+
+  def mgCandidates(df: DataFrame, valueCol: Column, k: Int): Map[String, Long] =
+    mgCandidatesWithTotal(df, valueCol, k)._1
+
+  private def mgMerge(a: Map[String, Long], b: Map[String, Long], k: Int): Map[String, Long] = {
+    val m = scala.collection.mutable.Map[String, Long]() ++= a
+    b.foreach { case (v, c) => mgAdd(m, k, v, c) }
+    m.toMap
   }
 
   /** EXACT heavy hitters via the MG candidate set: every value of
@@ -76,9 +88,11 @@ object Sketches extends Serializable {
     */
   def heavyHitters(df: DataFrame, valueCol: Column, k: Int): DataFrame = {
     val vals = df.select(valueCol.cast("string").as("value")).na.drop()
-    val total = vals.count()
+    // ONE sketch pass yields candidates AND the exact total (two input scans
+    // overall: sketch + candidate verify — not three)
+    val (candMap, total) = mgCandidatesWithTotal(df, valueCol, k)
     val threshold = total / (k + 1)
-    val cand = mgCandidates(df, valueCol, k).keys.toSeq
+    val cand = candMap.keys.toSeq
     if (cand.isEmpty) {
       vals.limit(0).withColumn("cnt", lit(0L)).select("value", "cnt")
     } else {

@@ -170,7 +170,11 @@ object EventsStream {
                 out += SessionOut(userId, st.startUs, st.nEvents, st.total)
                 st = SessionState(tsMicros, tsMicros, 1L, e.value)
               } else {
-                st = st.copy(lastTs = tsMicros, nEvents = st.nEvents + 1, total = st.total + e.value)
+                // max, not assignment: a late-but-in-watermark event must not
+                // REGRESS the session's last-activity time (that would split
+                // the session early and arm the dormant flush too soon)
+                st = st.copy(lastTs = math.max(st.lastTs, tsMicros),
+                  nEvents = st.nEvents + 1, total = st.total + e.value)
               }
             }
             state.update(st)

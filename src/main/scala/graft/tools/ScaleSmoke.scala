@@ -43,7 +43,7 @@ object ScaleSmoke {
         .filter(col("t") > 2048L).count()
       require(over == 0, s"$over over-budget bins")
     }
-    t(s"stratified_sample n=$n") {
+    t(s"hash_sample n=$n") {
       val m = graft.operators.Sampling.hashSample(docs, "doc_id", 0.25, "s").count()
       require(math.abs(m - n * 0.25) < n * 0.01, s"sample size $m far from 25%")
     }

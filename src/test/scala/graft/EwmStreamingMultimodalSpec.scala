@@ -185,6 +185,34 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("sessionize: late in-watermark events don't regress last activity") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    val q = EventsStream.sessionize(mem.toDS()).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions_late_test")
+      .start()
+    def ev(id: Long, minute: Long, user: Long) = EventsStream.Event(
+      id, new java.sql.Timestamp(minute * 60000), user, "click", 1.0)
+    // in-order 60, 85, then a LATE-but-in-watermark 61, then 100: every gap
+    // from the TRUE last activity is <= 30 min, so this is ONE session — a
+    // lastTs regression to 61 would wrongly split at the 100-minute event
+    Seq(ev(1, 60, 1L), ev(2, 85, 1L), ev(3, 61, 1L), ev(4, 100, 1L)).foreach { e =>
+      mem.addData(e); q.processAllAvailable()
+    }
+    assert(spark.sql("SELECT * FROM sessions_late_test").count() == 0,
+      "no session should have closed yet")
+    // dormant flush via other-user traffic: the one session holds all 4 events
+    mem.addData(ev(5, 400, 2L)); q.processAllAvailable()
+    mem.addData(ev(6, 405, 2L)); q.processAllAvailable()
+    val flushed = spark.sql(
+        "SELECT session_id, n_events FROM sessions_late_test")
+      .as[(Long, Long)].collect().toSet
+    assert(flushed == Set((60L * 60000 * 1000, 4L)),
+      s"expected one 4-event session starting at minute 60, got $flushed")
+    q.stop()
+  }
+
   test("session_window: batch/stream parity — watermark closes sessions, gap merges them") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.Row
