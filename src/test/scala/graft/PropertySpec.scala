@@ -98,4 +98,36 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Misra-Gries: candidates always cover every value above n/(k+1); output exact") {
+    // randomized streams with random skew, partitioning, and k — the
+    // superset guarantee must hold for ALL of them, and the
+    // sketch-then-verify output must equal the full GROUP BY
+    val gen = Gen.zip(
+      Gen.choose(200, 2000),   // stream length
+      Gen.choose(2, 12),       // k
+      Gen.choose(2, 50),       // value domain size
+      Gen.choose(1, 8))        // partitions
+    forAll(gen, n = 6) { case (len, k, domain, parts) =>
+      // zipf-ish skew: value i drawn with weight ~ 1/(i+1)
+      val weights = (0 until domain).map(i => 1.0 / (i + 1))
+      val cum = weights.scanLeft(0.0)(_ + _).tail
+      val totalW = cum.last
+      val rnd = new scala.util.Random(len * 31 + k)
+      val data = (0 until len).map { _ =>
+        val x = rnd.nextDouble() * totalW
+        s"v${cum.indexWhere(x <= _)}"
+      }
+      val df = data.toDF("value").repartition(parts)
+      val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 > len / (k + 1))
+      val cand = graft.operators.Sketches.mgCandidates(df, col("value"), k)
+      assert(cand.size <= k)
+      assert(exact.keySet.subsetOf(cand.keySet),
+        s"len=$len k=$k domain=$domain parts=$parts: lost ${exact.keySet -- cand.keySet}")
+      val got = graft.operators.Sketches.heavyHitters(df, col("value"), k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == exact, s"len=$len k=$k domain=$domain parts=$parts")
+    }
+  }
 }
