@@ -326,7 +326,28 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source duplicate-rate report — the dedup OBSERVABILITY query every
+    * curation pipeline dashboards: docs vs distinct contents per source, and
+    * the exact-duplicate count their difference implies. One groupBy;
+    * `count(distinct md5(text))` plans with the same Expand as the column
+    * profile and would switch to an HLL sketch at 100 TB (the
+    * `q_profile_approx` pattern).
+    */
+  val dd13DupRate: Q = Q(
+    "dd13_dup_rate",
+    """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+      |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_distinct"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
-    dd11DupClusters, dd12ClusterClean)
+    dd11DupClusters, dd12ClusterClean, dd13DupRate)
 }
