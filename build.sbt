@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout through RAW — without this, sbt prefixes
+// every line with "[info] " and appends "[success] ...", which broke the
+// driver's JSON parse of Bench's total line four rounds running
+// (BENCH_r04 "parsed": null). Unscoped on purpose: `runMain` does NOT
+// delegate to `run`-scoped settings, and the driver invokes via runMain.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

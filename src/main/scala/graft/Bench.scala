@@ -9,10 +9,14 @@ import org.apache.spark.sql.SparkSession
   *    whole-stage-codegen kernels run interpreted, 5–20× slower). A WARNING
   *    line fires when any CodeHeap pool crosses 90% so a slow record is
   *    self-diagnosing.
-  *  - stdout, second-to-last line: the full-precision per-query map.
+  *  - stdout, before the total: the per-query map as short sorted chunks
+  *    (`{"metric":"queries_part","part":i,"of":n,...}`, 8 queries per line)
+  *    so a bounded tail-window capture holds the COMPLETE map.
   *  - stdout, LAST line: a compact `{"metric":"total",...}` JSON with values
   *    rounded to 3 decimals — short enough that a tail-window capture always
   *    holds the complete line.
+  *  - `target/bench_total.json`: the same record (plus the full-precision
+  *    map) as a file artifact, in case the stdout protocol ever mismatches.
   */
 object Bench {
 
@@ -60,7 +64,8 @@ object Bench {
     Tables.names.foreach { n =>
       try Tables(spark, sfDir, n).count() catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       val (jit0, gc0) = jitGcMs()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -74,7 +79,7 @@ object Bench {
       val (ccUsed, ccMax, ccPct) = codeCache()
       val (jit1, gc1) = jitGcMs()
       System.err.println(
-        f"[bench] $name%-28s ${dt}%8.3f s  codecache ${ccUsed / 1048576}%d/${ccMax / 1048576}%dMB (${ccPct}%.0f%%)  jit +${jit1 - jit0}%dms gc +${gc1 - gc0}%dms")
+        f"[bench] [${idx + 1}%3d/${ordered.size}%d] $name%-28s ${dt}%8.3f s  codecache ${ccUsed / 1048576}%d/${ccMax / 1048576}%dMB (${ccPct}%.0f%%)  jit +${jit1 - jit0}%dms gc +${gc1 - gc0}%dms")
       if (ccPct > 90.0)
         System.err.println(
           s"[bench] WARNING: JIT code cache ${ccPct.round}% full after $name — " +
@@ -83,12 +88,25 @@ object Bench {
       name -> dt
     }
     val total = results.map(_._2).sum
+    // Per-query times as SHORT sorted chunks (8 queries/line, ms precision),
+    // each line self-describing — so a bounded tail-window capture holds the
+    // COMPLETE map (BENCH_r01–r04 clipped the head of the old single ~4 KB
+    // line, leaving c*/dd*/m*/mx* unauditable four rounds running). The LAST
+    // line stays the compact total (~100 bytes).
+    val chunks = results.sortBy(_._1).grouped(8).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val qs = chunk.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+      println(s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"queries":$qs}""")
+    }
+    val totalLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+    println(totalLine)
+    // File artifact too, so the record survives any stdout-protocol mismatch.
     val qsFull = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    // Full-precision per-query record first; the LAST line is a compact total
-    // WITHOUT the per-query map (~100 bytes), so a bounded tail capture always
-    // holds the complete line.
-    println(s"""{"metric":"queries_full","unit":"sec","queries":$qsFull,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    new java.io.File("target").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("target/bench_total.json"),
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qsFull,"sf":"$sfDir"}""" + "\n")
     spark.stop()
   }
 }

@@ -16,11 +16,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Stale-proofing: a query's output dir is DELETED before the attempt and
+    // a `_FAILED` marker is written on exception, so a transient mid-suite
+    // failure can only ever grade as `err` — never as a hash mismatch against
+    // leftover parquet bytes from a previous run (the r4 mx3 signature).
+    def rmRf(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmRf)
+      f.delete(); ()
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      val dest = new java.io.File(s"$outDir/$name")
+      rmRf(dest)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+        .parquet(dest.getPath)
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        rmRf(dest) // a partial write must not survive either
+        dest.mkdirs()
+        Files.writeString(Paths.get(dest.getPath, "_FAILED"),
+          s"$name: ${e.toString}\n")
       }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))

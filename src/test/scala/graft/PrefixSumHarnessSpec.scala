@@ -68,6 +68,47 @@ class PrefixSumHarnessSpec extends AnyFunSuite {
     }
   }
 
+  test("mx3 write path twice after cache-heavy queries (driver mid-suite profile)") {
+    // Reproduces the driver's mid-suite memory profile (the CORRECTNESS_r04
+    // red-row context): several localCheckpoint/persist-heavy dedup queries
+    // run first, then the mx3 query writes through coalesce(1).write.parquet
+    // TWICE in the same session. Both writes must be bit-identical to the
+    // sequential oracle AND to each other.
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sf/documents.parquet").exists())
+    Seq("dd2_minhash_lsh", "dd4_ngram_jaccard", "dd11_dup_clusters").foreach { q =>
+      SparkEntry.queries(q)(spark, sf).count()
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("mx3_stress").toFile
+    try {
+      val hashes = (1 to 2).map { i =>
+        val path = new java.io.File(dir, s"mx3_$i").getAbsolutePath
+        SparkEntry.queries("mx3_context_windows")(spark, sf)
+          .coalesce(1).write.mode("overwrite").parquet(path)
+        val back = spark.read.parquet(path)
+          .select("doc_id", "n_tokens", "start_offset", "window_id", "window_offset")
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+          .sortBy(_._1)
+        var running = 0L
+        back.foreach { case (id, v, off, wid, woff) =>
+          assert(off == running, s"run $i doc $id: offset $off != expected $running")
+          assert(wid == Math.floorDiv(off, 2048L) && woff == off % 2048L)
+          running += v
+        }
+        back.toSeq.hashCode()
+      }
+      assert(hashes(0) == hashes(1), "two mx3 runs in one session diverged")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("two passes see identical range partitions (single shuffle, persisted)") {
     // A 2k-row frame with duplicate-free keys: if pass 1's bases and pass 2's
     // partition contents ever disagreed (RangePartitioner re-sampling), some
