@@ -32,21 +32,32 @@ object Packing {
 
   /** Adds `bin_id` (long, globally unique) such that every bin's token sum
     * is ≤ `budget` (singleton oversize docs excepted).
+    *
+    * Fully deterministic: best fit = smallest remaining capacity that still
+    * holds the doc; capacity ties break to the LOWEST bin id. That tie-break
+    * (rather than a LIFO stack) makes the single-partition assignment
+    * replicable by a sequential oracle — bin id == order of bin creation ==
+    * list position in the DuckDB recursive-CTE oracle (`mx8`).
+    *
+    * `numPartitions` defaults to the cluster parallelism (the scale path);
+    * pass 1 to pin the exact global-BFD assignment for oracle comparison.
     */
   def packSequences(
-      df: DataFrame, idCol: String, tokenCol: String, budget: Long): DataFrame = {
+      df: DataFrame, idCol: String, tokenCol: String, budget: Long,
+      numPartitions: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
     val spark = df.sparkSession
+    val nPart =
+      if (numPartitions > 0) numPartitions else spark.sparkContext.defaultParallelism
     val parted = df
-      .repartitionByRange(spark.sparkContext.defaultParallelism,
-        col(tokenCol).desc, col(idCol))
+      .repartitionByRange(nPart, col(tokenCol).desc, col(idCol))
       .sortWithinPartitions(col(tokenCol).desc, col(idCol))
     val tokIdx = df.schema.fieldIndex(tokenCol)
     val outSchema = df.schema.add("bin_id", LongType, nullable = false)
     val out = parted.rdd.mapPartitionsWithIndex { (pid, it) =>
-      // open bins keyed by remaining capacity → stack of local bin ids;
+      // open bins keyed by remaining capacity → local bin ids, lowest first;
       // best fit = smallest remaining capacity that still holds the doc
-      val open = new java.util.TreeMap[Long, java.util.ArrayDeque[Integer]]()
+      val open = new java.util.TreeMap[Long, java.util.TreeSet[Integer]]()
       var nextLocal = 0
       val base = pid.toLong << 32 // globally unique: split id in the high bits
       it.map { r =>
@@ -54,19 +65,19 @@ object Packing {
         val binLocal: Int = {
           val entry = open.ceilingEntry(n)
           if (n < budget && entry != null) {
-            val stack = entry.getValue
-            val b = stack.pop()
-            if (stack.isEmpty) open.remove(entry.getKey)
+            val ids = entry.getValue
+            val b = ids.pollFirst() // lowest bin id among capacity ties
+            if (ids.isEmpty) open.remove(entry.getKey)
             val remaining = entry.getKey - n
             if (remaining > 0)
-              open.computeIfAbsent(remaining, _ => new java.util.ArrayDeque[Integer]()).push(b)
+              open.computeIfAbsent(remaining, _ => new java.util.TreeSet[Integer]()).add(b)
             b
           } else { // no open bin fits (or doc fills/exceeds the budget)
             val b = nextLocal
             nextLocal += 1
             val remaining = budget - n
             if (remaining > 0)
-              open.computeIfAbsent(remaining, _ => new java.util.ArrayDeque[Integer]()).push(b)
+              open.computeIfAbsent(remaining, _ => new java.util.TreeSet[Integer]()).add(b)
             b
           }
         }

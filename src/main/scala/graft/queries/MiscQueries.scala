@@ -428,6 +428,47 @@ object MiscQueries {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing under the oracle gate ([[graft.operators.Packing]]):
+    * best-fit-decreasing bin assignment, docs sorted (n_tokens DESC, doc_id),
+    * capacity ties to the lowest bin id. `numPartitions = 1` pins the exact
+    * global-BFD assignment the sequential DuckDB recursive CTE replays
+    * (bin id == creation order == caps-list position); the multi-partition
+    * scale path — same kernel, range-partitioned — is spec-covered
+    * (PackingSpec waste/budget bounds). The dd11/dd12 recursive-CTE
+    * precedent: the oracle simulates one doc per recursion step, state =
+    * the open-bin remaining-capacity list.
+    */
+  val mx8SequencePacking: Q = Q(
+    "mx8_sequence_packing",
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         row_number() OVER (ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rn
+      |  FROM documents),
+      |pack AS (
+      |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
+      |         CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bin_id,
+      |         CAST([] AS BIGINT[]) AS caps
+      |  UNION ALL
+      |  SELECT rn, doc_id, n_tokens,
+      |         CASE WHEN fit IS NULL THEN CAST(len(caps) AS BIGINT)
+      |              ELSE CAST(list_position(caps, fit) - 1 AS BIGINT) END AS bin_id,
+      |         CASE WHEN fit IS NULL THEN list_append(caps, 256 - n_tokens)
+      |              ELSE caps[1:list_position(caps, fit)-1] || [fit - n_tokens] || caps[list_position(caps, fit)+1:]
+      |         END AS caps
+      |  FROM (
+      |    SELECT d.rn, d.doc_id, d.n_tokens, p.caps,
+      |           list_min(list_filter(p.caps, c -> c >= d.n_tokens)) AS fit
+      |    FROM pack p JOIN docs d ON d.rn = p.rn + 1))
+      |SELECT doc_id, n_tokens, bin_id FROM pack WHERE rn > 0 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Packing, TextAnalysis}
+    val docs = Tables.documents(spark, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Packing.packSequences(docs, "doc_id", "n_tokens", budget = 256L, numPartitions = 1)
+      .select("doc_id", "n_tokens", "bin_id")
+      .orderBy("doc_id")
+  }
+
   /** The skew-mitigation salted join under the oracle gate: orders⋈customer
     * through [[graft.operators.Skew.saltedJoin]] (8 salt buckets — big side
     * salted by row hash, small side exploded ×8, join key extended with the
@@ -509,5 +550,5 @@ object MiscQueries {
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
     qProfile, qProfileApprox, qSaltedJoin, qScalarFns, qAboveAvgOrders,
     mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
-    mx5StratifiedSample, mx6DomainMix, mx7FixedSample)
+    mx5StratifiedSample, mx6DomainMix, mx7FixedSample, mx8SequencePacking)
 }
