@@ -154,6 +154,31 @@ object MiscQueries {
   private val ProfileCols = Seq("o_custkey", "o_orderdate", "o_orderkey",
     "o_orderpriority", "o_orderstatus", "o_totalprice")
 
+  private val ProfileColsLi = Seq("l_orderkey", "l_partkey", "l_quantity",
+    "l_returnflag", "l_shipdate", "l_suppkey")
+
+  private def profileSql(table: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM $table""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")
+
+  private def profileDf(
+      df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      approx: Boolean): org.apache.spark.sql.DataFrame = {
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+      if (approx) approx_count_distinct(col(c), 0.02).as(s"nd_$c")
+      else countDistinct(col(c)).as(s"nd_$c")))
+    val stacked = cols.map(c => s"'$c', n, null_$c, nd_$c").mkString(", ")
+    val outCol = if (approx) "n_distinct_approx" else "n_distinct"
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stacked) AS " +
+        s"(col_name, n_rows, n_null, $outCol)"))
+      .orderBy(col("col_name"))
+  }
+
   /** Exact one-pass column profile of `orders`: rows / nulls / distinct per
     * column, unpivoted to one row per column via `stack`. All six
     * `count(distinct)`s run in ONE aggregate — Catalyst plans them with an
@@ -163,22 +188,8 @@ object MiscQueries {
     * choice is [[qApproxStats]]-style HLL sketches, which merge WITHOUT
     * Expand (fixed-size partials), trading exactness for a flat shuffle.
     */
-  val qProfile: Q = Q(
-    "q_profile",
-    ProfileCols.map { c =>
-      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
-         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM orders""".stripMargin
-    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")) { (spark, dir) =>
-    val aggs = count(lit(1)).as("n") +: ProfileCols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
-      countDistinct(col(c)).as(s"nd_$c")))
-    val stacked = ProfileCols.map(c => s"'$c', n, null_$c, nd_$c").mkString(", ")
-    Tables.orders(spark, dir)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${ProfileCols.size}, $stacked) AS " +
-        "(col_name, n_rows, n_null, n_distinct)"))
-      .orderBy(col("col_name"))
+  val qProfile: Q = Q("q_profile", profileSql("orders", ProfileCols)) {
+    (spark, dir) => profileDf(Tables.orders(spark, dir), ProfileCols, approx = false)
   }
 
   /** The 100 TB profile plan [[qProfile]]'s scaladoc promises: the SAME
@@ -198,15 +209,23 @@ object MiscQueries {
     * [[qProfile]]'s exact counts at 3×rsd.
     */
   val qProfileApprox: Q = Q.noOracle("q_profile_approx") { (spark, dir) =>
-    val aggs = count(lit(1)).as("n") +: ProfileCols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
-      approx_count_distinct(col(c), 0.02).as(s"nd_$c")))
-    val stacked = ProfileCols.map(c => s"'$c', n, null_$c, nd_$c").mkString(", ")
-    Tables.orders(spark, dir)
-      .agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${ProfileCols.size}, $stacked) AS " +
-        "(col_name, n_rows, n_null, n_distinct_approx)"))
-      .orderBy(col("col_name"))
+    profileDf(Tables.orders(spark, dir), ProfileCols, approx = true)
+  }
+
+  /** The profile pair on the BIGGEST table (lineitem, 4× orders' rows):
+    * where the HLL plan's flat-partial shuffle beats the exact plan's
+    * Expand fan-out by input volume, demonstrating the scaling direction
+    * the [[qProfileApprox]] scaladoc promises. Measured steady-state at
+    * sf0.1: exact 1.76 s vs HLL 1.22 s on lineitem (docs/SCALE.md has the
+    * full table). Exact variant oracle-gated; approx rows-only +
+    * ApproxAggSpec bounds, as for the orders pair.
+    */
+  val qProfileLi: Q = Q("q_profile_li", profileSql("lineitem", ProfileColsLi)) {
+    (spark, dir) => profileDf(Tables.lineitem(spark, dir), ProfileColsLi, approx = false)
+  }
+
+  val qProfileLiApprox: Q = Q.noOracle("q_profile_li_approx") { (spark, dir) =>
+    profileDf(Tables.lineitem(spark, dir), ProfileColsLi, approx = true)
   }
 
   /** Correlated scalar subquery through the SQL surface — Catalyst
@@ -548,7 +567,8 @@ object MiscQueries {
 
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
-    qProfile, qProfileApprox, qSaltedJoin, qScalarFns, qAboveAvgOrders,
+    qProfile, qProfileApprox, qProfileLi, qProfileLiApprox,
+    qSaltedJoin, qScalarFns, qAboveAvgOrders,
     mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
     mx5StratifiedSample, mx6DomainMix, mx7FixedSample, mx8SequencePacking)
 }

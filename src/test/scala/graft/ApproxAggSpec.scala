@@ -69,6 +69,26 @@ class ApproxAggSpec extends AnyFunSuite {
       "exact multi-distinct profile plans an Expand — if this changed, revisit the doc")
   }
 
+  test("q_profile_li_approx: lineitem HLL profile within 3x rsd, no Expand") {
+    val exact = graft.queries.MiscQueries.qProfileLi.run(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = graft.queries.MiscQueries.qProfileLiApprox.run(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    for ((c, a) <- approx) {
+      val e = exact(c)
+      assert(a.getAs[Long]("n_rows") == e.getAs[Long]("n_rows"), s"$c: n_rows")
+      assert(a.getAs[Long]("n_null") == e.getAs[Long]("n_null"), s"$c: n_null")
+      val nd = e.getAs[Long]("n_distinct").toDouble
+      val hll = a.getAs[Long]("n_distinct_approx").toDouble
+      assert(math.abs(hll - nd) / nd <= 0.06,
+        s"$c: HLL estimate $hll vs exact $nd (outside 3x the configured rsd 0.02)")
+    }
+    val pApprox = graft.queries.MiscQueries.qProfileLiApprox.run(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pApprox.contains("Expand"), "HLL profile must aggregate in one flat pass")
+  }
+
   test("Misra-Gries heavy hitters: candidates cover every true hitter; output is exact") {
     import spark.implicits._
     // skewed stream: "hot" 40%, "warm" 15%, tail spread over 1000 values
