@@ -16,7 +16,7 @@ object SparkEntry {
     CoreQueries.all ++ TpchMoreQueries.all ++ CleaningQueries.all ++
       WindowQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       SimilarityQueries.all ++ MultimodalQueries.all ++ MiscQueries.all ++
-      AnalyticsQueries.all
+      AnalyticsQueries.all ++ StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

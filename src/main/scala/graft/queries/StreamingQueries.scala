@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.streaming.EventsStream
+
+/** The streaming family under the driver's oracle gate, via batch/stream
+  * parity: each st* query runs the EXACT function the streaming pipelines use
+  * ([[EventsStream.sessionWindows]], [[EventsStream.hourlyCounts]] — watermark
+  * node and all) over the batch `events` frame. In batch plans Catalyst
+  * eliminates the EventTimeWatermark node and the aggregation semantics are
+  * identical to the streaming run once the watermark has passed — the parity
+  * the streaming specs pin (EwmStreamingMultimodalSpec, WatermarkEnvSpec).
+  * Gating the batch twin therefore gates the streaming operator's logic
+  * end-to-end, which is exactly the reference point a user checks a
+  * stream's output against.
+  */
+object StreamingQueries {
+
+  /** Engine-managed gap sessions (`session_window`, 30-minute gap) over the
+    * full events table. Session semantics: windows `[first_ts, last_ts+gap)`
+    * merge while they OVERLAP, so a gap of exactly 30 minutes starts a NEW
+    * session (adjacent, not overlapping) — hence `>=` in the oracle's
+    * session-break predicate, unlike `q_sessionize`'s strict `>` (whose
+    * custom operator closes on strictly-greater gaps). Timestamps compared
+    * via epoch µs; value sums use the exact-decimal convention.
+    */
+  val st1SessionWindows: Q = Q(
+    "st1_session_windows",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+      |f AS (SELECT user_id, t, value,
+      |        CASE WHEN LAG(t) OVER w IS NULL OR t - LAG(t) OVER w >= 1800000000
+      |             THEN 1 ELSE 0 END AS nf
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+      |s AS (SELECT user_id, t, value,
+      |        SUM(nf) OVER (PARTITION BY user_id ORDER BY t) AS sid
+      |      FROM f)
+      |SELECT user_id, MIN(t) AS start_us, MAX(t) + 1800000000 AS end_us,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, start_us""".stripMargin) { (spark, dir) =>
+    EventsStream.sessionWindows(Tables.events(spark, dir))
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("start_us"))
+  }
+
+  /** The watermarked tumbling-hour aggregation (the materialized-view source
+    * feeding [[EventsStream.hourlyCountsToJdbc]]) over the batch frame —
+    * same `window()` bucketing, same exact-decimal sum the MERGE upserts.
+    */
+  val st2HourlyCounts: Q = Q(
+    "st2_hourly_counts",
+    """SELECT epoch_us(date_trunc('hour', ts)) AS h_us, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY h_us, event_type""".stripMargin) { (spark, dir) =>
+    EventsStream.hourlyCounts(Tables.events(spark, dir))
+      .select(unix_micros(col("h")).as("h_us"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("h_us"), col("event_type"))
+  }
+
+  val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts)
+}

@@ -32,12 +32,16 @@ object EventsStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(EventSchema).parquet(dir)
 
-  /** Watermarked tumbling 1-hour aggregation per event type. */
+  /** Watermarked tumbling 1-hour aggregation per event type. `total_value`
+    * uses the exact-decimal sum convention ([[graft.exprs.Exact.dsum]]) so
+    * the batch twin is bit-stable cross-engine (decimal partials also merge
+    * deterministically across micro-batches).
+    */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), graft.exprs.Exact.dsum(col("value")).as("total_value"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("total_value"))
 
   /** Streaming exact dedup — the streaming form of the batch `dd1` hash
@@ -222,7 +226,8 @@ object EventsStream {
     events
       .withWatermark("ts", watermarkDelay)
       .groupBy(col("user_id"), session_window(col("ts"), gap))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.exprs.Exact.dsum(col("value")).as("total_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
