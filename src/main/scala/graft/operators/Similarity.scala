@@ -84,6 +84,27 @@ object Similarity {
       .select(col("q_id"), col("n_label").as("pred_label"), col("votes"))
   }
 
+  /** Per-label centroid accumulators in fixed-point: each embedding
+    * dimension quantized to `floor(x * 1e6)` (exact-deterministic — the
+    * float→double widening is exact and the single rounding in `x * 1e6`
+    * is IEEE round-to-nearest in any engine), then summed per (label, dim)
+    * as BIGINTs, which are order-independent. Returns (label, dim, qsum, n);
+    * the caller divides `qsum / (n * 1e6)` for the mean when a float
+    * centroid is wanted — shipping SUMS keeps the operator bit-exact and
+    * mergeable (two partial frames add), the same trick as the decimal
+    * money sums. One posexplode (n×d rows) into one aggregate with
+    * map-side combine: after combine each partition holds ≤ labels×dims
+    * partial rows, so the shuffle is tiny no matter the corpus size.
+    */
+  def labelCentroidSums(
+      df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(col(labelCol).cast(LongType).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("label"), col("dim").cast(LongType).as("dim"),
+        floor(col("x").cast(DoubleType) * 1e6).cast(LongType).as("qv"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("qv")).as("qsum"), count(lit(1)).as("n"))
+
   /** All pairs (a < b) with cosine ≥ threshold — exact near-duplicate scan,
     * fully distributed (no driver-side materialization).
     *

@@ -70,6 +70,39 @@ object Temporal {
     df.withColumn(sessionCol, sum(isNew).over(w))
   }
 
+  /** SCD Type-2 version build: collapse a per-key event stream into the
+    * attribute's change history — one row per (key, consecutive attribute
+    * run) with `valid_from` (the change row's `validFromCol`), `valid_to`
+    * (the NEXT change's `valid_from`, null while current) and `is_current`
+    * (1/0 as long, for cross-engine type stability). The warehouse
+    * slowly-changing-dimension builder: run it over a raw change feed to
+    * (re)materialize the versioned dimension.
+    *
+    * Deterministic by construction: `seqCols` must be a TOTAL order within
+    * each key (e.g. event date + a unique id) — change detection compares
+    * each row to its predecessor in that order (null-safe), so ties can
+    * never flip versions between runs. Cost is one keyed sort-shuffle; both
+    * windows share the same partitioning, so Catalyst plans a single
+    * exchange — the same shape as [[sessionize]].
+    */
+  def scd2Versions(
+      df: DataFrame, keyCols: Seq[String], seqCols: Seq[String],
+      attrCol: String, validFromCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(seqCols.map(col): _*)
+    val changed = df
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__rn", row_number().over(w))
+      // rn=1 keeps a leading NULL-attribute run (indistinguishable from
+      // "no previous row" by the null-safe compare alone)
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
+      .drop("__prev", "__rn")
+    changed
+      .withColumn("valid_from", col(validFromCol))
+      .withColumn("valid_to", lead(col(validFromCol), 1).over(w))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+  }
+
   /** Banded range join: all pairs with equal `keyCols` and
     * `right.time ∈ [left.time + lowerUs, left.time + upperUs]` (µs bounds,
     * inclusive/exclusive per `upperExclusive`).

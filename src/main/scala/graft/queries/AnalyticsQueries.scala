@@ -255,6 +255,70 @@ object AnalyticsQueries {
       .orderBy(col("d"))
   }
 
+  /** SCD Type-2 dimension build ([[Temporal.scd2Versions]]): each customer's
+    * order-priority change history as versioned rows with
+    * valid_from/valid_to/is_current — the standard slowly-changing-dimension
+    * materialization from a raw change feed. The change feed is orders in
+    * (o_orderdate, o_orderkey) order per customer — a total order, so
+    * version boundaries are deterministic. One keyed sort-shuffle.
+    */
+  val qScd2: Q = Q(
+    "q_scd2_priority",
+    """WITH e AS (SELECT o_custkey AS custkey, CAST(o_orderdate AS DATE) AS eff_date,
+      |                  o_orderpriority AS priority, o_orderkey AS seq FROM orders),
+      |c AS (SELECT *, LAG(priority) OVER w AS prev,
+      |             ROW_NUMBER() OVER w AS rn
+      |      FROM e WINDOW w AS (PARTITION BY custkey ORDER BY eff_date, seq)),
+      |v AS (SELECT custkey, priority, eff_date AS valid_from, seq
+      |      FROM c WHERE rn = 1 OR prev <> priority)
+      |SELECT custkey, priority, valid_from,
+      |       LEAD(valid_from) OVER w2 AS valid_to,
+      |       CAST(CASE WHEN LEAD(valid_from) OVER w2 IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM v WINDOW w2 AS (PARTITION BY custkey ORDER BY valid_from, seq)
+      |ORDER BY custkey, valid_from, seq""".stripMargin) { (spark, dir) =>
+    val events = Tables.orders(spark, dir).select(
+      col("o_custkey").as("custkey"),
+      to_date(col("o_orderdate")).as("eff_date"),
+      col("o_orderpriority").as("priority"),
+      col("o_orderkey").as("seq"))
+    Temporal.scd2Versions(events, Seq("custkey"), Seq("eff_date", "seq"),
+        "priority", "eff_date")
+      .select("custkey", "priority", "valid_from", "valid_to", "is_current")
+      .orderBy(col("custkey"), col("valid_from"), col("seq"))
+  }
+
+  /** Date-spine resample + forward fill over the shared daily series: every
+    * calendar day between min and max gets a row, gaps carry the last
+    * observed close (`last(..., ignoreNulls)` over an unbounded-preceding
+    * frame) plus a fill flag — the time-series regularization step before
+    * any fixed-frequency model. Single-series global window, documented
+    * like w1–w4 (the per-key variant partitions the same plan by symbol);
+    * the spine is a broadcast 1-row `sequence` explode, no generator table.
+    */
+  val qResampleFfill: Q = Q(
+    "q_resample_ffill",
+    s"""WITH ${Series.DailySql},
+       |b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+       |spine0 AS (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS ts FROM b),
+       |spine AS (SELECT CAST(ts AS DATE) AS d FROM spine0),
+       |j AS (SELECT s.d, daily.close FROM spine s LEFT JOIN daily ON daily.d = s.d)
+       |SELECT d,
+       |  LAST_VALUE(close IGNORE NULLS) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill,
+       |  CAST(CASE WHEN close IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+       |FROM j ORDER BY d""".stripMargin) { (spark, dir) =>
+    val daily = Series.daily(spark, dir)
+    val spine = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("d"))
+    val w = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("d"), "left")
+      .select(col("d"),
+        last(col("close"), ignoreNulls = true).over(w).as("close_ffill"),
+        when(col("close").isNull, 1L).otherwise(0L).as("filled"))
+      .orderBy(col("d"))
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
-    qWindowFns, qHistogram, qRangeFrame, tx8DocFreq)
+    qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill)
 }

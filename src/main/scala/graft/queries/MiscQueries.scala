@@ -488,6 +488,33 @@ object MiscQueries {
       .orderBy("doc_id")
   }
 
+  /** Overlapping sliding-window chunking ([[graft.operators.Chunking]]):
+    * window 64 / stride 32 per document — one narrow projection + explode,
+    * no shuffle (vs [[mx3ContextWindows]]'s corpus-stream prefix sum). The
+    * oracle replays the chunk arithmetic with `generate_series` + list
+    * slicing.
+    */
+  val mx9SlidingWindows: Q = Q(
+    "mx9_sliding_windows",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS l,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      |           FROM documents),
+      |c AS (SELECT doc_id, l, n,
+      |             CASE WHEN n <= 64 THEN 1 ELSE (n - 64 + 31) // 32 + 1 END AS nc
+      |      FROM d),
+      |x0 AS (SELECT doc_id, l, n, unnest(generate_series(0, nc - 1)) AS i FROM c),
+      |x AS (SELECT doc_id, l, n, CAST(i AS BIGINT) AS chunk_id FROM x0)
+      |SELECT doc_id, chunk_id, chunk_id * 32 AS tok_start,
+      |       CAST(LEAST(64, n - chunk_id * 32) AS BIGINT) AS n_chunk_tokens,
+      |       array_to_string(l[CAST(chunk_id * 32 + 1 AS BIGINT):CAST(chunk_id * 32 + 64 AS BIGINT)], ' ') AS chunk_text
+      |FROM x ORDER BY doc_id, chunk_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Chunking.slidingWindows(
+        Tables.documents(spark, dir).select("doc_id", "text"),
+        "doc_id", "text", window = 64, stride = 32)
+      .select("doc_id", "chunk_id", "tok_start", "n_chunk_tokens", "chunk_text")
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** The skew-mitigation salted join under the oracle gate: orders⋈customer
     * through [[graft.operators.Skew.saltedJoin]] (8 salt buckets — big side
     * salted by row hash, small side exploded ×8, join key extended with the
@@ -570,5 +597,6 @@ object MiscQueries {
     qProfile, qProfileApprox, qProfileLi, qProfileLiApprox,
     qSaltedJoin, qScalarFns, qAboveAvgOrders,
     mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
-    mx5StratifiedSample, mx6DomainMix, mx7FixedSample, mx8SequencePacking)
+    mx5StratifiedSample, mx6DomainMix, mx7FixedSample, mx8SequencePacking,
+    mx9SlidingWindows)
 }

@@ -217,6 +217,29 @@ object SimilarityQueries {
       .orderBy(col("q_id"))
   }
 
+  /** Per-label class centroids as fixed-point accumulators
+    * ([[Similarity.labelCentroidSums]]): the mean-embedding-per-class
+    * computation (nearest-centroid classifiers, class-prototype dedup)
+    * shipped as order-independent BIGINT sums so the gate is bit-exact —
+    * float means would be accumulation-order-dependent across engines.
+    */
+  val sim7LabelCentroids: Q = Q(
+    "sim7_label_centroids",
+    """WITH x0 AS (SELECT label, embedding,
+      |                   unnest(generate_series(1, len(embedding))) AS i
+      |            FROM embeddings),
+      |x AS (SELECT CAST(label AS BIGINT) AS label,
+      |             CAST(i - 1 AS BIGINT) AS dim,
+      |             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS qv
+      |      FROM x0)
+      |SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS qsum,
+      |       CAST(COUNT(*) AS BIGINT) AS n
+      |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin) { (spark, dir) =>
+    Similarity.labelCentroidSums(Tables.embeddings(spark, dir), "label", "embedding")
+      .orderBy(col("label"), col("dim"))
+  }
+
   val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, dd7EmbeddingLshNearDup,
-    sim2LshTopK, sim3IvfTopK, sim4QuantizedTopK, sim5PqTopK, sim6KnnLabel)
+    sim2LshTopK, sim3IvfTopK, sim4QuantizedTopK, sim5PqTopK, sim6KnnLabel,
+    sim7LabelCentroids)
 }

@@ -233,6 +233,65 @@ object TextQueries {
       .orderBy(col("cnt").desc, col("value"))
   }
 
+  /** Corpus vocabulary with Zipf ranks: token → total occurrences, document
+    * frequency, frequency rank. One explode → one (token) aggregate with
+    * map-side combine — the vocabulary-build shuffle moves distinct tokens
+    * per partition, not the corpus. The rank window is deliberately global:
+    * a post-aggregation vocabulary is orders of magnitude smaller than its
+    * corpus (Heaps' law), so ranking it is a small-data step even at 100 TB
+    * input — same class as the ≤k-counter heavy-hitter collect in tx10.
+    */
+  val tx11VocabZipf: Q = Q(
+    "tx11_vocab_zipf",
+    """WITH tk AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents),
+      |t AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS total_count,
+      |             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |      FROM tk WHERE token <> '' GROUP BY token)
+      |SELECT token, total_count, n_docs,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY total_count DESC, token) AS BIGINT) AS rank
+      |FROM t ORDER BY rank""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("total_count"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("total_count").desc, col("token"))).cast(LongType))
+      .orderBy(col("rank"))
+  }
+
+  /** Bigram language-model counts: adjacent lowercased token pairs →
+    * occurrence counts — the n-gram LM / collocation table builder. The
+    * pairing is a narrow `zip_with` of the token array against its own
+    * tail (no self-join, no positional explode), then one aggregate
+    * shuffle on the bigram; the (cnt DESC, w1, w2) order is total so the
+    * top-100 cut is deterministic.
+    */
+  val tx12Bigrams: Q = Q(
+    "tx12_bigrams",
+    """WITH d AS (SELECT string_split(lower(text), ' ') AS l FROM documents),
+      |x0 AS (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM d),
+      |x AS (SELECT l[i] AS w1, l[i + 1] AS w2
+      |      FROM x0 WHERE l[i] <> '' AND l[i + 1] <> '')
+      |SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM x GROUP BY w1, w2
+      |ORDER BY cnt DESC, w1, w2 LIMIT 100""".stripMargin) { (spark, dir) =>
+    val l = split(lower(col("text")), " ")
+    Tables.documents(spark, dir)
+      .select(explode(zip_with(
+        slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
-    tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters)
+    tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
+    tx11VocabZipf, tx12Bigrams)
 }
