@@ -319,6 +319,144 @@ object AnalyticsQueries {
       .orderBy(col("d"))
   }
 
+  /** Cohort retention: customers bucketed by first-order month, then
+    * distinct active customers per (cohort, month offset) — the standard
+    * retention triangle. Month indices are pure integer arithmetic
+    * (year*12+month), counts are BIGINTs, so the gate is exact by
+    * construction. Two keyed shuffles: the per-customer min, then the
+    * (cohort, offset) aggregate; the first-order frame broadcasts back
+    * onto orders (customer count ≪ order count at any scale).
+    */
+  val qCohortRetention: Q = Q(
+    "q_cohort_retention",
+    """WITH o AS (SELECT o_custkey,
+      |             CAST(date_part('year', o_orderdate) * 12 + date_part('month', o_orderdate) AS BIGINT) AS m
+      |           FROM orders),
+      |f AS (SELECT o_custkey, MIN(m) AS cohort_m FROM o GROUP BY o_custkey)
+      |SELECT f.cohort_m, o.m - f.cohort_m AS month_offset,
+      |  CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+      |FROM o JOIN f ON o.o_custkey = f.o_custkey
+      |GROUP BY f.cohort_m, month_offset
+      |ORDER BY cohort_m, month_offset""".stripMargin) { (spark, dir) =>
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast(LongType).as("m"))
+    val f = o.groupBy(col("o_custkey")).agg(min(col("m")).as("cohort_m"))
+    o.join(f, "o_custkey")
+      .groupBy(col("cohort_m"), (col("m") - col("cohort_m")).as("month_offset"))
+      .agg(countDistinct(col("o_custkey")).as("n_active"))
+      .orderBy(col("cohort_m"), col("month_offset"))
+  }
+
+  /** Ordered event funnel: signup → first click at-or-after signup → first
+    * purchase at-or-after that click, per user — the product-analytics
+    * conversion query. Three STACKED window aggregates over the same
+    * `user_id` partitioning (each stage's conditional min sees the previous
+    * stage's column), so the whole funnel costs ONE hash exchange + the
+    * final per-user collapse that reuses it — no join chain, no
+    * re-shuffles. All stage timestamps are deterministic mins. Emits
+    * per-user stage timestamps (µs); the count-per-stage rollup is a
+    * trivial downstream aggregate.
+    */
+  val qFunnel: Q = Q(
+    "q_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |s AS (SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN t END) AS signup_t
+      |      FROM e GROUP BY user_id),
+      |c AS (SELECT e.user_id, MIN(e.t) AS click_t
+      |      FROM e JOIN s ON e.user_id = s.user_id
+      |      WHERE e.event_type = 'click' AND e.t >= s.signup_t
+      |      GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, MIN(e.t) AS purchase_t
+      |      FROM e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.t >= c.click_t
+      |      GROUP BY e.user_id)
+      |SELECT s.user_id, s.signup_t, c.click_t, p.purchase_t
+      |FROM s LEFT JOIN c ON c.user_id = s.user_id
+      |       LEFT JOIN p ON p.user_id = s.user_id
+      |WHERE s.signup_t IS NOT NULL
+      |ORDER BY s.user_id""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .withColumn("signup_t",
+        min(when(col("event_type") === "signup", col("t"))).over(w))
+      .withColumn("click_t",
+        min(when(col("event_type") === "click" && col("t") >= col("signup_t"),
+          col("t"))).over(w))
+      .withColumn("purchase_t",
+        min(when(col("event_type") === "purchase" && col("t") >= col("click_t"),
+          col("t"))).over(w))
+      .filter(col("signup_t").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("signup_t")).as("signup_t"), min(col("click_t")).as("click_t"),
+        min(col("purchase_t")).as("purchase_t"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Month-over-month revenue growth: exact-decimal monthly sums, lag, and
+    * a growth ratio whose operands are exact — so the double division is
+    * the single deterministic rounding. ~84 monthly rows: the lag window
+    * is global by construction (a partitioned variant would key by
+    * region/segment), same documented class as the w1–w4 series.
+    */
+  val qMomGrowth: Q = Q(
+    "q_mom_growth",
+    """WITH m AS (SELECT CAST(date_part('year', o_orderdate) * 12 + date_part('month', o_orderdate) AS BIGINT) AS m,
+      |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |           FROM orders GROUP BY 1)
+      |SELECT m, revenue, LAG(revenue) OVER (ORDER BY m) AS prev_revenue,
+      |  (revenue - LAG(revenue) OVER (ORDER BY m)) / LAG(revenue) OVER (ORDER BY m) AS growth
+      |FROM m ORDER BY m""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("m"))
+    Tables.orders(spark, dir)
+      .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+        .cast(LongType).as("m"))
+      .agg(graft.exprs.Exact.dsum(col("o_totalprice")).as("revenue"))
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("growth",
+        (col("revenue") - col("prev_revenue")) / col("prev_revenue"))
+      .orderBy(col("m"))
+  }
+
+  /** Least-squares trend line over the daily series via EXPLICIT integer
+    * sums (n, Σx, Σy, Σxx, Σxy as BIGINTs — x is the epoch day, y the
+    * integer-valued close), so slope/intercept derive from exact integers
+    * with deterministic long→double rounding. The built-in
+    * `regr_slope`/`regr_intercept` use order-dependent streaming-mean
+    * updates and would NOT hash-match across engines — this formulation is
+    * also the mergeable one (partial sums add), i.e. the 100 TB shape.
+    */
+  val qTrendLine: Q = Q(
+    "q_trend_line",
+    s"""WITH ${Series.DailySql},
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |        CAST(SUM(date_diff('day', DATE '1970-01-01', d)) AS BIGINT) AS sx,
+       |        CAST(SUM(CAST(close AS BIGINT)) AS BIGINT) AS sy,
+       |        CAST(SUM(date_diff('day', DATE '1970-01-01', d) * date_diff('day', DATE '1970-01-01', d)) AS BIGINT) AS sxx,
+       |        CAST(SUM(date_diff('day', DATE '1970-01-01', d) * CAST(close AS BIGINT)) AS BIGINT) AS sxy
+       |      FROM daily)
+       |SELECT n, sx, sy, sxx, sxy,
+       |  CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+       |  (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+       |FROM s""".stripMargin) { (spark, dir) =>
+    val daily = Series.daily(spark, dir).select(
+      datediff(col("d"), lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast(LongType).as("x"),
+      col("close").cast(LongType).as("y"))
+    val s = daily.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    s.select(col("n"), col("sx"), col("sy"), col("sxx"), col("sxy"),
+      slope.as("slope"),
+      ((col("sy").cast(DoubleType) - slope * col("sx").cast(DoubleType)) /
+        col("n").cast(DoubleType)).as("intercept"))
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
-    qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill)
+    qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
+    qCohortRetention, qFunnel, qMomGrowth, qTrendLine)
 }

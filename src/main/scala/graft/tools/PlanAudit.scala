@@ -12,7 +12,9 @@ object PlanAudit {
       TextQueries.tx11VocabZipf, TextQueries.tx12Bigrams,
       SimilarityQueries.sim7LabelCentroids, MiscQueries.mx9SlidingWindows,
       StreamingQueries.st1SessionWindows, StreamingQueries.st2HourlyCounts,
-      MiscQueries.mx8SequencePacking)
+      MiscQueries.mx8SequencePacking,
+      AnalyticsQueries.qCohortRetention, AnalyticsQueries.qFunnel,
+      AnalyticsQueries.qMomGrowth, AnalyticsQueries.qTrendLine)
     qs.foreach { q =>
       val p = q.run(spark, sf).queryExecution.executedPlan.toString
       val ex = p.linesIterator.count(_.contains("Exchange"))
