@@ -750,6 +750,38 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[dropClusteredNearDuplicates]] with a QUALITY policy: keep each
+    * cluster's best-scoring member (ties → lowest id) instead of its
+    * min-id representative — what production curation actually wants (the
+    * canonical page, not the first-crawled one). `scoreCol` is any
+    * deterministic per-row score already on `df` (e.g.
+    * [[TextAnalysis.qualityScore]]).
+    *
+    * Shape: pair generation + component labels as before, then the labels
+    * LEFT-join back onto the corpus and a per-cluster rank window picks
+    * the survivor. Singletons coalesce to their own id — one-row window
+    * partitions — so the window shuffle is keyed by cluster id and never
+    * concentrates unclustered mass on one key (a NULL-keyed window over
+    * the singleton majority would be the scale bug here).
+    */
+  def dropClusteredNearDuplicatesKeepBest(
+      df: DataFrame, idCol: String, textCol: String, scoreCol: String,
+      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = minhashNearDuplicates(df, idCol, textCol,
+      shingleK, bands, rowsPerBand, threshold)
+    val comp = connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id").as(idCol), col("comp"))
+    val w = Window.partitionBy(col("__comp"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("comp"), col(idCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__comp", "comp")
+  }
+
   // --------------------------------------------------- composite pipeline
 
   /** The end-to-end corpus-cleaning pipeline a training-data run executes,

@@ -347,7 +347,61 @@ object DedupQueries {
       .orderBy(col("source"))
   }
 
+  /** [[dd12ClusterClean]] with the QUALITY survivor policy
+    * ([[Dedup.dropClusteredNearDuplicatesKeepBest]]): each near-dup cluster
+    * keeps its best-quality member (ties → lowest doc_id) instead of the
+    * min-id representative. Same MinHash/LSH pair generation and
+    * reachability oracle as dd11/dd12, plus the tx3 quality expression and
+    * a per-cluster rank.
+    */
+  val dd14ClusterKeepBest: Q = Q(
+    "dd14_cluster_keep_best",
+    s"""WITH RECURSIVE $ShinglesSql,
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+       |     + (104729*j + 12345)) % 4294967311))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, t.b AS band,
+       |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+       |  FROM sig CROSS JOIN range(0, 16) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b FROM (
+       |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
+       |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
+       |  WHERE jaccard >= 0.8),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT a AS id, a AS r FROM edges
+       |          UNION
+       |          SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |q AS (SELECT doc_id,
+       |        0.5 * (LEAST(len(string_split(text, ' ')), 100) / 100.0)
+       |        + 0.3 * (len(list_filter(string_split(lower(text), ' '),
+       |            t -> t IN ('the','a','of','and','is'))) / len(string_split(text, ' ')))
+       |        + 0.2 * (LEAST((length(text) - (len(string_split(text, ' ')) - 1))
+       |                       / len(string_split(text, ' ')), 10.0) / 10.0) AS quality
+       |      FROM documents),
+       |m AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS comp, q.quality
+       |      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |      JOIN q ON q.doc_id = d.doc_id),
+       |r AS (SELECT doc_id, quality,
+       |        ROW_NUMBER() OVER (PARTITION BY comp ORDER BY quality DESC, doc_id) AS rn
+       |      FROM m)
+       |SELECT doc_id, quality FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    Dedup.dropClusteredNearDuplicatesKeepBest(
+        docs, "doc_id", "text", "quality")
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
-    dd11DupClusters, dd12ClusterClean, dd13DupRate)
+    dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest)
 }

@@ -273,6 +273,70 @@ object WindowQueries {
     }
   }
 
+  /** Feature standardization (z-score) over lineitem quantity — the
+    * StandardScaler ML-prep step at corpus scale: ONE exact global
+    * aggregate (n, Σx, Σx² as BIGINTs — quantity is integer-valued, so the
+    * sums are exact and every engine casts them to the same doubles),
+    * broadcast back over the table as a narrow projection. mean/std/z are
+    * the identical IEEE op sequence in both engines, so the gate is
+    * bit-exact. Mergeable by construction (partial sums add) — the same
+    * scaling pass works as a streaming accumulator or a 1000-executor
+    * treeAggregate.
+    */
+  val m8StandardScaler: Q = Q(
+    "m8_standard_scaler",
+    """WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+      |             CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx
+      |           FROM lineitem)
+      |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
+      |  (l_quantity - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |           / (CAST(n AS DOUBLE) - 1.0)) AS z
+      |FROM lineitem, s
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val li = graft.Tables.lineitem(spark, dir)
+    val s = li.agg(
+      count(lit(1)).as("n"),
+      sum(col("l_quantity").cast(LongType)).as("sx"),
+      sum(col("l_quantity").cast(LongType) * col("l_quantity").cast(LongType)).as("sxx"))
+    val nD = col("n").cast(DoubleType)
+    val mean = col("sx").cast(DoubleType) / nD
+    val std = sqrt((col("sxx").cast(DoubleType)
+      - col("sx").cast(DoubleType) * col("sx").cast(DoubleType) / nD) / (nD - 1.0))
+    li.crossJoin(broadcast(s))
+      .select(col("l_orderkey"), col("l_linenumber").cast(LongType).as("l_linenumber"),
+        col("l_quantity"), ((col("l_quantity") - mean) / std).as("z"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** One-hot encoding of a low-cardinality categorical (order priority, 5
+    * known values) — the ML-prep indicator expansion as a pure narrow
+    * projection with a STATIC value list (an inferred encoder would scan
+    * for distinct values first; pinning the vocabulary keeps the schema
+    * static and the pass shuffle-free, exactly how a feature pipeline
+    * ships its encoder).
+    */
+  val m9OneHot: Q = Q(
+    "m9_onehot_priority",
+    """SELECT o_orderkey,
+      |  CAST(CASE WHEN o_orderpriority = '1-URGENT'         THEN 1 ELSE 0 END AS BIGINT) AS p1_urgent,
+      |  CAST(CASE WHEN o_orderpriority = '2-HIGH'           THEN 1 ELSE 0 END AS BIGINT) AS p2_high,
+      |  CAST(CASE WHEN o_orderpriority = '3-MEDIUM'         THEN 1 ELSE 0 END AS BIGINT) AS p3_medium,
+      |  CAST(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'  THEN 1 ELSE 0 END AS BIGINT) AS p4_not_specified,
+      |  CAST(CASE WHEN o_orderpriority = '5-LOW'            THEN 1 ELSE 0 END AS BIGINT) AS p5_low
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val cats = Seq("1-URGENT" -> "p1_urgent", "2-HIGH" -> "p2_high",
+      "3-MEDIUM" -> "p3_medium", "4-NOT SPECIFIED" -> "p4_not_specified",
+      "5-LOW" -> "p5_low")
+    graft.Tables.orders(spark, dir).select(
+      col("o_orderkey") +: cats.map { case (v, name) =>
+        when(col("o_orderpriority") === v, 1L).otherwise(0L).as(name)
+      }: _*)
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
-    w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull)
+    w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot)
 }
