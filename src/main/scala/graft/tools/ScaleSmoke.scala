@@ -47,6 +47,20 @@ object ScaleSmoke {
       val m = graft.operators.Sampling.hashSample(docs, "doc_id", 0.25, "s").count()
       require(math.abs(m - n * 0.25) < n * 0.01, s"sample size $m far from 25%")
     }
+    t(s"sliding_windows n=$n") {
+      // synthetic text: token count varies 1..96 per doc; chunk math must
+      // hold for every row (window 64 / stride 32)
+      val texts = docs.withColumn("text",
+        array_join(transform(sequence(lit(1), (col("doc_id") % 96 + 1).cast("int")),
+          i => concat(lit("w"), i)), " "))
+      val out = graft.operators.Chunking
+        .slidingWindows(texts, "doc_id", "text", window = 64, stride = 32)
+      val nChunks = out.count()
+      val bad = out.filter(col("n_chunk_tokens") <= 0 ||
+        col("n_chunk_tokens") > 64 || col("tok_start") % 32 =!= 0).count()
+      require(bad == 0, s"$bad malformed chunks")
+      require(nChunks >= n, "every doc must emit at least one chunk")
+    }
     spark.stop()
   }
 }

@@ -161,4 +161,41 @@ class PlanShapeSpec extends AnyFunSuite {
       "the only row-multiplying join allowed is the 1-row scalar broadcast")
     assert(p.contains("LeftAnti"))
   }
+
+  test("q_funnel: three stacked stage windows over ONE user_id exchange, no join chain") {
+    val p = plan(graft.queries.AnalyticsQueries.qFunnel.run(spark, sf))
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"funnel must shuffle once on user_id, got $hashEx hash exchanges:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Join"), "stage derivation must be windows, not a join chain")
+  }
+
+  test("m8 scaler: stats enter as a 1-row broadcast; scaling is a narrow projection") {
+    val p = plan(graft.queries.WindowQueries.m8StandardScaler.run(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the stats row must broadcast, not shuffle the table")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("mx9 sliding windows: chunking is shuffle-free (only the presentation sort)") {
+    val p = plan(graft.queries.MiscQueries.mx9SlidingWindows.run(spark, sf))
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0, s"per-doc chunking must not hash-shuffle, got $hashEx")
+    assert(p.contains("Generate explode"), "chunks must come from a generator, not a join")
+  }
+
+  test("dd14 keep-best: singletons coalesce to their own cluster key (no NULL-key window)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus of UNIQUE docs: zero near-dup pairs, every doc a singleton —
+    // all must survive, which fails if null comps collapse to one window key
+    val docs = (1 to 200).map(i =>
+      (i.toLong, s"unique text body number $i with marker ${i * 7919}")).toSeq
+      .toDF("doc_id", "text")
+      .withColumn("quality", graft.operators.TextAnalysis.qualityScore(col("text")))
+    val out = graft.operators.Dedup.dropClusteredNearDuplicatesKeepBest(
+      docs, "doc_id", "text", "quality")
+    assert(out.count() == 200, "every singleton must survive keep-best dedup")
+  }
 }
