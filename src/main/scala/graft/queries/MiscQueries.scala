@@ -515,6 +515,61 @@ object MiscQueries {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Cross-engine table checksums — the migration-validation primitive:
+    * per table, row count plus an order-independent XOR of a 60-bit
+    * per-row digest over a CANONICAL row string (integers, cents, epoch
+    * days, raw strings — never float formatting, which differs across
+    * engines). `bit_xor` is commutative/associative, so the signature is
+    * partition-order-free and mergeable — one flat aggregate per table at
+    * any scale, and two systems agree on content iff (n, sig) match.
+    */
+  val qTableChecksum: Q = Q(
+    "q_table_checksum",
+    """WITH o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(bit_xor(CAST(concat('0x', substr(md5(concat_ws('|',
+      |      CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+      |      CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR),
+      |      CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS VARCHAR),
+      |      o_orderpriority, o_orderstatus)), 1, 15)) AS BIGINT)) AS BIGINT) AS xor_sig
+      |  FROM orders),
+      |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(bit_xor(CAST(concat('0x', substr(md5(concat_ws('|',
+      |      CAST(c_custkey AS VARCHAR), CAST(c_nationkey AS VARCHAR),
+      |      c_mktsegment)), 1, 15)) AS BIGINT)) AS BIGINT) AS xor_sig
+      |  FROM customer),
+      |l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(bit_xor(CAST(concat('0x', substr(md5(concat_ws('|',
+      |      CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+      |      CAST(CAST(l_quantity AS BIGINT) AS VARCHAR),
+      |      l_returnflag, l_linestatus)), 1, 15)) AS BIGINT)) AS BIGINT) AS xor_sig
+      |  FROM lineitem)
+      |SELECT 'customer' AS table_name, n_rows, xor_sig FROM c
+      |UNION ALL SELECT 'lineitem', n_rows, xor_sig FROM l
+      |UNION ALL SELECT 'orders', n_rows, xor_sig FROM o
+      |ORDER BY table_name""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Column, DataFrame}
+    def sig(df: DataFrame, name: String, canon: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        bit_xor(conv(substring(md5(canon), 1, 15), 16, 10).cast(LongType))
+          .as("xor_sig"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("xor_sig"))
+    val o = sig(Tables.orders(spark, dir), "orders", concat_ws("|",
+      col("o_orderkey").cast(StringType), col("o_custkey").cast(StringType),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType).cast(StringType),
+      datediff(to_date(col("o_orderdate")), lit(java.sql.Date.valueOf("1970-01-01")))
+        .cast(StringType),
+      col("o_orderpriority"), col("o_orderstatus")))
+    val c = sig(Tables.customer(spark, dir), "customer", concat_ws("|",
+      col("c_custkey").cast(StringType), col("c_nationkey").cast(StringType),
+      col("c_mktsegment")))
+    val l = sig(Tables.lineitem(spark, dir), "lineitem", concat_ws("|",
+      col("l_orderkey").cast(StringType), col("l_linenumber").cast(StringType),
+      col("l_quantity").cast(LongType).cast(StringType),
+      col("l_returnflag"), col("l_linestatus")))
+    c.union(l).union(o).orderBy(col("table_name"))
+  }
+
   /** The skew-mitigation salted join under the oracle gate: orders⋈customer
     * through [[graft.operators.Skew.saltedJoin]] (8 salt buckets — big side
     * salted by row hash, small side exploded ×8, join key extended with the
@@ -598,5 +653,5 @@ object MiscQueries {
     qSaltedJoin, qScalarFns, qAboveAvgOrders,
     mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
     mx5StratifiedSample, mx6DomainMix, mx7FixedSample, mx8SequencePacking,
-    mx9SlidingWindows)
+    mx9SlidingWindows, qTableChecksum)
 }

@@ -64,5 +64,32 @@ object StreamingQueries {
       .orderBy(col("h_us"), col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts)
+  /** The cross-batch incremental dedup path
+    * ([[EventsStream.incrementalDedupBatch]] — the `foreachBatch` body)
+    * driven once over `documents` as micro-batch #1 against an empty index:
+    * survivors are exactly keep-lowest-id-per-content-hash, which the
+    * oracle states directly. This gates the in-batch window + anti-join +
+    * write pipeline end-to-end (output read back from the real parquet
+    * sink it wrote); the cross-batch index semantics and crash-replay
+    * idempotency are spec-covered (WatermarkEnvSpec), as SQL cannot
+    * express the side-effecting replay.
+    */
+  val st3IncrementalDedup: Q = Q(
+    "st3_incremental_dedup",
+    """SELECT doc_id, md5(text) AS content_hash FROM (
+      |  SELECT doc_id, text,
+      |         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("st3_inc_dedup")
+      .toFile.getAbsolutePath
+    val batch = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    EventsStream.incrementalDedupBatch(batch, "doc_id", "text",
+      s"$tmp/index", s"$tmp/out")
+    spark.read.parquet(s"$tmp/out")
+      .select(col("doc_id"), col("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts, st3IncrementalDedup)
 }
