@@ -185,6 +185,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Generate explode"), "chunks must come from a generator, not a join")
   }
 
+  test("runtime bloom filter: selective dim join injects a probe-side might_contain") {
+    // The 100 TB join-pruning path: with runtime bloom filters on, a
+    // selective creation side (filtered orders) plants a bloom_filter_agg
+    // whose might_contain probe prunes lineitem rows BEFORE the join
+    // shuffle — rows that cannot match never enter the exchange. Flags are
+    // runtime-settable; thresholds forced so the tiny test corpus takes
+    // the same plan a warehouse-sized input would.
+    import org.apache.spark.sql.functions._
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = graft.Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val l = graft.Tables.lineitem(spark, sf)
+      val p = plan(l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n")))
+      assert(p.contains("bloom_filter_agg"), "creation side must build the bloom filter")
+      assert(p.contains("might_contain"), "probe side must filter before the join shuffle")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("dd14 keep-best: singletons coalesce to their own cluster key (no NULL-key window)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
