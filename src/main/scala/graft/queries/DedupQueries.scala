@@ -401,7 +401,81 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Containment detection over winnowing fingerprints (tx7's scheme:
+    * 4-gram hashes, window-4 local minima): pairs where the SMALLER
+    * fingerprint set is ≥60% covered by the larger — the
+    * quotation/subset-duplicate case Jaccard misses (a doc embedded in a
+    * 10× larger one has tiny Jaccard but full containment). Candidate
+    * generation joins only RARE fingerprints (df ≤ 20) — the dd4 rare-gram
+    * inverted-index trick, which caps the per-fingerprint join fan-out at
+    * df² no matter how hot a common 4-gram is — then the exact
+    * intersection is computed on the full fingerprint sets of the
+    * candidates only. Division of exact integer counts → deterministic
+    * doubles.
+    */
+  val dd15Containment: Q = Q(
+    "dd15_containment",
+    """WITH g AS (SELECT doc_id,
+      |    list_transform(range(1, length(text) - 2), i -> substr(text, CAST(i AS INT), 4)) AS gs
+      |  FROM documents WHERE length(text) >= 7),
+      |h AS (SELECT doc_id,
+      |    list_transform(gs, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hv
+      |  FROM g),
+      |m AS (SELECT doc_id,
+      |    list_sort(list_distinct(list_transform(range(1, len(hv) - 2), i -> list_min(hv[i:i+3])))) AS fps
+      |  FROM h),
+      |e AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+      |dfc AS (SELECT fp FROM e GROUP BY fp HAVING COUNT(*) <= 20),
+      |rare AS (SELECT e.doc_id, e.fp FROM e JOIN dfc ON dfc.fp = e.fp),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+      |p AS (SELECT c.doc_a, c.doc_b,
+      |        CAST(len(list_intersect(ma.fps, mb.fps)) AS BIGINT) AS shared,
+      |        CAST(len(ma.fps) AS BIGINT) AS n_a, CAST(len(mb.fps) AS BIGINT) AS n_b
+      |      FROM cand c JOIN m ma ON ma.doc_id = c.doc_a JOIN m mb ON mb.doc_id = c.doc_b)
+      |SELECT doc_a, doc_b, shared, n_a, n_b,
+      |       shared / CAST(LEAST(n_a, n_b) AS DOUBLE) AS containment
+      |FROM p WHERE shared / CAST(LEAST(n_a, n_b) AS DOUBLE) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val n = 4; val w = 4
+    // The fingerprint kernel is MATERIALIZED once (the dd2/dd4 cache
+    // pattern) — load-bearing twice over: (a) three plan branches (explode,
+    // and the two candidate-side joins) would otherwise recompute it, and
+    // (b) if this multi-branch stage ever falls out of whole-stage codegen,
+    // the interpreted path inlines `hv` into `slice(hv, i, w)` WITHOUT
+    // subexpression elimination — the winnowing pass silently turns
+    // O(len²) in md5 calls per doc (measured: one task pegged for >12 min
+    // at sf0.1). An ExistingRDD root makes that impossible.
+    val m = Dedup.cachedForReuse(Tables.documents(spark, dir)
+      .filter(length(col("text")) >= n + w - 1)
+      .withColumn("gs", expr(s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))"))
+      .withColumn("hv", expr("transform(gs, s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))"))
+      .withColumn("fps", expr(s"array_sort(array_distinct(transform(sequence(1, size(hv) - ${w - 1}), i -> array_min(slice(hv, i, $w)))))"))
+      .select(col("doc_id"), col("fps")))
+    val e = m.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val rareFps = e.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 20).select("fp")
+    val rare = e.join(rareFps, "fp")
+    val cand = rare.select(col("doc_id").as("doc_a"), col("fp"))
+      .join(rare.select(col("doc_id").as("doc_b"), col("fp")), "fp")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val p = cand
+      .join(m.select(col("doc_id").as("doc_a"), col("fps").as("fps_a")), "doc_a")
+      .join(m.select(col("doc_id").as("doc_b"), col("fps").as("fps_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("fps_a"), col("fps_b"))).cast(LongType).as("shared"),
+        size(col("fps_a")).cast(LongType).as("n_a"),
+        size(col("fps_b")).cast(LongType).as("n_b"))
+    p.withColumn("containment",
+        col("shared") / least(col("n_a"), col("n_b")).cast(DoubleType))
+      .filter(col("containment") >= 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
-    dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest)
+    dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
+    dd15Containment)
 }
