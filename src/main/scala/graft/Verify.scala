@@ -24,21 +24,31 @@ object Verify {
       if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmRf)
       f.delete(); ()
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val statuses = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val dest = new java.io.File(s"$outDir/$name")
       rmRf(dest)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(dest.getPath)
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-        rmRf(dest) // a partial write must not survive either
-        dest.mkdirs()
-        Files.writeString(Paths.get(dest.getPath, "_FAILED"),
-          s"$name: ${e.toString}\n")
-      }
+      val status =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(dest.getPath)
+          "ok"
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          rmRf(dest) // a partial write must not survive either
+          dest.mkdirs()
+          Files.writeString(Paths.get(dest.getPath, "_FAILED"),
+            s"$name: ${e.toString}\n")
+          "failed"
+        }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      name -> status
     }
+    // Run manifest: per-query ok/failed, so a grader (or a future round)
+    // can distinguish "query errored" from "output disagreed" at a glance.
+    Files.writeString(Paths.get(s"$outDir/_MANIFEST.json"),
+      statuses.map { case (k, v) => s""""$k": "$v"""" }
+        .mkString("{", ", ", "}\n"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

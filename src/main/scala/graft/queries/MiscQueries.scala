@@ -570,6 +570,91 @@ object MiscQueries {
     c.union(l).union(o).orderBy(col("table_name"))
   }
 
+  /** Data-quality expectation report — the Great-Expectations-style rule
+    * sweep a pipeline runs before publishing a dataset: row-local rules
+    * (nulls, ranges, vocabulary) evaluated as conditional sums in ONE scan
+    * per table, referential rules as broadcast anti-join counts, and one
+    * cross-table consistency rule (lineitem shipped before its order
+    * date). Every violation count is an exact integer; the report is a
+    * union of 1-row aggregates — at 100 TB each rule family stays one
+    * scan-agg or one broadcast anti-join, never a second full pass per
+    * rule.
+    */
+  val qDqReport: Q = Q(
+    "q_dq_report",
+    """SELECT * FROM (
+      |  SELECT 'orders' AS table_name, 'nonpositive_price' AS rule,
+      |    CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+      |  UNION ALL
+      |  SELECT 'orders', 'null_orderdate',
+      |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'orders', 'fk_customer',
+      |    CAST((SELECT COUNT(*) FROM orders o
+      |          WHERE o.o_custkey NOT IN (SELECT c_custkey FROM customer)) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem', 'quantity_range',
+      |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem', 'fk_orders',
+      |    CAST((SELECT COUNT(*) FROM lineitem l
+      |          WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem', 'ship_before_order',
+      |    CAST((SELECT COUNT(*) FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |          WHERE CAST(l.l_shipdate AS DATE) < CAST(o.o_orderdate AS DATE)) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'events', 'unknown_event_type',
+      |    CAST(SUM(CASE WHEN event_type NOT IN ('click','error','purchase','signup','view')
+      |                  THEN 1 ELSE 0 END) AS BIGINT),
+      |    CAST(COUNT(*) AS BIGINT) FROM events
+      |) ORDER BY table_name, rule""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.DataFrame
+    def local(df: DataFrame, table: String, rule: String, viol: org.apache.spark.sql.Column): DataFrame =
+      df.agg(sum(when(viol, 1L).otherwise(0L)).as("n_violations"),
+          count(lit(1)).as("n_rows"))
+        .select(lit(table).as("table_name"), lit(rule).as("rule"),
+          col("n_violations"), col("n_rows"))
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    val orphanOrders = orders.join(
+        broadcast(Tables.customer(spark, dir).select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(broadcast(orders.agg(count(lit(1)).as("n_rows"))))
+      .select(lit("orders").as("table_name"), lit("fk_customer").as("rule"),
+        col("n_violations"), col("n_rows"))
+    val orphanLines = lineitem.join(
+        orders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .crossJoin(broadcast(lineitem.agg(count(lit(1)).as("n_rows"))))
+      .select(lit("lineitem").as("table_name"), lit("fk_orders").as("rule"),
+        col("n_violations"), col("n_rows"))
+    val shipBefore = lineitem.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .agg(sum(when(to_date(col("l_shipdate")) < to_date(col("o_orderdate")), 1L)
+        .otherwise(0L)).as("n_violations"))
+      .crossJoin(broadcast(lineitem.agg(count(lit(1)).as("n_rows"))))
+      .select(lit("lineitem").as("table_name"), lit("ship_before_order").as("rule"),
+        col("n_violations"), col("n_rows"))
+    local(orders, "orders", "nonpositive_price", col("o_totalprice") <= 0)
+      .union(local(orders, "orders", "null_orderdate", col("o_orderdate").isNull))
+      .union(orphanOrders)
+      .union(local(lineitem, "lineitem", "quantity_range",
+        col("l_quantity") < 1 || col("l_quantity") > 50))
+      .union(orphanLines)
+      .union(shipBefore)
+      .union(local(Tables.events(spark, dir), "events", "unknown_event_type",
+        !col("event_type").isin("click", "error", "purchase", "signup", "view")))
+      .orderBy(col("table_name"), col("rule"))
+  }
+
   /** The skew-mitigation salted join under the oracle gate: orders⋈customer
     * through [[graft.operators.Skew.saltedJoin]] (8 salt buckets — big side
     * salted by row hash, small side exploded ×8, join key extended with the
@@ -653,5 +738,5 @@ object MiscQueries {
     qSaltedJoin, qScalarFns, qAboveAvgOrders,
     mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
     mx5StratifiedSample, mx6DomainMix, mx7FixedSample, mx8SequencePacking,
-    mx9SlidingWindows, qTableChecksum)
+    mx9SlidingWindows, qTableChecksum, qDqReport)
 }
