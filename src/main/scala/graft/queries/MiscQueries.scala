@@ -570,6 +570,47 @@ object MiscQueries {
     c.union(l).union(o).orderBy(col("table_name"))
   }
 
+  /** Exact percentile bands per segment WITHOUT percentile builtins: the
+    * [[qMedianPrice]] rank-selection technique generalized — one rank
+    * window per segment, then each requested quantile q picks the row at
+    * `floor(q·(n−1)) + 1` (lower nearest-rank: a stored row value, no
+    * interpolation arithmetic to diverge between engines). All three bands
+    * come from the SAME window pass — at scale this is one sort-shuffle
+    * per key regardless of how many quantiles are requested, where
+    * engine-native `percentile(q1..q3)` would hold per-group digests.
+    */
+  val qPercentileBands: Q = Q(
+    "q_percentile_bands",
+    """WITH r AS (
+      |  SELECT c_mktsegment, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey)
+      |SELECT c_mktsegment,
+      |  MIN(CASE WHEN rn = CAST(FLOOR(0.1 * (cnt - 1)) AS BIGINT) + 1 THEN o_totalprice END) AS p10,
+      |  MIN(CASE WHEN rn = CAST(FLOOR(0.5 * (cnt - 1)) AS BIGINT) + 1 THEN o_totalprice END) AS p50,
+      |  MIN(CASE WHEN rn = CAST(FLOOR(0.9 * (cnt - 1)) AS BIGINT) + 1 THEN o_totalprice END) AS p90,
+      |  CAST(MIN(cnt) AS BIGINT) AS n_orders
+      |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val w = Window.partitionBy(col("c_mktsegment"))
+    val r = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .withColumn("cnt", count(lit(1)).over(w))
+    def band(q: Double, name: String) =
+      min(when(col("rn") ===
+        floor(lit(q) * (col("cnt") - 1)).cast(LongType) + 1L,
+        col("o_totalprice"))).as(name)
+    r.groupBy(col("c_mktsegment"))
+      .agg(band(0.1, "p10"), band(0.5, "p50"), band(0.9, "p90"),
+        min(col("cnt")).as("n_orders"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Data-quality expectation report — the Great-Expectations-style rule
     * sweep a pipeline runs before publishing a dataset: row-local rules
     * (nulls, ranges, vocabulary) evaluated as conditional sums in ONE scan
@@ -738,5 +779,5 @@ object MiscQueries {
     qSaltedJoin, qScalarFns, qAboveAvgOrders,
     mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
     mx5StratifiedSample, mx6DomainMix, mx7FixedSample, mx8SequencePacking,
-    mx9SlidingWindows, qTableChecksum, qDqReport)
+    mx9SlidingWindows, qTableChecksum, qDqReport, qPercentileBands)
 }
