@@ -34,6 +34,20 @@ object Sampling {
     df.filter(selectionHash(col(idCol), salt) < math.round(fraction * 4294967296.0))
   }
 
+  /** Per-row WEIGHTED Bernoulli sample: row kept with probability
+    * `weight` (a [0,1] Column, e.g. a quality score) — the
+    * quality-weighted inclusion step of LLM-corpus curation, where
+    * high-quality documents are kept at a higher rate instead of a hard
+    * quantile cut. Same determinism contract as [[hashSample]]: identical
+    * row set on every run and engine (the threshold is the weight double
+    * scaled by 2³², each compared against the salt-keyed id hash), still
+    * a pure narrow filter.
+    */
+  def weightedHashSample(
+      df: DataFrame, idCol: String, weight: Column, salt: String): DataFrame =
+    df.filter(selectionHash(col(idCol), salt).cast(DoubleType)
+      < weight * 4294967296.0)
+
   def quotaPerGroup(
       df: DataFrame, groupCol: String, idCol: String, n: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

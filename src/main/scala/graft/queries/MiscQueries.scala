@@ -570,6 +570,56 @@ object MiscQueries {
     c.union(l).union(o).orderBy(col("table_name"))
   }
 
+  /** Quality-WEIGHTED deterministic sampling
+    * ([[graft.operators.Sampling.weightedHashSample]]): each document kept
+    * with probability equal to its quality score — the curation step that
+    * up-samples high-quality text without a hard quantile cut (mx4's
+    * complement). Selection stays a pure function of (salt, doc_id,
+    * quality): rerun- and engine-stable, pure narrow filter.
+    */
+  val mx10WeightedSample: Q = Q(
+    "mx10_weighted_sample",
+    """WITH q AS (SELECT doc_id, lang,
+      |    0.5 * (LEAST(len(string_split(text, ' ')), 100) / 100.0)
+      |    + 0.3 * (len(list_filter(string_split(lower(text), ' '),
+      |        t -> t IN ('the','a','of','and','is'))) / len(string_split(text, ' ')))
+      |    + 0.2 * (LEAST((length(text) - (len(string_split(text, ' ')) - 1))
+      |                   / len(string_split(text, ' ')), 10.0) / 10.0) AS quality
+      |  FROM documents)
+      |SELECT doc_id, lang, quality FROM q
+      |WHERE CAST(CAST(concat('0x', substr(md5(concat('s10:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+      |      < quality * 4294967296.0
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Sampling, TextAnalysis}
+    val docs = Tables.documents(spark, dir)
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+    Sampling.weightedHashSample(docs, "doc_id", col("quality"), salt = "s10")
+      .select(col("doc_id"), col("lang"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CDC log compaction: the LATEST event per key by (event time, id) —
+    * the upsert-materialization read of a change stream (c8/c9 cover
+    * keep-FIRST; compaction wants keep-last). One rank window per key,
+    * same single sort-shuffle shape as sessionize.
+    */
+  val qCdcCompact: Q = Q(
+    "q_cdc_compact",
+    """SELECT user_id, event_id, epoch_us(ts) AS t, event_type, value FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"),
+        col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Exact percentile bands per segment WITHOUT percentile builtins: the
     * [[qMedianPrice]] rank-selection technique generalized — one rank
     * window per segment, then each requested quantile q picks the row at
@@ -779,5 +829,6 @@ object MiscQueries {
     qSaltedJoin, qScalarFns, qAboveAvgOrders,
     mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
     mx5StratifiedSample, mx6DomainMix, mx7FixedSample, mx8SequencePacking,
-    mx9SlidingWindows, qTableChecksum, qDqReport, qPercentileBands)
+    mx9SlidingWindows, mx10WeightedSample, qTableChecksum, qDqReport,
+    qPercentileBands, qCdcCompact)
 }
