@@ -91,5 +91,25 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts, st3IncrementalDedup)
+  /** Stream-static enrichment ([[EventsStream.enrich]]) over the batch
+    * frame: the left broadcast join every ingest pipeline uses to attach
+    * dimension attributes — unmatched events keep flowing with null
+    * attributes, never dropped. In streaming the same call re-plans the
+    * static side per micro-batch (dimension updates picked up, no state
+    * store); the join semantics gated here are identical.
+    */
+  val st4Enrich: Q = Q(
+    "st4_enrich",
+    """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS segment
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin) { (spark, dir) =>
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    EventsStream.enrich(Tables.events(spark, dir), dim, "user_id", "c_custkey")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("segment"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts, st3IncrementalDedup,
+    st4Enrich)
 }

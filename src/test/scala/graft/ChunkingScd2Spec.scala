@@ -63,6 +63,21 @@ class ChunkingScd2Spec extends AnyFunSuite {
     assert(v.groupBy(_._1).forall(_._2.count(_._5 == 1L) == 1))
   }
 
+  test("weightedHashSample: weight-monotone per row, 0 keeps none, 1 keeps all") {
+    val docs = spark.range(1, 2001).toDF("doc_id")
+    def kept(w: Double): Set[Long] = graft.operators.Sampling
+      .weightedHashSample(docs, "doc_id", lit(w), "mono")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept(0.0).isEmpty)
+    assert(kept(1.0).size == 2000)
+    // per-row monotonicity: raising the weight can only ADD rows — the
+    // property that makes quality-weighted mixes stable under re-weighting
+    val w25 = kept(0.25); val w50 = kept(0.5); val w75 = kept(0.75)
+    assert(w25.subsetOf(w50) && w50.subsetOf(w75))
+    // and the rate tracks the weight
+    assert(math.abs(w50.size - 1000) < 100, s"got ${w50.size} at weight 0.5")
+  }
+
   test("labelCentroidSums: partial frames merge to the full answer (mergeability)") {
     val a = Seq((0, Seq(0.5f, -0.25f)), (1, Seq(1.0f, 2.0f))).toDF("label", "embedding")
     val b = Seq((0, Seq(0.25f, 0.75f))).toDF("label", "embedding")
