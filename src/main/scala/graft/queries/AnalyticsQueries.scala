@@ -456,7 +456,53 @@ object AnalyticsQueries {
         col("n").cast(DoubleType)).as("intercept"))
   }
 
+  /** 2-D skyline (Pareto frontier): customers not dominated on
+    * (order count, account balance) — the preference-query operator
+    * (maximize both dims; a dominates b iff ≥ on both and > on at least
+    * one). The oracle is the O(n²) NOT-EXISTS dominance scan; the Spark
+    * side is the O(n log n) sweep as TWO window passes: first keep only
+    * the max-y row(s) per x (same-x dominance), then keep rows whose y
+    * strictly exceeds the max y over all STRICTLY larger x (a RANGE frame
+    * from x+1). Same-x ties on max y are all kept (no strict dominance),
+    * matching the oracle exactly. Both windows are global-ordered by
+    * design — the frontier input here is one small aggregate per entity
+    * (customers, not orders); the grouped variant partitions the same
+    * plan by key.
+    */
+  val qSkyline: Q = Q(
+    "q_skyline",
+    """WITH agg AS (
+      |  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+      |         c.c_acctbal
+      |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      |  GROUP BY c.c_custkey, c.c_acctbal)
+      |SELECT c_custkey, n_orders, c_acctbal FROM agg a
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM agg b
+      |  WHERE b.n_orders >= a.n_orders AND b.c_acctbal >= a.c_acctbal
+      |    AND (b.n_orders > a.n_orders OR b.c_acctbal > a.c_acctbal))
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val agg = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_acctbal"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .select("c_custkey", "n_orders", "c_acctbal")
+    val perX = Window.partitionBy(col("n_orders"))
+    val sweep = Window.orderBy(col("n_orders"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    agg
+      .withColumn("__maxy_same_x", max(col("c_acctbal")).over(perX))
+      .filter(col("c_acctbal") === col("__maxy_same_x"))
+      .withColumn("__maxy_higher_x", max(col("c_acctbal")).over(sweep))
+      .filter(col("__maxy_higher_x").isNull ||
+        col("c_acctbal") > col("__maxy_higher_x"))
+      .select("c_custkey", "n_orders", "c_acctbal")
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
     qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
-    qCohortRetention, qFunnel, qMomGrowth, qTrendLine)
+    qCohortRetention, qFunnel, qMomGrowth, qTrendLine, qSkyline)
 }
