@@ -474,8 +474,54 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Cross-source leakage matrix: MinHash near-dup pair counts per
+    * UNORDERED source pair — the observability view that tells a curation
+    * team WHERE duplication comes from (within one crawl vs replicated
+    * across feeds; cross-source rows are also the train/eval leakage
+    * signal when sources split into training vs held-out). Reuses the
+    * dd2 pair pipeline; the pair's source key is sorted so (a,b) and
+    * (b,a) land in one cell; one tiny aggregate on top.
+    */
+  val dd16SourceLeakage: Q = Q(
+    "dd16_source_leakage",
+    s"""WITH $ShinglesSql,
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+       |     + (104729*j + 12345)) % 4294967311))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, t.b AS band,
+       |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+       |  FROM sig CROSS JOIN range(0, 16) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b FROM (
+       |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
+       |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
+       |  WHERE jaccard >= 0.8)
+       |SELECT LEAST(da.source, db.source) AS source_a,
+       |       GREATEST(da.source, db.source) AS source_b,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |FROM pairs p
+       |JOIN documents da ON da.doc_id = p.doc_a
+       |JOIN documents db ON db.doc_id = p.doc_b
+       |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.minhashNearDuplicates(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", shingleK = 3, bands = 16, rowsPerBand = 4,
+        threshold = 0.8)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
-    dd15Containment)
+    dd15Containment, dd16SourceLeakage)
 }
