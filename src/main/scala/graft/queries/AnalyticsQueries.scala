@@ -502,7 +502,53 @@ object AnalyticsQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Triangle counting on the co-purchase graph (users purchasing within
+    * the same hour) — the graph-analytics staple behind clustering
+    * coefficients and community detection. Edges are ORIENTED low→high id,
+    * so each triangle is counted exactly once as a(a,b)⋈(b,c)⋈(a,c) wedge
+    * close — two equi-joins on the edge table, the standard distributed
+    * formulation (at scale, orient by DEGREE instead of id so high-degree
+    * hubs sit on the narrow side of the wedge join; id-orientation is the
+    * deterministic variant the oracle can replay). Counts are exact
+    * integers. The sf0.1 graph is DENSE by construction (1.5k users, 244k
+    * edges over 720 hourly buckets → ~40M wedges), making this the
+    * suite's deliberate heavy-join stressor: ~5.6 s steady-state, all in
+    * the wedge shuffle — the cost exact triangle counting pays at this
+    * density on any engine.
+    */
+  val qTriangles: Q = Q(
+    "q_triangles",
+    """WITH p AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+      |           FROM events WHERE event_type = 'purchase'),
+      |e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |      FROM p a JOIN p b ON a.h = b.h AND a.user_id < b.user_id),
+      |t AS (SELECT COUNT(*) AS n_triangles
+      |      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      |                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+      |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+      |       CAST(t.n_triangles AS BIGINT) AS n_triangles
+      |FROM t""".stripMargin) { (spark, dir) =>
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .distinct()
+    // edge table feeds FOUR consumers (three wedge-join legs + the edge
+    // count) — materialize once (SCALE.md invariant #3)
+    val e = graft.operators.Dedup.cachedForReuse(
+      p.as("a").join(p.as("b"),
+          col("a.h") === col("b.h") && col("a.user_id") < col("b.user_id"))
+        .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+        .distinct())
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e2.u") === col("e1.v"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_triangles"))
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
     qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
-    qCohortRetention, qFunnel, qMomGrowth, qTrendLine, qSkyline)
+    qCohortRetention, qFunnel, qMomGrowth, qTrendLine, qSkyline, qTriangles)
 }
