@@ -110,6 +110,30 @@ object StreamingQueries {
       .orderBy(col("event_id"))
   }
 
+  /** The stream-stream interval join ([[EventsStream.clickAttribution]])
+    * over batch frames: purchase ↔ prior-30-minute clicks per user,
+    * watermark nodes and all. Timestamps compared via epoch µs.
+    */
+  val st5ClickAttribution: Q = Q(
+    "st5_click_attribution",
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |       epoch_us(p.ts) AS p_us, c.event_id AS click_id, epoch_us(c.ts) AS c_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id
+      | AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+      | AND epoch_us(c.ts) < epoch_us(p.ts)
+      |ORDER BY purchase_id, click_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    EventsStream.clickAttribution(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("p_us"),
+        col("click_id"), unix_micros(col("c_ts")).as("c_us"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts, st3IncrementalDedup,
-    st4Enrich)
+    st4Enrich, st5ClickAttribution)
 }

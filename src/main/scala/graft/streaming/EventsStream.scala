@@ -211,6 +211,31 @@ object EventsStream {
           "primary_keys" -> Seq("h", "event_type"))).load(batch.toDF()): Unit
       }
 
+  /** STREAM-STREAM interval join: each purchase matched to the same user's
+    * clicks in the 30 minutes before it — ad/click attribution, the
+    * canonical two-stream correlation. Both sides are watermarked and the
+    * join condition bounds event time in BOTH directions, so Spark can
+    * evict buffered rows once the watermark passes their join horizon —
+    * state is (arrival rate × horizon) per side, not the whole stream.
+    * INNER join: emits as soon as a match arrives. The SAME expression
+    * runs over batch frames (watermark nodes eliminated), which is how the
+    * st5 oracle gates it; streaming parity is spec-pinned.
+    */
+  def clickAttribution(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c,
+      col("c_user") === col("user_id") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") < col("p_ts"))
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Declarative gap sessions via Spark's built-in `session_window` — the
     * engine-managed alternative to the [[sessionize]] state function: the
     * state store holds merge-capable session windows per key, the watermark

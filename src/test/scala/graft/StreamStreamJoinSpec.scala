@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventsStream
+
+/** Stream-stream interval join (clickAttribution): batch/stream parity and
+  * join-window semantics. The batch side of the parity pair is the st5
+  * oracle gate; here the SAME function runs as a genuine two-stream join.
+  */
+class StreamStreamJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(minute: Long) = new java.sql.Timestamp(minute * 60000)
+
+  test("clickAttribution: stream-stream join emits in-window pairs, excludes out-of-window") {
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = EventsStream.clickAttribution(
+        pMem.toDF().toDF("event_id", "user_id", "ts"),
+        cMem.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("attr_test").start()
+    // user 1: clicks at minute 40 and 9 (out of window), purchase at 60
+    //   → only the minute-40 click attributes (60-30=30 <= 40 < 60)
+    // user 2: click at minute 59 but for a DIFFERENT user → no match
+    cMem.addData((101L, 1L, ts(40)), (102L, 1L, ts(9)), (103L, 2L, ts(59)))
+    pMem.addData((201L, 1L, ts(60)))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT purchase_id, click_id FROM attr_test")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((201L, 101L)),
+      s"expected only the in-window same-user click, got $got")
+    // a click exactly AT the purchase time is excluded (strict upper bound)
+    cMem.addData((104L, 3L, ts(100)))
+    pMem.addData((202L, 3L, ts(100)))
+    q.processAllAvailable()
+    val after = spark.sql("SELECT purchase_id, click_id FROM attr_test")
+      .as[(Long, Long)].collect().toSet
+    assert(after == Set((201L, 101L)), "boundary click must not attribute")
+    q.stop()
+  }
+
+  test("clickAttribution: batch run equals the plain inequality join") {
+    val p = Seq((1L, 10L, ts(60)), (2L, 10L, ts(200))).toDF("event_id", "user_id", "ts")
+    val c = Seq((11L, 10L, ts(40)), (12L, 10L, ts(59)), (13L, 10L, ts(171)),
+      (14L, 10L, ts(29))).toDF("event_id", "user_id", "ts")
+    val got = EventsStream.clickAttribution(p, c)
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // purchase 1 window [30, 60): clicks 40, 59; purchase 2 window [170, 200): click 171
+    assert(got == Set((1L, 11L), (1L, 12L), (2L, 13L)))
+  }
+}
