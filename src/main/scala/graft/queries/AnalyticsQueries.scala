@@ -319,6 +319,46 @@ object AnalyticsQueries {
       .orderBy(col("d"))
   }
 
+  /** The PER-KEY form of [[qResampleFfill]] — the scale path its scaladoc
+    * promises: each priority-symbol's daily series gets its own date
+    * spine (per-key min..max, generated inside the aggregate row, no
+    * global bounds) and forward fill runs under `partitionBy(sym)` — the
+    * whole operator is one keyed shuffle regardless of key count, where
+    * the single-series form is a one-partition window by construction.
+    */
+  val qResampleBySymbol: Q = Q(
+    "q_resample_by_symbol",
+    """WITH bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) AS close
+      |  FROM orders GROUP BY 1, 2),
+      |b AS (SELECT sym, MIN(d) AS d0, MAX(d) AS d1 FROM bars GROUP BY sym),
+      |spine0 AS (SELECT sym, unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS ts FROM b),
+      |spine AS (SELECT sym, CAST(ts AS DATE) AS d FROM spine0),
+      |j AS (SELECT s.sym, s.d, bars.close
+      |      FROM spine s LEFT JOIN bars ON bars.sym = s.sym AND bars.d = s.d)
+      |SELECT sym, d,
+      |  LAST_VALUE(close IGNORE NULLS) OVER (PARTITION BY sym ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill,
+      |  CAST(CASE WHEN close IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+      |FROM j ORDER BY sym, d""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val bars = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(floor(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DoubleType) / 100.0).cast(DoubleType).as("close"))
+    val spine = bars.groupBy(col("sym"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("sym"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+    val w = Window.partitionBy(col("sym")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(bars, Seq("sym", "d"), "left")
+      .select(col("sym"), col("d"),
+        last(col("close"), ignoreNulls = true).over(w).as("close_ffill"),
+        when(col("close").isNull, 1L).otherwise(0L).as("filled"))
+      .orderBy(col("sym"), col("d"))
+  }
+
   /** Cohort retention: customers bucketed by first-order month, then
     * distinct active customers per (cohort, month offset) — the standard
     * retention triangle. Month indices are pure integer arithmetic
@@ -550,5 +590,6 @@ object AnalyticsQueries {
 
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
     qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
-    qCohortRetention, qFunnel, qMomGrowth, qTrendLine, qSkyline, qTriangles)
+    qCohortRetention, qFunnel, qMomGrowth, qTrendLine, qSkyline, qTriangles,
+    qResampleBySymbol)
 }
