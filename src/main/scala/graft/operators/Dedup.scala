@@ -782,6 +782,64 @@ object Dedup {
       .drop("__rn", "__comp", "comp")
   }
 
+  /** PPJoin-style prefix-filtering set-similarity self-join over whitespace
+    * token sets — the EXACT-threshold complement to MinHash LSH (no false
+    * negatives, no tuning of bands/rows; the method of Chaudhuri et al.'s
+    * SSJoin and Xiao et al.'s PPJoin, both public literature). The filter:
+    * order every document's distinct tokens by a single GLOBAL canonical
+    * order (ascending document frequency, ties by token — rarest first) and
+    * keep only the first p = n − ⌈t·n⌉ + 1 tokens as its "prefix". Any pair
+    * with Jaccard ≥ t MUST share at least one prefix token under a common
+    * total order, so the prefix inverted index generates a candidate
+    * superset, verified by exact set intersection.
+    *
+    * Scale: prefixes are dominated by RARE tokens (the df-ascending order
+    * exists precisely to make the inverted-index postings short), so the
+    * candidate join is keyed on low-frequency tokens and partitions evenly;
+    * per-doc windows shuffle on doc_id. The threshold is a RATIONAL
+    * num/den and every filter comparison is integer arithmetic
+    * (⌈t·n⌉ = (num·n + den − 1) div den; inter/union ≥ t ⟺
+    * inter·den ≥ union·num), so the decision boundary is bit-identical on
+    * any engine — no float threshold ambiguity.
+    *
+    * Returns (doc_a, doc_b, inter, n_a, n_b, jaccard), doc_a < doc_b,
+    * jaccard ≥ num/den exactly.
+    */
+  def prefixFilterNearDuplicates(
+      df: DataFrame, idCol: String, textCol: String,
+      thresholdNum: Int = 7, thresholdDen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // token sets feed three consumers (explode + both verify sides)
+    val toks = cachedForReuse(spread(df)
+      .select(col(idCol).as("doc_id"),
+        array_distinct(split(lower(col(textCol)), " ")).as("toks")))
+    val e = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val dfreq = e.groupBy("tok").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = e.join(dfreq, "tok")
+      .withColumn("rn", row_number().over(byDoc.orderBy(col("df"), col("tok"))))
+      .withColumn("n", count(lit(1)).over(byDoc))
+    val prefix = ranked.filter(col("rn") <=
+      expr(s"n - ((n * $thresholdNum + ${thresholdDen - 1}) div $thresholdDen) + 1"))
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(toks.select(col("doc_id").as("doc_a"), col("toks").as("ta")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("toks").as("tb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ta"), col("tb"))).cast(LongType))
+      .withColumn("n_a", size(col("ta")).cast(LongType))
+      .withColumn("n_b", size(col("tb")).cast(LongType))
+      .filter(col("inter") * thresholdDen >=
+        (col("n_a") + col("n_b") - col("inter")) * thresholdNum)
+      .withColumn("jaccard",
+        col("inter") / (col("n_a") + col("n_b") - col("inter")))
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+  }
+
   // --------------------------------------------------- composite pipeline
 
   /** The end-to-end corpus-cleaning pipeline a training-data run executes,

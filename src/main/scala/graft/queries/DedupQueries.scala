@@ -520,8 +520,43 @@ object DedupQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Prefix-filtering set-similarity join (PPJoin family) at token Jaccard
+    * ≥ 7/10 — the EXACT-threshold near-dup path: unlike dd2's LSH it has
+    * zero false negatives by construction, at the cost of a candidate join
+    * keyed on each doc's rarest p = n − ⌈0.7n⌉ + 1 tokens. All threshold
+    * math is integer (rational 7/10), so the decision boundary is
+    * bit-identical across engines. See
+    * [[graft.operators.Dedup.prefixFilterNearDuplicates]].
+    */
+  val dd17PrefixFilter: Q = Q(
+    "dd17_prefix_filter",
+    """WITH tk AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS toks
+      |           FROM documents),
+      |e AS (SELECT doc_id, unnest(toks) AS tok FROM tk),
+      |f AS (SELECT tok, COUNT(*) AS df FROM e GROUP BY tok),
+      |r AS (SELECT e.doc_id, e.tok,
+      |        ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY f.df, e.tok) AS rn,
+      |        COUNT(*) OVER (PARTITION BY e.doc_id) AS n
+      |      FROM e JOIN f ON f.tok = e.tok),
+      |p AS (SELECT doc_id, tok FROM r WHERE rn <= n - ((n * 7 + 9) // 10) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+      |v AS (SELECT c.doc_a, c.doc_b,
+      |        CAST(len(list_intersect(ta.toks, tb.toks)) AS BIGINT) AS inter,
+      |        CAST(len(ta.toks) AS BIGINT) AS n_a, CAST(len(tb.toks) AS BIGINT) AS n_b
+      |      FROM cand c JOIN tk ta ON ta.doc_id = c.doc_a
+      |                  JOIN tk tb ON tb.doc_id = c.doc_b)
+      |SELECT doc_a, doc_b, inter, n_a, n_b,
+      |       inter / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard
+      |FROM v WHERE inter * 10 >= (n_a + n_b - inter) * 7
+      |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    Dedup.prefixFilterNearDuplicates(Tables.documents(spark, dir),
+        "doc_id", "text", thresholdNum = 7, thresholdDen = 10)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
-    dd15Containment, dd16SourceLeakage)
+    dd15Containment, dd16SourceLeakage, dd17PrefixFilter)
 }

@@ -217,4 +217,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(b(0L) == b(1L))
     assert(b(0L) != b(2L))
   }
+
+  test("prefixFilterNearDuplicates = brute-force all-pairs (no false negatives)") {
+    // the PPJoin guarantee is EXACTNESS: the prefix index may not drop any
+    // pair with Jaccard >= t. Pin against brute-force on the sf0.001 corpus.
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    val got = Dedup.prefixFilterNearDuplicates(corpus, "doc_id", "text", 7, 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val sets = corpus.collect().map { r =>
+      r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).distinct.toSet
+    }
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa intersect sb).size
+      if inter * 10 >= (sa.size + sb.size - inter) * 7
+    } yield (a, b)).toSet
+    assert(got == want)
+    assert(want.nonEmpty) // the planted near-dups must actually exercise this
+  }
 }
