@@ -337,6 +337,58 @@ object WindowQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Winsorization (percentile clipping) of order totals per market
+    * segment — the outlier-robust ML-prep step: values below the per-key
+    * p05 (above p95) are replaced by the band value itself. Bounds come
+    * from the [[MiscQueries.qPercentileBands]] rank-selection pass (lower
+    * nearest-rank — a STORED row value, so no interpolation arithmetic to
+    * diverge between engines), land in a 5-row table, and are broadcast
+    * back over orders; the clip is a pure narrow CASE projection. At
+    * 100 TB the bounds pass swaps to approx percentiles and the clip pass
+    * is unchanged — the expensive and cheap halves are already separate.
+    */
+  val m10Winsorize: Q = Q(
+    "m10_winsorize",
+    """WITH r AS (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |b AS (
+      |  SELECT c_mktsegment,
+      |    MIN(CASE WHEN rn = CAST(FLOOR(0.05 * (cnt - 1)) AS BIGINT) + 1 THEN o_totalprice END) AS lo,
+      |    MIN(CASE WHEN rn = CAST(FLOOR(0.95 * (cnt - 1)) AS BIGINT) + 1 THEN o_totalprice END) AS hi
+      |  FROM r GROUP BY c_mktsegment)
+      |SELECT r.o_orderkey, r.c_mktsegment, r.o_totalprice,
+      |  CASE WHEN r.o_totalprice < b.lo THEN b.lo
+      |       WHEN r.o_totalprice > b.hi THEN b.hi
+      |       ELSE r.o_totalprice END AS price_w
+      |FROM r JOIN b ON r.c_mktsegment = b.c_mktsegment
+      |ORDER BY r.o_orderkey""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val w = Window.partitionBy(col("c_mktsegment"))
+    val r = graft.Tables.orders(spark, dir)
+      .join(graft.Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .withColumn("cnt", count(lit(1)).over(w))
+    def band(q: Double, name: String) =
+      min(when(col("rn") ===
+        floor(lit(q) * (col("cnt") - 1)).cast(LongType) + 1L,
+        col("o_totalprice"))).as(name)
+    val bounds = r.groupBy(col("c_mktsegment").as("seg"))
+      .agg(band(0.05, "lo"), band(0.95, "hi"))
+    r.join(broadcast(bounds), col("c_mktsegment") === col("seg"))
+      .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"),
+        when(col("o_totalprice") < col("lo"), col("lo"))
+          .when(col("o_totalprice") > col("hi"), col("hi"))
+          .otherwise(col("o_totalprice")).as("price_w"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
-    w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot)
+    w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
+    m10Winsorize)
 }

@@ -130,4 +130,23 @@ class PropertySpec extends AnyFunSuite {
       assert(got == exact, s"len=$len k=$k domain=$domain parts=$parts")
     }
   }
+
+  test("m10 winsorize: bounds are stored p05/p95 values; interior rows untouched") {
+    val res = graft.queries.WindowQueries.m10Winsorize
+      .run(spark, "/root/testdata/sf0.001")
+      .select("c_mktsegment", "o_totalprice", "price_w")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(res.nonEmpty)
+    res.groupBy(_._1).foreach { case (seg, rows) =>
+      val sorted = rows.map(_._2).sorted
+      val lo = sorted(math.floor(0.05 * (sorted.length - 1)).toInt)
+      val hi = sorted(math.floor(0.95 * (sorted.length - 1)).toInt)
+      rows.foreach { case (_, v, w) =>
+        val expect = if (v < lo) lo else if (v > hi) hi else v
+        assert(w == expect, s"$seg: v=$v w=$w lo=$lo hi=$hi")
+      }
+      // clipping must actually fire on both tails of every segment
+      assert(rows.exists(r => r._2 < lo) && rows.exists(r => r._2 > hi), seg)
+    }
+  }
 }
