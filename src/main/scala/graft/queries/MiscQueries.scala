@@ -823,6 +823,87 @@ object MiscQueries {
       .orderBy(col("p_partkey"))
   }
 
+  /** Z-order vs linear data layout, measured: cut orders into 64
+    * equal-count "files" once in Morton-code order of (custkey, order-day)
+    * and once in arrival (orderkey) order, and report each file's min/max
+    * span on BOTH dimensions — the statistics a parquet reader prunes by.
+    * Z-curve files carry tight spans on both columns (multi-dimensional
+    * skipping); linear files bound only their sort key. Each dimension is
+    * min-max normalized to the full 16-bit range BEFORE interleaving —
+    * without this a wide dimension's high bits dominate the curve and the
+    * narrow dimension degrades to linear (Delta's OPTIMIZE ZORDER
+    * interleaves per-column range-bucket ranks for the same reason; the
+    * min/max pair here is one broadcast scalar agg). The global rank uses
+    * the [[graft.operators.PrefixSum]] two-narrow-pass scan, NOT an
+    * un-partitioned `ROW_NUMBER` window — at 100 TB this ranking IS the
+    * write-side clustering pass (`repartitionByRange(z)` + sorted write),
+    * so the demo query and the production layout job share one plan shape.
+    * All math is integer (normalize, Morton spread, `div` cut) — bit-exact.
+    */
+  val qZorderLayout: Q = Q(
+    "q_zorder_layout",
+    """WITH raw AS (
+      |  SELECT o_orderkey, o_custkey AS c0,
+      |    CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS d0
+      |  FROM orders),
+      |mm AS (SELECT MIN(c0) AS cmin, MAX(c0) AS cmax, MIN(d0) AS dmin, MAX(d0) AS dmax FROM raw),
+      |base AS (
+      |  SELECT o_orderkey, c0 AS c, d0 AS d,
+      |    ((c0 - cmin) * 65535) // (cmax - cmin) AS cn,
+      |    ((d0 - dmin) * 65535) // (dmax - dmin) AS dn
+      |  FROM raw, mm),
+      |s1 AS (SELECT *, (cn | (cn << 8)) & 16711935 AS cx1, (dn | (dn << 8)) & 16711935 AS dx1 FROM base),
+      |s2 AS (SELECT *, (cx1 | (cx1 << 4)) & 252645135 AS cx2, (dx1 | (dx1 << 4)) & 252645135 AS dx2 FROM s1),
+      |s3 AS (SELECT *, (cx2 | (cx2 << 2)) & 858993459 AS cx3, (dx2 | (dx2 << 2)) & 858993459 AS dx3 FROM s2),
+      |s4 AS (SELECT *, (cx3 | (cx3 << 1)) & 1431655765 AS cx4, (dx3 | (dx3 << 1)) & 1431655765 AS dx4 FROM s3),
+      |z AS (SELECT o_orderkey, c, d, cx4 | (dx4 << 1) AS z FROM s4),
+      |ranked AS (
+      |  SELECT 'zorder' AS layout, c, d,
+      |    ROW_NUMBER() OVER (ORDER BY z, o_orderkey) - 1 AS rk,
+      |    COUNT(*) OVER () AS n
+      |  FROM z
+      |  UNION ALL
+      |  SELECT 'linear' AS layout, c, d,
+      |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rk,
+      |    COUNT(*) OVER () AS n
+      |  FROM z)
+      |SELECT layout, (rk * 64) // n AS file_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(c) AS c_lo, MAX(c) AS c_hi, MIN(d) AS d_lo, MAX(d) AS d_hi
+      |FROM ranked GROUP BY layout, file_id
+      |ORDER BY layout, file_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Layout, PrefixSum}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types.LongType
+    val raw = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey").as("c"),
+        datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+          .cast(LongType).as("d"))
+    val mm = raw.agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"),
+      min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    val base = raw.crossJoin(broadcast(mm))
+      .withColumn("cn", expr("((c - cmin) * 65535) div (cmax - cmin)"))
+      .withColumn("dn", expr("((d - dmin) * 65535) div (dmax - dmin)"))
+      .withColumn("z", Layout.morton16(col("cn"), col("dn")))
+      .select("o_orderkey", "c", "d", "z")
+    // z < 2^32 and orderkey < 2^31, so (z << 31) | orderkey is a UNIQUE
+    // long that sorts exactly by (z, o_orderkey) — PrefixSum's order key.
+    def files(keyCol: org.apache.spark.sql.Column, label: String): DataFrame =
+      PrefixSum.withStartOffset(
+          base.withColumn("k", keyCol).withColumn("one", lit(1L)),
+          "k", "one", "rk")
+        .crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
+        .select(lit(label).as("layout"), expr("(rk * 64) div n").as("file_id"),
+          col("c"), col("d"))
+        .groupBy(col("layout"), col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("c")).as("c_lo"), max(col("c")).as("c_hi"),
+          min(col("d")).as("d_lo"), max(col("d")).as("d_hi"))
+    files(shiftleft(col("z"), 31).bitwiseOR(col("o_orderkey")), "zorder")
+      .union(files(col("o_orderkey"), "linear"))
+      .orderBy(col("layout"), col("file_id"))
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
     qProfile, qProfileApprox, qProfileLi, qProfileLiApprox,
@@ -830,5 +911,5 @@ object MiscQueries {
     mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
     mx5StratifiedSample, mx6DomainMix, mx7FixedSample, mx8SequencePacking,
     mx9SlidingWindows, mx10WeightedSample, qTableChecksum, qDqReport,
-    qPercentileBands, qCdcCompact)
+    qPercentileBands, qCdcCompact, qZorderLayout)
 }

@@ -131,6 +131,41 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("morton16 = bitwise-reference interleave on random 16-bit pairs") {
+    def ref(a: Int, b: Int): Long =
+      (0 until 16).foldLeft(0L) { (z, i) =>
+        z | ((a.toLong >> i) & 1L) << (2 * i) | ((b.toLong >> i) & 1L) << (2 * i + 1)
+      }
+    forAll(Gen.zip(Gen.choose(0, 65535), Gen.choose(0, 65535)), n = 12) {
+      case (a, b) =>
+        val got = Seq((a.toLong, b.toLong)).toDF("a", "b")
+          .select(graft.operators.Layout.morton16(col("a"), col("b")))
+          .head().getLong(0)
+        assert(got == ref(a, b), s"a=$a b=$b")
+    }
+  }
+
+  test("z-order files bound both dimensions tighter than linear layout") {
+    val res = graft.queries.MiscQueries.qZorderLayout
+      .run(spark, "/root/testdata/sf0.001")
+      .collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(r =>
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    def avgSpan(rows: Array[(Long, Long, Long, Long, Long)], dim: String): Double = {
+      val spans = rows.map { case (_, cLo, cHi, dLo, dHi) =>
+        if (dim == "c") cHi - cLo else dHi - dLo }
+      spans.sum.toDouble / spans.length
+    }
+    // the whole point of the layout: Z-curve files are tighter on BOTH dims
+    assert(avgSpan(res("zorder"), "c") < avgSpan(res("linear"), "c") / 2)
+    assert(avgSpan(res("zorder"), "d") < avgSpan(res("linear"), "d"))
+    // equal-count cut: file sizes differ by at most 1
+    val sizes = res.values.flatten.map(_._1)
+    assert(sizes.max - sizes.min <= 1)
+  }
+
   test("m10 winsorize: bounds are stored p05/p95 values; interior rows untouched") {
     val res = graft.queries.WindowQueries.m10Winsorize
       .run(spark, "/root/testdata/sf0.001")
