@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // Optional trailing args: run only these queries (mirrors tools/check.py's
+    // `[query ...]` filter — dev loop; the driver passes exactly 2 args).
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
     val spark = SparkSession.builder()
@@ -24,7 +27,9 @@ object Verify {
       if (f.isDirectory) Option(f.listFiles).getOrElse(Array.empty).foreach(rmRf)
       f.delete(); ()
     }
-    val statuses = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val statuses = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val dest = new java.io.File(s"$outDir/$name")
       rmRf(dest)
       val status =

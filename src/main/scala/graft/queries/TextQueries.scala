@@ -291,7 +291,50 @@ object TextQueries {
       .limit(100)
   }
 
+  /** Cross-document n-gram novelty — the marginal-contribution metric a
+    * corpus curator ranks sources by: for each document (in doc_id order),
+    * the fraction of its distinct word 5-grams seen in NO earlier document.
+    * Near-duplicates of earlier docs score ≈0; fresh content scores ≈1 —
+    * the "novel token yield" that survives dedup, computed without running
+    * dedup. Grams travel as 32-bit md5-prefix hashes (the [[graft.operators.Dedup.hash32]]
+    * convention — 4× smaller shuffle than gram strings; any collision is
+    * deterministic and identical in both engines). Plan shape: one
+    * gram-hash keyed min-agg (first owner) + one co-partitioned equi-join
+    * back to the gram stream + one doc-keyed agg — no pairwise expansion
+    * anywhere, so the pass scales like word count, not like documents².
+    */
+  val tx13Novelty: Q = Q(
+    "tx13_novelty",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |           FROM documents WHERE len(string_split(lower(text), ' ')) >= 5),
+      |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+      |        i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 8)) AS BIGINT)))) AS gh
+      |      FROM t),
+      |o AS (SELECT gh, MIN(doc_id) AS owner FROM g GROUP BY gh)
+      |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS novelty
+      |FROM g JOIN o USING (gh)
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.LongType
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+    val grams = toks.select(col("doc_id"), explode(array_distinct(expr(
+      """transform(sequence(1, size(toks) - 4),
+        |  i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 5))), 1, 8), 16, 10) as bigint))"""
+        .stripMargin))).as("gh"))
+    val owners = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("owner"))
+    grams.join(owners, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel") / col("n_grams")).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
-    tx11VocabZipf, tx12Bigrams)
+    tx11VocabZipf, tx12Bigrams, tx13Novelty)
 }

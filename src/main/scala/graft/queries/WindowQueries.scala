@@ -388,7 +388,81 @@ object WindowQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Robust outlier ranking per market segment: modified z-score
+    * 0.6745·(x − median)/MAD (Iglewicz–Hoaglin) — the outlier score that,
+    * unlike m8's mean/std z-score, a single extreme value cannot drag.
+    * Median and MAD both come from the rank-selection pass (stored row
+    * values, no interpolation); the absolute deviations are derived
+    * doubles, but both engines compute the identical subtraction so their
+    * sort order and the selected MAD agree bit-wise. The query emits the
+    * top-20 most extreme orders per segment (deterministic orderkey
+    * tiebreak) rather than a fixed 3.5 cutoff — the TPC-H price column is
+    * too well-behaved for the textbook cutoff to ever fire (max |rz|≈1.4),
+    * and a 0-row gate verifies nothing; production would add the cutoff as
+    * one more filter. Two segment-keyed sort-shuffles + two broadcast
+    * 5-row bound tables + one rank pass; at 100 TB both medians swap to
+    * approx percentiles and the top-k pass is unchanged.
+    */
+  val m11RobustOutliers: Q = Q(
+    "m11_robust_outliers",
+    """WITH r AS (
+      |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS cnt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |med AS (
+      |  SELECT c_mktsegment,
+      |    MIN(CASE WHEN rn = CAST(FLOOR(0.5 * (cnt - 1)) AS BIGINT) + 1 THEN o_totalprice END) AS med
+      |  FROM r GROUP BY c_mktsegment),
+      |dev AS (
+      |  SELECT r.c_mktsegment, r.o_orderkey, r.o_totalprice, med.med,
+      |    ABS(r.o_totalprice - med.med) AS ad,
+      |    ROW_NUMBER() OVER (PARTITION BY r.c_mktsegment
+      |      ORDER BY ABS(r.o_totalprice - med.med), r.o_orderkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY r.c_mktsegment) AS cnt
+      |  FROM r JOIN med ON r.c_mktsegment = med.c_mktsegment),
+      |mad AS (
+      |  SELECT c_mktsegment,
+      |    MIN(CASE WHEN rn = CAST(FLOOR(0.5 * (cnt - 1)) AS BIGINT) + 1 THEN ad END) AS mad
+      |  FROM dev GROUP BY c_mktsegment),
+      |scored AS (
+      |  SELECT d.o_orderkey, d.c_mktsegment, d.o_totalprice, d.med, m.mad,
+      |    0.6745 * (d.o_totalprice - d.med) / m.mad AS rz,
+      |    ROW_NUMBER() OVER (PARTITION BY d.c_mktsegment
+      |      ORDER BY ABS(0.6745 * (d.o_totalprice - d.med) / m.mad) DESC,
+      |               d.o_orderkey) AS rk
+      |  FROM dev d JOIN mad m ON d.c_mktsegment = m.c_mktsegment)
+      |SELECT o_orderkey, c_mktsegment, o_totalprice, med, mad, rz
+      |FROM scored WHERE rk <= 20
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val w = Window.partitionBy(col("c_mktsegment"))
+    def medianOf(df: org.apache.spark.sql.DataFrame, valueCol: String, out: String) =
+      df.withColumn("rn", row_number().over(
+          w.orderBy(col(valueCol), col("o_orderkey"))))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .groupBy(col("c_mktsegment").as("seg"))
+        .agg(min(when(col("rn") ===
+          floor(lit(0.5) * (col("cnt") - 1)).cast(LongType) + 1L,
+          col(valueCol))).as(out))
+    val r = graft.Tables.orders(spark, dir)
+      .join(graft.Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+    val dev = r.join(broadcast(medianOf(r, "o_totalprice", "med")),
+        col("c_mktsegment") === col("seg")).drop("seg")
+      .withColumn("ad", abs(col("o_totalprice") - col("med")))
+    val rz = lit(0.6745) * (col("o_totalprice") - col("med")) / col("mad")
+    dev.join(broadcast(medianOf(dev, "ad", "mad")), col("c_mktsegment") === col("seg"))
+      .withColumn("rk", row_number().over(
+        w.orderBy(abs(rz).desc, col("o_orderkey"))))
+      .filter(col("rk") <= 20)
+      .select(col("o_orderkey"), col("c_mktsegment"), col("o_totalprice"),
+        col("med"), col("mad"), rz.as("rz"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
-    m10Winsorize)
+    m10Winsorize, m11RobustOutliers)
 }

@@ -184,4 +184,58 @@ class PropertySpec extends AnyFunSuite {
       assert(rows.exists(r => r._2 < lo) && rows.exists(r => r._2 > hi), seg)
     }
   }
+
+  test("m11 robust outliers: independent median/MAD/top-20 re-derivation agrees") {
+    val dir = "/root/testdata/sf0.001"
+    val base = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "o_orderkey", "o_totalprice")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // lower-median by rank floor(0.5*(n-1))+1 with (value, orderkey) tiebreak
+    def lowerMedian(xs: Seq[(Double, Long)]): Double = {
+      val s = xs.sortBy(identity)
+      s(math.floor(0.5 * (s.length - 1)).toInt)._1
+    }
+    val expect = base.groupBy(_._1).flatMap { case (seg, rows) =>
+      val med = lowerMedian(rows.toSeq.map(r => (r._3, r._2)))
+      val mad = lowerMedian(rows.toSeq.map(r => (math.abs(r._3 - med), r._2)))
+      rows.toSeq.map { case (_, key, v) =>
+        (key, seg, v, med, mad, 0.6745 * (v - med) / mad) }
+        .sortBy { case (key, _, _, _, _, rz) => (-math.abs(rz), key) }
+        .take(20)
+    }.toSeq.sortBy(_._1)
+    val got = graft.queries.WindowQueries.m11RobustOutliers.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expect)
+  }
+
+  test("tx13 novelty: independent gram-ownership re-derivation agrees") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def grams(text: String): Set[Long] = {
+      val toks = text.toLowerCase.split(" ", -1)
+      if (toks.length < 5) Set.empty
+      else toks.sliding(5).map { w =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.mkString(" ").getBytes("UTF-8"))
+        java.lang.Long.parseLong(d.take(4).map(b => f"$b%02x").mkString, 16)
+      }.toSet
+    }
+    val byDoc = docs.map { case (id, t) => id -> grams(t) }
+      .filter(_._2.nonEmpty).sortBy(_._1)
+    val owner = scala.collection.mutable.Map.empty[Long, Long]
+    byDoc.foreach { case (id, gs) =>
+      gs.foreach(g => if (!owner.contains(g)) owner(g) = id) }
+    val expect = byDoc.map { case (id, gs) =>
+      (id, gs.size.toLong, gs.count(owner(_) == id).toLong) }.toSeq
+    val got = graft.queries.TextQueries.tx13Novelty.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.map(_._1) == expect.map(_._1))
+    assert(got == expect)
+    // novelty is a fraction; the earliest doc is fully novel by construction
+    assert(got.head._2 == got.head._3)
+  }
 }
