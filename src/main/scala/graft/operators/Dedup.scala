@@ -782,23 +782,42 @@ object Dedup {
       .drop("__rn", "__comp", "comp")
   }
 
-  /** PPJoin-style prefix-filtering set-similarity self-join over whitespace
-    * token sets — the EXACT-threshold complement to MinHash LSH (no false
-    * negatives, no tuning of bands/rows; the method of Chaudhuri et al.'s
-    * SSJoin and Xiao et al.'s PPJoin, both public literature). The filter:
-    * order every document's distinct tokens by a single GLOBAL canonical
-    * order (ascending document frequency, ties by token — rarest first) and
-    * keep only the first p = n − ⌈t·n⌉ + 1 tokens as its "prefix". Any pair
-    * with Jaccard ≥ t MUST share at least one prefix token under a common
-    * total order, so the prefix inverted index generates a candidate
-    * superset, verified by exact set intersection.
+  /** PPJoin-style prefix-filtering set-similarity self-join over word
+    * `shingleK`-shingle sets — the EXACT-threshold complement to MinHash
+    * LSH (no false negatives, no tuning of bands/rows; the method of
+    * Chaudhuri et al.'s SSJoin and Xiao et al.'s PPJoin, both public
+    * literature). The filter: order every document's distinct shingles by
+    * a single GLOBAL canonical order (ascending document frequency, ties
+    * by value — rarest first) and keep only the first
+    * p = n − ⌈t·n⌉ + 1 as its "prefix". Any pair with Jaccard ≥ t MUST
+    * share at least one prefix element under a common total order, so the
+    * prefix inverted index generates a candidate superset, verified by
+    * exact set intersection. Two further EXACT PPJoin prunes run inside
+    * the candidate join: the length filter (J ≥ t ⟹
+    * min(n_a,n_b)·den ≥ max(n_a,n_b)·num) and the positional filter (for
+    * the pair's first shared prefix element at ranks (i,j), the
+    * intersection is ≤ 1 + min(n_a−i, n_b−j), which must reach the
+    * overlap bound ⌈num·(n_a+n_b)/(num+den)⌉ — tokens before a first
+    * match are disjoint by construction, so the bound is sound and the
+    * candidate set stays a superset).
     *
-    * Scale: prefixes are dominated by RARE tokens (the df-ascending order
-    * exists precisely to make the inverted-index postings short), so the
-    * candidate join is keyed on low-frequency tokens and partitions evenly;
-    * per-doc windows shuffle on doc_id. The threshold is a RATIONAL
-    * num/den and every filter comparison is integer arithmetic
-    * (⌈t·n⌉ = (num·n + den − 1) div den; inter/union ≥ t ⟺
+    * `shingleK` controls the set universe: 1 = plain word sets, k>1 =
+    * word k-shingles. Shingles are the production setting — a natural
+    * corpus' WORD vocabulary has heavy-tailed document frequencies, and a
+    * small-vocabulary corpus (this synthetic table: 31 distinct words
+    * across 5k docs!) makes every word-posting O(corpus) and the prefix
+    * index quadratic; the shingle universe is combinatorially larger, so
+    * postings collapse (measured at sf0.1: 66M candidate pairs over word
+    * sets → 210k over 3-shingles, max posting 3825 → 9) and the metric
+    * becomes order-sensitive — the same universe dd2's MinHash signatures
+    * sketch, computed exactly here.
+    *
+    * Scale: prefixes are dominated by RARE shingles (the df-ascending
+    * order exists precisely to make the inverted-index postings short),
+    * so the candidate join is keyed on low-frequency values and
+    * partitions evenly; per-doc windows shuffle on doc_id. The threshold
+    * is a RATIONAL num/den and every filter comparison is integer
+    * arithmetic (⌈t·n⌉ = (num·n + den − 1) div den; inter/union ≥ t ⟺
     * inter·den ≥ union·num), so the decision boundary is bit-identical on
     * any engine — no float threshold ambiguity.
     *
@@ -807,12 +826,21 @@ object Dedup {
     */
   def prefixFilterNearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
-      thresholdNum: Int = 7, thresholdDen: Int = 10): DataFrame = {
+      thresholdNum: Int = 7, thresholdDen: Int = 10,
+      shingleK: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // token sets feed three consumers (explode + both verify sides)
+    require(shingleK >= 1, "shingleK must be >= 1")
+    // shingle sets feed three consumers (explode + both verify sides)
+    val words = split(lower(col(textCol)), " ")
+    val shingles =
+      if (shingleK == 1) array_distinct(words)
+      else array_distinct(expr(
+        s"""transform(sequence(1, size(split(lower($textCol), ' ')) - ${shingleK - 1}),
+           |  i -> concat_ws(' ', slice(split(lower($textCol), ' '), i, $shingleK)))"""
+          .stripMargin))
     val toks = cachedForReuse(spread(df)
-      .select(col(idCol).as("doc_id"),
-        array_distinct(split(lower(col(textCol)), " ")).as("toks")))
+      .filter(size(words) >= shingleK)
+      .select(col(idCol).as("doc_id"), shingles.as("toks")))
     val e = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
     val dfreq = e.groupBy("tok").agg(count(lit(1)).as("df"))
     val byDoc = Window.partitionBy("doc_id")
@@ -821,10 +849,17 @@ object Dedup {
       .withColumn("n", count(lit(1)).over(byDoc))
     val prefix = ranked.filter(col("rn") <=
       expr(s"n - ((n * $thresholdNum + ${thresholdDen - 1}) div $thresholdDen) + 1"))
-      .select(col("doc_id"), col("tok"))
+      .select(col("doc_id"), col("tok"), col("rn"), col("n"))
+    val minOverlap = // ⌈num·(n_a+n_b)/(num+den)⌉, integer
+      expr(s"($thresholdNum * (a.n + b.n) + ${thresholdNum + thresholdDen - 1})" +
+        s" div ${thresholdNum + thresholdDen}")
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * thresholdDen >=
+            greatest(col("a.n"), col("b.n")) * thresholdNum &&
+          lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn")) >=
+            minOverlap)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand

@@ -36,12 +36,22 @@ object PrefixSum {
     * stream. Inclusive sum = outCol + valueCol.
     */
   def withStartOffset(
-      df: DataFrame, orderCol: String, valueCol: String, outCol: String): DataFrame = {
+      df: DataFrame, orderCol: String, valueCol: String, outCol: String): DataFrame =
+    withStartOffsets(df, orderCol, Seq(valueCol -> outCol))
+
+  /** Multi-column variant: one range shuffle and two narrow passes produce
+    * the exclusive prefix sum of EVERY listed (valueCol → outCol) pair —
+    * the shape a two-sample ECDF comparison needs (cumulative counts of
+    * both samples in one scan) without paying the shuffle per column.
+    */
+  def withStartOffsets(
+      df: DataFrame, orderCol: String, cols: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
     val parted = df
       .repartitionByRange(spark.sparkContext.defaultParallelism, col(orderCol))
       .sortWithinPartitions(orderCol)
-    val valIdx = df.schema.fieldIndex(valueCol)
+    val valIdxs = cols.map { case (v, _) => df.schema.fieldIndex(v) }.toArray
+    val nCols = valIdxs.length
     // ONE materialized RDD serves both passes. Two invariants hang on this:
     //  - boundary stability: RangePartitioner samples its range bounds when
     //    the shuffle dependency is created; re-planning `parted` per action
@@ -60,23 +70,35 @@ object PrefixSum {
     // once the returned frame (the only reference) is dropped by the caller.
     val rdd = parted.rdd
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-partition totals keyed by split index (tiny: one long each)
+    // pass 1: per-partition totals keyed by split index (tiny: nCols longs each)
     val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var s = 0L
-      it.foreach { r => s += r.getLong(valIdx) }
+      val s = new Array[Long](nCols)
+      it.foreach { r =>
+        var i = 0
+        while (i < nCols) { s(i) += r.getLong(valIdxs(i)); i += 1 }
+      }
       Iterator.single(pid -> s)
     }.collect().sortBy(_._1).map(_._2)
-    // exclusive scan of the totals = each partition's global base offset
-    val bases = partTotals.scanLeft(0L)(_ + _)
+    // exclusive scan of the totals = each partition's global base offsets
+    val bases = partTotals.scanLeft(new Array[Long](nCols)) { (acc, t) =>
+      Array.tabulate(nCols)(i => acc(i) + t(i))
+    }
     val basesBc = spark.sparkContext.broadcast(bases)
-    val outSchema = df.schema.add(outCol, LongType, nullable = false)
-    // pass 2: same splits by construction, add base + local running sum
+    val outSchema = cols.foldLeft(df.schema) { case (s, (_, out)) =>
+      s.add(out, LongType, nullable = false)
+    }
+    // pass 2: same splits by construction, add base + local running sums
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var running = basesBc.value(pid)
+      val running = basesBc.value(pid).clone()
       it.map { r =>
-        val start = running
-        running += r.getLong(valIdx)
-        Row.fromSeq(r.toSeq :+ start)
+        val starts = new Array[Any](nCols)
+        var i = 0
+        while (i < nCols) {
+          starts(i) = running(i)
+          running(i) += r.getLong(valIdxs(i))
+          i += 1
+        }
+        Row.fromSeq(r.toSeq ++ starts)
       }
     }
     spark.createDataFrame(out, outSchema)

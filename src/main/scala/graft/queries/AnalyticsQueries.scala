@@ -588,8 +588,74 @@ object AnalyticsQueries {
       .select(col("n_edges"), col("n_triangles"))
   }
 
+  /** Fixed-point PageRank (5 iterations, damping 0.85) on the part
+    * co-occurrence graph — parts appearing in the same order, edges in both
+    * directions. Ranks travel as BIGINT micro-units (node mass starts at
+    * 1,000,000) and every step is integer-exact: a node's per-edge
+    * contribution is `floor(rank/outdeg)`, the damped update is
+    * `150000 + floor(0.85·Σ contrib)` — `0.85·x` is one IEEE double
+    * multiply of an integer-valued double (< 2^53, exact in any summation
+    * order), so both engines floor the identical value and the ranks match
+    * bit-for-bit, the same quantization trick as sim7's fixed-point
+    * centroids. Plan: the edge table is built once and
+    * reused by all 5 iterations plus the degree table
+    * ([[graft.operators.Dedup.cachedForReuse]]); each iteration is one
+    * equi-join of the (small) rank table to edges + one group-by on the
+    * destination — the standard distributed PageRank round, 5 bounded
+    * shuffles total, no driver-side state. At 1000 executors the rank
+    * table co-partitions with the edge table's `u` key and each round is a
+    * single co-located shuffle; dangling nodes cannot arise here because
+    * co-occurrence edges are symmetric (every node has outdeg ≥ 1).
+    */
+  val qPagerank: Q = {
+    // one damped update step, shared verbatim by the 5 oracle CTE rounds
+    def itSql(k: Int): String =
+      s"""it$k AS (
+         |  SELECT e.v AS node,
+         |    CAST(150000 + FLOOR(0.85 * SUM(FLOOR(CAST(p.r AS DOUBLE) / d.deg))) AS BIGINT) AS r
+         |  FROM it${k - 1} p JOIN deg d ON d.u = p.node JOIN e ON e.u = p.node
+         |  GROUP BY e.v)""".stripMargin
+    Q(
+      "q_pagerank",
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |      FROM li a JOIN li b
+         |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY u),
+         |it0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |${(1 to 5).map(itSql).mkString(",\n")}
+         |SELECT node AS l_partkey, r AS rank_fp
+         |FROM it5 ORDER BY r DESC, node LIMIT 100""".stripMargin) { (spark, dir) =>
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // edge table feeds 11 consumers (deg + 5 iterations × join legs) —
+      // materialize once (SCALE.md invariant #3)
+      val e = graft.operators.Dedup.cachedForReuse(
+        li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .distinct())
+      val deg = graft.operators.Dedup.cachedForReuse(
+        e.groupBy(col("u")).agg(count(lit(1)).as("deg")))
+      var ranks = deg.select(col("u").as("node"), lit(1000000L).as("r"))
+      for (_ <- 1 to 5) {
+        val contrib = ranks.join(deg, col("node") === col("u"))
+          .select(col("node"),
+            floor(col("r").cast(DoubleType) / col("deg")).as("c"))
+        ranks = e.join(contrib, e("u") === contrib("node"))
+          .groupBy(col("v"))
+          .agg((floor(lit(0.85) * sum(col("c"))) + 150000L).cast(LongType).as("r"))
+          .select(col("v").as("node"), col("r"))
+      }
+      ranks.orderBy(col("r").desc, col("node"))
+        .limit(100)
+        .select(col("node").as("l_partkey"), col("r").as("rank_fp"))
+    }
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
     qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
     qCohortRetention, qFunnel, qMomGrowth, qTrendLine, qSkyline, qTriangles,
-    qResampleBySymbol)
+    qResampleBySymbol, qPagerank)
 }

@@ -223,10 +223,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // pair with Jaccard >= t. Pin against brute-force on the sf0.001 corpus.
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
       .select("doc_id", "text")
-    val got = Dedup.prefixFilterNearDuplicates(corpus, "doc_id", "text", 7, 10)
+    val got = Dedup.prefixFilterNearDuplicates(corpus, "doc_id", "text", 7, 10,
+        shingleK = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val sets = corpus.collect().map { r =>
-      r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1).distinct.toSet
+    val sets = corpus.collect().flatMap { r =>
+      val w = r.getString(1).toLowerCase.split(" ", -1)
+      if (w.length < 3) None
+      else Some(r.getLong(0) -> w.sliding(3).map(_.mkString(" ")).toSet)
     }
     val want = (for {
       (a, sa) <- sets; (b, sb) <- sets if a < b
