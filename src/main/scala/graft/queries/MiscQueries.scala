@@ -904,6 +904,56 @@ object MiscQueries {
       .orderBy(col("layout"), col("file_id"))
   }
 
+  /** Join-key skew diagnostic over `lineitem.l_suppkey` — the pre-join
+    * report that decides whether a key needs salting / AQE skew handling
+    * before a 100 TB shuffle: the top-20 heaviest keys with their row
+    * counts, share and cumulative share of the table (basis points), and
+    * skew factor vs the mean key (×1000). All ratios are integer
+    * (`div`-floored against broadcast 1-row totals) so the report is
+    * bit-exact. Plan shape: one group-by on the key, a 1-row total
+    * aggregate broadcast back, and the top-20 selected by
+    * `orderBy(...).limit(20)` — which Spark plans as
+    * TakeOrderedAndProject (per-partition heaps + driver merge of 20×P
+    * rows), NOT a global sort; the rank/cumulative window then runs over
+    * 20 rows only. The same plan at 10¹⁰ distinct keys moves 20 rows per
+    * partition, nothing else.
+    */
+  val qSkewReport: Q = Q(
+    "q_skew_report",
+    """WITH k AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      |           FROM lineitem GROUP BY l_suppkey),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+      |             CAST(COUNT(*) AS BIGINT) AS nk FROM k),
+      |top AS (SELECT l_suppkey, cnt FROM k
+      |        ORDER BY cnt DESC, l_suppkey LIMIT 20),
+      |r AS (SELECT l_suppkey, cnt,
+      |        ROW_NUMBER() OVER (ORDER BY cnt DESC, l_suppkey) AS rn,
+      |        CAST(SUM(cnt) OVER (ORDER BY cnt DESC, l_suppkey
+      |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |      FROM top)
+      |SELECT rn, l_suppkey, cnt,
+      |  cnt * 10000 // total AS share_bp,
+      |  cum * 10000 // total AS cum_share_bp,
+      |  cnt * nk * 1000 // total AS skew_x1000
+      |FROM r, t ORDER BY rn""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val k = Tables.lineitem(spark, dir)
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+    val t = k.agg(sum(col("cnt")).as("total"), count(lit(1)).as("nk"))
+    val w = Window.orderBy(col("cnt").desc, col("l_suppkey"))
+    // limit(20) first: the window below sees 20 rows, never the key table
+    k.orderBy(col("cnt").desc, col("l_suppkey")).limit(20)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum", sum(col("cnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(t))
+      .select(col("rn"), col("l_suppkey"), col("cnt"),
+        expr("cnt * 10000 div total").as("share_bp"),
+        expr("cum * 10000 div total").as("cum_share_bp"),
+        expr("cnt * nk * 1000 div total").as("skew_x1000"))
+      .orderBy(col("rn"))
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
     qProfile, qProfileApprox, qProfileLi, qProfileLiApprox,
@@ -911,5 +961,5 @@ object MiscQueries {
     mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
     mx5StratifiedSample, mx6DomainMix, mx7FixedSample, mx8SequencePacking,
     mx9SlidingWindows, mx10WeightedSample, qTableChecksum, qDqReport,
-    qPercentileBands, qCdcCompact, qZorderLayout)
+    qPercentileBands, qCdcCompact, qZorderLayout, qSkewReport)
 }

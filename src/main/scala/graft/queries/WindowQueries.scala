@@ -462,7 +462,64 @@ object WindowQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic between the
+    * `o_totalprice` distributions of finished (`F`) and open (`O`) orders —
+    * the train/serve drift check a feature pipeline runs before refreshing
+    * a model. D = max over all values of |ECDF_F − ECDF_O|, computed
+    * entirely in integers: per-value counts (one group-by), cumulative
+    * counts via ONE multi-column distributed prefix sum
+    * ([[graft.operators.PrefixSum.withStartOffsets]] — both ECDFs in the
+    * same range shuffle + two narrow passes), then
+    * d_num = max |cum_a·n_b − cum_b·n_a| with denominator n_a·n_b, so the
+    * argmax and the statistic's decision boundary are bit-exact on any
+    * engine; the only double is the final one-division `ks` report value.
+    * Scale: the group-by shrinks the scan to distinct values, the prefix
+    * sum collects #partitions×2 longs, and the max/argmax reduce is a flat
+    * aggregate — no global window, no driver data path. (At counts beyond
+    * ~3·10⁹ per sample the int128-free product would need DECIMAL —
+    * documented, not hit at any test SF.)
+    */
+  val m12KsDrift: Q = Q(
+    "m12_ks_drift",
+    """WITH g AS (
+      |  SELECT o_totalprice AS v,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY v),
+      |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM g),
+      |c AS (SELECT v,
+      |        CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+      |        CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b
+      |      FROM g),
+      |d AS (SELECT c.v, ABS(cum_a * nb - cum_b * na) AS dn, na, nb FROM c, t),
+      |m AS (SELECT MAX(dn) AS mx FROM d)
+      |SELECT na AS n_a, nb AS n_b, mx AS d_num,
+      |  CAST(mx AS DOUBLE) / (na * nb) AS ks, MIN(v) AS at_value
+      |FROM d, m WHERE dn = mx GROUP BY na, nb, mx""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val g = graft.Tables.orders(spark, dir)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy(col("o_totalprice").as("v"))
+      .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("cb"))
+    val cums = graft.operators.PrefixSum
+      .withStartOffsets(g, "v", Seq("ca" -> "ca0", "cb" -> "cb0"))
+      .select(col("v"), (col("ca0") + col("ca")).as("cum_a"),
+        (col("cb0") + col("cb")).as("cum_b"))
+    val tot = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val d = cums.crossJoin(broadcast(tot))
+      .select(col("v"), abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))
+        .as("dn"), col("na"), col("nb"))
+    val mx = d.agg(max(col("dn")).as("mx"))
+    d.crossJoin(broadcast(mx)).filter(col("dn") === col("mx"))
+      .groupBy(col("na").as("n_a"), col("nb").as("n_b"), col("mx").as("d_num"))
+      .agg(min(col("v")).as("at_value"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast(DoubleType) / (col("n_a") * col("n_b"))).as("ks"),
+        col("at_value"))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
-    m10Winsorize, m11RobustOutliers)
+    m10Winsorize, m11RobustOutliers, m12KsDrift)
 }
