@@ -334,7 +334,49 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Top-50 most similar document pairs by word-3-shingle term-frequency
+    * dot product — the inverted-index similarity join (Baeza-Yates'
+    * impact-ordered postings family): explode each doc into (shingle, tf)
+    * postings, equi-join postings on the shingle, and sum tf_a·tf_b per
+    * pair. Pairs sharing no shingle have dot 0 and are correctly absent,
+    * so the index join IS the exact top-k for k over positive scores. The
+    * score stays an INTEGER (raw tf products, no normalization) with a
+    * (doc_a, doc_b) tiebreak, so the ranking is bit-exact. Scale: the
+    * shingle universe is combinatorially large (see dd17's scaladoc — word
+    * postings on this corpus would be O(corpus) each), so postings are
+    * short, the pair aggregate is candidate-bounded, and the final top-50
+    * plans as TakeOrderedAndProject, never a global sort.
+    */
+  val tx14TopkDot: Q = Q(
+    "tx14_topk_dot",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+      |           WHERE len(string_split(lower(text), ' ')) >= 3),
+      |s AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |        i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
+      |      FROM t),
+      |p AS (SELECT doc_id, sh, CAST(COUNT(*) AS BIGINT) AS tf
+      |      FROM s GROUP BY doc_id, sh),
+      |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+      |      FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b, dot FROM j
+      |ORDER BY dot DESC, doc_a, doc_b LIMIT 50""".stripMargin) { (spark, dir) =>
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+    val p = t.select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 2),
+          |  i -> concat_ws(' ', slice(w, i, 3)))""".stripMargin)).as("sh"))
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("tf"))
+    p.as("a").join(p.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+      .orderBy(col("dot").desc, col("doc_a"), col("doc_b")).limit(50)
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
-    tx11VocabZipf, tx12Bigrams, tx13Novelty)
+    tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot)
 }
