@@ -564,8 +564,57 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Sentence-level exact deduplication with in-place document
+    * reconstruction — the C4/RefinedWeb-style pass that removes a sentence
+    * from every document EXCEPT its first global occurrence (first =
+    * smallest (doc_id, position)), then reassembles each document from its
+    * surviving sentences in original order. The owner key is the packed
+    * integer `doc_id·100000 + position` (positions here are ≤ a few
+    * hundred; production would min a (doc_id, pos) struct — the packing
+    * exists only so the oracle comparison is a single BIGINT min). Plan:
+    * one explode, one sentence-keyed min-agg (the only data-sized
+    * shuffle), one co-partitioned join back, one doc-keyed re-agg whose
+    * ordered rebuild is an array_sort over that document's own sentences —
+    * never a global sort. Scales like total sentence count; the rebuilt
+    * text is byte-deterministic, so the whole output is oracle-exact.
+    */
+  val dd18SentenceDedup: Q = Q(
+    "dd18_sentence_dedup",
+    """WITH t AS (SELECT doc_id, string_split(text, '. ') AS ss FROM documents),
+      |s AS (SELECT doc_id, u.i AS i, u.s AS sent
+      |      FROM (SELECT doc_id, unnest(list_transform(range(1, len(ss) + 1),
+      |              i -> {'i': i, 's': ss[i]})) AS u FROM t)),
+      |o AS (SELECT sent, MIN(doc_id * 100000 + i) AS pk FROM s GROUP BY sent),
+      |k AS (SELECT s.doc_id, s.i, s.sent,
+      |        CASE WHEN s.doc_id * 100000 + s.i = o.pk THEN 1 ELSE 0 END AS keep
+      |      FROM s JOIN o ON s.sent = o.sent)
+      |SELECT doc_id,
+      |  COALESCE(string_agg(CASE WHEN keep = 1 THEN sent END, '. ' ORDER BY i), '') AS clean_text,
+      |  CAST(SUM(keep) AS BIGINT) AS n_kept,
+      |  CAST(SUM(1 - keep) AS BIGINT) AS n_dropped
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val s = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), "\\. ")).as(Seq("i0", "sent")))
+      .select(col("doc_id"),
+        (col("i0") + 1).cast(org.apache.spark.sql.types.LongType).as("i"),
+        col("sent"))
+    val o = s.groupBy(col("sent"))
+      .agg(min(col("doc_id") * 100000L + col("i")).as("pk"))
+    s.join(o, "sent")
+      .withColumn("keep",
+        when(col("doc_id") * 100000L + col("i") === col("pk"), 1L).otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(expr(
+          "transform(array_sort(collect_list(CASE WHEN keep = 1 THEN struct(i, sent) END)), x -> x.sent)"),
+          ". ").as("clean_text"),
+        sum(col("keep")).as("n_kept"),
+        sum(lit(1L) - col("keep")).as("n_dropped"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
-    dd15Containment, dd16SourceLeakage, dd17PrefixFilter)
+    dd15Containment, dd16SourceLeakage, dd17PrefixFilter, dd18SentenceDedup)
 }
