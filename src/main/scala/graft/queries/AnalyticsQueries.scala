@@ -21,7 +21,9 @@ object AnalyticsQueries {
     * (user_id ⊂ group key), so no second exchange.
     */
   val qSessionize: Q = Q(
-    "q_sessionize",
+    "q_sessionize_op", // CoreQueries owns plain "q_sessionize" (window-lag
+    // form); this is the graft.operators.Temporal.sessionize form — both
+    // gated since the rename (pre-r5 the shared name shadowed this one).
     """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
       |f AS (SELECT user_id, t,
       |        CASE WHEN LAG(t) OVER w IS NULL OR t - LAG(t) OVER w > 1800000000

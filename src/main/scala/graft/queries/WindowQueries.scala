@@ -519,49 +519,7 @@ object WindowQueries {
         col("at_value"))
   }
 
-  /** Closed-form OLS trend of the daily revenue series — the distributed
-    * normal-equations regression (slope/intercept of `close` on days since
-    * the series start): ONE flat aggregate computes n, Σx, Σy, Σxy, Σx²
-    * and the coefficients come out of integer numerators/denominators with
-    * a single double division each — no gradient loop, no feature matrix,
-    * bit-exact on any engine. x is centered on the series' first date (one
-    * broadcast 1-row min) so every sum fits in BIGINT: with x ≤ ~3k days
-    * and y = integer daily close, Σy·Σx² stays < 2⁶³ for y totals up to
-    * ~10¹³ — beyond that the sums swap to DECIMAL(38,0), the plan
-    * unchanged. This is the scale shape of every closed-form sufficient-
-    * statistics model: a map-side-combined aggregate and O(1) driver math.
-    */
-  val m13OlsTrend: Q = Q(
-    "m13_ols_trend",
-    s"""WITH ${Series.DailySql},
-       |x0 AS (SELECT MIN(d) AS d0 FROM daily),
-       |p AS (SELECT CAST(d - d0 AS BIGINT) AS x, CAST(close AS BIGINT) AS y, d0
-       |      FROM daily, x0),
-       |a AS (SELECT d0, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
-       |        CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
-       |        CAST(SUM(x * x) AS BIGINT) AS sxx
-       |      FROM p GROUP BY d0)
-       |SELECT n, d0 AS start_d,
-       |  CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) AS slope_per_day,
-       |  CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx) AS intercept
-       |FROM a""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.types._
-    val daily = Series.daily(spark, dir)
-    val d0 = daily.agg(min(col("d")).as("d0"))
-    val p = daily.crossJoin(broadcast(d0))
-      .select(datediff(col("d"), col("d0")).cast(LongType).as("x"),
-        col("close").cast(LongType).as("y"), col("d0"))
-    p.groupBy(col("d0"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-      .select(col("n"), col("d0").as("start_d"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope_per_day"),
-        ((col("sy") * col("sxx") - col("sx") * col("sxy")).cast(DoubleType) /
-          (col("n") * col("sxx") - col("sx") * col("sx"))).as("intercept"))
-  }
-
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
-    m10Winsorize, m11RobustOutliers, m12KsDrift, m13OlsTrend)
+    m10Winsorize, m11RobustOutliers, m12KsDrift)
 }
