@@ -656,8 +656,95 @@ object AnalyticsQueries {
     }
   }
 
+  /** First-order Markov transition counts over each user's time-ordered
+    * event sequence: for every (current → next) event-type pair, the
+    * transition count and probability in integer basis points. The
+    * sequence pairing is one `lead()` over the natural `user_id` window
+    * (skew-bounded, same shuffle as sessionization); the 5×5 transition
+    * matrix aggregate and its row-total join are tiny. The classic
+    * sequence-mining shape: at 100 TB the only data-sized operation is
+    * still the per-user window sort.
+    */
+  val qEventTransitions: Q = Q(
+    "q_event_transitions",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id FROM events),
+      |p AS (SELECT user_id, event_type AS cur,
+      |        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nxt
+      |      FROM e),
+      |c AS (SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM p WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+      |tot AS (SELECT cur, CAST(SUM(n) AS BIGINT) AS tn FROM c GROUP BY cur)
+      |SELECT c.cur, c.nxt, c.n, c.n * 10000 // t.tn AS p_bp
+      |FROM c JOIN tot t USING (cur) ORDER BY cur, nxt""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("event_id"))
+    val p = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("event_id"))
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val c = p.groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("cur").as("tc")).agg(sum(col("n")).as("tn"))
+    c.join(broadcast(tot), col("cur") === col("tc"))
+      .select(col("cur"), col("nxt"), col("n"),
+        expr("n * 10000 div tn").as("p_bp"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  /** Peak session concurrency via the distributed sweep line: sessionize
+    * the stream (30-min gap), emit +count/−count boundary events keyed by
+    * `t·2 + phase` (phase 0 = starts, 1 = ends — so all sessions starting
+    * at t are counted before any ending at t closes), and running-sum the
+    * deltas with the range-partitioned prefix-sum operator
+    * ([[graft.operators.PrefixSum]]) — no global single-partition window
+    * anywhere, the concurrency curve materializes across partitions. Peak
+    * and its earliest µs are then a flat max + argmin. The same plan
+    * answers "max concurrent anything" (connections, jobs, visitors) at
+    * any scale; every value is an integer, so the result is bit-exact.
+    */
+  val qPeakConcurrency: Q = Q(
+    "q_peak_concurrency",
+    """WITH x AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_id,
+      |    CASE WHEN LAG(ts) OVER w IS NULL
+      |              OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (SELECT user_id, t,
+      |        CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY t, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |      FROM x),
+      |s AS (SELECT user_id, sid, MIN(t) AS st, MAX(t) AS en FROM y GROUP BY user_id, sid),
+      |ev AS (SELECT st * 2 AS k, CAST(COUNT(*) AS BIGINT) AS delta FROM s GROUP BY st
+      |       UNION ALL
+      |       SELECT en * 2 + 1, -CAST(COUNT(*) AS BIGINT) FROM s GROUP BY en),
+      |g AS (SELECT k, CAST(SUM(delta) AS BIGINT) AS delta FROM ev GROUP BY k),
+      |c AS (SELECT k, CAST(SUM(delta) OVER (ORDER BY k) AS BIGINT) AS conc FROM g),
+      |m AS (SELECT MAX(conc) AS peak FROM c)
+      |SELECT peak, MIN(k) // 2 AS at_us FROM c, m WHERE conc = peak
+      |GROUP BY peak""".stripMargin) { (spark, dir) =>
+    val sess = graft.operators.Temporal.sessionize(
+        Tables.events(spark, dir), Seq("user_id"), "ts", gapUs = 1800000000L)
+      .select(col("user_id"), col("session_id"), unix_micros(col("ts")).as("t"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("t")).as("st"), max(col("t")).as("en"))
+    val ev = sess.groupBy((col("st") * 2).as("k"))
+        .agg(count(lit(1)).as("delta"))
+      .unionAll(sess.groupBy((col("en") * 2 + 1).as("k"))
+        .agg((-count(lit(1))).as("delta")))
+    val g = ev.groupBy(col("k")).agg(sum(col("delta")).as("delta"))
+    val c = graft.operators.PrefixSum
+      .withStartOffset(g, "k", "delta", "c0")
+      .select(col("k"), (col("c0") + col("delta")).as("conc"))
+    val m = c.agg(max(col("conc")).as("peak"))
+    c.crossJoin(broadcast(m)).filter(col("conc") === col("peak"))
+      .groupBy(col("peak"))
+      .agg(expr("min(k) div 2").as("at_us"))
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
     qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
     qCohortRetention, qFunnel, qMomGrowth, qTrendLine, qSkyline, qTriangles,
-    qResampleBySymbol, qPagerank)
+    qResampleBySymbol, qPagerank, qEventTransitions, qPeakConcurrency)
 }
