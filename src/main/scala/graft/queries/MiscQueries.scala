@@ -943,7 +943,8 @@ object MiscQueries {
     val w = Window.orderBy(col("cnt").desc, col("l_suppkey"))
     // limit(20) first: the window below sees 20 rows, never the key table
     k.orderBy(col("cnt").desc, col("l_suppkey")).limit(20)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn",
+        row_number().over(w).cast(org.apache.spark.sql.types.LongType))
       .withColumn("cum", sum(col("cnt"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .crossJoin(broadcast(t))

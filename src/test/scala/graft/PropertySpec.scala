@@ -238,4 +238,138 @@ class PropertySpec extends AnyFunSuite {
     // novelty is a fraction; the earliest doc is fully novel by construction
     assert(got.head._2 == got.head._3)
   }
+
+  test("q_pagerank: independent integer fixed-point re-derivation agrees") {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.toList.flatMap { g =>
+      val ps = g.map(_._2).distinct.toList
+      for (u <- ps; v <- ps if u != v) yield (u, v)
+    }.toSet
+    val deg = edges.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    var rank = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 5) {
+      val contrib = rank.map { case (u, r) => u -> r / deg(u) }
+      val in = edges.toSeq.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => contrib(e._1)).sum }
+      rank = in.map { case (v, s) =>
+        v -> (150000L + math.floor(0.85 * s.toDouble).toLong) }
+    }
+    val expect = rank.toSeq.sortBy { case (n, r) => (-r, n) }.take(100)
+    val got = graft.queries.AnalyticsQueries.qPagerank.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("m12 KS drift: independent ECDF re-derivation agrees") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select("o_totalprice", "o_orderstatus")
+      .collect().map(r => (r.getDouble(0), r.getString(1)))
+    val byV = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, g) =>
+      (v, g.count(_._2 == "F").toLong, g.count(_._2 == "O").toLong) }
+    val na = byV.map(_._2).sum; val nb = byV.map(_._3).sum
+    var (ca, cb) = (0L, 0L)
+    val curve = byV.map { case (v, a, b) =>
+      ca += a; cb += b; (v, math.abs(ca * nb - cb * na)) }
+    val mx = curve.map(_._2).max
+    val atV = curve.filter(_._2 == mx).map(_._1).min
+    val got = graft.queries.WindowQueries.m12KsDrift.run(spark, dir).collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(4)) ==
+      ((na, nb, mx, atV)))
+    assert(got.getDouble(3) == mx.toDouble / (na * nb))
+  }
+
+  test("q_peak_concurrency: independent sweep-line re-derivation agrees") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bounds = ev.groupBy(_._1).values.flatMap { g =>
+      val ts = g.map(x => (x._2, x._3)).sorted.map(_._1)
+      val sessions = scala.collection.mutable.ArrayBuffer((ts.head, ts.head))
+      ts.tail.foreach { t =>
+        if (t - sessions.last._2 > 1800000000L)
+          sessions += ((t, t))
+        else sessions(sessions.length - 1) = (sessions.last._1, t)
+      }
+      sessions
+    }.toSeq
+    val deltas = (bounds.map(b => (b._1 * 2, 1L)) ++
+      bounds.map(b => (b._2 * 2 + 1, -1L)))
+      .groupBy(_._1).toSeq.sortBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+    var run = 0L
+    val curve = deltas.map { case (k, d) => run += d; (k, run) }
+    val peak = curve.map(_._2).max
+    val atUs = curve.filter(_._2 == peak).map(_._1).min / 2
+    val got = graft.queries.AnalyticsQueries.qPeakConcurrency.run(spark, dir)
+      .collect()(0)
+    assert((got.getLong(0), got.getLong(1)) == ((peak, atUs)))
+  }
+
+  test("dd18 sentence dedup: first-global-occurrence ownership agrees") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val owner = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    val sents = docs.map { case (id, text) =>
+      id -> text.split("\\. ", -1).zipWithIndex }
+    sents.foreach { case (id, ss) =>
+      ss.foreach { case (s, i) =>
+        val k = (id, i)
+        if (!owner.contains(s) || Ordering[(Long, Int)].lt(k, owner(s)))
+          owner(s) = k } }
+    val expect = sents.map { case (id, ss) =>
+      val kept = ss.filter { case (s, i) => owner(s) == ((id, i)) }
+      (id, kept.map(_._1).mkString(". "),
+        kept.length.toLong, (ss.length - kept.length).toLong) }.toSeq
+    val got = graft.queries.DedupQueries.dd18SentenceDedup.run(spark, dir)
+      .collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+
+  test("tx14 top-k dot: brute-force shingle-TF dot product agrees") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tf = docs.flatMap { case (id, text) =>
+      val w = text.toLowerCase.split(" ", -1)
+      if (w.length < 3) None
+      else Some(id -> w.sliding(3).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (s, g) => s -> g.size.toLong })
+    }
+    val pairs = for {
+      (a, ta) <- tf; (b, tb) <- tf if a < b
+      dot = ta.keysIterator.map(s => ta(s) * tb.getOrElse(s, 0L)).sum
+      if dot > 0
+    } yield (a, b, dot)
+    val expect = pairs.sortBy { case (a, b, d) => (-d, a, b) }.take(50).toSeq
+    val got = graft.queries.TextQueries.tx14TopkDot.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
+  test("q_skew_report: top-20 key shares re-derived with integer ratios") {
+    val dir = "/root/testdata/sf0.001"
+    val keys = Tables.lineitem(spark, dir).select("l_suppkey")
+      .collect().map(_.getLong(0))
+    val cnt = keys.groupBy(identity).map { case (k, g) => (k, g.size.toLong) }
+    val total = keys.length.toLong; val nk = cnt.size.toLong
+    val top = cnt.toSeq.sortBy { case (k, c) => (-c, k) }.take(20)
+    var cum = 0L
+    val expect = top.zipWithIndex.map { case ((k, c), i) =>
+      cum += c
+      (i + 1L, k, c, c * 10000 / total, cum * 10000 / total, c * nk * 1000 / total)
+    }
+    val got = graft.queries.MiscQueries.qSkewReport.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+  }
 }

@@ -13,6 +13,14 @@ class SuitePlanGuardSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("query names are unique across all suites") {
+    // a shared name silently shadows the earlier query in SparkEntry's map
+    // (found live in r5: two q_sessionize implementations, one never gated)
+    val names = SparkEntry.suites.map(_.name)
+    val dups = names.groupBy(identity).collect { case (n, g) if g.size > 1 => n }
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+  }
+
   test("no query in the suite plans a CartesianProduct") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
