@@ -548,6 +548,92 @@ object Dedup {
       .select("doc_id").distinct()
   }
 
+  /** Bloom-prefiltered decontamination — the 100 TB shape of
+    * [[contaminatedDocs]]: the benchmark gram set is folded into a k-hash
+    * Bloom BITSET (m bits, built driver-side from the bench grams — small
+    * by the same contract dd10 broadcasts them under) and broadcast as
+    * `m/8` bytes instead of gram strings; a compiled partition kernel then
+    * probes every corpus gram against the bitset IN PLACE, so corpus grams
+    * never enter join machinery at all unless they hit. Bloom hits are a
+    * SUPERSET of true overlaps (no false negatives by construction —
+    * deterministic double hashing, Kirsch–Mitzenmacher `h1 + i·h2`, over
+    * the md5-64 gram hash), and the surviving sliver takes the same exact
+    * string-equality semi-join as dd10, which kills the false positives —
+    * so the RESULT is exactly [[contaminatedDocs]]' at the same shingleK,
+    * while the joined volume drops from |corpus grams| to |hits|. Size m
+    * for the bench gram count (~10 bits/gram → <1% FP); the rescue join
+    * makes the FP rate a pure performance knob, never a correctness one.
+    */
+  def contaminatedDocsBloom(
+      df: DataFrame, idCol: String, textCol: String,
+      benchPred: Column, shingleK: Int = 5,
+      log2Bits: Int = 22, numHashes: Int = 3): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val spark = df.sparkSession
+    def side(pred: Column) = wordShingleRows(
+      spread(df.filter(pred).select(col(idCol).as("doc_id"), col(textCol).as("txt"))),
+      shingleK)
+    val benchGrams = cachedForReuse(
+      side(benchPred).select(explode(col("sh")).as("g")).distinct())
+    // bench side is small by contract (dd10 broadcasts these very strings);
+    // collecting their 64-bit hashes is strictly less data than that
+    val benchHashes = benchGrams
+      .select(col("g")).collect().map(r => md5Hash64(r.getString(0)))
+    val m = 1L << log2Bits
+    val bits = new Array[Long]((m >> 6).toInt)
+    benchHashes.foreach { h1 =>
+      val h2 = h1 * 0xff51afd7ed558ccdL | 1L
+      var i = 0
+      while (i < numHashes) {
+        val pos = java.lang.Math.floorMod(h1 + i * h2, m)
+        bits((pos >> 6).toInt) |= 1L << (pos & 63)
+        i += 1
+      }
+    }
+    val bc = spark.sparkContext.broadcast(bits)
+    val corpus = side(!benchPred)
+    val candSchema = StructType(Seq(
+      corpus.schema("doc_id").copy(name = "doc_id"),
+      StructField("g", StringType, nullable = false)))
+    val kHashes = numHashes
+    val cand = corpus.mapPartitions { rows =>
+      val b = bc.value
+      val mask = (b.length.toLong << 6) - 1 // m is a power of two
+      rows.flatMap { r =>
+        val id = r.get(0)
+        r.getSeq[String](1).iterator.filter { g =>
+          val h1 = md5Hash64(g)
+          val h2 = h1 * 0xff51afd7ed558ccdL | 1L
+          var i = 0; var hit = true
+          while (hit && i < kHashes) {
+            val pos = (h1 + i * h2) & mask
+            hit = (b((pos >> 6).toInt) & (1L << (pos & 63))) != 0
+            i += 1
+          }
+          hit
+        }.map(g => Row(id, g))
+      }
+    }(Encoders.row(candSchema))
+    // exact rescue: string-equality semi-join on the (tiny) surviving grams
+    cand.join(broadcast(benchGrams), Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+  }
+
+  /** First 8 md5 bytes of the UTF-8 string, big-endian — the 64-bit sibling
+    * of [[hash32]], shared by the Bloom build and probe sides.
+    */
+  private[operators] def md5Hash64(s: String): Long = {
+    val md = mdPool.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  private val mdPool = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   // ------------------------------------------- duplicate-cluster components
 
   /** Connected components over a near-duplicate pair table: every document

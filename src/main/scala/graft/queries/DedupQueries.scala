@@ -564,6 +564,31 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Decontamination through the Bloom-prefilter path
+    * ([[Dedup.contaminatedDocsBloom]], word 5-shingles): the benchmark gram
+    * set travels as a broadcast m-bit Bloom bitset probed inside a compiled
+    * partition kernel, so corpus grams reach the exact verify join only if
+    * they hit the filter — the at-scale variant of dd10's direct broadcast
+    * semi-join (see the operator scaladoc for the no-false-negative
+    * argument; the rescue join makes the FP rate a performance knob only).
+    * The oracle is the plain exact 5-shingle overlap — Bloom is invisible
+    * in the result, which is the point.
+    */
+  val dd19BloomDecontaminate: Q = Q(
+    "dd19_bloom_decontaminate",
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 3),
+      |         i -> array_to_string(list_slice(ts, i, i + 4), ' '))) AS sh
+      |       FROM tok WHERE len(ts) >= 5),
+      |bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 7 = 0),
+      |cand AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 7 <> 0)
+      |SELECT DISTINCT doc_id FROM cand WHERE g IN (SELECT g FROM bench)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Dedup.contaminatedDocsBloom(Tables.documents(spark, dir), "doc_id", "text",
+      benchPred = col("doc_id") % 7 === 0, shingleK = 5)
+      .orderBy(col("doc_id"))
+  }
+
   /** Sentence-level exact deduplication with in-place document
     * reconstruction — the C4/RefinedWeb-style pass that removes a sentence
     * from every document EXCEPT its first global occurrence (first =
@@ -616,5 +641,6 @@ object DedupQueries {
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
-    dd15Containment, dd16SourceLeakage, dd17PrefixFilter, dd18SentenceDedup)
+    dd15Containment, dd16SourceLeakage, dd17PrefixFilter, dd18SentenceDedup,
+    dd19BloomDecontaminate)
 }

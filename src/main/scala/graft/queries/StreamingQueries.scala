@@ -134,6 +134,50 @@ object StreamingQueries {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** The materialized-view serving path
+    * ([[EventsStream.hourlyCountsToJdbc]]'s `foreachBatch` body — the
+    * [[graft.sinks.JdbcLoader]] MERGE keyed on (h, event_type)) driven with
+    * the cumulative update batches a streaming aggregation emits: first the
+    * early half of the stream (every window at its partial value), then the
+    * full stream (late data revising those same rows), then the full batch
+    * REPLAYED (a re-delivered micro-batch after a sink-side crash). The
+    * gate asserts the serving table read back over JDBC equals the plain
+    * batch aggregate — MERGE convergence and replay idempotency in one
+    * oracle row; which duplicate batch arrived when is invisible in the
+    * final state, exactly the property that lets the stream skip
+    * exactly-once sink machinery. (µs-truncated epoch values compared; the
+    * upsert path itself is also unit-tested against Derby in
+    * JdbcLoaderSpec.)
+    */
+  val st6Matview: Q = Q(
+    "st6_matview",
+    """SELECT epoch_us(date_trunc('hour', ts)) AS h_us, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY h_us, event_type""".stripMargin) { (spark, dir) =>
+    val tmp = java.nio.file.Files.createTempDirectory("st6_matview")
+      .toFile.getAbsolutePath
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    val table = "hourly_mv"
+    val ev = Tables.events(spark, dir)
+    val mid = ev.agg(expr("percentile_approx(event_id, 0.5)")).collect()(0).getLong(0)
+    def mergeBatch(batch: org.apache.spark.sql.DataFrame): Unit =
+      new graft.sinks.JdbcLoader(Map[String, Any](
+        "connection_string" -> url, "table" -> table,
+        "if_exists" -> "upsert",
+        "primary_keys" -> Seq("h", "event_type"))).load(batch)
+    // batch 1: early half (partial windows); batch 2: full cumulative
+    // revision; batch 3: the same full batch re-delivered (crash replay)
+    mergeBatch(EventsStream.hourlyCounts(ev.filter(col("event_id") <= mid)))
+    mergeBatch(EventsStream.hourlyCounts(ev))
+    mergeBatch(EventsStream.hourlyCounts(ev))
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+      .select(unix_micros(col("h")).as("h_us"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("h_us"), col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts, st3IncrementalDedup,
-    st4Enrich, st5ClickAttribution)
+    st4Enrich, st5ClickAttribution, st6Matview)
 }

@@ -218,6 +218,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(b(0L) != b(2L))
   }
 
+  test("contaminatedDocsBloom = contaminatedDocs at any FP rate (rescue join)") {
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pred = col("doc_id") % 97 === 0
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    for (k <- Seq(3, 5)) {
+      val exact = ids(Dedup.contaminatedDocs(corpus, "doc_id", "text", pred, k))
+      // generous bitset (~<1% FP) and a deliberately TINY one (m=1024,
+      // massive FP rate): results must be identical — FPs only cost time
+      for (log2m <- Seq(22, 10))
+        assert(ids(Dedup.contaminatedDocsBloom(corpus, "doc_id", "text", pred,
+          k, log2Bits = log2m)) == exact, s"shingleK=$k log2m=$log2m")
+    }
+  }
+
   test("prefixFilterNearDuplicates = brute-force all-pairs (no false negatives)") {
     // the PPJoin guarantee is EXACTNESS: the prefix index may not drop any
     // pair with Jaccard >= t. Pin against brute-force on the sf0.001 corpus.
