@@ -519,7 +519,45 @@ object WindowQueries {
         col("at_value"))
   }
 
+  /** Smoothed target encoding of the market segment against order value —
+    * the categorical-encoding ML-prep step one step up from m9's one-hot:
+    * `enc = (Σ_seg + prior·α) / (n_seg + α)` with the global mean as prior
+    * and α = 10, so rare categories shrink toward the prior instead of
+    * memorizing noise. Exactness: both sums are exact decimal
+    * ([[graft.exprs.Exact.dsum]]); every double op afterwards (prior
+    * division, ·α, +, final division) appears exactly once in an identical
+    * expression tree on both engines, so the encodings match bit-for-bit.
+    * Plan: one grouped aggregate + one broadcast 1-row global aggregate —
+    * the encoding table is O(cardinality) and joins back to the fact table
+    * as a broadcast at any scale.
+    */
+  val m13TargetEncode: Q = Q(
+    "m13_target_encode",
+    """WITH g AS (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS gs,
+      |             CAST(COUNT(*) AS BIGINT) AS gn FROM orders),
+      |s AS (SELECT c_mktsegment,
+      |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS ss,
+      |        CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM orders JOIN customer ON o_custkey = c_custkey
+      |      GROUP BY c_mktsegment)
+      |SELECT c_mktsegment, n, ss / n AS seg_mean,
+      |  (ss + (gs / gn) * 10) / (n + 10) AS enc
+      |FROM s, g ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+    import graft.exprs.Exact
+    val g = graft.Tables.orders(spark, dir)
+      .agg(Exact.dsum(col("o_totalprice")).as("gs"), count(lit(1)).as("gn"))
+    val s = graft.Tables.orders(spark, dir)
+      .join(graft.Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(Exact.dsum(col("o_totalprice")).as("ss"), count(lit(1)).as("n"))
+    s.crossJoin(broadcast(g))
+      .select(col("c_mktsegment"), col("n"),
+        (col("ss") / col("n")).as("seg_mean"),
+        ((col("ss") + (col("gs") / col("gn")) * 10) / (col("n") + 10)).as("enc"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
-    m10Winsorize, m11RobustOutliers, m12KsDrift)
+    m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode)
 }
