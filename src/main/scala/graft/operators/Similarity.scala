@@ -307,6 +307,59 @@ object Similarity {
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cosine"), col("rnk"))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998) —
+    * the diversity-aware pick a curation pipeline uses instead of plain
+    * top-k: greedily select k vectors maximizing
+    * `rel(c) − max_{s∈S} sim(c, s)` (λ = ½ up to a constant factor), so
+    * each pick is relevant to the query but far from everything already
+    * chosen. Determinism: every cosine is one integer-free but
+    * single-division double of identical operands on any engine, argmaxes
+    * tie-break on vec_id, so the selection order is bit-stable. Plan
+    * shape per round: candidates anti-join the (≤ k-row, broadcast)
+    * selected set, one BroadcastNestedLoop pass scores sim against those
+    * k vectors, a TakeOrderedAndProject picks the winner — the corpus is
+    * scanned, never shuffled, and driver state is the k selected rows.
+    * Rounds re-root on a materialized selected set ([[Dedup.cachedForReuse]])
+    * so the lineage stays O(1) per round, the SCALE.md iterative-loop
+    * invariant.
+    */
+  def mmrSelect(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val n = Dedup.cachedForReuse(prepared(df, idCol, vecCol))
+    val q = n.filter(col("vec_id") === queryId)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val rels = Dedup.cachedForReuse(
+      n.filter(col("vec_id") =!= queryId).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("v"), col("nrm"),
+          (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("rel")))
+    var selected = rels
+      .orderBy(col("rel").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("rel"),
+        lit(null).cast(DoubleType).as("ms"), col("rel").as("score"),
+        lit(1L).as("rnk"))
+    for (r <- 2 to k) {
+      selected = Dedup.cachedForReuse(selected)
+      val selVecs = selected.select(col("vec_id").as("s_id"))
+        .join(rels.select(col("vec_id").as("s_id"), col("v").as("sv"),
+          col("nrm").as("sn")), "s_id")
+      val cand = rels.join(selected.select(col("vec_id").as("x_id")),
+        col("vec_id") === col("x_id"), "left_anti")
+      val ms = cand.crossJoin(broadcast(selVecs))
+        .withColumn("sim", dot(col("v"), col("sv")) / (col("nrm") * col("sn")))
+        .groupBy(col("vec_id")).agg(max(col("sim")).as("ms"))
+      val next = cand.join(ms, "vec_id")
+        .select(col("vec_id"), col("rel"), col("ms"),
+          (col("rel") - col("ms")).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(1)
+        .withColumn("rnk", lit(r.toLong))
+      selected = selected.unionByName(next)
+    }
+    selected.select(col("rnk"), col("vec_id"), col("rel"), col("ms"),
+      col("score")).orderBy(col("rnk"))
+  }
+
   /** Product-quantization top-k with asymmetric-distance scoring (ADC) —
     * the memory-scale path past int8 ([[quantizedTopK]]): each normalized
     * corpus vector is stored as `m` codes into per-subspace codebooks, and

@@ -239,7 +239,53 @@ object SimilarityQueries {
       .orderBy(col("label"), col("dim"))
   }
 
+  /** Maximal-Marginal-Relevance diverse top-5 for query vector 0
+    * ([[graft.operators.Similarity.mmrSelect]]): greedy
+    * `argmax (rel − max-sim-to-selected)` with vec_id tiebreaks — the
+    * curation-grade alternative to sim1's plain top-k (which returns 5
+    * near-copies when the corpus has a duplicate cluster near the query).
+    * The oracle unrolls the 5 greedy rounds as chained CTEs, one argmax
+    * LIMIT 1 per round — same pattern as q_pagerank's iteration CTEs.
+    */
+  val sim8MmrSelect: Q = {
+    def cosSql(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a.v)+1), i -> $a.v[i]*$b.v[i])) / ($a.nrm*$b.nrm)"
+    def selU(j: Int) = (1 until j).map(i => s"SELECT vec_id FROM sel$i")
+      .mkString(" UNION ALL ")
+    def step(j: Int) =
+      s"""ms$j AS (
+         |  SELECT r.vec_id, r.rel, MAX(${cosSql("r", "s")}) AS ms
+         |  FROM rels r JOIN n s ON s.vec_id IN (${selU(j)})
+         |  WHERE r.vec_id NOT IN (${selU(j)})
+         |  GROUP BY r.vec_id, r.rel),
+         |sel$j AS (SELECT vec_id, rel, ms, rel - ms AS score,
+         |          CAST($j AS BIGINT) AS rnk
+         |          FROM ms$j ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin
+    Q(
+      "sim8_mmr_select",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |           FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |        sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm
+         |      FROM e),
+         |q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = 0),
+         |rels AS (SELECT n.vec_id, n.v, n.nrm,
+         |    list_sum(list_transform(range(1, len(n.v)+1), i -> n.v[i]*q.qv[i])) / (n.nrm*q.qn) AS rel
+         |  FROM n, q WHERE n.vec_id <> 0),
+         |sel1 AS (SELECT vec_id, rel, CAST(NULL AS DOUBLE) AS ms, rel AS score,
+         |         CAST(1 AS BIGINT) AS rnk
+         |         FROM rels ORDER BY rel DESC, vec_id LIMIT 1),
+         |${(2 to 5).map(step).mkString(",\n")}
+         |SELECT rnk, vec_id, rel, ms, score FROM (
+         |  ${(1 to 5).map(i => s"SELECT * FROM sel$i").mkString(" UNION ALL ")})
+         |ORDER BY rnk""".stripMargin) { (spark, dir) =>
+      Similarity.mmrSelect(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        queryId = 0L, k = 5)
+    }
+  }
+
   val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, dd7EmbeddingLshNearDup,
+    sim8MmrSelect,
     sim2LshTopK, sim3IvfTopK, sim4QuantizedTopK, sim5PqTopK, sim6KnnLabel,
     sim7LabelCentroids)
 }
