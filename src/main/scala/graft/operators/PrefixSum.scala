@@ -104,6 +104,67 @@ object PrefixSum {
     spark.createDataFrame(out, outSchema)
   }
 
+  /** CUSUM (cumulative-sum control chart, Page 1954) over a drift column:
+    * adds `outCol` = S_i = P_i − min(0, min_{j≤i} P_j), where P is the
+    * inclusive prefix sum of `valueCol` in ascending `orderCol` order —
+    * algebraically identical to the textbook recurrence
+    * S_i = max(0, S_{i−1} + x_i), S_0 = 0, but expressible as a SCAN
+    * instead of a sequential loop: the reflected-at-zero running max is a
+    * prefix sum minus a prefix min, and BOTH are distributed with the same
+    * two-pass kernel as [[withStartOffsets]] (per-partition totals carry
+    * (sum, minOfLocalPrefix); the exclusive combine is (Σ sums before p,
+    * min over q<p of base_q + minPrefix_q)). One range shuffle, two narrow
+    * passes, a #partitions×2-long collect — no single-partition window, so
+    * the change-point sweep runs at any series length. Long arithmetic
+    * throughout → bit-exact against a windowed-SQL oracle.
+    */
+  def withCusum(
+      df: DataFrame, orderCol: String, valueCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parted = df
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val valIdx = df.schema.fieldIndex(valueCol)
+    // Same single-RDD discipline as withStartOffsets: one shuffle dependency
+    // (stable range bounds across both passes), split indices from
+    // mapPartitionsWithIndex (stable under downstream coalesce).
+    val rdd = parted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: (partition sum, min over the partition's local inclusive
+    // prefix sums) — the monoid the exclusive combine needs
+    val partStats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L; var m = Long.MaxValue
+      it.foreach { r =>
+        s += r.getLong(valIdx)
+        if (s < m) m = s
+      }
+      Iterator.single((pid, s, m))
+    }.collect().sortBy(_._1)
+    // exclusive scan: base_p = Σ sums before p; minBefore_p = min(0,
+    // min over q<p of base_q + minPrefix_q) — 0 is P_0, the empty prefix,
+    // which anchors S_0 = 0 exactly as the recurrence does.
+    val bases = new Array[(Long, Long)](partStats.length + 1)
+    bases(0) = (0L, 0L)
+    partStats.zipWithIndex.foreach { case ((_, s, m), i) =>
+      val (base, minBefore) = bases(i)
+      val localMin = if (m == Long.MaxValue) minBefore else math.min(minBefore, base + m)
+      bases(i + 1) = (base + s, localMin)
+    }
+    val basesBc = spark.sparkContext.broadcast(bases)
+    val outSchema = df.schema.add(outCol, LongType, nullable = false)
+    // pass 2: running P from base_p, running min from minBefore_p
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var p = basesBc.value(pid)._1
+      var mn = basesBc.value(pid)._2
+      it.map { r =>
+        p += r.getLong(valIdx)
+        if (p < mn) mn = p
+        Row.fromSeq(r.toSeq :+ (p - mn))
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
   /** Token-stream chunking: assign each document its start offset and the
     * context-window index it begins in (`floor(offset / budget)`), plus its
     * offset within that window — exactly the bookkeeping a pretraining

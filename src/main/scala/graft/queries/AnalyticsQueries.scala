@@ -743,8 +743,43 @@ object AnalyticsQueries {
       .agg(expr("min(k) div 2").as("at_us"))
   }
 
+  /** CUSUM change-point sweep (Page 1954) over the daily revenue series:
+    * drift d_i = n·close_i − Σclose (close minus the global mean, scaled by
+    * n to stay in exact integer arithmetic), then the one-sided CUSUM
+    * statistic S_i = max(0, S_{i−1} + d_i) — the standard "has the level
+    * shifted upward" detector. The sequential recurrence is re-expressed as
+    * prefix-sum − prefix-min and runs on the distributed scan kernel
+    * ([[graft.operators.PrefixSum.withCusum]]): one range shuffle, no
+    * global single-partition window, so the same plan sweeps a
+    * years-long series per metric at 100 TB. All-integer → bit-exact.
+    */
+  val qCusumDrift: Q = Q(
+    "q_cusum_drift",
+    s"""WITH ${Series.DailySql},
+       |t AS (SELECT d, CAST(close AS BIGINT) AS close FROM daily),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |              CAST(SUM(close) AS BIGINT) AS tot FROM t),
+       |dr AS (SELECT d, close, CAST(close * n - tot AS BIGINT) AS drift FROM t, st),
+       |c AS (SELECT d, close, drift,
+       |        CAST(SUM(drift) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p
+       |      FROM dr)
+       |SELECT d, close, drift,
+       |  CAST(p - LEAST(0, MIN(p) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)) AS BIGINT) AS cusum
+       |FROM c ORDER BY d""".stripMargin) { (spark, dir) =>
+    val daily = Series.daily(spark, dir)
+      .select(col("d"), col("close").cast(LongType).as("close"))
+    val stats = daily.agg(count(lit(1)).as("n"), sum(col("close")).as("tot"))
+    val drift = daily.crossJoin(broadcast(stats))
+      .select(col("d"), col("close"),
+        (col("close") * col("n") - col("tot")).as("drift"))
+    graft.operators.PrefixSum.withCusum(drift, "d", "drift", "cusum")
+      .select(col("d"), col("close"), col("drift"), col("cusum"))
+      .orderBy(col("d"))
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
     qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
     qCohortRetention, qFunnel, qMomGrowth, qTrendLine, qSkyline, qTriangles,
-    qResampleBySymbol, qPagerank, qEventTransitions, qPeakConcurrency)
+    qResampleBySymbol, qPagerank, qEventTransitions, qPeakConcurrency,
+    qCusumDrift)
 }

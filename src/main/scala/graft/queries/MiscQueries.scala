@@ -598,6 +598,46 @@ object MiscQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-budget curation: take documents in descending quality order
+    * until a fixed token budget is exhausted (keep a doc iff its INCLUSIVE
+    * cumulative BPE-token count fits) — the "best N tokens" selection every
+    * pretraining data mix ends with. The global quality-ordered running
+    * total is the [[graft.operators.PrefixSum]] two-pass scan keyed by
+    * struct(−quality, doc_id) (unique total order, no single-partition
+    * window), so the same plan cuts a 100 TB corpus to budget. Quality is
+    * the tx3 score (oracle-proven double), tokens the tx6 BPE count;
+    * the cumulative sum is exact long arithmetic.
+    */
+  val mx11TokenBudgetSample: Q = Q(
+    "mx11_token_budget_sample",
+    s"""WITH t AS (SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.BpePattern}')) AS BIGINT) AS n_tokens,
+       |    0.5 * (LEAST(len(string_split(text, ' ')), 100) / 100.0)
+       |    + 0.3 * (len(list_filter(string_split(lower(text), ' '),
+       |        t -> t IN ('the','a','of','and','is'))) / len(string_split(text, ' ')))
+       |    + 0.2 * (LEAST((length(text) - (len(string_split(text, ' ')) - 1))
+       |                   / len(string_split(text, ' ')), 10.0) / 10.0) AS q
+       |  FROM documents),
+       |c AS (SELECT doc_id, n_tokens,
+       |        CAST(SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+       |      FROM t)
+       |SELECT doc_id, n_tokens, cum_tokens FROM c
+       |WHERE cum_tokens <= 12000 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{PrefixSum, TextAnalysis}
+    import org.apache.spark.sql.types.LongType
+    val docs = Tables.documents(spark, dir).select(
+        col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).cast(LongType).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("q"))
+      .withColumn("ord", struct((-col("q")).as("nq"), col("doc_id").as("id")))
+    PrefixSum.withStartOffset(docs, "ord", "n_tokens", "cum0")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum0") + col("n_tokens")).as("cum_tokens"))
+      .filter(col("cum_tokens") <= 12000L)
+      .orderBy(col("doc_id"))
+  }
+
   /** CDC log compaction: the LATEST event per key by (event time, id) —
     * the upsert-materialization read of a change stream (c8/c9 cover
     * keep-FIRST; compaction wants keep-last). One rank window per key,
@@ -961,6 +1001,7 @@ object MiscQueries {
     qSaltedJoin, qScalarFns, qAboveAvgOrders,
     mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
     mx5StratifiedSample, mx6DomainMix, mx7FixedSample, mx8SequencePacking,
-    mx9SlidingWindows, mx10WeightedSample, qTableChecksum, qDqReport,
+    mx9SlidingWindows, mx10WeightedSample, mx11TokenBudgetSample,
+    qTableChecksum, qDqReport,
     qPercentileBands, qCdcCompact, qZorderLayout, qSkewReport)
 }

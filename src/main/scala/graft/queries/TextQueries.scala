@@ -376,7 +376,55 @@ object TextQueries {
       .orderBy(col("dot").desc, col("doc_a"), col("doc_b")).limit(50)
   }
 
+  /** Collocation mining by pointwise mutual information: for every bigram
+    * with count ≥ 5, the association LIFT p(w1,w2)/(p(w1)·p(w2)) — the
+    * standard "these words belong together" signal (PMI is its log; the
+    * ranking is identical and the ratio needs no transcendental function).
+    * Computed in integer basis points, `cnt·N·10⁴ div (n1·n2)`, so the
+    * result is bit-exact across engines — no float division, no log ulp
+    * drift. n1/n2 are vocabulary-sized marginal tables (broadcast joins);
+    * N is a broadcast scalar; the only shuffle is the bigram count itself.
+    * At true corpus scale the 10⁴-scaled product needs DECIMAL(38) or
+    * log-space floats — the basis-point form documents the long-range
+    * (cnt·N·10⁴ < 2⁶³ ⇒ N ≲ 9·10⁸ bigrams per shard).
+    */
+  val tx15Pmi: Q = Q(
+    "tx15_pmi",
+    """WITH d AS (SELECT string_split(lower(text), ' ') AS l FROM documents),
+      |x0 AS (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM d),
+      |x AS (SELECT l[i] AS w1, l[i + 1] AS w2
+      |      FROM x0 WHERE l[i] <> '' AND l[i + 1] <> ''),
+      |bg AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM x GROUP BY w1, w2),
+      |m1 AS (SELECT w1 AS a, CAST(SUM(cnt) AS BIGINT) AS n1 FROM bg GROUP BY w1),
+      |m2 AS (SELECT w2 AS b, CAST(SUM(cnt) AS BIGINT) AS n2 FROM bg GROUP BY w2),
+      |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nn FROM bg)
+      |SELECT w1, w2, cnt, CAST(cnt * nn * 10000 // (n1 * n2) AS BIGINT) AS lift_bp
+      |FROM bg JOIN m1 ON w1 = a JOIN m2 ON w2 = b, t
+      |WHERE cnt >= 5
+      |ORDER BY lift_bp DESC, w1, w2 LIMIT 50""".stripMargin) { (spark, dir) =>
+    val l = split(lower(col("text")), " ")
+    val bg = Tables.documents(spark, dir)
+      .select(explode(zip_with(
+        slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bgm"))
+      .select(col("bgm.w1").as("w1"), col("bgm.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val m1 = bg.groupBy(col("w1").as("a")).agg(sum(col("cnt")).as("n1"))
+    val m2 = bg.groupBy(col("w2").as("b")).agg(sum(col("cnt")).as("n2"))
+    val t = bg.agg(sum(col("cnt")).as("nn"))
+    bg.filter(col("cnt") >= 5)
+      .join(broadcast(m1), col("w1") === col("a"))
+      .join(broadcast(m2), col("w2") === col("b"))
+      .crossJoin(broadcast(t))
+      .select(col("w1"), col("w2"), col("cnt"),
+        expr("cnt * nn * 10000 div (n1 * n2)").as("lift_bp"))
+      .orderBy(col("lift_bp").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
-    tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot)
+    tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi)
 }

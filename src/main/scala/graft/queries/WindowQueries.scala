@@ -557,7 +557,62 @@ object WindowQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Equal-frequency (decile) binning — the feature-discretization step
+    * before monotonic models / WoE encoding: rank customers by
+    * (c_acctbal, c_custkey), split into 10 bins whose sizes differ by at
+    * most one (larger bins first — SQL NTILE's contract, but computed from
+    * the rank in closed form so both engines run the SAME arithmetic
+    * rather than trusting NTILE edge-case parity), then per-bin count /
+    * bounds / exact-decimal total. The global rank is NOT a window: it is
+    * the [[graft.operators.PrefixSum]] scan keyed by the unique
+    * struct(acctbal, custkey) order — one range shuffle, no
+    * single-partition sort, so the binning holds at 100 TB where
+    * `ROW_NUMBER() OVER (ORDER BY …)` would serialize. The bin report is
+    * bins×5 — driver-sized output from any input.
+    */
+  val m14QuantileBinning: Q = Q(
+    "m14_quantile_binning",
+    """WITH r AS (
+      |  SELECT c_custkey, c_acctbal,
+      |    ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM customer),
+      |b AS (
+      |  SELECT c_acctbal,
+      |    CASE WHEN rn <= (n % 10) * (n // 10 + 1)
+      |         THEN (rn - 1) // (n // 10 + 1) + 1
+      |         ELSE (n % 10) + (rn - (n % 10) * (n // 10 + 1) - 1) // (n // 10) + 1
+      |    END AS bin
+      |  FROM r)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
+    import graft.exprs.Exact
+    import org.apache.spark.sql.types.LongType
+    val c = graft.Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("one", lit(1L))
+      .withColumn("ord", struct(col("c_acctbal"), col("c_custkey")))
+    val rn = graft.operators.PrefixSum.withStartOffset(c, "ord", "one", "rn0")
+      .withColumn("rn", col("rn0") + 1L)
+    val n = rn.agg(count(lit(1)).as("n"))
+    rn.crossJoin(broadcast(n))
+      .withColumn("bin",
+        when(col("rn") <= (col("n") % 10) * (expr("n div 10") + 1),
+          expr("(rn - 1) div (n div 10 + 1)") + 1)
+        .otherwise(col("n") % 10 +
+          expr("(rn - (n % 10) * (n div 10 + 1) - 1) div (n div 10)") + 1)
+        .cast(LongType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("c_acctbal")).as("lo"), max(col("c_acctbal")).as("hi"),
+        Exact.dsum(col("c_acctbal")).as("total"))
+      .orderBy(col("bin"))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
-    m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode)
+    m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
+    m14QuantileBinning)
 }

@@ -372,4 +372,65 @@ class PropertySpec extends AnyFunSuite {
         r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
     assert(got == expect)
   }
+
+  test("withCusum equals the sequential max(0, S+d) recurrence") {
+    val g = Gen.listOfN(120, Gen.choose(-50L, 50L))
+    forAll(g) { ds =>
+      if (ds.nonEmpty) {
+        val df = ds.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("k", "d")
+        val got = graft.operators.PrefixSum.withCusum(df, "k", "d", "s")
+          .orderBy("k").select("s").as[Long].collect().toSeq
+        val expect = ds.scanLeft(0L)((s, d) => math.max(0L, s + d)).tail
+        assert(got == expect)
+      }
+    }
+  }
+
+  test("sim8 MMR: independent sequential greedy re-derivation agrees") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val nrm = rows.map { case (id, v) => id -> math.sqrt(dot(v, v)) }.toMap
+    val vecs = rows.toMap
+    val qv = vecs(0L); val qn = nrm(0L)
+    val rel = rows.filter(_._1 != 0L)
+      .map { case (id, v) => id -> dot(v, qv) / (nrm(id) * qn) }.toMap
+    var sel = Vector(rel.toSeq.minBy { case (id, r) => (-r, id) }._1)
+    while (sel.size < 5) {
+      val cand = rel.keys.filterNot(sel.contains)
+      val next = cand.map { c =>
+        val ms = sel.map(s => dot(vecs(c), vecs(s)) / (nrm(c) * nrm(s))).max
+        (c, rel(c) - ms)
+      }.minBy { case (id, sc) => (-sc, id) }._1
+      sel = sel :+ next
+    }
+    val got = graft.operators.Similarity
+      .mmrSelect(Tables.embeddings(spark, dir), "vec_id", "embedding", 0L, 5)
+      .orderBy("rnk").select("vec_id").as[Long].collect().toSeq
+    assert(got == sel)
+  }
+
+  test("m14 decile binning matches Spark's native NTILE contract") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.expressions.Window
+    val expect = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .withColumn("bin", ntile(10).over(
+        Window.orderBy(col("c_acctbal"), col("c_custkey"))).cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as("n_rows"),
+        min("c_acctbal").as("lo"), max("c_acctbal").as("hi"))
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val got = graft.queries.WindowQueries.m14QuantileBinning.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expect)
+  }
 }
