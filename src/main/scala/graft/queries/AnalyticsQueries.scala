@@ -777,9 +777,54 @@ object AnalyticsQueries {
       .orderBy(col("d"))
   }
 
+  /** Market-basket association rules (Agrawal–Srikant A-priori, the 2-itemset
+    * level): for every part pair co-occurring in ≥3 orders, support,
+    * confidence P(p2|p1) and lift P(p1,p2)/(P(p1)P(p2)) — in integer basis
+    * points (`support·10⁴ div cnt₁`, `support·N·10⁴ div (cnt₁·cnt₂)`) so the
+    * ranking is bit-exact with no float division. The pair generation is the
+    * one real shuffle (self-join on order key; per-basket cost is O(k²) with
+    * k = basket size, bounded by construction); the two marginal tables are
+    * vocabulary-sized broadcasts and N a broadcast scalar — at 100 TB the
+    * baskets shard by order key and nothing else grows. The long-range bound
+    * (support·N·10⁴ < 2⁶³) documents when the lift needs DECIMAL(38).
+    */
+  val qMarketBasket: Q = Q(
+    "q_market_basket",
+    """WITH i AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM i),
+      |s AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS cnt FROM i GROUP BY p),
+      |pr AS (SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS support
+      |       FROM i a JOIN i b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p)
+      |SELECT p1, p2, support,
+      |  CAST(support * 10000 // s1.cnt AS BIGINT) AS conf_bp,
+      |  CAST(support * n_orders * 10000 // (s1.cnt * s2.cnt) AS BIGINT) AS lift_bp
+      |FROM pr JOIN s s1 ON p1 = s1.p JOIN s s2 ON p2 = s2.p, n
+      |WHERE support >= 3
+      |ORDER BY support DESC, lift_bp DESC, p1, p2 LIMIT 50""".stripMargin) { (spark, dir) =>
+    val i = graft.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val n = i.agg(countDistinct(col("o")).as("n_orders"))
+    val s = i.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+    val pairs = i.as("a")
+      .join(i.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+      .agg(count(lit(1)).as("support"))
+    pairs.filter(col("support") >= 3)
+      .join(broadcast(s.select(col("p").as("sp1"), col("cnt").as("cnt1"))),
+        col("p1") === col("sp1"))
+      .join(broadcast(s.select(col("p").as("sp2"), col("cnt").as("cnt2"))),
+        col("p2") === col("sp2"))
+      .crossJoin(broadcast(n))
+      .select(col("p1"), col("p2"), col("support"),
+        expr("support * 10000 div cnt1").as("conf_bp"),
+        expr("support * n_orders * 10000 div (cnt1 * cnt2)").as("lift_bp"))
+      .orderBy(col("support").desc, col("lift_bp").desc, col("p1"), col("p2"))
+      .limit(50)
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
     qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
     qCohortRetention, qFunnel, qMomGrowth, qTrendLine, qSkyline, qTriangles,
     qResampleBySymbol, qPagerank, qEventTransitions, qPeakConcurrency,
-    qCusumDrift)
+    qCusumDrift, qMarketBasket)
 }

@@ -418,6 +418,47 @@ class PropertySpec extends AnyFunSuite {
     assert(got == sel)
   }
 
+  test("dd20 blocked ER equals brute-force all-pairs restricted to the block") {
+    val dir = "/root/testdata/sf0.001"
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expect = (for {
+      (k1, n1) <- parts; (k2, n2) <- parts
+      if k1 < k2 && n1 != n2 && n1.split(" ")(1) == n2.split(" ")(1)
+      d = lev(n1, n2) if d <= 2
+    } yield (k1, k2, d.toLong)).sortBy(t => (t._3, t._1, t._2)).take(200).toSeq
+    val got = graft.queries.DedupQueries.dd20FuzzyEr.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
+    assert(got == expect)
+  }
+
+  test("q_market_basket support/conf/lift agree with a driver-side recount") {
+    val dir = "/root/testdata/sf0.001"
+    val items = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = items.map(_._1).distinct.length.toLong
+    val cnt = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val support = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expect = support.toSeq.collect { case ((p1, p2), s) if s >= 3 =>
+      (p1, p2, s, s * 10000 / cnt(p1), s * nOrders * 10000 / (cnt(p1) * cnt(p2)))
+    }.sortBy { case (p1, p2, s, _, l) => (-s, -l, p1, p2) }.take(50)
+    val got = graft.queries.AnalyticsQueries.qMarketBasket.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expect)
+  }
+
   test("m14 decile binning matches Spark's native NTILE contract") {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.expressions.Window
