@@ -822,9 +822,49 @@ object AnalyticsQueries {
       .limit(50)
   }
 
+  /** Tick→bar OHLC resampling — the reference's OHLCV domain, built the
+    * other way: aggregate raw purchase events into hourly bars (open = value
+    * at the earliest (ts, event_id), close at the latest, high/low extrema,
+    * exact-decimal volume). The Spark side is ONE hash aggregate using
+    * `min_by`/`max_by` keyed by the `struct(t, event_id)` total order — no
+    * window, no sort, partial-aggregable on the map side, so bar-building
+    * over a 100 TB tick stream is a single shuffle on the bar key. The
+    * oracle reaches the same rows via per-bucket ROW_NUMBER (DuckDB lacks
+    * struct-ordered arg_min tiebreaks) — two very different plans, same
+    * bytes. Times compared in epoch µs (the events table is nanosecond
+    * parquet; see Tables.events).
+    */
+  val qOhlcBars: Q = Q(
+    "q_ohlc_bars",
+    """WITH e AS (SELECT epoch_us(date_trunc('hour', ts)) AS h, epoch_us(ts) AS t,
+      |             event_id, value FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT h, value,
+      |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY t, event_id) AS ra,
+      |        ROW_NUMBER() OVER (PARTITION BY h ORDER BY t DESC, event_id DESC) AS rd
+      |      FROM e)
+      |SELECT h, MAX(CASE WHEN ra = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MAX(CASE WHEN rd = 1 THEN value END) AS close,
+      |  CAST(COUNT(*) AS BIGINT) AS n_trades,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume
+      |FROM r GROUP BY h ORDER BY h""".stripMargin) { (spark, dir) =>
+    import graft.exprs.Exact
+    val e = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(unix_micros(date_trunc("hour", col("ts"))).as("h"),
+        unix_micros(col("ts")).as("t"), col("event_id"), col("value"))
+    e.groupBy(col("h"))
+      .agg(min_by(col("value"), struct(col("t"), col("event_id"))).as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max_by(col("value"), struct(col("t"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_trades"),
+        Exact.dsum(col("value")).as("volume"))
+      .orderBy(col("h"))
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
     qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
     qCohortRetention, qFunnel, qMomGrowth, qTrendLine, qSkyline, qTriangles,
     qResampleBySymbol, qPagerank, qEventTransitions, qPeakConcurrency,
-    qCusumDrift, qMarketBasket)
+    qCusumDrift, qMarketBasket, qOhlcBars)
 }

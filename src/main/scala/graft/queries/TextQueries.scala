@@ -424,7 +424,51 @@ object TextQueries {
       .limit(50)
   }
 
+  /** C4-style heuristic document filter (Raffel et al. 2020 §2.2 adapted to
+    * this corpus): per-document boolean flags for each cleaning rule plus
+    * the final keep decision — word-count band [30, 5000], distinct-word
+    * ratio ≥ ½ (repetition gate), ≥ 2 distinct stopwords (English-evidence
+    * gate), mean word length in [4.5, 8] chars. Unlike tx3's scalar quality
+    * score, this is the FILTER-PIPELINE shape: every rule is auditable
+    * per-document (why was this row dropped?), which is what a curation
+    * pipeline needs for ablations. All-integer arithmetic — the mean-length
+    * band compares `2·(chars−spaces)` against `9·n` and `16·n` instead of
+    * dividing — so the booleans are bit-exact, and every rule is a codegen'd
+    * Column expression over one projection: a narrow map, no shuffle at all;
+    * at 100 TB this is an embarrassingly parallel scan.
+    */
+  val tx16C4Filter: Q = Q(
+    "tx16_c4_filter",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, n_chars FROM documents)
+      |SELECT doc_id,
+      |  len(ws) BETWEEN 30 AND 5000 AS r_len,
+      |  len(list_distinct(ws)) * 2 >= len(ws) AS r_distinct,
+      |  len(list_distinct(list_filter(ws,
+      |    t -> t IN ('the','a','of','and','is')))) >= 2 AS r_stop,
+      |  (n_chars - (len(ws) - 1)) * 2 BETWEEN 9 * len(ws) AND 16 * len(ws) AS r_wordlen,
+      |  (len(ws) BETWEEN 30 AND 5000)
+      |    AND len(list_distinct(ws)) * 2 >= len(ws)
+      |    AND len(list_distinct(list_filter(ws,
+      |      t -> t IN ('the','a','of','and','is')))) >= 2
+      |    AND ((n_chars - (len(ws) - 1)) * 2 BETWEEN 9 * len(ws) AND 16 * len(ws)) AS keep
+      |FROM w ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val ws = split(col("text"), " ")
+    val nw = size(ws)
+    val rLen = nw.between(30, 5000)
+    val rDistinct = size(array_distinct(ws)) * 2 >= nw
+    val rStop = size(array_distinct(filter(ws,
+      t => t.isin("the", "a", "of", "and", "is")))) >= 2
+    val halfMean = (col("n_chars") - (nw - 1)) * 2
+    val rWordlen = halfMean >= nw * 9 && halfMean <= nw * 16
+    Tables.documents(spark, dir).select(col("doc_id"),
+        rLen.as("r_len"), rDistinct.as("r_distinct"), rStop.as("r_stop"),
+        rWordlen.as("r_wordlen"),
+        (rLen && rDistinct && rStop && rWordlen).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
-    tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi)
+    tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
+    tx16C4Filter)
 }

@@ -459,6 +459,43 @@ class PropertySpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("q_ohlc_bars open/close equal a driver-side sort-and-pick per bucket") {
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(unix_micros(date_trunc("hour", col("ts"))).as("h"),
+        unix_micros(col("ts")).as("t"), col("event_id"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = evs.groupBy(_._1).toSeq.sortBy(_._1).map { case (h, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      (h, sorted.head._4, sorted.last._4, rows.length.toLong)
+    }
+    val got = graft.queries.AnalyticsQueries.qOhlcBars.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == expect)
+  }
+
+  test("tx16 C4 filter flags equal a scala re-derivation") {
+    val dir = "/root/testdata/sf0.001"
+    val stop = Set("the", "a", "of", "and", "is")
+    val expect = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .collect().map { r =>
+        val ws = r.getString(1).split(" ", -1).toSeq
+        val n = ws.length.toLong
+        val rLen = n >= 30 && n <= 5000
+        val rDistinct = ws.distinct.length * 2 >= n
+        val rStop = ws.filter(stop).distinct.length >= 2
+        val hm = (r.getLong(2) - (n - 1)) * 2
+        val rWl = hm >= 9 * n && hm <= 16 * n
+        (r.getLong(0), rLen, rDistinct, rStop, rWl, rLen && rDistinct && rStop && rWl)
+      }.sortBy(_._1).toSeq
+    val got = graft.queries.TextQueries.tx16C4Filter.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))).toSeq
+    assert(got == expect)
+  }
+
   test("m14 decile binning matches Spark's native NTILE contract") {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.expressions.Window
