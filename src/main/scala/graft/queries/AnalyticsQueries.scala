@@ -801,13 +801,22 @@ object AnalyticsQueries {
       |FROM pr JOIN s s1 ON p1 = s1.p JOIN s s2 ON p2 = s2.p, n
       |WHERE support >= 3
       |ORDER BY support DESC, lift_bp DESC, p1, p2 LIMIT 50""".stripMargin) { (spark, dir) =>
-    val i = graft.Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-    val n = i.agg(countDistinct(col("o")).as("n_orders"))
-    val s = i.groupBy(col("p")).agg(count(lit(1)).as("cnt"))
-    val pairs = i.as("a")
-      .join(i.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-      .groupBy(col("a.p").as("p1"), col("b.p").as("p2"))
+    // one shuffle builds the baskets; pair generation is a per-basket HOF
+    // (collect_set dedups in-place), replacing the distinct + self-join
+    // two-shuffle plan — per-basket cost O(k²) with k the basket size
+    val baskets = graft.operators.Dedup.cachedForReuse(
+      graft.Tables.lineitem(spark, dir)
+        .groupBy(col("l_orderkey").as("o"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
+    val n = baskets.agg(count(lit(1)).as("n_orders"))
+    val s = baskets.select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("cnt"))
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(ps, (x, ix) ->
+          |  transform(slice(ps, ix + 2, size(ps)), y -> struct(x AS p1, y AS p2))))"""
+          .stripMargin)).as("pr"))
+      .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
       .agg(count(lit(1)).as("support"))
     pairs.filter(col("support") >= 3)
       .join(broadcast(s.select(col("p").as("sp1"), col("cnt").as("cnt1"))),

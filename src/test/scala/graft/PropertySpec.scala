@@ -430,14 +430,21 @@ class PropertySpec extends AnyFunSuite {
           d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
       d(a.length)(b.length)
     }
-    val expect = (for {
+    // brute force at RECORD granularity, then roll up to name-links —
+    // proves the canonicalized plan loses no record pair
+    val brute = (for {
       (k1, n1) <- parts; (k2, n2) <- parts
       if k1 < k2 && n1 != n2 && n1.split(" ")(1) == n2.split(" ")(1)
       d = lev(n1, n2) if d <= 2
-    } yield (k1, k2, d.toLong)).sortBy(t => (t._3, t._1, t._2)).take(200).toSeq
+    } yield {
+      val (a, b) = if (n1 < n2) (n1, n2) else (n2, n1)
+      (a, b, d.toLong)
+    }).groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case ((a, b, d), c) => (a, b, d, c) }
+      .sortBy(t => (t._3, t._1, t._2))
     val got = graft.queries.DedupQueries.dd20FuzzyEr.run(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSeq
-    assert(got == expect)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == brute)
   }
 
   test("q_market_basket support/conf/lift agree with a driver-side recount") {
