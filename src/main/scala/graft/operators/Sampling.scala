@@ -48,6 +48,27 @@ object Sampling {
     df.filter(selectionHash(col(idCol), salt).cast(DoubleType)
       < weight * 4294967296.0)
 
+  /** GROUP-AWARE holdout split: every row is labeled train/test by the
+    * selection hash of its GROUP id (user, domain, document cluster) —
+    * never the row id — so an entity's rows land wholly on one side.
+    * This is the leakage guard row-level splits ([[hashSample]]) cannot
+    * give: a user with events in both train and test leaks future
+    * behavior into training. Pure narrow projection (the hash is a
+    * codegen'd Column over the group column already on the row): no
+    * shuffle, no assignment table to join — group-consistency holds by
+    * construction because the label is a pure function of (salt, group).
+    */
+  def hashSplit(
+      df: DataFrame, groupCol: String, trainFraction: Double, salt: String,
+      outCol: String = "split"): DataFrame = {
+    require(trainFraction >= 0.0 && trainFraction <= 1.0,
+      s"trainFraction out of range: $trainFraction")
+    df.withColumn(outCol,
+      when(selectionHash(col(groupCol), salt)
+          < math.round(trainFraction * 4294967296.0), "train")
+        .otherwise("test"))
+  }
+
   def quotaPerGroup(
       df: DataFrame, groupCol: String, idCol: String, n: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -638,6 +638,35 @@ object MiscQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Group-aware 80/20 holdout split over `events`, keyed by USER hash —
+    * the leakage-prevention twin of mx1's row-level sampling: all of a
+    * user's events land on one side by construction (the split label is a
+    * pure function of (salt, user_id)), so no user's future behavior leaks
+    * from test into train. The report is the per-(split, event_type) event
+    * and distinct-user census a training pipeline logs before fitting —
+    * one grouped aggregate over a narrow projection; at 100 TB the label
+    * costs one codegen'd hash per row and the census one shuffle.
+    */
+  val mx12GroupSplit: Q = Q(
+    "mx12_group_split",
+    """WITH a AS (SELECT event_type, user_id,
+      |  CASE WHEN CAST(concat('0x', substr(md5(concat('gs:', CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+      |         < CAST(round(0.8 * 4294967296.0) AS BIGINT)
+      |       THEN 'train' ELSE 'test' END AS split
+      |  FROM events)
+      |SELECT split, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM a GROUP BY split, event_type ORDER BY split, event_type""".stripMargin) {
+    (spark, dir) =>
+      graft.operators.Sampling.hashSplit(
+          Tables.events(spark, dir).select(col("event_type"), col("user_id")),
+          "user_id", trainFraction = 0.8, salt = "gs")
+        .groupBy(col("split"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("split"), col("event_type"))
+  }
+
   /** CDC log compaction: the LATEST event per key by (event time, id) —
     * the upsert-materialization read of a change stream (c8/c9 cover
     * keep-FIRST; compaction wants keep-last). One rank window per key,
@@ -1002,6 +1031,6 @@ object MiscQueries {
     mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
     mx5StratifiedSample, mx6DomainMix, mx7FixedSample, mx8SequencePacking,
     mx9SlidingWindows, mx10WeightedSample, mx11TokenBudgetSample,
-    qTableChecksum, qDqReport,
+    mx12GroupSplit, qTableChecksum, qDqReport,
     qPercentileBands, qCdcCompact, qZorderLayout, qSkewReport)
 }

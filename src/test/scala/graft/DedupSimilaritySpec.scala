@@ -254,4 +254,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == want)
     assert(want.nonEmpty) // the planted near-dups must actually exercise this
   }
+
+  test("hashSplit: no group straddles the split; label is salt-deterministic") {
+    import graft.operators.Sampling
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("event_id"))
+    val s = Sampling.hashSplit(ev, "user_id", 0.8, "gs")
+    // group-consistency: every user carries exactly one label
+    val straddlers = s.groupBy("user_id")
+      .agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") > 1).count()
+    assert(straddlers == 0L)
+    // both sides populated, rerun identical, different salt differs
+    val counts = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.getOrElse("train", 0L) > 0L && counts.getOrElse("test", 0L) > 0L)
+    val a = s.filter(col("split") === "train").select("event_id").as[Long].collect().toSet
+    val b = Sampling.hashSplit(ev, "user_id", 0.8, "gs")
+      .filter(col("split") === "train").select("event_id").as[Long].collect().toSet
+    assert(a == b)
+    val c = Sampling.hashSplit(ev, "user_id", 0.8, "gs2")
+      .filter(col("split") === "train").select("event_id").as[Long].collect().toSet
+    assert(c != a)
+  }
 }
