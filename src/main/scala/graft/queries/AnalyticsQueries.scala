@@ -871,9 +871,194 @@ object AnalyticsQueries {
       .orderBy(col("h"))
   }
 
+  /** Gaps-and-islands: per-user maximal runs of CONSECUTIVE active days in
+    * the click-stream — the activity-streak query (login streaks, SLA
+    * uptime runs, coverage gaps). The classic trick: within a user,
+    * `day_number − ROW_NUMBER()` is constant exactly along a gap-free run,
+    * so islands fall out of one GROUP BY with no self-join and no
+    * gap-enumeration blow-up. Plan: distinct (user, day) — shrinks the scan
+    * to active-days — then a window and two aggregates all partitioned by
+    * `user_id`, so the day-level window never sees more than one user's
+    * rows and the whole query is one shuffle on the user key. All values
+    * integer/date — exact on any engine.
+    */
+  val qGapsIslands: Q = Q(
+    "q_gaps_islands",
+    """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |i AS (SELECT user_id, day,
+      |        date_diff('day', DATE '1970-01-01', day)
+      |          - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |      FROM d),
+      |s AS (SELECT user_id, MIN(day) AS start_day, MAX(day) AS end_day,
+      |        CAST(COUNT(*) AS BIGINT) AS len
+      |      FROM i GROUP BY user_id, grp)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks, MAX(len) AS longest,
+      |  MIN(start_day) AS first_day, MAX(end_day) AS last_day
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.LongType
+    val d = graft.Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = d
+      .withColumn("grp",
+        datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+          .cast(LongType) - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(min(col("day")).as("start_day"), max(col("day")).as("end_day"),
+        count(lit(1)).as("len"))
+    islands.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_streaks"), max(col("len")).as("longest"),
+        min(col("start_day")).as("first_day"), max(col("end_day")).as("last_day"))
+      .orderBy(col("user_id"))
+  }
+
+  /** RFM segmentation — the classic customer-value cube: per customer
+    * Recency (days since last order, relative to the corpus max date),
+    * Frequency (order count) and Monetary (exact-decimal lifetime value),
+    * each quintiled, then one row per (r,f,m) cell. Quintile boundaries use
+    * NTILE's standard distribution over a TOTAL order (metric, custkey), so
+    * both engines assign identical buckets; R is ranked with most-recent
+    * last (score 5 = best) to match the marketing convention. Plan: one
+    * grouped aggregate to customer grain, a broadcast 1-row max date, three
+    * windows over the already-aggregated table (card = |customers|; the
+    * 100 TB variant swaps each for the m14 PrefixSum rank — same closed
+    * form), and a final cell aggregate. Cell value re-enters exact decimal
+    * before summing, keeping the report order-independent.
+    */
+  val qRfm: Q = Q(
+    "q_rfm",
+    """WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS maxd FROM orders),
+      |c AS (SELECT o_custkey AS custkey,
+      |        date_diff('day', MAX(CAST(o_orderdate AS DATE)), maxd) AS recency_days,
+      |        CAST(COUNT(*) AS BIGINT) AS frequency,
+      |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      |      FROM orders, mx GROUP BY o_custkey, maxd),
+      |s AS (SELECT custkey, recency_days, frequency, monetary,
+      |        CAST(NTILE(5) OVER (ORDER BY recency_days DESC, custkey) AS BIGINT) AS r,
+      |        CAST(NTILE(5) OVER (ORDER BY frequency, custkey) AS BIGINT) AS f,
+      |        CAST(NTILE(5) OVER (ORDER BY monetary, custkey) AS BIGINT) AS m
+      |      FROM c)
+      |SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY r, f, m ORDER BY r, f, m""".stripMargin) { (spark, dir) =>
+    import graft.exprs.Exact
+    import org.apache.spark.sql.types.LongType
+    val orders = graft.Tables.orders(spark, dir)
+    val mx = orders.agg(max(to_date(col("o_orderdate"))).as("maxd"))
+    val c = orders.crossJoin(broadcast(mx))
+      .groupBy(col("o_custkey").as("custkey"), col("maxd"))
+      .agg(datediff(col("maxd"), max(to_date(col("o_orderdate")))).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        Exact.dsum(col("o_totalprice")).as("monetary"))
+    val s = c
+      .withColumn("r", ntile(5).over(
+        Window.orderBy(col("recency_days").desc, col("custkey"))).cast(LongType))
+      .withColumn("f", ntile(5).over(
+        Window.orderBy(col("frequency"), col("custkey"))).cast(LongType))
+      .withColumn("m", ntile(5).over(
+        Window.orderBy(col("monetary"), col("custkey"))).cast(LongType))
+    s.groupBy(col("r"), col("f"), col("m"))
+      .agg(count(lit(1)).as("n_customers"),
+        Exact.dsum(col("monetary")).as("total_value"))
+      .orderBy(col("r"), col("f"), col("m"))
+  }
+
+  /** Pareto / ABC inventory classification: parts ranked by lifetime
+    * discounted revenue; class A = parts inside the first 80% of cumulative
+    * revenue, B to 95%, C the tail. The cumulative sum is NOT a global
+    * window: revenue is scaled to an exact integer (DECIMAL(·,4) × 10⁴) and
+    * scanned by [[graft.operators.PrefixSum]] over the (−revenue, partkey)
+    * range order — one range shuffle + two narrow passes, no
+    * single-partition sort, so the ranking holds where
+    * `SUM() OVER (ORDER BY …)` would serialize (the m12/m14 pattern; the
+    * oracle uses the window form — different plan, same bytes). Cumulative
+    * share is one double division of exact integers → identical class
+    * boundaries on both engines. (Int64 revenue units cap at ~9·10¹⁴
+    * currency — beyond that the scan needs the DECIMAL variant.)
+    */
+  val qPareto: Q = Q(
+    "q_pareto",
+    """WITH p AS (
+      |  SELECT l_partkey,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |             (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) * 10000
+      |         AS BIGINT) AS rev4
+      |  FROM lineitem GROUP BY l_partkey),
+      |r AS (SELECT l_partkey, rev4,
+      |        CAST(SUM(rev4) OVER (ORDER BY rev4 DESC, l_partkey) AS BIGINT) AS cum4,
+      |        CAST(SUM(rev4) OVER () AS BIGINT) AS tot4
+      |      FROM p),
+      |c AS (SELECT l_partkey, rev4,
+      |        CASE WHEN CAST(cum4 AS DOUBLE) / CAST(tot4 AS DOUBLE) <= 0.8 THEN 'A'
+      |             WHEN CAST(cum4 AS DOUBLE) / CAST(tot4 AS DOUBLE) <= 0.95 THEN 'B'
+      |             ELSE 'C' END AS cls,
+      |        CAST(cum4 AS DOUBLE) / CAST(tot4 AS DOUBLE) AS share
+      |      FROM r)
+      |SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |  CAST(SUM(rev4) AS DOUBLE) / 10000 AS revenue, MAX(share) AS cum_share_hi
+      |FROM c GROUP BY cls ORDER BY cls""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val one = lit(new java.math.BigDecimal("1.00"))
+    val d2 = DecimalType(18, 2)
+    val p = graft.Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg((sum(col("l_extendedprice").cast(d2) * (one - col("l_discount").cast(d2)))
+        * 10000).cast(LongType).as("rev4"))
+      .withColumn("ord", struct((-col("rev4")).as("nr"), col("l_partkey")))
+    val cum = graft.operators.PrefixSum.withStartOffset(p, "ord", "rev4", "cum0")
+      .withColumn("cum4", col("cum0") + col("rev4"))
+    val tot = p.agg(sum(col("rev4")).as("tot4"))
+    val share = col("cum4").cast(DoubleType) / col("tot4").cast(DoubleType)
+    cum.crossJoin(broadcast(tot))
+      .withColumn("cls",
+        when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C"))
+      .withColumn("share", share)
+      .groupBy(col("cls"))
+      .agg(count(lit(1)).as("n_parts"),
+        (sum(col("rev4")).cast(DoubleType) / 10000).as("revenue"),
+        max(col("share")).as("cum_share_hi"))
+      .orderBy(col("cls"))
+  }
+
+  /** Per-source language-diversity report for a training corpus: document
+    * count, distinct languages, Gini impurity (1 − Σp²) and majority-class
+    * share. The impurity is computed LOG-FREE (the tx9 rule: ln is not
+    * correctly rounded across libms) from exact integer counts —
+    * `1 − Σcnt²/total²` is two exact integer aggregates and ONE double
+    * division, bit-identical on any engine while Shannon entropy would not
+    * be. Plan: two grouped aggregates (source×lang, then source) that share
+    * the source key — partial aggregation does the heavy lifting and the
+    * report is O(|sources|).
+    */
+  val qSourceDiversity: Q = Q(
+    "q_source_diversity",
+    """WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+      |           FROM documents GROUP BY source, lang)
+      |SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_langs,
+      |  1.0 - CAST(SUM(cnt * cnt) AS DOUBLE) / CAST(SUM(cnt) * SUM(cnt) AS DOUBLE)
+      |    AS gini_impurity,
+      |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS top_share
+      |FROM c GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.DoubleType
+    graft.Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(col("cnt") * col("cnt")).as("sumsq"), max(col("cnt")).as("top_cnt"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        (lit(1.0) - col("sumsq").cast(DoubleType) /
+          (col("n_docs") * col("n_docs")).cast(DoubleType)).as("gini_impurity"),
+        (col("top_cnt").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("top_share"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
     qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
     qCohortRetention, qFunnel, qMomGrowth, qTrendLine, qSkyline, qTriangles,
     qResampleBySymbol, qPagerank, qEventTransitions, qPeakConcurrency,
-    qCusumDrift, qMarketBasket, qOhlcBars)
+    qCusumDrift, qMarketBasket, qOhlcBars, qGapsIslands, qRfm, qPareto,
+    qSourceDiversity)
 }
