@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact, engine-portable model-evaluation statistics.
+  *
+  * The reference's ML stage (predict.py) reports float RMSEs; at corpus scale
+  * the evaluation statistics a data pipeline actually gates on (does this
+  * feature rank the label? are these two categoricals independent?) must be
+  * reproducible across engines and runs, so everything here is computed in
+  * INTEGER rational arithmetic — counts, pair counts, and integer-division
+  * quantizations (basis points / centi-units) — never floating-point sums.
+  * The same tx15/m14 discipline: a hash-gateable result at any scale.
+  *
+  *  - [[rankAuc]]: ROC AUC via the Mann–Whitney U statistic. AUC =
+  *    (#concordant + ½·#tied) / (#pos·#neg) over all pos×neg pairs; both
+  *    terms come from per-score-value counts, so the plan is one groupBy on
+  *    the score plus an exclusive prefix sum — no per-pair work, no O(n²).
+  *    Result is the exact rational (auc_num / auc_den, with auc_num =
+  *    2·concordant + ties against auc_den = 2·pos·neg to stay integral).
+  *  - [[chi2Contingency]]: Pearson chi-square over the FULL a×b grid
+  *    (absent combinations contribute their expected count, so the grid is
+  *    rebuilt from the margins, not just observed cells). Per-cell statistic
+  *    (O·N − rT·cT)² · 100 / (N·rT·cT) in 128-bit decimal to survive the
+  *    squared term at large N, floored to integer centi-units.
+  *
+  * 100 TB shape: both reduce the input to one shuffle over a bounded key
+  * space (distinct score values / category pairs); the prefix sum in
+  * [[rankAuc]] is the distributed two-pass [[PrefixSum]], not a
+  * single-partition window.
+  */
+object Eval {
+
+  /** Exact ROC AUC of `scoreCol` (numeric, higher = predicted positive)
+    * against boolean `labelCol`. One output row:
+    * pos_n, neg_n, auc_num, auc_den, auc_bp (= auc_num·10⁴ // auc_den).
+    */
+  def rankAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val perScore = df
+      .groupBy(col(scoreCol).as("s"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("neg"))
+    // Exclusive prefix sum of negatives in score order = for each score
+    // value, the number of negative examples ranked strictly below it.
+    val withCum = PrefixSum.withStartOffset(perScore, "s", "neg", "cum_neg")
+    withCum
+      .agg(
+        sum(col("pos") * col("cum_neg")).as("conc"),
+        sum(col("pos") * col("neg")).as("ties"),
+        sum(col("pos")).as("p"),
+        sum(col("neg")).as("nn"))
+      .select(
+        col("p").cast(LongType).as("pos_n"),
+        col("nn").cast(LongType).as("neg_n"),
+        (col("conc") * 2 + col("ties")).cast(LongType).as("auc_num"),
+        (col("p") * col("nn") * 2).cast(LongType).as("auc_den"),
+        expr("(conc * 2 + ties) * 10000 div (p * nn * 2)").as("auc_bp"))
+  }
+
+  /** Pearson chi-square contingency over `aCol` × `bCol`: the full grid
+    * (cartesian of observed margins) with per-cell observed count,
+    * expected count in milli-units, and chi-square contribution in
+    * centi-units. Margins are tiny aggregates, so the grid build is a
+    * broadcast nested-loop over two broadcast sides — never a shuffle.
+    */
+  def chi2Contingency(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val obs = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("obs"))
+    val rowT = obs.groupBy(col("a")).agg(sum(col("obs")).as("rt"))
+    val colT = obs.groupBy(col("b")).agg(sum(col("obs")).as("ct"))
+    val tot  = obs.agg(sum(col("obs")).as("n"))
+    rowT.crossJoin(broadcast(colT))
+      .join(obs, Seq("a", "b"), "left")
+      .na.fill(0L, Seq("obs"))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("a"), col("b"), col("obs").cast(LongType).as("obs"),
+        expr("rt * ct * 1000 div n").as("exp_milli"),
+        expr(
+          """cast(cast(obs * n - rt * ct as decimal(38,0))
+            |     * cast(obs * n - rt * ct as decimal(38,0)) * 100
+            |  div (cast(n as decimal(38,0)) * rt * ct) as bigint)""".stripMargin)
+          .as("chi2_cbp"))
+      .orderBy(col("a"), col("b"))
+  }
+}

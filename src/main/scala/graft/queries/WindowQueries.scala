@@ -611,8 +611,60 @@ object WindowQueries {
       .orderBy(col("bin"))
   }
 
+  /** Exact ROC AUC (Mann–Whitney) of document length as a predictor of
+    * "document is English" — the feature-vs-label ranking diagnostic of a
+    * curation pipeline, in pure integer rationals (graft.operators.Eval).
+    */
+  val m15RankAuc: Q = Q(
+    "m15_auc",
+    """WITH sc AS (
+      |  SELECT n_chars AS s,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      |  FROM documents GROUP BY n_chars),
+      |c AS (
+      |  SELECT pos, neg,
+      |    COALESCE(SUM(neg) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+      |  FROM sc),
+      |t AS (SELECT SUM(pos * cum_neg) AS conc, SUM(pos * neg) AS ties,
+      |             SUM(pos) AS p, SUM(neg) AS nn
+      |      FROM c)
+      |SELECT CAST(p AS BIGINT) AS pos_n, CAST(nn AS BIGINT) AS neg_n,
+      |  CAST(2 * conc + ties AS BIGINT) AS auc_num,
+      |  CAST(2 * p * nn AS BIGINT) AS auc_den,
+      |  CAST((2 * conc + ties) * 10000 // (2 * p * nn) AS BIGINT) AS auc_bp
+      |FROM t""".stripMargin) { (spark, dir) =>
+    graft.operators.Eval.rankAuc(
+      graft.Tables.documents(spark, dir).select(col("n_chars"), (col("lang") === "en").as("y")),
+      "n_chars", "y")
+  }
+
+  /** Pearson chi-square of order priority × order status over the FULL
+    * margin grid — per-cell observed, expected (milli-units), and chi2
+    * contribution (centi-units), all integer-exact.
+    */
+  val m16Chi2: Q = Q(
+    "m16_chi2",
+    """WITH o AS (SELECT o_orderpriority AS a, o_orderstatus AS b,
+      |             CAST(COUNT(*) AS BIGINT) AS obs
+      |           FROM orders GROUP BY 1, 2),
+      |r AS (SELECT a, SUM(obs) AS rt FROM o GROUP BY a),
+      |c AS (SELECT b, SUM(obs) AS ct FROM o GROUP BY b),
+      |t AS (SELECT SUM(obs) AS n FROM o)
+      |SELECT a, b, CAST(COALESCE(obs, 0) AS BIGINT) AS obs,
+      |  CAST(rt * ct * 1000 // n AS BIGINT) AS exp_milli,
+      |  CAST(CAST(COALESCE(obs, 0) * n - rt * ct AS HUGEINT)
+      |         * (COALESCE(obs, 0) * n - rt * ct) * 100
+      |       // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT) AS chi2_cbp
+      |FROM r CROSS JOIN c LEFT JOIN o USING (a, b), t
+      |ORDER BY a, b""".stripMargin) { (spark, dir) =>
+    graft.operators.Eval.chi2Contingency(
+      graft.Tables.orders(spark, dir), "o_orderpriority", "o_orderstatus")
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
-    m14QuantileBinning)
+    m14QuantileBinning, m15RankAuc, m16Chi2)
 }
