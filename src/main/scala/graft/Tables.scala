@@ -23,18 +23,30 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "lineitem")
-  /** `events.ts` is written as nanosecond parquet timestamps, which Spark's
-    * vectorized reader rejects. Read nanos as long (legacy conf) and truncate
-    * to microsecond timestamps — the same truncation DuckDB applies, so oracle
-    * comparisons agree.
+  /** `events.ts` has shipped in three physical parquet layouts across driver
+    * data regenerations; normalize all of them to `TimestampType` (micros,
+    * UTC session) so downstream `unix_micros`/`session_window`/JDBC writes
+    * see one type:
+    *
+    *  1. nanosecond timestamps — Spark's vectorized reader rejects these;
+    *     read nanos as long (legacy conf) and truncate to micros, the same
+    *     truncation DuckDB applies, so oracle comparisons agree.
+    *  2. `timestamp[us], isAdjustedToUTC=false` — Spark 4 reads this as
+    *     `TIMESTAMP_NTZ`; cast to `TimestampType`. Bench/Verify pin the
+    *     session timezone to UTC, so the cast is wall-clock-preserving and
+    *     matches DuckDB's naive read exactly.
+    *  3. `timestamp[us], isAdjustedToUTC=true` — already `TimestampType`.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

@@ -32,6 +32,27 @@ object EventsStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(EventSchema).parquet(dir)
 
+  /** Layout-aware file-source stream over the driver's `events.parquet`,
+    * mirroring [[graft.Tables.events]]: a cheap batch footer read picks the
+    * physical `ts` layout (nanos-as-long / µs TIMESTAMP_NTZ / µs TIMESTAMP),
+    * then the stream is declared with that schema and normalized to
+    * `TimestampType` before any watermark/window touches it.
+    */
+  def readEventsNormalized(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val physical = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    def streamWith(tsType: DataType): DataFrame = spark.readStream
+      .schema(StructType(EventSchema.fields.map(f =>
+        if (f.name == "ts") StructField("ts", tsType) else f)))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    physical match {
+      case LongType         => streamWith(LongType).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => streamWith(TimestampNTZType).withColumn("ts", col("ts").cast(TimestampType))
+      case _                => streamWith(TimestampType)
+    }
+  }
+
   /** Watermarked tumbling 1-hour aggregation per event type. `total_value`
     * uses the exact-decimal sum convention ([[graft.exprs.Exact.dsum]]) so
     * the batch twin is bit-stable cross-engine (decimal partials also merge
@@ -273,13 +294,7 @@ object EventsStream {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // nanos→µs shim for the file stream (same as Tables.events)
-    val raw = spark.readStream
-      .schema(StructType(EventSchema.fields.map(f =>
-        if (f.name == "ts") StructField("ts", LongType) else f)))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = readEventsNormalized(spark, sfDir)
 
     // Complete mode for the demo: with a one-shot static replay the watermark
     // never advances past the trailing windows, so append would emit nothing.

@@ -78,12 +78,7 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     import org.apache.spark.sql.streaming.Trigger
     import org.apache.spark.sql.types._
-    val raw = spark.readStream
-      .schema(StructType(EventsStream.EventSchema.fields.map(f =>
-        if (f.name == "ts") StructField("ts", LongType) else f)))
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = EventsStream.readEventsNormalized(spark, dir)
     val q = EventsStream.hourlyCounts(raw).writeStream
       .outputMode(OutputMode.Complete)
       .format("memory").queryName("hourly_test")
