@@ -17,6 +17,21 @@ import org.apache.spark.sql.SparkSession
   *    holds the complete line.
   *  - `target/bench_total.json`: the same record (plus the full-precision
   *    map) as a file artifact, in case the stdout protocol ever mismatches.
+  *  - `BENCH_TELEMETRY.txt` (repo root, so the next round's snapshot commit
+  *    preserves it): the per-query stderr telemetry of the LAST run — the
+  *    driver's own BENCH_r{N} record keeps only a stdout tail, which left
+  *    the r5 late-suite collapse undiagnosable post-hoc.
+  *
+  * Suite isolation: BENCH_r05 recorded 613 s driver-side for a suite that
+  * runs in 169 s on the same box when run alone, with individual queries
+  * degrading 5–26× against their ProfQueries steady state — intra-JVM
+  * accumulation (JIT/code-cache churn, heap aging) compounded by whatever
+  * else shares the machine. The suite therefore runs as `SHARDS` (default 3)
+  * sequential CHILD JVMs, each with a fresh code cache, heap, and Spark
+  * session, launched with the parent's exact classpath and JVM flags. The
+  * parent merges the shard maps and prints the one summed total line the
+  * driver parses. `SPARK_GRAFT_SHARDS=0` forces the old single-JVM
+  * in-process mode; child processes run with `SPARK_GRAFT_SHARD=i/k` set.
   */
 object Bench {
 
@@ -49,10 +64,20 @@ object Bench {
 
   private def r3(x: Double): Double = math.rint(x * 1000) / 1000
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      Runtime.getRuntime.availableProcessors.toString)
+  private def telemetryPath = java.nio.file.Paths.get("BENCH_TELEMETRY.txt")
+
+  private def logTelemetry(line: String): Unit = {
+    System.err.println(line)
+    try java.nio.file.Files.writeString(telemetryPath, line + "\n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
+  }
+
+  /** Run a slice of the sorted query list in THIS JVM; returns (name, sec). */
+  private def runQueries(
+      sfDir: String, cpus: String, shardTag: String,
+      slice: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+      totalN: Int): Seq[(String, Double)] = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,8 +89,7 @@ object Bench {
     Tables.names.foreach { n =>
       try Tables(spark, sfDir, n).count() catch { case _: Throwable => () }
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
+    val results = slice.zipWithIndex.map { case ((name, fn), idx) =>
       val (jit0, gc0) = jitGcMs()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -78,15 +102,98 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val (ccUsed, ccMax, ccPct) = codeCache()
       val (jit1, gc1) = jitGcMs()
-      System.err.println(
-        f"[bench] [${idx + 1}%3d/${ordered.size}%d] $name%-28s ${dt}%8.3f s  codecache ${ccUsed / 1048576}%d/${ccMax / 1048576}%dMB (${ccPct}%.0f%%)  jit +${jit1 - jit0}%dms gc +${gc1 - gc0}%dms")
+      logTelemetry(
+        f"[bench$shardTag] [${idx + 1}%3d/${slice.size}%d of $totalN%d] $name%-28s ${dt}%8.3f s  codecache ${ccUsed / 1048576}%d/${ccMax / 1048576}%dMB (${ccPct}%.0f%%)  jit +${jit1 - jit0}%dms gc +${gc1 - gc0}%dms")
       if (ccPct > 90.0)
-        System.err.println(
-          s"[bench] WARNING: JIT code cache ${ccPct.round}% full after $name — " +
+        logTelemetry(
+          s"[bench$shardTag] WARNING: JIT code cache ${ccPct.round}% full after $name — " +
             "HotSpot may stop compiling and later queries will run interpreted " +
             "(raise -XX:ReservedCodeCacheSize)")
       name -> dt
     }
+    spark.stop()
+    results
+  }
+
+  private def shardFile(i: Int) = s"target/bench_shard_$i.json"
+
+  /** Spawn one child JVM per shard (sequentially — full machine per shard),
+    * mirroring this JVM's classpath and flags. Returns None if any child
+    * fails, so the caller can fall back to in-process execution.
+    */
+  private def runSharded(k: Int, names: Seq[String]): Option[Seq[(String, Double)]] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = java.nio.file.Paths.get(
+      System.getProperty("java.home"), "bin", "java").toString
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    val cp = System.getProperty("java.class.path")
+    val ok = (0 until k).forall { i =>
+      new java.io.File(shardFile(i)).delete()
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_SHARD", s"$i/$k")
+      // children write file artifacts; their stdout is log noise — keep the
+      // parent's stdout protocol clean, surface child stderr telemetry.
+      pb.redirectOutput(ProcessBuilder.Redirect.to(new java.io.File(s"target/bench_shard_$i.out")))
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val rc = pb.start().waitFor()
+      rc == 0 && new java.io.File(shardFile(i)).isFile
+    }
+    if (!ok) None
+    else {
+      // shard files are flat {"name":sec,...} written by this code — parse
+      // with a pair scan, no JSON lib needed
+      val pair = """"([^"]+)":([-0-9.eE]+)""".r
+      val merged = (0 until k).flatMap { i =>
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(shardFile(i))))
+        pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+      }
+      val byName = merged.toMap
+      if (names.forall(byName.contains)) Some(names.map(n => n -> byName(n))) else None
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+
+    sys.env.get("SPARK_GRAFT_SHARD") match {
+      case Some(spec) => // child: run my contiguous slice, write the artifact, exit
+        val Array(i, k) = spec.split('/').map(_.toInt)
+        val slices = partition(ordered, k)
+        val results = runQueries(sfDir, cpus, s" $i/$k", slices(i), ordered.size)
+        val qs = results.map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
+        new java.io.File("target").mkdirs()
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(shardFile(i)), qs + "\n")
+
+      case None => // parent
+        val shards = sys.env.get("SPARK_GRAFT_SHARDS").map(_.toInt)
+          .getOrElse(if (ordered.size > 60) 3 else 0)
+        new java.io.File("target").mkdirs()
+        try java.nio.file.Files.deleteIfExists(telemetryPath) catch { case _: Throwable => () }
+        val results =
+          (if (shards > 1) runSharded(shards, ordered.map(_._1)) else None)
+            .getOrElse(runQueries(sfDir, cpus, "", ordered, ordered.size))
+        emit(results, sfDir)
+    }
+  }
+
+  /** Contiguous near-equal slices — keeps alphabetical families (which share
+    * JIT warmup, e.g. the tx* token HOFs) inside one JVM.
+    */
+  private def partition[A](xs: Seq[A], k: Int): Seq[Seq[A]] = {
+    val base = xs.size / k; val rem = xs.size % k
+    val sizes = (0 until k).map(i => base + (if (i < rem) 1 else 0))
+    sizes.foldLeft((xs, Vector.empty[Seq[A]])) { case ((rest, acc), s) =>
+      (rest.drop(s), acc :+ rest.take(s))
+    }._2
+  }
+
+  private def emit(results: Seq[(String, Double)], sfDir: String): Unit = {
     val total = results.map(_._2).sum
     // Per-query times as SHORT sorted chunks (8 queries/line, ms precision),
     // each line self-describing — so a bounded tail-window capture holds the
@@ -103,10 +210,8 @@ object Bench {
     println(totalLine)
     // File artifact too, so the record survives any stdout-protocol mismatch.
     val qsFull = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
-    new java.io.File("target").mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_total.json"),
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qsFull,"sf":"$sfDir"}""" + "\n")
-    spark.stop()
   }
 }

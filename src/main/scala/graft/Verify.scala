@@ -32,6 +32,7 @@ object Verify {
       .map { case (name, fn) =>
       val dest = new java.io.File(s"$outDir/$name")
       rmRf(dest)
+      graft.operators.PrefixSum.drainDebug() // clear stale recs from prior queries
       val status =
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -45,6 +46,13 @@ object Verify {
             s"$name: ${e.toString}\n")
           "failed"
         }
+      // Execution-evidence sidecar (prefix-sum bounds + per-split pass-1
+      // totals) for post-hoc diagnosis of driver-side-only divergences (the
+      // mx3 ghost). Underscore prefix: parquet readers skip it as metadata.
+      val dbgRecs = graft.operators.PrefixSum.drainDebug()
+      if (dbgRecs.nonEmpty && dest.isDirectory)
+        Files.writeString(Paths.get(dest.getPath, "_DEBUG.json"),
+          dbgRecs.map(_.json).mkString("[", ",\n ", "]\n"))
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> status

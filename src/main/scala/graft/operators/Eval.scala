@@ -46,10 +46,17 @@ object Eval {
     // Exclusive prefix sum of negatives in score order = for each score
     // value, the number of negative examples ranked strictly below it.
     val withCum = PrefixSum.withStartOffset(perScore, "s", "neg", "cum_neg")
+    // conc/ties accumulate pair counts (up to n²/2) and auc_bp multiplies by
+    // 10⁴ on top — pure long arithmetic overflows around 4×10⁷ balanced rows
+    // (ANSI mode: a runtime throw). Everything from the pair products up runs
+    // in decimal(38,0), mirroring the DuckDB oracle's HUGEINT accumulation,
+    // so both engines stay exact to ~10¹⁹ rows. Degenerate single-class
+    // input (pos·neg = 0) yields NULL auc_bp instead of a divide-by-zero
+    // throw (the oracle SQL carries the same CASE).
     withCum
       .agg(
-        sum(col("pos") * col("cum_neg")).as("conc"),
-        sum(col("pos") * col("neg")).as("ties"),
+        sum(col("pos").cast(DecimalType(38, 0)) * col("cum_neg")).as("conc"),
+        sum(col("pos").cast(DecimalType(38, 0)) * col("neg")).as("ties"),
         sum(col("pos")).as("p"),
         sum(col("neg")).as("nn"))
       .select(
@@ -57,7 +64,10 @@ object Eval {
         col("nn").cast(LongType).as("neg_n"),
         (col("conc") * 2 + col("ties")).cast(LongType).as("auc_num"),
         (col("p") * col("nn") * 2).cast(LongType).as("auc_den"),
-        expr("(conc * 2 + ties) * 10000 div (p * nn * 2)").as("auc_bp"))
+        when(col("p") === 0 || col("nn") === 0, lit(null).cast(LongType))
+          .otherwise(expr(
+            "(conc * 2 + ties) * 10000 div (cast(p as decimal(38,0)) * nn * 2)"))
+          .as("auc_bp"))
   }
 
   /** Pearson chi-square contingency over `aCol` × `bCol`: the full grid
@@ -77,11 +87,15 @@ object Eval {
       .na.fill(0L, Seq("obs"))
       .crossJoin(broadcast(tot))
       .select(
+        // operands widen to decimal BEFORE any product: rt·ct and obs·n in
+        // long overflow around 10⁸–3×10⁹ total rows with concentrated
+        // margins — the decimal(38,0) guard must cover the inner products,
+        // not just the squaring (the oracle computes these in HUGEINT).
         col("a"), col("b"), col("obs").cast(LongType).as("obs"),
-        expr("rt * ct * 1000 div n").as("exp_milli"),
+        expr("cast(rt as decimal(38,0)) * ct * 1000 div n").as("exp_milli"),
         expr(
-          """cast(cast(obs * n - rt * ct as decimal(38,0))
-            |     * cast(obs * n - rt * ct as decimal(38,0)) * 100
+          """cast((cast(obs as decimal(38,0)) * n - cast(rt as decimal(38,0)) * ct)
+            |     * (cast(obs as decimal(38,0)) * n - cast(rt as decimal(38,0)) * ct) * 100
             |  div (cast(n as decimal(38,0)) * rt * ct) as bigint)""".stripMargin)
           .as("chi2_cbp"))
       .orderBy(col("a"), col("b"))

@@ -14,9 +14,11 @@ import org.apache.spark.sql.types._
   * instead:
   *
   *  1. range-partition by the order key and sort within partitions — a
-  *     total order across partitions, each task holding a contiguous range
-  *     (RangePartitioner's sampled boundaries are seed-deterministic for a
-  *     given input layout, so the split is reproducible);
+  *     total order across partitions, each task holding a contiguous range.
+  *     For integral keys the bounds are EXACT equal-width over [min, max]
+  *     (one narrow agg) — deterministic regardless of input layout; other
+  *     key types fall back to RangePartitioner's sampled boundaries
+  *     (seed-deterministic for a given layout);
   *  2. pass 1: per-partition totals — #partitions longs to the driver
   *     (bounded, like any broadcast dim);
   *  3. pass 2: each partition streams once more, adding the exclusive scan
@@ -30,6 +32,90 @@ import org.apache.spark.sql.types._
   * (the oracle and the engine could legitimately disagree).
   */
 object PrefixSum {
+
+  /** Execution-evidence record for one prefix-sum run: partitioning mode and
+    * bounds, input/output split counts, and the per-split pass-1 totals.
+    * Buffered JVM-wide and drained by [[graft.Verify]] into per-query
+    * `_DEBUG.json` sidecars, so a driver-side-only divergence (the mx3
+    * ghost: hash-mismatch in 3 of 5 driver rounds, never reproduced builder-
+    * or judge-side) is localizable post-hoc from the run that failed.
+    */
+  final case class DebugRec(op: String, orderCol: String, mode: String,
+      inputSplits: Int, parts: Int, bounds: String, passTotals: Seq[Seq[Long]]) {
+    def json: String = {
+      val tots = passTotals.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+      s"""{"op":"$op","order_col":"$orderCol","mode":"$mode","input_splits":$inputSplits,"parts":$parts,"bounds":"$bounds","pass1_totals":$tots}"""
+    }
+  }
+  private val debugBuf = scala.collection.mutable.ArrayBuffer.empty[DebugRec]
+  def drainDebug(): Seq[DebugRec] =
+    debugBuf.synchronized { val r = debugBuf.toList; debugBuf.clear(); r }
+  private def record(r: DebugRec): Unit = debugBuf.synchronized { debugBuf += r; () }
+
+  /** A totally-ordered, partition-contiguous RDD of `df`'s rows by
+    * `orderCol`, persisted so pass 1 and pass 2 read the SAME splits.
+    *
+    * For integral order keys (every production caller: doc_id, n_chars,
+    * epoch micros) the partition bounds are EQUAL-WIDTH over the exact
+    * [min, max] of the key — one extra narrow agg, after which NOTHING
+    * environmental can perturb the split: RangePartitioner's sketch-sampled
+    * bounds (the alternative, kept as the fallback for non-integral keys)
+    * depend on the input's physical layout, which a driver-side file-split
+    * difference could shift. Bounds only steer WHICH split owns a key —
+    * the scan result is invariant either way — but deterministic bounds
+    * plus the [[DebugRec]] evidence remove the last layout sensitivity.
+    */
+  private def sortedByKey(
+      df: DataFrame, orderCol: String, op: String): (org.apache.spark.rdd.RDD[Row], DebugRec) = {
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val inputSplits = df.rdd.getNumPartitions
+    val keyIdx = df.schema.fieldIndex(orderCol)
+    def asLong(r: Row): Long = r.get(keyIdx) match {
+      case l: java.lang.Long => l.longValue()
+      case i: java.lang.Integer => i.longValue()
+      case s: java.lang.Short => s.longValue()
+      case b: java.lang.Byte => b.longValue()
+      case other => throw new IllegalStateException(s"non-integral key $other")
+    }
+    val integral = df.schema(orderCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val minMax: Option[(Long, Long)] =
+      if (!integral) None
+      else {
+        val mm = df.agg(
+          min(col(orderCol)).cast(LongType), max(col(orderCol)).cast(LongType)).head()
+        if (mm.isNullAt(0)) None
+        else {
+          val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+          if (hi - lo < 0) None else Some((lo, hi)) // span overflow → fallback
+        }
+      }
+    minMax match {
+      case Some((lo, hi)) =>
+        val width = (hi - lo) / parts + 1
+        val partitioner = new org.apache.spark.Partitioner {
+          override def numPartitions: Int = parts
+          override def getPartition(key: Any): Int =
+            ((key.asInstanceOf[Long] - lo) / width).toInt
+        }
+        val sorted = df.rdd.map(r => (asLong(r), r))
+          .repartitionAndSortWithinPartitions(partitioner)
+          .map(_._2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (sorted, DebugRec(op, orderCol, "equal-width", inputSplits, parts,
+          s"[$lo,$hi] width=$width", Nil))
+      case None =>
+        val parted = df
+          .repartitionByRange(parts, col(orderCol))
+          .sortWithinPartitions(orderCol)
+        val rdd = parted.rdd
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (rdd, DebugRec(op, orderCol, "sampled-range", inputSplits, parts, "", Nil))
+    }
+  }
 
   /** Adds `outCol` = exclusive prefix sum of `valueCol` (long) in ascending
     * `orderCol` order — i.e. each row's START offset in the concatenated
@@ -47,18 +133,14 @@ object PrefixSum {
   def withStartOffsets(
       df: DataFrame, orderCol: String, cols: Seq[(String, String)]): DataFrame = {
     val spark = df.sparkSession
-    val parted = df
-      .repartitionByRange(spark.sparkContext.defaultParallelism, col(orderCol))
-      .sortWithinPartitions(orderCol)
     val valIdxs = cols.map { case (v, _) => df.schema.fieldIndex(v) }.toArray
     val nCols = valIdxs.length
     // ONE materialized RDD serves both passes. Two invariants hang on this:
-    //  - boundary stability: RangePartitioner samples its range bounds when
-    //    the shuffle dependency is created; re-planning `parted` per action
-    //    would re-sample and pass 1's bases could describe different
-    //    partitions than pass 2 reads. A single RDD instance has a single
-    //    shuffle dependency, so every action sees the same bounds (and the
-    //    map stage is skipped on re-execution — the shuffle files are reused).
+    //  - boundary stability: the partition bounds must be identical for
+    //    pass 1 and pass 2 — [[sortedByKey]] computes them ONCE (exact
+    //    equal-width for integral keys; a single RangePartitioner instance
+    //    otherwise), so every action sees the same splits (and the map
+    //    stage is skipped on re-execution — the shuffle files are reused).
     //  - index stability: `mapPartitionsWithIndex` hands each closure the
     //    SPLIT index of this RDD, which survives any downstream narrow
     //    transformation. `TaskContext.getPartitionId()` does NOT — a
@@ -68,8 +150,7 @@ object PrefixSum {
     // instead of re-sorting the shuffle output; the result frame is lazy, so
     // release is deferred to Spark's ContextCleaner, which auto-unpersists
     // once the returned frame (the only reference) is dropped by the caller.
-    val rdd = parted.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (rdd, dbg) = sortedByKey(df, orderCol, "withStartOffsets")
     // pass 1: per-partition totals keyed by split index (tiny: nCols longs each)
     val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
       val s = new Array[Long](nCols)
@@ -79,6 +160,7 @@ object PrefixSum {
       }
       Iterator.single(pid -> s)
     }.collect().sortBy(_._1).map(_._2)
+    record(dbg.copy(passTotals = partTotals.map(_.toSeq).toSeq))
     // exclusive scan of the totals = each partition's global base offsets
     val bases = partTotals.scanLeft(new Array[Long](nCols)) { (acc, t) =>
       Array.tabulate(nCols)(i => acc(i) + t(i))
@@ -121,15 +203,11 @@ object PrefixSum {
   def withCusum(
       df: DataFrame, orderCol: String, valueCol: String, outCol: String): DataFrame = {
     val spark = df.sparkSession
-    val parted = df
-      .repartitionByRange(spark.sparkContext.defaultParallelism, col(orderCol))
-      .sortWithinPartitions(orderCol)
     val valIdx = df.schema.fieldIndex(valueCol)
-    // Same single-RDD discipline as withStartOffsets: one shuffle dependency
-    // (stable range bounds across both passes), split indices from
-    // mapPartitionsWithIndex (stable under downstream coalesce).
-    val rdd = parted.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Same single-RDD discipline as withStartOffsets: one set of bounds
+    // across both passes, split indices from mapPartitionsWithIndex (stable
+    // under downstream coalesce).
+    val (rdd, dbg) = sortedByKey(df, orderCol, "withCusum")
     // pass 1: (partition sum, min over the partition's local inclusive
     // prefix sums) — the monoid the exclusive combine needs
     val partStats = rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -140,6 +218,7 @@ object PrefixSum {
       }
       Iterator.single((pid, s, m))
     }.collect().sortBy(_._1)
+    record(dbg.copy(passTotals = partStats.map(t => Seq(t._2, t._3)).toSeq))
     // exclusive scan: base_p = Σ sums before p; minBefore_p = min(0,
     // min over q<p of base_q + minPrefix_q) — 0 is P_0, the empty prefix,
     // which anchors S_0 = 0 exactly as the recurrence does.

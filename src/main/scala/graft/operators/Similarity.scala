@@ -313,20 +313,24 @@ object Similarity {
     * `rel(c) − max_{s∈S} sim(c, s)` (λ = ½ up to a constant factor), so
     * each pick is relevant to the query but far from everything already
     * chosen. Determinism: every cosine is one integer-free but
-    * single-division double of identical operands on any engine, argmaxes
+    * single-division double of identical operands on any engine
+    * (`MAX` over selected = `greatest` of the same doubles), argmaxes
     * tie-break on vec_id, so the selection order is bit-stable. Plan
-    * shape per round: candidates anti-join the (≤ k-row, broadcast)
-    * selected set, one BroadcastNestedLoop pass scores sim against those
-    * k vectors, a TakeOrderedAndProject picks the winner — the corpus is
-    * scanned, never shuffled, and driver state is the k selected rows.
-    * Rounds re-root on a materialized selected set ([[Dedup.cachedForReuse]])
-    * so the lineage stays O(1) per round, the SCALE.md iterative-loop
-    * invariant.
+    * shape: ONE distributed pass builds the checkpointed `rels`
+    * (vec_id, v, nrm, rel), then each greedy round is a single
+    * TakeOrderedAndProject job over it — the already-selected vectors ride
+    * along as array LITERALS inside a `greatest(...)` of narrow dot
+    * products (≤ k of them, k is small by contract), so there is no
+    * per-round join, no broadcast exchange, no chained caches, and the
+    * plan stays constant-size: k jobs total vs the old 2(k−1) with a
+    * growing cached lineage. The corpus is scanned, never shuffled;
+    * driver state is the k selected rows (+ their d-double vectors).
     */
   def mmrSelect(
       df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
     val n = Dedup.cachedForReuse(prepared(df, idCol, vecCol))
     val q = n.filter(col("vec_id") === queryId)
       .select(col("v").as("qv"), col("nrm").as("qn"))
@@ -334,30 +338,36 @@ object Similarity {
       n.filter(col("vec_id") =!= queryId).crossJoin(broadcast(q))
         .select(col("vec_id"), col("v"), col("nrm"),
           (dot(col("v"), col("qv")) / (col("nrm") * col("qn"))).as("rel")))
-    var selected = rels
-      .orderBy(col("rel").desc, col("vec_id")).limit(1)
-      .select(col("vec_id"), col("rel"),
-        lit(null).cast(DoubleType).as("ms"), col("rel").as("score"),
-        lit(1L).as("rnk"))
-    for (r <- 2 to k) {
-      selected = Dedup.cachedForReuse(selected)
-      val selVecs = selected.select(col("vec_id").as("s_id"))
-        .join(rels.select(col("vec_id").as("s_id"), col("v").as("sv"),
-          col("nrm").as("sn")), "s_id")
-      val cand = rels.join(selected.select(col("vec_id").as("x_id")),
-        col("vec_id") === col("x_id"), "left_anti")
-      val ms = cand.crossJoin(broadcast(selVecs))
-        .withColumn("sim", dot(col("v"), col("sv")) / (col("nrm") * col("sn")))
-        .groupBy(col("vec_id")).agg(max(col("sim")).as("ms"))
-      val next = cand.join(ms, "vec_id")
-        .select(col("vec_id"), col("rel"), col("ms"),
-          (col("rel") - col("ms")).as("score"))
-        .orderBy(col("score").desc, col("vec_id")).limit(1)
-        .withColumn("rnk", lit(r.toLong))
-      selected = selected.unionByName(next)
+    // (rnk, vec_id, rel, ms, score) + the selected vector/norm for the next
+    // round's literal sims
+    final case class Sel(rnk: Long, vecId: Long, rel: Double,
+        ms: Option[Double], score: Double, v: Array[Double], nrm: Double)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Sel]
+    for (r <- 1 to k) {
+      val base =
+        if (selected.isEmpty) rels
+        else rels.filter(!col("vec_id").isInCollection(selected.map(_.vecId)))
+      val scored =
+        if (selected.isEmpty)
+          base.withColumn("ms", lit(null).cast(DoubleType))
+            .withColumn("score", col("rel"))
+        else {
+          // identical operand shapes to the oracle's MAX(cos(r, s)):
+          // dot in index order, then / (r.nrm * s.nrm)
+          val sims = selected.toSeq.map(s =>
+            dot(col("v"), typedLit(s.v)) / (col("nrm") * lit(s.nrm)))
+          val ms = if (sims.size == 1) sims.head else greatest(sims: _*)
+          base.withColumn("ms", ms).withColumn("score", col("rel") - col("ms"))
+        }
+      val row = scored.orderBy(col("score").desc, col("vec_id")).limit(1)
+        .select("vec_id", "rel", "ms", "score", "v", "nrm").head()
+      selected += Sel(r.toLong, row.getLong(0), row.getDouble(1),
+        if (row.isNullAt(2)) None else Some(row.getDouble(2)),
+        row.getDouble(3), row.getSeq[Double](4).toArray, row.getDouble(5))
     }
-    selected.select(col("rnk"), col("vec_id"), col("rel"), col("ms"),
-      col("score")).orderBy(col("rnk"))
+    import spark.implicits._
+    selected.toSeq.map(s => (s.rnk, s.vecId, s.rel, s.ms, s.score))
+      .toDF("rnk", "vec_id", "rel", "ms", "score").orderBy("rnk")
   }
 
   /** Product-quantization top-k with asymmetric-distance scoring (ADC) —

@@ -278,8 +278,14 @@ object TextQueries {
       |SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
       |FROM x GROUP BY w1, w2
       |ORDER BY cnt DESC, w1, w2 LIMIT 100""".stripMargin) { (spark, dir) =>
-    val l = split(lower(col("text")), " ")
+    // Two-step select on purpose: `l` is non-cheap (regex split of the full
+    // text) and referenced four times below, so CollapseProject keeps the
+    // projection boundary and the split runs ONCE per row — inlining it
+    // (the old single-select form) recomputed the split per reference
+    // inside the interpreted HOF chain.
+    val l = col("l")
     Tables.documents(spark, dir)
+      .select(split(lower(col("text")), " ").as("l"))
       .select(explode(zip_with(
         slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
@@ -316,14 +322,20 @@ object TextQueries {
       |  SUM(CASE WHEN o.owner = g.doc_id THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS novelty
       |FROM g JOIN o USING (gh)
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.types.LongType
+    graft.functions.GraftFunctions.register(spark)
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .filter(size(col("toks")) >= 5)
+    // hash32 is the compiled twin of conv(substring(md5(s),1,8),16,10)
+    // (Hash32Spec pins bit-equality), so the oracle SQL is unchanged while
+    // the per-gram cost drops from a three-expression hex-string round-trip
+    // to one JVM call. The gram stream feeds BOTH the owner aggregate and
+    // the join back, so root it on a localCheckpoint — without it the
+    // md5-per-token kernel runs twice (the dd15 treatment, SCALE.md #3).
     val grams = toks.select(col("doc_id"), explode(array_distinct(expr(
-      """transform(sequence(1, size(toks) - 4),
-        |  i -> cast(conv(substring(md5(concat_ws(' ', slice(toks, i, 5))), 1, 8), 16, 10) as bigint))"""
-        .stripMargin))).as("gh"))
+      "transform(sequence(1, size(toks) - 4), i -> hash32(concat_ws(' ', slice(toks, i, 5))))"
+      ))).as("gh"))
+      .localCheckpoint(true)
     val owners = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("owner"))
     grams.join(owners, "gh")
       .groupBy(col("doc_id"))

@@ -633,7 +633,9 @@ object WindowQueries {
       |SELECT CAST(p AS BIGINT) AS pos_n, CAST(nn AS BIGINT) AS neg_n,
       |  CAST(2 * conc + ties AS BIGINT) AS auc_num,
       |  CAST(2 * p * nn AS BIGINT) AS auc_den,
-      |  CAST((2 * conc + ties) * 10000 // (2 * p * nn) AS BIGINT) AS auc_bp
+      |  CASE WHEN p = 0 OR nn = 0 THEN NULL
+      |       ELSE CAST((2 * conc + ties) * 10000 // (2 * p * nn) AS BIGINT)
+      |  END AS auc_bp
       |FROM t""".stripMargin) { (spark, dir) =>
     graft.operators.Eval.rankAuc(
       graft.Tables.documents(spark, dir).select(col("n_chars"), (col("lang") === "en").as("y")),

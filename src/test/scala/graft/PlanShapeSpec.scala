@@ -95,7 +95,10 @@ class PlanShapeSpec extends AnyFunSuite {
     // the range shuffle lives in the cached RDD's lineage now; the visible
     // guarantee is a multi-partition output (no single-task funnel)
     assert(fast.rdd.getNumPartitions > 1, "output must stay partitioned, not one task")
-    assert(fast.rdd.toDebugString.contains("ShuffledRowRDD"),
+    // equal-width integral-key path shuffles at the RDD level (ShuffledRDD);
+    // the sampled-range fallback shuffles in Catalyst (ShuffledRowRDD) —
+    // either way the order must come from a shuffle upstream
+    assert(fast.rdd.toDebugString.contains("ShuffledR"),
       "order must come from a range shuffle upstream")
     val naive = df.withColumn("off",
       coalesce(sum(col("v")).over(
