@@ -546,17 +546,19 @@ object AnalyticsQueries {
 
   /** Triangle counting on the co-purchase graph (users purchasing within
     * the same hour) — the graph-analytics staple behind clustering
-    * coefficients and community detection. Edges are ORIENTED low→high id,
-    * so each triangle is counted exactly once as a(a,b)⋈(b,c)⋈(a,c) wedge
-    * close — two equi-joins on the edge table, the standard distributed
-    * formulation (at scale, orient by DEGREE instead of id so high-degree
-    * hubs sit on the narrow side of the wedge join; id-orientation is the
-    * deterministic variant the oracle can replay). Counts are exact
+    * coefficients and community detection. Edges are ORIENTED by
+    * (degree, id) — every edge points from its lower-degree endpoint to
+    * the higher — and each triangle is counted exactly once as a
+    * (s,a)⋈(s,b)⋈(a,b) wedge close over the oriented adjacency: the
+    * compact-forward / degree-ordering algorithm (Latapy 2008), whose
+    * per-node wedge work is arboricity-bounded O(√m) instead of
+    * max-degree-bounded — the skew-safe form for hub-heavy graphs. The
+    * total is orientation-invariant, so the oracle replays the simpler
+    * id-oriented SQL and the counts agree exactly. Counts are exact
     * integers. The sf0.1 graph is DENSE by construction (1.5k users, 244k
     * edges over 720 hourly buckets → ~40M wedges), making this the
-    * suite's deliberate heavy-join stressor: ~5.6 s steady-state, all in
-    * the wedge shuffle — the cost exact triangle counting pays at this
-    * density on any engine.
+    * suite's deliberate heavy-join stressor — the cost exact triangle
+    * counting pays at this density on any engine.
     */
   val qTriangles: Q = Q(
     "q_triangles",
@@ -574,17 +576,41 @@ object AnalyticsQueries {
       .filter(col("event_type") === "purchase")
       .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
       .distinct()
-    // edge table feeds FOUR consumers (three wedge-join legs + the edge
-    // count) — materialize once (SCALE.md invariant #3)
+    // edge table feeds FOUR consumers (degree build ×2, orientation join,
+    // edge count) — materialize once (SCALE.md invariant #3)
     val e = graft.operators.Dedup.cachedForReuse(
       p.as("a").join(p.as("b"),
           col("a.h") === col("b.h") && col("a.user_id") < col("b.user_id"))
         .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
         .distinct())
-    val tri = e.as("e1")
-      .join(e.as("e2"), col("e2.u") === col("e1.v"))
-      .join(e.as("e3"),
-        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+    // Degree orientation (the standard compact-forward algorithm): point
+    // every edge from its lower-(degree, id) endpoint to the higher one and
+    // build wedges only from ORIENTED out-edges. Triangle counts are
+    // orientation-invariant (the oracle's id-oriented SQL computes the
+    // identical totals), but max out-degree drops from max-degree to
+    // O(√m), so the wedge join's biggest task is arboricity-bounded — a
+    // hub with a million neighbors no longer produces a 10¹²-row wedge
+    // task at 100 TB, the graph-skew analogue of salting.
+    val d = e.select(col("u").as("x")).unionByName(e.select(col("v").as("x")))
+      .groupBy(col("x")).agg(count(lit(1)).as("deg"))
+    val o = graft.operators.Dedup.cachedForReuse(
+      e.join(d.select(col("x").as("u"), col("deg").as("du")), "u")
+        .join(d.select(col("x").as("v"), col("deg").as("dv")), "v")
+        .select(
+          when(col("du") < col("dv") ||
+               (col("du") === col("dv") && col("u") < col("v")),
+            struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+          .otherwise(
+            struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+          .as("r"))
+        .select(col("r.s").as("s"), col("r.t").as("t"), col("r.dt").as("dt")))
+    val tri = o.as("o1")
+      .join(o.as("o2"),
+        col("o2.s") === col("o1.s") &&
+          (col("o1.dt") < col("o2.dt") ||
+            (col("o1.dt") === col("o2.dt") && col("o1.t") < col("o2.t"))))
+      .join(o.as("o3"),
+        col("o3.s") === col("o1.t") && col("o3.t") === col("o2.t"))
       .agg(count(lit(1)).as("n_triangles"))
     e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(tri))
       .select(col("n_edges"), col("n_triangles"))

@@ -94,6 +94,46 @@ class JdbcLoaderSpec extends AnyFunSuite {
     conn.close()
   }
 
+  test("events-derived timestamp frame survives L2 append and L3 upsert round-trips") {
+    // the st6 failure mode: a data regeneration that shifts events.ts to a
+    // different surfaced type (TIMESTAMP_NTZ in r5 — Derby rejected the
+    // java.time.LocalDateTime it maps to) must be caught at spec time, not
+    // driver time. Tables.events normalizes every physical layout to
+    // TimestampType; this pins that a frame derived from the REAL events
+    // table writes through both JDBC paths and reads back the same micros.
+    val spark0 = spark
+    import org.apache.spark.sql.functions.{col, max => smax, min => smin, unix_micros}
+    val ev = graft.Tables.events(spark0, "/root/testdata/sf0.001")
+      .groupBy(col("event_type"))
+      .agg(smin(col("ts")).as("first_ts"), smax(col("ts")).as("last_ts"))
+    assert(ev.schema("first_ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // round-trip through Spark's own JDBC reader: symmetric timezone
+    // handling, so the comparison is exact micros regardless of the JVM
+    // default zone
+    def micros(df: org.apache.spark.sql.DataFrame, tsCols: (String, String)) = df
+      .select(col("event_type"), unix_micros(col(tsCols._1)), unix_micros(col(tsCols._2)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val expected = micros(ev, ("first_ts", "last_ts"))
+
+    val url = freshDb()
+    // L2 append (Spark JDBC write path — quoted lowercase columns)
+    new JdbcLoader(Map("connection_string" -> url, "table" -> "ev_append")).load(ev)
+    val backAppend = spark0.read.jdbc(url, "ev_append", new java.util.Properties())
+    assert(backAppend.schema("first_ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(micros(backAppend, ("first_ts", "last_ts")) == expected)
+    // L3 upsert (engine DDL + MERGE path — unquoted, Derby-uppercased);
+    // a second load exercises the UPDATE branch with the timestamp params
+    val up = new JdbcLoader(Map("connection_string" -> url, "table" -> "ev_upsert",
+      "if_exists" -> "upsert", "primary_keys" -> Seq("event_type")))
+    up.load(ev)
+    up.load(ev)
+    val backUpsert = spark0.read.jdbc(url, "ev_upsert", new java.util.Properties())
+      .withColumnRenamed("EVENT_TYPE", "event_type")
+    assert(micros(backUpsert, ("FIRST_TS", "LAST_TS")) == expected)
+  }
+
   test("upsert creates the unique index uq_<table>_<pks>") {
     val url = freshDb()
     new JdbcLoader(Map(
