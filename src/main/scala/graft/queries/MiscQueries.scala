@@ -667,6 +667,87 @@ object MiscQueries {
         .orderBy(col("split"), col("event_type"))
   }
 
+  /** Waterfilling token-budget allocation across sources — the
+    * source-balancing step of a pretraining data mixer: given per-source
+    * token totals and a global budget B (here total÷2), find the uniform
+    * per-source cap C maximizing Σ min(tokens_s, C) ≤ B, so small sources
+    * keep everything and the surplus spreads evenly over the large ones
+    * (the integer waterline). Closed form via the classic sorted-prefix
+    * argument: with sources ascending by tokens, j = the last index whose
+    * full-keep-at-its-own-level cost p_{j−1} + (k−j+1)·tokens_j fits B,
+    * then C = (B − p_j) div (k − j). Everything is integer arithmetic
+    * (div / least), so both engines agree bit-for-bit; keep_bp is the
+    * per-source downsample rate mx1's hash sampler would then apply.
+    * Scale: the doc scan reduces to ONE bounded per-source aggregate
+    * (like q_skew_report); the waterline computation runs over #sources
+    * rows — the un-partitioned window is bounded by source cardinality,
+    * never by corpus size.
+    */
+  val mx13SourceWaterfill: Q = Q(
+    "mx13_source_waterfill",
+    s"""WITH t AS (SELECT source,
+       |    CAST(SUM(CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.BpePattern}')) AS BIGINT)) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       |r AS (SELECT source, tokens,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY tokens, source) AS BIGINT) AS i,
+       |    CAST(SUM(tokens) OVER (ORDER BY tokens, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+       |  FROM t),
+       |g AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+       |             CAST(COUNT(*) AS BIGINT) AS k FROM t),
+       |f AS (SELECT r.source, r.tokens, r.i, r.p, g.total, g.k,
+       |        g.total // 2 AS b,
+       |        r.p - r.tokens + (g.k - r.i + 1) * r.tokens AS cost
+       |      FROM r, g),
+       |jj AS (SELECT MAX(CASE WHEN cost <= b THEN i ELSE 0 END) AS j,
+       |              MAX(CASE WHEN cost <= b THEN p ELSE 0 END) AS pj FROM f),
+       |cap AS (SELECT CASE WHEN jj.j >= g.k THEN (SELECT MAX(tokens) FROM t)
+       |                    WHEN jj.j = 0 THEN (g.total // 2) // g.k
+       |                    ELSE ((g.total // 2) - jj.pj) // (g.k - jj.j)
+       |               END AS water_cap
+       |        FROM jj, g)
+       |SELECT f.source, f.tokens,
+       |  LEAST(f.tokens, cap.water_cap) AS kept_tokens,
+       |  CAST(LEAST(f.tokens, cap.water_cap) * 10000 // f.tokens AS BIGINT) AS keep_bp,
+       |  cap.water_cap
+       |FROM f, cap ORDER BY f.source""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    import graft.operators.TextAnalysis
+    // one bounded aggregate over the corpus, materialized once for its
+    // four consumers (ranked frame, totals, max, final projection)
+    val t = graft.operators.Dedup.cachedForReuse(
+      Tables.documents(spark, dir)
+        .groupBy(col("source"))
+        .agg(sum(TextAnalysis.bpeTokenCount(col("text")).cast(LongType)).as("tokens")))
+    val w = Window.orderBy(col("tokens"), col("source"))
+    val r = t.select(col("source"), col("tokens"),
+      row_number().over(w).cast(LongType).as("i"),
+      sum(col("tokens")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("p"))
+    val g = t.agg(sum(col("tokens")).as("total"), count(lit(1)).as("k"))
+    val f = r.crossJoin(broadcast(g))
+      .withColumn("b", expr("total div 2"))
+      .withColumn("cost",
+        col("p") - col("tokens") + (col("k") - col("i") + 1) * col("tokens"))
+    val jj = f.agg(
+      max(when(col("cost") <= col("b"), col("i")).otherwise(0L)).as("j"),
+      max(when(col("cost") <= col("b"), col("p")).otherwise(0L)).as("pj"))
+    val mxT = t.agg(max(col("tokens")).as("tmax"))
+    val cap = jj.crossJoin(broadcast(g)).crossJoin(broadcast(mxT))
+      .select(
+        when(col("j") >= col("k"), col("tmax"))
+          .when(col("j") === 0, expr("(total div 2) div k"))
+          .otherwise(expr("((total div 2) - pj) div (k - j)"))
+          .as("water_cap"))
+    f.crossJoin(broadcast(cap))
+      .select(col("source"), col("tokens"),
+        least(col("tokens"), col("water_cap")).as("kept_tokens"),
+        expr("least(tokens, water_cap) * 10000 div tokens").as("keep_bp"),
+        col("water_cap"))
+      .orderBy(col("source"))
+  }
+
   /** CDC log compaction: the LATEST event per key by (event time, id) —
     * the upsert-materialization read of a change stream (c8/c9 cover
     * keep-FIRST; compaction wants keep-last). One rank window per key,
@@ -1031,6 +1112,6 @@ object MiscQueries {
     mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
     mx5StratifiedSample, mx6DomainMix, mx7FixedSample, mx8SequencePacking,
     mx9SlidingWindows, mx10WeightedSample, mx11TokenBudgetSample,
-    mx12GroupSplit, qTableChecksum, qDqReport,
+    mx12GroupSplit, mx13SourceWaterfill, qTableChecksum, qDqReport,
     qPercentileBands, qCdcCompact, qZorderLayout, qSkewReport)
 }
