@@ -436,6 +436,64 @@ object AnalyticsQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Complex-event-processing first match: per user, the first
+    * view → click → purchase sequence completing within 24 hours — the
+    * MATCH_RECOGNIZE staple (fraud patterns, conversion attribution) in
+    * skip-till-next, tightest-completion semantics: the purchase binds to
+    * the LATEST preceding click that itself has a preceding view (the
+    * click carries ITS latest view along), and the first qualifying
+    * purchase per user wins. Two STACKED running-max windows over one
+    * (user_id, ts, id) sort — each event type's "latest so far" struct
+    * embeds the previous stage's binding, the q_funnel trick upgraded to
+    * carry event identities — so pattern detection over an arbitrarily
+    * long history is ONE hash exchange + one sort, no self-joins and no
+    * per-pattern-length join chain. Struct max is (us, id)-lexicographic
+    * in both engines, so the binding (and the oracle compare) is exact.
+    */
+  val qCepFirstMatch: Q = Q(
+    "q_cep_first_match",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id AS id FROM events),
+      |w1 AS (SELECT *,
+      |    MAX(CASE WHEN event_type = 'view' THEN struct_pack(us := us, id := id) END) OVER
+      |      (PARTITION BY user_id ORDER BY us, id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+      |  FROM e),
+      |w2 AS (SELECT *,
+      |    MAX(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+      |         THEN struct_pack(cus := us, cid := id, vus := lv.us, vid := lv.id) END) OVER
+      |      (PARTITION BY user_id ORDER BY us, id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cv
+      |  FROM w1),
+      |m AS (SELECT user_id, cv.vus AS v_us, cv.vid AS v_id, cv.cus AS c_us,
+      |             cv.cid AS c_id, us AS p_us, id AS p_id
+      |      FROM w2
+      |      WHERE event_type = 'purchase' AND cv IS NOT NULL
+      |        AND us - cv.vus <= 86400000000)
+      |SELECT user_id, v_us, v_id, c_us, c_id, p_us, p_id
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p_us, p_id) AS rn FROM m)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val wp = Window.partitionBy(col("user_id")).orderBy(col("us"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val matches = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id").as("id"))
+      .withColumn("lv",
+        max(when(col("event_type") === "view",
+          struct(col("us"), col("id")))).over(wp))
+      .withColumn("cv",
+        max(when(col("event_type") === "click" && col("lv").isNotNull,
+          struct(col("us").as("cus"), col("id").as("cid"),
+            col("lv.us").as("vus"), col("lv.id").as("vid")))).over(wp))
+      .filter(col("event_type") === "purchase" && col("cv").isNotNull &&
+        col("us") - col("cv.vus") <= 86400000000L)
+      .select(col("user_id"), col("cv.vus").as("v_us"), col("cv.vid").as("v_id"),
+        col("cv.cus").as("c_us"), col("cv.cid").as("c_id"),
+        col("us").as("p_us"), col("id").as("p_id"))
+    val first = Window.partitionBy(col("user_id")).orderBy(col("p_us"), col("p_id"))
+    matches.withColumn("rn", row_number().over(first)).filter(col("rn") === 1)
+      .drop("rn").orderBy(col("user_id"))
+  }
+
   /** Month-over-month revenue growth: exact-decimal monthly sums, lag, and
     * a growth ratio whose operands are exact — so the double division is
     * the single deterministic rounding. ~84 monthly rows: the lag window
@@ -1083,7 +1141,7 @@ object AnalyticsQueries {
 
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
     qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
-    qCohortRetention, qFunnel, qMomGrowth, qTrendLine, qSkyline, qTriangles,
+    qCohortRetention, qFunnel, qCepFirstMatch, qMomGrowth, qTrendLine, qSkyline, qTriangles,
     qResampleBySymbol, qPagerank, qEventTransitions, qPeakConcurrency,
     qCusumDrift, qMarketBasket, qOhlcBars, qGapsIslands, qRfm, qPareto,
     qSourceDiversity)
