@@ -279,6 +279,64 @@ object EventsStream {
         col("session_window.end").as("session_end"),
         col("n_events"), col("total_value"))
 
+  final case class CepState(
+      hasV: Boolean, vus: Long, vid: Long,
+      hasC: Boolean, cus: Long, cid: Long, cvus: Long, cvid: Long,
+      done: Boolean)
+  final case class CepMatch(user_id: Long, v_us: Long, v_id: Long,
+      c_us: Long, c_id: Long, p_us: Long, p_id: Long)
+
+  /** Streaming CEP first-match — the incremental twin of the batch
+    * `q_cep_first_match` stacked-window query: per user, emit the FIRST
+    * view → click → purchase sequence completing within `withinMicros`,
+    * with the purchase binding to the latest preceding click that itself
+    * carries its latest preceding view (skip-till-next, tightest
+    * completion). The per-user state is O(1) — the latest view, the latest
+    * view-carrying click, and a done flag — so a billion-user stream holds
+    * three longs of NFA state per key, not history; events are folded in
+    * (ts, id) order within each micro-batch, which reproduces the batch
+    * window's `ROWS … 1 PRECEDING` semantics exactly for in-order
+    * delivery (out-of-order arrivals across batches are the watermark's
+    * problem, as with any event-time operator). After the first match the
+    * key goes dormant (`done`) — a production variant would arm an
+    * event-time timeout to GC those entries, as [[sessionize]] does.
+    */
+  def cepFirstMatch(
+      events: Dataset[Event],
+      withinMicros: Long = 86400000000L): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[CepState]) => {
+          var st = state.getOption.getOrElse(
+            CepState(hasV = false, 0L, 0L, hasC = false, 0L, 0L, 0L, 0L, done = false))
+          val out = Seq.newBuilder[CepMatch]
+          // full microsecond precision (getTime alone truncates to ms and
+          // would diverge from the batch query's unix_micros comparisons)
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            if (!st.done) {
+              val us = micros(e.ts)
+              e.event_type match {
+                case "view" => st = st.copy(hasV = true, vus = us, vid = e.event_id)
+                case "click" if st.hasV =>
+                  st = st.copy(hasC = true, cus = us, cid = e.event_id,
+                    cvus = st.vus, cvid = st.vid)
+                case "purchase" if st.hasC && us - st.cvus <= withinMicros =>
+                  out += CepMatch(userId, st.cvus, st.cvid, st.cus, st.cid,
+                    us, e.event_id)
+                  st = st.copy(done = true)
+                case _ => ()
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
   /** Demo main: stream the sf parquet through the hourly aggregation into a
     * memory sink and print the result (batch parity check with
     * `q_hourly_events`).

@@ -482,4 +482,37 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     assert(df.columns.contains("target_return"))
     assert(df.count() > 900)
   }
+
+  test("streaming CEP first-match equals the batch query across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch truth: the stacked-window q_cep_first_match result
+    val batch = graft.queries.AnalyticsQueries.qCepFirstMatch.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(batch.nonEmpty) // 8 matched users at sf0.001 — a real gate
+    // stream the same events in TWO event-time-ordered micro-batches, split
+    // at the median timestamp, so NFA state (open views/clicks) must carry
+    // across the batch boundary to reproduce the batch result
+    val evs = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventsStream.Event].collect()
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    val mid = evs.length / 2
+    val mem = MemoryStream[EventsStream.Event]
+    val q = EventsStream.cepFirstMatch(mem.toDS()).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("cep_test")
+      .start()
+    mem.addData(evs.take(mid).toIndexedSeq)
+    q.processAllAvailable()
+    mem.addData(evs.drop(mid).toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+      "SELECT user_id, v_us, v_id, c_us, c_id, p_us, p_id FROM cep_test")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    q.stop()
+    assert(streamed == batch)
+  }
 }
