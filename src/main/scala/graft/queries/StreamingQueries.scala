@@ -178,6 +178,46 @@ object StreamingQueries {
       .orderBy(col("h_us"), col("event_type"))
   }
 
+  /** The streaming CEP NFA ([[EventsStream.cepFirstMatch]],
+    * `flatMapGroupsWithState`) executed in BATCH mode — Spark runs the same
+    * state function as a one-iterator-per-group pass, so the driver gate
+    * exercises the exact per-event transition code the stream runs, against
+    * the same window-SQL oracle as `q_cep_first_match` (whose stacked-window
+    * plan is the declarative twin). Batch/stream parity across micro-batch
+    * boundaries is additionally pinned by EwmStreamingMultimodalSpec.
+    */
+  val st7CepSequence: Q = Q(
+    "st7_cep_sequence",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id AS id FROM events),
+      |w1 AS (SELECT *,
+      |    MAX(CASE WHEN event_type = 'view' THEN struct_pack(us := us, id := id) END) OVER
+      |      (PARTITION BY user_id ORDER BY us, id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+      |  FROM e),
+      |w2 AS (SELECT *,
+      |    MAX(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+      |         THEN struct_pack(cus := us, cid := id, vus := lv.us, vid := lv.id) END) OVER
+      |      (PARTITION BY user_id ORDER BY us, id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cv
+      |  FROM w1),
+      |m AS (SELECT user_id, cv.vus AS v_us, cv.vid AS v_id, cv.cus AS c_us,
+      |             cv.cid AS c_id, us AS p_us, id AS p_id
+      |      FROM w2
+      |      WHERE event_type = 'purchase' AND cv IS NOT NULL
+      |        AND us - cv.vus <= 86400000000)
+      |SELECT user_id, v_us, v_id, c_us, c_id, p_us, p_id
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY p_us, p_id) AS rn FROM m)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    EventsStream.cepFirstMatch(
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventsStream.Event])
+      .toDF()
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts, st3IncrementalDedup,
-    st4Enrich, st5ClickAttribution, st6Matview)
+    st4Enrich, st5ClickAttribution, st6Matview, st7CepSequence)
 }
