@@ -5,8 +5,8 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.exprs.Exact._
 
-/** Second tranche of TPC-H-pattern relational queries (q6/q7/q8/q13/q15/
-  * q17/q21/q22 shapes adapted to the driver's reduced star schema — no
+/** Second tranche of TPC-H-pattern relational queries (q2/q6/q7/q8/q9/q11/
+  * q13/q15/q17/q21/q22 shapes adapted to the driver's reduced star schema — no
   * partsupp table, no commitdate/receiptdate/phone/comment columns, so the
   * date-lag and country-code predicates are re-expressed over the columns
   * that exist; the PLAN SHAPES are the point and are preserved):
@@ -246,7 +246,119 @@ object TpchMoreQueries {
       .orderBy("segment")
   }
 
-  val all: Seq[Q] = Seq(q6ForecastRevenue, q7NationVolume, q8MarketShare,
+  /** q2 pattern — minimum-cost supplier (correlated MIN equality,
+    * decorrelated): for each PROMO part, the EUROPE supplier whose cheapest
+    * line item for that part is the part's region-wide minimum. The
+    * correlated `= (SELECT MIN ...)` becomes a per-(part) min aggregate
+    * equi-joined back (the q15/q17 rewrite family, here keyed per group
+    * instead of globally); min runs on exact DECIMAL, ties broken by
+    * supplier key via a second min — fully deterministic. Plan: one
+    * lineitem shuffle on l_partkey after the broadcast dims prune rows;
+    * no per-row subquery execution.
+    */
+  val q2MinCostSupplier: Q = Q(
+    "q2_min_cost_supplier",
+    """WITH eu AS (SELECT s_suppkey, s_name, n_name FROM supplier, nation, region
+      |            WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |              AND r_name = 'EUROPE'),
+      |li AS (SELECT l_partkey, l_suppkey, CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+      |       FROM lineitem JOIN eu ON l_suppkey = s_suppkey),
+      |mn AS (SELECT l_partkey, MIN(price) AS min_price FROM li GROUP BY l_partkey),
+      |w AS (SELECT li.l_partkey, MIN(li.l_suppkey) AS s_key, mn.min_price
+      |      FROM li JOIN mn ON li.l_partkey = mn.l_partkey AND li.price = mn.min_price
+      |      GROUP BY li.l_partkey, mn.min_price)
+      |SELECT p_partkey, p_name, s_name, n_name, CAST(min_price AS DOUBLE) AS min_price
+      |FROM w JOIN part ON p_partkey = w.l_partkey JOIN eu ON s_suppkey = w.s_key
+      |WHERE p_type = 'PROMO'
+      |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+    val eu = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(eu.select(col("s_suppkey"))), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice").cast(D2).as("price"))
+    val mn = li.groupBy(col("l_partkey")).agg(min(col("price")).as("min_price"))
+    val w = li.join(mn.withColumnRenamed("l_partkey", "mk"),
+        col("l_partkey") === col("mk") && col("price") === col("min_price"))
+      .groupBy(col("l_partkey"), col("min_price"))
+      .agg(min(col("l_suppkey")).as("s_key"))
+    w.join(broadcast(Tables.part(spark, dir).filter(col("p_type") === "PROMO")),
+        col("p_partkey") === col("l_partkey"))
+      .join(broadcast(eu), col("s_suppkey") === col("s_key"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+        col("min_price").cast(DoubleType).as("min_price"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** q9 pattern — product-type profit by nation and year: the wide
+    * fact-to-many-dims join tree (lineitem ⋈ orders ⋈ supplier ⋈ nation ⋈
+    * part) grouped by (nation, year). Dims broadcast; the only shuffle is
+    * the l⋈o equi-join plus the final grouped aggregate, exactly the shape
+    * AQE keeps at 100 TB. Profit in exact DECIMAL (no supplycost column in
+    * this schema — revenue stands in; the PLAN is the point).
+    */
+  val q9NationProfit: Q = Q(
+    "q9_nation_profit",
+    s"""SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(SUM($DiscPriceSql) AS DOUBLE) AS profit
+       |FROM lineitem, orders, supplier, nation, part
+       |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+       |  AND s_nationkey = n_nationkey AND p_partkey = l_partkey
+       |  AND p_name LIKE '%a%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year""".stripMargin) { (spark, dir) =>
+    Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.part(spark, dir).filter(col("p_name").like("%a%"))),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast(LongType).as("o_year"))
+      .agg(sum(discPrice).cast(DoubleType).as("profit"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
+  /** q11 pattern — important stock: per-part revenue from one nation's
+    * suppliers, kept only where it exceeds the global AVERAGE part value
+    * (TPC-H's scalar-subquery HAVING, with the fixed fraction replaced by
+    * the scale-adaptive mean so the selectivity survives any SF). The
+    * scalar is a one-row broadcast crossJoin — both branches reuse ONE
+    * grouped aggregate (cachedForReuse), and the threshold comparison
+    * (value > total/n ⇔ value×n > total) stays in integer-exact decimal,
+    * no double drift.
+    */
+  val q11ImportantStock: Q = Q(
+    "q11_important_stock",
+    s"""WITH de AS (SELECT s_suppkey FROM supplier, nation
+       |            WHERE s_nationkey = n_nationkey AND n_name = 'NATION_8'),
+       |v AS (SELECT l_partkey, SUM($DiscPriceSql) AS value
+       |      FROM lineitem JOIN de ON l_suppkey = s_suppkey GROUP BY l_partkey)
+       |SELECT l_partkey AS p_key, CAST(value AS DOUBLE) AS value
+       |FROM v, (SELECT SUM(value) AS total, COUNT(*) AS n FROM v)
+       |WHERE value * n > total
+       |ORDER BY value DESC, p_key""".stripMargin) { (spark, dir) =>
+    val de = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_8")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val v = graft.operators.Dedup.cachedForReuse(
+      Tables.lineitem(spark, dir)
+        .join(broadcast(de), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(discPrice).as("value")))
+    v.crossJoin(broadcast(
+        v.agg(sum(col("value")).as("total"), count(lit(1)).as("n"))))
+      .filter(col("value") * col("n") > col("total"))
+      .select(col("l_partkey").as("p_key"), col("value").cast(DoubleType).as("value"))
+      .orderBy(col("value").desc, col("p_key"))
+  }
+
+  val all: Seq[Q] = Seq(q2MinCostSupplier, q6ForecastRevenue, q7NationVolume,
+    q8MarketShare, q9NationProfit, q11ImportantStock,
     q13OrderCountDist, q15TopSupplier, q17SmallQtyRevenue,
     q21SoleFaultSupplier, q22IdleCustomers)
 }
