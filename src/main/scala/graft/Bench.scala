@@ -81,6 +81,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Tables.events normalizes NTZ parquet through a session-TZ-sensitive
+      // cast; Verify pins UTC and the DuckDB oracle is UTC, so the bench
+      // session must match or event instants shift on a non-UTC host.
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -97,9 +101,15 @@ object Bench {
       // drop caches a pipeline persisted for its own reuse so they don't
       // squeeze later queries' memory: CacheManager entries (Dataset.persist)
       // AND RDD-level blocks (the localCheckpoint reuse caches, which
-      // clearCache cannot see and ContextCleaner frees only on driver GC)
+      // clearCache cannot see and ContextCleaner frees only on driver GC).
+      // EXCEPTION: blocks backing graft.queries.Shared memo entries — the
+      // cross-query frames dd11/dd12/dd14 share survive the sweep (bounded:
+      // one pair table + one label table per sf dir).
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      val keep = graft.queries.Shared.protectedRddIds
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keep.contains(id)) rdd.unpersist(false)
+      }
       val (ccUsed, ccMax, ccPct) = codeCache()
       val (jit1, gc1) = jitGcMs()
       logTelemetry(

@@ -33,6 +33,7 @@ object Verify {
       val dest = new java.io.File(s"$outDir/$name")
       rmRf(dest)
       graft.operators.PrefixSum.drainDebug() // clear stale recs from prior queries
+      graft.queries.Shared.clear() // hermetic gate: no cross-query reuse here
       val status =
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -830,8 +830,19 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val pairs = minhashNearDuplicates(df, idCol, textCol,
       shingleK, bands, rowsPerBand, threshold)
-    val losers = connectedComponents(pairs, "doc_a", "doc_b")
-      .filter(col("id") =!= col("comp"))
+    dropWithComponentLabels(df, idCol,
+      connectedComponents(pairs, "doc_a", "doc_b"))
+  }
+
+  /** [[dropClusteredNearDuplicates]] given PRECOMPUTED component labels
+    * (`id`, `comp` — the [[connectedComponents]] frame): one left-anti join,
+    * no pair generation. The label-sharing entry point — a curation DAG
+    * mines the pair graph once and fans out its consumers (clean, keep-best,
+    * cluster report) instead of re-mining per output.
+    */
+  def dropWithComponentLabels(
+      df: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
+    val losers = labels.filter(col("id") =!= col("comp"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
@@ -854,11 +865,21 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, scoreCol: String,
       shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val pairs = minhashNearDuplicates(df, idCol, textCol,
       shingleK, bands, rowsPerBand, threshold)
-    val comp = connectedComponents(pairs, "doc_a", "doc_b")
-      .select(col("id").as(idCol), col("comp"))
+    keepBestWithComponentLabels(df, idCol, scoreCol,
+      connectedComponents(pairs, "doc_a", "doc_b"))
+  }
+
+  /** [[dropClusteredNearDuplicatesKeepBest]] given PRECOMPUTED component
+    * labels (`id`, `comp`): label join + per-cluster rank window only —
+    * the label-sharing complement to [[dropWithComponentLabels]].
+    */
+  def keepBestWithComponentLabels(
+      df: DataFrame, idCol: String, scoreCol: String,
+      labels: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = labels.select(col("id").as(idCol), col("comp"))
     val w = Window.partitionBy(col("__comp"))
       .orderBy(col(scoreCol).desc, col(idCol))
     df.join(comp, Seq(idCol), "left")

@@ -62,8 +62,13 @@ object Eval {
       .select(
         col("p").cast(LongType).as("pos_n"),
         col("nn").cast(LongType).as("neg_n"),
-        (col("conc") * 2 + col("ties")).cast(LongType).as("auc_num"),
-        (col("p") * col("nn") * 2).cast(LongType).as("auc_den"),
+        // num/den stay decimal(38,0) all the way OUT: a long projection
+        // would re-cap the "~10¹⁹ rows" exactness at 4.3×10⁹ balanced rows
+        // (auc_den = 2·p·nn). p widens BEFORE the product for the same
+        // reason — long p·nn wraps at ~2×10⁹ per class.
+        (col("conc") * 2 + col("ties")).cast(DecimalType(38, 0)).as("auc_num"),
+        (col("p").cast(DecimalType(38, 0)) * col("nn") * 2)
+          .cast(DecimalType(38, 0)).as("auc_den"),
         when(col("p") === 0 || col("nn") === 0, lit(null).cast(LongType))
           .otherwise(expr(
             "(conc * 2 + ties) * 10000 div (cast(p as decimal(38,0)) * nn * 2)"))

@@ -85,9 +85,15 @@ object PrefixSum {
     val minMax: Option[(Long, Long)] =
       if (!integral) None
       else {
+        // NULL keys can't be bucketed by the equal-width arithmetic (asLong
+        // would throw); route them to the sampled-range path, which sorts
+        // nulls first (SQL NULLS FIRST) instead of failing the job. (A null
+        // key also violates the documented uniqueness contract when >1 —
+        // the caller owns that; this just keeps the failure mode graceful.)
         val mm = df.agg(
-          min(col(orderCol)).cast(LongType), max(col(orderCol)).cast(LongType)).head()
-        if (mm.isNullAt(0)) None
+          min(col(orderCol)).cast(LongType), max(col(orderCol)).cast(LongType),
+          count(when(col(orderCol).isNull, 1))).head()
+        if (mm.isNullAt(0) || mm.getLong(2) > 0) None
         else {
           val (lo, hi) = (mm.getLong(0), mm.getLong(1))
           if (hi - lo < 0) None else Some((lo, hi)) // span overflow → fallback
@@ -125,13 +131,34 @@ object PrefixSum {
       df: DataFrame, orderCol: String, valueCol: String, outCol: String): DataFrame =
     withStartOffsets(df, orderCol, Seq(valueCol -> outCol))
 
+  /** [[withStartOffset]] that ALSO returns the grand total of `valueCol`.
+    * The total is the sum of the pass-1 per-partition totals, which are
+    * already collected on the driver — so a caller that needs it (any
+    * cumulative-SHARE computation: Pareto class cut, ECDF normalization)
+    * injects a literal instead of running a separate full-scan aggregate
+    * job over the input. One job and one scan fewer per query; at 100 TB
+    * that second scan is the difference between two passes and three.
+    */
+  def withStartOffsetAndTotal(
+      df: DataFrame, orderCol: String, valueCol: String, outCol: String): (DataFrame, Long) = {
+    val (out, totals) = withStartOffsetsAndTotals(df, orderCol, Seq(valueCol -> outCol))
+    (out, totals.head)
+  }
+
   /** Multi-column variant: one range shuffle and two narrow passes produce
     * the exclusive prefix sum of EVERY listed (valueCol → outCol) pair —
     * the shape a two-sample ECDF comparison needs (cumulative counts of
     * both samples in one scan) without paying the shuffle per column.
     */
   def withStartOffsets(
-      df: DataFrame, orderCol: String, cols: Seq[(String, String)]): DataFrame = {
+      df: DataFrame, orderCol: String, cols: Seq[(String, String)]): DataFrame =
+    withStartOffsetsAndTotals(df, orderCol, cols)._1
+
+  /** [[withStartOffsets]] plus the grand totals (one per value column) —
+    * free from the pass-1 collect; see [[withStartOffsetAndTotal]].
+    */
+  def withStartOffsetsAndTotals(
+      df: DataFrame, orderCol: String, cols: Seq[(String, String)]): (DataFrame, Seq[Long]) = {
     val spark = df.sparkSession
     val valIdxs = cols.map { case (v, _) => df.schema.fieldIndex(v) }.toArray
     val nCols = valIdxs.length
@@ -183,7 +210,8 @@ object PrefixSum {
         Row.fromSeq(r.toSeq ++ starts)
       }
     }
-    spark.createDataFrame(out, outSchema)
+    (spark.createDataFrame(out, outSchema),
+      bases.last.toSeq) // exclusive scan's last entry = grand totals
   }
 
   /** CUSUM (cumulative-sum control chart, Page 1954) over a drift column:

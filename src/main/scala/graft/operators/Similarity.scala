@@ -343,7 +343,9 @@ object Similarity {
     final case class Sel(rnk: Long, vecId: Long, rel: Double,
         ms: Option[Double], score: Double, v: Array[Double], nrm: Double)
     val selected = scala.collection.mutable.ArrayBuffer.empty[Sel]
-    for (r <- 1 to k) {
+    var r = 1
+    var exhausted = false // k > #candidates: return the rows that exist
+    while (r <= k && !exhausted) {
       val base =
         if (selected.isEmpty) rels
         else rels.filter(!col("vec_id").isInCollection(selected.map(_.vecId)))
@@ -359,11 +361,16 @@ object Similarity {
           val ms = if (sims.size == 1) sims.head else greatest(sims: _*)
           base.withColumn("ms", ms).withColumn("score", col("rel") - col("ms"))
         }
-      val row = scored.orderBy(col("score").desc, col("vec_id")).limit(1)
-        .select("vec_id", "rel", "ms", "score", "v", "nrm").head()
-      selected += Sel(r.toLong, row.getLong(0), row.getDouble(1),
-        if (row.isNullAt(2)) None else Some(row.getDouble(2)),
-        row.getDouble(3), row.getSeq[Double](4).toArray, row.getDouble(5))
+      scored.orderBy(col("score").desc, col("vec_id")).limit(1)
+        .select("vec_id", "rel", "ms", "score", "v", "nrm")
+        .collect().headOption match {
+        case Some(row) =>
+          selected += Sel(r.toLong, row.getLong(0), row.getDouble(1),
+            if (row.isNullAt(2)) None else Some(row.getDouble(2)),
+            row.getDouble(3), row.getSeq[Double](4).toArray, row.getDouble(5))
+          r += 1
+        case None => exhausted = true
+      }
     }
     import spark.implicits._
     selected.toSeq.map(s => (s.rnk, s.vecId, s.rel, s.ms, s.score))

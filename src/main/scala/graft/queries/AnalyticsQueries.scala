@@ -1089,11 +1089,15 @@ object AnalyticsQueries {
       .agg((sum(col("l_extendedprice").cast(d2) * (one - col("l_discount").cast(d2)))
         * 10000).cast(LongType).as("rev4"))
       .withColumn("ord", struct((-col("rev4")).as("nr"), col("l_partkey")))
-    val cum = graft.operators.PrefixSum.withStartOffset(p, "ord", "rev4", "cum0")
-      .withColumn("cum4", col("cum0") + col("rev4"))
-    val tot = p.agg(sum(col("rev4")).as("tot4"))
-    val share = col("cum4").cast(DoubleType) / col("tot4").cast(DoubleType)
-    cum.crossJoin(broadcast(tot))
+    // tot4 is NOT a separate aggregate job: the prefix-sum kernel's pass-1
+    // per-partition totals are already on the driver, and their sum IS the
+    // grand total — injected as a literal, killing one full scan + one
+    // crossJoin job (the BENCH_r06 driver-env stall charged per job).
+    val (cum0, tot4) = graft.operators.PrefixSum.withStartOffsetAndTotal(
+      p, "ord", "rev4", "cum0")
+    val cum = cum0.withColumn("cum4", col("cum0") + col("rev4"))
+    val share = col("cum4").cast(DoubleType) / lit(tot4).cast(DoubleType)
+    cum
       .withColumn("cls",
         when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C"))
       .withColumn("share", share)

@@ -47,8 +47,7 @@ object DedupQueries {
        |  SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
        |  FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    Dedup.minhashNearDuplicates(Tables.documents(spark, dir), "doc_id", "text",
-      shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+    Shared.minhashPairs(spark, dir)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -275,9 +274,7 @@ object DedupQueries {
        |FROM comp c JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
        |                  FROM comp GROUP BY 1) s USING (cluster_id)
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val pairs = Dedup.minhashNearDuplicates(Tables.documents(spark, dir),
-      "doc_id", "text", shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
-    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+    val cc = Shared.ccLabels(spark, dir)
     val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
     cc.join(sizes, "comp")
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
@@ -319,9 +316,9 @@ object DedupQueries {
        |FROM documents d
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    Dedup.dropClusteredNearDuplicates(
+    Dedup.dropWithComponentLabels(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-        "doc_id", "text", shingleK = 3, bands = 16, rowsPerBand = 4, threshold = 0.8)
+        "doc_id", Shared.ccLabels(spark, dir))
       .select(col("doc_id"), md5(col("text")).as("content_hash"))
       .orderBy(col("doc_id"))
   }
@@ -395,8 +392,8 @@ object DedupQueries {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-    Dedup.dropClusteredNearDuplicatesKeepBest(
-        docs, "doc_id", "text", "quality")
+    Dedup.keepBestWithComponentLabels(
+        docs, "doc_id", "quality", Shared.ccLabels(spark, dir))
       .select(col("doc_id"), col("quality"))
       .orderBy(col("doc_id"))
   }
@@ -509,9 +506,7 @@ object DedupQueries {
        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
     val src = docs.select(col("doc_id"), col("source"))
-    Dedup.minhashNearDuplicates(docs.select(col("doc_id"), col("text")),
-        "doc_id", "text", shingleK = 3, bands = 16, rowsPerBand = 4,
-        threshold = 0.8)
+    Shared.minhashPairs(spark, dir)
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
       .groupBy(least(col("sa"), col("sb")).as("source_a"),

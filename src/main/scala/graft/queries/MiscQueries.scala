@@ -708,7 +708,9 @@ object MiscQueries {
        |        FROM jj, g)
        |SELECT f.source, f.tokens,
        |  LEAST(f.tokens, cap.water_cap) AS kept_tokens,
-       |  CAST(LEAST(f.tokens, cap.water_cap) * 10000 // f.tokens AS BIGINT) AS keep_bp,
+       |  CAST(CASE WHEN f.tokens = 0 THEN NULL
+       |            ELSE LEAST(f.tokens, cap.water_cap) * 10000 // f.tokens
+       |       END AS BIGINT) AS keep_bp,
        |  cap.water_cap
        |FROM f, cap ORDER BY f.source""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
@@ -743,7 +745,11 @@ object MiscQueries {
     f.crossJoin(broadcast(cap))
       .select(col("source"), col("tokens"),
         least(col("tokens"), col("water_cap")).as("kept_tokens"),
-        expr("least(tokens, water_cap) * 10000 div tokens").as("keep_bp"),
+        // tokens = 0 (a source whose docs all tokenize empty) → NULL on both
+        // engines: Spark's div would return NULL silently but DuckDB's //
+        // raises division-by-zero — guard makes the oracle symmetric.
+        expr("case when tokens = 0 then null " +
+          "else least(tokens, water_cap) * 10000 div tokens end").as("keep_bp"),
         col("water_cap"))
       .orderBy(col("source"))
   }

@@ -502,14 +502,17 @@ object WindowQueries {
       .groupBy(col("o_totalprice").as("v"))
       .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("ca"),
         sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("cb"))
-    val cums = graft.operators.PrefixSum
-      .withStartOffsets(g, "v", Seq("ca" -> "ca0", "cb" -> "cb0"))
+    // sample sizes na/nb = the prefix-sum kernel's grand totals, already on
+    // the driver after pass 1 — literals, not a second aggregate + crossJoin
+    val (cums0, totals) = graft.operators.PrefixSum
+      .withStartOffsetsAndTotals(g, "v", Seq("ca" -> "ca0", "cb" -> "cb0"))
+    val (na, nb) = (totals(0), totals(1))
+    val cums = cums0
       .select(col("v"), (col("ca0") + col("ca")).as("cum_a"),
         (col("cb0") + col("cb")).as("cum_b"))
-    val tot = g.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
-    val d = cums.crossJoin(broadcast(tot))
-      .select(col("v"), abs(col("cum_a") * col("nb") - col("cum_b") * col("na"))
-        .as("dn"), col("na"), col("nb"))
+    val d = cums
+      .select(col("v"), abs(col("cum_a") * nb - col("cum_b") * na)
+        .as("dn"), lit(na).as("na"), lit(nb).as("nb"))
     val mx = d.agg(max(col("dn")).as("mx"))
     d.crossJoin(broadcast(mx)).filter(col("dn") === col("mx"))
       .groupBy(col("na").as("n_a"), col("nb").as("n_b"), col("mx").as("d_num"))
@@ -594,10 +597,12 @@ object WindowQueries {
       .select(col("c_custkey"), col("c_acctbal"))
       .withColumn("one", lit(1L))
       .withColumn("ord", struct(col("c_acctbal"), col("c_custkey")))
-    val rn = graft.operators.PrefixSum.withStartOffset(c, "ord", "one", "rn0")
-      .withColumn("rn", col("rn0") + 1L)
-    val n = rn.agg(count(lit(1)).as("n"))
-    rn.crossJoin(broadcast(n))
+    // n = the kernel's grand total of the all-ones column — a literal, not
+    // a count() job that would re-run pass 2 plus a crossJoin
+    val (rn0, nTot) = graft.operators.PrefixSum
+      .withStartOffsetAndTotal(c, "ord", "one", "rn0")
+    val rn = rn0.withColumn("rn", col("rn0") + 1L)
+    rn.withColumn("n", lit(nTot))
       .withColumn("bin",
         when(col("rn") <= (col("n") % 10) * (expr("n div 10") + 1),
           expr("(rn - 1) div (n div 10 + 1)") + 1)
@@ -631,8 +636,8 @@ object WindowQueries {
       |             SUM(pos) AS p, SUM(neg) AS nn
       |      FROM c)
       |SELECT CAST(p AS BIGINT) AS pos_n, CAST(nn AS BIGINT) AS neg_n,
-      |  CAST(2 * conc + ties AS BIGINT) AS auc_num,
-      |  CAST(2 * p * nn AS BIGINT) AS auc_den,
+      |  CAST(2 * conc + ties AS DECIMAL(38,0)) AS auc_num,
+      |  CAST(2 * p * nn AS DECIMAL(38,0)) AS auc_den,
       |  CASE WHEN p = 0 OR nn = 0 THEN NULL
       |       ELSE CAST((2 * conc + ties) * 10000 // (2 * p * nn) AS BIGINT)
       |  END AS auc_bp
