@@ -64,6 +64,27 @@ object Bench {
 
   private def r3(x: Double): Double = math.rint(x * 1000) / 1000
 
+  /** Counts Spark jobs, completed stages, and launched tasks — the
+    * BENCH_r06 diagnosis made job count THE driver-environment scale lever
+    * (the stall there charges wall-clock per sequential job, and a 100×-data
+    * run multiplies per-job overhead identically), so the per-query telemetry
+    * records it directly: a job-count regression is a one-line diff instead
+    * of forensics.
+    */
+  private final class JobStageCounter extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(
+        e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
+    override def onStageCompleted(
+        e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet(); tasks.addAndGet(e.stageInfo.numTasks.toLong); ()
+    }
+  }
+
   private def telemetryPath = java.nio.file.Paths.get("BENCH_TELEMETRY.txt")
 
   private def logTelemetry(line: String): Unit = {
@@ -93,11 +114,19 @@ object Bench {
     Tables.names.foreach { n =>
       try Tables(spark, sfDir, n).count() catch { case _: Throwable => () }
     }
+    val counter = new JobStageCounter
+    spark.sparkContext.addSparkListener(counter)
+    def drainedCounts(): (Long, Long, Long) = {
+      org.apache.spark.graft.ListenerBusDrain.waitUntilEmpty(spark.sparkContext)
+      (counter.jobs.get, counter.stages.get, counter.tasks.get)
+    }
     val results = slice.zipWithIndex.map { case ((name, fn), idx) =>
       val (jit0, gc0) = jitGcMs()
+      val (jobs0, stages0, tasks0) = drainedCounts()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      val (jobs1, stages1, tasks1) = drainedCounts()
       // drop caches a pipeline persisted for its own reuse so they don't
       // squeeze later queries' memory: CacheManager entries (Dataset.persist)
       // AND RDD-level blocks (the localCheckpoint reuse caches, which
@@ -113,7 +142,7 @@ object Bench {
       val (ccUsed, ccMax, ccPct) = codeCache()
       val (jit1, gc1) = jitGcMs()
       logTelemetry(
-        f"[bench$shardTag] [${idx + 1}%3d/${slice.size}%d of $totalN%d] $name%-28s ${dt}%8.3f s  codecache ${ccUsed / 1048576}%d/${ccMax / 1048576}%dMB (${ccPct}%.0f%%)  jit +${jit1 - jit0}%dms gc +${gc1 - gc0}%dms")
+        f"[bench$shardTag] [${idx + 1}%3d/${slice.size}%d of $totalN%d] $name%-28s ${dt}%8.3f s  codecache ${ccUsed / 1048576}%d/${ccMax / 1048576}%dMB (${ccPct}%.0f%%)  jit +${jit1 - jit0}%dms gc +${gc1 - gc0}%dms  jobs ${jobs1 - jobs0}%d stages ${stages1 - stages0}%d tasks ${tasks1 - tasks0}%d")
       if (ccPct > 90.0)
         logTelemetry(
           s"[bench$shardTag] WARNING: JIT code cache ${ccPct.round}% full after $name — " +

@@ -357,8 +357,93 @@ object TpchMoreQueries {
       .orderBy(col("value").desc, col("p_key"))
   }
 
+  /** q16 pattern — supplier-part relationship counts with the NOT-IN
+    * exclusion DECORRELATED to a broadcast left-anti join. The reduced
+    * schema has no partsupp, so the part-supplier relation is the DISTINCT
+    * (l_partkey, l_suppkey) projection of lineitem (one shuffle, exactly
+    * partsupp's cardinality shape), and no s_comment, so "customer
+    * complaints" suppliers are the s_acctbal < 0 ones. Plan: distinct
+    * pairs → broadcast join the filtered part dim → broadcast anti-join the
+    * excluded suppliers → grouped COUNT(DISTINCT). At 100 TB the only wide
+    * exchange is the pair distinct + the final partial-aggregated count;
+    * both dims stay broadcast.
+    */
+  val q16SupplierPartCounts: Q = Q(
+    "q16_supplier_part_counts",
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM ps JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) { (spark, dir) =>
+    val ps = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+        col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val complained = Tables.supplier(spark, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    ps.join(broadcast(parts), col("p_partkey") === col("l_partkey"))
+      .join(broadcast(complained), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size").cast(LongType).as("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** q20 pattern — the semi-join chain on a quantity threshold: suppliers
+    * who shipped MOST of their PROMO-part volume in 1996 (per (part,
+    * supplier) pair, 2·qty_1996 > qty_total — the correlated availqty
+    * comparison of the original, decorrelated to ONE conditional grouped
+    * aggregate), surfaced as a left-semi join into the supplier dim and
+    * restricted to one nation. Both year-window and lifetime sums come out
+    * of a single scan (conditional aggregation), quantities in exact
+    * DECIMAL so the threshold compare is bit-stable on both engines. Plan:
+    * broadcast part filter → one grouped agg on (partkey, suppkey) →
+    * threshold filter → distinct suppkeys → semi-join (supplier ⋈ nation
+    * broadcast).
+    */
+  val q20PromoQtySuppliers: Q = Q(
+    "q20_promo_qty_suppliers",
+    """WITH q AS (
+      |  SELECT l_partkey, l_suppkey,
+      |    SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |             THEN CAST(l_quantity AS DECIMAL(18,2))
+      |             ELSE CAST(0 AS DECIMAL(18,2)) END) AS qty96,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_all
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+      |  GROUP BY l_partkey, l_suppkey)
+      |SELECT s_name, n_name FROM supplier, nation
+      |WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      |  AND s_suppkey IN (SELECT l_suppkey FROM q WHERE 2 * qty96 > qty_all)
+      |ORDER BY s_name""".stripMargin) { (spark, dir) =>
+    val pp = Tables.part(spark, dir)
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val qualifying = Tables.lineitem(spark, dir)
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(
+        sum(when(col("l_shipdate") >= ts("1996-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-01-01 00:00:00"),
+          col("l_quantity").cast(D2)).otherwise(lit(0).cast(D2))).as("qty96"),
+        sum(col("l_quantity").cast(D2)).as("qty_all"))
+      .filter(col("qty96") * 2 > col("qty_all"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir).filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
+
   val all: Seq[Q] = Seq(q2MinCostSupplier, q6ForecastRevenue, q7NationVolume,
     q8MarketShare, q9NationProfit, q11ImportantStock,
-    q13OrderCountDist, q15TopSupplier, q17SmallQtyRevenue,
+    q13OrderCountDist, q15TopSupplier, q16SupplierPartCounts,
+    q17SmallQtyRevenue, q20PromoQtySuppliers,
     q21SoleFaultSupplier, q22IdleCustomers)
 }
