@@ -284,8 +284,75 @@ object SimilarityQueries {
     }
   }
 
+  /** PQ top-k with Lloyd-TRAINED per-subspace codebooks
+    * ([[Similarity.pqTopKTrained]]): the quality path past sim5's fixed
+    * convention. Training is deterministic end-to-end — sample = first 2048
+    * vectors by id, init = first 16 subvectors, 10 Lloyd rounds, argmin-L2
+    * ties to the lowest code, empty cells keep their centroid — and the
+    * ORACLE REPLAYS THE TRAINING ITSELF: a recursive CTE carries all 8×16
+    * centroids per iteration and recomputes assignment + fold-order mean
+    * updates with DuckDB list lambdas (ordered folds match the Scala
+    * trainer's point-order accumulation bit-for-bit; same discipline as the
+    * dd11 reachability and mx8 packing recursive oracles). Encode + ADC
+    * then follow the sim5 pattern with per-subspace (8-dim) codebooks.
+    * Recall vs exact brute force is pinned ≥ 0.8 in KmeansIvfSpec.
+    */
+  val sim9PqTrainedTopK: Q = Q(
+    "sim9_ann_pq_trained_topk",
+    s"""WITH RECURSIVE $NormedSql,
+       |vn AS (SELECT vec_id, list_transform(range(1, len(v)+1), i -> v[i]/nrm) AS u FROM n),
+       |smp AS (SELECT vec_id, u FROM vn ORDER BY vec_id LIMIT 2048),
+       |pts0 AS (SELECT t.j, list(list_transform(range(1,9), i -> s.u[CAST(t.j*8+i AS INT)]) ORDER BY s.vec_id) AS ps
+       |         FROM smp s CROSS JOIN range(0,8) t(j) GROUP BY t.j),
+       |lloyd AS (
+       |  SELECT 0 AS it, j, ps[1:16] AS cents, ps FROM pts0
+       |  UNION ALL
+       |  SELECT it+1, j,
+       |    list_transform(range(1,17), c ->
+       |      CASE WHEN len(list_filter(zp, z -> z.l2 = c)) = 0 THEN cents[CAST(c AS INT)]
+       |           ELSE list_transform(range(1,9), i ->
+       |             list_sum(list_transform(list_filter(zp, z -> z.l2 = c), z -> z.l1[CAST(i AS INT)]))
+       |             / len(list_filter(zp, z -> z.l2 = c)))
+       |      END),
+       |    ps
+       |  FROM (
+       |    SELECT it, j, cents, ps,
+       |      list_transform(
+       |        list_zip(ps, list_transform(ps, p ->
+       |          list_position(
+       |            list_transform(range(1,17), c2 -> list_sum(list_transform(range(1,9), i2 ->
+       |              (p[CAST(i2 AS INT)]-cents[CAST(c2 AS INT)][CAST(i2 AS INT)])^2))),
+       |            list_min(
+       |            list_transform(range(1,17), c2 -> list_sum(list_transform(range(1,9), i2 ->
+       |              (p[CAST(i2 AS INT)]-cents[CAST(c2 AS INT)][CAST(i2 AS INT)])^2))))))),
+       |        z -> {'l1': z[1], 'l2': z[2]}) AS zp
+       |    FROM lloyd WHERE it < 10)),
+       |cbj AS (SELECT list(cents ORDER BY j) AS cb FROM lloyd WHERE it = 10),
+       |enc0 AS (SELECT x.vec_id, t.j, c.c,
+       |    ROW_NUMBER() OVER (PARTITION BY x.vec_id, t.j ORDER BY
+       |      list_sum(list_transform(range(1, 9), i ->
+       |        (x.u[CAST(t.j*8+i AS INT)] - cbj.cb[CAST(t.j+1 AS INT)][CAST(c.c+1 AS INT)][CAST(i AS INT)])^2)) ASC,
+       |      c.c) AS rn
+       |  FROM vn x CROSS JOIN range(0, 8) t(j) CROSS JOIN range(0, 16) c(c) CROSS JOIN cbj),
+       |enc AS (SELECT vec_id, list(c ORDER BY j) AS codes FROM enc0 WHERE rn = 1 GROUP BY vec_id),
+       |q AS (SELECT vec_id AS q_id, u AS qu FROM vn WHERE vec_id < 10),
+       |s AS (SELECT q.q_id, e2.vec_id AS neighbor,
+       |    list_sum(list_transform(range(0, 8), j ->
+       |      list_sum(list_transform(range(1, 9), i ->
+       |        q.qu[CAST(j*8+i AS INT)] * cbj.cb[CAST(j+1 AS INT)][CAST(e2.codes[CAST(j+1 AS INT)]+1 AS INT)][CAST(i AS INT)])))) AS adc
+       |  FROM q CROSS JOIN enc e2 CROSS JOIN cbj WHERE e2.vec_id <> q.q_id),
+       |r AS (SELECT q_id, neighbor, adc,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc DESC, neighbor) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT q_id, neighbor, adc, rnk FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin) { (spark, dir) =>
+    Similarity.pqTopKTrained(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 5, m = 8, codebookSize = 16,
+      iters = 10, sampleN = 2048)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, dd7EmbeddingLshNearDup,
     sim8MmrSelect,
     sim2LshTopK, sim3IvfTopK, sim4QuantizedTopK, sim5PqTopK, sim6KnnLabel,
-    sim7LabelCentroids)
+    sim7LabelCentroids, sim9PqTrainedTopK)
 }

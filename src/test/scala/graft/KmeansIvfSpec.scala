@@ -99,6 +99,9 @@ class KmeansIvfSpec extends AnyFunSuite {
     val pqTrained64 = mean(Similarity.recallAtK(
       Similarity.pqTopKReranked(emb, "vec_id", "embedding", col("vec_id") < 10,
         k = 10, m = 8, codebookSize = 16, shortlist = 64, trained = true), exact))
+    val pqTrained128 = mean(Similarity.recallAtK(
+      Similarity.pqTopKReranked(emb, "vec_id", "embedding", col("vec_id") < 10,
+        k = 10, m = 8, codebookSize = 16, shortlist = 128, trained = true), exact))
     info(f"recall@10 — lsh(6,1): $lsh6t1%.3f lsh(3,1): $lsh3t1%.3f lsh(3,8): $lsh3t8%.3f " +
       f"lsh(2,8): $lsh2t8%.3f lsh(3,16): $lsh3t16%.3f " +
       f"ivf(p=1): $ivf1%.3f ivf(p=2): $ivf2%.3f ivf(p=3): $ivf3%.3f " +
@@ -108,6 +111,16 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(pq64 >= pq - 1e-9, "exact rerank of a superset shortlist cannot lose recall")
     assert(pq128 >= pq64 - 1e-9, "a larger shortlist can only add candidates")
     assert(pqTrained64 >= pqTrained - 1e-9)
+    assert(pqTrained128 >= pqTrained64 - 1e-9)
+    // the sim9 quality floor: trained codebooks + a 128-candidate exact
+    // rerank must keep recall@10 ≥ 0.8 (measured 0.92+; floor leaves margin
+    // for driver-regenerated corpora)
+    assert(pqTrained128 >= 0.8,
+      f"trained-PQ rerank recall@10 $pqTrained128%.3f fell below the 0.8 floor")
+    // trained codebooks should not quantize WORSE than the fixed convention
+    // at the same bit budget (small tolerance: different corpora shuffle
+    // which convention wins individual queries)
+    assert(pqTrained >= pq - 0.05)
     // OR-amplified PAIR path: multi-table near-dup pairs recover more of the
     // exact pair set than one table at the same per-table coarseness
     val exactPairs = Similarity.nearDuplicatePairs(emb, "vec_id", "embedding", 0.4)
