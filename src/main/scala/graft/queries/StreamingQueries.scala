@@ -218,6 +218,53 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** The GENERALIZED CEP NFA ([[EventsStream.cepFirstMatchN]]) on a 4-step
+    * pattern (view → click → click → purchase), batch-executed against a
+    * THREE-stacked-window oracle — one more window stage than st7, proving
+    * the configurable-length machine agrees with the declarative
+    * formulation at a depth the fixed 3-step code cannot express. Output is
+    * the matched step arrays (us, id per step), first match per user.
+    */
+  val st8CepSequenceN: Q = Q(
+    "st8_cep_sequence_n",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id AS id FROM events),
+      |w1 AS (SELECT *,
+      |    MAX(CASE WHEN event_type = 'view' THEN struct_pack(us := us, id := id) END) OVER
+      |      (PARTITION BY user_id ORDER BY us, id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv
+      |  FROM e),
+      |w2 AS (SELECT *,
+      |    MAX(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+      |         THEN struct_pack(c1us := us, c1id := id, vus := lv.us, vid := lv.id) END) OVER
+      |      (PARTITION BY user_id ORDER BY us, id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c1
+      |  FROM w1),
+      |w3 AS (SELECT *,
+      |    MAX(CASE WHEN event_type = 'click' AND c1 IS NOT NULL
+      |         THEN struct_pack(c2us := us, c2id := id, c1us := c1.c1us, c1id := c1.c1id,
+      |                          vus := c1.vus, vid := c1.vid) END) OVER
+      |      (PARTITION BY user_id ORDER BY us, id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS c2
+      |  FROM w2),
+      |m AS (SELECT user_id, c2.vus AS vus, c2.vid AS vid, c2.c1us AS c1us, c2.c1id AS c1id,
+      |             c2.c2us AS c2us, c2.c2id AS c2id, us AS pus, id AS pid
+      |      FROM w3
+      |      WHERE event_type = 'purchase' AND c2 IS NOT NULL
+      |        AND us - c2.vus <= 86400000000),
+      |f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pus, pid) AS rn FROM m)
+      |SELECT user_id, [vus, c1us, c2us, pus] AS step_us, [vid, c1id, c2id, pid] AS step_id
+      |FROM f WHERE rn = 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    EventsStream.cepFirstMatchN(
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventsStream.Event],
+        pattern = Seq("view", "click", "click", "purchase"))
+      .toDF()
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts, st3IncrementalDedup,
-    st4Enrich, st5ClickAttribution, st6Matview, st7CepSequence)
+    st4Enrich, st5ClickAttribution, st6Matview, st7CepSequence, st8CepSequenceN)
 }

@@ -337,6 +337,95 @@ object EventsStream {
         })
   }
 
+  /** State of the GENERALIZED first-match NFA ([[cepFirstMatchN]]): for
+    * every proper prefix length k of the pattern, the latest partial match
+    * of that length, flattened as [us₁,id₁,…,us_k,id_k] (empty = none),
+    * plus the done flag. Size is BOUNDED BY THE PATTERN, not by history:
+    * ≤ L−1 partials of ≤ 2(L−1) longs each — O(L²) longs per key
+    * regardless of how many events the key ever produced (the 100 TB
+    * stream concern; CepSpec pins the bound step-by-step).
+    */
+  final case class CepNState(partials: Seq[Seq[Long]], done: Boolean)
+  final case class CepNMatch(user_id: Long, step_us: Seq[Long], step_id: Seq[Long])
+
+  /** One NFA transition of the generalized matcher — PURE, so the state
+    * bound and the transition semantics are unit-testable without a
+    * streaming harness. Semantics (skip-till-next, latest-binding,
+    * first-match) generalize [[cepFirstMatch]]'s fixed 3-step machine:
+    *
+    *  - every binding reads the PRE-event state (the batch stacked-window
+    *    formulation's `ROWS … 1 PRECEDING`), so one event can extend
+    *    several prefix lengths consistently when the pattern repeats a
+    *    type;
+    *  - an event matching step 1 restarts partial₁; matching step k>1
+    *    extends the latest partial of length k−1 (if any) into the latest
+    *    partial of length k;
+    *  - an event matching the FINAL step completes iff last−first time ≤
+    *    `withinMicros`; the key then goes dormant (first match only).
+    */
+  def cepStepN(pattern: IndexedSeq[String], withinMicros: Long)(
+      st: CepNState, us: Long, id: Long, typ: String,
+      userId: Long): (CepNState, Option[CepNMatch]) = {
+    if (st.done) (st, None)
+    else {
+      val pre = st.partials
+      val completed =
+        if (pattern.last != typ) None
+        else {
+          val p = pre(pattern.size - 2)
+          if (p.nonEmpty && us - p.head <= withinMicros) {
+            val full = p ++ Seq(us, id)
+            Some(CepNMatch(userId,
+              full.indices.collect { case i if i % 2 == 0 => full(i) },
+              full.indices.collect { case i if i % 2 == 1 => full(i) }))
+          } else None
+        }
+      if (completed.isDefined) (st.copy(done = true), completed)
+      else {
+        val next = pre.zipWithIndex.map { case (cur, k) =>
+          if (pattern(k) != typ) cur
+          else if (k == 0) Seq(us, id)
+          else { val prev = pre(k - 1); if (prev.isEmpty) cur else prev ++ Seq(us, id) }
+        }
+        (st.copy(partials = next), None)
+      }
+    }
+  }
+
+  /** [[cepFirstMatch]] generalized to a CONFIGURABLE pattern (a sequence of
+    * event types, length ≥ 2): per user, the first occurrence of the whole
+    * pattern in latest-binding skip-till-next semantics, completing within
+    * `withinMicros` of its step-1 event. Same `flatMapGroupsWithState`
+    * shape; per-key state is the O(pattern²)-long [[CepNState]] — see
+    * [[cepStepN]] for the transition semantics and CepSpec for the
+    * 3-step-equivalence and state-bound pins.
+    */
+  def cepFirstMatchN(
+      events: Dataset[Event], pattern: Seq[String],
+      withinMicros: Long = 86400000000L): Dataset[CepNMatch] = {
+    require(pattern.size >= 2, "pattern needs at least two steps")
+    import events.sparkSession.implicits._
+    val pat = pattern.toIndexedSeq
+    val step = cepStepN(pat, withinMicros) _
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[CepNState]) => {
+          var st = state.getOption.getOrElse(
+            CepNState(Seq.fill(pat.size - 1)(Seq.empty), done = false))
+          val out = Seq.newBuilder[CepNMatch]
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val (next, m) = step(st, micros(e.ts), e.event_id, e.event_type, userId)
+            st = next
+            m.foreach(out += _)
+          }
+          state.update(st)
+          out.result().iterator
+        })
+  }
+
   /** Demo main: stream the sf parquet through the hourly aggregation into a
     * memory sink and print the result (batch parity check with
     * `q_hourly_events`).
