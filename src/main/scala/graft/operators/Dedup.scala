@@ -76,6 +76,66 @@ object Dedup {
     (cp, release)
   }
 
+  /** Exact big-integer sum accumulator (long fast path, BigInteger on
+    * overflow) — lets an iterative loop read a convergence statistic out of
+    * the SAME job that materializes the round's result, instead of paying a
+    * separate aggregate action per round (the driver-environment stall is
+    * charged per JOB, so round-loop job count is the scale lever).
+    */
+  private final class BigSumAccumulator
+      extends org.apache.spark.util.AccumulatorV2[java.lang.Long, java.math.BigInteger] {
+    private var small: Long = 0L
+    private var big: java.math.BigInteger = java.math.BigInteger.ZERO
+    override def isZero: Boolean = small == 0L && big.signum == 0
+    override def copyAndReset(): BigSumAccumulator = new BigSumAccumulator
+    override def copy(): BigSumAccumulator = {
+      val c = new BigSumAccumulator; c.small = small; c.big = big; c
+    }
+    override def reset(): Unit = { small = 0L; big = java.math.BigInteger.ZERO }
+    override def add(v: java.lang.Long): Unit =
+      try small = Math.addExact(small, v.longValue())
+      catch { case _: ArithmeticException =>
+        big = big.add(java.math.BigInteger.valueOf(small))
+        small = v.longValue()
+      }
+    override def merge(
+        other: org.apache.spark.util.AccumulatorV2[java.lang.Long, java.math.BigInteger]): Unit =
+      other match {
+        case o: BigSumAccumulator =>
+          big = big.add(o.big)
+          add(o.small)
+        case _ => throw new UnsupportedOperationException
+      }
+    override def value: java.math.BigInteger =
+      big.add(java.math.BigInteger.valueOf(small))
+  }
+
+  /** [[cutLineage]] for an (id, comp) label frame that ALSO returns the
+    * exact Σcomp, accumulated DURING the materialization job — one action
+    * per CC round instead of two. The accumulator value is read once,
+    * immediately after the eager checkpoint, and never after a cached-block
+    * recompute, so it cannot double-count from re-reads; task RETRIES can
+    * still inflate it on a real cluster, which is why
+    * [[connectedComponents]] confirms a claimed fixpoint with the
+    * retry-safe aggregate before trusting it.
+    */
+  private def cutLineageSummed(
+      df: DataFrame): (DataFrame, () => Unit, java.math.BigInteger) = {
+    val spark = df.sparkSession
+    val acc = new BigSumAccumulator
+    spark.sparkContext.register(acc, "cc_label_sum")
+    import spark.implicits._
+    val pair = df.select(col("id").cast(LongType), col("comp").cast(LongType))
+      .as[(Long, Long)]
+      .map { t => acc.add(t._2); t }
+      .toDF("id", "comp")
+    val cp = pair.localCheckpoint(true)
+    val release = () => cp.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
+    }.getOrElse(())
+    (cp, release, acc.value)
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact duplicate groups: one row per distinct content hash with the
@@ -678,31 +738,39 @@ object Dedup {
       // join re-exchanges only the (changing) label side, not the edges
       .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // every round re-roots `labels` on a materialized RDD (cutLineage):
+    // every round re-roots `labels` on a materialized RDD (cutLineageSummed):
     // the round body references labels twice (union + join), so carrying the
     // logical plan forward would double plan size per round — exponential
-    // analyzer memory on high-round runs, independent of data size
-    var (labels, labelsRelease) = cutLineage(
-      sym.select(col("src").as("id")).distinct().withColumn("comp", col("id")))
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
+    // analyzer memory on high-round runs, independent of data size. The
+    // convergence statistic Σcomp rides the SAME materialization job as an
+    // accumulator (labels only decrease, so the sum is strictly monotone
+    // until the fixpoint) — ONE action per round, where the r6 shape paid a
+    // checkpoint job PLUS an aggregate job. Because accumulator updates can
+    // over-count under task retries/speculation on a real cluster, a
+    // claimed fixpoint is CONFIRMED once with the retry-safe exact decimal
+    // aggregate over both frames before the loop exits — soundness of the
+    // result never rests on accumulator semantics, only the fast path does.
+    def exactSum(df: DataFrame): java.math.BigDecimal = {
       val v = df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.get(0)
       if (v == null) java.math.BigDecimal.ZERO
       else v.asInstanceOf[java.math.BigDecimal]
     }
-    var prevSum = labelSum(labels)
+    var (labels, labelsRelease, sum0) = cutLineageSummed(
+      sym.select(col("src").as("id")).distinct().withColumn("comp", col("id")))
+    var prevSum = sum0
     var iter = 0
     var done = prevSum.signum == 0 && labels.isEmpty // empty edge set
     while (!done && iter < maxIter) {
       val nbr = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
-      val (next, nextRelease) = cutLineage(
+      val (next, nextRelease, s) = cutLineageSummed(
         labels.select("id", "comp").union(nbr)
           .groupBy("id").agg(min("comp").as("comp")))
-      val s = labelSum(next)       // `next` is already materialized (eager
-      labelsRelease()              // checkpoint), releasing the old labels
-      labels = next; labelsRelease = nextRelease // cannot recompute-cascade
-      done = s.compareTo(prevSum) == 0
-      prevSum = s
+      if (s == prevSum)            // claimed fixpoint → retry-safe confirm
+        done = exactSum(labels).compareTo(exactSum(next)) == 0
+      labelsRelease()              // `next` is already materialized (eager
+      labels = next; labelsRelease = nextRelease // checkpoint) — releasing
+      prevSum = s                  // the old labels cannot recompute-cascade
       iter += 1
     }
     sym.unpersist()
@@ -713,11 +781,10 @@ object Dedup {
           "labels would silently diverge from transitive-closure semantics — " +
           "raise maxIter (the graph's diameter exceeds it)")
     }
-    // Hand back a leak-free frame (ContextCleaner-released when dropped),
-    // then deterministically release the loop's own cache.
-    val out = cachedForReuse(labels.select(col("id"), col("comp")))
-    labelsRelease()
-    out
+    // The final round's checkpoint IS the result — hand it back directly
+    // (leak-free: ContextCleaner releases the blocks once the caller drops
+    // the frame) instead of paying one more copy-to-cache job.
+    labels
   }
 
   /** Connected components via alternating large-star/small-star edge
