@@ -1083,4 +1083,48 @@ object Dedup {
       .select(col("doc_b").as("doc_id")).distinct()
     exact.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** Maximal duplicated-substring spans (Lee et al. 2022 "Deduplicating
+    * Training Data Makes Language Models Better", the ExactSubstr criterion
+    * re-expressed declaratively): a word-`n`-gram position is DUPLICATED
+    * when its gram occurs ≥ 2 times corpus-wide (another document or a
+    * repeat within the same one); runs of consecutive duplicated positions
+    * merge into maximal spans via gaps-and-islands on the position. Returns
+    * one row per span: (doc_id, span_start, span_end, n_grams) with
+    * 1-based token bounds, span_end = last_pos + n − 1 — the removal plan
+    * an exact-substring dedup pass would execute per document.
+    *
+    * Scale: grams travel as 32-bit md5-prefix hashes ([[hash32]] — any
+    * collision is deterministic and merely widens a span identically in
+    * every engine); the plan is one gram-keyed count, one semi-join back,
+    * and one islands window PARTITIONED BY doc_id — no pairwise expansion,
+    * and the window never exceeds a single document's length. The gram
+    * stream feeds two consumers, so it roots on a localCheckpoint (the
+    * tx13/dd15 treatment).
+    */
+  def duplicatedNgramSpans(
+      df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val toks = df
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+    val grams = toks.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+           |  i -> struct(cast(i as bigint) as pos,
+           |              hash32(concat_ws(' ', slice(toks, i, $n))) as gh))""".stripMargin))
+        .as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+      .localCheckpoint(true)
+    val dup = grams.groupBy(col("gh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    grams.join(dup, "gh")
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (n - 1).toLong).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
 }

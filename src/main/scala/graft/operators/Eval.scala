@@ -105,4 +105,68 @@ object Eval {
           .as("chi2_cbp"))
       .orderBy(col("a"), col("b"))
   }
-}
+
+  /** Confusion-matrix threshold sweep: for each candidate decision threshold
+    * t (predict positive iff score ≥ t), the full confusion counts plus
+    * precision/recall/F1 in integer basis points. The input is first reduced
+    * to per-score-value (pos, neg) counts — the same bounded-key-space move
+    * as [[rankAuc]] — so the sweep joins a BOUNDED frame against a
+    * literal threshold list instead of rescanning the corpus per threshold:
+    * one shuffle total, k output rows, any number of thresholds.
+    */
+  def thresholdMetrics(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      thresholds: Seq[Long]): DataFrame = {
+    val perScore = df
+      .groupBy(col(scoreCol).cast(LongType).as("s"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("neg"))
+    val th = df.sparkSession
+      .createDataFrame(df.sparkSession.sparkContext
+        .parallelize(thresholds.map(Tuple1(_)), 1))
+      .toDF("threshold")
+    perScore.crossJoin(broadcast(th))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("s") >= col("threshold"), col("pos")).otherwise(0L)).as("tp"),
+        sum(when(col("s") >= col("threshold"), col("neg")).otherwise(0L)).as("fp"),
+        sum(when(col("s") < col("threshold"), col("pos")).otherwise(0L)).as("fn"),
+        sum(when(col("s") < col("threshold"), col("neg")).otherwise(0L)).as("tn"))
+      .select(col("threshold"), col("tp"), col("fp"), col("fn"), col("tn"),
+        // integer-division bp metrics; degenerate denominators → NULL on
+        // both engines (DuckDB's // throws on 0, so the CASE is load-bearing)
+        expr("case when tp + fp = 0 then null else tp * 10000 div (tp + fp) end")
+          .as("precision_bp"),
+        expr("case when tp + fn = 0 then null else tp * 10000 div (tp + fn) end")
+          .as("recall_bp"),
+        expr("case when 2*tp + fp + fn = 0 then null " +
+          "else 2 * tp * 10000 div (2*tp + fp + fn) end").as("f1_bp"))
+      .orderBy(col("threshold"))
+  }
+
+  /** Reliability-diagram calibration bins: fixed-width score bins (width
+    * `binWidth`, top bin open-ended at `nBins-1`), per bin the sample count,
+    * positive count, exact integer score sum, and the two integer-division
+    * rates a calibration check compares: observed positive rate vs mean
+    * score, both in basis points of `fullScale`. One bounded aggregate —
+    * the 100 TB plan is a single map-side-combinable groupBy on ≤nBins keys.
+    */
+  def calibrationBins(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      binWidth: Long, nBins: Int, fullScale: Long): DataFrame =
+    df.select(
+        col(scoreCol).cast(LongType).as("s"),
+        when(col(labelCol), 1L).otherwise(0L).as("y"))
+      // integer floor-div binning (a float divide here would round-trip
+      // through double and diverge from the oracle's // at bin edges)
+      .withColumn("bin",
+        least(expr(s"s div ${binWidth}L"), lit(nBins - 1L)).cast(LongType))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"),
+        sum(col("s")).as("score_sum"))
+      .select(col("bin"), col("n"), col("pos"), col("score_sum"),
+        expr("pos * 10000 div n").as("pos_rate_bp"),
+        expr(s"score_sum * 10000 div (n * ${fullScale}L)").as("mean_score_bp"))
+      .orderBy(col("bin"))
+  }

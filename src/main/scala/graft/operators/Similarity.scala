@@ -84,6 +84,42 @@ object Similarity {
       .select(col("q_id"), col("n_label").as("pred_label"), col("votes"))
   }
 
+  /** Retrieval-quality eval in exact integers: for each query, rank the
+    * corpus by exact cosine (ties → smaller id), find the FIRST neighbor
+    * sharing the query's label, and report its rank, the reciprocal rank in
+    * basis points (10⁴ div rank — the MRR contribution as a defined integer
+    * quantization, no float division), and hit@k. Queries with no same-label
+    * neighbor anywhere keep their row with NULL rank (rr_bp 0, hit 0) so the
+    * output is one row per query regardless of corpus content. Plan: one
+    * broadcast of the query set, one per-query ranking window, one bounded
+    * aggregate — at corpus scale the ranking source swaps for an ANN
+    * shortlist ([[pqTopKReranked]]) without touching the eval aggregate.
+    */
+  def retrievalMrr(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, kHit: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"),
+        col(labelCol).cast(LongType).as("n_label"))
+      .withColumn("nrm", norm(col("v")))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_v"),
+        col(labelCol).cast(LongType).as("true_label"))
+      .withColumn("q_nrm", norm(col("q_v")))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("cosine", dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val firstHit = scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("n_label") === col("true_label"))
+      .groupBy(col("q_id")).agg(min(col("rnk")).as("first_rank"))
+    q.select(col("q_id"), col("true_label"))
+      .join(firstHit, Seq("q_id"), "left")
+      .select(col("q_id"), col("true_label"), col("first_rank"),
+        coalesce(expr("10000 div first_rank"), lit(0L)).as("rr_bp"),
+        when(col("first_rank") <= kHit, 1L).otherwise(0L).as("hit_at_k"))
+      .orderBy(col("q_id"))
+  }
+
   /** Per-label centroid accumulators in fixed-point: each embedding
     * dimension quantized to `floor(x * 1e6)` (exact-deterministic — the
     * float→double widening is exact and the single rounding in `x * 1e6`

@@ -675,9 +675,43 @@ object DedupQueries {
       .orderBy(col("dist"), col("name1"), col("name2"))
   }
 
+  /** Duplicated-substring SPANS (Lee et al. 2022 "Deduplicating Training
+    * Data" §ExactSubstr, declaratively): a word-8-gram position is
+    * "duplicated" when its gram occurs ≥2 times corpus-wide (other docs OR a
+    * repeat in the same doc); consecutive duplicated positions merge into
+    * maximal spans (the gaps-and-islands trick on gram position), each
+    * reported as [span_start, span_end] token bounds — the removal plan an
+    * exact-substring dedup pass would execute per document. Grams travel as
+    * 32-bit md5-prefix hashes (tx13's convention — deterministic collisions,
+    * 4× smaller shuffle). Plan: one gram-keyed count + one join-back + one
+    * per-doc islands window — no pairwise expansion; the window partitions
+    * by doc_id, so parallelism holds at any corpus size (a document bounds
+    * its own span pass, never the corpus).
+    */
+  val dd21DupSpans: Q = Q(
+    "dd21_dup_spans",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |           FROM documents WHERE len(string_split(lower(text), ' ')) >= 8),
+      |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+      |        CAST(concat('0x', substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 8)) AS BIGINT) AS gh
+      |      FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
+      |cnt AS (SELECT gh, COUNT(*) AS c FROM g GROUP BY gh),
+      |d AS (SELECT g.doc_id, g.pos FROM g JOIN cnt USING (gh) WHERE cnt.c >= 2),
+      |isl AS (SELECT doc_id, pos,
+      |          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |        FROM d)
+      |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+      |  CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams
+      |FROM isl GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin) { (spark, dir) =>
+    Dedup.duplicatedNgramSpans(Tables.documents(spark, dir), "doc_id", "text", n = 8)
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
     dd15Containment, dd16SourceLeakage, dd17PrefixFilter, dd18SentenceDedup,
-    dd19BloomDecontaminate, dd20FuzzyEr)
+    dd19BloomDecontaminate, dd20FuzzyEr, dd21DupSpans)
 }

@@ -754,6 +754,76 @@ object MiscQueries {
       .orderBy(col("source"))
   }
 
+  /** Temperature-scaled source mixing (the multinomial-sampling counterpart
+    * to mx13's waterfill): per-source weight = isqrt(tokens) — i.e. p^(1/T)
+    * with T = 2, the up-weight-the-tail exponent of multilingual/multi-source
+    * pretraining mixes — and a global budget B = total÷2 allocated across
+    * sources by Hamilton's largest-remainder method (base = B·w div W, the
+    * R = B − Σbase leftover units go to the R largest remainders, ties to
+    * source name). Unlike the waterfill, a small source's allocation may
+    * EXCEED its own tokens — that is the point of temperature mixing
+    * (epochs_bp > 10⁴ marks upsampling). floor(sqrt(·)) is engine-portable:
+    * BIGINT→DOUBLE is exact below 2⁵³ and IEEE sqrt is correctly rounded,
+    * so both engines floor the same double. All windows run over #sources
+    * rows — bounded by source cardinality, never corpus size.
+    */
+  val mx14TemperatureMix: Q = Q(
+    "mx14_temperature_mix",
+    s"""WITH t AS (SELECT source,
+       |    CAST(SUM(CAST(len(regexp_extract_all(text, '${graft.operators.TextAnalysis.BpePattern}')) AS BIGINT)) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       |wts AS (SELECT source, tokens,
+       |    CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS wt FROM t),
+       |g AS (SELECT CAST(SUM(tokens) AS BIGINT) // 2 AS b,
+       |             CAST(SUM(wt) AS BIGINT) AS wsum FROM wts),
+       |a AS (SELECT source, tokens, wt, g.b, g.wsum,
+       |        CASE WHEN g.wsum = 0 THEN 0 ELSE g.b * wt // g.wsum END AS base,
+       |        CASE WHEN g.wsum = 0 THEN 0 ELSE g.b * wt % g.wsum END AS rem
+       |      FROM wts, g),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rr,
+       |        CAST(SUM(base) OVER () AS BIGINT) AS base_sum
+       |      FROM a)
+       |SELECT source, tokens, wt AS weight,
+       |  CAST(base + CASE WHEN rr <= b - base_sum THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens,
+       |  CASE WHEN b = 0 THEN NULL
+       |       ELSE CAST((base + CASE WHEN rr <= b - base_sum THEN 1 ELSE 0 END) * 10000 // b AS BIGINT)
+       |  END AS share_bp,
+       |  CASE WHEN tokens = 0 THEN NULL
+       |       ELSE CAST((base + CASE WHEN rr <= b - base_sum THEN 1 ELSE 0 END) * 10000 // tokens AS BIGINT)
+       |  END AS epochs_bp
+       |FROM r ORDER BY source""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    import graft.operators.TextAnalysis
+    val t = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(TextAnalysis.bpeTokenCount(col("text")).cast(LongType)).as("tokens"))
+    val wts = t.withColumn("wt",
+      floor(sqrt(col("tokens").cast("double"))).cast(LongType))
+    val g = wts.agg(expr("sum(tokens) div 2").as("b"), sum(col("wt")).as("wsum"))
+    val a = wts.crossJoin(broadcast(g))
+      .withColumn("base",
+        when(col("wsum") === 0, 0L).otherwise(expr("b * wt div wsum")))
+      .withColumn("rem",
+        when(col("wsum") === 0, 0L).otherwise(expr("b * wt % wsum")))
+    // un-partitioned windows over #sources rows — the mx13 precedent
+    val r = a
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast(LongType))
+      .withColumn("base_sum", sum(col("base")).over(
+        Window.orderBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    r.withColumn("alloc_tokens",
+        col("base") + when(col("rr") <= col("b") - col("base_sum"), 1L).otherwise(0L))
+      .select(col("source"), col("tokens"), col("wt").as("weight"),
+        col("alloc_tokens"),
+        when(col("b") === 0, lit(null).cast(LongType))
+          .otherwise(expr("alloc_tokens * 10000 div b")).as("share_bp"),
+        when(col("tokens") === 0, lit(null).cast(LongType))
+          .otherwise(expr("alloc_tokens * 10000 div tokens")).as("epochs_bp"))
+      .orderBy(col("source"))
+  }
+
   /** CDC log compaction: the LATEST event per key by (event time, id) —
     * the upsert-materialization read of a change stream (c8/c9 cover
     * keep-FIRST; compaction wants keep-last). One rank window per key,
@@ -1118,6 +1188,7 @@ object MiscQueries {
     mx1HashSample, mx2LangQuota, mx3ContextWindows, mx4QualityGate,
     mx5StratifiedSample, mx6DomainMix, mx7FixedSample, mx8SequencePacking,
     mx9SlidingWindows, mx10WeightedSample, mx11TokenBudgetSample,
-    mx12GroupSplit, mx13SourceWaterfill, qTableChecksum, qDqReport,
+    mx12GroupSplit, mx13SourceWaterfill, mx14TemperatureMix,
+    qTableChecksum, qDqReport,
     qPercentileBands, qCdcCompact, qZorderLayout, qSkewReport)
 }

@@ -351,8 +351,41 @@ object SimilarityQueries {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Retrieval-quality eval ([[Similarity.retrievalMrr]]): per query, the
+    * rank of the first same-label corpus neighbor under exact cosine
+    * ranking, the reciprocal rank in integer basis points, and hit@10 — the
+    * embedding-index acceptance metric (MRR / recall@k) computed with the
+    * sim6 query/corpus split. Queries with no same-label neighbor keep a
+    * NULL-rank row, so the output is one row per query by construction.
+    */
+  val m19RetrievalMrr: Q = Q(
+    "m19_retrieval_mrr",
+    s"""WITH $NormedSql,
+       |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+       |q AS (SELECT n.vec_id AS q_id, v AS qv, nrm AS qn, lab.label AS true_label
+       |      FROM n JOIN lab ON lab.vec_id = n.vec_id WHERE n.vec_id < 20),
+       |c AS (SELECT n.vec_id, v, nrm, lab.label AS n_label
+       |      FROM n JOIN lab ON lab.vec_id = n.vec_id WHERE n.vec_id >= 20),
+       |s AS (SELECT q.q_id, q.true_label, c.vec_id AS neighbor, c.n_label,
+       |        list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.v[i])) / (q.qn*c.nrm) AS cosine
+       |      FROM q JOIN c ON true),
+       |r AS (SELECT q_id, true_label, n_label,
+       |        CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor) AS BIGINT) AS rnk
+       |      FROM s),
+       |fh AS (SELECT q_id, MIN(rnk) AS first_rank
+       |       FROM r WHERE n_label = true_label GROUP BY q_id)
+       |SELECT q.q_id, q.true_label, fh.first_rank,
+       |  CAST(COALESCE(10000 // fh.first_rank, 0) AS BIGINT) AS rr_bp,
+       |  CAST(CASE WHEN fh.first_rank <= 10 THEN 1 ELSE 0 END AS BIGINT) AS hit_at_k
+       |FROM q LEFT JOIN fh USING (q_id) ORDER BY q.q_id""".stripMargin) { (spark, dir) =>
+    val emb = Tables.embeddings(spark, dir)
+    Similarity.retrievalMrr(
+      emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+      "vec_id", "embedding", "label", kHit = 10)
+  }
+
   val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, dd7EmbeddingLshNearDup,
     sim8MmrSelect,
     sim2LshTopK, sim3IvfTopK, sim4QuantizedTopK, sim5PqTopK, sim6KnnLabel,
-    sim7LabelCentroids, sim9PqTrainedTopK)
+    sim7LabelCentroids, sim9PqTrainedTopK, m19RetrievalMrr)
 }

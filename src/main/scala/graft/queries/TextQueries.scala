@@ -479,8 +479,51 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style heuristic quality rules (Rae et al. 2021, Table A1,
+    * adapted): word-count band [50, 10⁵], mean word length in [3, 10] chars,
+    * ≥80% of words contain an alphabetic character, ≤10% of words carry a
+    * symbol marker (# or …), and ≥2 distinct Gopher stopwords — the OTHER
+    * canonical curation rulebook next to tx16's C4 set (different bands,
+    * plus the alpha-fraction and symbol-ratio families C4 lacks). Same
+    * filter-pipeline shape: per-rule auditable booleans + the final keep,
+    * all-integer comparisons (cross-multiplied fractions, no division), one
+    * codegen'd projection, no shuffle — embarrassingly parallel at 100 TB.
+    */
+  val tx17GopherFilter: Q = Q(
+    "tx17_gopher_filter",
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws, n_chars FROM documents)
+      |SELECT doc_id,
+      |  len(ws) BETWEEN 50 AND 100000 AS r_wc,
+      |  (n_chars - (len(ws) - 1)) BETWEEN 3 * len(ws) AND 10 * len(ws) AS r_mwl,
+      |  len(list_filter(ws, t -> regexp_matches(t, '[a-z]'))) * 5 >= len(ws) * 4 AS r_alpha,
+      |  len(list_filter(ws, t -> contains(t, '#') OR contains(t, '...'))) * 10 <= len(ws) AS r_symbol,
+      |  len(list_distinct(list_filter(ws,
+      |    t -> t IN ('the','be','to','of','and','that','have','with')))) >= 2 AS r_stop,
+      |  (len(ws) BETWEEN 50 AND 100000)
+      |    AND ((n_chars - (len(ws) - 1)) BETWEEN 3 * len(ws) AND 10 * len(ws))
+      |    AND len(list_filter(ws, t -> regexp_matches(t, '[a-z]'))) * 5 >= len(ws) * 4
+      |    AND len(list_filter(ws, t -> contains(t, '#') OR contains(t, '...'))) * 10 <= len(ws)
+      |    AND len(list_distinct(list_filter(ws,
+      |      t -> t IN ('the','be','to','of','and','that','have','with')))) >= 2 AS keep
+      |FROM w ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val ws = split(lower(col("text")), " ")
+    val nw = size(ws)
+    val rWc = nw.between(50, 100000)
+    val sumWordChars = col("n_chars") - (nw - 1)
+    val rMwl = sumWordChars >= nw * 3 && sumWordChars <= nw * 10
+    val rAlpha = size(filter(ws, t => t.rlike("[a-z]"))) * 5 >= nw * 4
+    val rSymbol = size(filter(ws, t => t.contains("#") || t.contains("..."))) * 10 <= nw
+    val rStop = size(array_distinct(filter(ws,
+      t => t.isin("the", "be", "to", "of", "and", "that", "have", "with")))) >= 2
+    Tables.documents(spark, dir).select(col("doc_id"),
+        rWc.as("r_wc"), rMwl.as("r_mwl"), rAlpha.as("r_alpha"),
+        rSymbol.as("r_symbol"), rStop.as("r_stop"),
+        (rWc && rMwl && rAlpha && rSymbol && rStop).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
-    tx16C4Filter)
+    tx16C4Filter, tx17GopherFilter)
 }

@@ -670,8 +670,66 @@ object WindowQueries {
       graft.Tables.orders(spark, dir), "o_orderpriority", "o_orderstatus")
   }
 
+  /** Confusion-matrix sweep of the m15 score/label pair over five decision
+    * thresholds — the operating-point selection step after an AUC check:
+    * tp/fp/fn/tn plus precision/recall/F1 in integer basis points
+    * ([[graft.operators.Eval.thresholdMetrics]]). The corpus reduces to
+    * per-score counts once; the sweep is arithmetic over that bounded frame.
+    */
+  val m17ThresholdMetrics: Q = Q(
+    "m17_threshold_metrics",
+    """WITH sc AS (
+      |  SELECT n_chars AS s,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      |  FROM documents GROUP BY n_chars),
+      |th AS (SELECT CAST(unnest([100, 200, 500, 1000, 2000]) AS BIGINT) AS threshold),
+      |m AS (SELECT th.threshold,
+      |    CAST(SUM(CASE WHEN s >= threshold THEN pos ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(SUM(CASE WHEN s >= threshold THEN neg ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(SUM(CASE WHEN s < threshold THEN pos ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(SUM(CASE WHEN s < threshold THEN neg ELSE 0 END) AS BIGINT) AS tn
+      |  FROM sc CROSS JOIN th GROUP BY th.threshold)
+      |SELECT threshold, tp, fp, fn, tn,
+      |  CASE WHEN tp + fp = 0 THEN NULL
+      |       ELSE CAST(tp * 10000 // (tp + fp) AS BIGINT) END AS precision_bp,
+      |  CASE WHEN tp + fn = 0 THEN NULL
+      |       ELSE CAST(tp * 10000 // (tp + fn) AS BIGINT) END AS recall_bp,
+      |  CASE WHEN 2*tp + fp + fn = 0 THEN NULL
+      |       ELSE CAST(2 * tp * 10000 // (2*tp + fp + fn) AS BIGINT) END AS f1_bp
+      |FROM m ORDER BY threshold""".stripMargin) { (spark, dir) =>
+    graft.operators.Eval.thresholdMetrics(
+      graft.Tables.documents(spark, dir)
+        .select(col("n_chars"), (col("lang") === "en").as("y")),
+      "n_chars", "y", Seq(100L, 200L, 500L, 1000L, 2000L))
+  }
+
+  /** Reliability-diagram calibration of the same score/label pair: ten
+    * fixed-width 200-char bins (top bin open), per bin the observed positive
+    * rate vs the mean score, both in basis points of the 2000-char full
+    * scale ([[graft.operators.Eval.calibrationBins]]) — the
+    * well-calibrated-classifier audit as one bounded integer aggregate.
+    */
+  val m18CalibrationBins: Q = Q(
+    "m18_calibration_bins",
+    """WITH b AS (
+      |  SELECT LEAST(n_chars // 200, 9) AS bin, n_chars AS s,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents)
+      |SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(y) AS BIGINT) AS pos, CAST(SUM(s) AS BIGINT) AS score_sum,
+      |  CAST(SUM(y) * 10000 // COUNT(*) AS BIGINT) AS pos_rate_bp,
+      |  CAST(SUM(s) * 10000 // (COUNT(*) * 2000) AS BIGINT) AS mean_score_bp
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
+    graft.operators.Eval.calibrationBins(
+      graft.Tables.documents(spark, dir)
+        .select(col("n_chars"), (col("lang") === "en").as("y")),
+      "n_chars", "y", binWidth = 200L, nBins = 10, fullScale = 2000L)
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
-    m14QuantileBinning, m15RankAuc, m16Chi2)
+    m14QuantileBinning, m15RankAuc, m16Chi2, m17ThresholdMetrics,
+    m18CalibrationBins)
 }

@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Eval, Similarity}
+
+/** Crafted-data semantics for the round-7 eval/mix additions (the oracle
+  * queries pin cross-engine exactness; these pin the operator contracts —
+  * NULL guards, clamping, tie-breaks, span merging — on inputs the synthetic
+  * corpus may never produce).
+  */
+class EvalMixSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("thresholdMetrics: counts, bp metrics, and degenerate-denominator NULLs") {
+    // scores: pos at 10, 20, 30; neg at 5, 20
+    val df = Seq((10L, true), (20L, true), (30L, true), (5L, false), (20L, false))
+      .toDF("s", "y")
+    val out = Eval.thresholdMetrics(df, "s", "y", Seq(0L, 15L, 100L))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // t=0: everything predicted positive → tp=3 fp=2 fn=0 tn=0
+    assert(out(0L).getLong(1) == 3 && out(0L).getLong(2) == 2)
+    assert(out(0L).getLong(5) == 3 * 10000 / 5)  // precision_bp
+    assert(out(0L).getLong(6) == 10000)          // recall_bp
+    // t=15: tp=2 (20,30), fp=1 (20), fn=1 (10), tn=1 (5)
+    val t15 = out(15L)
+    assert(t15.getLong(1) == 2 && t15.getLong(2) == 1 &&
+      t15.getLong(3) == 1 && t15.getLong(4) == 1)
+    assert(t15.getLong(7) == 2 * 2 * 10000 / (2 * 2 + 1 + 1)) // f1_bp
+    // t=100: nothing predicted positive → precision NULL, f1 defined (fn>0)
+    assert(out(100L).isNullAt(5))
+    assert(out(100L).getLong(6) == 0)
+  }
+
+  test("calibrationBins: floor-div binning with open top bin") {
+    val df = Seq((0L, false), (199L, true), (200L, true), (999L, false),
+      (5000L, true)).toDF("s", "y")
+    val out = Eval.calibrationBins(df, "s", "y",
+        binWidth = 200L, nBins = 3, fullScale = 1000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(0L).getLong(1) == 2 && out(0L).getLong(2) == 1) // 0,199
+    assert(out(1L).getLong(1) == 1)                            // 200
+    assert(out(2L).getLong(1) == 2)                            // 999, 5000 clamped
+    assert(out(0L).getLong(4) == 5000)                         // pos_rate_bp 1/2
+    // mean_score_bp of bin 2: (999+5000)*10⁴ div (2*1000)
+    assert(out(2L).getLong(5) == (999L + 5000L) * 10000 / 2000)
+  }
+
+  test("retrievalMrr: first same-label rank, no-hit NULL row, hit@k edge") {
+    // 2-D embeddings: query q0 label 1 at (1,0). Corpus: c10 label 0 at
+    // (1, 0.01) ranks 1st, c11 label 1 at (1, 0.2) ranks 2nd, c12 label 1
+    // opposite. Query q1 label 9 has no same-label corpus vector at all.
+    val corpus = Seq(
+      (10L, Array(1f, 0.01f), 0), (11L, Array(1f, 0.2f), 1),
+      (12L, Array(-1f, 0f), 1)).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (0L, Array(1f, 0f), 1), (1L, Array(0f, 1f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.retrievalMrr(corpus, queries, "vec_id", "embedding",
+        "label", kHit = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 2) // one row per query even with no hit
+    assert(out(0L).getLong(2) == 2L)        // first same-label at rank 2
+    assert(out(0L).getLong(3) == 5000L)     // 10⁴ div 2
+    assert(out(0L).getLong(4) == 1L)        // hit@2 boundary inclusive
+    assert(out(1L).isNullAt(2))             // no same-label anywhere
+    assert(out(1L).getLong(3) == 0L && out(1L).getLong(4) == 0L)
+  }
+
+  test("duplicatedNgramSpans: cross-doc + same-doc repeats merge into maximal spans") {
+    val rep = "a b c d e f g h" // the shared 8-gram
+    val docs = Seq(
+      (1L, s"$rep x y z"),                 // gram at pos 1 duplicated (doc 2 has it)
+      (2L, s"p q $rep"),                   // gram at pos 3
+      (3L, s"$rep $rep"),                  // positions 1..9 all inside repeats
+      (4L, "unique words only here nothing repeated at all"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedNgramSpans(docs, "doc_id", "text", n = 8)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1: span covering tokens 1..8 only (grams at pos 2+ include x/y/z)
+    assert(spans.contains((1L, 1L, 8L, 1L)))
+    // doc 2: gram starts at pos 3, covers tokens 3..10
+    assert(spans.contains((2L, 3L, 10L, 1L)))
+    // doc 3: "a b c d e f g h a b c d e f g h" — every 8-gram window that
+    // equals the repeated gram: pos 1 and pos 9; pos 2..8 are rotations that
+    // appear only once, so the islands are {1} and {9}, NOT one merged span
+    val d3 = spans.filter(_._1 == 3L)
+    assert(d3.toSet == Set((3L, 1L, 8L, 1L), (3L, 9L, 16L, 1L)))
+    assert(!spans.exists(_._1 == 4L))
+  }
+
+  test("duplicatedNgramSpans: consecutive duplicated positions merge") {
+    // two docs sharing a 9-token run → two overlapping duplicated 8-grams
+    // (pos 1 and 2) that must merge into ONE span covering tokens 1..9
+    val run = "a b c d e f g h i"
+    val docs = Seq((1L, s"$run tail1"), (2L, s"$run tail2"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedNgramSpans(docs, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.toSet == Set((1L, 1L, 9L, 2L), (2L, 1L, 9L, 2L)))
+  }
+
+  test("mx14 temperature mix: allocations exactly exhaust the budget") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.MiscQueries.mx14TemperatureMix.run(spark, dir).collect()
+    val tokens = rows.map(_.getAs[Long]("tokens")).sum
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(alloc == tokens / 2) // largest-remainder exhausts B = total div 2
+    assert(rows.forall(_.getAs[Long]("alloc_tokens") >= 0))
+    // weight = isqrt(tokens) per row
+    assert(rows.forall(r => r.getAs[Long]("weight") ==
+      math.sqrt(r.getAs[Long]("tokens").toDouble).floor.toLong))
+  }
+
+  test("tx17 gopher filter: keep is the conjunction of the rule booleans") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.TextQueries.tx17GopherFilter.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      r.getAs[Boolean]("keep") ==
+        (r.getAs[Boolean]("r_wc") && r.getAs[Boolean]("r_mwl") &&
+         r.getAs[Boolean]("r_alpha") && r.getAs[Boolean]("r_symbol") &&
+         r.getAs[Boolean]("r_stop"))
+    })
+  }
+}
