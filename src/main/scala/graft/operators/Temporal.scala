@@ -154,4 +154,38 @@ object Temporal {
       .drop("__lbkt", "__rbkt", "__lt", "__rt")
       .drop(keyCols.map(c => s"__rk_$c"): _*)
   }
+
+  /** Merged-interval coverage per key: each row opens [startUs, startUs +
+    * durationUs); overlapping or touching intervals within a key merge via
+    * the running-max-end sweep (a new island starts when this interval's
+    * start exceeds the max end of every earlier one), and the result is one
+    * row per key: merged-interval count and total covered microseconds —
+    * the "actual active time" a naive per-row duration sum overcounts.
+    *
+    * `tieCol` must make (startUs, tieCol) a TOTAL order within each key:
+    * both windows use it, so the island flags ride a deterministic order in
+    * every engine. Cost: one keyed sort-shuffle shared by both windows plus
+    * a keyed aggregate — the [[sessionize]] shape.
+    */
+  def intervalUnion(
+      df: DataFrame, keyCols: Seq[String], startUsCol: String,
+      tieCol: String, durationUs: Long): DataFrame = {
+    require(durationUs > 0, "intervalUnion: duration must be positive")
+    val wPrev = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(startUsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(startUsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__e", col(startUsCol) + durationUs)
+      .withColumn("__prev_max_e", max(col("__e")).over(wPrev))
+      .withColumn("__island", sum(
+        when(col("__prev_max_e").isNull || col(startUsCol) > col("__prev_max_e"), 1L)
+          .otherwise(0L)).over(wRun))
+      .groupBy((keyCols.map(col) :+ col("__island")): _*)
+      .agg(min(col(startUsCol)).as("__st"), max(col("__e")).as("__en"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("__en") - col("__st")).as("covered_us"))
+  }
 }

@@ -824,6 +824,43 @@ object MiscQueries {
       .orderBy(col("source"))
   }
 
+  /** Interval-union coverage: each event opens a 5-minute activity interval
+    * [ts, ts+300s); overlapping/touching intervals per user merge (the
+    * classic sweep: a new island starts when this interval's start exceeds
+    * the running max end of everything before it), and the output is each
+    * user's merged-interval count and total covered microseconds — the
+    * "actual active time" metric that naive per-event sums overcount.
+    * Two windows per user (running max-end, then island id), same
+    * single sort-shuffle shape as sessionize; all arithmetic in epoch-µs
+    * integers so the result is bit-exact.
+    */
+  val qIntervalUnion: Q = Q(
+    "q_interval_union",
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e,
+      |         event_id
+      |  FROM events),
+      |m AS (SELECT user_id, s, e, event_id,
+      |        MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+      |      FROM iv),
+      |isl AS (SELECT user_id, s, e,
+      |          SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY user_id ORDER BY s, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |        FROM m),
+      |g AS (SELECT user_id, island, MIN(s) AS st, MAX(e) AS en
+      |      FROM isl GROUP BY user_id, island)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+      |  CAST(SUM(en - st) AS BIGINT) AS covered_us
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    graft.operators.Temporal.intervalUnion(
+        Tables.events(spark, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("s"), col("event_id")),
+        Seq("user_id"), "s", "event_id", durationUs = 300000000L)
+      .orderBy(col("user_id"))
+  }
+
   /** CDC log compaction: the LATEST event per key by (event time, id) —
     * the upsert-materialization read of a change stream (c8/c9 cover
     * keep-FIRST; compaction wants keep-last). One rank window per key,
@@ -1190,5 +1227,5 @@ object MiscQueries {
     mx9SlidingWindows, mx10WeightedSample, mx11TokenBudgetSample,
     mx12GroupSplit, mx13SourceWaterfill, mx14TemperatureMix,
     qTableChecksum, qDqReport,
-    qPercentileBands, qCdcCompact, qZorderLayout, qSkewReport)
+    qPercentileBands, qCdcCompact, qIntervalUnion, qZorderLayout, qSkewReport)
 }

@@ -522,8 +522,46 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source vocabulary drift: the chi-square statistic of the
+    * source × word contingency grid ([[graft.operators.Eval.chi2Contingency]]
+    * over exploded unigrams), summed per source in integer centi-basis-points
+    * — the "is this source distributionally unlike the corpus" curation
+    * signal a mixer consults before weighting (a drifted source gets
+    * review, not blind upsampling). The grid is sources × vocabulary —
+    * bounded — so the cell build is a broadcast nested-loop over two tiny
+    * margin aggregates regardless of corpus size; the only corpus-scale
+    * work is the one unigram groupBy.
+    */
+  val tx18SourceVocabDrift: Q = Q(
+    "tx18_source_vocab_drift",
+    """WITH wds AS (
+      |  SELECT source AS a, unnest(string_split(lower(text), ' ')) AS b
+      |  FROM documents),
+      |o AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS obs
+      |      FROM wds WHERE b <> '' GROUP BY a, b),
+      |r AS (SELECT a, SUM(obs) AS rt FROM o GROUP BY a),
+      |c AS (SELECT b, SUM(obs) AS ct FROM o GROUP BY b),
+      |t AS (SELECT SUM(obs) AS n FROM o),
+      |cells AS (
+      |  SELECT r.a, CAST(COALESCE(o.obs, 0) AS BIGINT) AS obs,
+      |    CAST(CAST(COALESCE(obs, 0) * n - rt * ct AS HUGEINT)
+      |           * (COALESCE(obs, 0) * n - rt * ct) * 100
+      |         // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT) AS chi2_cbp
+      |  FROM r CROSS JOIN c LEFT JOIN o USING (a, b), t)
+      |SELECT a AS source, CAST(SUM(obs) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(chi2_cbp) AS BIGINT) AS drift_cbp
+      |FROM cells GROUP BY a ORDER BY a""".stripMargin) { (spark, dir) =>
+    val words = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("word"))
+      .filter(col("word") =!= "")
+    graft.operators.Eval.chi2Contingency(words, "source", "word")
+      .groupBy(col("a").as("source"))
+      .agg(sum(col("obs")).as("n_tokens"), sum(col("chi2_cbp")).as("drift_cbp"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
-    tx16C4Filter, tx17GopherFilter)
+    tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift)
 }

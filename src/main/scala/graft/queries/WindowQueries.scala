@@ -727,9 +727,78 @@ object WindowQueries {
       "n_chars", "y", binWidth = 200L, nBins = 10, fullScale = 2000L)
   }
 
+  /** Decile gain/lift table — the model-targeting diagnostic (how much of
+    * the positive class lives in the top-k% by score): rank by
+    * (score desc, id), split into 10 equal-frequency deciles with the m14
+    * closed-form NTILE arithmetic, then per-decile positives with cumulative
+    * gain and lift in integer basis points. The global rank is the
+    * distributed [[graft.operators.PrefixSum]] (descending via negated
+    * score in the order struct), and BOTH grand totals (row count N,
+    * positive count P) fall out of its pass-1 partition totals as literals
+    * — zero extra aggregate jobs, two passes total at any scale. The
+    * cumulative window runs over 10 decile rows — driver-sized.
+    */
+  val m20DecileLift: Q = Q(
+    "m20_decile_lift",
+    """WITH r AS (
+      |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT y, CASE WHEN rn <= (n % 10) * (n // 10 + 1)
+      |       THEN (rn - 1) // (n // 10 + 1) + 1
+      |       ELSE (n % 10) + (rn - (n % 10) * (n // 10 + 1) - 1) // (n // 10) + 1
+      |  END AS decile FROM r),
+      |g AS (SELECT decile, COUNT(*) AS n_rows, SUM(y) AS pos FROM b GROUP BY decile),
+      |t AS (SELECT SUM(pos) AS p, SUM(n_rows) AS nn FROM g),
+      |c AS (SELECT decile, n_rows, pos,
+      |        SUM(n_rows) OVER (ORDER BY decile) AS cum_n,
+      |        SUM(pos) OVER (ORDER BY decile) AS cum_pos
+      |      FROM g)
+      |SELECT CAST(decile AS BIGINT) AS decile, CAST(n_rows AS BIGINT) AS n_rows,
+      |  CAST(pos AS BIGINT) AS pos, CAST(cum_pos AS BIGINT) AS cum_pos,
+      |  CASE WHEN p = 0 THEN NULL
+      |       ELSE CAST(cum_pos * 10000 // p AS BIGINT) END AS gain_bp,
+      |  CASE WHEN p = 0 OR cum_n = 0 THEN NULL
+      |       ELSE CAST(cum_pos * nn * 10000 // (p * cum_n) AS BIGINT) END AS lift_bp
+      |FROM c, t ORDER BY decile""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val d = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .withColumn("one", lit(1L))
+      // descending score order = ascending (−score, id) struct key
+      .withColumn("ord", struct((-col("n_chars")).as("ns"), col("doc_id")))
+    val (rn0, totals) = graft.operators.PrefixSum.withStartOffsetsAndTotals(
+      d, "ord", Seq("one" -> "rn0", "y" -> "unused_cum"))
+    val (nTot, pTot) = (totals(0), totals(1))
+    val w = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rn0.withColumn("rn", col("rn0") + 1L).withColumn("n", lit(nTot))
+      .withColumn("decile",
+        when(col("rn") <= (col("n") % 10) * (expr("n div 10") + 1),
+          expr("(rn - 1) div (n div 10 + 1)") + 1)
+        .otherwise(col("n") % 10 +
+          expr("(rn - (n % 10) * (n div 10 + 1) - 1) div (n div 10)") + 1)
+        .cast(LongType))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("y")).as("pos"))
+      .withColumn("cum_n", sum(col("n_rows")).over(w))
+      .withColumn("cum_pos", sum(col("pos")).over(w))
+      .select(col("decile"), col("n_rows"), col("pos"), col("cum_pos"),
+        when(lit(pTot) === 0, lit(null).cast(LongType))
+          .otherwise(expr(s"cum_pos * 10000 div ${pTot}L")).as("gain_bp"),
+        when(lit(pTot) === 0 || col("cum_n") === 0, lit(null).cast(LongType))
+          .otherwise(expr(s"cum_pos * ${nTot}L * 10000 div (${pTot}L * cum_n)"))
+          .as("lift_bp"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
     m14QuantileBinning, m15RankAuc, m16Chi2, m17ThresholdMetrics,
-    m18CalibrationBins)
+    m18CalibrationBins, m20DecileLift)
 }

@@ -115,6 +115,45 @@ class EvalMixSpec extends AnyFunSuite {
       math.sqrt(r.getAs[Long]("tokens").toDouble).floor.toLong))
   }
 
+  test("intervalUnion: overlapping and touching intervals merge, disjoint stay split") {
+    import graft.operators.Temporal
+    // key 1: [0,100) overlaps [50,150) → one island 0..150; [300,400) separate.
+    // key 2: [0,100) then touching [100,200): touching merges (start == max
+    // end is NOT > so same island) → one interval of 200.
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 50L, 2L), (1L, 300L, 3L),
+      (2L, 0L, 4L), (2L, 100L, 5L))
+      .toDF("k", "s", "id")
+    val out = Temporal.intervalUnion(df, Seq("k"), "s", "id", durationUs = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((2L, 250L))) // 150 + 100
+    assert(out(2L) == ((1L, 200L)))
+  }
+
+  test("m20 decile lift: deciles partition the corpus and gain reaches 10000") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.WindowQueries.m20DecileLift.run(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L))
+    val cums = rows.map(_.getAs[Long]("cum_pos"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b })
+    assert(rows.last.getAs[Long]("gain_bp") == 10000L)
+    // decile sizes differ by at most one (m14 NTILE contract)
+    val sizes = rows.map(_.getAs[Long]("n_rows"))
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("tx18 source vocab drift: non-negative drift, token totals conserved") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.TextQueries.tx18SourceVocabDrift.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("drift_cbp") >= 0L))
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    val expected = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "").count()
+    assert(total == expected)
+  }
+
   test("tx17 gopher filter: keep is the conjunction of the rule booleans") {
     val dir = "/root/testdata/sf0.001"
     val rows = queries.TextQueries.tx17GopherFilter.run(spark, dir).collect()
