@@ -265,6 +265,33 @@ object StreamingQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Per-key ingest quota ([[EventsStream.ingestQuota]]): each user's first
+    * 20 events by (event time, id) admitted, the rest dropped — keyed
+    * rate-limiting with ONE long of state per key. Batch-executed here
+    * against the plain ROW_NUMBER oracle; the micro-batch state-carry
+    * (half-used quota resumes, not resets) is pinned in EvalMixSpec's
+    * MemoryStream parity test.
+    */
+  val st9IngestQuota: Q = Q(
+    "st9_ingest_quota",
+    """WITH r AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS t_us,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS k
+      |  FROM events)
+      |SELECT user_id, event_id, t_us, k FROM r WHERE k <= 20
+      |ORDER BY user_id, k""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    EventsStream.ingestQuota(
+        Tables.events(spark, dir)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .as[EventsStream.Event],
+        quota = 20)
+      .toDF()
+      .orderBy(col("user_id"), col("k"))
+  }
+
   val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts, st3IncrementalDedup,
-    st4Enrich, st5ClickAttribution, st6Matview, st7CepSequence, st8CepSequenceN)
+    st4Enrich, st5ClickAttribution, st6Matview, st7CepSequence, st8CepSequenceN,
+    st9IngestQuota)
 }

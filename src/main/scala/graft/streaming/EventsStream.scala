@@ -426,6 +426,42 @@ object EventsStream {
         })
   }
 
+  final case class QuotaKept(user_id: Long, event_id: Long, t_us: Long, k: Long)
+
+  /** Per-key ingest quota: admit each key's FIRST `quota` events in
+    * (event time, id) order and drop the rest — the rate-limiting /
+    * per-source cap applied at ingest (the streaming counterpart of mx7's
+    * fixed per-group sample; a hot key cannot flood the pipeline past its
+    * budget). Emits the kept events with `k` = the key's running admission
+    * index (1-based), which makes the output self-describing and the
+    * batch oracle a plain ROW_NUMBER ≤ quota.
+    *
+    * Per-key state is ONE long (events admitted so far) — 8 bytes per key
+    * at any stream length, the O(1) bound a billion-key 100 TB stream
+    * needs. State carries across micro-batches, so a key that used half
+    * its quota in batch 1 gets only the remainder in batch 2 (pinned in
+    * EvalMixSpec's MemoryStream parity test). In-order delivery within
+    * the quota window is the same event-time caveat as every
+    * [[flatMapGroupsWithState]] operator here.
+    */
+  def ingestQuota(events: Dataset[Event], quota: Int): Dataset[QuotaKept] = {
+    require(quota > 0, "ingestQuota: quota must be positive")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[Event], state: GroupState[Long]) => {
+          val taken0 = state.getOption.getOrElse(0L)
+          def micros(t: java.sql.Timestamp): Long =
+            t.getTime / 1000 * 1000000L + t.getNanos / 1000
+          val room = math.max(0L, quota - taken0).toInt
+          val kept = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).take(room)
+          state.update(taken0 + kept.length)
+          kept.iterator.zipWithIndex.map { case (e, i) =>
+            QuotaKept(userId, e.event_id, micros(e.ts), taken0 + i + 1) }
+        })
+  }
+
   /** Demo main: stream the sf parquet through the hourly aggregation into a
     * memory sink and print the result (batch parity check with
     * `q_hourly_events`).

@@ -154,6 +154,36 @@ class EvalMixSpec extends AnyFunSuite {
     assert(total == expected)
   }
 
+  test("ingestQuota: state carries across micro-batches (half-used quota resumes)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.streaming.EventsStream
+    def ev(id: Long, uid: Long, tMs: Long) = EventsStream.Event(
+      id, new java.sql.Timestamp(tMs), uid, "click", 1.0)
+    // user 1 has 5 events; quota 3. Split 2 | 3 across micro-batches:
+    // batch 1 admits 2 (k=1,2), batch 2 admits only ONE more (k=3).
+    val evs = (1L to 5L).map(i => ev(i, 1L, 1000L * i))
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    val q = EventsStream.ingestQuota(mem.toDS(), quota = 3).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("quota_test")
+      .start()
+    mem.addData(evs.take(2))
+    q.processAllAvailable()
+    mem.addData(evs.drop(2))
+    q.processAllAvailable()
+    val out = spark.sql("SELECT event_id, k FROM quota_test ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    q.stop()
+    assert(out.toSeq == Seq((1L, 1L), (2L, 2L), (3L, 3L)))
+    // batch parity: same function over one batch = first-3 by (ts, id)
+    import spark.implicits._
+    val batch = EventsStream.ingestQuota(evs.toDS(), quota = 3)
+      .collect().map(r => (r.event_id, r.k)).sortBy(_._2)
+    assert(batch.toSeq == out.toSeq)
+  }
+
   test("tx17 gopher filter: keep is the conjunction of the rule booleans") {
     val dir = "/root/testdata/sf0.001"
     val rows = queries.TextQueries.tx17GopherFilter.run(spark, dir).collect()
