@@ -808,11 +808,15 @@ object AnalyticsQueries {
       |m AS (SELECT MAX(conc) AS peak FROM c)
       |SELECT peak, MIN(k) // 2 AS at_us FROM c, m WHERE conc = peak
       |GROUP BY peak""".stripMargin) { (spark, dir) =>
+    // the session frame feeds BOTH boundary branches (+1 at starts, −1 at
+    // ends) — root it on a localCheckpoint or the sessionize window +
+    // aggregate run twice (the tx13 treatment)
     val sess = graft.operators.Temporal.sessionize(
         Tables.events(spark, dir), Seq("user_id"), "ts", gapUs = 1800000000L)
       .select(col("user_id"), col("session_id"), unix_micros(col("ts")).as("t"))
       .groupBy(col("user_id"), col("session_id"))
       .agg(min(col("t")).as("st"), max(col("t")).as("en"))
+      .localCheckpoint(true)
     val ev = sess.groupBy((col("st") * 2).as("k"))
         .agg(count(lit(1)).as("delta"))
       .unionAll(sess.groupBy((col("en") * 2 + 1).as("k"))

@@ -1144,26 +1144,32 @@ object MiscQueries {
           .cast(LongType).as("d"))
     val mm = raw.agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"),
       min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    // base feeds BOTH layout rankings (each a PrefixSum with its own
+    // key-bounds pass) — root it on a localCheckpoint so the parquet scan
+    // + Morton kernel run once, not once per consumer (the tx13 treatment)
     val base = raw.crossJoin(broadcast(mm))
       .withColumn("cn", expr("((c - cmin) * 65535) div (cmax - cmin)"))
       .withColumn("dn", expr("((d - dmin) * 65535) div (dmax - dmin)"))
       .withColumn("z", Layout.morton16(col("cn"), col("dn")))
       .select("o_orderkey", "c", "d", "z")
+      .localCheckpoint(true)
     // z < 2^32 and orderkey < 2^31, so (z << 31) | orderkey is a UNIQUE
     // long that sorts exactly by (z, o_orderkey) — PrefixSum's order key.
-    def files(keyCol: org.apache.spark.sql.Column, label: String): DataFrame =
-      PrefixSum.withStartOffset(
-          base.withColumn("k", keyCol).withColumn("one", lit(1L)),
-          "k", "one", "rk")
-        .crossJoin(broadcast(base.agg(count(lit(1)).as("n"))))
-        .select(lit(label).as("layout"), expr("(rk * 64) div n").as("file_id"),
-          col("c"), col("d"))
-        .groupBy(col("layout"), col("file_id"))
-        .agg(count(lit(1)).as("n_rows"),
-          min(col("c")).as("c_lo"), max(col("c")).as("c_hi"),
-          min(col("d")).as("d_lo"), max(col("d")).as("d_hi"))
+    // n comes out of each ranking's pass-1 partition totals as a literal
+    // (the q_pareto treatment) — no separate count-aggregate job per layout.
+    def files(keyCol: org.apache.spark.sql.Column, label: String): DataFrame = {
+      val (rk, n) = PrefixSum.withStartOffsetAndTotal(
+        base.withColumn("k", keyCol).withColumn("one", lit(1L)),
+        "k", "one", "rk")
+      rk.select(lit(label).as("layout"),
+          expr(s"(rk * 64) div ${n}L").as("file_id"), col("c"), col("d"))
+    }
     files(shiftleft(col("z"), 31).bitwiseOR(col("o_orderkey")), "zorder")
       .union(files(col("o_orderkey"), "linear"))
+      .groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("c")).as("c_lo"), max(col("c")).as("c_hi"),
+        min(col("d")).as("d_lo"), max(col("d")).as("d_hi"))
       .orderBy(col("layout"), col("file_id"))
   }
 
