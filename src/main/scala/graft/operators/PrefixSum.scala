@@ -272,6 +272,47 @@ object PrefixSum {
     spark.createDataFrame(out, outSchema)
   }
 
+  /** Adds `outCol` = the PREVIOUS row's `valueCol` (long, non-null input) in
+    * ascending `orderCol` order — the distributed LAG(1), null for the
+    * global first row. Same two-narrow-pass shape as [[withStartOffsets]]:
+    * pass 1 collects each partition's LAST value (one long per split),
+    * pass 2 seeds every partition with its nearest non-empty predecessor's
+    * last value. No single-partition window anywhere, so per-row
+    * differencing (deltas, OBV signs, change detection) holds at any
+    * series length.
+    */
+  def withLag(
+      df: DataFrame, orderCol: String, valueCol: String, outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val valIdx = df.schema.fieldIndex(valueCol)
+    val (rdd, dbg) = sortedByKey(df, orderCol, "withLag")
+    val partLast = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var has = false; var last = 0L
+      it.foreach { r => has = true; last = r.getLong(valIdx) }
+      Iterator.single((pid, has, last))
+    }.collect().sortBy(_._1)
+    record(dbg.copy(passTotals =
+      partLast.map(t => Seq(if (t._2) 1L else 0L, t._3)).toSeq))
+    // seed_p = last value of the nearest NON-EMPTY split before p
+    val seeds = new Array[Option[Long]](partLast.length + 1)
+    seeds(0) = None
+    partLast.zipWithIndex.foreach { case ((_, has, last), i) =>
+      seeds(i + 1) = if (has) Some(last) else seeds(i)
+    }
+    val seedsBc = spark.sparkContext.broadcast(seeds.toSeq)
+    val outSchema = df.schema.add(outCol, LongType, nullable = true)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var prev = seedsBc.value(pid)
+      it.map { r =>
+        val cur = r.getLong(valIdx)
+        val row = Row.fromSeq(r.toSeq :+ prev.map(java.lang.Long.valueOf).orNull)
+        prev = Some(cur)
+        row
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
+
   /** Token-stream chunking: assign each document its start offset and the
     * context-window index it begins in (`floor(offset / budget)`), plus its
     * offset within that window — exactly the bookkeeping a pretraining

@@ -796,9 +796,131 @@ object WindowQueries {
       .orderBy(col("decile"))
   }
 
+  /** On-balance volume over the daily series — the price/volume
+    * accumulation indicator: obv_t = obv_{t−1} + sign(close_t −
+    * close_{t−1})·vol_t. All-integer (the close series is integer-valued by
+    * construction, volume is a count), and BOTH sequential dependencies run
+    * on the distributed scan kernel: the close delta via
+    * [[graft.operators.PrefixSum.withLag]] (the two-pass LAG(1) — no
+    * single-partition window) and the accumulation via `withStartOffset`.
+    * The same plan shape runs a years-long per-metric OBV at 100 TB where
+    * `SUM() OVER (ORDER BY d)` would serialize onto one task.
+    */
+  val w8Obv: Q = Q(
+    "w8_obv",
+    s"""WITH ${Series.DailySql},
+       |v AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS vol
+       |      FROM orders GROUP BY 1),
+       |j AS (SELECT daily.d, CAST(close AS BIGINT) AS c, close, vol
+       |      FROM daily JOIN v USING (d)),
+       |l AS (SELECT *, LAG(c) OVER (ORDER BY d) AS pc FROM j),
+       |s AS (SELECT *,
+       |        CASE WHEN pc IS NULL THEN 0
+       |             WHEN c > pc THEN vol WHEN c < pc THEN -vol ELSE 0 END AS sv
+       |      FROM l)
+       |SELECT d, close, vol,
+       |  CAST(SUM(sv) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+       |FROM s ORDER BY d""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.LongType
+    import graft.operators.PrefixSum
+    val vol = graft.Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("vol"))
+    val j = Series.daily(spark, dir).join(vol, "d")
+      .withColumn("c", col("close").cast(LongType))
+    val lagged = PrefixSum.withLag(j, "d", "c", "pc")
+      .withColumn("sv",
+        when(col("pc").isNull, 0L)
+          .when(col("c") > col("pc"), col("vol"))
+          .when(col("c") < col("pc"), -col("vol"))
+          .otherwise(0L))
+    PrefixSum.withStartOffset(lagged, "d", "sv", "obv0")
+      .select(col("d"), col("close"), col("vol"),
+        (col("obv0") + col("sv")).as("obv"))
+      .orderBy(col("d"))
+  }
+
+  /** Pairwise feature association (r², the squared Pearson correlation) over
+    * lineitem's numeric features — the redundancy screen run before feature
+    * selection. Everything sums ONCE in exact decimal(38,0) integer
+    * arithmetic (quantity unit, price cents, discount bp — per-row products
+    * widen an operand first, the Eval discipline); the final ratio converts
+    * the exact sums to doubles through the IDENTICAL expression shape in
+    * both engines, so the floored basis-point result is bit-stable. One
+    * aggregate scan produces every pair — adding features grows the
+    * aggregate width, never the pass count. (Exactness bound: n·Σx² fits
+    * decimal(38,0) to ~10¹² rows at cents scale — shard the sums and merge
+    * above that.)
+    */
+  val m21FeatureR2: Q = {
+    def r2(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
+      s"""CASE WHEN CAST(n*$sxx - $sx*$sx AS DOUBLE) = 0.0
+         |      OR CAST(n*$syy - $sy*$sy AS DOUBLE) = 0.0 THEN NULL
+         |     ELSE CAST(FLOOR(
+         |       CAST(n*$sxy - $sx*$sy AS DOUBLE) * CAST(n*$sxy - $sx*$sy AS DOUBLE) * 10000.0
+         |       / (CAST(n*$sxx - $sx*$sx AS DOUBLE) * CAST(n*$syy - $sy*$sy AS DOUBLE)))
+         |     AS BIGINT) END""".stripMargin
+    Q(
+      "m21_feature_r2",
+      s"""WITH x AS (
+         |  SELECT CAST(l_quantity AS BIGINT) AS q,
+         |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS p,
+         |    CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS dc
+         |  FROM lineitem),
+         |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sq,
+         |  CAST(SUM(CAST(p AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sp,
+         |  CAST(SUM(CAST(dc AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sd,
+         |  CAST(SUM(CAST(q AS DECIMAL(38,0)) * q) AS DECIMAL(38,0)) AS sqq,
+         |  CAST(SUM(CAST(p AS DECIMAL(38,0)) * p) AS DECIMAL(38,0)) AS spp,
+         |  CAST(SUM(CAST(dc AS DECIMAL(38,0)) * dc) AS DECIMAL(38,0)) AS sdd,
+         |  CAST(SUM(CAST(q AS DECIMAL(38,0)) * p) AS DECIMAL(38,0)) AS sqp,
+         |  CAST(SUM(CAST(q AS DECIMAL(38,0)) * dc) AS DECIMAL(38,0)) AS sqd,
+         |  CAST(SUM(CAST(p AS DECIMAL(38,0)) * dc) AS DECIMAL(38,0)) AS spd
+         |  FROM x)
+         |SELECT * FROM (
+         |  SELECT 'quantity' AS col_a, 'extendedprice' AS col_b, n,
+         |    ${r2("sq", "sp", "sqq", "spp", "sqp")} AS r2_bp FROM a
+         |  UNION ALL
+         |  SELECT 'quantity', 'discount', n,
+         |    ${r2("sq", "sd", "sqq", "sdd", "sqd")} FROM a
+         |  UNION ALL
+         |  SELECT 'extendedprice', 'discount', n,
+         |    ${r2("sp", "sd", "spp", "sdd", "spd")} FROM a)
+         |ORDER BY col_a, col_b""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.types.{DecimalType, LongType}
+      val dec = DecimalType(38, 0)
+      val x = graft.Tables.lineitem(spark, dir).select(
+        col("l_quantity").cast(LongType).as("q"),
+        expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)").as("p"),
+        expr("cast(cast(l_discount as decimal(18,2)) * 100 as bigint)").as("dc"))
+      val a = x.agg(
+        count(lit(1)).as("n"),
+        sum(col("q").cast(dec)).cast(dec).as("sq"),
+        sum(col("p").cast(dec)).cast(dec).as("sp"),
+        sum(col("dc").cast(dec)).cast(dec).as("sd"),
+        sum(col("q").cast(dec) * col("q")).cast(dec).as("sqq"),
+        sum(col("p").cast(dec) * col("p")).cast(dec).as("spp"),
+        sum(col("dc").cast(dec) * col("dc")).cast(dec).as("sdd"),
+        sum(col("q").cast(dec) * col("p")).cast(dec).as("sqp"),
+        sum(col("q").cast(dec) * col("dc")).cast(dec).as("sqd"),
+        sum(col("p").cast(dec) * col("dc")).cast(dec).as("spd"))
+      a.select(col("n"), explode(array(
+          struct(lit("quantity").as("col_a"), lit("extendedprice").as("col_b"),
+            expr(r2("sq", "sp", "sqq", "spp", "sqp")).as("r2_bp")),
+          struct(lit("quantity").as("col_a"), lit("discount").as("col_b"),
+            expr(r2("sq", "sd", "sqq", "sdd", "sqd")).as("r2_bp")),
+          struct(lit("extendedprice").as("col_a"), lit("discount").as("col_b"),
+            expr(r2("sp", "sd", "spp", "sdd", "spd")).as("r2_bp")))).as("pr"))
+        .select(col("pr.col_a").as("col_a"), col("pr.col_b").as("col_b"),
+          col("n"), col("pr.r2_bp").as("r2_bp"))
+        .orderBy(col("col_a"), col("col_b"))
+    }
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
     m14QuantileBinning, m15RankAuc, m16Chi2, m17ThresholdMetrics,
-    m18CalibrationBins, m20DecileLift)
+    m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2)
 }

@@ -184,6 +184,76 @@ class EvalMixSpec extends AnyFunSuite {
     assert(batch.toSeq == out.toSeq)
   }
 
+  test("PrefixSum.withLag: distributed LAG(1) equals the window form incl. empty splits") {
+    import graft.operators.PrefixSum
+    import org.apache.spark.sql.expressions.Window
+    // 200 rows over 8 shuffled partitions; values distinct from keys so a
+    // seed-vs-key mixup would be caught
+    val df = spark.range(0, 200).selectExpr("id AS k", "id * 7 + 3 AS v")
+      .repartition(8)
+    val got = PrefixSum.withLag(df, "k", "v", "pv")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getLong(2)))
+    val want = df.withColumn("pv",
+        lag(col("v"), 1).over(Window.orderBy(col("k"))))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) null else r.getLong(2)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.head._2 == null) // global first row lags to null
+  }
+
+  test("w8 OBV: running sum of sign(delta)*volume, first delta contributes 0") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.WindowQueries.w8Obv.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // replay the recurrence on the driver from the output columns
+    var prevClose = Double.NaN; var obv = 0L
+    rows.foreach { r =>
+      val c = r.getAs[Double]("close"); val v = r.getAs[Long]("vol")
+      if (!prevClose.isNaN)
+        obv += (if (c > prevClose) v else if (c < prevClose) -v else 0L)
+      assert(r.getAs[Long]("obv") == obv, s"at d=${r.get(0)}")
+      prevClose = c
+    }
+  }
+
+  test("m21 feature r2: bounds and ±1bp agreement with Spark's corr()²") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.WindowQueries.m21FeatureR2.run(spark, dir).collect()
+    assert(rows.length == 3)
+    val r2 = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(r2.values.forall(v => v >= 0L && v <= 10000L))
+    // independent reference: builtin corr (Welford accumulation — may differ
+    // from the exact-sums formula by one ulp, hence ±1 bp)
+    val ref = graft.Tables.lineitem(spark, dir)
+      .select(corr(col("l_quantity"), col("l_extendedprice")).as("qp"),
+        corr(col("l_quantity"), col("l_discount")).as("qd"),
+        corr(col("l_extendedprice"), col("l_discount")).as("pd"))
+      .head()
+    def bp(c: Double) = math.floor(c * c * 10000).toLong
+    assert(math.abs(r2(("quantity", "extendedprice")) - bp(ref.getDouble(0))) <= 1)
+    assert(math.abs(r2(("quantity", "discount")) - bp(ref.getDouble(1))) <= 1)
+    assert(math.abs(r2(("extendedprice", "discount")) - bp(ref.getDouble(2))) <= 1)
+  }
+
+  test("m21 r2 formula: a perfectly linear pair scores exactly 10000 bp") {
+    // y = 3x + 7 — r² must be exactly 1; same exact-sums-then-double shape
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val dec = DecimalType(38, 0)
+    val df = spark.range(1, 101).selectExpr("id AS x", "id * 3 + 7 AS y")
+    val a = df.agg(count(lit(1)).as("n"),
+      sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"),
+      sum(col("y").cast(dec) * col("y")).as("syy"),
+      sum(col("x").cast(dec) * col("y")).as("sxy"))
+    val out = a.select(expr(
+      """cast(floor(
+        |  cast(n*sxy - sx*sy as double) * cast(n*sxy - sx*sy as double) * 10000.0
+        |  / (cast(n*sxx - sx*sx as double) * cast(n*syy - sy*sy as double))) as bigint)
+        |""".stripMargin).as("r2_bp")).head().getLong(0)
+    assert(out == 10000L)
+  }
+
   test("tx17 gopher filter: keep is the conjunction of the rule booleans") {
     val dir = "/root/testdata/sf0.001"
     val rows = queries.TextQueries.tx17GopherFilter.run(spark, dir).collect()
