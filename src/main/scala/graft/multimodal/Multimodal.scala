@@ -251,6 +251,25 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0), col("meta.n_frames") - 1, lit(everyK))).as("frame_idx"))
 
+  /** Fixed-length analysis windows over an audio sample count: starts at
+    * 0, hop, 2·hop, … while a full window fits (`start + windowSamples ≤
+    * n_samples`) — the frame cutter in front of any spectral/embedding
+    * stage. Pure integer `sequence` + `explode` (codegen'd, no UDF); the
+    * per-row fan-out is bounded by `n_samples/hop`, so the pass stays an
+    * embarrassingly parallel projection at any corpus size.
+    */
+  def audioWindows(
+      df: DataFrame, nSamplesCol: String,
+      windowSamples: Int, hopSamples: Int): DataFrame = {
+    require(windowSamples > 0 && hopSamples > 0, "window/hop must be positive")
+    df.filter(col(nSamplesCol) >= windowSamples)
+      .select(col("media_id"),
+        explode(sequence(lit(0L),
+          col(nSamplesCol).cast(LongType) - windowSamples,
+          lit(hopSamples.toLong))).as("start_sample"))
+      .withColumn("end_sample", col("start_sample") + windowSamples)
+  }
+
   /** Resize planning: fit each visual payload inside `maxW × maxH` preserving
     * aspect ratio — integer arithmetic on the decoded metadata (exact:
     * `w·maxH` vs `h·maxW` cross-compare, floor-scaled target dims, never

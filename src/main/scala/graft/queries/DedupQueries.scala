@@ -709,9 +709,56 @@ object DedupQueries {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** LSH capacity report over dd2's exact band structure — the
+    * candidate-volume planner an ops team reads BEFORE running the pair
+    * join at a new corpus size: per band, the bucket count, the largest
+    * bucket, and the exact candidate-pair volume Σ c·(c−1)/2 that band
+    * would feed into verification. A band whose max bucket grows superlinearly
+    * flags boilerplate that an upstream exact-dedup pass should remove
+    * (the [[graft.operators.Dedup.oversizedBuckets]] cap exists for
+    * exactly that tail). Plan: the signature kernel runs once, then two
+    * bounded aggregates — no pair is ever materialized.
+    */
+  val dd22LshCapacity: Q = Q(
+    "dd22_lsh_capacity",
+    s"""WITH $ShinglesSql,
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+       |     + (104729*j + 12345)) % 4294967311))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, t.b AS band,
+       |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+       |  FROM sig CROSS JOIN range(0, 16) t(b)),
+       |bk AS (SELECT band, band_key, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM bands GROUP BY band, band_key)
+       |SELECT CAST(band AS BIGINT) AS band, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(MAX(c) AS BIGINT) AS max_bucket,
+       |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_pairs
+       |FROM bk GROUP BY band ORDER BY band""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.LongType
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+    val sig = toks
+      .withColumn("sh", Dedup.wordShinglesExpr("ts", 3))
+      .withColumn("hv", Dedup.shingleHashesExpr("sh"))
+      .withColumn("sig", Dedup.minhashSignatureExpr("hv", 64))
+    val bands = sig.select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 15), b -> struct(cast(b as bigint) as band,
+          |  concat_ws('-', slice(sig, b*4 + 1, 4)) as band_key))""".stripMargin)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+    bands.groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"), max(col("c")).as("max_bucket"),
+        sum(expr("c * (c - 1) div 2")).cast(LongType).as("n_pairs"))
+      .orderBy(col("band"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
     dd15Containment, dd16SourceLeakage, dd17PrefixFilter, dd18SentenceDedup,
-    dd19BloomDecontaminate, dd20FuzzyEr, dd21DupSpans)
+    dd19BloomDecontaminate, dd20FuzzyEr, dd21DupSpans, dd22LshCapacity)
 }

@@ -50,5 +50,30 @@ object MultimodalQueries {
       .orderBy(col("media_id"), col("frame_idx"))
   }
 
-  val all: Seq[Q] = Seq(mm1ByteFeatures, mm2FrameSampling)
+  /** Overlapping analysis windows over "audio" payloads
+    * ([[Multimodal.audioWindows]]): 1-second windows (16000 samples at the
+    * synthetic 16 kHz) with 50% hop. The sample count is the deterministic
+    * stand-in `1 + bytes·997 mod 100000` (the mm2 convention — real WAV
+    * payloads would take it from [[Multimodal.decodeWavMeta]]'s RIFF scan
+    * instead); the window arithmetic and explode shape are the real
+    * operator.
+    */
+  val mm3AudioWindows: Q = Q(
+    "mm3_audio_windows",
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |         1 + (octet_length(encode(text)) * 997) % 100000 AS ns
+      |  FROM documents WHERE doc_id % 3 = 1)
+      |SELECT media_id,
+      |  CAST(unnest(range(0, ns - 16000 + 1, 8000)) AS BIGINT) AS start_sample,
+      |  CAST(unnest(range(0, ns - 16000 + 1, 8000)) + 16000 AS BIGINT) AS end_sample
+      |FROM a WHERE ns >= 16000 ORDER BY media_id, start_sample""".stripMargin) { (spark, dir) =>
+    val audio = Multimodal.fromDocuments(Tables.documents(spark, dir), "doc_id", "text")
+      .filter(col("modality") === "audio")
+      .withColumn("ns", (lit(1L) + (length(col("payload")) * 997L) % 100000L))
+    Multimodal.audioWindows(audio, "ns", windowSamples = 16000, hopSamples = 8000)
+      .orderBy(col("media_id"), col("start_sample"))
+  }
+
+  val all: Seq[Q] = Seq(mm1ByteFeatures, mm2FrameSampling, mm3AudioWindows)
 }

@@ -560,8 +560,44 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Out-of-vocabulary rate against the corpus' own top-25 vocabulary — the
+    * tokenizer-coverage / gibberish screen (a doc whose tokens mostly miss
+    * the head vocabulary is noise, OCR damage, or the wrong language): per
+    * doc, token count, OOV token count, and the rate in basis points. The
+    * vocabulary is a TakeOrderedAndProject over the word counts (25 rows —
+    * count desc, word asc tie-break) broadcast into a left join; the
+    * corpus-side work is one unigram groupBy plus one per-doc aggregate.
+    */
+  val tx19OovRate: Q = Q(
+    "tx19_oov_rate",
+    """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents),
+      |wx AS (SELECT doc_id, t FROM w WHERE t <> ''),
+      |v AS (SELECT t FROM (
+      |  SELECT t, COUNT(*) AS c FROM wx GROUP BY t
+      |  ORDER BY c DESC, t LIMIT 25)),
+      |m AS (SELECT wx.doc_id, CASE WHEN v.t IS NULL THEN 1 ELSE 0 END AS oov
+      |      FROM wx LEFT JOIN v ON wx.t = v.t)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+      |  CAST(SUM(oov) AS BIGINT) AS n_oov,
+      |  CAST(SUM(oov) * 10000 // COUNT(*) AS BIGINT) AS oov_bp
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val wx = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val v = wx.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("t")).limit(25)
+      .select(col("t").as("vt"))
+    wx.join(broadcast(v), col("t") === col("vt"), "left")
+      .select(col("doc_id"), when(col("vt").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("oov")).as("n_oov"))
+      .select(col("doc_id"), col("n_toks"), col("n_oov"),
+        expr("n_oov * 10000 div n_toks").as("oov_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
-    tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift)
+    tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift, tx19OovRate)
 }

@@ -254,6 +254,50 @@ class EvalMixSpec extends AnyFunSuite {
     assert(out == 10000L)
   }
 
+  test("mm3 audio windows: aligned hops, exact window length, audio modality only") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.MultimodalQueries.mm3AudioWindows.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      r.getAs[Long]("end_sample") - r.getAs[Long]("start_sample") == 16000L &&
+      r.getAs[Long]("start_sample") % 8000L == 0L &&
+      r.getAs[Long]("media_id") % 3 == 1L
+    })
+  }
+
+  test("tx19 OOV rate: counts consistent, rate is the floored bp ratio") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.TextQueries.tx19OovRate.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val (n, o, bp) = (r.getAs[Long]("n_toks"), r.getAs[Long]("n_oov"),
+        r.getAs[Long]("oov_bp"))
+      o <= n && bp == o * 10000 / n
+    })
+    // the 31-word synthetic vocabulary: top-25 covers most tokens, so the
+    // median OOV rate must sit well below 50%
+    val med = rows.map(_.getAs[Long]("oov_bp")).sorted.apply(rows.length / 2)
+    assert(med < 5000)
+  }
+
+  test("dd22 LSH capacity: 16 bands, pair volumes bound the dd2 candidate set") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.DedupQueries.dd22LshCapacity.run(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("band")).toSeq == (0L to 15L))
+    val nDocs = Tables.documents(spark, dir)
+      .filter(size(split(lower(col("text")), " ")) >= 3).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_buckets") <= nDocs)
+      assert(r.getAs[Long]("max_bucket") >= 1L)
+      assert(r.getAs[Long]("n_pairs") >= 0L)
+    }
+    // any band's pair volume upper-bounds the verified dd2 pair count for
+    // that band; the SUM over bands bounds the total candidate multiset
+    val totalPairs = rows.map(_.getAs[Long]("n_pairs")).sum
+    val verified = queries.Shared.minhashPairs(spark, dir).count()
+    assert(totalPairs >= verified)
+  }
+
   test("tx17 gopher filter: keep is the conjunction of the rule booleans") {
     val dir = "/root/testdata/sf0.001"
     val rows = queries.TextQueries.tx17GopherFilter.run(spark, dir).collect()
