@@ -286,6 +286,21 @@ object Dedup {
     }(Encoders.row(outSchema))
   }
 
+  /** Public face of the compiled signature kernel: (doc_id, sig) with the
+    * k-permutation MinHash signature over word `shingleK`-shingles —
+    * identical values to [[minhashSignatureExpr]] over
+    * [[shingleHashesExpr]], at JVM-kernel speed (one MD5 pass per shingle,
+    * no interpreted HOF tree). For capacity diagnostics and any consumer
+    * that wants the raw signatures without the band/verify pipeline.
+    */
+  def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, k: Int): DataFrame =
+    shingleSignatures(
+      spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt"))),
+      shingleK, k)
+      .select(col("doc_id"), col("sig"))
+
   /** Drop rows whose (bucket-key) group exceeds `cap` members — the
     * hot-bucket bound every banded dedup self-join needs at corpus scale: a
     * boilerplate band key shared by m documents would otherwise emit m²/2

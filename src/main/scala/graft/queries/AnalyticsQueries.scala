@@ -1147,10 +1147,61 @@ object AnalyticsQueries {
       .orderBy(col("source"))
   }
 
+  /** Multi-hop reachability with exact hop distance: BFS from the seed set
+    * (parts 1–10) over the q_pagerank co-purchase graph, 3 synchronous
+    * rounds, `dist = min hops`. Each round is relax-all (join the FULL
+    * frontier-so-far against the edge table, take the min) — at scale the
+    * frontier-only variant prunes the join's left side, but the relax-all
+    * form is the simpler fixed-point and its oracle is three identical
+    * unrolled CTEs, so both engines execute the same arithmetic. The edge
+    * table materializes once for the 3 rounds (the q_pagerank invariant);
+    * the per-round state is one (node, dist) frame keyed by node — the
+    * min-aggregate keeps it a set, never a path list.
+    */
+  val qReachability: Q = {
+    def stepSql(i: Int) =
+      s"""r$i AS (SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+         |  SELECT node, d FROM r${i - 1}
+         |  UNION ALL
+         |  SELECT e.v AS node, r${i - 1}.d + 1 AS d
+         |  FROM e JOIN r${i - 1} ON e.u = r${i - 1}.node) GROUP BY node)""".stripMargin
+    Q(
+      "q_reachability",
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+         |      FROM li a JOIN li b
+         |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+         |r0 AS (SELECT p_partkey AS node, CAST(0 AS BIGINT) AS d FROM part
+         |       WHERE p_partkey <= 10),
+         |${(1 to 3).map(stepSql).mkString(",\n")}
+         |SELECT node AS l_partkey, d AS dist FROM r3 ORDER BY node""".stripMargin) {
+      (spark, dir) =>
+        val li = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val e = graft.operators.Dedup.cachedForReuse(
+          li.as("a").join(li.as("b"),
+              col("a.l_orderkey") === col("b.l_orderkey") &&
+                col("a.l_partkey") =!= col("b.l_partkey"))
+            .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+            .distinct())
+        var dist = Tables.part(spark, dir)
+          .filter(col("p_partkey") <= 10)
+          .select(col("p_partkey").as("node"), lit(0L).as("d"))
+        for (_ <- 1 to 3) {
+          dist = dist
+            .unionAll(e.join(dist, col("u") === col("node"))
+              .select(col("v").as("node"), (col("d") + 1L).as("d")))
+            .groupBy(col("node")).agg(min(col("d")).as("d"))
+        }
+        dist.select(col("node").as("l_partkey"), col("d").as("dist"))
+          .orderBy(col("l_partkey"))
+    }
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
     qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
     qCohortRetention, qFunnel, qCepFirstMatch, qMomGrowth, qTrendLine, qSkyline, qTriangles,
     qResampleBySymbol, qPagerank, qEventTransitions, qPeakConcurrency,
     qCusumDrift, qMarketBasket, qOhlcBars, qGapsIslands, qRfm, qPareto,
-    qSourceDiversity)
+    qSourceDiversity, qReachability)
 }

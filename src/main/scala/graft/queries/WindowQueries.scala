@@ -918,9 +918,53 @@ object WindowQueries {
     }
   }
 
+  /** The FULL precision-recall curve — one point per distinct score value
+    * (predict positive iff score ≥ s), not m17's fixed sweep: cumulative
+    * tp/fp in descending score order with precision/recall in integer
+    * basis points. The cumulation is the distributed
+    * [[graft.operators.PrefixSum]] over the bounded per-score frame
+    * (descending via negated key), and the positive total P is a literal
+    * from its pass-1 partition totals — two passes over |distinct scores|
+    * rows, regardless of corpus size.
+    */
+  val m22PrCurve: Q = Q(
+    "m22_pr_curve",
+    """WITH sc AS (
+      |  SELECT n_chars AS s,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      |  FROM documents GROUP BY n_chars),
+      |c AS (SELECT s, pos, neg,
+      |    CAST(SUM(pos) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+      |    CAST(SUM(neg) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS fp
+      |  FROM sc),
+      |t AS (SELECT CAST(SUM(pos) AS BIGINT) AS p FROM sc)
+      |SELECT s AS threshold, tp, fp,
+      |  CAST(tp * 10000 // (tp + fp) AS BIGINT) AS precision_bp,
+      |  CASE WHEN p = 0 THEN NULL
+      |       ELSE CAST(tp * 10000 // p AS BIGINT) END AS recall_bp
+      |FROM c, t ORDER BY threshold""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.LongType
+    val perScore = graft.Tables.documents(spark, dir)
+      .groupBy(col("n_chars").cast(LongType).as("s"))
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"),
+        sum(when(col("lang") === "en", 0L).otherwise(1L)).as("neg"))
+      .withColumn("ord", -col("s"))
+    val (cum, totals) = graft.operators.PrefixSum.withStartOffsetsAndTotals(
+      perScore, "ord", Seq("pos" -> "tp0", "neg" -> "fp0"))
+    val pTot = totals.head
+    cum.select(col("s").as("threshold"),
+        (col("tp0") + col("pos")).as("tp"), (col("fp0") + col("neg")).as("fp"))
+      .select(col("threshold"), col("tp"), col("fp"),
+        expr("tp * 10000 div (tp + fp)").as("precision_bp"),
+        when(lit(pTot) === 0, lit(null).cast(LongType))
+          .otherwise(expr(s"tp * 10000 div ${pTot}L")).as("recall_bp"))
+      .orderBy(col("threshold"))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
     m14QuantileBinning, m15RankAuc, m16Chi2, m17ThresholdMetrics,
-    m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2)
+    m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2, m22PrCurve)
 }

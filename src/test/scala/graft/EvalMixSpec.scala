@@ -298,6 +298,25 @@ class EvalMixSpec extends AnyFunSuite {
     assert(totalPairs >= verified)
   }
 
+  test("m22 PR curve: cumulative counts monotone in threshold, lowest point has full recall") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.WindowQueries.m22PrCurve.run(spark, dir).collect()
+    assert(rows.length > 1)
+    val byThr = rows.map(r => (r.getAs[Long]("threshold"), r.getAs[Long]("tp"),
+      r.getAs[Long]("fp"), r.getAs[Long]("recall_bp")))
+    // ascending threshold → tp/fp non-increasing (fewer predicted positive)
+    assert(byThr.zip(byThr.tail).forall { case (a, b) => a._2 >= b._2 && a._3 >= b._3 })
+    assert(byThr.head._4 == 10000L) // lowest threshold predicts everything → recall 1
+  }
+
+  test("q_reachability: seeds at 0, everything within 3 hops, triangle inequality vs edges") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.AnalyticsQueries.qReachability.run(spark, dir).collect()
+    val dist = rows.map(r => r.getAs[Long]("l_partkey") -> r.getAs[Long]("dist")).toMap
+    (1L to 10L).foreach(s => assert(!dist.contains(s) || dist(s) == 0L))
+    assert(dist.values.forall(d => d >= 0L && d <= 3L))
+  }
+
   test("tx17 gopher filter: keep is the conjunction of the rule booleans") {
     val dir = "/root/testdata/sf0.001"
     val rows = queries.TextQueries.tx17GopherFilter.run(spark, dir).collect()
