@@ -291,7 +291,60 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("k"))
   }
 
+  /** Incrementally-maintained JOIN view — the customer-360 serving table
+    * (per BUILDING-segment customer: order count, exact-decimal spend,
+    * latest order instant) kept current by the same foreachBatch MERGE
+    * discipline as st6's aggregate view, but keyed on the DIMENSION key, so
+    * cumulative re-aggregations REVISE each customer's row in place. Driven
+    * with the st6 batch schedule: early half (partial per-customer
+    * aggregates), full stream (every row revised), full stream replayed
+    * (sink-side crash re-delivery). The gate asserts the JDBC read-back
+    * equals the plain batch join+aggregate — MERGE convergence and replay
+    * idempotency for join views in one oracle row.
+    */
+  val st10JoinMatview: Q = Q(
+    "st10_join_matview",
+    """SELECT c.c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+      |  CAST(MAX(epoch_us(o_orderdate)) AS BIGINT) AS last_order_us
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |GROUP BY c.c_custkey ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    import graft.exprs.Exact
+    val tmp = java.nio.file.Files.createTempDirectory("st10_join_mv")
+      .toFile.getAbsolutePath
+    val url = s"jdbc:derby:$tmp/db;create=true"
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val orders = Tables.orders(spark, dir)
+    val mid = orders.agg(expr("percentile_approx(o_orderkey, 0.5)"))
+      .collect()(0).getLong(0)
+    def view(o: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          Exact.dsum(col("o_totalprice")).as("total_spent"),
+          // NTZ → timestamp under the UTC session pin, then micros (the
+          // same NTZ-as-UTC semantics the oracle's epoch_us applies)
+          max(unix_micros(col("o_orderdate").cast("timestamp")))
+            .as("last_order_us"))
+    def mergeBatch(batch: org.apache.spark.sql.DataFrame): Unit =
+      new graft.sinks.JdbcLoader(Map[String, Any](
+        "connection_string" -> url, "table" -> "customer360",
+        "if_exists" -> "upsert",
+        "primary_keys" -> Seq("c_custkey"))).load(batch)
+    mergeBatch(view(orders.filter(col("o_orderkey") <= mid)))
+    mergeBatch(view(orders))
+    mergeBatch(view(orders))
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "customer360").load()
+      .select(col("c_custkey"), col("n_orders"), col("total_spent"),
+        col("last_order_us"))
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts, st3IncrementalDedup,
     st4Enrich, st5ClickAttribution, st6Matview, st7CepSequence, st8CepSequenceN,
-    st9IngestQuota)
+    st9IngestQuota, st10JoinMatview)
 }

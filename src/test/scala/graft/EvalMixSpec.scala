@@ -317,6 +317,23 @@ class EvalMixSpec extends AnyFunSuite {
     assert(dist.values.forall(d => d >= 0L && d <= 3L))
   }
 
+  test("st10 join matview: converged MERGE equals the batch join+aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val got = queries.StreamingQueries.st10JoinMatview.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    import graft.exprs.Exact
+    val want = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("n"), Exact.dsum(col("o_totalprice")).as("t"),
+        max(unix_micros(col("o_orderdate").cast("timestamp"))).as("l"))
+      .orderBy(col("c_custkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("tx17 gopher filter: keep is the conjunction of the rule booleans") {
     val dir = "/root/testdata/sf0.001"
     val rows = queries.TextQueries.tx17GopherFilter.run(spark, dir).collect()
