@@ -971,6 +971,34 @@ object Dedup {
       .drop("__rn", "__comp", "comp")
   }
 
+  /** Soft dedup: instead of DROPPING near-duplicates, weight every document
+    * by the inverse of its near-dup cluster size — the downsampling policy
+    * several LLM-data pipelines prefer over hard removal (a cluster's
+    * content is kept, its sampling mass normalized to one document's worth).
+    * Returns (idCol, cluster_id, cluster_size, weight_bp) for EVERY row of
+    * `df`: singletons coalesce to their own id (size 1 → 10000 bp), so the
+    * output is a full-corpus weighting, not just the clustered subset.
+    * `weight_bp = 10000 div size` keeps the column integral/bit-exact; a
+    * consumer samples with probability weight_bp/10⁴ or trains with it as an
+    * example weight.
+    *
+    * Shape: labels LEFT-join + one size aggregate keyed by cluster id —
+    * both shuffles are on the coalesced cluster id, never on a NULL-heavy
+    * key (same rationale as [[keepBestWithComponentLabels]]).
+    */
+  def softDedupWeights(
+      df: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
+    val comp = labels.select(col("id").as(idCol), col("comp"))
+    val withComp = df.select(col(idCol))
+      .join(comp, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"))
+    val sizes = withComp.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    withComp.join(sizes, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        expr("10000 div cluster_size").as("weight_bp"))
+  }
+
   /** PPJoin-style prefix-filtering set-similarity self-join over word
     * `shingleK`-shingle sets — the EXACT-threshold complement to MinHash
     * LSH (no false negatives, no tuning of bands/rows; the method of

@@ -145,6 +145,44 @@ object Eval {
       .orderBy(col("threshold"))
   }
 
+  /** Cohen's kappa: chance-corrected agreement between two categorical
+    * "raters" (predicted vs actual class, two annotators, a rule vs a
+    * model). One output row: n, the diagonal agreement count, the
+    * margin-product sum Σₖ rowₖ·colₖ, and
+    * `kappa_bp = 10⁴·(n·agree − Σrc) div (n² − Σrc)` — the textbook
+    * (pₒ−pₑ)/(1−pₑ) cleared of denominators into one integer rational.
+    *
+    * All products run in decimal(38,0) (n² overflows long past ~3×10⁹ rows
+    * — the [[rankAuc]] lesson); `kappa_bp` assumes non-negative agreement
+    * (truncating `div` and floor agree there; a below-chance rater pair is
+    * a data bug upstream of this statistic). Constant-rater degenerate
+    * input (n² = Σrc) → NULL.
+    *
+    * Shape: one groupBy on the (a,b) class grid (bounded keys, map-side
+    * combine), then margins and scalars from that tiny frame — a single
+    * shuffle at any corpus size.
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val ct = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val rowT = ct.groupBy(col("a").as("cls")).agg(sum(col("cnt")).as("rn"))
+    val colT = ct.groupBy(col("b").as("cls")).agg(sum(col("cnt")).as("cn"))
+    val src = rowT.join(colT, Seq("cls"))
+      .agg(sum(col("rn").cast(DecimalType(38, 0)) * col("cn")).as("src"))
+    val scalars = ct.agg(
+      sum(col("cnt")).as("n"),
+      sum(when(col("a") === col("b"), col("cnt")).otherwise(0L)).as("agree_n"))
+    scalars.crossJoin(broadcast(src))
+      .select(
+        col("n").cast(LongType).as("n"),
+        col("agree_n").cast(LongType).as("agree_n"),
+        col("src").cast(DecimalType(38, 0)).as("margin_prod_sum"),
+        expr("""case when cast(n as decimal(38,0)) * n = src then null
+               |else (cast(n as decimal(38,0)) * agree_n - src) * 10000
+               |     div (cast(n as decimal(38,0)) * n - src) end""".stripMargin)
+          .cast(LongType).as("kappa_bp"))
+  }
+
   /** Reliability-diagram calibration bins: fixed-width score bins (width
     * `binWidth`, top bin open-ended at `nBins-1`), per bin the sample count,
     * positive count, exact integer score sum, and the two integer-division

@@ -138,6 +138,45 @@ object Indicators {
       .drop("__ema_fast", "__ema_slow")
   }
 
+  /** Stochastic oscillator: %K = 100·(close − min(low, kPeriod)) /
+    * (max(high, kPeriod) − min(low, kPeriod)), %D = the `dPeriod`-row simple
+    * average of %K. Null until each full window is present (pandas
+    * `rolling(n)` semantics, matching the other indicators); a flat window
+    * (max == min) yields null %K — the 0/0 case pandas renders NaN.
+    *
+    * Determinism: the rolling extrema are exact SELECTIONS (no float
+    * accumulation), so %K is the same IEEE expression over identical inputs
+    * in any engine. %D is therefore computed from lagged %K values in a
+    * FIXED left-to-right association — `((k₋₂ + k₋₁) + k) / d` — instead of
+    * a windowed SUM, whose accumulation order is engine-internal for
+    * non-integer doubles (DuckDB's segment tree vs Spark's frame iteration).
+    * `dPeriod` is small by definition (3 in every charting convention), so
+    * the chain stays shallow.
+    *
+    * Scale: with `partitionCols` both windows distribute per key — one
+    * shuffle on the key, O(period) state per row, no global sort.
+    */
+  def withStochastic(
+      df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+      kCol: String, dCol: String, kPeriod: Int, dPeriod: Int,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(kPeriod >= 1 && dPeriod >= 1, "stochastic periods must be >= 1")
+    val wk = baseWindow(partitionCols, orderCol).rowsBetween(-(kPeriod - 1), 0)
+    val w = baseWindow(partitionCols, orderCol)
+    val cnt = count(col(closeCol)).over(wk)
+    val lo = min(col(lowCol)).over(wk)
+    val hi = max(col(highCol)).over(wk)
+    val withK = df.withColumn(kCol,
+      when(cnt === kPeriod && hi =!= lo,
+        lit(100.0) * (col(closeCol) - lo) / (hi - lo)))
+    // fixed-association mean of the last dPeriod %K values, null unless all
+    // dPeriod lags are full-window values
+    val terms = (dPeriod - 1) to 0 by -1 map (i =>
+      if (i == 0) col(kCol) else lag(col(kCol), i).over(w))
+    val dSum = terms.reduceLeft(_ + _) // left-assoc: ((k₋ₙ₊₁ + …) + k)
+    withK.withColumn(dCol, dSum / dPeriod.toDouble)
+  }
+
   /** The full reference transformer. Requires (case-insensitively)
     * `date, open, high, low, close, volume`; appends the seven hardcoded
     * indicator columns and drops warmup rows.

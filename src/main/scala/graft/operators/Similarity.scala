@@ -120,6 +120,62 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
+  /** NDCG@k per query under exact cosine ranking with binary relevance
+    * (corpus neighbor shares the query's label) — the ranking-quality
+    * counterpart to [[retrievalMrr]]'s first-hit metric.
+    *
+    * All-integer formulation: the per-rank discount 1/log₂(i+1) is
+    * pre-scaled to millionths ONCE on the driver (`⌊10⁶/log₂(i+1)⌋`,
+    * i = 1..k — k literals, identical in the SQL oracle by construction), so
+    * DCG and ideal-DCG are exact BIGINT sums and `ndcg_bp` is an integer
+    * division — order-independent and bit-exact cross-engine, where a
+    * floating Σ rel/log₂(i+1) would inherit the engine's aggregation order.
+    * IDCG looks up the prefix-sum literal at min(n_rel, k); n_rel comes from
+    * a per-label corpus count (queries and corpus must be DISJOINT, as in
+    * the m19 split, for that count to equal the query's relevant-neighbor
+    * count). No relevant neighbor → null idcg/ndcg.
+    *
+    * Scale: queries broadcast; the corpus side is one narrow scored pass +
+    * a top-k window per query partition and a label-count aggregate.
+    */
+  def retrievalNdcg(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, labelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, "k must be >= 1")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val wts = (1 to k).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+    val pfx = wts.scanLeft(0L)(_ + _).tail
+    val c = corpus.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"),
+        col(labelCol).cast(LongType).as("n_label"))
+      .withColumn("nrm", norm(col("v")))
+    val q = queries.select(col(idCol).as("q_id"), asDouble(col(vecCol)).as("q_v"),
+        col(labelCol).cast(LongType).as("true_label"))
+      .withColumn("q_nrm", norm(col("q_v")))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("vec_id"))
+      .withColumn("cosine", dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
+    val wspec = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val wArr = array(wts.map(lit): _*)
+    val dcg = scored.withColumn("rnk", row_number().over(wspec))
+      .filter(col("rnk") <= k)
+      .withColumn("gain",
+        when(col("n_label") === col("true_label"), element_at(wArr, col("rnk")))
+          .otherwise(0L))
+      .groupBy(col("q_id")).agg(sum(col("gain")).as("dcg_s"))
+    val labelCounts = c.groupBy(col("n_label")).agg(count(lit(1)).as("n_rel"))
+    val pfxArr = array(pfx.map(lit): _*)
+    q.select(col("q_id"), col("true_label"))
+      .join(broadcast(labelCounts), col("true_label") === col("n_label"), "left")
+      .join(dcg, Seq("q_id"), "left")
+      .select(col("q_id"), col("true_label"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("dcg_s"), lit(0L)).as("dcg_s"))
+      .withColumn("idcg_s",
+        when(col("n_rel") > 0, element_at(pfxArr, least(col("n_rel"), lit(k.toLong)).cast("int"))))
+      .withColumn("ndcg_bp", expr("dcg_s * 10000 div idcg_s"))
+      .orderBy(col("q_id"))
+  }
+
   /** Per-label centroid accumulators in fixed-point: each embedding
     * dimension quantized to `floor(x * 1e6)` (exact-deterministic — the
     * float→double widening is exact and the single rounding in `x * 1e6`

@@ -754,9 +754,56 @@ object DedupQueries {
       .orderBy(col("band"))
   }
 
+  /** Soft dedup ([[Dedup.softDedupWeights]]): every document weighted by
+    * the inverse of its dd11 near-dup cluster size (`10000 div size` bp) —
+    * the keep-everything-downweight-duplicates curation policy, sharing the
+    * round's [[Shared.ccLabels]] component frame with dd11/dd12/dd14 so the
+    * MinHash pair generation and CC never re-run. The oracle closes the
+    * same dd2 pair graph with the dd11 recursive CTE, then LEFT-joins the
+    * labels onto the full corpus (singletons → own id, size 1).
+    */
+  val dd23SoftWeights: Q = Q(
+    "dd23_soft_weights",
+    s"""WITH RECURSIVE $ShinglesSql,
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+       |     + (104729*j + 12345)) % 4294967311))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, t.b AS band,
+       |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+       |  FROM sig CROSS JOIN range(0, 16) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b FROM (
+       |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
+       |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
+       |  WHERE jaccard >= 0.8),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT a AS id, a AS r FROM edges
+       |          UNION
+       |          SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |m AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |       FROM m GROUP BY 1)
+       |SELECT m.doc_id, m.cluster_id, sz.cluster_size,
+       |  CAST(10000 // sz.cluster_size AS BIGINT) AS weight_bp
+       |FROM m JOIN sz USING (cluster_id)
+       |ORDER BY m.doc_id""".stripMargin) { (spark, dir) =>
+    Dedup.softDedupWeights(
+        Tables.documents(spark, dir).select(col("doc_id")),
+        "doc_id", Shared.ccLabels(spark, dir))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
     dd15Containment, dd16SourceLeakage, dd17PrefixFilter, dd18SentenceDedup,
-    dd19BloomDecontaminate, dd20FuzzyEr, dd21DupSpans, dd22LshCapacity)
+    dd19BloomDecontaminate, dd20FuzzyEr, dd21DupSpans, dd22LshCapacity,
+    dd23SoftWeights)
 }

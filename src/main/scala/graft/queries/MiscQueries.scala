@@ -1224,6 +1224,88 @@ object MiscQueries {
       .orderBy(col("rn"))
   }
 
+  /** Weighted median extendedprice per return flag (weight = quantity) —
+    * the grouped weighted-quantile primitive (median transaction value
+    * weighted by units, the robust mid-price a pricing pipeline reports).
+    * Exact by construction: prices reduce to per-(flag, price) integer
+    * weight sums FIRST (bounded key space — the 100 TB move; the window
+    * then runs over distinct prices, not raw rows), the cumulative weight
+    * is an integer window sum, and the median is the first price whose
+    * doubled cumulative weight reaches the group total — a rank selection,
+    * no interpolation, same discipline as q_median_price.
+    */
+  val qWeightedMedian: Q = Q(
+    "q_weighted_median",
+    """WITH pw AS (SELECT l_returnflag AS flag,
+      |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT flag, price, w,
+      |    SUM(w) OVER (PARTITION BY flag ORDER BY price
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+      |    SUM(w) OVER (PARTITION BY flag) AS totw
+      |  FROM pw)
+      |SELECT flag, CAST(MIN(totw) AS BIGINT) AS total_weight,
+      |  CAST(MIN(price) AS DOUBLE) AS wmedian_price
+      |FROM c WHERE 2 * cumw >= totw
+      |GROUP BY flag ORDER BY flag""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val pw = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("flag"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+      .agg(sum(col("l_quantity").cast(LongType)).as("w"))
+    val wg = Window.partitionBy(col("flag"))
+    val c = pw
+      .withColumn("cumw", sum(col("w")).over(
+        wg.orderBy(col("price")).rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("totw", sum(col("w")).over(wg))
+    c.filter(col("cumw") * 2 >= col("totw"))
+      .groupBy(col("flag"))
+      .agg(min(col("totw")).as("total_weight"),
+        min(col("price")).cast(DoubleType).as("wmedian_price"))
+      .orderBy(col("flag"))
+  }
+
+  /** Deterministic sharded epoch shuffle — the data-order reproducibility
+    * primitive of a pretraining run: for each epoch, every document gets a
+    * shard (salted-hash mod nShards) and a position within that shard
+    * (rank by a second salted hash), so the read order is (a) pseudorandom
+    * per epoch, (b) bit-reproducible across runs/engines, and (c) assigned
+    * with windows keyed by (epoch, shard) — Θ(nShards) parallel partitions
+    * per epoch, never a global single-task sort (shard-local order is what
+    * a distributed data loader consumes anyway).
+    */
+  val mx15EpochShuffle: Q = Q(
+    "mx15_epoch_shuffle",
+    """WITH e AS (SELECT d.doc_id, t.epoch FROM documents d
+      |           CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) t(epoch)),
+      |h AS (SELECT epoch, doc_id,
+      |    CAST(concat('0x', substr(md5(concat('ep', CAST(epoch AS VARCHAR), ':',
+      |      CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS shard,
+      |    md5(concat('pos', CAST(epoch AS VARCHAR), ':', CAST(doc_id AS VARCHAR))) AS hk
+      |  FROM e)
+      |SELECT epoch, shard, doc_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY hk, doc_id) AS BIGINT) AS shard_pos
+      |FROM h ORDER BY epoch, shard, shard_pos""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val e = Tables.documents(spark, dir).select(col("doc_id"))
+      .withColumn("epoch", explode(array(lit(0L), lit(1L))))
+    val epochStr = col("epoch").cast(StringType)
+    val idStr = col("doc_id").cast(StringType)
+    val h = e
+      .withColumn("shard",
+        conv(substring(md5(concat(lit("ep"), epochStr, lit(":"), idStr)), 1, 8), 16, 10)
+          .cast(LongType) % 8)
+      .withColumn("hk", md5(concat(lit("pos"), epochStr, lit(":"), idStr)))
+    h.withColumn("shard_pos",
+        row_number().over(Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("hk"), col("doc_id"))).cast(LongType))
+      .select(col("epoch"), col("shard"), col("doc_id"), col("shard_pos"))
+      .orderBy(col("epoch"), col("shard"), col("shard_pos"))
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
     qProfile, qProfileApprox, qProfileLi, qProfileLiApprox,
@@ -1233,5 +1315,6 @@ object MiscQueries {
     mx9SlidingWindows, mx10WeightedSample, mx11TokenBudgetSample,
     mx12GroupSplit, mx13SourceWaterfill, mx14TemperatureMix,
     qTableChecksum, qDqReport,
-    qPercentileBands, qCdcCompact, qIntervalUnion, qZorderLayout, qSkewReport)
+    qPercentileBands, qCdcCompact, qIntervalUnion, qZorderLayout, qSkewReport,
+    qWeightedMedian, mx15EpochShuffle)
 }

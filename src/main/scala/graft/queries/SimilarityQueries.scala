@@ -384,8 +384,58 @@ object SimilarityQueries {
       "vec_id", "embedding", "label", kHit = 10)
   }
 
+  /** NDCG@10 per query ([[Similarity.retrievalNdcg]]) with the m19
+    * query/corpus split — binary relevance (same label), rank discounts
+    * pre-scaled to millionth BIGINTs so DCG/IDCG/ndcg_bp are all exact
+    * integers; the identical weight and prefix-sum literals are interpolated
+    * into BOTH engines' plans from one driver-side computation.
+    */
+  val m23RetrievalNdcg: Q = {
+    val k = 10
+    val wts = (1 to k).map(i => math.floor(1e6 / (math.log(i + 1.0) / math.log(2.0))).toLong)
+    val pfx = wts.scanLeft(0L)(_ + _).tail
+    val wVals = wts.zipWithIndex.map { case (x, i) => s"(${i + 1}, $x)" }.mkString(",")
+    val pVals = pfx.zipWithIndex.map { case (x, i) => s"(${i + 1}, $x)" }.mkString(",")
+    Q(
+      "m23_retrieval_ndcg",
+      s"""WITH $NormedSql,
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |q AS (SELECT n.vec_id AS q_id, v AS qv, nrm AS qn, lab.label AS true_label
+         |      FROM n JOIN lab ON lab.vec_id = n.vec_id WHERE n.vec_id < 20),
+         |c AS (SELECT n.vec_id, v, nrm, lab.label AS n_label
+         |      FROM n JOIN lab ON lab.vec_id = n.vec_id WHERE n.vec_id >= 20),
+         |s AS (SELECT q.q_id, q.true_label, c.vec_id AS neighbor, c.n_label,
+         |        list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.v[i])) / (q.qn*c.nrm) AS cosine
+         |      FROM q JOIN c ON true),
+         |r AS (SELECT q_id, true_label, n_label,
+         |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, neighbor) AS rnk
+         |      FROM s),
+         |wts AS (SELECT * FROM (VALUES $wVals) AS t(rnk, w)),
+         |pfx AS (SELECT * FROM (VALUES $pVals) AS t(nrel, idcg)),
+         |dcg AS (SELECT q_id,
+         |          SUM(CASE WHEN n_label = true_label THEN w ELSE 0 END) AS dcg_s
+         |        FROM r JOIN wts USING (rnk) WHERE rnk <= $k GROUP BY q_id),
+         |lc AS (SELECT n_label AS label, COUNT(*) AS cnt FROM c GROUP BY 1),
+         |base AS (SELECT q.q_id, q.true_label,
+         |           CAST(COALESCE(lc.cnt, 0) AS BIGINT) AS n_rel
+         |         FROM q LEFT JOIN lc ON lc.label = q.true_label)
+         |SELECT b.q_id, b.true_label, b.n_rel,
+         |  CAST(COALESCE(d.dcg_s, 0) AS BIGINT) AS dcg_s,
+         |  CAST(p.idcg AS BIGINT) AS idcg_s,
+         |  CAST(COALESCE(d.dcg_s, 0) * 10000 // p.idcg AS BIGINT) AS ndcg_bp
+         |FROM base b
+         |LEFT JOIN dcg d USING (q_id)
+         |LEFT JOIN pfx p ON p.nrel = LEAST(b.n_rel, $k) AND b.n_rel > 0
+         |ORDER BY b.q_id""".stripMargin) { (spark, dir) =>
+      val emb = Tables.embeddings(spark, dir)
+      Similarity.retrievalNdcg(
+        emb.filter(col("vec_id") >= 20), emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", "label", k = k)
+    }
+  }
+
   val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, dd7EmbeddingLshNearDup,
     sim8MmrSelect,
     sim2LshTopK, sim3IvfTopK, sim4QuantizedTopK, sim5PqTopK, sim6KnnLabel,
-    sim7LabelCentroids, sim9PqTrainedTopK, m19RetrievalMrr)
+    sim7LabelCentroids, sim9PqTrainedTopK, m19RetrievalMrr, m23RetrievalNdcg)
 }

@@ -273,6 +273,61 @@ object WindowQueries {
     }
   }
 
+  /** W-family extension: the stochastic oscillator (%K/%D, 14-3) per symbol
+    * over the OHLC bars — the rolling-EXTREMA indicator primitive (min/max
+    * window selections) that the SMA/Bollinger/EMA family doesn't exercise.
+    * %D is a fixed-association 3-term mean of lagged %K (see
+    * [[Indicators.withStochastic]] for the cross-engine determinism
+    * rationale: extrema are exact selections; a windowed double SUM is not
+    * order-stable). Flat 14-row windows (max == min) yield null %K — those
+    * rows and the first two %K rows per symbol are dropped, mirroring the
+    * transformer's warmup-drop convention.
+    */
+  val w9Stochastic: Q = Q(
+    "w9_stochastic",
+    """WITH bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) + 1.0 AS high,
+      |    CAST(FLOOR(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) - 1.0 AS low,
+      |    CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) AS close
+      |  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)),
+      |s AS (
+      |  SELECT sym, d, close,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    MIN(low) OVER w14 AS lo,
+      |    MAX(high) OVER w14 AS hi
+      |  FROM bars
+      |  WINDOW w AS (PARTITION BY sym ORDER BY d),
+      |         w14 AS (PARTITION BY sym ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+      |k AS (
+      |  SELECT sym, d, close,
+      |    CASE WHEN rn >= 14 AND hi <> lo THEN 100.0 * (close - lo) / (hi - lo) END AS pct_k
+      |  FROM s),
+      |kd AS (
+      |  SELECT sym, d, close, pct_k,
+      |    ((LAG(pct_k, 2) OVER w + LAG(pct_k, 1) OVER w) + pct_k) / 3.0 AS pct_d
+      |  FROM k WINDOW w AS (PARTITION BY sym ORDER BY d))
+      |SELECT sym, d, close, pct_k, pct_d FROM kd
+      |WHERE pct_k IS NOT NULL AND pct_d IS NOT NULL
+      |ORDER BY sym, d""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val D2 = DecimalType(18, 2)
+    def fl(c: org.apache.spark.sql.Column) =
+      floor(c.cast(DoubleType) / 100.0).cast(DoubleType)
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(
+        (fl(max(col("o_totalprice").cast(D2))) + 1.0).as("high"),
+        (fl(min(col("o_totalprice").cast(D2))) - 1.0).as("low"),
+        fl(sum(col("o_totalprice").cast(D2))).as("close"))
+    Indicators.withStochastic(bars, "high", "low", "close",
+        "pct_k", "pct_d", kPeriod = 14, dPeriod = 3, orderCol = "d",
+        partitionCols = Seq("sym"))
+      .filter(col("pct_k").isNotNull && col("pct_d").isNotNull)
+      .select("sym", "d", "close", "pct_k", "pct_d")
+      .orderBy(col("sym"), col("d"))
+  }
+
   /** Feature standardization (z-score) over lineitem quantity — the
     * StandardScaler ML-prep step at corpus scale: ONE exact global
     * aggregate (n, Σx, Σx² as BIGINTs — quantity is integer-valued, so the
@@ -962,9 +1017,54 @@ object WindowQueries {
       .orderBy(col("threshold"))
   }
 
+  /** Cohen's kappa ([[graft.operators.Eval.cohensKappa]]): chance-corrected
+    * agreement between the true quantity tertile and a "noisy rater" —
+    * the same tertile of quantity perturbed by a deterministic md5-derived
+    * ±5 offset (clamped to [1,50]) — the inter-annotator/model-vs-rule
+    * agreement statistic in exact integer rational form. Measured
+    * κ ≈ 0.836 at every SF, so the non-negative-`div` contract holds.
+    */
+  val m24Kappa: Q = Q(
+    "m24_cohens_kappa",
+    """WITH l AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(concat('0x', substr(md5(concat(CAST(l_orderkey AS VARCHAR), ':',
+      |      CAST(l_linenumber AS VARCHAR))), 1, 8)) AS BIGINT) % 11 - 5 AS noise
+      |  FROM lineitem),
+      |c AS (SELECT CASE WHEN q <= 17 THEN 0 WHEN q <= 34 THEN 1 ELSE 2 END AS a,
+      |    CASE WHEN LEAST(GREATEST(q + noise, 1), 50) <= 17 THEN 0
+      |         WHEN LEAST(GREATEST(q + noise, 1), 50) <= 34 THEN 1 ELSE 2 END AS b
+      |  FROM l),
+      |ct AS (SELECT a, b, COUNT(*) AS cnt FROM c GROUP BY a, b),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+      |          CAST(SUM(CASE WHEN a = b THEN cnt ELSE 0 END) AS BIGINT) AS agree_n
+      |        FROM ct),
+      |rows_ AS (SELECT a AS cls, SUM(cnt) AS rn FROM ct GROUP BY a),
+      |cols_ AS (SELECT b AS cls, SUM(cnt) AS cn FROM ct GROUP BY b),
+      |src AS (SELECT SUM(rn * cn) AS src FROM rows_ JOIN cols_ USING (cls))
+      |SELECT tot.n, tot.agree_n,
+      |  CAST(src.src AS DECIMAL(38,0)) AS margin_prod_sum,
+      |  CAST(CASE WHEN tot.n * tot.n = src.src THEN NULL
+      |    ELSE (tot.n * tot.agree_n - src.src) * 10000 // (tot.n * tot.n - src.src)
+      |    END AS BIGINT) AS kappa_bp
+      |FROM tot, src""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val li = graft.Tables.lineitem(spark, dir)
+    val q = col("l_quantity").cast(LongType)
+    val key = concat_ws(":", col("l_orderkey").cast(StringType),
+      col("l_linenumber").cast(StringType))
+    val noise = conv(substring(md5(key), 1, 8), 16, 10).cast(LongType) % 11 - 5
+    def tertile(c: org.apache.spark.sql.Column) =
+      when(c <= 17, 0L).when(c <= 34, 1L).otherwise(2L)
+    val rated = li.select(
+      tertile(q).as("a"),
+      tertile(least(greatest(q + noise, lit(1L)), lit(50L))).as("b"))
+    graft.operators.Eval.cohensKappa(rated, "a", "b")
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
     m14QuantileBinning, m15RankAuc, m16Chi2, m17ThresholdMetrics,
-    m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2, m22PrCurve)
+    m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2, m22PrCurve,
+    w9Stochastic, m24Kappa)
 }

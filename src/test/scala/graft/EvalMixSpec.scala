@@ -334,6 +334,75 @@ class EvalMixSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("cohensKappa: perfect agreement = 10000 bp, constant rater = NULL") {
+    val perfect = Seq((0L, 0L), (1L, 1L), (2L, 2L), (1L, 1L)).toDF("a", "b")
+    val p = Eval.cohensKappa(perfect, "a", "b").head()
+    assert(p.getLong(0) == 4 && p.getLong(1) == 4)
+    assert(p.getLong(3) == 10000)
+    // both raters constant: pe = 1 → denominator zero → NULL kappa
+    val const = Seq((1L, 1L), (1L, 1L)).toDF("a", "b")
+    assert(Eval.cohensKappa(const, "a", "b").head().isNullAt(3))
+    // textbook 2×2: a/b agree 15 (10 yes, 5 no), disagree 5 (4, 1) →
+    // po=.75, pe=(14·11 + 6·9)/400=.52 → κ=.23/.48 → 4791 bp truncated
+    val mixed = Seq.fill(10)((1L, 1L)) ++ Seq.fill(5)((0L, 0L)) ++
+      Seq.fill(4)((1L, 0L)) ++ Seq.fill(1)((0L, 1L))
+    val m = Eval.cohensKappa(mixed.toDF("a", "b"), "a", "b").head()
+    assert(m.getLong(3) == ((20L * 15 - (14 * 11 + 6 * 9)) * 10000) / (400L - (14 * 11 + 6 * 9)))
+  }
+
+  test("retrievalNdcg: perfect ranking = 10000 bp, no-relevant = NULL idcg") {
+    // corpus: two label-1 vectors nearest the query, one label-0 opposite
+    val corpus = Seq(
+      (10L, Array(1f, 0f), 1), (11L, Array(1f, 0.1f), 1),
+      (12L, Array(-1f, 0f), 0)).toDF("vec_id", "embedding", "label")
+    val queries = Seq(
+      (0L, Array(1f, 0.05f), 1), (1L, Array(0f, 1f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.retrievalNdcg(corpus, queries, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // q0: both relevant docs at ranks 1-2 → dcg = idcg → 10000 bp
+    assert(out(0L).getLong(2) == 2)
+    assert(out(0L).getLong(5) == 10000)
+    // q1: no same-label corpus vector → n_rel 0, NULL idcg and ndcg
+    assert(out(1L).getLong(2) == 0)
+    assert(out(1L).isNullAt(4) && out(1L).isNullAt(5))
+  }
+
+  test("softDedupWeights: cluster members split mass, singletons keep 10000") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // labels frame: {1,2,3} one component rooted at 1; 4,5 unlabeled singletons
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "comp")
+    val out = Dedup.softDedupWeights(docs, "doc_id", labels)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(2) == 3 && out(1L).getLong(3) == 3333)
+    assert(out(2L).getLong(1) == 1L) // cluster id = component root
+    assert(out(4L).getLong(2) == 1 && out(4L).getLong(3) == 10000)
+    assert(out.values.map(_.getLong(3)).forall(w => w >= 1 && w <= 10000))
+  }
+
+  test("withStochastic: %K bounds, flat-window NULL, fixed-association %D") {
+    import graft.operators.Indicators
+    // high=low=close constant for 5 rows → flat window → NULL %K
+    val flat = (1 to 5).map(i => (i.toLong, 10.0, 10.0, 10.0)).toDF("t", "high", "low", "close")
+    val f = Indicators.withStochastic(flat, "high", "low", "close",
+      "pct_k", "pct_d", kPeriod = 3, dPeriod = 2, orderCol = "t")
+    assert(f.collect().forall(_.isNullAt(4)))
+    // ramp 1..6 with high=close+1, low=close-1, k=3: full window from t=3
+    val ramp = (1 to 6).map(i => (i.toLong, i + 1.0, i - 1.0, i.toDouble))
+      .toDF("t", "high", "low", "close")
+    val r = Indicators.withStochastic(ramp, "high", "low", "close",
+        "pct_k", "pct_d", kPeriod = 3, dPeriod = 2, orderCol = "t")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).isNullAt(4) && r(2L).isNullAt(4))
+    // t=3: lo=min(low[1..3])=0, hi=max(high[1..3])=4 → k=100*(3-0)/4=75
+    assert(r(3L).getDouble(4) == 75.0)
+    assert(r(3L).isNullAt(5)) // %D needs 2 full %K values
+    // t=4: lo=1, hi=5 → k=75; %D(t=4) = (75+75)/2
+    assert(r(4L).getDouble(5) == 75.0)
+    val ks = r.values.filterNot(_.isNullAt(4)).map(_.getDouble(4))
+    assert(ks.forall(k => k >= 0.0 && k <= 100.0))
+  }
+
   test("tx17 gopher filter: keep is the conjunction of the rule booleans") {
     val dir = "/root/testdata/sf0.001"
     val rows = queries.TextQueries.tx17GopherFilter.run(spark, dir).collect()
