@@ -145,6 +145,48 @@ object Eval {
       .orderBy(col("threshold"))
   }
 
+  /** Per-group exact ROC AUC — [[rankAuc]] segmented by `groupCol` (one AUC
+    * per market segment / data source / model slice — the sliced-eval shape
+    * a fairness or drift report needs). Same Mann–Whitney pair counting,
+    * but the exclusive negative prefix sum runs as a window PARTITIONED by
+    * the group: with many groups the work distributes per key (the global
+    * operator needs the two-pass [[PrefixSum]] precisely because it has no
+    * such key), and the window's input is already reduced to per-(group,
+    * score) counts, so each partition holds distinct score values, not raw
+    * rows. Degenerate single-class groups → NULL auc_bp.
+    */
+  def groupedRankAuc(
+      df: DataFrame, groupCol: String, scoreCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df
+      .groupBy(col(groupCol).as("g"), col(scoreCol).as("s"))
+      .agg(
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("pos"),
+        sum(when(col(labelCol), 0L).otherwise(1L)).as("neg"))
+    val w = Window.partitionBy(col("g")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("cum_neg", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .groupBy(col("g"))
+      .agg(
+        sum(col("pos").cast(DecimalType(38, 0)) * col("cum_neg")).as("conc"),
+        sum(col("pos").cast(DecimalType(38, 0)) * col("neg")).as("ties"),
+        sum(col("pos")).as("p"),
+        sum(col("neg")).as("nn"))
+      .select(
+        col("g").as(groupCol),
+        col("p").cast(LongType).as("pos_n"),
+        col("nn").cast(LongType).as("neg_n"),
+        (col("conc") * 2 + col("ties")).cast(DecimalType(38, 0)).as("auc_num"),
+        (col("p").cast(DecimalType(38, 0)) * col("nn") * 2)
+          .cast(DecimalType(38, 0)).as("auc_den"),
+        when(col("p") === 0 || col("nn") === 0, lit(null).cast(LongType))
+          .otherwise(expr(
+            "(conc * 2 + ties) * 10000 div (cast(p as decimal(38,0)) * nn * 2)"))
+          .as("auc_bp"))
+      .orderBy(col(groupCol))
+  }
+
   /** Cohen's kappa: chance-corrected agreement between two categorical
     * "raters" (predicted vs actual class, two annotators, a rule vs a
     * model). One output row: n, the diagonal agreement count, the

@@ -177,6 +177,48 @@ object Indicators {
     withK.withColumn(dCol, dSum / dPeriod.toDouble)
   }
 
+  /** Average true range: TR = max(high−low, |high−prevClose|, |low−prevClose|)
+    * (first row: high−low — no prior close), smoothed by the Wilder
+    * EMA(α = 1/period) with `min_periods = period` (pandas
+    * `tr.ewm(alpha=1/n, adjust=False, min_periods=n).mean()`), so the first
+    * period−1 rows are null. Runs through the native [[graft.functions.Ewm]]
+    * window function — the lag and the smoothing share one WindowExec, and
+    * with `partitionCols` the whole thing distributes per key. Integer-valued
+    * OHLC series keep TR integral → the recursion is the identical IEEE
+    * sequence in any engine.
+    */
+  def withAtr(
+      df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+      outCol: String, period: Int,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val w = baseWindow(partitionCols, orderCol)
+    val prevClose = lag(col(closeCol), 1).over(w)
+    val range = col(highCol) - col(lowCol)
+    val tr = when(prevClose.isNull, range)
+      .otherwise(greatest(range,
+        abs(col(highCol) - prevClose), abs(col(lowCol) - prevClose)))
+    df.withColumn("__tr", tr)
+      .withColumn(outCol, expr(s"ewm(__tr, ${1.0 / period.toDouble}, $period)").over(w))
+      .drop("__tr")
+  }
+
+  /** Rolling volume-weighted average price over the trailing `period` rows:
+    * Σ(close·volume) / Σ(volume); null until a full window. For
+    * integer-valued close and volume both window sums are exact in any
+    * accumulation order (products stay below 2⁵³), so the final division is
+    * the only float op — oracle-stable without decimal casts.
+    */
+  def withVwap(
+      df: DataFrame, closeCol: String, volumeCol: String, outCol: String,
+      period: Int, orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    val w = baseWindow(partitionCols, orderCol).rowsBetween(-(period - 1), 0)
+    val cnt = count(col(closeCol)).over(w)
+    val pv = sum(col(closeCol) * col(volumeCol)).over(w)
+    val v = sum(col(volumeCol)).over(w)
+    df.withColumn(outCol, when(cnt === period && v =!= 0.0, pv / v))
+  }
+
   /** The full reference transformer. Requires (case-insensitively)
     * `date, open, high, low, close, volume`; appends the seven hardcoded
     * indicator columns and drops warmup rows.

@@ -344,7 +344,32 @@ object StreamingQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Sliding-window (1 h / 30 min) per-type counts
+    * ([[EventsStream.slidingCounts]]) over the batch twin — the
+    * overlapping-window shape st2's tumbling hourly roll-up can't express.
+    * The oracle expands each event into its two covering window starts
+    * (`⌊t/30min⌋·30min` and that minus one slide) and re-aggregates —
+    * exactly Spark's `window(w, s)` key expansion, stated in SQL. Streaming
+    * execution semantics (append-mode finalization, watermark expiry) are
+    * WatermarkEnvSpec's to pin.
+    */
+  val st11SlidingCounts: Q = Q(
+    "st11_sliding_counts",
+    """WITH e AS (SELECT epoch_us(ts) AS tus, event_type,
+      |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+      |g AS (SELECT (tus // 1800000000) * 1800000000 - k.k * 1800000000 AS w_start_us,
+      |        event_type, v
+      |      FROM e CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) k(k))
+      |SELECT w_start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(v) AS DOUBLE) AS total_value
+      |FROM g GROUP BY 1, 2 ORDER BY w_start_us, event_type""".stripMargin) { (spark, dir) =>
+    EventsStream.slidingCounts(Tables.events(spark, dir))
+      .select(unix_micros(col("w_start")).as("w_start_us"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy(col("w_start_us"), col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts, st3IncrementalDedup,
     st4Enrich, st5ClickAttribution, st6Matview, st7CepSequence, st8CepSequenceN,
-    st9IngestQuota, st10JoinMatview)
+    st9IngestQuota, st10JoinMatview, st11SlidingCounts)
 }

@@ -702,6 +702,38 @@ object WindowQueries {
       "n_chars", "y")
   }
 
+  /** Per-source sliced AUC ([[graft.operators.Eval.groupedRankAuc]]): does
+    * document length rank English-ness WITHIN each source — the sliced-eval
+    * report (20 AUC rows) next to m15's single corpus-level number.
+    */
+  val m25GroupedAuc: Q = Q(
+    "m25_grouped_auc",
+    """WITH sc AS (
+      |  SELECT source, n_chars AS s,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+      |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+      |  FROM documents GROUP BY source, n_chars),
+      |c AS (
+      |  SELECT source, pos, neg,
+      |    COALESCE(SUM(neg) OVER (PARTITION BY source ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_neg
+      |  FROM sc),
+      |t AS (SELECT source, SUM(pos * cum_neg) AS conc, SUM(pos * neg) AS ties,
+      |             SUM(pos) AS p, SUM(neg) AS nn
+      |      FROM c GROUP BY source)
+      |SELECT source, CAST(p AS BIGINT) AS pos_n, CAST(nn AS BIGINT) AS neg_n,
+      |  CAST(2 * conc + ties AS DECIMAL(38,0)) AS auc_num,
+      |  CAST(2 * p * nn AS DECIMAL(38,0)) AS auc_den,
+      |  CASE WHEN p = 0 OR nn = 0 THEN NULL
+      |       ELSE CAST((2 * conc + ties) * 10000 // (2 * p * nn) AS BIGINT)
+      |  END AS auc_bp
+      |FROM t ORDER BY source""".stripMargin) { (spark, dir) =>
+    graft.operators.Eval.groupedRankAuc(
+      graft.Tables.documents(spark, dir)
+        .select(col("source"), col("n_chars"), (col("lang") === "en").as("y")),
+      "source", "n_chars", "y")
+  }
+
   /** Pearson chi-square of order priority × order status over the FULL
     * margin grid — per-cell observed, expected (milli-units), and chi2
     * contribution (centi-units), all integer-exact.
@@ -1017,6 +1049,88 @@ object WindowQueries {
       .orderBy(col("threshold"))
   }
 
+  /** Average true range per symbol ([[Indicators.withAtr]]): the Wilder-EMA
+    * smoothed true range — the gap-aware volatility indicator (Bollinger
+    * measures dispersion of closes; ATR sees the high/low span AND overnight
+    * gaps via |high/low − prevClose|). Checked against a recursive-CTE
+    * oracle evaluating the identical IEEE recurrence, like w2/w4.
+    */
+  val w10Atr: Q = Q(
+    "w10_atr",
+    """WITH RECURSIVE bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) + 1.0 AS high,
+      |    CAST(FLOOR(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) - 1.0 AS low,
+      |    CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) AS close
+      |  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)),
+      |s AS (SELECT sym, d, high, low, close,
+      |        ROW_NUMBER() OVER w AS rn, LAG(close) OVER w AS pc
+      |      FROM bars WINDOW w AS (PARTITION BY sym ORDER BY d)),
+      |tr AS (SELECT sym, d, rn,
+      |        CASE WHEN pc IS NULL THEN high - low
+      |             ELSE GREATEST(high - low, ABS(high - pc), ABS(low - pc)) END AS tr
+      |      FROM s),
+      |rec AS (
+      |  SELECT sym, rn, tr AS atr FROM tr WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.sym, t.rn,
+      |    (CAST(1.0 AS DOUBLE)/14.0) * t.tr + (1.0 - CAST(1.0 AS DOUBLE)/14.0) * r.atr
+      |  FROM tr t JOIN rec r ON t.sym = r.sym AND t.rn = r.rn + 1)
+      |SELECT s.sym, s.d, s.close, r.atr AS atr_14
+      |FROM rec r JOIN s ON s.sym = r.sym AND s.rn = r.rn
+      |WHERE r.rn >= 14 ORDER BY s.sym, s.d""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val D2 = DecimalType(18, 2)
+    def fl(c: org.apache.spark.sql.Column) =
+      floor(c.cast(DoubleType) / 100.0).cast(DoubleType)
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(
+        (fl(max(col("o_totalprice").cast(D2))) + 1.0).as("high"),
+        (fl(min(col("o_totalprice").cast(D2))) - 1.0).as("low"),
+        fl(sum(col("o_totalprice").cast(D2))).as("close"))
+    Indicators.withAtr(bars, "high", "low", "close", "atr_14", 14,
+        orderCol = "d", partitionCols = Seq("sym"))
+      .filter(col("atr_14").isNotNull)
+      .select("sym", "d", "close", "atr_14")
+      .orderBy(col("sym"), col("d"))
+  }
+
+  /** Rolling 20-day VWAP per symbol ([[Indicators.withVwap]]): exact
+    * integer-valued window sums of close·volume and volume, one float
+    * division at the end — the liquidity-weighted price benchmark.
+    */
+  val w11Vwap: Q = Q(
+    "w11_vwap",
+    """WITH bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) AS close,
+      |    CAST(COUNT(*) AS DOUBLE) AS volume
+      |  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)),
+      |s AS (SELECT sym, d, close,
+      |        ROW_NUMBER() OVER w AS rn,
+      |        SUM(close * volume) OVER w20 AS pv,
+      |        SUM(volume) OVER w20 AS v
+      |      FROM bars
+      |      WINDOW w AS (PARTITION BY sym ORDER BY d),
+      |             w20 AS (PARTITION BY sym ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT sym, d, close, pv / v AS vwap_20
+      |FROM s WHERE rn >= 20 ORDER BY sym, d""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val D2 = DecimalType(18, 2)
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(
+        floor(sum(col("o_totalprice").cast(D2)).cast(DoubleType) / 100.0)
+          .cast(DoubleType).as("close"),
+        count(lit(1)).cast(DoubleType).as("volume"))
+    Indicators.withVwap(bars, "close", "volume", "vwap_20", 20,
+        orderCol = "d", partitionCols = Seq("sym"))
+      .filter(col("vwap_20").isNotNull)
+      .select("sym", "d", "close", "vwap_20")
+      .orderBy(col("sym"), col("d"))
+  }
+
   /** Cohen's kappa ([[graft.operators.Eval.cohensKappa]]): chance-corrected
     * agreement between the true quantity tertile and a "noisy rater" —
     * the same tertile of quantity perturbed by a deterministic md5-derived
@@ -1066,5 +1180,5 @@ object WindowQueries {
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
     m14QuantileBinning, m15RankAuc, m16Chi2, m17ThresholdMetrics,
     m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2, m22PrCurve,
-    w9Stochastic, m24Kappa)
+    w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc)
 }

@@ -65,6 +65,24 @@ object EventsStream {
       .agg(count(lit(1)).as("n"), graft.exprs.Exact.dsum(col("value")).as("total_value"))
       .select(col("window.start").as("h"), col("event_type"), col("n"), col("total_value"))
 
+  /** Watermarked SLIDING-window aggregation (1-hour windows every 30
+    * minutes) per event type — the overlapping-window counterpart to
+    * [[hourlyCounts]]'s tumbling windows: each event lands in exactly
+    * `window/slide` (= 2) windows, the shape of any rolling rate /
+    * smoothed-throughput monitor. Same exact-decimal sum convention; state
+    * per key expires with the watermark, so the store holds at most
+    * (horizon / slide + window / slide) open windows per event type no
+    * matter how long the stream runs. The batch twin of `window(w, s)` is
+    * identical code — one groupBy whose key expansion (2 rows per event)
+    * happens map-side before the shuffle.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), graft.exprs.Exact.dsum(col("value")).as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("total_value"))
+
   /** Streaming exact dedup — the streaming form of the batch `dd1` hash
     * dedup: re-deliveries of the same content hash within the watermark
     * horizon are dropped, and the per-hash state expires WITH the watermark,

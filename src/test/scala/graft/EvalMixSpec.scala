@@ -350,6 +350,27 @@ class EvalMixSpec extends AnyFunSuite {
     assert(m.getLong(3) == ((20L * 15 - (14 * 11 + 6 * 9)) * 10000) / (400L - (14 * 11 + 6 * 9)))
   }
 
+  test("groupedRankAuc: per-group AUC matches global rankAuc; single-class NULL") {
+    // g1: perfect separation (pos scores 3,4 above neg 1,2) → 10000 bp
+    // g2: all ties at one score → 5000 bp; g3: single-class → NULL
+    val df = Seq(
+      ("g1", 1L, false), ("g1", 2L, false), ("g1", 3L, true), ("g1", 4L, true),
+      ("g2", 7L, true), ("g2", 7L, false),
+      ("g3", 1L, true), ("g3", 2L, true)).toDF("g", "s", "y")
+    val out = Eval.groupedRankAuc(df, "g", "s", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getLong(5) == 10000)
+    assert(out("g2").getLong(5) == 5000)
+    assert(out("g3").isNullAt(5))
+    // one-group frame agrees with the global operator row-for-row
+    val single = df.filter(col("g") === "g1")
+    val global = Eval.rankAuc(single, "s", "y").head()
+    val grouped = out("g1")
+    assert(grouped.getLong(1) == global.getLong(0) && // pos_n
+      grouped.getLong(2) == global.getLong(1) &&      // neg_n
+      grouped.getLong(5) == global.getLong(4))        // auc_bp
+  }
+
   test("retrievalNdcg: perfect ranking = 10000 bp, no-relevant = NULL idcg") {
     // corpus: two label-1 vectors nearest the query, one label-0 opposite
     val corpus = Seq(

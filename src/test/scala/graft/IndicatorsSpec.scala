@@ -122,4 +122,43 @@ class IndicatorsSpec extends AnyFunSuite {
     assert(out.count() == 31)
     assert(out.schema("close").dataType == org.apache.spark.sql.types.DoubleType)
   }
+
+  test("withAtr matches the hand-rolled Wilder TR recurrence with min_periods masking") {
+    val d = barsDf(30)
+    val out = Indicators.withAtr(d, "high", "low", "close", "atr", 14, "date")
+      .orderBy("date")
+      .collect().map(r => if (r.isNullAt(r.fieldIndex("atr"))) null
+        else java.lang.Double.valueOf(r.getAs[Double]("atr")))
+    val bs = bars(30)
+    val alpha = 1.0 / 14.0
+    var atr = 0.0
+    val expected = bs.zipWithIndex.map { case ((_, _, h, l, c, _), i) =>
+      val tr = if (i == 0) h - l
+        else math.max(h - l, math.max(math.abs(h - bs(i - 1)._5), math.abs(l - bs(i - 1)._5)))
+      atr = if (i == 0) tr else alpha * tr + (1.0 - alpha) * atr
+      if (i >= 13) java.lang.Double.valueOf(atr) else null
+    }
+    assert(out.toSeq == expected)
+  }
+
+  test("withVwap: exact window ratio, null until full window, zero-volume guard") {
+    val d = barsDf(10)
+    val out = Indicators.withVwap(d, "close", "volume", "vwap", 3, "date")
+      .orderBy("date").collect()
+    val bs = bars(10)
+    out.zipWithIndex.foreach { case (r, i) =>
+      if (i < 2) assert(r.isNullAt(r.fieldIndex("vwap")))
+      else {
+        val win = bs.slice(i - 2, i + 1)
+        val want = win.map(b => b._5 * b._6).sum / win.map(_._6).sum
+        assert(r.getAs[Double]("vwap") == want)
+      }
+    }
+    // all-zero volume window → null, not a division throw
+    val z = Seq(("2023-01-01", 5.0, 0.0), ("2023-01-02", 6.0, 0.0))
+      .toDF("date", "close", "volume")
+    val g = Indicators.withVwap(z, "close", "volume", "vwap", 2, "date")
+      .orderBy("date").collect()
+    assert(g.forall(_.isNullAt(g.head.fieldIndex("vwap"))))
+  }
 }

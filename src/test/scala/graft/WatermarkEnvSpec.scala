@@ -35,6 +35,29 @@ class WatermarkEnvSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("slidingCounts: every event covers two windows; append finalizes with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventsStream.Event]
+    val q = EventsStream.slidingCounts(mem.toDF()).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName("slide_test")
+      .start()
+    def ev(id: Long, hour: Int, min: Int) = EventsStream.Event(
+      id, java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:$min%02d:00"), 1L, "click", 2.0)
+    // 10:15 → windows [09:30,10:30) and [10:00,11:00); 10:40 → [10:00,11:00) and [10:30,11:30)
+    mem.addData(ev(1, 10, 15), ev(2, 10, 40))
+    q.processAllAvailable()
+    mem.addData(ev(3, 15, 0)) // watermark → 13:00: all three 10:xx windows close
+    q.processAllAvailable()
+    val out = spark.sql("SELECT w_start, n, total_value FROM slide_test ORDER BY w_start")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2)))
+    q.stop()
+    assert(out.toSeq == Seq(
+      ("2024-01-01 09:30:00.0", 1L, 2.0),
+      ("2024-01-01 10:00:00.0", 2L, 4.0),
+      ("2024-01-01 10:30:00.0", 1L, 2.0)))
+  }
+
   test(".env file fills gaps, process env wins") {
     val dir = Files.createTempDirectory("graft-env")
     val f = dir.resolve("custom.env")
