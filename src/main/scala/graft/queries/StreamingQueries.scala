@@ -369,7 +369,32 @@ object StreamingQueries {
       .orderBy(col("w_start_us"), col("event_type"))
   }
 
+  /** Left-outer interval attribution ([[EventsStream.clickAttributionOuter]])
+    * over the batch twin: st5 plus the unattributed purchases as null-click
+    * rows. Streaming outer-emission timing (nulls only after the watermark
+    * closes the match window) is StreamStreamJoinSpec's to pin.
+    */
+  val st12OuterAttribution: Q = Q(
+    "st12_outer_attribution",
+    """SELECT p.event_id AS purchase_id, p.user_id,
+      |       epoch_us(p.ts) AS p_us, c.event_id AS click_id, epoch_us(c.ts) AS c_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON c.user_id = p.user_id
+      | AND epoch_us(c.ts) >= epoch_us(p.ts) - 1800000000
+      | AND epoch_us(c.ts) < epoch_us(p.ts)
+      |ORDER BY purchase_id, click_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    EventsStream.clickAttributionOuter(
+        ev.filter(col("event_type") === "purchase"),
+        ev.filter(col("event_type") === "click"))
+      .select(col("purchase_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("p_us"),
+        col("click_id"), unix_micros(col("c_ts")).as("c_us"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts, st3IncrementalDedup,
     st4Enrich, st5ClickAttribution, st6Matview, st7CepSequence, st8CepSequenceN,
-    st9IngestQuota, st10JoinMatview, st11SlidingCounts)
+    st9IngestQuota, st10JoinMatview, st11SlidingCounts, st12OuterAttribution)
 }

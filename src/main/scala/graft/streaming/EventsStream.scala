@@ -275,6 +275,31 @@ object EventsStream {
         col("click_id"), col("c_ts"))
   }
 
+  /** LEFT-OUTER interval stream-stream join — [[clickAttribution]] that
+    * also emits UNMATCHED purchases (null click columns): the attribution
+    * report that must show unattributed conversions, not silently drop
+    * them. In streaming execution the outer row is emitted only once the
+    * watermark proves no matching click can still arrive — the same state
+    * eviction bound as the inner join (both sides watermarked, the join
+    * range closed on both ends), so state stays (rate × horizon)-bounded;
+    * the batch twin is a plain left join, which is what the oracle states.
+    */
+  def clickAttributionOuter(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "30 minutes")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    p.join(c,
+        col("c_user") === col("user_id") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") < col("p_ts"),
+        "left_outer")
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"))
+  }
+
   /** Declarative gap sessions via Spark's built-in `session_window` — the
     * engine-managed alternative to the [[sessionize]] state function: the
     * state store holds merge-capable session windows per key, the watermark

@@ -518,4 +518,58 @@ class PropertySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
     assert(got == expect)
   }
+
+  test("groupedRankAuc: bp in [0,10000] and label-flip complement identity") {
+    import graft.operators.Eval
+    val g = Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(0L, 12L), Gen.oneOf(true, false)))
+    forAll(g, n = 4) { rows =>
+      val df = rows.toDF("g", "s", "y")
+      val auc = Eval.groupedRankAuc(df, "g", "s", "y")
+        .collect().map(r => r.getString(0) -> r).toMap
+      val flip = Eval.groupedRankAuc(df.withColumn("y", !col("y")), "g", "s", "y")
+        .collect().map(r => r.getString(0) -> r).toMap
+      auc.foreach { case (k, r) =>
+        if (!r.isNullAt(5)) {
+          val bp = r.getLong(5)
+          assert(bp >= 0 && bp <= 10000)
+          // exact rational identity: num(y) + num(¬y) = den (ties counted
+          // once on each side), so the bp values sum to 10000 ± 1 (two
+          // independent floor divisions of complementary rationals)
+          val sum = bp + flip(k).getLong(5)
+          assert(sum == 10000 || sum == 9999, s"group $k: $sum")
+        }
+      }
+    }
+  }
+
+  test("cohensKappa: bounded above by 10000, exact 10000 iff all-agree") {
+    import graft.operators.Eval
+    val g = Gen.listOfN(30, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 2L)))
+    forAll(g, n = 6) { rows =>
+      val r = Eval.cohensKappa(rows.toDF("a", "b"), "a", "b").head()
+      if (!r.isNullAt(3)) {
+        val bp = r.getLong(3)
+        assert(bp <= 10000)
+        val allAgree = rows.forall { case (a, b) => a == b }
+        assert((bp == 10000) == allAgree)
+      }
+    }
+  }
+
+  test("softDedupWeights: weights partition corpus mass — sum of 1/size over members = clusters") {
+    import graft.operators.Dedup
+    val g = Gen.listOfN(12, Gen.choose(1L, 6L)) // random label roots for 12 docs
+    forAll(g, n = 4) { roots =>
+      val docs = (1L to 12L).toDF("doc_id")
+      val labels = roots.zipWithIndex
+        .map { case (r, i) => (i + 1L, r) }.toDF("id", "comp")
+      val out = Dedup.softDedupWeights(docs, "doc_id", labels).collect()
+      assert(out.length == 12)
+      // every doc weighted; per cluster, size × (10000 div size) ≤ 10000 < size × (w+1)
+      out.foreach { r =>
+        val (size, w) = (r.getLong(2), r.getLong(3))
+        assert(w == 10000L / size)
+      }
+    }
+  }
 }

@@ -43,6 +43,35 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("clickAttributionOuter: unmatched purchase emits nulls only after watermark closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val pMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val cMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = EventsStream.clickAttributionOuter(
+        pMem.toDF().toDF("event_id", "user_id", "ts"),
+        cMem.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("attr_outer_test").start()
+    // purchase at minute 60 with an in-window click → inner row immediately;
+    // purchase at 61 with NO click → outer row held until watermark passes
+    cMem.addData((101L, 1L, ts(40)))
+    pMem.addData((201L, 1L, ts(60)), (202L, 2L, ts(61)))
+    q.processAllAvailable()
+    val inner = spark.sql("SELECT purchase_id, click_id FROM attr_outer_test WHERE click_id IS NOT NULL")
+      .as[(Long, Long)].collect().toSet
+    assert(inner == Set((201L, 101L)))
+    assert(spark.sql("SELECT * FROM attr_outer_test WHERE click_id IS NULL").count() == 0,
+      "outer row must not emit while late clicks could still arrive")
+    // advance BOTH watermarks far past purchase 202's match window
+    cMem.addData((199L, 99L, ts(600))); pMem.addData((299L, 99L, ts(600)))
+    q.processAllAvailable()
+    cMem.addData((198L, 98L, ts(700))); pMem.addData((298L, 98L, ts(700)))
+    q.processAllAvailable()
+    val outer = spark.sql("SELECT purchase_id FROM attr_outer_test WHERE click_id IS NULL")
+      .as[Long].collect().toSet
+    assert(outer.contains(202L), s"expired unmatched purchase must emit a null-click row, got $outer")
+    q.stop()
+  }
+
   test("clickAttribution: batch run equals the plain inequality join") {
     val p = Seq((1L, 10L, ts(60)), (2L, 10L, ts(200))).toDF("event_id", "user_id", "ts")
     val c = Seq((11L, 10L, ts(40)), (12L, 10L, ts(59)), (13L, 10L, ts(171)),
