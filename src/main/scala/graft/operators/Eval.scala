@@ -225,6 +225,60 @@ object Eval {
           .cast(LongType).as("kappa_bp"))
   }
 
+  /** Kendall tau-a and Goodman–Kruskal gamma: exact ordinal association
+    * between two (quantized) numeric columns, from concordant/discordant
+    * pair counts — the rank-association profile a feature report pairs with
+    * [[rankAuc]] (AUC *is* tau against a binary label, rescaled).
+    *
+    * The corpus first reduces to the (x, y) VALUE GRID with counts — one
+    * bounded-key groupBy, map-side combinable — and every pair statistic
+    * then comes from the grid's self-join on `x₁ < x₂` (each unordered
+    * x-distinct pair counted once): concordant adds c₁·c₂ where y₁ < y₂,
+    * discordant where y₁ > y₂; ties (either axis) are neither. The join is
+    * G² over grid cells, not n² over rows, so the contract is the same as
+    * [[chi2Contingency]]: inputs must be quantized/categorical (bounded
+    * distinct values). tau_a_bp divides by the FULL pair count n(n−1)/2
+    * (ties dilute), gamma_bp by C+D (ties excluded) — both exact integer
+    * rationals in decimal(38,0) (C,D ≈ n²/2 wrap long at ~4×10⁹ rows).
+    *
+    * 100 TB shape: one shuffle to the grid, then a broadcast nested-loop
+    * self-join of a ≤G-row frame — no row-scale pair work anywhere.
+    */
+  def ordinalAssociation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val grid = df.groupBy(col(xCol).as("x"), col(yCol).as("y"))
+      .agg(count(lit(1)).as("c"))
+    val a = grid.select(col("x").as("x1"), col("y").as("y1"), col("c").as("c1"))
+    val b = grid.select(col("x").as("x2"), col("y").as("y2"), col("c").as("c2"))
+    val pairs = a.join(broadcast(b), col("x1") < col("x2"))
+      .agg(
+        sum(when(col("y1") < col("y2"),
+          col("c1").cast(DecimalType(38, 0)) * col("c2")).otherwise(lit(0L)))
+          .cast(DecimalType(38, 0)).as("conc"),
+        sum(when(col("y1") > col("y2"),
+          col("c1").cast(DecimalType(38, 0)) * col("c2")).otherwise(lit(0L)))
+          .cast(DecimalType(38, 0)).as("disc"))
+    val n = grid.agg(sum(col("c")).as("n"))
+    pairs.crossJoin(broadcast(n))
+      .select(
+        col("n").cast(LongType).as("n"), col("conc"), col("disc"),
+        // tau-a: den = n(n−1)/2; cleared to (C−D)·2·10⁴ div n(n−1) so the
+        // halving never leaves the integers. n < 2 → NULL (no pairs).
+        // Negative association is legal here, and truncating `div` (Spark)
+        // vs flooring `//` (DuckDB) DIVERGE on negative numerators — so
+        // divide magnitudes and reapply the sign, identical on both engines.
+        when(col("n") < 2, lit(null).cast(LongType))
+          .otherwise(expr(
+            """case when conc >= disc then 1 else -1 end
+              | * (abs(conc - disc) * 2 * 10000
+              |    div (cast(n as decimal(38,0)) * (n - 1)))""".stripMargin))
+          .cast(LongType).as("tau_a_bp"),
+        when(col("conc") + col("disc") === 0, lit(null).cast(LongType))
+          .otherwise(expr(
+            """case when conc >= disc then 1 else -1 end
+              | * (abs(conc - disc) * 10000 div (conc + disc))""".stripMargin))
+          .cast(LongType).as("gamma_bp"))
+  }
+
   /** Reliability-diagram calibration bins: fixed-width score bins (width
     * `binWidth`, top bin open-ended at `nBins-1`), per bin the sample count,
     * positive count, exact integer score sum, and the two integer-division

@@ -1175,10 +1175,48 @@ object WindowQueries {
     graft.operators.Eval.cohensKappa(rated, "a", "b")
   }
 
+  /** Kendall tau-a + Goodman–Kruskal gamma
+    * ([[graft.operators.Eval.ordinalAssociation]]) of quantity vs discount
+    * points — "does a bigger order rank a bigger discount?" in exact
+    * concordant/discordant pair rationals over the 50×11 value grid (the
+    * pair-count sibling of m15's AUC; G² grid pairs, never n² row pairs).
+    */
+  val m26OrdinalAssoc: Q = Q(
+    "m26_ordinal_assoc",
+    """WITH g AS (SELECT CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (SELECT
+      |    COALESCE(SUM(CASE WHEN a.y < b.y
+      |        THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END), 0) AS conc,
+      |    COALESCE(SUM(CASE WHEN a.y > b.y
+      |        THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END), 0) AS disc
+      |  FROM g a JOIN g b ON a.x < b.x),
+      |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g)
+      |SELECT t.n, CAST(p.conc AS DECIMAL(38,0)) AS conc,
+      |  CAST(p.disc AS DECIMAL(38,0)) AS disc,
+      |  CAST(CASE WHEN t.n < 2 THEN NULL
+      |    ELSE (CASE WHEN p.conc >= p.disc THEN 1 ELSE -1 END)
+      |         * (abs(p.conc - p.disc) * 2 * 10000
+      |            // (CAST(t.n AS HUGEINT) * (t.n - 1)))
+      |    END AS BIGINT) AS tau_a_bp,
+      |  CAST(CASE WHEN p.conc + p.disc = 0 THEN NULL
+      |    ELSE (CASE WHEN p.conc >= p.disc THEN 1 ELSE -1 END)
+      |         * (abs(p.conc - p.disc) * 10000 // (p.conc + p.disc))
+      |    END AS BIGINT) AS gamma_bp
+      |FROM p, t""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.LongType
+    val li = graft.Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast(LongType).as("x"),
+      floor(col("l_discount") * 100 + 0.5).cast(LongType).as("y"))
+    graft.operators.Eval.ordinalAssociation(li, "x", "y")
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
     m14QuantileBinning, m15RankAuc, m16Chi2, m17ThresholdMetrics,
     m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2, m22PrCurve,
-    w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc)
+    w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc)
 }

@@ -572,4 +572,39 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("ordinalAssociation: antisymmetric under y-negation, gamma=10000 iff strictly monotone") {
+    import graft.operators.Eval
+    val g = Gen.listOfN(25, Gen.zip(Gen.choose(0L, 6L), Gen.choose(0L, 6L)))
+    forAll(g, n = 6) { rows =>
+      val df = rows.toDF("x", "y")
+      val r = Eval.ordinalAssociation(df, "x", "y").head()
+      val rNeg = Eval.ordinalAssociation(
+        df.withColumn("y", -col("y")), "x", "y").head()
+      // C and D swap under y-negation, so both statistics negate exactly
+      // (the abs/sign division form is what makes this hold bit-for-bit)
+      assert(r.getLong(0) == rows.length)
+      if (!r.isNullAt(3)) assert(r.getLong(3) == -rNeg.getLong(3))
+      if (!r.isNullAt(4)) {
+        assert(r.getLong(4) == -rNeg.getLong(4))
+        assert(math.abs(r.getLong(4)) <= 10000)
+      }
+      // brute-force O(n²) cross-check of the grid-reduced pair counts
+      // (index pairs, NOT .combinations — that dedupes equal row values)
+      val (cBrute, dBrute) = (for {
+        i <- rows.indices; j <- (i + 1) until rows.length
+      } yield (rows(i), rows(j))).foldLeft((0L, 0L)) {
+        case ((c, d), ((x1, y1), (x2, y2))) =>
+          if (x1 == x2 || y1 == y2) (c, d)
+          else if ((x1 < x2) == (y1 < y2)) (c + 1, d) else (c, d + 1)
+      }
+      assert(r.getDecimal(1).longValueExact == cBrute)
+      assert(r.getDecimal(2).longValueExact == dBrute)
+    }
+    // strictly increasing → pure concordance
+    val mono = (1L to 10L).map(i => (i, i * 3)).toDF("x", "y")
+    val m = Eval.ordinalAssociation(mono, "x", "y").head()
+    assert(m.getLong(4) == 10000L)
+    assert(m.getLong(3) == 10000L) // no ties anywhere → tau-a = gamma
+  }
 }
