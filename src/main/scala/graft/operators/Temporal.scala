@@ -188,4 +188,33 @@ object Temporal {
       .agg(count(lit(1)).as("n_intervals"),
         sum(col("__en") - col("__st")).as("covered_us"))
   }
+
+  /** EXACT sliding-window distinct count — per window-end day, the number of
+    * distinct `keyCol` values active in the trailing `windowDays` days (the
+    * "7-day active users" metric an approx-HLL dashboard only estimates).
+    *
+    * Shape: the row scale first collapses to the (day, key) presence grid
+    * (one shuffle, map-side combinable), which then fans out by the BOUNDED
+    * factor `windowDays` map-side — each presence day contributes to the
+    * windows ending on day .. day+w−1 — and one distinct-aggregate per
+    * (window_end, key) produces the counts. Window ends are restricted to
+    * OBSERVED days via a broadcast semi-join (no phantom ends past the data,
+    * no driver-side max() job). Cost at any corpus size: two keyed shuffles
+    * of at most w×|day×key| rows — never a per-window rescan, never a
+    * global window. Early days yield partial (shorter) windows by design.
+    */
+  def rollingDistinct(
+      df: DataFrame, dayCol: String, keyCol: String, windowDays: Int): DataFrame = {
+    require(windowDays > 0, "rollingDistinct: windowDays must be positive")
+    val presence = df.select(col(dayCol).as("__d"), col(keyCol).as("__k")).distinct()
+    val days = presence.select(col("__d").as("w_end")).distinct()
+    val offsets = df.sparkSession.range(windowDays.toLong)
+      .select(col("id").cast(org.apache.spark.sql.types.IntegerType).as("__o"))
+    presence
+      .crossJoin(broadcast(offsets))
+      .select(date_add(col("__d"), col("__o")).as("w_end"), col("__k"))
+      .join(broadcast(days), Seq("w_end"), "left_semi")
+      .groupBy(col("w_end"))
+      .agg(count_distinct(col("__k")).as("active_keys"))
+  }
 }

@@ -1198,10 +1198,50 @@ object AnalyticsQueries {
     }
   }
 
+  /** Exact trailing-7-day rolling distinct users + event volume per observed
+    * day ([[graft.operators.Temporal.rollingDistinct]]) — the sliding-window
+    * COUNT DISTINCT an HLL dashboard only approximates, kept exact by the
+    * bounded ×7 presence-grid fan-out instead of a per-window rescan or a
+    * global window. The volume column rides the same fan-out over the
+    * (day, count) frame — the window-end semi-join is shared broadcast work.
+    */
+  val qRollingDistinct: Q = Q(
+    "q_rolling_distinct",
+    """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS w_end FROM events),
+      |offs AS (SELECT UNNEST(range(0, 7)) AS o),
+      |du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      |u AS (SELECT ex.w_end, CAST(COUNT(DISTINCT ex.user_id) AS BIGINT) AS active_keys
+      |      FROM (SELECT du.d + CAST(o.o AS INT) AS w_end, du.user_id
+      |            FROM du CROSS JOIN offs o) ex
+      |      JOIN days USING (w_end) GROUP BY ex.w_end),
+      |dc AS (SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n
+      |       FROM events GROUP BY 1),
+      |e7 AS (SELECT ex.w_end, CAST(SUM(ex.n) AS BIGINT) AS n_events
+      |       FROM (SELECT dc.d + CAST(o.o AS INT) AS w_end, dc.n
+      |             FROM dc CROSS JOIN offs o) ex
+      |       JOIN days USING (w_end) GROUP BY ex.w_end)
+      |SELECT w_end, active_keys, n_events FROM u JOIN e7 USING (w_end)
+      |ORDER BY w_end""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.IntegerType
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+    val act = graft.operators.Temporal.rollingDistinct(ev, "d", "user_id", 7)
+    val daily = ev.groupBy(col("d")).agg(count(lit(1)).as("n"))
+    val days = daily.select(col("d").as("w_end")).distinct()
+    val offsets = spark.range(7).select(col("id").cast(IntegerType).as("o"))
+    val e7 = daily.crossJoin(broadcast(offsets))
+      .select(date_add(col("d"), col("o")).as("w_end"), col("n"))
+      .join(broadcast(days), Seq("w_end"), "left_semi")
+      .groupBy(col("w_end")).agg(sum(col("n")).as("n_events"))
+    act.join(e7, Seq("w_end"))
+      .select(col("w_end"), col("active_keys"), col("n_events"))
+      .orderBy(col("w_end"))
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
     qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
     qCohortRetention, qFunnel, qCepFirstMatch, qMomGrowth, qTrendLine, qSkyline, qTriangles,
     qResampleBySymbol, qPagerank, qEventTransitions, qPeakConcurrency,
     qCusumDrift, qMarketBasket, qOhlcBars, qGapsIslands, qRfm, qPareto,
-    qSourceDiversity, qReachability)
+    qSourceDiversity, qReachability, qRollingDistinct)
 }

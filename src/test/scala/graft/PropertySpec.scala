@@ -607,4 +607,22 @@ class PropertySpec extends AnyFunSuite {
     assert(m.getLong(4) == 10000L)
     assert(m.getLong(3) == 10000L) // no ties anywhere → tau-a = gamma
   }
+
+  test("rollingDistinct: equals brute-force trailing-window distinct per observed day") {
+    import graft.operators.Temporal
+    val g = Gen.listOfN(30, Gen.zip(Gen.choose(0, 12), Gen.choose(0L, 5L)))
+    forAll(g, n = 5) { rows =>
+      val df = rows.map { case (d, k) => (java.sql.Date.valueOf(
+        java.time.LocalDate.of(2024, 1, 1).plusDays(d.toLong)), k) }.toDF("d", "k")
+      val got = Temporal.rollingDistinct(df, "d", "k", 4)
+        .collect().map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+      val byDay = rows.groupBy(_._1)
+      val expect = byDay.keySet.map { end =>
+        val keys = byDay.filter { case (d, _) => d <= end && d > end - 4 }
+          .values.flatten.map(_._2).toSet
+        java.time.LocalDate.of(2024, 1, 1).plusDays(end.toLong) -> keys.size.toLong
+      }.toMap
+      assert(got == expect)
+    }
+  }
 }
