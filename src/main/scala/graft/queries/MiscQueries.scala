@@ -1306,6 +1306,96 @@ object MiscQueries {
       .orderBy(col("epoch"), col("shard"), col("shard_pos"))
   }
 
+  /** Hilbert-curve vs linear data layout ([[graft.operators.Layout.hilbert8]])
+    * — the qZorderLayout report run on the better curve: 64 equal-count
+    * "files" cut in Hilbert order of (custkey, order-day), each file's
+    * min/max span on BOTH dimensions. Hilbert's consecutive-index grid
+    * adjacency (no Z-jumps) yields tighter spans than Morton at the same
+    * file count — comparable row-for-row against q_zorder_layout's output.
+    * Same ranking machinery: [[graft.operators.PrefixSum]] two-pass scan
+    * with the total from pass-1 (no count job), 8-bit normalized dims, all
+    * integer arithmetic; the oracle states the identical 8 rotation steps
+    * as chained CTEs.
+    */
+  val qHilbertLayout: Q = {
+    val steps = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+    val stepCtes = steps.zipWithIndex.map { case (s, i) =>
+      val (px, py) = (s"x$i", s"y$i")
+      val pa = if (i == 0) "CAST(0 AS BIGINT)" else s"acc$i"
+      val prev = if (i == 0) "base" else s"h$i"
+      val j = i + 1
+      s"""h$j AS (SELECT o_orderkey, c, d,
+         |  CASE WHEN ($py & $s) > 0 THEN $px
+         |       WHEN ($px & $s) > 0 THEN ${s - 1} - $py ELSE $py END AS x$j,
+         |  CASE WHEN ($py & $s) > 0 THEN $py
+         |       WHEN ($px & $s) > 0 THEN ${s - 1} - $px ELSE $px END AS y$j,
+         |  $pa + ${s * s} * xor(3 * (CASE WHEN ($px & $s) > 0 THEN 1 ELSE 0 END),
+         |                       (CASE WHEN ($py & $s) > 0 THEN 1 ELSE 0 END)) AS acc$j
+         |FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "q_hilbert_layout",
+      s"""WITH raw AS (
+         |  SELECT o_orderkey, o_custkey AS c0,
+         |    CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS d0
+         |  FROM orders),
+         |mm AS (SELECT MIN(c0) AS cmin, MAX(c0) AS cmax, MIN(d0) AS dmin, MAX(d0) AS dmax FROM raw),
+         |base AS (
+         |  SELECT o_orderkey, c0 AS c, d0 AS d,
+         |    ((c0 - cmin) * 255) // (cmax - cmin) AS x0,
+         |    ((d0 - dmin) * 255) // (dmax - dmin) AS y0
+         |  FROM raw, mm),
+         |$stepCtes,
+         |ranked AS (
+         |  SELECT 'hilbert' AS layout, c, d,
+         |    ROW_NUMBER() OVER (ORDER BY acc8, o_orderkey) - 1 AS rk,
+         |    COUNT(*) OVER () AS n
+         |  FROM h8
+         |  UNION ALL
+         |  SELECT 'linear' AS layout, c, d,
+         |    ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rk,
+         |    COUNT(*) OVER () AS n
+         |  FROM h8)
+         |SELECT layout, (rk * 64) // n AS file_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  MIN(c) AS c_lo, MAX(c) AS c_hi, MIN(d) AS d_lo, MAX(d) AS d_hi
+         |FROM ranked GROUP BY layout, file_id
+         |ORDER BY layout, file_id""".stripMargin) { (spark, dir) =>
+      import graft.operators.{Layout, PrefixSum}
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.types.LongType
+      val raw = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey").as("c"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast(LongType).as("d"))
+      val mm = raw.agg(min(col("c")).as("cmin"), max(col("c")).as("cmax"),
+        min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+      val base = Layout.hilbert8(
+          raw.crossJoin(broadcast(mm))
+            .withColumn("cn", expr("((c - cmin) * 255) div (cmax - cmin)"))
+            .withColumn("dn", expr("((d - dmin) * 255) div (dmax - dmin)")),
+          "cn", "dn", "h")
+        .select(col("o_orderkey"), col("c"), col("d"), col("h"))
+        .localCheckpoint(true)
+      // h < 2^16 and orderkey < 2^31 → (h << 31) | orderkey sorts exactly
+      // by (h, o_orderkey); n rides out of pass 1 as a literal.
+      def files(keyCol: org.apache.spark.sql.Column, label: String): DataFrame = {
+        val (rk, n) = PrefixSum.withStartOffsetAndTotal(
+          base.withColumn("k", keyCol).withColumn("one", lit(1L)),
+          "k", "one", "rk")
+        rk.select(lit(label).as("layout"),
+          expr(s"(rk * 64) div ${n}L").as("file_id"), col("c"), col("d"))
+      }
+      files(shiftleft(col("h"), 31).bitwiseOR(col("o_orderkey")), "hilbert")
+        .union(files(col("o_orderkey"), "linear"))
+        .groupBy(col("layout"), col("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("c")).as("c_lo"), max(col("c")).as("c_hi"),
+          min(col("d")).as("d_lo"), max(col("d")).as("d_hi"))
+        .orderBy(col("layout"), col("file_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
     qProfile, qProfileApprox, qProfileLi, qProfileLiApprox,
@@ -1316,5 +1406,5 @@ object MiscQueries {
     mx12GroupSplit, mx13SourceWaterfill, mx14TemperatureMix,
     qTableChecksum, qDqReport,
     qPercentileBands, qCdcCompact, qIntervalUnion, qZorderLayout, qSkewReport,
-    qWeightedMedian, mx15EpochShuffle)
+    qWeightedMedian, mx15EpochShuffle, qHilbertLayout)
 }

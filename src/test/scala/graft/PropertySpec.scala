@@ -608,6 +608,24 @@ class PropertySpec extends AnyFunSuite {
     assert(m.getLong(3) == 10000L) // no ties anywhere → tau-a = gamma
   }
 
+  test("hilbert8: bijection on the full 256x256 grid, consecutive indices grid-adjacent") {
+    import graft.operators.Layout
+    val grid = spark.range(65536L).select(
+      expr("id div 256").as("x"), (col("id") % 256).as("y"))
+    val pts = Layout.hilbert8(grid, "x", "y", "h")
+      .select(col("h"), col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    // bijection: h covers 0..65535 exactly once
+    assert(pts.length == 65536 && pts.head._1 == 0L && pts.last._1 == 65535L)
+    assert(pts.map(_._1).distinct.length == 65536)
+    // THE Hilbert invariant (what Morton lacks): every consecutive pair of
+    // curve indices is Manhattan-adjacent — no midline jumps
+    pts.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1)
+    }
+  }
+
   test("rollingDistinct: equals brute-force trailing-window distinct per observed day") {
     import graft.operators.Temporal
     val g = Gen.listOfN(30, Gen.zip(Gen.choose(0, 12), Gen.choose(0L, 5L)))
