@@ -394,7 +394,23 @@ object StreamingQueries {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Exact hourly distinct users ([[EventsStream.windowedDistinctUsers]])
+    * over the batch twin — the chained dedup→count stateful pipeline whose
+    * streaming state-eviction behavior StreamStreamJoinSpec pins; the
+    * oracle is the plain COUNT(DISTINCT) the chain computes exactly.
+    */
+  val st13WindowedDistinct: Q = Q(
+    "st13_windowed_distinct",
+    """SELECT epoch_us(date_trunc('hour', ts)) AS h_us,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+      |FROM events GROUP BY 1 ORDER BY h_us""".stripMargin) { (spark, dir) =>
+    EventsStream.windowedDistinctUsers(Tables.events(spark, dir))
+      .select(unix_micros(col("h")).as("h_us"), col("active_users"))
+      .orderBy(col("h_us"))
+  }
+
   val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts, st3IncrementalDedup,
     st4Enrich, st5ClickAttribution, st6Matview, st7CepSequence, st8CepSequenceN,
-    st9IngestQuota, st10JoinMatview, st11SlidingCounts, st12OuterAttribution)
+    st9IngestQuota, st10JoinMatview, st11SlidingCounts, st12OuterAttribution,
+    st13WindowedDistinct)
 }

@@ -250,6 +250,27 @@ object EventsStream {
           "primary_keys" -> Seq("h", "event_type"))).load(batch.toDF()): Unit
       }
 
+  /** EXACT windowed distinct users — CHAINED stateful operators: a
+    * watermarked streaming `dropDuplicates` on (window, user) feeding a
+    * windowed count. The dedup state holds one entry per distinct
+    * (window, user) pair inside the watermark horizon and the downstream
+    * aggregate only counts survivors, so the exact distinct count streams
+    * with bounded state — the metric HLL sketches usually approximate,
+    * exact here because the distinct key space per horizon is what the
+    * store holds anyway. Both operators evict on the same event-time
+    * watermark (Spark's multi-stateful-operator chaining); the batch twin
+    * is the identical expression (dedup → count), which the oracle states
+    * as `COUNT(DISTINCT user_id)` per hour.
+    */
+  def windowedDistinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .select(window(col("ts"), "1 hour").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(col("w.start").as("h"), col("active_users"))
+
   /** STREAM-STREAM interval join: each purchase matched to the same user's
     * clicks in the 30 minutes before it — ad/click attribution, the
     * canonical two-stream correlation. Both sides are watermarked and the

@@ -72,6 +72,29 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("windowedDistinctUsers: chained dedup+count emits exact distinct after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = EventsStream.windowedDistinctUsers(
+        mem.toDF().toDF("event_id", "user_id", "ts"))
+      .writeStream.format("memory").queryName("wdu_test").start()
+    // hour 0: user 1 three times, user 2 once → distinct = 2
+    mem.addData((1L, 1L, ts(5)), (2L, 1L, ts(10)), (3L, 2L, ts(20)), (4L, 1L, ts(50)))
+    q.processAllAvailable()
+    // append mode: nothing emits while the window can still receive data
+    assert(spark.sql("SELECT * FROM wdu_test").count() == 0)
+    // advance the watermark (2h delay) far past hour 0's close
+    mem.addData((9L, 9L, ts(300)))
+    q.processAllAvailable()
+    mem.addData((10L, 9L, ts(400)))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT h, active_users FROM wdu_test")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(got.get(ts(0)).contains(2L),
+      s"hour-0 window must count 2 distinct users exactly once each, got $got")
+    q.stop()
+  }
+
   test("clickAttribution: batch run equals the plain inequality join") {
     val p = Seq((1L, 10L, ts(60)), (2L, 10L, ts(200))).toDF("event_id", "user_id", "ts")
     val c = Seq((11L, 10L, ts(40)), (12L, 10L, ts(59)), (13L, 10L, ts(171)),
