@@ -800,10 +800,80 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** URL-canonicalization dedup ([[graft.operators.Urls.canonical]]) — the
+    * web-crawl pass that runs BEFORE any content hashing: three messy
+    * surface forms per page (scheme/host case, default port, `www.`,
+    * trailing slash, tracking params, fragment, param order) collapse to
+    * one canonical key, and the dedup is then a plain exact groupBy on
+    * that key. The messy URLs are constructed deterministically from
+    * `documents` by the SAME expression in both engines (the graded logic
+    * is the canonicalizer, a single codegen'd map-side projection); docs
+    * sharing `doc_id div 7` are the planted duplicate groups.
+    */
+  val dd24UrlDedup: Q = Q(
+    "dd24_url_dedup",
+    """WITH u0 AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      'HTTPS://WWW.' || upper(source) || '.COM:443/Docs/' ||
+      |      CAST(doc_id // 7 AS VARCHAR) || '/?utm_source=feed&id=' ||
+      |      CAST((doc_id // 7) % 97 AS VARCHAR) || '&ref=tw#frag'
+      |    WHEN doc_id % 3 = 1 THEN
+      |      'https://www.' || source || '.com/Docs/' ||
+      |      CAST(doc_id // 7 AS VARCHAR) || '?id=' ||
+      |      CAST((doc_id // 7) % 97 AS VARCHAR)
+      |    ELSE
+      |      'https://' || source || '.com/Docs/' ||
+      |      CAST(doc_id // 7 AS VARCHAR) || '/?id=' ||
+      |      CAST((doc_id // 7) % 97 AS VARCHAR) || '&utm_campaign=x'
+      |    END AS u
+      |  FROM documents),
+      |p1 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS nf FROM u0),
+      |p2 AS (SELECT doc_id,
+      |    regexp_extract(nf, '^([^?]*)', 1) AS base,
+      |    regexp_extract(nf, '\?(.*)$', 1) AS qs FROM p1),
+      |p3 AS (SELECT doc_id,
+      |    lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_replace(regexp_replace(
+      |      lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)),
+      |      '^www\.', ''), ':(443|80)$', '') AS host,
+      |    regexp_replace(
+      |      regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$', 1),
+      |      '/+$', '') AS path,
+      |    array_to_string(list_sort(list_filter(string_split(qs, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_|ref=|fbclid=|gclid=)'))),
+      |      '&') AS params
+      |  FROM p2),
+      |c AS (SELECT doc_id, scheme || '://' || host || path ||
+      |    CASE WHEN params = '' THEN '' ELSE '?' || params END AS canonical_url
+      |  FROM p3)
+      |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
+      |  MIN(doc_id) AS keep_id
+      |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.StringType
+    val key = expr("doc_id div 7").cast(StringType)
+    val id97 = expr("(doc_id div 7) % 97").cast(StringType)
+    val messy = Tables.documents(spark, dir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit("HTTPS://WWW."), upper(col("source")), lit(".COM:443/Docs/"),
+          key, lit("/?utm_source=feed&id="), id97, lit("&ref=tw#frag")))
+      .when(col("doc_id") % 3 === 1,
+        concat(lit("https://www."), col("source"), lit(".com/Docs/"),
+          key, lit("?id="), id97))
+      .otherwise(
+        concat(lit("https://"), col("source"), lit(".com/Docs/"),
+          key, lit("/?id="), id97, lit("&utm_campaign=x")))
+      .as("u"))
+    messy
+      .select(col("doc_id"), graft.operators.Urls.canonical(col("u")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("canonical_url"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
     dd15Containment, dd16SourceLeakage, dd17PrefixFilter, dd18SentenceDedup,
     dd19BloomDecontaminate, dd20FuzzyEr, dd21DupSpans, dd22LshCapacity,
-    dd23SoftWeights)
+    dd23SoftWeights, dd24UrlDedup)
 }

@@ -608,6 +608,26 @@ class PropertySpec extends AnyFunSuite {
     assert(m.getLong(3) == 10000L) // no ties anywhere → tau-a = gamma
   }
 
+  test("Urls.canonical: RFC-3986 subset rules, idempotent on its own output") {
+    import graft.operators.Urls
+    val cases = Seq(
+      "HTTPS://WWW.Ex.COM:443/A/b/?b=2&a=1&utm_source=x#f" -> "https://ex.com/A/b?a=1&b=2",
+      "http://ex.com:80/p/"                                -> "http://ex.com/p",
+      "https://ex.com/p?ref=tw&fbclid=1&gclid=2"           -> "https://ex.com/p",
+      "https://ex.com/"                                    -> "https://ex.com",
+      "https://ex.com:8080/p?z=1"                          -> "https://ex.com:8080/p?z=1", // non-default port kept
+      "https://ex.com/p//"                                 -> "https://ex.com/p",
+      "https://ex.com/p?refresh=1"                         -> "https://ex.com/p?refresh=1") // 'ref=' only, not prefixes
+    val df = cases.map(_._1).toDF("u")
+      .select(col("u"), Urls.canonical(col("u")).as("c"))
+      .select(col("u"), col("c"), Urls.canonical(col("c")).as("cc"))
+      .collect()
+    df.zip(cases).foreach { case (r, (in, want)) =>
+      assert(r.getString(1) == want, s"canonical($in)")
+      assert(r.getString(2) == r.getString(1), s"not idempotent on $in")
+    }
+  }
+
   test("hilbert8: bijection on the full 256x256 grid, consecutive indices grid-adjacent") {
     import graft.operators.Layout
     val grid = spark.range(65536L).select(
