@@ -857,10 +857,13 @@ object AnalyticsQueries {
     val daily = Series.daily(spark, dir)
       .select(col("d"), col("close").cast(LongType).as("close"))
     val stats = daily.agg(count(lit(1)).as("n"), sum(col("close")).as("tot"))
+    // epoch-day INT kernel key (same order as d) → the exact equal-width
+    // partitioning path instead of the layout-sensitive sampled ranges
     val drift = daily.crossJoin(broadcast(stats))
       .select(col("d"), col("close"),
         (col("close") * col("n") - col("tot")).as("drift"))
-    graft.operators.PrefixSum.withCusum(drift, "d", "drift", "cusum")
+      .withColumn("dk", unix_date(col("d")))
+    graft.operators.PrefixSum.withCusum(drift, "dk", "drift", "cusum")
       .select(col("d"), col("close"), col("drift"), col("cusum"))
       .orderBy(col("d"))
   }

@@ -913,15 +913,19 @@ object WindowQueries {
     val vol = graft.Tables.orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("d"))
       .agg(count(lit(1)).as("vol"))
+    // kernel key = epoch-day INT (same order as d): integral keys take the
+    // exact equal-width partitioning path — deterministic under any input
+    // layout — where a DATE key would fall back to sampled ranges
     val j = Series.daily(spark, dir).join(vol, "d")
       .withColumn("c", col("close").cast(LongType))
-    val lagged = PrefixSum.withLag(j, "d", "c", "pc")
+      .withColumn("dk", unix_date(col("d")))
+    val lagged = PrefixSum.withLag(j, "dk", "c", "pc")
       .withColumn("sv",
         when(col("pc").isNull, 0L)
           .when(col("c") > col("pc"), col("vol"))
           .when(col("c") < col("pc"), -col("vol"))
           .otherwise(0L))
-    PrefixSum.withStartOffset(lagged, "d", "sv", "obv0")
+    PrefixSum.withStartOffset(lagged, "dk", "sv", "obv0")
       .select(col("d"), col("close"), col("vol"),
         (col("obv0") + col("sv")).as("obv"))
       .orderBy(col("d"))
