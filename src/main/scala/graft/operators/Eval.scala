@@ -279,6 +279,58 @@ object Eval {
           .cast(LongType).as("gamma_bp"))
   }
 
+  /** Poisson bootstrap (Owen & Eckles 2012; the web-scale bootstrap): B
+    * resampled replicas of a sum/mean statistic in ONE pass, no per-replica
+    * rescan and no shared RNG state — each (row, replica) pair draws its
+    * multiplicity w ~ Poisson(1) INDEPENDENTLY from a deterministic hash,
+    * which is why this is the bootstrap that distributes: a true multinomial
+    * resample needs the global n at draw time; Poisson(1) multiplicities
+    * approximate it with per-row independence (total replica mass
+    * concentrates at n ± √n).
+    *
+    * Determinism: w comes from a 32-bit md5-derived uniform (the m24/mx1
+    * hash convention, identical in any engine) cut at the Poisson(1) CDF
+    * quantized to 2⁻³² — eight literal thresholds, multiplicities capped at
+    * 8 (P(X>8|λ=1) ≈ 1.0×10⁻⁵, and the cap is part of the deterministic
+    * definition, identically on both engines).
+    *
+    * Shape at 100 TB: a broadcast ×B fan-out that stays map-side, then ONE
+    * partial-aggregating shuffle onto B keys — replica sums combine
+    * map-side, so the shuffle moves B rows per input partition regardless
+    * of corpus size. Weighted sums widen to decimal(38,0) (the [[rankAuc]]
+    * overflow discipline); the replica mean is an exact integer rational
+    * in milli-units — assuming a NON-NEGATIVE value column (truncating
+    * `div` ≡ flooring `//` there; a signed statistic needs the
+    * [[ordinalAssociation]] sign-split form).
+    */
+  def poissonBootstrap(
+      df: DataFrame, idCol: String, valueCol: String, replicas: Int): DataFrame = {
+    require(replicas > 0, "poissonBootstrap: replicas must be positive")
+    // floor(2^32 · P(X ≤ k)) for X ~ Poisson(1), k = 0..7
+    val cdf = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L, 4294609777L, 4294923276L)
+    val reps = df.sparkSession.range(replicas.toLong).select(col("id").as("b"))
+    val h = conv(substring(md5(
+      concat_ws(":", col(idCol).cast(StringType), col("b").cast(StringType))),
+      1, 8), 16, 10).cast(LongType)
+    val w = cdf.zipWithIndex.foldRight(lit(8L)) { case ((t, k), rest) =>
+      when(h < t, k.toLong).otherwise(rest)
+    }
+    df.select(col(idCol), col(valueCol).cast(LongType).as("__v"))
+      .crossJoin(broadcast(reps))
+      .withColumn("__w", w)
+      .groupBy(col("b"))
+      .agg(
+        sum(col("__w")).as("n_eff"),
+        sum(col("__w").cast(DecimalType(38, 0)) * col("__v"))
+          .cast(DecimalType(38, 0)).as("w_sum"))
+      .select(col("b"), col("n_eff").cast(LongType).as("n_eff"), col("w_sum"),
+        when(col("n_eff") === 0, lit(null).cast(LongType))
+          .otherwise(expr("w_sum * 1000 div cast(n_eff as decimal(38,0))"))
+          .cast(LongType).as("mean_milli"))
+      .orderBy(col("b"))
+  }
+
   /** Reliability-diagram calibration bins: fixed-width score bins (width
     * `binWidth`, top bin open-ended at `nBins-1`), per bin the sample count,
     * positive count, exact integer score sum, and the two integer-division

@@ -1217,10 +1217,47 @@ object WindowQueries {
     graft.operators.Eval.ordinalAssociation(li, "x", "y")
   }
 
+  /** Poisson bootstrap ([[graft.operators.Eval.poissonBootstrap]]) of the
+    * mean order price: 32 hash-deterministic replicas in one pass — the
+    * distribution a CI on the mean reads off, computed the way it actually
+    * distributes (per-row Poisson(1) multiplicities, no global-n draw).
+    */
+  val m27PoissonBootstrap: Q = Q(
+    "m27_poisson_bootstrap",
+    """WITH reps AS (SELECT UNNEST(range(0, 32)) AS b),
+      |x AS (SELECT o_orderkey AS id,
+      |        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |      FROM orders),
+      |d AS (SELECT r.b, x.v,
+      |    CAST(concat('0x', substr(md5(concat(CAST(x.id AS VARCHAR), ':',
+      |      CAST(r.b AS VARCHAR))), 1, 8)) AS BIGINT) AS h
+      |  FROM x CROSS JOIN reps r),
+      |w AS (SELECT b, v,
+      |    CASE WHEN h < 1580030168 THEN 0 WHEN h < 3160060337 THEN 1
+      |         WHEN h < 3950075421 THEN 2 WHEN h < 4213413783 THEN 3
+      |         WHEN h < 4279248373 THEN 4 WHEN h < 4292415291 THEN 5
+      |         WHEN h < 4294609777 THEN 6 WHEN h < 4294923276 THEN 7
+      |         ELSE 8 END AS w
+      |  FROM d),
+      |agg AS (SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
+      |          SUM(CAST(w AS HUGEINT) * v) AS w_sum
+      |        FROM w GROUP BY b)
+      |SELECT b, n_eff, CAST(w_sum AS DECIMAL(38,0)) AS w_sum,
+      |  CAST(CASE WHEN n_eff = 0 THEN NULL
+      |       ELSE w_sum * 1000 // CAST(n_eff AS HUGEINT) END AS BIGINT) AS mean_milli
+      |FROM agg ORDER BY b""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val x = graft.Tables.orders(spark, dir).select(
+      col("o_orderkey").as("id"),
+      (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType).as("v"))
+    graft.operators.Eval.poissonBootstrap(x, "id", "v", 32)
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
     m14QuantileBinning, m15RankAuc, m16Chi2, m17ThresholdMetrics,
     m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2, m22PrCurve,
-    w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc)
+    w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
+    m27PoissonBootstrap)
 }

@@ -608,6 +608,23 @@ class PropertySpec extends AnyFunSuite {
     assert(m.getLong(3) == 10000L) // no ties anywhere → tau-a = gamma
   }
 
+  test("poissonBootstrap: replica mass n±5sqrt(n), replica means concentrate at truth") {
+    import graft.operators.Eval
+    val n = 2000
+    val data = (1 to n).map(i => (i.toLong, 100L + (i % 7)))
+    val df = data.toDF("id", "v")
+    val rows = Eval.poissonBootstrap(df, "id", "v", 8).collect()
+    assert(rows.length == 8)
+    val trueMeanMilli = data.map(_._2).sum * 1000L / n
+    rows.foreach { r =>
+      val nEff = r.getLong(1)
+      // Σ of n Poisson(1) draws = Poisson(n): mean n, sd √n → ±5σ band
+      assert(math.abs(nEff - n) < 5 * math.sqrt(n.toDouble), s"n_eff $nEff")
+      // replica mean sd ≈ sd(v)/√n ≈ 2/45 ≈ 0.045 → generous 500-milli band
+      assert(math.abs(r.getLong(3) - trueMeanMilli) < 500L, s"mean ${r.getLong(3)}")
+    }
+  }
+
   test("Urls.canonical: RFC-3986 subset rules, idempotent on its own output") {
     import graft.operators.Urls
     val cases = Seq(
