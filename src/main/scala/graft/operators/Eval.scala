@@ -331,6 +331,43 @@ object Eval {
       .orderBy(col("b"))
   }
 
+  /** Exact Gini coefficient of a non-negative measure (token mass, revenue,
+    * sample weight) — the concentration scalar behind "is 1% of documents
+    * carrying 60% of the tokens?", the single-number companion to the
+    * cumulative-share curve (q_pareto). For x sorted ascending with ranks
+    * i = 1..n: G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) — an exact integer
+    * rational once ranks are deterministic, emitted in basis points.
+    *
+    * Ranks come from the distributed [[PrefixSum]] (no single-partition
+    * ROW_NUMBER window); the total order is (value, id), encoded as the
+    * integral key v·2³³ + id for the exact equal-width path — callers
+    * guarantee v < 2³⁰ and 0 ≤ id < 2³³ (token counts and doc ids here;
+    * wider domains pre-bucket v or fall back to a struct key). n and Σx
+    * ride out of pass 1 as literals (no extra aggregate job), and the
+    * rank-weighted sum is one decimal(38,0) aggregate over the ranked
+    * frame. G ≥ 0 by the ascending sort, so truncating `div` ≡ floor.
+    */
+  def giniCoefficient(df: DataFrame, idCol: String, valueCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol).cast(LongType).as("__id"),
+        col(valueCol).cast(LongType).as("__v"))
+      .withColumn("__k", expr("__v * 8589934592L + __id"))
+      .withColumn("__one", lit(1L))
+    val (ranked, totals) = PrefixSum.withStartOffsetsAndTotals(
+      base, "__k", Seq("__one" -> "__rn0", "__v" -> "__cum_unused"))
+    val (n, sumV) = (totals(0), totals(1))
+    ranked
+      .agg(sum((col("__rn0") + 1).cast(DecimalType(38, 0)) * col("__v"))
+        .cast(DecimalType(38, 0)).as("rank_weighted_sum"))
+      .select(
+        lit(n).as("n"), lit(sumV).as("sum_v"), col("rank_weighted_sum"),
+        (if (n == 0 || sumV == 0) lit(null).cast(LongType)
+         else expr(
+           s"""(rank_weighted_sum * 2 - (cast(${n}L as decimal(38,0)) + 1) * ${sumV}L)
+              | * 10000 div (cast(${n}L as decimal(38,0)) * ${sumV}L)""".stripMargin)
+           .cast(LongType)).as("gini_bp"))
+  }
+
   /** Reliability-diagram calibration bins: fixed-width score bins (width
     * `binWidth`, top bin open-ended at `nBins-1`), per bin the sample count,
     * positive count, exact integer score sum, and the two integer-division

@@ -1253,11 +1253,35 @@ object WindowQueries {
     graft.operators.Eval.poissonBootstrap(x, "id", "v", 32)
   }
 
+  /** Exact token-mass Gini over `documents`
+    * ([[graft.operators.Eval.giniCoefficient]]): how concentrated the
+    * corpus's token budget is across documents, in basis points — the
+    * scalar a curation dashboard tracks next to the q_pareto share curve.
+    */
+  val m28Gini: Q = Q(
+    "m28_gini",
+    """WITH x AS (SELECT doc_id AS id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v FROM documents),
+      |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, id) AS rn FROM x),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sum_v,
+      |        SUM(CAST(rn AS HUGEINT) * v) AS ix FROM r)
+      |SELECT n, sum_v, CAST(ix AS DECIMAL(38,0)) AS rank_weighted_sum,
+      |  CAST(CASE WHEN n = 0 OR sum_v = 0 THEN NULL
+      |    ELSE (ix * 2 - (CAST(n AS HUGEINT) + 1) * sum_v) * 10000
+      |         // (CAST(n AS HUGEINT) * sum_v) END AS BIGINT) AS gini_bp
+      |FROM t""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.LongType
+    val x = graft.Tables.documents(spark, dir).select(
+      col("doc_id").as("id"),
+      graft.operators.TextAnalysis.tokenCount(col("text")).cast(LongType).as("v"))
+    graft.operators.Eval.giniCoefficient(x, "id", "v")
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
     m14QuantileBinning, m15RankAuc, m16Chi2, m17ThresholdMetrics,
     m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2, m22PrCurve,
     w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
-    m27PoissonBootstrap)
+    m27PoissonBootstrap, m28Gini)
 }

@@ -608,6 +608,30 @@ class PropertySpec extends AnyFunSuite {
     assert(m.getLong(3) == 10000L) // no ties anywhere → tau-a = gamma
   }
 
+  test("giniCoefficient: 0 for uniform mass, brute-force parity on random data") {
+    import graft.operators.Eval
+    // all-equal values → G = 0 exactly
+    val eq = (1L to 50L).map(i => (i, 7L)).toDF("id", "v")
+    assert(Eval.giniCoefficient(eq, "id", "v").head().getLong(3) == 0L)
+    // one doc owns everything → G = (n−1)/n
+    val one = ((1L to 49L).map(i => (i, 0L)) :+ (50L, 100L)).toDF("id", "v")
+    assert(Eval.giniCoefficient(one, "id", "v").head().getLong(3) == 10000L * 49 / 50)
+    val g = Gen.listOfN(40, Gen.choose(0L, 30L))
+    forAll(g, n = 5) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      val got = Eval.giniCoefficient(df, "id", "v").head()
+      val n = vs.length
+      val sum = vs.sum
+      if (sum > 0) {
+        val ix = vs.zipWithIndex.map { case (v, i) => (v, i.toLong) }
+          .sortBy(identity).zipWithIndex
+          .map { case ((v, _), r) => BigInt(r + 1) * v }.sum
+        val want = ((ix * 2 - BigInt(n + 1) * sum) * 10000 / (BigInt(n) * sum)).toLong
+        assert(got.getLong(3) == want)
+      }
+    }
+  }
+
   test("poissonBootstrap: replica mass n±5sqrt(n), replica means concentrate at truth") {
     import graft.operators.Eval
     val n = 2000
