@@ -203,6 +203,55 @@ object Indicators {
       .drop("__tr")
   }
 
+  /** Keltner channels: middle = EMA(typical price, emaPeriod) with the
+    * standard α = 2/(n+1), bands = middle ± mult·ATR(atrPeriod) — the
+    * volatility envelope that pairs trend (EMA) with gap-aware range
+    * ([[withAtr]]'s Wilder TR). Both recursions run through the native
+    * [[graft.functions.Ewm]] window function over ONE shared WindowExec
+    * (same partition/order), so per-symbol the whole channel is a single
+    * keyed sort — the [[withAtr]] scale shape. Typical price (h+l+c)/3 and
+    * the band arithmetic are fixed IEEE op sequences, so a recursive-CTE
+    * oracle reproduces them bit-for-bit.
+    */
+  def withKeltner(
+      df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+      outPrefix: String, emaPeriod: Int, atrPeriod: Int, mult: Double,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val w = baseWindow(partitionCols, orderCol)
+    val alpha = 2.0 / (emaPeriod + 1).toDouble
+    val atr = withAtr(df, highCol, lowCol, closeCol, "__kc_atr", atrPeriod,
+      orderCol, partitionCols)
+    atr
+      .withColumn("__tp",
+        (col(highCol) + col(lowCol) + col(closeCol)) / 3.0)
+      .withColumn(s"${outPrefix}_mid",
+        expr(s"ewm(__tp, $alpha, $emaPeriod)").over(w))
+      .withColumn(s"${outPrefix}_up",
+        col(s"${outPrefix}_mid") + lit(mult) * col("__kc_atr"))
+      .withColumn(s"${outPrefix}_lo",
+        col(s"${outPrefix}_mid") - lit(mult) * col("__kc_atr"))
+      .drop("__tp", "__kc_atr")
+  }
+
+  /** Donchian channels: upper/lower = rolling max(high)/min(low) over the
+    * trailing `period` rows (full windows only), middle = their midpoint.
+    * Pure exact selections — no accumulation, so any engine agrees on any
+    * data — in one keyed window sort shared by both extrema.
+    */
+  def withDonchian(
+      df: DataFrame, highCol: String, lowCol: String, outPrefix: String,
+      period: Int, orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    val w = baseWindow(partitionCols, orderCol).rowsBetween(-(period - 1), 0)
+    val full = count(col(highCol)).over(w) === period
+    val up = when(full, max(col(highCol)).over(w))
+    val lo = when(full, min(col(lowCol)).over(w))
+    df.withColumn(s"${outPrefix}_up", up)
+      .withColumn(s"${outPrefix}_lo", lo)
+      .withColumn(s"${outPrefix}_mid",
+        (col(s"${outPrefix}_up") + col(s"${outPrefix}_lo")) / 2.0)
+  }
+
   /** Rolling volume-weighted average price over the trailing `period` rows:
     * Σ(close·volume) / Σ(volume); null until a full window. For
     * integer-valued close and volume both window sums are exact in any

@@ -1135,6 +1135,92 @@ object WindowQueries {
       .orderBy(col("sym"), col("d"))
   }
 
+  /** Keltner channels per symbol ([[Indicators.withKeltner]]): EMA(tp, 20)
+    * middle with ±2·ATR(10) bands — trend plus gap-aware volatility in one
+    * channel. The oracle carries BOTH recursions (Wilder ATR and standard
+    * EMA) through one recursive CTE, reproducing the identical IEEE
+    * sequence the native `ewm` window function computes.
+    */
+  val w12Keltner: Q = Q(
+    "w12_keltner",
+    """WITH RECURSIVE bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) + 1.0 AS high,
+      |    CAST(FLOOR(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) - 1.0 AS low,
+      |    CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) AS close
+      |  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)),
+      |s AS (SELECT sym, d, high, low, close,
+      |        (high + low + close) / 3.0 AS tp,
+      |        ROW_NUMBER() OVER w AS rn, LAG(close) OVER w AS pc
+      |      FROM bars WINDOW w AS (PARTITION BY sym ORDER BY d)),
+      |tr AS (SELECT sym, d, rn, tp,
+      |        CASE WHEN pc IS NULL THEN high - low
+      |             ELSE GREATEST(high - low, ABS(high - pc), ABS(low - pc)) END AS tr
+      |      FROM s),
+      |rec AS (
+      |  SELECT sym, rn, tr AS atr, tp AS mid FROM tr WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.sym, t.rn,
+      |    (CAST(1.0 AS DOUBLE)/10.0) * t.tr + (1.0 - CAST(1.0 AS DOUBLE)/10.0) * r.atr,
+      |    (CAST(2.0 AS DOUBLE)/21.0) * t.tp + (1.0 - CAST(2.0 AS DOUBLE)/21.0) * r.mid
+      |  FROM tr t JOIN rec r ON t.sym = r.sym AND t.rn = r.rn + 1)
+      |SELECT s.sym, s.d, s.close, r.mid AS kc_mid,
+      |  r.mid + 2.0 * r.atr AS kc_up, r.mid - 2.0 * r.atr AS kc_lo
+      |FROM rec r JOIN s ON s.sym = r.sym AND s.rn = r.rn
+      |WHERE r.rn >= 20 ORDER BY s.sym, s.d""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val D2 = DecimalType(18, 2)
+    def fl(c: org.apache.spark.sql.Column) =
+      floor(c.cast(DoubleType) / 100.0).cast(DoubleType)
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(
+        (fl(max(col("o_totalprice").cast(D2))) + 1.0).as("high"),
+        (fl(min(col("o_totalprice").cast(D2))) - 1.0).as("low"),
+        fl(sum(col("o_totalprice").cast(D2))).as("close"))
+    Indicators.withKeltner(bars, "high", "low", "close", "kc",
+        emaPeriod = 20, atrPeriod = 10, mult = 2.0,
+        orderCol = "d", partitionCols = Seq("sym"))
+      .filter(col("kc_mid").isNotNull && col("kc_up").isNotNull)
+      .select("sym", "d", "close", "kc_mid", "kc_up", "kc_lo")
+      .orderBy(col("sym"), col("d"))
+  }
+
+  /** Donchian channels per symbol ([[Indicators.withDonchian]]): trailing
+    * 20-row max(high)/min(low) breakout envelope — exact rolling extrema,
+    * no accumulation anywhere, the simplest bit-stable channel.
+    */
+  val w13Donchian: Q = Q(
+    "w13_donchian",
+    """WITH bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) + 1.0 AS high,
+      |    CAST(FLOOR(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) - 1.0 AS low
+      |  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)),
+      |s AS (SELECT sym, d,
+      |        ROW_NUMBER() OVER w AS rn,
+      |        MAX(high) OVER w20 AS dc_up, MIN(low) OVER w20 AS dc_lo
+      |      FROM bars
+      |      WINDOW w AS (PARTITION BY sym ORDER BY d),
+      |             w20 AS (PARTITION BY sym ORDER BY d ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT sym, d, dc_up, dc_lo, (dc_up + dc_lo) / 2.0 AS dc_mid
+      |FROM s WHERE rn >= 20 ORDER BY sym, d""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val D2 = DecimalType(18, 2)
+    def fl(c: org.apache.spark.sql.Column) =
+      floor(c.cast(DoubleType) / 100.0).cast(DoubleType)
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(
+        (fl(max(col("o_totalprice").cast(D2))) + 1.0).as("high"),
+        (fl(min(col("o_totalprice").cast(D2))) - 1.0).as("low"))
+    Indicators.withDonchian(bars, "high", "low", "dc", 20,
+        orderCol = "d", partitionCols = Seq("sym"))
+      .filter(col("dc_up").isNotNull)
+      .select("sym", "d", "dc_up", "dc_lo", "dc_mid")
+      .orderBy(col("sym"), col("d"))
+  }
+
   /** Cohen's kappa ([[graft.operators.Eval.cohensKappa]]): chance-corrected
     * agreement between the true quantity tertile and a "noisy rater" —
     * the same tertile of quantity perturbed by a deterministic md5-derived
@@ -1283,5 +1369,5 @@ object WindowQueries {
     m14QuantileBinning, m15RankAuc, m16Chi2, m17ThresholdMetrics,
     m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2, m22PrCurve,
     w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
-    m27PoissonBootstrap, m28Gini)
+    m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian)
 }

@@ -147,6 +147,50 @@ class TechnicalIndicatorsSpec extends AnyFunSuite {
     assert(Indicators.technicalIndicators(barsDf(10)).count() == 0)
   }
 
+  test("keltner: both recursions match a driver-side replay of the recurrences") {
+    val df = barsDf(60).withColumn("sym", lit("a"))
+    val got = Indicators.withKeltner(df, "high", "low", "close", "kc",
+        emaPeriod = 20, atrPeriod = 10, mult = 2.0,
+        orderCol = "date", partitionCols = Seq("sym"))
+      .orderBy(col("date"))
+      .select("kc_mid", "kc_up", "kc_lo")
+      .collect()
+    val bs = bars(60)
+    var atr = 0.0; var mid = 0.0
+    val aw = 1.0 / 10.0; val ae = 2.0 / 21.0
+    bs.zipWithIndex.foreach { case ((_, _, h, l, c, _), i) =>
+      val tp = (h + l + c) / 3.0
+      val tr = if (i == 0) h - l else {
+        val pc = bs(i - 1)._5
+        math.max(h - l, math.max(math.abs(h - pc), math.abs(l - pc)))
+      }
+      atr = if (i == 0) tr else aw * tr + (1.0 - aw) * atr
+      mid = if (i == 0) tp else ae * tp + (1.0 - ae) * mid
+      if (i >= 19) { // ema min_periods=20 dominates atr's 10
+        assert(got(i).getDouble(0) == mid, s"mid at $i")
+        assert(got(i).getDouble(1) == mid + 2.0 * atr, s"up at $i")
+        assert(got(i).getDouble(2) == mid - 2.0 * atr, s"lo at $i")
+      } else assert(got(i).isNullAt(0), s"warmup at $i")
+    }
+  }
+
+  test("donchian: exact trailing extrema, null until a full window") {
+    val df = barsDf(30).withColumn("sym", lit("a"))
+    val got = Indicators.withDonchian(df, "high", "low", "dc", 5,
+        orderCol = "date", partitionCols = Seq("sym"))
+      .orderBy(col("date")).select("dc_up", "dc_lo", "dc_mid").collect()
+    val bs = bars(30)
+    bs.indices.foreach { i =>
+      if (i < 4) assert(got(i).isNullAt(0))
+      else {
+        val win = bs.slice(i - 4, i + 1)
+        val up = win.map(_._3).max; val lo = win.map(_._4).min
+        assert(got(i).getDouble(0) == up && got(i).getDouble(1) == lo)
+        assert(got(i).getDouble(2) == (up + lo) / 2.0)
+      }
+    }
+  }
+
   test("constant price: RSI 0/0 is null so every row is dropped (pandas NaN parity)") {
     val flat = (0 until 120).map { i =>
       (java.time.LocalDate.of(2023, 1, 1).plusDays(i).toString,
