@@ -814,15 +814,15 @@ object DedupQueries {
     "dd24_url_dedup",
     """WITH u0 AS (SELECT doc_id,
       |    CASE WHEN doc_id % 3 = 0 THEN
-      |      'HTTPS://WWW.' || upper(source) || '.COM:443/Docs/' ||
+      |      'HTTPS://WWW.EX' || CAST((doc_id // 7) % 10 AS VARCHAR) || '.COM:443/Docs/' ||
       |      CAST(doc_id // 7 AS VARCHAR) || '/?utm_source=feed&id=' ||
       |      CAST((doc_id // 7) % 97 AS VARCHAR) || '&ref=tw#frag'
       |    WHEN doc_id % 3 = 1 THEN
-      |      'https://www.' || source || '.com/Docs/' ||
+      |      'https://www.ex' || CAST((doc_id // 7) % 10 AS VARCHAR) || '.com/Docs/' ||
       |      CAST(doc_id // 7 AS VARCHAR) || '?id=' ||
       |      CAST((doc_id // 7) % 97 AS VARCHAR)
       |    ELSE
-      |      'https://' || source || '.com/Docs/' ||
+      |      'https://ex' || CAST((doc_id // 7) % 10 AS VARCHAR) || '.com/Docs/' ||
       |      CAST(doc_id // 7 AS VARCHAR) || '/?id=' ||
       |      CAST((doc_id // 7) % 97 AS VARCHAR) || '&utm_campaign=x'
       |    END AS u
@@ -852,15 +852,19 @@ object DedupQueries {
     import org.apache.spark.sql.types.StringType
     val key = expr("doc_id div 7").cast(StringType)
     val id97 = expr("(doc_id div 7) % 97").cast(StringType)
+    // host derives from the GROUP key (not per-doc source) so the planted
+    // duplicate groups genuinely share a page identity across all three
+    // surface forms
+    val host = expr("(doc_id div 7) % 10").cast(StringType)
     val messy = Tables.documents(spark, dir).select(col("doc_id"),
       when(col("doc_id") % 3 === 0,
-        concat(lit("HTTPS://WWW."), upper(col("source")), lit(".COM:443/Docs/"),
+        concat(lit("HTTPS://WWW.EX"), host, lit(".COM:443/Docs/"),
           key, lit("/?utm_source=feed&id="), id97, lit("&ref=tw#frag")))
       .when(col("doc_id") % 3 === 1,
-        concat(lit("https://www."), col("source"), lit(".com/Docs/"),
+        concat(lit("https://www.ex"), host, lit(".com/Docs/"),
           key, lit("?id="), id97))
       .otherwise(
-        concat(lit("https://"), col("source"), lit(".com/Docs/"),
+        concat(lit("https://ex"), host, lit(".com/Docs/"),
           key, lit("/?id="), id97, lit("&utm_campaign=x")))
       .as("u"))
     messy

@@ -1396,6 +1396,60 @@ object MiscQueries {
     }
   }
 
+  /** Curriculum ordering — the data-ordering policy of staged pretraining:
+    * documents grouped into quality stages (easy/high-quality first), each
+    * stage internally shuffled by a deterministic hash so no source/length
+    * run survives, and every doc assigned its serving position WITHIN its
+    * stage. Positions come from ONE multi-column [[graft.operators.PrefixSum]]
+    * kernel (per-stage indicator columns share the single range shuffle —
+    * the ECDF trick), NOT a ROW_NUMBER window partitioned by 3 stage keys,
+    * which would funnel a third of the corpus through each of 3 tasks.
+    * Stage cutoffs are fixed basis-point thresholds on the tx3 quality
+    * score (a config knob, like mx4's keep fraction); the 28-bit md5 hash
+    * × 2³¹ + doc_id key is integral and unique, so the kernel takes the
+    * exact equal-width path.
+    */
+  val mx16Curriculum: Q = Q(
+    "mx16_curriculum",
+    """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS nt,
+      |    length(text) AS nc,
+      |    len(list_filter(string_split(lower(text), ' '),
+      |        t -> t IN ('the','a','of','and','is'))) AS so
+      |  FROM documents),
+      |q AS (SELECT doc_id, CAST(FLOOR(
+      |    (0.5 * (LEAST(nt, 100) / 100.0)
+      |     + 0.3 * (so / nt)
+      |     + 0.2 * (LEAST((nc - (nt - 1)) / nt, 10.0) / 10.0)) * 10000) AS BIGINT) AS qbp
+      |  FROM t),
+      |s AS (SELECT doc_id,
+      |    CASE WHEN qbp >= 4500 THEN 0 WHEN qbp >= 3000 THEN 1 ELSE 2 END AS stage,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 7)) AS BIGINT) AS h
+      |  FROM q)
+      |SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY stage ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+      |FROM s ORDER BY stage, pos""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.{LongType, StringType}
+    import graft.operators.{PrefixSum, TextAnalysis}
+    val staged = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        floor(TextAnalysis.qualityScore(col("text")) * 10000).cast(LongType).as("qbp"))
+      .withColumn("stage",
+        when(col("qbp") >= 4500, 0L).when(col("qbp") >= 3000, 1L).otherwise(2L))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 7), 16, 10).cast(LongType))
+      .withColumn("k", expr("h * 2147483648L + doc_id"))
+      .withColumn("s0", when(col("stage") === 0, 1L).otherwise(0L))
+      .withColumn("s1", when(col("stage") === 1, 1L).otherwise(0L))
+      .withColumn("s2", when(col("stage") === 2, 1L).otherwise(0L))
+    PrefixSum.withStartOffsets(staged, "k",
+        Seq("s0" -> "p0", "s1" -> "p1", "s2" -> "p2"))
+      .select(col("doc_id"), col("stage"),
+        when(col("stage") === 0, col("p0"))
+          .when(col("stage") === 1, col("p1"))
+          .otherwise(col("p2")).as("pos"))
+      .orderBy(col("stage"), col("pos"))
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
     qProfile, qProfileApprox, qProfileLi, qProfileLiApprox,
@@ -1406,5 +1460,5 @@ object MiscQueries {
     mx12GroupSplit, mx13SourceWaterfill, mx14TemperatureMix,
     qTableChecksum, qDqReport,
     qPercentileBands, qCdcCompact, qIntervalUnion, qZorderLayout, qSkewReport,
-    qWeightedMedian, mx15EpochShuffle, qHilbertLayout)
+    qWeightedMedian, mx15EpochShuffle, qHilbertLayout, mx16Curriculum)
 }
