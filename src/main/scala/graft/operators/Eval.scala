@@ -368,6 +368,57 @@ object Eval {
            .cast(LongType)).as("gini_bp"))
   }
 
+  /** EXACT two-feature OLS fit (y = b0 + b1·x1 + b2·x2) by normal
+    * equations + Cramer's rule — the distributed closed-form regression:
+    * ONE map-combinable aggregate scan produces the 9 moment sums (n, Σx1,
+    * Σx2, Σy, Σx1², Σx1x2, Σx2², Σx1y, Σx2y), and the coefficients are
+    * scalar 3×3 determinant ratios over those sums — no gradient loop, no
+    * per-row second pass, no driver-side matrix library. This is the fit a
+    * feature report can afford at 100 TB: same cost as any corpus sum.
+    *
+    * All determinant arithmetic runs in decimal(38,0) over integer-valued
+    * inputs (the oracle mirrors in HUGEINT); with small-integer features
+    * (|x| ≤ ~10²) and a cents-scale target, triple products stay inside
+    * 38 digits to ~10⁸ rows — past that, pre-center/rescale the moments.
+    * Coefficients emit as exact integer rationals in MICRO-units with the
+    * sign-split division ([[ordinalAssociation]] — coefficients are
+    * signed, and truncate-vs-floor only agree on non-negative operands).
+    * A singular moment matrix (det = 0: collinear or constant features)
+    * yields NULL coefficients instead of a divide throw.
+    */
+  def olsNormalEq2(
+      df: DataFrame, x1Col: String, x2Col: String, yCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val (x1, x2, y) =
+      (col(x1Col).cast(D), col(x2Col).cast(D), col(yCol).cast(D))
+    val m = df.agg(
+      count(lit(1)).cast(D).as("n"),
+      sum(x1).cast(D).as("s1"), sum(x2).cast(D).as("s2"),
+      sum(y).cast(D).as("sy"),
+      sum(x1 * x1).cast(D).as("s11"), sum(x1 * x2).cast(D).as("s12"),
+      sum(x2 * x2).cast(D).as("s22"),
+      sum(x1 * y).cast(D).as("s1y"), sum(x2 * y).cast(D).as("s2y"))
+    // Cramer over A = [[n,S1,S2],[S1,S11,S12],[S2,S12,S22]], b = (Sy,S1y,S2y)
+    val withDets = m.select(col("*"),
+      expr("""n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+             |  + s2 * (s1 * s12 - s11 * s2)""".stripMargin).as("det"),
+      expr("""sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+             |  + s2 * (s1y * s12 - s11 * s2y)""".stripMargin).as("det0"),
+      expr("""n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2)
+             |  + s2 * (s1 * s2y - s1y * s2)""".stripMargin).as("det1"),
+      expr("""n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s2 * s1y)
+             |  + sy * (s1 * s12 - s11 * s2)""".stripMargin).as("det2"))
+    def coef(dn: String) =
+      when(col("det") === 0, lit(null).cast(LongType))
+        .otherwise(expr(
+          s"""case when ($dn >= 0) = (det >= 0) then 1 else -1 end
+             | * (abs($dn) * 1000000 div abs(det))""".stripMargin))
+        .cast(LongType).as(s"b${dn.drop(3)}_micro")
+    withDets.select(
+      col("n").cast(LongType).as("n"), col("det").cast(D).as("det"),
+      coef("det0"), coef("det1"), coef("det2"))
+  }
+
   /** Reliability-diagram calibration bins: fixed-width score bins (width
     * `binWidth`, top bin open-ended at `nBins-1`), per bin the sample count,
     * positive count, exact integer score sum, and the two integer-division

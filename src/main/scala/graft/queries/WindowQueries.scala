@@ -1363,11 +1363,61 @@ object WindowQueries {
     graft.operators.Eval.giniCoefficient(x, "id", "v")
   }
 
+  /** Exact closed-form OLS ([[graft.operators.Eval.olsNormalEq2]]):
+    * extended price (cents) on quantity and discount points — the
+    * regression a feature report computes from ONE moment scan, with
+    * Cramer determinant ratios as exact micro-unit rationals.
+    */
+  val m29Ols: Q = Q(
+    "m29_ols_normal_eq",
+    """WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS x1,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+      |    CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+      |    CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+      |    CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+      |    CAST(SUM(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
+      |  FROM v),
+      |d AS (SELECT n,
+      |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s12 - s11 * s2) AS det,
+      |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+      |    n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+      |    n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s2 * s1y)
+      |      + sy * (s1 * s12 - s11 * s2) AS det2
+      |  FROM m)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(det AS DECIMAL(38,0)) AS det,
+      |  CAST(CASE WHEN det = 0 THEN NULL
+      |    ELSE (CASE WHEN (det0 >= 0) = (det >= 0) THEN 1 ELSE -1 END)
+      |         * (abs(det0) * 1000000 // abs(det)) END AS BIGINT) AS b0_micro,
+      |  CAST(CASE WHEN det = 0 THEN NULL
+      |    ELSE (CASE WHEN (det1 >= 0) = (det >= 0) THEN 1 ELSE -1 END)
+      |         * (abs(det1) * 1000000 // abs(det)) END AS BIGINT) AS b1_micro,
+      |  CAST(CASE WHEN det = 0 THEN NULL
+      |    ELSE (CASE WHEN (det2 >= 0) = (det >= 0) THEN 1 ELSE -1 END)
+      |         * (abs(det2) * 1000000 // abs(det)) END AS BIGINT) AS b2_micro
+      |FROM d""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val v = graft.Tables.lineitem(spark, dir).select(
+      col("l_quantity").cast(LongType).as("x1"),
+      floor(col("l_discount") * 100 + 0.5).cast(LongType).as("x2"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("y"))
+    graft.operators.Eval.olsNormalEq2(v, "x1", "x2", "y")
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
     m14QuantileBinning, m15RankAuc, m16Chi2, m17ThresholdMetrics,
     m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2, m22PrCurve,
     w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
-    m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian)
+    m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols)
 }

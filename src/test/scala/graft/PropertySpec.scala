@@ -632,6 +632,18 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("olsNormalEq2: recovers an exact-fit plane exactly; singular matrix yields NULLs") {
+    import graft.operators.Eval
+    val pts = for { a <- 0L to 6L; b <- 0L to 4L } yield (a, b, 3L + 2 * a - 5 * b)
+    val fit = Eval.olsNormalEq2(pts.toDF("x1", "x2", "y"), "x1", "x2", "y").head()
+    assert(fit.getLong(2) == 3000000L && fit.getLong(3) == 2000000L
+      && fit.getLong(4) == -5000000L, s"got $fit")
+    // x2 = 2·x1 (collinear) → det 0 → NULL coefficients, no throw
+    val coll = (1L to 20L).map(i => (i, 2 * i, i * 7)).toDF("x1", "x2", "y")
+    val s = Eval.olsNormalEq2(coll, "x1", "x2", "y").head()
+    assert(s.getDecimal(1).signum == 0 && s.isNullAt(2) && s.isNullAt(3) && s.isNullAt(4))
+  }
+
   test("poissonBootstrap: replica mass n±5sqrt(n), replica means concentrate at truth") {
     import graft.operators.Eval
     val n = 2000
