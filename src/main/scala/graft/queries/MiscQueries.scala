@@ -1450,6 +1450,53 @@ object MiscQueries {
       .orderBy(col("stage"), col("pos"))
   }
 
+  /** Join-size estimation by key-hash synopsis — the pre-join planning
+    * check that decides broadcast vs shuffle vs "don't run that": the
+    * self-join cardinality of `lineitem` on `l_partkey` is Σₖ cₖ², and the
+    * estimator keeps only keys whose 32-bit md5 hash falls under 2³²/16
+    * (a CORRELATED 1-in-16 key sample: sampling keys, not rows, keeps
+    * every pair of a kept key, so the estimate is ×16, not ×256), next to
+    * the exact value and the realized error in basis points. One groupBy
+    * + one tiny aggregate — the synopsis costs what a key-count costs, at
+    * any corpus size; pair counts run in decimal(38,0) (Σcₖ² is n²-scale
+    * under skew).
+    */
+  val qJoinEstimate: Q = Q(
+    "q_join_estimate",
+    """WITH c AS (SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      |           FROM lineitem GROUP BY 1),
+      |h AS (SELECT k, cnt,
+      |    CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+      |  FROM c),
+      |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |    CAST(SUM(CASE WHEN hv < 268435456 THEN 1 ELSE 0 END) AS BIGINT) AS sampled_keys,
+      |    SUM(CAST(cnt AS HUGEINT) * cnt) AS exact_pairs,
+      |    SUM(CASE WHEN hv < 268435456 THEN CAST(cnt AS HUGEINT) * cnt ELSE 0 END) AS samp
+      |  FROM h)
+      |SELECT n_keys, sampled_keys,
+      |  CAST(exact_pairs AS DECIMAL(38,0)) AS exact_pairs,
+      |  CAST(samp * 16 AS DECIMAL(38,0)) AS est_pairs,
+      |  CAST(abs(samp * 16 - exact_pairs) * 10000 // exact_pairs AS BIGINT) AS err_bp
+      |FROM a""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType}
+    val D = DecimalType(38, 0)
+    val c = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("cnt"))
+      .withColumn("hv",
+        conv(substring(md5(col("k").cast(StringType)), 1, 8), 16, 10).cast(LongType))
+    c.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(col("hv") < 268435456L, 1L).otherwise(0L)).as("sampled_keys"),
+        sum(col("cnt").cast(D) * col("cnt")).cast(D).as("exact_pairs"),
+        sum(when(col("hv") < 268435456L, col("cnt").cast(D) * col("cnt"))
+          .otherwise(lit(0L).cast(D))).as("samp"))
+      .select(col("n_keys"), col("sampled_keys"),
+        col("exact_pairs"),
+        (col("samp") * 16).cast(D).as("est_pairs"),
+        expr("abs(samp * 16 - exact_pairs) * 10000 div exact_pairs")
+          .cast(LongType).as("err_bp"))
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
     qProfile, qProfileApprox, qProfileLi, qProfileLiApprox,
@@ -1460,5 +1507,5 @@ object MiscQueries {
     mx12GroupSplit, mx13SourceWaterfill, mx14TemperatureMix,
     qTableChecksum, qDqReport,
     qPercentileBands, qCdcCompact, qIntervalUnion, qZorderLayout, qSkewReport,
-    qWeightedMedian, mx15EpochShuffle, qHilbertLayout, mx16Curriculum)
+    qWeightedMedian, mx15EpochShuffle, qHilbertLayout, mx16Curriculum, qJoinEstimate)
 }
