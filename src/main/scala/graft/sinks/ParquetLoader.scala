@@ -4,19 +4,22 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 import graft.core.Loader
 import graft.core.PluginConfig._
 
-/** Distributed parquet sink — the scale-correct counterpart to
+/** Distributed columnar sink — the scale-correct counterpart to
   * [[JsonLocalLoader]]'s single-ordered-array contract: written by the
   * executors in parallel (no driver materialization), columnar, splittable,
-  * and partitionable by columns so downstream reads prune.
+  * and partitionable by columns so downstream reads prune. One
+  * implementation serves both on-classpath columnar formats (parquet and
+  * ORC — same writer surface, same pushdown story on read).
   *
   *  - `path` (required)
   *  - `if_exists`: append (default) / replace / fail — same vocabulary as
   *    the sql_database loader
   *  - `partition_by`: optional column list for directory partitioning
   */
-class ParquetLoader(conf: Conf) extends Loader {
+abstract class ColumnarLoader(conf: Conf, format: String, plugin: String)
+    extends Loader {
   private val path = conf.str("path").getOrElse(
-    throw new IllegalArgumentException("parquet_local: 'path' is required"))
+    throw new IllegalArgumentException(s"$plugin: 'path' is required"))
   private val ifExists = conf.strOr("if_exists", "append")
   private val partitionBy = conf.strSeq("partition_by")
 
@@ -26,9 +29,13 @@ class ParquetLoader(conf: Conf) extends Loader {
       case "replace" => SaveMode.Overwrite
       case "fail" => SaveMode.ErrorIfExists
       case other => throw new IllegalArgumentException(
-        s"parquet_local: unknown if_exists '$other'")
+        s"$plugin: unknown if_exists '$other'")
     }
-    val w = df.write.mode(mode)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+    val w = df.write.mode(mode).format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 }
+
+class ParquetLoader(conf: Conf) extends ColumnarLoader(conf, "parquet", "parquet_local")
+
+class OrcLoader(conf: Conf) extends ColumnarLoader(conf, "orc", "orc_local")

@@ -12,5 +12,6 @@ object Sinks {
     Registries.loaders.register("json_local")((_, c) => new JsonLocalLoader(c))
     Registries.loaders.register("sql_database")((_, c) => new JdbcLoader(c))
     Registries.loaders.register("parquet_local")((_, c) => new ParquetLoader(c))
+    Registries.loaders.register("orc_local")((_, c) => new OrcLoader(c))
   }
 }

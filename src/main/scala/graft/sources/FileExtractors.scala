@@ -36,3 +36,14 @@ class ParquetFileExtractor(spark: SparkSession, conf: Conf) extends Extractor {
 
   override def extract(): DataFrame = spark.read.parquet(path)
 }
+
+/** ORC — the other on-classpath columnar format; same splittable-scan,
+  * pushdown and partition-pruning behavior as parquet, so a pipeline can
+  * read whichever format its upstream produced without a conversion step.
+  */
+class OrcFileExtractor(spark: SparkSession, conf: Conf) extends Extractor {
+  private val path = conf.str("path").getOrElse(
+    throw new IllegalArgumentException("orc_file: 'path' is required"))
+
+  override def extract(): DataFrame = spark.read.orc(path)
+}

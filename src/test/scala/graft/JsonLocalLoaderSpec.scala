@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.sinks.JsonLocalLoader
 import graft.transformers.Transformers
 
@@ -65,6 +66,27 @@ class JsonLocalLoaderSpec extends AnyFunSuite {
       Map("path" -> out2, "if_exists" -> "replace", "partition_by" -> Seq("name")))
     loader.load(back)
     assert(Files.exists(dir.resolve("out_part/name=a")))
+  }
+
+  test("orc_local -> orc_file round-trips with partition_by directories") {
+    val dir = Files.createTempDirectory("orc_rt")
+    val out = dir.resolve("out_orc").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)).toDF("id", "name", "score")
+    new graft.sinks.OrcLoader(
+      Map("path" -> out, "if_exists" -> "replace", "partition_by" -> Seq("name")))
+      .load(df)
+    assert(Files.exists(dir.resolve("out_orc/name=a")))
+    val back = new graft.sources.OrcFileExtractor(spark, Map("path" -> out)).extract()
+    assert(back.count() == 3)
+    assert(back.columns.toSet == Set("id", "name", "score"))
+    assert(back.filter(col("name") === "a").count() == 2)
+    // append honors existing data; fail throws on existing path
+    new graft.sinks.OrcLoader(Map("path" -> out, "if_exists" -> "append",
+      "partition_by" -> Seq("name"))).load(df.limit(1))
+    assert(new graft.sources.OrcFileExtractor(spark, Map("path" -> out)).extract().count() == 4)
+    intercept[Exception] {
+      new graft.sinks.OrcLoader(Map("path" -> out, "if_exists" -> "fail")).load(df)
+    }
   }
 
   test("pass_through preserves rows, columns and values exactly") {
