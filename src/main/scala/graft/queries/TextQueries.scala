@@ -596,8 +596,46 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Feature-hashing vectorizer profile (the "hashing trick", Weinberger et
+    * al. 2009 — THE fixed-dimension text featurizer at corpus scale: no
+    * vocabulary build, no dictionary broadcast, memory O(dims) per row):
+    * every token maps to dim = hash32(token) mod 256 with a ±1 sign bit
+    * drawn from the next hash bit (the unbiasing trick), and the report is
+    * the per-dimension load — total tokens, DISTINCT terms (collision
+    * factor), and the signed sum a linear model would actually see. One
+    * explode + one 256-key map-combinable groupBy; the native codegen'd
+    * `hash32` keeps the hot path inside whole-stage codegen.
+    */
+  val tx20FeatureHashing: Q = Q(
+    "tx20_feature_hashing",
+    """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents),
+      |h AS (SELECT t, CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS hv
+      |      FROM tok WHERE t <> ''),
+      |d AS (SELECT hv % 256 AS dim,
+      |        CASE WHEN (hv >> 8) & 1 = 1 THEN 1 ELSE -1 END AS sgn, t
+      |      FROM h)
+      |SELECT CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT t) AS BIGINT) AS n_terms,
+      |  CAST(SUM(sgn) AS BIGINT) AS signed_sum
+      |FROM d GROUP BY dim ORDER BY dim""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.LongType
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .withColumn("hv", expr("hash32(t)"))
+      .select((col("hv") % 256).as("dim"),
+        when(expr("(hv >> 8) & 1") === 1, 1L).otherwise(-1L).as("sgn"), col("t"))
+      .groupBy(col("dim").cast(LongType).as("dim"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count_distinct(col("t")).as("n_terms"),
+        sum(col("sgn")).as("signed_sum"))
+      .orderBy(col("dim"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
-    tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift, tx19OovRate)
+    tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift, tx19OovRate,
+    tx20FeatureHashing)
 }

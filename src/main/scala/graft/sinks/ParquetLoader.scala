@@ -39,3 +39,10 @@ abstract class ColumnarLoader(conf: Conf, format: String, plugin: String)
 class ParquetLoader(conf: Conf) extends ColumnarLoader(conf, "parquet", "parquet_local")
 
 class OrcLoader(conf: Conf) extends ColumnarLoader(conf, "orc", "orc_local")
+
+/** Distributed JSON-Lines sink (one JSON object per line, written by the
+  * executors in parallel) — the export format every downstream LLM tooling
+  * chain ingests; splittable on the way back in via `jsonl_file`. Same
+  * writer surface as the columnar sinks (modes + partition_by).
+  */
+class JsonlLoader(conf: Conf) extends ColumnarLoader(conf, "json", "jsonl_local")

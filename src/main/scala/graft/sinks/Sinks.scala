@@ -13,5 +13,6 @@ object Sinks {
     Registries.loaders.register("sql_database")((_, c) => new JdbcLoader(c))
     Registries.loaders.register("parquet_local")((_, c) => new ParquetLoader(c))
     Registries.loaders.register("orc_local")((_, c) => new OrcLoader(c))
+    Registries.loaders.register("jsonl_local")((_, c) => new JsonlLoader(c))
   }
 }

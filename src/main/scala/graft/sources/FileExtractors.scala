@@ -47,3 +47,19 @@ class OrcFileExtractor(spark: SparkSession, conf: Conf) extends Extractor {
 
   override def extract(): DataFrame = spark.read.orc(path)
 }
+
+/** JSON-Lines (ndjson) — the lingua franca of LLM training-data exchange:
+  * one JSON object per line, so the file SPLITS (any byte range can find
+  * the next newline) and a 100 TB dump reads with full parallelism —
+  * unlike the reference's single-array json_file, which is one
+  * unsplittable document by construction ([[JsonFileExtractor]] mirrors
+  * that contract; this is the scale-correct sibling). Schema inferred
+  * across lines like `spark.read.json` always does; `multiline` stays
+  * false — that is what keeps the split property.
+  */
+class JsonlFileExtractor(spark: SparkSession, conf: Conf) extends Extractor {
+  private val path = conf.str("path").getOrElse(
+    throw new IllegalArgumentException("jsonl_file: 'path' is required"))
+
+  override def extract(): DataFrame = spark.read.json(path)
+}

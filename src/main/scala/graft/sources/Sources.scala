@@ -27,6 +27,7 @@ object Sources {
     Registries.extractors.register("csv_file")((s, c) => new CsvFileExtractor(s, c))
     Registries.extractors.register("parquet_file")((s, c) => new ParquetFileExtractor(s, c))
     Registries.extractors.register("orc_file")((s, c) => new OrcFileExtractor(s, c))
+    Registries.extractors.register("jsonl_file")((s, c) => new JsonlFileExtractor(s, c))
     Registries.extractors.register("rest_api")((s, c) =>
       new RestApiExtractor(s, c, transport, env = graft.core.EnvFile.get))
     Registries.extractors.register("alpha_vantage")((s, c) =>

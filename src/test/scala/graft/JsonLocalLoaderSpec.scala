@@ -89,6 +89,41 @@ class JsonLocalLoaderSpec extends AnyFunSuite {
     }
   }
 
+  test("jsonl_file -> jsonl_local round-trips ndjson through the engine") {
+    val dir = Files.createTempDirectory("jsonl_rt")
+    val in = dir.resolve("in.jsonl")
+    Files.writeString(in,
+      """{"id": 1, "text": "alpha", "score": 1.5}
+        |{"id": 2, "text": "beta", "score": 2.5}
+        |{"id": 3, "text": "gamma", "score": null}
+        |""".stripMargin)
+    val out = dir.resolve("out_jsonl").toString
+    val cfg = graft.core.Config.parse(
+      s"""pipeline:
+         |  name: jsonl_rt
+         |  extract:
+         |    type: jsonl_file
+         |    inline_config: {path: "${in.toString}"}
+         |  load:
+         |    type: jsonl_local
+         |    inline_config: {path: "$out", if_exists: replace}
+         |""".stripMargin)
+    new graft.core.Engine(spark).run(cfg)
+    val back = new graft.sources.JsonlFileExtractor(spark, Map("path" -> out)).extract()
+    assert(back.count() == 3)
+    assert(back.columns.toSet == Set("id", "text", "score"))
+    assert(back.filter(col("text") === "beta").select("score").head().getDouble(0) == 2.5)
+    // the written files are genuine one-object-per-line ndjson (splittable)
+    val part = Files.list(java.nio.file.Paths.get(out)).toArray.map(_.toString)
+      .filter(p => p.contains("part-") && p.endsWith(".json"))
+    assert(part.nonEmpty)
+    val lines = part.flatMap(p =>
+      scala.jdk.CollectionConverters.ListHasAsScala(
+        Files.readAllLines(java.nio.file.Paths.get(p))).asScala)
+    assert(lines.count(_.trim.nonEmpty) == 3)
+    lines.filter(_.trim.nonEmpty).foreach(l => assert(l.trim.startsWith("{")))
+  }
+
   test("pass_through preserves rows, columns and values exactly") {
     val df = Seq((1L, "a", Some(1.5)), (2L, "b", None)).toDF("id", "name", "score")
     val out = Transformers.PassThrough.transform(df)
