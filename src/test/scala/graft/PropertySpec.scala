@@ -632,6 +632,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("join-size synopsis: the 16 disjoint key strata partition the exact pair count") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val g = Gen.listOfN(60, Gen.choose(1L, 25L))
+    forAll(g, n = 4) { keys =>
+      val c = keys.toDF("k").groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .withColumn("hv",
+          conv(substring(md5(col("k").cast(StringType)), 1, 8), 16, 10).cast(LongType))
+        .withColumn("stratum", expr("hv div 268435456"))
+      val strata = c.groupBy(col("stratum"))
+        .agg(sum(col("cnt") * col("cnt")).as("pairs"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exact = keys.groupBy(identity).values.map(v => v.size.toLong * v.size).sum
+      // every stratum id is one of the 16 hash slices, and they tile exactly
+      assert(strata.keySet.forall(s => s >= 0 && s < 16))
+      assert(strata.values.sum == exact)
+    }
+  }
+
   test("olsNormalEq2: recovers an exact-fit plane exactly; singular matrix yields NULLs") {
     import graft.operators.Eval
     val pts = for { a <- 0L to 6L; b <- 0L to 4L } yield (a, b, 3L + 2 * a - 5 * b)
