@@ -75,5 +75,65 @@ object MultimodalQueries {
       .orderBy(col("media_id"), col("start_sample"))
   }
 
-  val all: Seq[Q] = Seq(mm1ByteFeatures, mm2FrameSampling, mm3AudioWindows)
+  /** Multimodal sequence-length budgeting — the accounting a multimodal
+    * pretraining loader runs BEFORE packing: each example's effective
+    * token length = caption text tokens + its modality's token cost
+    * (image → ViT-14 patch grid ⌈w/14⌉·⌈h/14⌉ from the decoded dims;
+    * audio → 25 tokens per mm3 analysis window; video → 64 patch tokens
+    * per mm2-sampled frame), reported per modality with the count that
+    * would overflow a 4096-token context (the truncate/tile planning
+    * number). Same synthetic-meta conventions as mm1–mm3 (deterministic
+    * dims from payload bytes), so the oracle replays the arithmetic
+    * exactly; all integer, one map-side projection + one 3-key aggregate.
+    */
+  val mm4SequenceBudget: Q = Q(
+    "mm4_sequence_budget",
+    """WITH m AS (SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS txt
+      |  FROM documents),
+      |t AS (SELECT media_id, modality, txt,
+      |    CASE modality
+      |      WHEN 'image' THEN
+      |        ((112 + nb % 400 + 13) // 14) * ((112 + (nb * 31) % 400 + 13) // 14)
+      |      WHEN 'audio' THEN
+      |        CASE WHEN 1 + (nb * 997) % 100000 >= 16000
+      |             THEN ((1 + (nb * 997) % 100000 - 16000) // 8000 + 1) * 25
+      |             ELSE 0 END
+      |      ELSE ((1 + nb % 300 + 4) // 5) * 64
+      |    END AS modal_tokens
+      |  FROM m)
+      |SELECT modality, CAST(COUNT(*) AS BIGINT) AS n_examples,
+      |  CAST(SUM(txt + modal_tokens) AS BIGINT) AS total_tokens,
+      |  CAST(MAX(txt + modal_tokens) AS BIGINT) AS max_len,
+      |  CAST(SUM(CASE WHEN txt + modal_tokens > 4096 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_over_budget
+      |FROM t GROUP BY modality ORDER BY modality""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.LongType
+    val m = Multimodal.fromDocuments(Tables.documents(spark, dir), "doc_id", "text")
+      .withColumn("nb", length(col("payload")).cast(LongType))
+      .withColumn("txt", graft.operators.TextAnalysis
+        .tokenCount(decode(col("payload"), "UTF-8")).cast(LongType))
+    val modalTokens =
+      when(col("modality") === "image",
+        expr("((112 + nb % 400 + 13) div 14) * ((112 + (nb * 31) % 400 + 13) div 14)"))
+      .when(col("modality") === "audio",
+        when(lit(1L) + (col("nb") * 997) % 100000 >= 16000,
+          (expr("(1 + (nb * 997) % 100000 - 16000) div 8000") + 1) * 25)
+          .otherwise(0L))
+      .otherwise(expr("((1 + nb % 300 + 4) div 5) * 64"))
+    m.withColumn("modal_tokens", modalTokens)
+      .groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_examples"),
+        sum(col("txt") + col("modal_tokens")).as("total_tokens"),
+        max(col("txt") + col("modal_tokens")).as("max_len"),
+        sum(when(col("txt") + col("modal_tokens") > 4096, 1L).otherwise(0L))
+          .as("n_over_budget"))
+      .orderBy(col("modality"))
+  }
+
+  val all: Seq[Q] = Seq(mm1ByteFeatures, mm2FrameSampling, mm3AudioWindows,
+    mm4SequenceBudget)
 }
