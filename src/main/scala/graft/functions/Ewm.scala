@@ -129,6 +129,16 @@ object GraftFunctions {
       "hash32", exprs => Hash32Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dotp", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "mg_topk", exprs => {
+        val k = exprs(1) match {
+          case Literal(i: java.lang.Integer, _) => i.intValue()
+          case Literal(l: java.lang.Long, _) => l.intValue()
+          case other => throw new IllegalArgumentException(
+            s"mg_topk: k must be an integer literal, got $other")
+        }
+        MgTopK(exprs.head, k).toAggregateExpression()
+      }, "scala_udf")
   }
 }
 

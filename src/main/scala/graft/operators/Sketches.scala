@@ -31,7 +31,7 @@ object Sketches extends Serializable {
     * (and the object Serializable) so executor closures can reference it.
     */
   @annotation.tailrec
-  private def mgAdd(
+  private[graft] def mgAdd(
       m: scala.collection.mutable.Map[String, Long], k: Int,
       v: String, c: Long): Unit = {
     if (m.contains(v)) m(v) += c
@@ -74,7 +74,7 @@ object Sketches extends Serializable {
   def mgCandidates(df: DataFrame, valueCol: Column, k: Int): Map[String, Long] =
     mgCandidatesWithTotal(df, valueCol, k)._1
 
-  private def mgMerge(a: Map[String, Long], b: Map[String, Long], k: Int): Map[String, Long] = {
+  private[graft] def mgMerge(a: Map[String, Long], b: Map[String, Long], k: Int): Map[String, Long] = {
     val m = scala.collection.mutable.Map[String, Long]() ++= a
     b.foreach { case (v, c) => mgAdd(m, k, v, c) }
     m.toMap

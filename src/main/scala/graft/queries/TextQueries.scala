@@ -633,9 +633,47 @@ object TextQueries {
       .orderBy(col("dim"))
   }
 
+  /** Per-SOURCE heavy hitters through the native [[graft.functions.MgTopK]]
+    * aggregate — the grouped form tx10's RDD treeAggregate cannot express:
+    * `mg_topk(value, 30) GROUP BY source` keeps one ≤30-counter sketch per
+    * group through Spark's real partial-aggregation path (map-side
+    * partials, serialized merges), candidates are exact-verified per group
+    * (the tx10 discipline — MG guarantees every value with count >
+    * n_g/(k+1) survives, so verified output IS the exact answer the plain
+    * GROUP-BY/HAVING oracle states). Exact pass touches only candidate
+    * (source, term) pairs via a broadcast semi-join.
+    */
+  val tx21GroupedHeavyHitters: Q = Q(
+    "tx21_grouped_heavy_hitters",
+    """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS value
+      |              FROM documents),
+      |tot AS (SELECT source, COUNT(*) AS n FROM toks GROUP BY source)
+      |SELECT t.source, value, CAST(COUNT(*) AS BIGINT) AS cnt
+      |FROM toks t JOIN tot USING (source)
+      |GROUP BY t.source, value, tot.n
+      |HAVING COUNT(*) > tot.n // 31
+      |ORDER BY source, cnt DESC, value""".stripMargin) { (spark, dir) =>
+    graft.functions.GraftFunctions.register(spark)
+    val k = 30
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("value"))
+    val cand = toks.groupBy(col("source"))
+      .agg(expr(s"mg_topk(value, $k)").as("sk"), count(lit(1)).as("n"))
+      .select(col("source"), col("n"), explode(col("sk")).as("c"))
+      .select(col("source"), col("n"), col("c.term").as("value"))
+    toks.join(broadcast(cand.select(col("source"), col("value"))),
+        Seq("source", "value"), "left_semi")
+      .groupBy(col("source"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(cand.select(col("source"), col("n")).distinct()), "source")
+      .filter(col("cnt") > expr(s"n div ${k + 1}"))
+      .select(col("source"), col("value"), col("cnt"))
+      .orderBy(col("source"), col("cnt").desc, col("value"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
     tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift, tx19OovRate,
-    tx20FeatureHashing)
+    tx20FeatureHashing, tx21GroupedHeavyHitters)
 }
