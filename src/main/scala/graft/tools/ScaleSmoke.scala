@@ -61,6 +61,56 @@ object ScaleSmoke {
       require(bad == 0, s"$bad malformed chunks")
       require(nChunks >= n, "every doc must emit at least one chunk")
     }
+    t(s"gini n=$n") {
+      // all-equal values → exactly 0 at any n (and the rank kernel scales)
+      val g = graft.operators.Eval
+        .giniCoefficient(docs.withColumn("v", lit(5L)), "doc_id", "v").head()
+      require(g.getLong(3) == 0L, s"uniform gini ${g.getLong(3)} != 0")
+    }
+    t(s"rolling_distinct n=$n") {
+      // key k active every day → every full 7-day window counts all keys
+      val ev = docs.select(
+        date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+          (col("doc_id") % 30).cast("int")).as("d"),
+        (expr("doc_id div 30") % 5000).as("k")) // independent of the day coord
+      val out = graft.operators.Temporal.rollingDistinct(ev, "d", "k", 7)
+      val low = out.filter(col("active_keys") < 5000L).count()
+      require(low == 0, s"$low windows lost keys")
+    }
+    t(s"ordinal_assoc n=$n") {
+      // y = x (mod-quantized): strictly concordant on the grid → gamma 10000
+      val xy = docs.select((col("doc_id") % 50).as("x"), (col("doc_id") % 50).as("y"))
+      val r = graft.operators.Eval.ordinalAssociation(xy, "x", "y").head()
+      require(r.getLong(4) == 10000L, s"gamma ${r.getLong(4)}")
+    }
+    t(s"poisson_bootstrap n=$n") {
+      val r = graft.operators.Eval
+        .poissonBootstrap(docs.withColumn("v", lit(100L)), "doc_id", "v", 4)
+        .collect()
+      r.foreach { row =>
+        require(math.abs(row.getLong(1) - n) < 6 * math.sqrt(n.toDouble),
+          s"replica mass ${row.getLong(1)} far from $n")
+        require(row.getLong(3) == 100000L, "constant series mean must be exact")
+      }
+    }
+    t(s"mg_topk n=$n") {
+      graft.functions.GraftFunctions.register(spark)
+      // one key holds 20% of the stream; must survive any merge order
+      val vals = docs.select(
+        when(col("doc_id") % 5 === 0, "hot")
+          .otherwise(concat(lit("t"), col("doc_id") % 10000)).as("v"))
+      val sk = vals.agg(expr("mg_topk(v, 9)")).head()
+        .getSeq[org.apache.spark.sql.Row](0)
+      require(sk.exists(_.getString(0) == "hot"), "heavy hitter lost at scale")
+    }
+    t(s"hilbert n=$n") {
+      // bijectivity of the curve key over the full normalized grid at n rows
+      val pts = docs.select((col("doc_id") % 256).as("x"),
+        (expr("doc_id div 256") % 256).as("y"))
+      val h = graft.operators.Layout.hilbert8(pts, "x", "y", "h")
+      val mm = h.agg(min("h"), max("h"), count_distinct(col("h"))).head()
+      require(mm.getLong(0) == 0L && mm.getLong(1) == 65535L && mm.getLong(2) == 65536L)
+    }
     spark.stop()
   }
 }
