@@ -252,6 +252,34 @@ object Indicators {
         (col(s"${outPrefix}_up") + col(s"${outPrefix}_lo")) / 2.0)
   }
 
+  /** Ichimoku Kinkō Hyō: tenkan/kijun = midpoints of trailing 9/26-row
+    * extrema, senkou A = the tenkan/kijun midpoint displaced 26 rows back
+    * (lag — the "cloud" edge the CURRENT row sees), senkou B = the 52-row
+    * extrema midpoint displaced 26, chikou = the close 26 rows AHEAD
+    * (lead). Everything is exact rolling extrema, halvings and row
+    * shifts — no accumulation anywhere, bit-stable on any engine — and
+    * ALL six columns ride ONE keyed window sort (same partition/order
+    * spec throughout). Full-window-only: each column is null until its
+    * lookback (or lookahead) exists.
+    */
+  def withIchimoku(
+      df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    val base = baseWindow(partitionCols, orderCol)
+    def mid(p: Int) = {
+      val w = base.rowsBetween(-(p - 1), 0)
+      when(count(col(highCol)).over(w) === p,
+        (max(col(highCol)).over(w) + min(col(lowCol)).over(w)) / 2.0)
+    }
+    df.withColumn("tenkan", mid(9))
+      .withColumn("kijun", mid(26))
+      .withColumn("__mid52", mid(52)) // named first: lag-of-window can't nest
+      .withColumn("senkou_a", lag((col("tenkan") + col("kijun")) / 2.0, 26).over(base))
+      .withColumn("senkou_b", lag(col("__mid52"), 26).over(base))
+      .withColumn("chikou", lead(col(closeCol), 26).over(base))
+      .drop("__mid52")
+  }
+
   /** Rolling volume-weighted average price over the trailing `period` rows:
     * Σ(close·volume) / Σ(volume); null until a full window. For
     * integer-valued close and volume both window sums are exact in any

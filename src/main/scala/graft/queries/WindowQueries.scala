@@ -1221,6 +1221,57 @@ object WindowQueries {
       .orderBy(col("sym"), col("d"))
   }
 
+  /** Ichimoku cloud per symbol ([[Indicators.withIchimoku]]): five exact
+    * extrema-midpoint/displacement lines off one keyed window sort; rows
+    * kept once every backward component exists (chikou stays null near
+    * the series end by construction — the lead has nothing to read).
+    */
+  val w14Ichimoku: Q = Q(
+    "w14_ichimoku",
+    """WITH bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) + 1.0 AS high,
+      |    CAST(FLOOR(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) - 1.0 AS low,
+      |    CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS DOUBLE) AS close
+      |  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)),
+      |s AS (SELECT sym, d, close,
+      |    ROW_NUMBER() OVER w AS rn,
+      |    CASE WHEN COUNT(high) OVER w9 = 9
+      |         THEN (MAX(high) OVER w9 + MIN(low) OVER w9) / 2.0 END AS tenkan,
+      |    CASE WHEN COUNT(high) OVER w26 = 26
+      |         THEN (MAX(high) OVER w26 + MIN(low) OVER w26) / 2.0 END AS kijun,
+      |    CASE WHEN COUNT(high) OVER w52 = 52
+      |         THEN (MAX(high) OVER w52 + MIN(low) OVER w52) / 2.0 END AS mid52
+      |  FROM bars
+      |  WINDOW w AS (PARTITION BY sym ORDER BY d),
+      |    w9 AS (PARTITION BY sym ORDER BY d ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+      |    w26 AS (PARTITION BY sym ORDER BY d ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+      |    w52 AS (PARTITION BY sym ORDER BY d ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)),
+      |i AS (SELECT sym, d, close, rn, tenkan, kijun,
+      |    LAG((tenkan + kijun) / 2.0, 26) OVER w AS senkou_a,
+      |    LAG(mid52, 26) OVER w AS senkou_b,
+      |    LEAD(close, 26) OVER w AS chikou
+      |  FROM s WINDOW w AS (PARTITION BY sym ORDER BY d))
+      |SELECT sym, d, close, tenkan, kijun, senkou_a, senkou_b, chikou
+      |FROM i WHERE rn >= 78 ORDER BY sym, d""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val D2 = DecimalType(18, 2)
+    def fl(c: org.apache.spark.sql.Column) =
+      floor(c.cast(DoubleType) / 100.0).cast(DoubleType)
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(
+        (fl(max(col("o_totalprice").cast(D2))) + 1.0).as("high"),
+        (fl(min(col("o_totalprice").cast(D2))) - 1.0).as("low"),
+        fl(sum(col("o_totalprice").cast(D2))).as("close"))
+    // keep rows where the deepest displaced lookback exists (52 + 26 = 78)
+    Indicators.withIchimoku(bars, "high", "low", "close",
+        orderCol = "d", partitionCols = Seq("sym"))
+      .filter(col("senkou_b").isNotNull)
+      .select("sym", "d", "close", "tenkan", "kijun", "senkou_a", "senkou_b", "chikou")
+      .orderBy(col("sym"), col("d"))
+  }
+
   /** Cohen's kappa ([[graft.operators.Eval.cohensKappa]]): chance-corrected
     * agreement between the true quantity tertile and a "noisy rater" —
     * the same tertile of quantity perturbed by a deterministic md5-derived
@@ -1419,5 +1470,5 @@ object WindowQueries {
     m14QuantileBinning, m15RankAuc, m16Chi2, m17ThresholdMetrics,
     m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2, m22PrCurve,
     w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
-    m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols)
+    m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku)
 }

@@ -191,6 +191,35 @@ class TechnicalIndicatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("ichimoku: all five lines match a driver-side replay; displacement direction correct") {
+    val df = barsDf(120).withColumn("sym", lit("a"))
+    val got = Indicators.withIchimoku(df, "high", "low", "close",
+        orderCol = "date", partitionCols = Seq("sym"))
+      .orderBy(col("date"))
+      .select("tenkan", "kijun", "senkou_a", "senkou_b", "chikou")
+      .collect()
+    val bs = bars(120)
+    def mid(i: Int, p: Int): Option[Double] =
+      if (i < p - 1) None
+      else {
+        val w = bs.slice(i - p + 1, i + 1)
+        Some((w.map(_._3).max + w.map(_._4).min) / 2.0)
+      }
+    bs.indices.foreach { i =>
+      def chk(col: Int, want: Option[Double], what: String): Unit = want match {
+        case Some(v) => assert(!got(i).isNullAt(col) && got(i).getDouble(col) == v, s"$what at $i")
+        case None => assert(got(i).isNullAt(col), s"$what should be null at $i")
+      }
+      chk(0, mid(i, 9), "tenkan")
+      chk(1, mid(i, 26), "kijun")
+      val sa = if (i < 26) None
+        else for { t <- mid(i - 26, 9); k <- mid(i - 26, 26) } yield (t + k) / 2.0
+      chk(2, sa, "senkou_a")
+      chk(3, if (i < 26) None else mid(i - 26, 52), "senkou_b")
+      chk(4, if (i + 26 < bs.length) Some(bs(i + 26)._5) else None, "chikou")
+    }
+  }
+
   test("constant price: RSI 0/0 is null so every row is dropped (pandas NaN parity)") {
     val flat = (0 until 120).map { i =>
       (java.time.LocalDate.of(2023, 1, 1).plusDays(i).toString,
