@@ -409,8 +409,23 @@ object StreamingQueries {
       .orderBy(col("h_us"))
   }
 
+  /** Windowed trending types ([[EventsStream.trendingTypes]]) over the
+    * batch twin — the native MG sketch per window, exact here because
+    * k ≥ |event-type domain| (no cancellation), so the oracle is the
+    * plain windowed GROUP BY the sketch then provably equals.
+    */
+  val st14Trending: Q = Q(
+    "st14_trending",
+    """SELECT epoch_us(date_trunc('hour', ts)) AS h_us, event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY h_us, n DESC, event_type""".stripMargin) { (spark, dir) =>
+    EventsStream.trendingTypes(Tables.events(spark, dir))
+      .select(unix_micros(col("h")).as("h_us"), col("event_type"), col("n"))
+      .orderBy(col("h_us"), col("n").desc, col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts, st3IncrementalDedup,
     st4Enrich, st5ClickAttribution, st6Matview, st7CepSequence, st8CepSequenceN,
     st9IngestQuota, st10JoinMatview, st11SlidingCounts, st12OuterAttribution,
-    st13WindowedDistinct)
+    st13WindowedDistinct, st14Trending)
 }

@@ -271,6 +271,28 @@ object EventsStream {
       .agg(count(lit(1)).as("active_users"))
       .select(col("w.start").as("h"), col("active_users"))
 
+  /** Windowed trending event types through the NATIVE mergeable sketch
+    * aggregate ([[graft.functions.MgTopK]]): per hourly window, one
+    * ≤k-counter Misra–Gries summary of the event-type stream, exploded to
+    * (window, type, count) rows ranked by count. The sketch buffer rides
+    * the streaming state store exactly like Spark's own typed imperative
+    * aggregates — per-window state is O(k), NOT O(distinct types), which
+    * is the point at an unbounded-cardinality key (trending URLs, not
+    * five event types). With k ≥ |domain| (here 9 ≥ 5) no cancellation
+    * round ever fires, so the counts are EXACT and the batch twin equals
+    * a plain windowed GROUP BY — which is what the oracle states.
+    */
+  def trendingTypes(events: DataFrame, k: Int = 9): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr(s"mg_topk(event_type, $k)").as("sk"))
+      .select(col("w.start").as("h"), explode(col("sk")).as("e"))
+      .select(col("h"), col("e.term").as("event_type"),
+        col("e.cnt_lower").as("n"))
+  }
+
   /** STREAM-STREAM interval join: each purchase matched to the same user's
     * clicks in the 30 minutes before it — ad/click attribution, the
     * canonical two-stream correlation. Both sides are watermarked and the

@@ -95,6 +95,27 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     q.stop()
   }
 
+  test("trendingTypes: sketch buffers survive the streaming state store across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.EventsStream.trendingTypes(
+        mem.toDF().toDF("event_id", "event_type", "ts"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("trend_test").start()
+    // batch 1: 3 clicks, 1 view in hour 0
+    mem.addData((1L, "click", ts(5)), (2L, "click", ts(10)),
+      (3L, "click", ts(20)), (4L, "view", ts(30)))
+    q.processAllAvailable()
+    // batch 2: 2 more views in the SAME window — counts must ACCUMULATE
+    // through the serialized sketch state, not restart per batch
+    mem.addData((5L, "view", ts(40)), (6L, "view", ts(50)))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT event_type, n FROM trend_test")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("click" -> 3L, "view" -> 3L), s"got $got")
+    q.stop()
+  }
+
   test("clickAttribution: batch run equals the plain inequality join") {
     val p = Seq((1L, 10L, ts(60)), (2L, 10L, ts(200))).toDF("event_id", "user_id", "ts")
     val c = Seq((11L, 10L, ts(40)), (12L, 10L, ts(59)), (13L, 10L, ts(171)),
