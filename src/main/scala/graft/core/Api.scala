@@ -42,6 +42,14 @@ object PluginConfig {
       case s: String => s.toInt
     }
     def intOr(key: String, default: Int): Int = int(key).getOrElse(default)
+    def dbl(key: String): Option[Double] = c.get(key).collect {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case l: Long => l.toDouble
+      case s: String => s.toDouble
+    }
+    def dblOr(key: String, default: Double): Double = dbl(key).getOrElse(default)
     def bool(key: String, default: Boolean = false): Boolean = c.get(key).collect {
       case b: Boolean => b
     }.getOrElse(default)

@@ -19,6 +19,34 @@ object Transformers {
     Registries.transformers.register("data_cleaning")((_, c) => new DataCleaningTransformer(c))
     Registries.transformers.register("pydantic_validation")((_, c) => new ValidationTransformer(c))
     Registries.transformers.register("technical_indicators")((_, c) => new IndicatorsTransformer(c))
+    Registries.transformers.register("corpus_clean")((_, c) => new CorpusCleanTransformer(c))
+  }
+
+  /** Beyond-reference: the dd8 corpus-curation chain (quality gate → exact
+    * dedup → MinHash near-dup removal, [[graft.operators.Dedup.cleanCorpus]])
+    * as a config-driven transformer — so the SAME YAML engine that runs the
+    * reference's pipelines runs an LLM-curation pipeline
+    * (`configs/corpus_pipeline.yaml`): jsonl in → curated jsonl out.
+    */
+  class CorpusCleanTransformer(conf: Conf) extends Transformer {
+    private val idCol = conf.strOr("id_column", "doc_id")
+    private val textCol = conf.strOr("text_column", "text")
+    private val maxDupWordFraction = conf.dblOr("max_dup_word_fraction", 0.5)
+    private val maxSymbolRatio = conf.dblOr("max_symbol_ratio", 0.3)
+    private val minTokens = conf.intOr("min_tokens", 5)
+    private val threshold = conf.dblOr("jaccard_threshold", 0.8)
+
+    override def validate(df: DataFrame): Unit = {
+      val have = df.columns.toSet
+      require(have.contains(idCol) && have.contains(textCol),
+        s"corpus_clean: requires columns '$idCol' and '$textCol', got ${have.mkString(", ")}")
+    }
+
+    def transform(df: DataFrame): DataFrame =
+      graft.operators.Dedup.cleanCorpus(df, idCol, textCol,
+        maxDupWordFraction = maxDupWordFraction,
+        maxSymbolRatio = maxSymbolRatio,
+        minTokens = minTokens, threshold = threshold)
   }
 
   /** P1 — identity (`transformers/pass_through.py:15-20`; the copy contract

@@ -192,6 +192,41 @@ class EnginePipelineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("config_file or inline_config"))
   }
 
+  test("corpus_pipeline.yaml shape: jsonl -> corpus_clean -> jsonl end to end") {
+    val dir = tmp()
+    val in = dir.resolve("raw.jsonl")
+    // 1 low-quality (repeated word), 2 exact dups, 2 near-dups, 1 clean
+    Files.writeString(in, Seq(
+      """{"doc_id": 1, "text": "spam spam spam spam spam spam spam spam"}""",
+      """{"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog today"}""",
+      """{"doc_id": 3, "text": "the quick brown fox jumps over the lazy dog today"}""",
+      """{"doc_id": 4, "text": "a completely different document about spark engines here"}""",
+      """{"doc_id": 5, "text": "a completely different document about spark engines there"}""",
+      """{"doc_id": 6, "text": "short but fine unique text with enough tokens"}""").mkString("\n"))
+    val out = dir.resolve("curated").toString
+    val cfg = Config.parse(
+      s"""pipeline:
+         |  name: corpus_curation
+         |  extract:
+         |    type: jsonl_file
+         |    inline_config: {path: "${in.toString}"}
+         |  transform:
+         |    - type: corpus_clean
+         |      inline_config: {min_tokens: 5, jaccard_threshold: 0.7}
+         |  load:
+         |    type: jsonl_local
+         |    inline_config: {path: "$out", if_exists: replace}
+         |""".stripMargin)
+    new Engine(spark).run(cfg)
+    val ids = new graft.sources.JsonlFileExtractor(spark, Map("path" -> out))
+      .extract().select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(6L) && ids.contains(2L), s"clean docs must survive: $ids")
+    assert(!ids.contains(1L), "repetition-spam doc must be gated")
+    assert(!ids.contains(3L), "exact duplicate must drop (keep-lowest)")
+    assert(!ids.contains(5L), "near duplicate must drop (keep-lowest)")
+    assert(ids.contains(4L), "near-dup keeper must survive")
+  }
+
   test("inline config wins over config file on merge") {
     val dir = tmp()
     Files.writeString(dir.resolve("step.yaml"), "path: /from/file\nindent: 4\n")
