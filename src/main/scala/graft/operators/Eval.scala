@@ -387,17 +387,37 @@ object Eval {
     * yields NULL coefficients instead of a divide throw.
     */
   def olsNormalEq2(
-      df: DataFrame, x1Col: String, x2Col: String, yCol: String): DataFrame = {
+      df: DataFrame, x1Col: String, x2Col: String, yCol: String): DataFrame =
+    olsNormalEq2Impl(df, x1Col, x2Col, yCol, groupCols = Nil)
+
+  /** Per-GROUP [[olsNormalEq2]] — one fit per segment (source, symbol,
+    * market) from the SAME single moment scan, now keyed: the groupBy is
+    * map-side combinable (9 sums per group), so fitting 10⁶ segments
+    * costs one shuffle of 9-number rows — the per-segment elasticity
+    * report no gradient-based fit could afford at that fan-out.
+    */
+  def groupedOlsNormalEq2(
+      df: DataFrame, groupCol: String,
+      x1Col: String, x2Col: String, yCol: String): DataFrame =
+    olsNormalEq2Impl(df, x1Col, x2Col, yCol, groupCols = Seq(groupCol))
+      .orderBy(col(groupCol))
+
+  private def olsNormalEq2Impl(
+      df: DataFrame, x1Col: String, x2Col: String, yCol: String,
+      groupCols: Seq[String]): DataFrame = {
     val D = DecimalType(38, 0)
     val (x1, x2, y) =
       (col(x1Col).cast(D), col(x2Col).cast(D), col(yCol).cast(D))
-    val m = df.agg(
+    val aggs = Seq(
       count(lit(1)).cast(D).as("n"),
       sum(x1).cast(D).as("s1"), sum(x2).cast(D).as("s2"),
       sum(y).cast(D).as("sy"),
       sum(x1 * x1).cast(D).as("s11"), sum(x1 * x2).cast(D).as("s12"),
       sum(x2 * x2).cast(D).as("s22"),
       sum(x1 * y).cast(D).as("s1y"), sum(x2 * y).cast(D).as("s2y"))
+    val m =
+      if (groupCols.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     // Cramer over A = [[n,S1,S2],[S1,S11,S12],[S2,S12,S22]], b = (Sy,S1y,S2y)
     val withDets = m.select(col("*"),
       expr("""n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
@@ -415,8 +435,9 @@ object Eval {
              | * (abs($dn) * 1000000 div abs(det))""".stripMargin))
         .cast(LongType).as(s"b${dn.drop(3)}_micro")
     withDets.select(
-      col("n").cast(LongType).as("n"), col("det").cast(D).as("det"),
-      coef("det0"), coef("det1"), coef("det2"))
+      groupCols.map(col) ++ Seq(
+        col("n").cast(LongType).as("n"), col("det").cast(D).as("det"),
+        coef("det0"), coef("det1"), coef("det2")): _*)
   }
 
   /** Reliability-diagram calibration bins: fixed-width score bins (width

@@ -1464,11 +1464,62 @@ object WindowQueries {
     graft.operators.Eval.olsNormalEq2(v, "x1", "x2", "y")
   }
 
+  /** Per-segment closed-form OLS
+    * ([[graft.operators.Eval.groupedOlsNormalEq2]]): one price model per
+    * return flag from one keyed moment scan — m29's fit at segment
+    * fan-out, 9 map-combinable sums per group.
+    */
+  val m30GroupedOls: Q = Q(
+    "m30_grouped_ols",
+    """WITH v AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x1,
+      |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM lineitem),
+      |m AS (SELECT g, CAST(COUNT(*) AS HUGEINT) AS n,
+      |    CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+      |    CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+      |    CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+      |    CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+      |    CAST(SUM(CAST(x1 AS HUGEINT) * y) AS HUGEINT) AS s1y,
+      |    CAST(SUM(CAST(x2 AS HUGEINT) * y) AS HUGEINT) AS s2y
+      |  FROM v GROUP BY g),
+      |d AS (SELECT g, n,
+      |    n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s12 - s11 * s2) AS det,
+      |    sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+      |      + s2 * (s1y * s12 - s11 * s2y) AS det0,
+      |    n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2)
+      |      + s2 * (s1 * s2y - s1y * s2) AS det1,
+      |    n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s2 * s1y)
+      |      + sy * (s1 * s12 - s11 * s2) AS det2
+      |  FROM m)
+      |SELECT g, CAST(n AS BIGINT) AS n, CAST(det AS DECIMAL(38,0)) AS det,
+      |  CAST(CASE WHEN det = 0 THEN NULL
+      |    ELSE (CASE WHEN (det0 >= 0) = (det >= 0) THEN 1 ELSE -1 END)
+      |         * (abs(det0) * 1000000 // abs(det)) END AS BIGINT) AS b0_micro,
+      |  CAST(CASE WHEN det = 0 THEN NULL
+      |    ELSE (CASE WHEN (det1 >= 0) = (det >= 0) THEN 1 ELSE -1 END)
+      |         * (abs(det1) * 1000000 // abs(det)) END AS BIGINT) AS b1_micro,
+      |  CAST(CASE WHEN det = 0 THEN NULL
+      |    ELSE (CASE WHEN (det2 >= 0) = (det >= 0) THEN 1 ELSE -1 END)
+      |         * (abs(det2) * 1000000 // abs(det)) END AS BIGINT) AS b2_micro
+      |FROM d ORDER BY g""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val v = graft.Tables.lineitem(spark, dir).select(
+      col("l_returnflag").as("g"),
+      col("l_quantity").cast(LongType).as("x1"),
+      floor(col("l_discount") * 100 + 0.5).cast(LongType).as("x2"),
+      (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("y"))
+    graft.operators.Eval.groupedOlsNormalEq2(v, "g", "x1", "x2", "y")
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
     m14QuantileBinning, m15RankAuc, m16Chi2, m17ThresholdMetrics,
     m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2, m22PrCurve,
     w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
-    m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku)
+    m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku, m30GroupedOls)
 }
