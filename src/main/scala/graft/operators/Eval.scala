@@ -464,4 +464,98 @@ object Eval {
         expr("pos * 10000 div n").as("pos_rate_bp"),
         expr(s"score_sum * 10000 div (n * ${fullScale}L)").as("mean_score_bp"))
       .orderBy(col("bin"))
+
+  /** Spearman rank correlation with average ("midrank") tie handling —
+    * Pearson over ranks, the monotone-association sibling of
+    * [[ordinalAssociation]] (tau counts pair inversions; rho weights them by
+    * rank distance). Same quantized-input contract as the other grid
+    * statistics: the corpus first reduces to per-axis VALUE GRIDS with
+    * counts (two bounded-key groupBys, map-side combinable), so ranks never
+    * touch a row-scale window — each distinct value's doubled midrank is
+    * 2·(cumulative count of smaller values) + own count + 1, one running
+    * sum over the ≤G-row grid (doubling keeps .5 midranks integral).
+    * Ranks broadcast-join back onto the (x, y) cell grid, and the five
+    * moment sums come from ONE decimal(38,0) aggregate over it.
+    *
+    * Output: exact decimal num = n·Sxy − Sx·Sy and the two variance terms
+    * var_x, var_y (hash-compare exactly), plus rho_bp derived through
+    * double. The double step is still cross-engine deterministic: both
+    * engines cast the SAME exact decimals with round-to-nearest, and IEEE
+    * sqrt/divide on identical doubles are identical — no order-dependent
+    * float accumulation anywhere. Degenerate axes (constant x or y →
+    * var = 0) yield NULL rho_bp.
+    *
+    * 100 TB shape: two grid groupBys + two broadcast joins + one aggregate;
+    * decimal(38,0) holds the moments to ~10⁸ rows at doubled-rank
+    * magnitudes (past that, pre-bucket the axes — the same note as
+    * [[ordinalAssociation]]).
+    */
+  def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val grid = df.groupBy(col(xCol).cast(LongType).as("x"),
+        col(yCol).cast(LongType).as("y"))
+      .agg(count(lit(1)).as("c"))
+    def axisRanks(axis: String) = {
+      import org.apache.spark.sql.expressions.Window
+      // grid-sized running sum: bounded rows by the quantized-input
+      // contract, so the unpartitioned window is a ≤G-row sort, not a
+      // corpus-scale one (same stance as ordinalAssociation's G² loop)
+      val w = Window.orderBy(axis).rowsBetween(Window.unboundedPreceding, -1)
+      grid.groupBy(col(axis)).agg(sum(col("c")).as("cc"))
+        .withColumn("r2",
+          coalesce(sum(col("cc")).over(w), lit(0L)) * 2 + col("cc") + 1)
+        .select(col(axis), col("r2").as(s"r2$axis"))
+    }
+    val joined = grid
+      .join(broadcast(axisRanks("x")), "x")
+      .join(broadcast(axisRanks("y")), "y")
+    joined.agg(
+        sum(col("c")).cast(D).as("n"),
+        sum(col("c").cast(D) * col("r2x")).cast(D).as("sx"),
+        sum(col("c").cast(D) * col("r2y")).cast(D).as("sy"),
+        sum(col("c").cast(D) * col("r2x") * col("r2x")).cast(D).as("sxx"),
+        sum(col("c").cast(D) * col("r2y") * col("r2y")).cast(D).as("syy"),
+        sum(col("c").cast(D) * col("r2x") * col("r2y")).cast(D).as("sxy"))
+      .select(
+        col("n").cast(LongType).as("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast(D).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast(D).as("var_x"),
+        (col("n") * col("syy") - col("sy") * col("sy")).cast(D).as("var_y"))
+      .withColumn("rho_bp",
+        when(col("var_x") === 0 || col("var_y") === 0, lit(null).cast(LongType))
+          .otherwise(
+            // floor(x + 0.5): explicit half-up rounding, identical on any
+            // engine (a bare floor truncates the 9999.999… that float sqrt
+            // leaves at exact ±1 down to 9999)
+            floor(col("num").cast(DoubleType) * 10000.0
+              / sqrt(col("var_x").cast(DoubleType))
+              / sqrt(col("var_y").cast(DoubleType)) + 0.5).cast(LongType)))
   }
+
+  /** McNemar's test for paired classifiers: do models a and b disagree
+    * symmetrically on the SAME rows? Only the discordant cells matter —
+    * b01 = a right / b wrong, b10 = a wrong / b right — and the
+    * continuity-corrected statistic is (|b01−b10|−1)² / (b01+b10), emitted
+    * as an exact integer rational in basis points (widened to decimal(38,0)
+    * before the square — the [[rankAuc]] overflow discipline). No
+    * discordant rows → NULL (the test is undefined, not zero). One
+    * map-side-combinable aggregate over boolean flags; nothing about the
+    * shape changes at 100 TB.
+    */
+  def mcnemar(
+      df: DataFrame, truthCol: String, aCol: String, bCol: String): DataFrame = {
+    val aOk = col(aCol) === col(truthCol)
+    val bOk = col(bCol) === col(truthCol)
+    df.agg(
+        count(lit(1)).as("n"),
+        sum(when(aOk && !bOk, 1L).otherwise(0L)).as("b01"),
+        sum(when(!aOk && bOk, 1L).otherwise(0L)).as("b10"))
+      .select(col("n"), col("b01"), col("b10"),
+        when(col("b01") + col("b10") === 0, lit(null).cast(LongType))
+          .otherwise(expr(
+            """(abs(cast(b01 as decimal(38,0)) - b10) - 1)
+              | * (abs(cast(b01 as decimal(38,0)) - b10) - 1)
+              | * 10000 div (cast(b01 as decimal(38,0)) + b10)""".stripMargin)
+            .cast(LongType)).as("chi2_cc_bp"))
+  }
+}

@@ -296,6 +296,41 @@ object Indicators {
     df.withColumn(outCol, when(cnt === period && v =!= 0.0, pv / v))
   }
 
+  /** Commodity Channel Index over an integer-valued typical-price column,
+    * as an EXACT integer rational: CCI = (tp − SMA) / (0.015 · MAD), where
+    * MAD is the mean absolute deviation of the window's prices from the
+    * window's own mean. Clearing denominators (n = period, S = window sum):
+    * CCI = 200·n·(n·tp − S) / (3·Σⱼ|n·tpⱼ − S|), so cci_centi
+    * (hundredths) = 20000·n·(n·tp − S) div (3·Σ|…|), with the sign split
+    * out before the division (truncate-vs-floor parity on negatives — the
+    * [[graft.operators.Eval.ordinalAssociation]] rule). NULL until a full
+    * window and when the window is constant (MAD = 0).
+    *
+    * The MAD term references the CURRENT row's window sum inside the
+    * neighbor iteration, which no plain window aggregate expresses — it
+    * runs as a codegen'd higher-order `aggregate` over the window's
+    * `collect_list` (a `period`-element array per row, partition-local;
+    * nothing shuffles beyond the window sort itself).
+    */
+  def withCci(
+      df: DataFrame, tpCol: String, outCol: String, period: Int,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    val w = baseWindow(partitionCols, orderCol).rowsBetween(-(period - 1), 0)
+    val tp = col(tpCol).cast(org.apache.spark.sql.types.LongType)
+    df.withColumn("__tp", tp)
+      .withColumn("__cnt", count(col(tpCol)).over(w))
+      .withColumn("__s", sum(tp).over(w))
+      .withColumn("__vals", collect_list(col("__tp")).over(w))
+      .withColumn("__mad_n",
+        expr(s"aggregate(__vals, 0L, (a, v) -> a + abs($period * v - __s))"))
+      .withColumn(outCol,
+        when(col("__cnt") === period && col("__mad_n") =!= 0,
+          (when(expr(s"$period * __tp - __s") >= 0, 1L).otherwise(-1L) *
+            expr(s"abs(20000 * $period * ($period * __tp - __s)) div (3 * __mad_n)"))
+            .cast(org.apache.spark.sql.types.LongType)))
+      .drop("__tp", "__cnt", "__s", "__vals", "__mad_n")
+  }
+
   /** The full reference transformer. Requires (case-insensitively)
     * `date, open, high, low, close, volume`; appends the seven hardcoded
     * indicator columns and drops warmup rows.

@@ -1241,10 +1241,237 @@ object AnalyticsQueries {
       .orderBy(col("w_end"))
   }
 
+  /** Equi-DEPTH histogram (16 buckets of equal row count) of the price
+    * column — the profiling complement of [[qHistogram]]'s equi-width form,
+    * and the quantile-boundary primitive behind range partitioning and
+    * percentile reporting. A global NTILE window would sort the corpus in
+    * ONE task — the scale cliff — so the plan instead reduces the corpus to
+    * its VALUE GRID (groupBy cents → counts: one bounded-key shuffle), runs
+    * the distributed [[graft.operators.PrefixSum]] over the distinct values
+    * to get each value's 0-based global rank range [start, start+cnt), and
+    * assigns bucket overlap by pure integer arithmetic: ranks in bucket b
+    * are [⌈bn/B⌉, ⌈(b+1)n/B⌉), so each value explodes to ≤ its bucket-span
+    * rows with an exact overlap count. Per-bucket stats (count, min, max,
+    * sum) are tie-order invariant, so the oracle's ROW_NUMBER formulation
+    * matches bit-for-bit.
+    */
+  val qEquiDepthHist: Q = Q(
+    "q_equi_depth_hist",
+    """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM lineitem),
+      |n AS (SELECT COUNT(*) AS n FROM v),
+      |r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) - 1 AS r FROM v)
+      |SELECT CAST(r.r * 16 // n.n AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+      |  CAST(SUM(cents) AS BIGINT) AS total_cents
+      |FROM r, n GROUP BY 1 ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    val B = 16
+    val g = Tables.lineitem(spark, dir)
+      .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).as("cents"))
+      .groupBy("cents").agg(count(lit(1)).as("cnt"))
+    val (pref, n) = graft.operators.PrefixSum
+      .withStartOffsetAndTotal(g, "cents", "cnt", "start")
+    pref
+      .withColumn("b", explode(expr(
+        s"sequence(start * $B div ${n}L, (start + cnt - 1) * $B div ${n}L)")))
+      .withColumn("lo_r", expr(s"(b * ${n}L + ${B - 1}) div $B"))
+      .withColumn("hi_r", expr(s"((b + 1) * ${n}L + ${B - 1}) div $B - 1"))
+      .withColumn("ov",
+        least(col("hi_r"), col("start") + col("cnt") - 1)
+          - greatest(col("lo_r"), col("start")) + 1)
+      .groupBy(col("b").cast(LongType).as("bucket"))
+      .agg(sum(col("ov")).as("n_rows"),
+        min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"),
+        sum(col("cents").cast(DecimalType(38, 0)) * col("ov"))
+          .cast(LongType).as("total_cents"))
+      .orderBy(col("bucket"))
+  }
+
+  /** ABC (Pareto-class) inventory classification per market: within each
+    * customer nation, brands sort by exact decimal revenue and classify by
+    * the cumulative share INCLUDING the current brand — A ≤ 70 %, B ≤ 90 %,
+    * C above, with share held as an exact integer in basis points (cum·10⁴
+    * div total, both decimal(38,0) cents — no float drift at class
+    * boundaries). The window partitions by nation over the AGGREGATED
+    * (nation, brand) frame — bounded by the brand catalog per market, not
+    * corpus rows, so the per-partition sort stays trivial at 100 TB; the
+    * revenue rollup itself is the usual partial-aggregated join star
+    * (lineitem⨝orders on orderkey, customer/nation/part broadcast).
+    */
+  val qAbcByNation: Q = Q(
+    "q_abc_by_nation",
+    """WITH rev AS (
+      |  SELECT n.n_name AS nation, p.p_brand AS brand,
+      |    CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100) AS HUGEINT) AS cents
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1, 2),
+      |w AS (SELECT nation, brand, cents,
+      |        SUM(cents) OVER (PARTITION BY nation ORDER BY cents DESC, brand
+      |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        SUM(cents) OVER (PARTITION BY nation) AS tot
+      |      FROM rev)
+      |SELECT nation, brand, CAST(cents AS BIGINT) AS cents,
+      |  CAST(cum * 10000 // tot AS BIGINT) AS cum_bp,
+      |  CASE WHEN cum * 10000 // tot <= 7000 THEN 'A'
+      |       WHEN cum * 10000 // tot <= 9000 THEN 'B' ELSE 'C' END AS abc
+      |FROM w ORDER BY nation, cents DESC, brand""".stripMargin) { (spark, dir) =>
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("n_name").as("nation"), col("p_brand").as("brand"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast(DecimalType(38, 0)).as("cents"))
+    val byNation = Window.partitionBy("nation")
+    val cum = sum(col("cents"))
+      .over(byNation.orderBy(col("cents").desc, col("brand"))
+        .rowsBetween(Window.unboundedPreceding, 0))
+    val tot = sum(col("cents")).over(byNation)
+    rev
+      .withColumn("cum", cum)
+      .withColumn("tot", tot)
+      .withColumn("cum_bp", expr("cum * 10000 div tot").cast(LongType))
+      .select(col("nation"), col("brand"),
+        col("cents").cast(LongType).as("cents"), col("cum_bp"),
+        when(col("cum_bp") <= 7000, "A")
+          .when(col("cum_bp") <= 9000, "B").otherwise("C").as("abc"))
+      .orderBy(col("nation"), col("cents").desc, col("brand"))
+  }
+
+  /** Time-BOUNDED funnel (the ClickHouse `windowFunnel` shape): per user,
+    * the deepest view → click → purchase chain whose whole span fits in one
+    * hour from the anchoring view — unlike [[qFunnel]]'s unbounded
+    * earliest-chain semantics, a late purchase does NOT count. Levels come
+    * from chain EXISTS joins keyed on user_id (every join shuffles on the
+    * same key, so AQE coalesces them into one partitioning; per-user event
+    * counts bound the pair fan-out, and at real scale the time bound itself
+    * caps candidates — events more than an hour apart never pair, so a
+    * time-bucketed variant of the same join stays linear in the stream).
+    */
+  val qWindowFunnel: Q = Q(
+    "q_window_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+      |v AS (SELECT user_id, t FROM e WHERE event_type = 'view'),
+      |lv2 AS (SELECT DISTINCT v.user_id FROM v JOIN e c
+      |        ON c.user_id = v.user_id AND c.event_type = 'click'
+      |       AND c.t > v.t AND c.t <= v.t + 3600000000),
+      |lv3 AS (SELECT DISTINCT v.user_id
+      |        FROM v JOIN e c ON c.user_id = v.user_id AND c.event_type = 'click'
+      |                       AND c.t > v.t AND c.t <= v.t + 3600000000
+      |               JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+      |                       AND p.t > c.t AND p.t <= v.t + 3600000000)
+      |SELECT u.user_id,
+      |  CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+      |            WHEN l2.user_id IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS level
+      |FROM (SELECT DISTINCT user_id FROM v) u
+      |LEFT JOIN lv2 l2 ON l2.user_id = u.user_id
+      |LEFT JOIN lv3 l3 ON l3.user_id = u.user_id
+      |ORDER BY u.user_id""".stripMargin) { (spark, dir) =>
+    val hourUs = 3600000000L
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+    val v = e.filter(col("event_type") === "view").select(col("user_id"), col("t"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("t").as("ct"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("t").as("pt"))
+    val vc = v.join(c, col("cu") === col("user_id")
+      && col("ct") > col("t") && col("ct") <= col("t") + hourUs)
+    val lv2 = vc.select(col("user_id")).distinct()
+      .withColumn("l2", lit(1))
+    val lv3 = vc.join(p, col("pu") === col("user_id")
+        && col("pt") > col("ct") && col("pt") <= col("t") + hourUs)
+      .select(col("user_id")).distinct()
+      .withColumn("l3", lit(1))
+    v.select("user_id").distinct()
+      .join(lv2, Seq("user_id"), "left")
+      .join(lv3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("l3").isNotNull, 3L)
+          .when(col("l2").isNotNull, 2L).otherwise(1L).as("level"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Grid-bucketed closest pair over a 2D integer point set (second-of-day ×
+    * value cents) — the spatial-join primitive: bucket every point into a
+    * C×C grid cell, replicate each point into its 3×3 cell neighborhood on
+    * ONE side of the join, and equi-join on the cell key, so candidate
+    * generation is a plain hash shuffle (never an all-pairs product) and
+    * each unordered pair within the neighborhood is tested exactly once
+    * (id₁ < id₂ on the replicated side's match). Semantics are
+    * radius-bounded by construction — pairs beyond one cell apart are out
+    * of scope on BOTH engines identically — and with real densities the
+    * true closest pair is far inside one cell. Winner selection is the
+    * lexicographically least (d², id₁, id₂): fully deterministic, one
+    * TakeOrdered. At 100 TB the same plan holds with cell statistics
+    * choosing C (salting any hot cell); nothing is quadratic in the corpus.
+    */
+  val qGridClosestPair: Q = Q(
+    "q_grid_closest_pair",
+    """WITH pts AS (SELECT event_id AS id,
+      |    epoch_us(ts) // 1000000 % 86400 AS x,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      |  FROM events),
+      |cells AS (SELECT id, x, y, x // 500 AS cx, y // 500 AS cy FROM pts),
+      |pairs AS (SELECT a.id AS id1, b.id AS id2,
+      |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      |  FROM cells a JOIN cells b
+      |    ON a.id < b.id
+      |   AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
+      |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+      |          CAST(MIN(d2) AS BIGINT) AS min_d2 FROM pairs),
+      |best AS (SELECT CAST(id1 AS BIGINT) AS best_id1, CAST(id2 AS BIGINT) AS best_id2
+      |         FROM pairs, agg WHERE d2 = min_d2 ORDER BY id1, id2 LIMIT 1)
+      |SELECT CAST((SELECT COUNT(*) FROM pts) AS BIGINT) AS n_points,
+      |  agg.n_candidates, agg.min_d2, best.best_id1, best.best_id2
+      |FROM agg LEFT JOIN best ON TRUE""".stripMargin) { (spark, dir) =>
+    val C = 500L
+    val pts = Tables.events(spark, dir).select(
+      col("event_id").as("id"),
+      expr("unix_micros(ts) div 1000000 % 86400").as("x"),
+      (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("y"))
+      .withColumn("cx", expr(s"x div $C")).withColumn("cy", expr(s"y div $C"))
+      .localCheckpoint(eager = false)
+    val nbr = pts.select(col("id").as("id2"), col("x").as("x2"),
+        col("y").as("y2"), col("cx").as("cx2"), col("cy").as("cy2"))
+      .withColumn("dx", explode(lit(Array(-1, 0, 1))))
+      .withColumn("dy", explode(lit(Array(-1, 0, 1))))
+      .select(col("id2"), col("x2"), col("y2"),
+        (col("cx2") + col("dx")).as("jx"), (col("cy2") + col("dy")).as("jy"))
+    val pairs = pts.join(nbr,
+        col("jx") === col("cx") && col("jy") === col("cy")
+          && col("id") < col("id2"))
+      .select(col("id").as("id1"), col("id2"),
+        ((col("x") - col("x2")) * (col("x") - col("x2"))
+          + (col("y") - col("y2")) * (col("y") - col("y2"))).as("d2"))
+    val nPts = pts.count()
+    pairs.agg(
+        count(lit(1)).as("n_candidates"),
+        // lexicographic struct min ≡ the oracle's ORDER BY d2, id1, id2
+        // LIMIT 1 — one aggregate, no second pass over the pair frame
+        min(struct(col("d2"), col("id1"), col("id2"))).as("m"))
+      .select(lit(nPts).as("n_points"), col("n_candidates"),
+        col("m.d2").as("min_d2"),
+        col("m.id1").as("best_id1"), col("m.id2").as("best_id2"))
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
     qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
     qCohortRetention, qFunnel, qCepFirstMatch, qMomGrowth, qTrendLine, qSkyline, qTriangles,
     qResampleBySymbol, qPagerank, qEventTransitions, qPeakConcurrency,
     qCusumDrift, qMarketBasket, qOhlcBars, qGapsIslands, qRfm, qPareto,
-    qSourceDiversity, qReachability, qRollingDistinct)
+    qSourceDiversity, qReachability, qRollingDistinct,
+    qEquiDepthHist, qAbcByNation, qWindowFunnel, qGridClosestPair)
 }

@@ -424,8 +424,34 @@ object StreamingQueries {
       .orderBy(col("h_us"), col("n").desc, col("event_type"))
   }
 
+  /** TTL-bounded streaming exact dedup ([[EventsStream.dedupByContent]]:
+    * `dropDuplicatesWithinWatermark` on the content hash, state expiring
+    * with the 2-hour watermark) — gated through its batch twin's
+    * per-event-type uniqueness profile. Within-batch survivor CHOICE is
+    * arrival-order-dependent (any one duplicate survives), so the oracle
+    * pins the deterministic invariants instead: distinct-content and
+    * duplicate counts per type, which every legal survivor set yields.
+    * The streaming path's state-expiry behavior is pinned separately in
+    * spec (the state store holds arrival-rate × horizon hashes, not
+    * history — the 100 TB/day ingest-side bound).
+    */
+  val st15TtlDedup: Q = Q(
+    "st15_ttl_dedup",
+    """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(COUNT(DISTINCT props) AS BIGINT) AS n_unique,
+      |  CAST(COUNT(*) - COUNT(DISTINCT props) AS BIGINT) AS n_dupes
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .withColumn("content_hash", md5(col("props").cast(org.apache.spark.sql.types.StringType)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("content_hash")).as("n_unique"),
+        (count(lit(1)) - count_distinct(col("content_hash"))).as("n_dupes"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts, st3IncrementalDedup,
     st4Enrich, st5ClickAttribution, st6Matview, st7CepSequence, st8CepSequenceN,
     st9IngestQuota, st10JoinMatview, st11SlidingCounts, st12OuterAttribution,
-    st13WindowedDistinct, st14Trending)
+    st13WindowedDistinct, st14Trending, st15TtlDedup)
 }

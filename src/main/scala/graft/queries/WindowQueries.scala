@@ -1515,11 +1515,136 @@ object WindowQueries {
     graft.operators.Eval.groupedOlsNormalEq2(v, "g", "x1", "x2", "y")
   }
 
+  /** Commodity Channel Index ([[Indicators.withCci]]) per symbol over the
+    * integer typical-price bars — the exact-rational form (cci_centi =
+    * 20000·n·(n·tp−S) div (3·Σ|n·tpⱼ−S|), sign split before the division).
+    * The oracle computes the window-relative MAD through an explicit
+    * rn-range self-join (each bar against its 19 predecessors), the
+    * engine through a codegen'd per-row array aggregate — different plans,
+    * bit-identical integers.
+    */
+  val w15Cci: Q = Q(
+    "w15_cci",
+    """WITH bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS BIGINT) AS tp
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (SELECT sym, d, tp,
+      |        ROW_NUMBER() OVER (PARTITION BY sym ORDER BY d) AS rn,
+      |        SUM(tp) OVER (PARTITION BY sym ORDER BY d
+      |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS s20
+      |      FROM bars),
+      |m AS (SELECT a.sym, a.d, SUM(ABS(20 * b.tp - a.s20)) AS madsum
+      |      FROM s a JOIN s b ON b.sym = a.sym AND b.rn BETWEEN a.rn - 19 AND a.rn
+      |      GROUP BY a.sym, a.d)
+      |SELECT a.sym, a.d, a.tp,
+      |  CAST(CASE WHEN m.madsum = 0 THEN NULL
+      |    ELSE (CASE WHEN 20 * a.tp - a.s20 >= 0 THEN 1 ELSE -1 END)
+      |         * (ABS(20000 * 20 * (20 * a.tp - a.s20)) // (3 * m.madsum))
+      |    END AS BIGINT) AS cci_centi
+      |FROM s a JOIN m ON m.sym = a.sym AND m.d = a.d
+      |WHERE a.rn >= 20 ORDER BY a.sym, a.d""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val D2 = DecimalType(18, 2)
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(floor(sum(col("o_totalprice").cast(D2)).cast(DoubleType) / 100.0)
+        .cast(LongType).as("tp"))
+    import org.apache.spark.sql.expressions.Window
+    val rn = row_number().over(Window.partitionBy("sym").orderBy("d"))
+    Indicators.withCci(bars, "tp", "cci_centi", 20,
+        orderCol = "d", partitionCols = Seq("sym"))
+      .withColumn("__rn", rn)
+      .filter(col("__rn") >= 20)
+      .select("sym", "d", "tp", "cci_centi")
+      .orderBy(col("sym"), col("d"))
+  }
+
+  /** Spearman rho ([[graft.operators.Eval.spearmanRho]]) between daily
+    * order count and daily revenue — "do busier days take more money?" as
+    * a midrank monotone-association statistic. Exact decimal moments (the
+    * calendar bound keeps doubled ranks ≤ ~5·10³, so every moment is far
+    * inside 2⁵³ and even the rho double path is exact); the oracle builds
+    * the identical midranks from per-axis running sums.
+    */
+  val m31Spearman: Q = Q(
+    "m31_spearman",
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(COUNT(*) AS BIGINT) AS x,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |g AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c FROM daily GROUP BY 1, 2),
+      |xr AS (SELECT x, SUM(c) AS cc FROM g GROUP BY x),
+      |xr2 AS (SELECT x, 2 * COALESCE(SUM(cc) OVER (ORDER BY x
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cc + 1 AS r2x
+      |        FROM xr),
+      |yr AS (SELECT y, SUM(c) AS cc FROM g GROUP BY y),
+      |yr2 AS (SELECT y, 2 * COALESCE(SUM(cc) OVER (ORDER BY y
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cc + 1 AS r2y
+      |        FROM yr),
+      |j AS (SELECT g.c, xr2.r2x, yr2.r2y FROM g
+      |      JOIN xr2 USING (x) JOIN yr2 USING (y)),
+      |a AS (SELECT SUM(c) AS n, SUM(c * r2x) AS sx, SUM(c * r2y) AS sy,
+      |        SUM(c * r2x * r2x) AS sxx, SUM(c * r2y * r2y) AS syy,
+      |        SUM(c * r2x * r2y) AS sxy FROM j)
+      |SELECT CAST(n AS BIGINT) AS n,
+      |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS num,
+      |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_x,
+      |  CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS var_y,
+      |  CAST(CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN NULL
+      |    ELSE FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 10000.0
+      |         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+      |         / SQRT(CAST(n * syy - sy * sy AS DOUBLE)) + 0.5)
+      |    END AS BIGINT) AS rho_bp
+      |FROM a""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val daily = graft.Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("x"),
+        (sum(col("o_totalprice").cast(DecimalType(18, 2))) * 100)
+          .cast(LongType).as("y"))
+    graft.operators.Eval.spearmanRho(daily, "x", "y")
+  }
+
+  /** McNemar's paired test ([[graft.operators.Eval.mcnemar]]): a
+    * value-threshold rule vs an event-type rule predicting the same
+    * high-value flag on the same events — the discordant-cell test an A/B
+    * model comparison runs when both models score the SAME corpus.
+    */
+  val m32Mcnemar: Q = Q(
+    "m32_mcnemar",
+    """WITH e AS (SELECT
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 10000 AS truth,
+      |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2 = 0 AS a,
+      |    event_type IN ('purchase', 'click') AS b
+      |  FROM events),
+      |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN a = truth AND b <> truth THEN 1 ELSE 0 END) AS BIGINT) AS b01,
+      |  CAST(SUM(CASE WHEN a <> truth AND b = truth THEN 1 ELSE 0 END) AS BIGINT) AS b10
+      |FROM e)
+      |SELECT n, b01, b10,
+      |  CAST(CASE WHEN b01 + b10 = 0 THEN NULL
+      |    ELSE (ABS(CAST(b01 AS HUGEINT) - b10) - 1)
+      |         * (ABS(CAST(b01 AS HUGEINT) - b10) - 1)
+      |         * 10000 // (CAST(b01 AS HUGEINT) + b10)
+      |    END AS BIGINT) AS chi2_cc_bp
+      |FROM ct""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val e = graft.Tables.events(spark, dir).select(
+      ((col("value").cast(DecimalType(18, 2)) * 100).cast(LongType) >= 10000L)
+        .as("truth"),
+      (conv(substring(md5(col("event_id").cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType) % 2 === 0).as("a"),
+      col("event_type").isin("purchase", "click").as("b"))
+    graft.operators.Eval.mcnemar(e, "truth", "a", "b")
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
     m14QuantileBinning, m15RankAuc, m16Chi2, m17ThresholdMetrics,
     m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2, m22PrCurve,
     w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
-    m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku, m30GroupedOls)
+    m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
+    m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar)
 }

@@ -424,6 +424,42 @@ class EvalMixSpec extends AnyFunSuite {
     assert(ks.forall(k => k >= 0.0 && k <= 100.0))
   }
 
+  test("spearmanRho: perfect monotone, inverse, midrank ties, degenerate axis") {
+    // strictly increasing pairs → rho exactly +1
+    val up = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)).toDF("x", "y")
+    assert(Eval.spearmanRho(up, "x", "y").collect()(0).getLong(4) == 10000L)
+    // strictly decreasing → exactly −1 (floor of −10000.0 is −10000)
+    val down = Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L)).toDF("x", "y")
+    assert(Eval.spearmanRho(down, "x", "y").collect()(0).getLong(4) == -10000L)
+    // midrank ties, hand-computed: x=(1,1,2) y=(5,7,7) → doubled midranks
+    // r2x=(3,3,6), r2y=(2,5,5); num=9, var_x=var_y=18 → rho = 0.5
+    val tied = Seq((1L, 5L), (1L, 7L), (2L, 7L)).toDF("x", "y")
+    val t = Eval.spearmanRho(tied, "x", "y").collect()(0)
+    assert(t.getLong(0) == 3)
+    assert(t.getDecimal(1).longValueExact == 9L)
+    assert(t.getDecimal(2).longValueExact == 18L)
+    assert(t.getDecimal(3).longValueExact == 18L)
+    assert(t.getLong(4) == 5000L)
+    // constant axis → zero variance → NULL rho, not a divide/sqrt throw
+    val const = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("x", "y")
+    assert(Eval.spearmanRho(const, "x", "y").collect()(0).isNullAt(4))
+  }
+
+  test("mcnemar: discordant cells and continuity correction; no-discord NULL") {
+    // truth all true; a right on 4 rows where b wrong on 3, b right where a
+    // wrong on 1 → b01=3, b10=1, chi2_cc = (|3−1|−1)²/4 → 2500 bp
+    val df = Seq(
+      (true, true, false), (true, true, false), (true, true, false),
+      (true, false, true),
+      (true, true, true), (true, false, false)).toDF("t", "a", "b")
+    val r = Eval.mcnemar(df, "t", "a", "b").collect()(0)
+    assert(r.getLong(0) == 6 && r.getLong(1) == 3 && r.getLong(2) == 1)
+    assert(r.getLong(3) == 2500L)
+    // perfectly agreeing models → no discordant pairs → NULL statistic
+    val agree = Seq((true, true, true), (false, true, true)).toDF("t", "a", "b")
+    assert(Eval.mcnemar(agree, "t", "a", "b").collect()(0).isNullAt(3))
+  }
+
   test("tx17 gopher filter: keep is the conjunction of the rule booleans") {
     val dir = "/root/testdata/sf0.001"
     val rows = queries.TextQueries.tx17GopherFilter.run(spark, dir).collect()

@@ -161,4 +161,22 @@ class IndicatorsSpec extends AnyFunSuite {
       .orderBy("date").collect()
     assert(g.forall(_.isNullAt(g.head.fieldIndex("vwap"))))
   }
+
+  test("withCci: exact rational CCI, sign split, constant-window NULL, warmup") {
+    // period 3 over 1,2,3,4: both full windows sit at the upper band edge
+    // → CCI = +100 (centi 10000); decreasing series mirrors to −10000
+    val up = Seq(("d1", 1L), ("d2", 2L), ("d3", 3L), ("d4", 4L))
+      .toDF("d", "tp")
+    val r = Indicators.withCci(up, "tp", "cci", 3, "d").orderBy("d").collect()
+    assert(r(0).isNullAt(2) && r(1).isNullAt(2)) // warmup rows
+    assert(r(2).getLong(2) == 10000L && r(3).getLong(2) == 10000L)
+    val down = Seq(("d1", 4L), ("d2", 3L), ("d3", 2L), ("d4", 1L))
+      .toDF("d", "tp")
+    val s = Indicators.withCci(down, "tp", "cci", 3, "d").orderBy("d").collect()
+    assert(s(2).getLong(2) == -10000L && s(3).getLong(2) == -10000L)
+    // constant window → MAD = 0 → NULL, not a divide throw
+    val const = Seq(("d1", 5L), ("d2", 5L), ("d3", 5L)).toDF("d", "tp")
+    val c = Indicators.withCci(const, "tp", "cci", 3, "d").orderBy("d").collect()
+    assert(c.forall(_.isNullAt(2)))
+  }
 }
