@@ -364,6 +364,56 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** MinHash estimator CALIBRATION over the LSH candidate set — the report
+    * that answers "what threshold does my banding actually implement?":
+    * for every candidate pair the banding surfaces (NO Jaccard threshold),
+    * compare the signature estimate (matching positions / k) against the
+    * exact shingle Jaccard, grouped into rowsPerBand-wide match-count
+    * buckets. Per bucket: pair count, mean estimated and mean exact
+    * similarity (exact integer rationals in basis points), and the exact
+    * min/max — the spread a threshold-tuning pass reads directly.
+    *
+    * Same banded candidate generation as [[minhashNearDuplicates]] (never
+    * all-pairs; hot buckets capped), one extra per-pair zip over the
+    * k-long signatures; the report itself is ≤k/rowsPerBand+1 rows.
+    */
+  def minhashCalibration(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      maxBucket: Int = 100000): DataFrame = {
+    val k = bands * rowsPerBand
+    val base = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
+    val withSh = cachedForReuse(shingleSignatures(base, shingleK, k, bands))
+    val bandsDf = capBuckets(withSh.select(col("doc_id"),
+      posexplode(col("bk")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_key")),
+      Seq("band", "band_key"), maxBucket)
+    val a = bandsDf.as("a"); val b = bandsDf.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = withSh.select(col("doc_id").as("doc_a"),
+      col("sh").as("sh_a"), col("sig").as("sig_a"))
+    val sb = withSh.select(col("doc_id").as("doc_b"),
+      col("sh").as("sh_b"), col("sig").as("sig_b"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("match_n",
+        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast(LongType) - col("inter"))
+      .withColumn("exact_bp", expr("inter * 10000 div uni"))
+      .groupBy(expr(s"cast(match_n div $rowsPerBand as bigint)").as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr(s"sum(match_n) * 10000 div (count(1) * $k)").as("avg_est_bp"),
+        expr("sum(exact_bp) div count(1)").as("avg_exact_bp"),
+        min(col("exact_bp")).as("min_exact_bp"),
+        max(col("exact_bp")).as("max_exact_bp"))
+      .orderBy(col("bucket"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 32-bit SimHash over a BIGINT token-hash array column (by name): bit j is

@@ -1467,11 +1467,157 @@ object AnalyticsQueries {
         col("m.id1").as("best_id1"), col("m.id2").as("best_id2"))
   }
 
+  /** EXACT per-group percentiles (p50/p90/p99) without a corpus sort: the
+    * distribution compresses to its per-group VALUE GRID (groupBy (group,
+    * cents) — one bounded-key shuffle with map-side combine), cumulative
+    * counts come from a window over the grid PARTITIONED by group (each
+    * partition is that group's distinct values, not its rows), and
+    * percentile p is the smallest value whose cumulative count reaches
+    * ⌈p·n/100⌉ — the discrete lower-percentile definition, exact integer
+    * arithmetic end to end. This is the profiling shape that replaces
+    * `percentile_approx` when the answer must be exact at 100 TB: grid
+    * cardinality, not row count, bounds every sort.
+    */
+  val qPercentileReport: Q = Q(
+    "q_percentile_report",
+    """WITH v AS (SELECT event_type AS g,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+      |grid AS (SELECT g, cents, COUNT(*) AS c FROM v GROUP BY 1, 2),
+      |w AS (SELECT g, cents, c,
+      |        SUM(c) OVER (PARTITION BY g ORDER BY cents) AS cum,
+      |        SUM(c) OVER (PARTITION BY g) AS n FROM grid)
+      |SELECT g AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+      |  MIN(cents) AS min_cents, MAX(cents) AS max_cents,
+      |  MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN cents END) AS p50_cents,
+      |  MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN cents END) AS p90_cents,
+      |  MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN cents END) AS p99_cents
+      |FROM w GROUP BY g ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val grid = Tables.events(spark, dir)
+      .select(col("event_type").as("g"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .groupBy("g", "cents").agg(count(lit(1)).as("c"))
+    val byG = Window.partitionBy("g")
+    val cum = sum(col("c")).over(byG.orderBy("cents"))
+    val n = sum(col("c")).over(byG)
+    def pct(p: Int) =
+      min(when(col("cum") >= expr(s"(n * $p + 99) div 100"), col("cents")))
+        .as(s"p${p}_cents")
+    grid.withColumn("cum", cum).withColumn("n", n)
+      .groupBy(col("g").as("event_type"))
+      .agg(max(col("n")).cast(LongType).as("n"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"),
+        pct(50), pct(90), pct(99))
+      .orderBy(col("event_type"))
+  }
+
+  /** Benford first-digit screen over order totals — the fraud/data-quality
+    * classic: observed leading-digit shares vs the Benford expectation
+    * log₁₀(1+1/d), with BOTH sides as integer basis points (the expected
+    * shares are nine pinned literals, so no engine evaluates a log). The
+    * digit comes from the first character of the cents value's decimal
+    * rendering — integer-to-string, identical everywhere, no float log10
+    * at power-of-ten boundaries. One groupBy onto nine keys (map-side
+    * combinable) plus a nine-row window for the total.
+    */
+  val qBenford: Q = Q(
+    "q_benford",
+    """WITH v AS (SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    AS VARCHAR), 1, 1) AS digit FROM orders),
+      |g AS (SELECT digit, COUNT(*) AS n FROM v GROUP BY digit),
+      |t AS (SELECT digit, n, SUM(n) OVER () AS total FROM g)
+      |SELECT digit, CAST(n AS BIGINT) AS n,
+      |  CAST(n * 10000 // total AS BIGINT) AS obs_bp,
+      |  CAST(CASE digit WHEN '1' THEN 3010 WHEN '2' THEN 1760 WHEN '3' THEN 1249
+      |    WHEN '4' THEN 969 WHEN '5' THEN 791 WHEN '6' THEN 669 WHEN '7' THEN 579
+      |    WHEN '8' THEN 511 ELSE 457 END AS BIGINT) AS benford_bp,
+      |  CAST(n * 10000 // total - CASE digit WHEN '1' THEN 3010 WHEN '2' THEN 1760
+      |    WHEN '3' THEN 1249 WHEN '4' THEN 969 WHEN '5' THEN 791 WHEN '6' THEN 669
+      |    WHEN '7' THEN 579 WHEN '8' THEN 511 ELSE 457 END AS BIGINT) AS dev_bp
+      |FROM t ORDER BY digit""".stripMargin) { (spark, dir) =>
+    val bp = Seq("1" -> 3010L, "2" -> 1760L, "3" -> 1249L, "4" -> 969L,
+      "5" -> 791L, "6" -> 669L, "7" -> 579L, "8" -> 511L)
+    val benford = bp.foldLeft(when(lit(false), 0L)) { case (acc, (d, v)) =>
+      acc.when(col("digit") === d, v)
+    }.otherwise(457L)
+    Tables.orders(spark, dir)
+      .select(substring((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast(LongType).cast(StringType), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .select(col("digit"), col("n"),
+        expr("n * 10000 div total").as("obs_bp"),
+        benford.as("benford_bp"),
+        (expr("n * 10000 div total") - benford).as("dev_bp"))
+      .orderBy(col("digit"))
+  }
+
+  /** Referential-integrity audit across the star schema: for each FK edge,
+    * the child count and the orphan count (children whose parent key is
+    * absent) — the data-quality gate a pipeline runs before trusting joins.
+    * Orphans are LEFT ANTI joins on the FK (broadcast where the parent is a
+    * dim); each edge is one count aggregate, unioned into a fixed-height
+    * report.
+    */
+  val qRefIntegrity: Q = Q(
+    "q_ref_integrity",
+    """SELECT * FROM (
+      |  SELECT 'lineitem.l_orderkey->orders' AS edge,
+      |    (SELECT COUNT(*) FROM lineitem) AS n_child,
+      |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+      |  UNION ALL
+      |  SELECT 'lineitem.l_partkey->part',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+      |  UNION ALL
+      |  SELECT 'lineitem.l_suppkey->supplier',
+      |    (SELECT COUNT(*) FROM lineitem),
+      |    (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+      |      (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+      |  UNION ALL
+      |  SELECT 'orders.o_custkey->customer',
+      |    (SELECT COUNT(*) FROM orders),
+      |    (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+      |      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL
+      |  SELECT 'customer.c_nationkey->nation',
+      |    (SELECT COUNT(*) FROM customer),
+      |    (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+      |      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+      |) ORDER BY edge""".stripMargin) { (spark, dir) =>
+    def edge(name: String, child: org.apache.spark.sql.DataFrame,
+        childKey: String, parent: org.apache.spark.sql.DataFrame,
+        parentKey: String, broadcastParent: Boolean) = {
+      // one LEFT join + one aggregate per edge (parent keys are PKs, so the
+      // join never fans out) — child count and orphan count from the SAME
+      // pass, no separate count() job per edge; the union evaluates all
+      // edges in a single action
+      val pk = (if (broadcastParent) broadcast(parent) else parent)
+        .select(col(parentKey), lit(1).as("__p"))
+      child.select(col(childKey))
+        .join(pk, col(childKey) === col(parentKey), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("__p").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, dir); val o = Tables.orders(spark, dir)
+    Seq(
+      edge("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey", broadcastParent = false),
+      edge("lineitem.l_partkey->part", li, "l_partkey", Tables.part(spark, dir), "p_partkey", broadcastParent = true),
+      edge("lineitem.l_suppkey->supplier", li, "l_suppkey", Tables.supplier(spark, dir), "s_suppkey", broadcastParent = true),
+      edge("orders.o_custkey->customer", o, "o_custkey", Tables.customer(spark, dir), "c_custkey", broadcastParent = true),
+      edge("customer.c_nationkey->nation", Tables.customer(spark, dir), "c_nationkey", Tables.nation(spark, dir), "n_nationkey", broadcastParent = true))
+      .reduce(_ unionAll _)
+      .orderBy(col("edge"))
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
     qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
     qCohortRetention, qFunnel, qCepFirstMatch, qMomGrowth, qTrendLine, qSkyline, qTriangles,
     qResampleBySymbol, qPagerank, qEventTransitions, qPeakConcurrency,
     qCusumDrift, qMarketBasket, qOhlcBars, qGapsIslands, qRfm, qPareto,
     qSourceDiversity, qReachability, qRollingDistinct,
-    qEquiDepthHist, qAbcByNation, qWindowFunnel, qGridClosestPair)
+    qEquiDepthHist, qAbcByNation, qWindowFunnel, qGridClosestPair,
+    qPercentileReport, qBenford, qRefIntegrity)
 }

@@ -874,10 +874,50 @@ object DedupQueries {
       .orderBy(col("canonical_url"))
   }
 
+  /** MinHash estimator calibration ([[Dedup.minhashCalibration]]): over the
+    * full (unthresholded) LSH candidate set, signature-estimated vs exact
+    * Jaccard per match-count bucket — the threshold-tuning report. The
+    * oracle recomputes the identical banding + signature comparison in SQL
+    * (same hashes as dd2), so the whole estimate/exact ladder is pinned
+    * bit-for-bit, not just the ≥0.8 tail dd2 keeps.
+    */
+  val dd25LshCalibration: Q = Q(
+    "dd25_lsh_calibration",
+    s"""WITH $ShinglesSql,
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+       |     + (104729*j + 12345)) % 4294967311))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, t.b AS band,
+       |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+       |  FROM sig CROSS JOIN range(0, 16) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |p AS (SELECT
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      j -> CASE WHEN ga.sig[j] = gb.sig[j] THEN 1 ELSE 0 END)) AS BIGINT) AS match_n,
+       |    CAST(len(list_intersect(ga.sh, gb.sh)) AS BIGINT) AS inter,
+       |    CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS BIGINT) AS uni
+       |  FROM cand c JOIN sig ga ON ga.doc_id = c.doc_a JOIN sig gb ON gb.doc_id = c.doc_b),
+       |e AS (SELECT match_n, inter * 10000 // uni AS exact_bp FROM p)
+       |SELECT CAST(match_n // 4 AS BIGINT) AS bucket,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(match_n) * 10000 // (COUNT(*) * 64) AS BIGINT) AS avg_est_bp,
+       |  CAST(SUM(exact_bp) // COUNT(*) AS BIGINT) AS avg_exact_bp,
+       |  CAST(MIN(exact_bp) AS BIGINT) AS min_exact_bp,
+       |  CAST(MAX(exact_bp) AS BIGINT) AS max_exact_bp
+       |FROM e GROUP BY 1 ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    Dedup.minhashCalibration(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", shingleK = 3, bands = 16, rowsPerBand = 4)
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
     dd15Containment, dd16SourceLeakage, dd17PrefixFilter, dd18SentenceDedup,
     dd19BloomDecontaminate, dd20FuzzyEr, dd21DupSpans, dd22LshCapacity,
-    dd23SoftWeights, dd24UrlDedup)
+    dd23SoftWeights, dd24UrlDedup, dd25LshCalibration)
 }

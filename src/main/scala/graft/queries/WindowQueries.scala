@@ -1639,6 +1639,62 @@ object WindowQueries {
     graft.operators.Eval.mcnemar(e, "truth", "a", "b")
   }
 
+  /** Heikin-Ashi candles per symbol: ha_close is the plain OHLC mean, but
+    * ha_open is RECURSIVE — the midpoint of the previous bar's ha_open and
+    * ha_close — i.e. exactly the `y ← α·x + (1−α)·y` recurrence at α = ½
+    * with x = previous ha_close, seeded at (open₁+close₁)/2. It runs
+    * through the native [[graft.functions.Ewm]] window function (one
+    * WindowExec per symbol partition, no single-task pass); the oracle
+    * replays the identical IEEE recurrence in a per-symbol recursive CTE
+    * (the w2/w4 discipline), so values are bit-exact, not approximate.
+    * Opens/closes pick the day's first/last order by key (arg_min/arg_max —
+    * selections, not sums, so no decimal gymnastics needed).
+    */
+  val w16HeikinAshi: Q = Q(
+    "w16_heikin_ashi",
+    """WITH RECURSIVE bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    FLOOR(arg_min(o_totalprice, o_orderkey) / 100.0) AS o,
+      |    FLOOR(MAX(o_totalprice) / 100.0) AS h,
+      |    FLOOR(MIN(o_totalprice) / 100.0) AS l,
+      |    FLOOR(arg_max(o_totalprice, o_orderkey) / 100.0) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (SELECT sym, d, o, h, l, c,
+      |        (o + h + l + c) / 4.0 AS hc,
+      |        ROW_NUMBER() OVER (PARTITION BY sym ORDER BY d) AS rn
+      |      FROM bars),
+      |rec AS (
+      |  SELECT sym, rn, (o + c) / 2.0 AS ho, hc FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT g.sym, g.rn, 0.5 * r.hc + 0.5 * r.ho, g.hc
+      |  FROM s g JOIN rec r ON g.sym = r.sym AND g.rn = r.rn + 1)
+      |SELECT s.sym, s.d, r.ho AS ha_open, r.hc AS ha_close,
+      |  GREATEST(s.h, r.ho, r.hc) AS ha_high,
+      |  LEAST(s.l, r.ho, r.hc) AS ha_low
+      |FROM rec r JOIN s ON s.sym = r.sym AND s.rn = r.rn
+      |ORDER BY s.sym, s.d""".stripMargin) { (spark, dir) =>
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(
+        floor(min_by(col("o_totalprice"), col("o_orderkey")) / 100.0).as("o"),
+        floor(max(col("o_totalprice")) / 100.0).as("h"),
+        floor(min(col("o_totalprice")) / 100.0).as("l"),
+        floor(max_by(col("o_totalprice"), col("o_orderkey")) / 100.0).as("c"))
+    val w = Window.partitionBy("sym").orderBy("d")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    bars
+      .withColumn("hc", (col("o") + col("h") + col("l") + col("c")) / 4.0)
+      .withColumn("x",
+        coalesce(lag(col("hc"), 1).over(w), (col("o") + col("c")) / 2.0))
+      .withColumn("ho", expr("ewm(x, 0.5, 0)").over(wRun))
+      .select(col("sym"), col("d"), col("ho").as("ha_open"), col("hc").as("ha_close"),
+        greatest(col("h"), col("ho"), col("hc")).as("ha_high"),
+        least(col("l"), col("ho"), col("hc")).as("ha_low"))
+      .orderBy(col("sym"), col("d"))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
@@ -1646,5 +1702,5 @@ object WindowQueries {
     m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2, m22PrCurve,
     w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
     m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
-    m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar)
+    m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi)
 }

@@ -276,4 +276,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .filter(col("split") === "train").select("event_id").as[Long].collect().toSet
     assert(c != a)
   }
+
+  test("minhashCalibration: identical docs land in the full-match bucket exactly") {
+    val rep = Dedup.minhashCalibration(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // docs 1 and 2 are byte-identical: 64/64 matching positions → bucket 16,
+    // estimate and exact similarity both exactly 10000 bp
+    assert(rep.contains(16L))
+    val full = rep(16L)
+    assert(full.getLong(2) == 10000L && full.getLong(3) == 10000L)
+    assert(full.getLong(4) == 10000L && full.getLong(5) == 10000L)
+    // every bucket's exact spread brackets its mean
+    rep.values.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(3) && r.getLong(3) <= r.getLong(5))
+      assert(r.getLong(1) > 0)
+    }
+  }
 }
