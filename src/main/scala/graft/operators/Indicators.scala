@@ -296,6 +296,58 @@ object Indicators {
     df.withColumn(outCol, when(cnt === period && v =!= 0.0, pv / v))
   }
 
+  /** Wilder's ADX (Average Directional Index): directional movement
+    * (+DM/−DM) and true range each Wilder-smoothed (α = 1/period), the
+    * directional indicators ±DI = 100·smDM/smTR, DX = 100·|+DI − −DI| /
+    * (+DI + −DI), and ADX = the SAME smoothing applied to DX — a
+    * two-stage recursion. All four recursions run through the native
+    * [[graft.functions.Ewm]] window function: stage one shares a single
+    * keyed WindowExec (three ewm calls over one sort), stage two reuses
+    * the same partitioning. Every derived value is a fixed IEEE op
+    * sequence over the smoothed states, so a recursive-CTE oracle
+    * replaying the identical expressions is bit-exact (the w2/w12
+    * discipline). Convention: TR and ±DM are NULL on each key's first row
+    * (no previous bar), so all smoothings seed at row 2 and, with
+    * `minPeriods = period`, ±DI/DX first emit at row period+1 and ADX at
+    * row 2·period. Zero smoothed denominators emit NULL (guarded, not
+    * thrown); they cannot occur once a nonzero observation seeds the
+    * state.
+    */
+  def withAdx(
+      df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+      outPrefix: String, period: Int,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val w = baseWindow(partitionCols, orderCol)
+    val a = 1.0 / period.toDouble
+    val (h, l, c) = (col(highCol), col(lowCol), col(closeCol))
+    val ph = lag(h, 1).over(w); val pl = lag(l, 1).over(w)
+    val pc = lag(c, 1).over(w)
+    val up = h - ph; val dn = pl - l
+    val base = df
+      .withColumn("__tr", when(pc.isNotNull,
+        greatest(h - l, abs(h - pc), abs(l - pc))))
+      .withColumn("__pdm", when(pc.isNotNull,
+        when(up > dn && up > 0.0, up).otherwise(0.0)))
+      .withColumn("__mdm", when(pc.isNotNull,
+        when(dn > up && dn > 0.0, dn).otherwise(0.0)))
+      .withColumn("__str", expr(s"ewm(__tr, $a, $period)").over(w))
+      .withColumn("__spdm", expr(s"ewm(__pdm, $a, $period)").over(w))
+      .withColumn("__smdm", expr(s"ewm(__mdm, $a, $period)").over(w))
+      .withColumn(s"${outPrefix}_pdi",
+        when(col("__str") =!= 0.0, lit(100.0) * col("__spdm") / col("__str")))
+      .withColumn(s"${outPrefix}_mdi",
+        when(col("__str") =!= 0.0, lit(100.0) * col("__smdm") / col("__str")))
+      .withColumn("__dx", {
+        val pdi = col(s"${outPrefix}_pdi"); val mdi = col(s"${outPrefix}_mdi")
+        when(pdi + mdi =!= 0.0, lit(100.0) * abs(pdi - mdi) / (pdi + mdi))
+      })
+    base
+      .withColumn(s"${outPrefix}_adx", expr(s"ewm(__dx, $a, $period)").over(w))
+      .withColumn(s"${outPrefix}_dx", col("__dx"))
+      .drop("__tr", "__pdm", "__mdm", "__str", "__spdm", "__smdm", "__dx")
+  }
+
   /** Commodity Channel Index over an integer-valued typical-price column,
     * as an EXACT integer rational: CCI = (tp − SMA) / (0.015 · MAD), where
     * MAD is the mean absolute deviation of the window's prices from the

@@ -1612,6 +1612,37 @@ object AnalyticsQueries {
       .orderBy(col("edge"))
   }
 
+  /** Top user journeys: each user's first 8 events (by time, event-id
+    * tiebreak) rendered as an ordered `a>b>c` path, then counted — the
+    * path-analysis staple behind funnel DISCOVERY (which sequences actually
+    * happen, vs [[qFunnel]] which scores a known one). Per-user assembly is
+    * one groupBy with a bounded sort_array+slice (≤ the user's events, cut
+    * to 8 before any string work); path counting is a second bounded-key
+    * groupBy. Both shuffles are map-side combinable; nothing global sorts.
+    */
+  val qPathAnalysis: Q = Q(
+    "q_path_analysis",
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
+      |r AS (SELECT user_id, event_type,
+      |        ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, event_id) AS rn
+      |      FROM e),
+      |p AS (SELECT user_id,
+      |        string_agg(event_type, '>' ORDER BY rn) AS path
+      |      FROM r WHERE rn <= 8 GROUP BY user_id)
+      |SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+      |FROM p GROUP BY path ORDER BY n_users DESC, path""".stripMargin) { (spark, dir) =>
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"), col("event_id"),
+          col("event_type")).as("s"))
+      .groupBy("user_id")
+      .agg(concat_ws(">",
+        expr("transform(slice(sort_array(collect_list(s)), 1, 8), x -> x.event_type)"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
   val all: Seq[Q] = Seq(qSessionize, qRollup, qCube, qGroupingSets, qPivot,
     qWindowFns, qHistogram, qRangeFrame, tx8DocFreq, qScd2, qResampleFfill,
     qCohortRetention, qFunnel, qCepFirstMatch, qMomGrowth, qTrendLine, qSkyline, qTriangles,
@@ -1619,5 +1650,5 @@ object AnalyticsQueries {
     qCusumDrift, qMarketBasket, qOhlcBars, qGapsIslands, qRfm, qPareto,
     qSourceDiversity, qReachability, qRollingDistinct,
     qEquiDepthHist, qAbcByNation, qWindowFunnel, qGridClosestPair,
-    qPercentileReport, qBenford, qRefIntegrity)
+    qPercentileReport, qBenford, qRefIntegrity, qPathAnalysis)
 }

@@ -1695,6 +1695,79 @@ object WindowQueries {
       .orderBy(col("sym"), col("d"))
   }
 
+  /** Wilder ADX per symbol ([[Indicators.withAdx]]): the TWO-stage
+    * recursion — three Wilder smoothings (+DM/−DM/TR) feeding ±DI and DX,
+    * then DX itself Wilder-smoothed into ADX. The oracle replays all four
+    * recursions as two recursive CTEs carrying the identical
+    * `α·x + (1−α)·y` IEEE steps (α = 1/14), so every double matches
+    * bit-for-bit from the first emitted row (rn = 2·period = 28).
+    */
+  val w17Adx: Q = {
+    val a = "(CAST(1.0 AS DOUBLE)/14.0)"
+    val b = "(1.0 - CAST(1.0 AS DOUBLE)/14.0)"
+    Q(
+      "w17_adx",
+      s"""WITH RECURSIVE bars AS (
+         |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+         |    FLOOR(MAX(o_totalprice) / 100.0) + 1.0 AS h,
+         |    FLOOR(MIN(o_totalprice) / 100.0) - 1.0 AS l,
+         |    FLOOR(arg_max(o_totalprice, o_orderkey) / 100.0) AS c
+         |  FROM orders GROUP BY 1, 2),
+         |s AS (SELECT sym, d, h, l, c,
+         |        ROW_NUMBER() OVER (PARTITION BY sym ORDER BY d) AS rn,
+         |        LAG(h) OVER (PARTITION BY sym ORDER BY d) AS ph,
+         |        LAG(l) OVER (PARTITION BY sym ORDER BY d) AS pl,
+         |        LAG(c) OVER (PARTITION BY sym ORDER BY d) AS pc
+         |      FROM bars),
+         |dm AS (SELECT sym, d, rn,
+         |        GREATEST(h - l, ABS(h - pc), ABS(l - pc)) AS tr,
+         |        CASE WHEN h - ph > pl - l AND h - ph > 0.0 THEN h - ph ELSE 0.0 END AS pdm,
+         |        CASE WHEN pl - l > h - ph AND pl - l > 0.0 THEN pl - l ELSE 0.0 END AS mdm
+         |      FROM s WHERE pc IS NOT NULL),
+         |rec AS (
+         |  SELECT sym, rn, tr AS str, pdm AS spdm, mdm AS smdm FROM dm WHERE rn = 2
+         |  UNION ALL
+         |  SELECT g.sym, g.rn,
+         |    $a * g.tr + $b * r.str,
+         |    $a * g.pdm + $b * r.spdm,
+         |    $a * g.mdm + $b * r.smdm
+         |  FROM dm g JOIN rec r ON g.sym = r.sym AND g.rn = r.rn + 1),
+         |dxs AS (SELECT sym, rn,
+         |    CASE WHEN str <> 0.0 THEN 100.0 * spdm / str END AS pdi,
+         |    CASE WHEN str <> 0.0 THEN 100.0 * smdm / str END AS mdi
+         |  FROM rec WHERE rn >= 15),
+         |dx AS (SELECT sym, rn, pdi, mdi,
+         |    CASE WHEN pdi + mdi <> 0.0
+         |      THEN 100.0 * ABS(pdi - mdi) / (pdi + mdi) END AS dx
+         |  FROM dxs),
+         |rec2 AS (
+         |  SELECT sym, rn, dx AS adx FROM dx WHERE rn = 15
+         |  UNION ALL
+         |  SELECT g.sym, g.rn, $a * g.dx + $b * r.adx
+         |  FROM dx g JOIN rec2 r ON g.sym = r.sym AND g.rn = r.rn + 1)
+         |SELECT s.sym, s.d, x.pdi AS adx_pdi, x.mdi AS adx_mdi,
+         |  x.dx AS adx_dx, r2.adx AS adx_adx
+         |FROM rec2 r2
+         |JOIN dx x ON x.sym = r2.sym AND x.rn = r2.rn
+         |JOIN s ON s.sym = r2.sym AND s.rn = r2.rn
+         |WHERE r2.rn >= 28 ORDER BY s.sym, s.d""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bars = graft.Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+        .agg(
+          (floor(max(col("o_totalprice")) / 100.0) + 1.0).as("h"),
+          (floor(min(col("o_totalprice")) / 100.0) - 1.0).as("l"),
+          floor(max_by(col("o_totalprice"), col("o_orderkey")) / 100.0).as("c"))
+      val rn = row_number().over(Window.partitionBy("sym").orderBy("d"))
+      Indicators.withAdx(bars, "h", "l", "c", "adx", 14,
+          orderCol = "d", partitionCols = Seq("sym"))
+        .withColumn("__rn", rn)
+        .filter(col("__rn") >= 28)
+        .select("sym", "d", "adx_pdi", "adx_mdi", "adx_dx", "adx_adx")
+        .orderBy(col("sym"), col("d"))
+    }
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
@@ -1702,5 +1775,5 @@ object WindowQueries {
     m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2, m22PrCurve,
     w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
     m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
-    m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi)
+    m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx)
 }
