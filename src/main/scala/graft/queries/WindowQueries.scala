@@ -1698,9 +1698,16 @@ object WindowQueries {
   /** Wilder ADX per symbol ([[Indicators.withAdx]]): the TWO-stage
     * recursion — three Wilder smoothings (+DM/−DM/TR) feeding ±DI and DX,
     * then DX itself Wilder-smoothed into ADX. The oracle replays all four
-    * recursions as two recursive CTEs carrying the identical
-    * `α·x + (1−α)·y` IEEE steps (α = 1/14), so every double matches
-    * bit-for-bit from the first emitted row (rn = 2·period = 28).
+    * recursions as ONE recursive CTE carrying the full smoothed state
+    * `(str, spdm, smdm, adx)` per step — DX is a pure function of the
+    * current step's carried state, so the second-stage recursion can
+    * consume it inline. (A two-CTE form, where the ADX recursion joined a
+    * derived table over the first recursion, made DuckDB re-evaluate the
+    * inner recursion once per outer iteration — super-linear blowup; the
+    * fused state keeps the replay strictly linear.) Every arithmetic step
+    * is the identical `α·x + (1−α)·y` IEEE sequence (α = 1/14), so every
+    * double matches bit-for-bit from the first emitted row
+    * (rn = 2·period = 28).
     */
   val w17Adx: Q = {
     val a = "(CAST(1.0 AS DOUBLE)/14.0)"
@@ -1725,32 +1732,45 @@ object WindowQueries {
          |        CASE WHEN pl - l > h - ph AND pl - l > 0.0 THEN pl - l ELSE 0.0 END AS mdm
          |      FROM s WHERE pc IS NOT NULL),
          |rec AS (
-         |  SELECT sym, rn, tr AS str, pdm AS spdm, mdm AS smdm FROM dm WHERE rn = 2
+         |  SELECT sym, rn, tr AS str, pdm AS spdm, mdm AS smdm,
+         |         CAST(NULL AS DOUBLE) AS adx
+         |  FROM dm WHERE rn = 2
          |  UNION ALL
-         |  SELECT g.sym, g.rn,
-         |    $a * g.tr + $b * r.str,
-         |    $a * g.pdm + $b * r.spdm,
-         |    $a * g.mdm + $b * r.smdm
-         |  FROM dm g JOIN rec r ON g.sym = r.sym AND g.rn = r.rn + 1),
-         |dxs AS (SELECT sym, rn,
+         |  SELECT sym, rn, str, spdm, smdm,
+         |    CASE WHEN rn < 15 THEN CAST(NULL AS DOUBLE)
+         |         WHEN rn = 15 THEN dx
+         |         ELSE $a * dx + $b * padx END AS adx
+         |  FROM (
+         |    SELECT sym, rn, str, spdm, smdm, padx,
+         |      CASE WHEN pdi + mdi <> 0.0
+         |        THEN 100.0 * ABS(pdi - mdi) / (pdi + mdi) END AS dx
+         |    FROM (
+         |      SELECT sym, rn, str, spdm, smdm, padx,
+         |        CASE WHEN str <> 0.0 THEN 100.0 * spdm / str END AS pdi,
+         |        CASE WHEN str <> 0.0 THEN 100.0 * smdm / str END AS mdi
+         |      FROM (
+         |        SELECT g.sym, g.rn,
+         |          $a * g.tr + $b * r.str AS str,
+         |          $a * g.pdm + $b * r.spdm AS spdm,
+         |          $a * g.mdm + $b * r.smdm AS smdm,
+         |          r.adx AS padx
+         |        FROM dm g JOIN rec r ON g.sym = r.sym AND g.rn = r.rn + 1
+         |      ) st
+         |    ) di
+         |  ) dxq),
+         |fin AS (
+         |  SELECT sym, rn,
          |    CASE WHEN str <> 0.0 THEN 100.0 * spdm / str END AS pdi,
-         |    CASE WHEN str <> 0.0 THEN 100.0 * smdm / str END AS mdi
-         |  FROM rec WHERE rn >= 15),
-         |dx AS (SELECT sym, rn, pdi, mdi,
-         |    CASE WHEN pdi + mdi <> 0.0
-         |      THEN 100.0 * ABS(pdi - mdi) / (pdi + mdi) END AS dx
-         |  FROM dxs),
-         |rec2 AS (
-         |  SELECT sym, rn, dx AS adx FROM dx WHERE rn = 15
-         |  UNION ALL
-         |  SELECT g.sym, g.rn, $a * g.dx + $b * r.adx
-         |  FROM dx g JOIN rec2 r ON g.sym = r.sym AND g.rn = r.rn + 1)
-         |SELECT s.sym, s.d, x.pdi AS adx_pdi, x.mdi AS adx_mdi,
-         |  x.dx AS adx_dx, r2.adx AS adx_adx
-         |FROM rec2 r2
-         |JOIN dx x ON x.sym = r2.sym AND x.rn = r2.rn
-         |JOIN s ON s.sym = r2.sym AND s.rn = r2.rn
-         |WHERE r2.rn >= 28 ORDER BY s.sym, s.d""".stripMargin) { (spark, dir) =>
+         |    CASE WHEN str <> 0.0 THEN 100.0 * smdm / str END AS mdi,
+         |    adx
+         |  FROM rec WHERE rn >= 28)
+         |SELECT s.sym, s.d, f.pdi AS adx_pdi, f.mdi AS adx_mdi,
+         |  CASE WHEN f.pdi + f.mdi <> 0.0
+         |    THEN 100.0 * ABS(f.pdi - f.mdi) / (f.pdi + f.mdi) END AS adx_dx,
+         |  f.adx AS adx_adx
+         |FROM fin f
+         |JOIN s ON s.sym = f.sym AND s.rn = f.rn
+         |ORDER BY s.sym, s.d""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val bars = graft.Tables.orders(spark, dir)
         .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))

@@ -443,7 +443,7 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     assert(byId(10L).getInt(2) == 123 && byId(11L).getInt(2) == 456)
     // junk stays null even at container-magic lengths
     assert(Multimodal.decodeMp4Meta("x".getBytes("UTF-8")) == null)
-    assert(Multimodal.decodeAviMeta(("RIFF" + " " * 30).getBytes("UTF-8")) == null)
+    assert(Multimodal.decodeAviMeta(("RIFF" + "\u0000" * 30).getBytes("UTF-8")) == null)
   }
 
   test("multimodal: GIF frame count and JPEG/BMP dims decode for real") {

@@ -179,4 +179,72 @@ class IndicatorsSpec extends AnyFunSuite {
     val c = Indicators.withCci(const, "tp", "cci", 3, "d").orderBy("d").collect()
     assert(c.forall(_.isNullAt(2)))
   }
+
+  test("withAdx: hand-replayed two-stage Wilder recursion, warmup gating, flat-series guard") {
+    val period = 2
+    val a = 1.0 / period
+    val hs = Seq(10.0, 12.0, 11.0, 13.0, 14.0, 12.0, 15.0, 16.0)
+    val ls = Seq(8.0, 9.0, 7.0, 10.0, 12.0, 9.0, 13.0, 14.0)
+    val cs = Seq(9.0, 11.0, 8.0, 12.0, 13.0, 10.0, 14.0, 15.0)
+    val df = hs.indices.map(i => (f"d$i%02d", hs(i), ls(i), cs(i)))
+      .toDF("d", "h", "l", "c")
+    val out = Indicators.withAdx(df, "h", "l", "c", "adx", period, "d")
+      .orderBy("d").collect()
+
+    // Independent scalar replay of the exact double recursion.
+    var (str, spdm, smdm, adx) = (0.0, 0.0, 0.0, 0.0)
+    var (seenS, seenA) = (0, 0)
+    val expect = hs.indices.map { i =>
+      if (i == 0) (None, None, None, None)
+      else {
+        val tr = math.max(hs(i) - ls(i),
+          math.max(math.abs(hs(i) - cs(i - 1)), math.abs(ls(i) - cs(i - 1))))
+        val up = hs(i) - hs(i - 1); val dn = ls(i - 1) - ls(i)
+        val pdm = if (up > dn && up > 0.0) up else 0.0
+        val mdm = if (dn > up && dn > 0.0) dn else 0.0
+        if (seenS == 0) { str = tr; spdm = pdm; smdm = mdm }
+        else {
+          str = a * tr + (1.0 - a) * str
+          spdm = a * pdm + (1.0 - a) * spdm
+          smdm = a * mdm + (1.0 - a) * smdm
+        }
+        seenS += 1
+        if (seenS < period) (None, None, None, None)
+        else {
+          val pdi = 100.0 * spdm / str
+          val mdi = 100.0 * smdm / str
+          val dx = if (pdi + mdi != 0.0)
+            Some(100.0 * math.abs(pdi - mdi) / (pdi + mdi)) else None
+          dx.foreach { d =>
+            if (seenA == 0) adx = d else adx = a * d + (1.0 - a) * adx
+            seenA += 1
+          }
+          val adxOut = if (seenA >= period) Some(adx) else None
+          (Some(pdi), Some(mdi), dx, adxOut)
+        }
+      }
+    }
+    def cell(r: org.apache.spark.sql.Row, c: String): Option[Double] = {
+      val i = r.fieldIndex(c); if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    }
+    hs.indices.foreach { i =>
+      val r = out(i)
+      assert(cell(r, "adx_pdi") == expect(i)._1, s"pdi row $i")
+      assert(cell(r, "adx_mdi") == expect(i)._2, s"mdi row $i")
+      assert(cell(r, "adx_dx") == expect(i)._3, s"dx row $i")
+      assert(cell(r, "adx_adx") == expect(i)._4, s"adx row $i")
+    }
+    // warmup gating: ±DI first at row period (0-based), ADX at 2·period − 1
+    assert(out.take(period).forall(_.isNullAt(out.head.fieldIndex("adx_pdi"))))
+    assert(out.take(2 * period - 1).forall(_.isNullAt(out.head.fieldIndex("adx_adx"))))
+    assert(!out(2 * period - 1).isNullAt(out.head.fieldIndex("adx_adx")))
+
+    // flat series: TR = 0 forever → smoothed TR = 0 → ±DI NULL (guarded), not ±Inf
+    val flat = (0 until 5).map(i => (f"d$i%02d", 5.0, 5.0, 5.0)).toDF("d", "h", "l", "c")
+    val f = Indicators.withAdx(flat, "h", "l", "c", "adx", period, "d")
+      .orderBy("d").collect()
+    Seq("adx_pdi", "adx_mdi", "adx_dx", "adx_adx").foreach { c =>
+      assert(f.forall(_.isNullAt(f.head.fieldIndex(c))), s"flat $c")
+    }
+  }
 }

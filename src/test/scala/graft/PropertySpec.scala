@@ -310,6 +310,24 @@ class PropertySpec extends AnyFunSuite {
     assert((got.getLong(0), got.getLong(1)) == ((peak, atUs)))
   }
 
+  test("q_path_analysis: independent first-8-events path re-derivation agrees") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("t"), col("event_id"), col("user_id"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(2), r.getLong(0), r.getLong(1), r.getString(3)))
+    val paths = ev.groupBy(_._1).values.map { g =>
+      g.sortBy(e => (e._2, e._3)).take(8).map(_._4).mkString(">")
+    }.toSeq
+    val expect = paths.groupBy(identity).map { case (p, g) => (p, g.size.toLong) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }
+    val got = graft.queries.AnalyticsQueries.qPathAnalysis.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    assert(got.map(_._2).sum == ev.map(_._1).distinct.length.toLong) // every user counted once
+  }
+
   test("dd18 sentence dedup: first-global-occurrence ownership agrees") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)

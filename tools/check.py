@@ -5,12 +5,33 @@ and diffs against the parquet written by `graft.Verify`.
 
 Usage:
   python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+
+Every oracle runs under a wall-clock timeout (GRAFT_ORACLE_TIMEOUT seconds,
+default 120): a pathological oracle reports `oracle_timeout` and fails that
+one query instead of hanging the whole gate (the r7 w17_adx lesson).
 """
 import json
 import math
+import os
 import sys
+import threading
 
 import duckdb
+
+ORACLE_TIMEOUT = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "120"))
+
+
+def fetch_with_timeout(con, sql, seconds=ORACLE_TIMEOUT):
+    """Run `sql` to completion; interrupt the connection if it exceeds the
+    budget. Raises TimeoutError on interrupt."""
+    timer = threading.Timer(seconds, con.interrupt)
+    timer.start()
+    try:
+        return con.sql(sql).fetchall()
+    except duckdb.InterruptException:
+        raise TimeoutError(f"oracle_timeout after {seconds:.0f}s")
+    finally:
+        timer.cancel()
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -47,8 +68,12 @@ def main():
         try:
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
-            exp_rows = con.sql(
-                f"SELECT {', '.join(exp_cols)} FROM exp ORDER BY ALL").fetchall()
+            exp_rows = fetch_with_timeout(
+                con, f"SELECT {', '.join(exp_cols)} FROM exp ORDER BY ALL")
+        except TimeoutError as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e)[:300]}")
             n_fail += 1
