@@ -122,9 +122,22 @@ object GraftFunctions {
     Ewm(exprs.head, alpha, minPeriods, ignoreNa)
   }
 
+  private[functions] def buildPsar(exprs: Seq[Expression]): Expression = {
+    require(exprs.size == 5, "psar(high, low, af0, step, af_max)")
+    def d(e: Expression, what: String): Double = e match {
+      case Literal(v: java.lang.Double, _) => v.doubleValue()
+      case Literal(v: Decimal, _) => v.toDouble
+      case Literal(v: java.lang.Integer, _) => v.doubleValue()
+      case other => throw new IllegalArgumentException(s"psar: $what must be a numeric literal, got $other")
+    }
+    Psar(exprs(0), exprs(1), d(exprs(2), "af0"), d(exprs(3), "step"), d(exprs(4), "af_max"))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "ewm", build, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "psar", buildPsar, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash32", exprs => Hash32Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

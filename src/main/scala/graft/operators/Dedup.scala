@@ -46,6 +46,29 @@ object Dedup {
     * auto-unpersists the blocks. Same cached-compute-once semantics, bounded
     * lifetime.
     */
+  /** Run `body` (whose contained ACTIONS execute now, not lazily) with
+    * adaptive query execution disabled, restoring the previous setting
+    * after. For ITERATIVE loops only: each round's plan is a fixed one- or
+    * two-shuffle shape over a bounded, already-materialized frame, so AQE's
+    * runtime re-planning can change nothing — but it schedules every
+    * exchange as its own Spark job, multiplying per-round job count 3-5×.
+    * Driver-side job-submission latency is a real per-job cost (on a busy
+    * 1000-executor cluster scheduler round-trips dominate small stages), so
+    * an N-round loop pays it 3-5N times for zero plan improvement. One-shot
+    * kernels and data-sized scans keep AQE (skew splitting / partition
+    * coalescing genuinely help there).
+    *
+    * Frames RETURNED out of the scope are unaffected: AQE on/off is read at
+    * each action's own execution time, so only actions triggered inside
+    * `body` (the loop's eager checkpoints) run non-adaptively.
+    */
+  def withStaticPlan[T](spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try body finally spark.conf.set(key, prev)
+  }
+
   def cachedForReuse(df: DataFrame): DataFrame =
     // eager localCheckpoint: materializes ONCE into an RDD-level cache of
     // InternalRows (no row-format conversion on read, unlike a df.rdd
@@ -119,6 +142,35 @@ object Dedup {
     * [[connectedComponents]] confirms a claimed fixpoint with the
     * retry-safe aggregate before trusting it.
     */
+  /** [[cutLineageSummed]] for the star-CC loop's (u, v) edge frames: the
+    * materialization job also accumulates (count, Σu, Σv) — a fingerprint
+    * that is EQUAL for equal edge multisets. Equality of consecutive
+    * fingerprints is only a CLAIMED fixpoint (accumulators can over-count
+    * under task retries, and distinct multisets can collide): the loop
+    * confirms with the retry-safe exact count+exceptAll before exiting, so
+    * correctness never rests on the fingerprint — only the fast path
+    * (zero extra jobs per non-final round) does.
+    */
+  private def cutLineageEdgeSummed(df: DataFrame)
+      : (DataFrame, () => Unit, Seq[java.math.BigInteger]) = {
+    val spark = df.sparkSession
+    val accs = Seq("cc_star_cnt", "cc_star_su", "cc_star_sv").map { n =>
+      val a = new BigSumAccumulator
+      spark.sparkContext.register(a, n)
+      a
+    }
+    import spark.implicits._
+    val pair = df.select(col("u").cast(LongType), col("v").cast(LongType))
+      .as[(Long, Long)]
+      .map { t => accs(0).add(1L); accs(1).add(t._1); accs(2).add(t._2); t }
+      .toDF("u", "v")
+    val cp = pair.localCheckpoint(true)
+    val release = () => cp.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false); ()
+    }.getOrElse(())
+    (cp, release, accs.map(_.value))
+  }
+
   private def cutLineageSummed(
       df: DataFrame): (DataFrame, () => Unit, java.math.BigInteger) = {
     val spark = df.sparkSession
@@ -399,6 +451,17 @@ object Dedup {
     val sb = withSh.select(col("doc_id").as("doc_b"),
       col("sh").as("sh_b"), col("sig").as("sig_b"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
+      // This path is deliberately UNthresholded, so the usual "band-key
+      // fold collisions only add candidates that exact-Jaccard verification
+      // filters" argument does not apply — a 64-bit fold collision would
+      // perturb the report's pair population. Admit a pair only if at least
+      // one band's rowsPerBand-long signature SLICE matches exactly (an
+      // exists() over the already-joined signatures, no extra shuffle):
+      // the candidate set is then identical to banding on the exact keys.
+      .filter(expr(
+        s"""exists(sequence(0, ${bands - 1}),
+           |  b -> slice(sig_a, b * $rowsPerBand + 1, $rowsPerBand)
+           |       = slice(sig_b, b * $rowsPerBand + 1, $rowsPerBand))""".stripMargin))
       .withColumn("match_n",
         expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
@@ -793,7 +856,8 @@ object Dedup {
     */
   def connectedComponents(
       pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25): DataFrame =
+    withStaticPlan(pairs.sparkSession) {
     val e0 = pairs.select(col(srcCol).cast(LongType).as("src"),
       col(dstCol).cast(LongType).as("dst"))
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
@@ -828,8 +892,17 @@ object Dedup {
     while (!done && iter < maxIter) {
       val nbr = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
+      // pointer jumping: also propagate each node's label THROUGH its
+      // current representative (comp(comp(id))) — path halving turns the
+      // O(diameter) pure-propagation round count into O(log diameter); a
+      // 9-link chain of templated near-dups converges in 4 rounds, not 10.
+      // Every source is a reachable node's label, so min() preserves the
+      // min-reachable-id fixpoint exactly.
+      val hop = labels.as("l1").join(labels.as("l2"),
+          col("l1.comp") === col("l2.id"))
+        .select(col("l1.id").as("id"), col("l2.comp").as("comp"))
       val (next, nextRelease, s) = cutLineageSummed(
-        labels.select("id", "comp").union(nbr)
+        labels.select("id", "comp").union(nbr).union(hop)
           .groupBy("id").agg(min("comp").as("comp")))
       if (s == prevSum)            // claimed fixpoint → retry-safe confirm
         done = exactSum(labels).compareTo(exactSum(next)) == 0
@@ -850,7 +923,7 @@ object Dedup {
     // (leak-free: ContextCleaner releases the blocks once the caller drops
     // the frame) instead of paying one more copy-to-cache job.
     labels
-  }
+    }
 
   /** Connected components via alternating large-star/small-star edge
     * rewriting (Kiveris et al., "Connected Components in MapReduce and
@@ -876,17 +949,19 @@ object Dedup {
     */
   def connectedComponentsStar(
       pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    withStaticPlan(pairs.sparkSession) {
     // materialize the RAW pair projection once: the loop's edge set AND the
     // final node set (for self-loop singletons) both derive from it, and
     // `pairs` can be an arbitrarily expensive upstream pipeline we must not
     // execute twice
     val (raw, rawRelease) = cutLineage(pairs
       .select(col(srcCol).cast(LongType).as("u"), col(dstCol).cast(LongType).as("v")))
-    // re-rooted on a materialized RDD every round (cutLineage) — the round
-    // body references `edges` several times (sym union + two grouped joins),
-    // so a carried logical plan would multiply in size per round
-    var (edges, edgesRelease) = cutLineage(raw
+    // re-rooted on a materialized RDD every round (cutLineageEdgeSummed) —
+    // the round body references `edges` several times (sym union + two
+    // grouped joins), so a carried logical plan would multiply in size per
+    // round; the (count, Σu, Σv) fingerprint rides each materialization
+    var (edges, edgesRelease, stat) = cutLineageEdgeSummed(raw
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct())
@@ -907,16 +982,21 @@ object Dedup {
       moved.union(mins.select(col("u"), col("m").as("v"))).distinct()
     }
     var iter = 0
-    var done = edges.isEmpty
+    // cnt can only OVER-count under retries, so fingerprint cnt = 0 is a
+    // reliable emptiness witness (and a spurious nonzero merely runs one
+    // harmless round over an empty frame)
+    var done = stat.head.signum == 0
     while (!done && iter < maxIter) {
-      val (next, nextRelease) = cutLineage(smallStar(largeStar(edges)))
-      // fixpoint test: the oriented, deduped edge sets are identical; both
-      // sides are materialized checkpoints, so releasing the old edges
-      // cannot trigger a recompute cascade
-      done = next.count() == edges.count() &&
-        next.exceptAll(edges).isEmpty
+      val (next, nextRelease, nstat) = cutLineageEdgeSummed(
+        smallStar(largeStar(edges)))
+      // CLAIMED fixpoint when the materialization-job fingerprints match;
+      // confirmed with the retry-safe exact comparison (both sides are
+      // materialized checkpoints, so releasing the old edges cannot trigger
+      // a recompute cascade). Non-final rounds pay zero extra jobs.
+      if (nstat == stat)
+        done = next.count() == edges.count() && next.exceptAll(edges).isEmpty
       edgesRelease()
-      edges = next; edgesRelease = nextRelease
+      edges = next; edgesRelease = nextRelease; stat = nstat
       iter += 1
     }
     if (!done && iter >= maxIter) {
@@ -943,7 +1023,7 @@ object Dedup {
     rawRelease()
     edgesRelease()
     out
-  }
+    }
 
   /** Cluster-aware near-duplicate removal: MinHash pairs → connected
     * components → keep exactly the minimum-id representative of every

@@ -348,6 +348,27 @@ object Indicators {
       .drop("__tr", "__pdm", "__mdm", "__str", "__spdm", "__smdm", "__dx")
   }
 
+  /** Parabolic SAR per key through the native [[graft.functions.Psar]]
+    * window state machine — one keyed WindowExec, no reshuffle beyond the
+    * window sort. Appends `{outPrefix}_sar` (DOUBLE) and `{outPrefix}_up`
+    * (BOOLEAN trend); each key's first row emits NULL (warmup — the seed
+    * bar has no SAR). See [[graft.functions.Psar]] for the pinned variant
+    * semantics and the bit-exactness argument.
+    */
+  def withPsar(
+      df: DataFrame, highCol: String, lowCol: String,
+      outPrefix: String, orderCol: String,
+      partitionCols: Seq[String] = Nil,
+      af0: Double = 0.02, step: Double = 0.02, afMax: Double = 0.2): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val w = baseWindow(partitionCols, orderCol)
+    df.withColumn("__ps",
+        expr(s"psar($highCol, $lowCol, $af0, $step, $afMax)").over(w))
+      .withColumn(s"${outPrefix}_sar", col("__ps.sar"))
+      .withColumn(s"${outPrefix}_up", col("__ps.up"))
+      .drop("__ps")
+  }
+
   /** Commodity Channel Index over an integer-valued typical-price column,
     * as an EXACT integer rational: CCI = (tp − SMA) / (0.015 · MAD), where
     * MAD is the mean absolute deviation of the window's prices from the
@@ -363,6 +384,14 @@ object Indicators {
     * runs as a codegen'd higher-order `aggregate` over the window's
     * `collect_list` (a `period`-element array per row, partition-local;
     * nothing shuffles beyond the window sort itself).
+    *
+    * Magnitude bound (the [[graft.operators.Eval.spearmanRho]]
+    * discipline): the numerator `20000·n·(n·tp − S)` and the MAD
+    * accumulator stay in plain Long arithmetic, so typical prices must
+    * satisfy |tp| < 2⁶³ / (2·10⁴·n²) — ≈10¹² integer units at n = 20.
+    * Under the session's default ANSI mode an excursion beyond the bound
+    * THROWS rather than wrapping; widen `__tp` to decimal(38,0) if a
+    * caller genuinely needs larger values.
     */
   def withCci(
       df: DataFrame, tpCol: String, outCol: String, period: Int,

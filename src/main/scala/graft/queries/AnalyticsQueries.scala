@@ -714,25 +714,45 @@ object AnalyticsQueries {
          |FROM it5 ORDER BY r DESC, node LIMIT 100""".stripMargin) { (spark, dir) =>
       val li = Tables.lineitem(spark, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-      // edge table feeds 11 consumers (deg + 5 iterations × join legs) —
-      // materialize once (SCALE.md invariant #3)
-      val e = graft.operators.Dedup.cachedForReuse(
-        li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") =!= col("b.l_partkey"))
-          .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-          .distinct())
-      val deg = graft.operators.Dedup.cachedForReuse(
-        e.groupBy(col("u")).agg(count(lit(1)).as("deg")))
-      var ranks = deg.select(col("u").as("node"), lit(1000000L).as("r"))
-      for (_ <- 1 to 5) {
-        val contrib = ranks.join(deg, col("node") === col("u"))
-          .select(col("node"),
-            floor(col("r").cast(DoubleType) / col("deg")).as("c"))
-        ranks = e.join(contrib, e("u") === contrib("node"))
-          .groupBy(col("v"))
-          .agg((floor(lit(0.85) * sum(col("c"))) + 150000L).cast(LongType).as("r"))
-          .select(col("v").as("node"), col("r"))
+      // The degree is FOLDED INTO the edge table once — (u, v, deg_u) —
+      // so each iteration is exactly one equi-join of the small rank table
+      // to the stationary edge frame + one group-by on the destination:
+      // per-edge contribution floor(rank/deg) evaluates inline from the
+      // edge row, no per-round rank⋈deg join. The edge frame is
+      // materialized once, pre-partitioned on the join key `u`, and its
+      // LogicalRDD keeps that partitioning, so only the (much smaller)
+      // rank side shuffles per round (SCALE.md invariant #3).
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val ranks = graft.operators.Dedup.withStaticPlan(spark) {
+        val ed = graft.operators.Dedup.cachedForReuse(
+          e.withColumn("deg", count(lit(1)).over(Window.partitionBy(col("u"))))
+            .repartition(col("u")))
+        var rk = ed.select(col("u").as("node")).distinct()
+          .withColumn("r", lit(1000000L))
+        // Each round re-roots on a materialized RDD (O(1) plan size across
+        // rounds — the iterative-Spark lineage rule) and frees the previous
+        // round's blocks deterministically.
+        var release: () => Unit = () => ()
+        for (_ <- 1 to 5) {
+          val next = ed.join(rk, ed("u") === rk("node"))
+            .groupBy(col("v"))
+            .agg((floor(lit(0.85) * sum(
+              floor(col("r").cast(DoubleType) / col("deg")))) + 150000L)
+              .cast(LongType).as("r"))
+            .select(col("v").as("node"), col("r"))
+            .localCheckpoint(true)
+          release()
+          release = () => next.queryExecution.analyzed.collectFirst {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              lr.rdd.unpersist(false); ()
+          }.getOrElse(())
+          rk = next
+        }
+        rk
       }
       ranks.orderBy(col("r").desc, col("node"))
         .limit(100)
@@ -1349,7 +1369,10 @@ object AnalyticsQueries {
       .orderBy(col("nation"), col("cents").desc, col("brand"))
   }
 
-  /** Time-BOUNDED funnel (the ClickHouse `windowFunnel` shape): per user,
+  /** Time-BOUNDED funnel (windowFunnel-STYLE, with strict time increase —
+    * ClickHouse's default mode also admits equal-timestamp steps; this
+    * query's chain requires t_next > t_prev, i.e. the opt-in
+    * `strict_increase` behavior): per user,
     * the deepest view → click → purchase chain whose whole span fits in one
     * hour from the anchoring view — unlike [[qFunnel]]'s unbounded
     * earliest-chain semantics, a late purchase does NOT count. Levels come

@@ -77,15 +77,23 @@ object Shared {
     */
   def minhashPairs(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, s"minhashPairs|$dir") {
-      Dedup.cachedForReuse(Dedup.minhashNearDuplicates(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-        "doc_id", "text", shingleK = 3, bands = 16, rowsPerBand = 4,
-        threshold = 0.8))
+      // The kernel's internal shape is fixed (signature scan → band
+      // self-join with capped buckets → exact verify); its one
+      // materialization runs non-adaptively so the whole build is a single
+      // scheduler job instead of one per exchange ([[Dedup.withStaticPlan]]).
+      Dedup.withStaticPlan(spark) {
+        Dedup.cachedForReuse(Dedup.minhashNearDuplicates(
+          Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", shingleK = 3, bands = 16, rowsPerBand = 4,
+          threshold = 0.8))
+      }
     }
 
   /** Connected-component labels (id → min reachable id) over
     * [[minhashPairs]] — the shared transitive-closure frame behind
-    * dd11/dd12/dd14. Already materialized by [[Dedup.connectedComponents]].
+    * dd11/dd12/dd14. Already materialized by
+    * [[Dedup.connectedComponents]] (label propagation + pointer jumping:
+    * O(log diameter) rounds, one scheduler job each).
     */
   def ccLabels(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, s"ccLabels|$dir") {

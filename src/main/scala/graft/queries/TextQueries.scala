@@ -394,10 +394,15 @@ object TextQueries {
     * ranking is identical and the ratio needs no transcendental function).
     * Computed in integer basis points, `cnt·N·10⁴ div (n1·n2)`, so the
     * result is bit-exact across engines — no float division, no log ulp
-    * drift. n1/n2 are vocabulary-sized marginal tables (broadcast joins);
-    * N is a broadcast scalar; the only shuffle is the bigram count itself.
-    * At true corpus scale the 10⁴-scaled product needs DECIMAL(38) or
-    * log-space floats — the basis-point form documents the long-range
+    * drift. The bigram-count frame is materialized ONCE
+    * ([[graft.operators.Dedup.cachedForReuse]]) — the corpus is tokenized
+    * and shuffled exactly once — and the w1/w2 marginals are window sums
+    * partitioned by each word OVER that frame: two keyed window passes on
+    * the bounded bigram table, zero joins, zero vocabulary-sized
+    * broadcasts (a vocab-scale broadcast is a driver-memory killer at
+    * corpus scale; only the single-row grand total broadcasts). At true
+    * corpus scale the 10⁴-scaled product needs DECIMAL(38) or log-space
+    * floats — the basis-point form documents the long-range
     * (cnt·N·10⁴ < 2⁶³ ⇒ N ≲ 9·10⁸ bigrams per shard).
     */
   val tx15Pmi: Q = Q(
@@ -414,21 +419,21 @@ object TextQueries {
       |FROM bg JOIN m1 ON w1 = a JOIN m2 ON w2 = b, t
       |WHERE cnt >= 5
       |ORDER BY lift_bp DESC, w1, w2 LIMIT 50""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
     val l = split(lower(col("text")), " ")
-    val bg = Tables.documents(spark, dir)
+    val bg = graft.operators.Dedup.cachedForReuse(Tables.documents(spark, dir)
       .select(explode(zip_with(
         slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bgm"))
       .select(col("bgm.w1").as("w1"), col("bgm.w2").as("w2"))
       .filter(col("w1") =!= "" && col("w2") =!= "")
       .groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cnt"))
-    val m1 = bg.groupBy(col("w1").as("a")).agg(sum(col("cnt")).as("n1"))
-    val m2 = bg.groupBy(col("w2").as("b")).agg(sum(col("cnt")).as("n2"))
+      .agg(count(lit(1)).as("cnt")))
     val t = bg.agg(sum(col("cnt")).as("nn"))
-    bg.filter(col("cnt") >= 5)
-      .join(broadcast(m1), col("w1") === col("a"))
-      .join(broadcast(m2), col("w2") === col("b"))
+    bg
+      .withColumn("n1", sum(col("cnt")).over(Window.partitionBy("w1")))
+      .withColumn("n2", sum(col("cnt")).over(Window.partitionBy("w2")))
+      .filter(col("cnt") >= 5)
       .crossJoin(broadcast(t))
       .select(col("w1"), col("w2"), col("cnt"),
         expr("cnt * nn * 10000 div (n1 * n2)").as("lift_bp"))

@@ -939,9 +939,10 @@ object WindowQueries {
     * the exact sums to doubles through the IDENTICAL expression shape in
     * both engines, so the floored basis-point result is bit-stable. One
     * aggregate scan produces every pair — adding features grows the
-    * aggregate width, never the pass count. (Exactness bound: n·Σx² fits
-    * decimal(38,0) to ~10¹² rows at cents scale — shard the sums and merge
-    * above that.)
+    * aggregate width, never the pass count. (Exactness bounds: each
+    * per-row LONG product needs |x·y| < 2⁶³, i.e. values below ~3·10⁹
+    * cents — ANSI throws, never wraps, beyond; n·Σx² fits decimal(38,0)
+    * to ~10¹² rows at cents scale — shard the sums and merge above that.)
     */
   val m21FeatureR2: Q = {
     def r2(sx: String, sy: String, sxx: String, syy: String, sxy: String) =
@@ -985,17 +986,23 @@ object WindowQueries {
         col("l_quantity").cast(LongType).as("q"),
         expr("cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)").as("p"),
         expr("cast(cast(l_discount as decimal(18,2)) * 100 as bigint)").as("dc"))
+      // Per-row arithmetic stays in LONG (cents-scale products fit 63 bits
+      // up to |x| < ~3·10⁹ cents — ANSI throws, not wraps, beyond); only
+      // the per-product CAST feeds the decimal(38,0) accumulator, which
+      // Spark keeps on its compact-long fast path. The previous form
+      // multiplied Decimal(38,0) per input row — a Java BigDecimal multiply
+      // in the innermost loop, ~10× the cost for the identical exact sums.
       val a = x.agg(
         count(lit(1)).as("n"),
         sum(col("q").cast(dec)).cast(dec).as("sq"),
         sum(col("p").cast(dec)).cast(dec).as("sp"),
         sum(col("dc").cast(dec)).cast(dec).as("sd"),
-        sum(col("q").cast(dec) * col("q")).cast(dec).as("sqq"),
-        sum(col("p").cast(dec) * col("p")).cast(dec).as("spp"),
-        sum(col("dc").cast(dec) * col("dc")).cast(dec).as("sdd"),
-        sum(col("q").cast(dec) * col("p")).cast(dec).as("sqp"),
-        sum(col("q").cast(dec) * col("dc")).cast(dec).as("sqd"),
-        sum(col("p").cast(dec) * col("dc")).cast(dec).as("spd"))
+        sum((col("q") * col("q")).cast(dec)).cast(dec).as("sqq"),
+        sum((col("p") * col("p")).cast(dec)).cast(dec).as("spp"),
+        sum((col("dc") * col("dc")).cast(dec)).cast(dec).as("sdd"),
+        sum((col("q") * col("p")).cast(dec)).cast(dec).as("sqp"),
+        sum((col("q") * col("dc")).cast(dec)).cast(dec).as("sqd"),
+        sum((col("p") * col("dc")).cast(dec)).cast(dec).as("spd"))
       a.select(col("n"), explode(array(
           struct(lit("quantity").as("col_a"), lit("extendedprice").as("col_b"),
             expr(r2("sq", "sp", "sqq", "spp", "sqp")).as("r2_bp")),
@@ -1788,6 +1795,84 @@ object WindowQueries {
     }
   }
 
+  /** Parabolic SAR per symbol ([[Indicators.withPsar]]): the branchy
+    * trend/EP/af state machine replayed by a SINGLE recursive CTE carrying
+    * the full state (trend, sar, ep, af, ph, pl) — the w17_adx discipline:
+    * every derived value (raw SAR, one-bar clamp, reversal flags) is a
+    * pure function of the carried state and the current bar, re-derived in
+    * nested derived tables so the recursion stays linear. All arithmetic
+    * is the identical IEEE +,·,LEAST,GREATEST sequence on doubles, so
+    * every (sar, up) matches bit-for-bit from the first emitted row
+    * (rn = 2).
+    */
+  val w18Psar: Q = {
+    val af0 = "CAST(0.02 AS DOUBLE)"
+    val stp = "CAST(0.02 AS DOUBLE)"
+    val mx = "CAST(0.2 AS DOUBLE)"
+    Q(
+      "w18_psar",
+      s"""WITH RECURSIVE bars AS (
+         |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+         |    FLOOR(MAX(o_totalprice) / 100.0) + 1.0 AS h,
+         |    FLOOR(MIN(o_totalprice) / 100.0) - 1.0 AS l
+         |  FROM orders GROUP BY 1, 2),
+         |s AS (SELECT sym, d, h, l,
+         |        ROW_NUMBER() OVER (PARTITION BY sym ORDER BY d) AS rn
+         |      FROM bars),
+         |rec AS (
+         |  SELECT sym, rn, TRUE AS trend, l AS sar, h AS ep, $af0 AS af,
+         |         h AS ph, l AS pl
+         |  FROM s WHERE rn = 1
+         |  UNION ALL
+         |  SELECT sym, rn,
+         |    CASE WHEN rev_up THEN FALSE WHEN rev_dn THEN TRUE ELSE trend END,
+         |    CASE WHEN rev_up OR rev_dn THEN ep ELSE clamped END,
+         |    CASE WHEN rev_up THEN l WHEN rev_dn THEN h
+         |         WHEN trend THEN GREATEST(ep, h) ELSE LEAST(ep, l) END,
+         |    CASE WHEN rev_up OR rev_dn THEN $af0
+         |         WHEN NOT (rev_up OR rev_dn)
+         |              AND CASE WHEN trend THEN h > ep ELSE l < ep END
+         |           THEN LEAST(af + $stp, $mx)
+         |         ELSE af END,
+         |    h, l
+         |  FROM (
+         |    SELECT sym, rn, trend, sar, ep, af, h, l,
+         |      trend AND l < clamped AS rev_up,
+         |      NOT trend AND h > clamped AS rev_dn,
+         |      clamped
+         |    FROM (
+         |      SELECT sym, rn, trend, sar, ep, af, h, l, ph, pl,
+         |        CASE WHEN trend THEN LEAST(raw, pl)
+         |             ELSE GREATEST(raw, ph) END AS clamped
+         |      FROM (
+         |        SELECT g.sym, g.rn, r.trend, r.sar, r.ep, r.af,
+         |          g.h, g.l, r.ph, r.pl,
+         |          r.sar + r.af * (r.ep - r.sar) AS raw
+         |        FROM s g JOIN rec r ON g.sym = r.sym AND g.rn = r.rn + 1
+         |      ) st
+         |    ) cl
+         |  ) rv),
+         |emit AS (
+         |  SELECT sym, rn, sar, trend FROM rec WHERE rn >= 2)
+         |SELECT s.sym, s.d, e.sar AS psar_sar, e.trend AS psar_up
+         |FROM emit e JOIN s ON s.sym = e.sym AND s.rn = e.rn
+         |ORDER BY s.sym, s.d""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bars = graft.Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+        .agg(
+          (floor(max(col("o_totalprice")) / 100.0) + 1.0).as("h"),
+          (floor(min(col("o_totalprice")) / 100.0) - 1.0).as("l"))
+      val rn = row_number().over(Window.partitionBy("sym").orderBy("d"))
+      Indicators.withPsar(bars, "h", "l", "psar", orderCol = "d",
+          partitionCols = Seq("sym"))
+        .withColumn("__rn", rn)
+        .filter(col("__rn") >= 2)
+        .select("sym", "d", "psar_sar", "psar_up")
+        .orderBy(col("sym"), col("d"))
+    }
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
@@ -1795,5 +1880,6 @@ object WindowQueries {
     m18CalibrationBins, m20DecileLift, w8Obv, m21FeatureR2, m22PrCurve,
     w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
     m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
-    m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx)
+    m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
+    w18Psar)
 }

@@ -17,20 +17,30 @@ object ProfQueries {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    })
     val qs = graft.SparkEntry.queries
     names.foreach { name =>
       val fn = qs(name)
-      val times = (1 to n).map { _ =>
+      val runs = (1 to n).map { _ =>
+        jobs.set(0)
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9 // time the query, not teardown
+        // the listener bus is async — drain before reading the job counter
+        org.apache.spark.graft.ListenerBusDrain.waitUntilEmpty(spark.sparkContext)
+        val nJobs = jobs.get()
         // free BOTH cache layers between runs so run N+1 doesn't execute
         // under run N's resident blocks (clearCache misses RDD-level caches)
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        dt
+        (dt, nJobs)
       }
-      println(f"$name%-28s ${times.map(t => f"$t%6.2f").mkString(" ")} s")
+      println(f"$name%-28s ${runs.map { case (t, j) => f"$t%6.2f(${j}j)" }.mkString(" ")} s")
     }
     spark.stop()
   }

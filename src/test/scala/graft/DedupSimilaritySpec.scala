@@ -180,14 +180,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("connectedComponentsStar: 200-node path collapses in O(log^2) rounds") {
-    // diameter 199: label propagation would need 199 rounds (its default
-    // maxIter=25 now THROWS here rather than silently diverging); the
-    // large-star/small-star rewrite closes the same graph within its default
-    // round budget
+    // diameter 199: PURE label propagation would need 199 rounds (its
+    // default maxIter is 25), but the loop's pointer-jumping composition
+    // (comp∘comp each round) halves the remaining path length — both
+    // algorithms must close the chain within their default round budgets.
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    assertThrows[IllegalStateException] {
-      graft.operators.Dedup.connectedComponents(chain, "doc_a", "doc_b").count()
-    }
+    val lp = graft.operators.Dedup.connectedComponents(chain, "doc_a", "doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(lp.keySet == (0L to 199L).toSet)
+    assert(lp.values.forall(_ == 0L), "every chain node must label to the min id 0")
     val star = graft.operators.Dedup.connectedComponentsStar(chain, "doc_a", "doc_b")
       .as[(Long, Long)].collect().toMap
     assert(star.keySet == (0L to 199L).toSet)

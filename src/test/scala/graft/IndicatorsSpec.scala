@@ -247,4 +247,56 @@ class IndicatorsSpec extends AnyFunSuite {
       assert(f.forall(_.isNullAt(f.head.fieldIndex(c))), s"flat $c")
     }
   }
+
+  test("withPsar: hand-replayed SAR state machine with reversals, warmup NULL") {
+    // up-run, sharp drop (uptrend reversal), down-run, pop (downtrend reversal)
+    val hs = Seq(10.0, 12.0, 13.0, 14.0, 9.0, 8.0, 7.0, 12.0, 13.0)
+    val ls = Seq(9.0, 10.0, 11.0, 12.0, 7.0, 6.0, 5.0, 10.0, 11.0)
+    val df = hs.indices.map(i => (f"d$i%02d", hs(i), ls(i))).toDF("d", "h", "l")
+    val out = Indicators.withPsar(df, "h", "l", "psar", "d").orderBy("d").collect()
+
+    val (af0, step, afMax) = (0.02, 0.02, 0.2)
+    var (trend, sar, ep, af, ph, pl) = (true, ls(0), hs(0), af0, hs(0), ls(0))
+    val expect = hs.indices.map { i =>
+      if (i == 0) None
+      else {
+        val raw = sar + af * (ep - sar)
+        val clamped = if (trend) math.min(raw, pl) else math.max(raw, ph)
+        val revUp = trend && ls(i) < clamped
+        val revDn = !trend && hs(i) > clamped
+        val rev = revUp || revDn
+        val nTrend = if (revUp) false else if (revDn) true else trend
+        val nSar = if (rev) ep else clamped
+        val nEp =
+          if (revUp) ls(i) else if (revDn) hs(i)
+          else if (trend) math.max(ep, hs(i)) else math.min(ep, ls(i))
+        val epImp = !rev && (if (trend) hs(i) > ep else ls(i) < ep)
+        val nAf = if (rev) af0 else if (epImp) math.min(af + step, afMax) else af
+        trend = nTrend; sar = nSar; ep = nEp; af = nAf; ph = hs(i); pl = ls(i)
+        Some((sar, trend))
+      }
+    }
+    hs.indices.foreach { i =>
+      val r = out(i)
+      val si = r.fieldIndex("psar_sar"); val ui = r.fieldIndex("psar_up")
+      expect(i) match {
+        case None =>
+          assert(r.isNullAt(si) && r.isNullAt(ui), s"warmup row $i")
+        case Some((s, u)) =>
+          assert(r.getDouble(si) == s, s"sar row $i")
+          assert(r.getBoolean(ui) == u, s"trend row $i")
+      }
+    }
+    // the series must actually exercise both reversal branches
+    val ups = out.drop(1).map(_.getBoolean(out.head.fieldIndex("psar_up")))
+    assert(ups.contains(true) && ups.contains(false))
+
+    // null bars leave state untouched and emit null
+    val withNull = Seq(("d0", Some(10.0), Some(9.0)), ("d1", None, None),
+      ("d2", Some(12.0), Some(10.0)))
+      .toDF("d", "h", "l")
+    val g = Indicators.withPsar(withNull, "h", "l", "psar", "d").orderBy("d").collect()
+    assert(g(1).isNullAt(g.head.fieldIndex("psar_sar")))
+    assert(!g(2).isNullAt(g.head.fieldIndex("psar_sar")))
+  }
 }
