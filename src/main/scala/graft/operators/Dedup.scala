@@ -879,10 +879,19 @@ object Dedup {
     // claimed fixpoint is CONFIRMED once with the retry-safe exact decimal
     // aggregate over both frames before the loop exits — soundness of the
     // result never rests on accumulator semantics, only the fast path does.
-    def exactSum(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.get(0)
-      if (v == null) java.math.BigDecimal.ZERO
-      else v.asInstanceOf[java.math.BigDecimal]
+    // both sides are materialized checkpoints — one tagged union-aggregate
+    // job confirms the claimed fixpoint (vs one aggregate job per side)
+    def exactSumsEqual(a: DataFrame, b: DataFrame): Boolean = {
+      val rows = a.select(lit(0).as("side"), col("comp"))
+        .unionAll(b.select(lit(1).as("side"), col("comp")))
+        .groupBy(col("side"))
+        .agg(sum(col("comp").cast(DecimalType(38, 0))).as("s"))
+        .collect()
+      def side(i: Int): java.math.BigDecimal = rows.find(_.getInt(0) == i)
+        .map(r => Option(r.get(1)).map(_.asInstanceOf[java.math.BigDecimal])
+          .getOrElse(java.math.BigDecimal.ZERO))
+        .getOrElse(java.math.BigDecimal.ZERO)
+      side(0).compareTo(side(1)) == 0
     }
     var (labels, labelsRelease, sum0) = cutLineageSummed(
       sym.select(col("src").as("id")).distinct().withColumn("comp", col("id")))
@@ -905,7 +914,7 @@ object Dedup {
         labels.select("id", "comp").union(nbr).union(hop)
           .groupBy("id").agg(min("comp").as("comp")))
       if (s == prevSum)            // claimed fixpoint → retry-safe confirm
-        done = exactSum(labels).compareTo(exactSum(next)) == 0
+        done = exactSumsEqual(labels, next)
       labelsRelease()              // `next` is already materialized (eager
       labels = next; labelsRelease = nextRelease // checkpoint) — releasing
       prevSum = s                  // the old labels cannot recompute-cascade
@@ -1127,6 +1136,61 @@ object Dedup {
     withComp.join(sizes, "cluster_id")
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
         expr("10000 div cluster_size").as("weight_bp"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication" — public literature):
+    * semantic near-duplicate detection over an EMBEDDING column, the
+    * method's three stages re-expressed Spark-first:
+    *
+    *  1. cluster the embeddings with the deterministic spherical k-means
+    *     quantizer ([[Similarity.kmeansCentroids]]: init = first k ids,
+    *     fixed iteration count, argmax-cosine assignment);
+    *  2. WITHIN each cluster only, pair vectors whose cosine ≥
+    *     `threshold` — the clustering is what makes the pair space
+    *     subquadratic at corpus scale (the paper's core trick: k ≈ √n
+    *     clusters turn n² into n²/k per cluster);
+    *  3. connect the pairs transitively ([[connectedComponents]]) and per
+    *     duplicate group KEEP the member with the LOWEST cosine to its
+    *     cluster centroid (the paper's choice — the least-prototypical
+    *     example carries the most marginal information; ties → lowest id).
+    *
+    * Returns one row per input vector: (idCol, cell, grp, keep) where
+    * `cell` is the k-means cell, `grp` the duplicate-group label
+    * (component min id; singletons label themselves), `keep` the survivor
+    * flag. Every float the decision depends on (assignment cosines, pair
+    * cosines) is a sequential-fold dot product over deterministic doubles,
+    * so a SQL oracle replaying the same IEEE sequence reproduces the
+    * output bit-for-bit — including the keep-best ordering.
+    */
+  def semDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Similarity => Sim}
+    val p = Sim.preparedCorpus(df, idCol, vecCol)
+    val cents = Sim.kmeansCentroids(df, idCol, vecCol, k, iters)
+    // (vec_id, v, nrm, cell, cell_cos) — reused by the pair join (both
+    // sides) and the final labeling
+    val assigned = cachedForReuse(Sim.assignCells(p, cents))
+    val a = assigned.select(col("cell"), col("vec_id").as("ia"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cell"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val pairs = a.join(b, "cell")
+      .filter(col("ia") < col("ib"))
+      .filter(Sim.dot(col("va"), col("vb")) / (col("na") * col("nb"))
+        >= lit(threshold))
+      .select(col("ia").as("doc_a"), col("ib").as("doc_b"))
+    val labels = connectedComponents(pairs, "doc_a", "doc_b")
+      .select(col("id"), col("comp"))
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("cell_cos").asc, col("vec_id"))
+    assigned.join(labels, assigned("vec_id") === labels("id"), "left")
+      .withColumn("grp", coalesce(col("comp"), col("vec_id")))
+      .withColumn("__rn", row_number().over(w))
+      .select(col("vec_id").as(idCol), col("cell"), col("grp"),
+        (col("__rn") === 1).as("keep"))
   }
 
   /** PPJoin-style prefix-filtering set-similarity self-join over word

@@ -830,25 +830,30 @@ object AnalyticsQueries {
       |GROUP BY peak""".stripMargin) { (spark, dir) =>
     // the session frame feeds BOTH boundary branches (+1 at starts, −1 at
     // ends) — root it on a localCheckpoint or the sessionize window +
-    // aggregate run twice (the tx13 treatment)
-    val sess = graft.operators.Temporal.sessionize(
-        Tables.events(spark, dir), Seq("user_id"), "ts", gapUs = 1800000000L)
-      .select(col("user_id"), col("session_id"), unix_micros(col("ts")).as("t"))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(min(col("t")).as("st"), max(col("t")).as("en"))
-      .localCheckpoint(true)
-    val ev = sess.groupBy((col("st") * 2).as("k"))
-        .agg(count(lit(1)).as("delta"))
-      .unionAll(sess.groupBy((col("en") * 2 + 1).as("k"))
-        .agg((-count(lit(1))).as("delta")))
-    val g = ev.groupBy(col("k")).agg(sum(col("delta")).as("delta"))
-    val c = graft.operators.PrefixSum
-      .withStartOffset(g, "k", "delta", "c0")
-      .select(col("k"), (col("c0") + col("delta")).as("conc"))
-    val m = c.agg(max(col("conc")).as("peak"))
-    c.crossJoin(broadcast(m)).filter(col("conc") === col("peak"))
-      .groupBy(col("peak"))
-      .agg(expr("min(k) div 2").as("at_us"))
+    // aggregate run twice (the tx13 treatment). The whole sweep runs
+    // eagerly under a static plan (fixed shapes over bounded frames;
+    // AQE would schedule every exchange as its own job).
+    graft.operators.Dedup.withStaticPlan(spark) {
+      val sess = graft.operators.Temporal.sessionize(
+          Tables.events(spark, dir), Seq("user_id"), "ts", gapUs = 1800000000L)
+        .select(col("user_id"), col("session_id"), unix_micros(col("ts")).as("t"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("t")).as("st"), max(col("t")).as("en"))
+        .localCheckpoint(true)
+      val ev = sess.groupBy((col("st") * 2).as("k"))
+          .agg(count(lit(1)).as("delta"))
+        .unionAll(sess.groupBy((col("en") * 2 + 1).as("k"))
+          .agg((-count(lit(1))).as("delta")))
+      val g = ev.groupBy(col("k")).agg(sum(col("delta")).as("delta"))
+      val c = graft.operators.PrefixSum
+        .withStartOffset(g, "k", "delta", "c0")
+        .select(col("k"), (col("c0") + col("delta")).as("conc"))
+      val m = c.agg(max(col("conc")).as("peak"))
+      graft.operators.Dedup.cachedForReuse(
+        c.crossJoin(broadcast(m)).filter(col("conc") === col("peak"))
+          .groupBy(col("peak"))
+          .agg(expr("min(k) div 2").as("at_us")))
+    }
   }
 
   /** CUSUM change-point sweep (Page 1954) over the daily revenue series:

@@ -274,12 +274,22 @@ object DedupQueries {
        |FROM comp c JOIN (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
        |                  FROM comp GROUP BY 1) s USING (cluster_id)
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val cc = Shared.ccLabels(spark, dir)
-    val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, "comp")
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
-        col("cluster_size"), (col("id") === col("comp")).as("keep"))
-      .orderBy(col("doc_id"))
+    // Memo-hit consumers assemble a small bounded report from the shared
+    // labels frame: materialize it eagerly under a static plan so the
+    // caller's action is one cache read instead of one scheduler job per
+    // exchange (the per-job driver stall is the dominant cost at this
+    // frame size; a cluster caller wanting lazy composition uses the
+    // Dedup operator API directly).
+    graft.operators.Dedup.withStaticPlan(spark) {
+      graft.operators.Dedup.cachedForReuse {
+        val cc = Shared.ccLabels(spark, dir)
+        val sizes = cc.groupBy(col("comp")).agg(count(lit(1)).as("cluster_size"))
+        cc.join(sizes, "comp")
+          .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+            col("cluster_size"), (col("id") === col("comp")).as("keep"))
+          .orderBy(col("doc_id"))
+      }
+    }
   }
 
   /** Cluster-aware dedup: keep one representative per dd11 component. The
@@ -316,11 +326,15 @@ object DedupQueries {
        |FROM documents d
        |WHERE d.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    Dedup.dropWithComponentLabels(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
-        "doc_id", Shared.ccLabels(spark, dir))
-      .select(col("doc_id"), md5(col("text")).as("content_hash"))
-      .orderBy(col("doc_id"))
+    // eager static-plan assembly — see dd11's rationale
+    graft.operators.Dedup.withStaticPlan(spark) {
+      graft.operators.Dedup.cachedForReuse(
+        Dedup.dropWithComponentLabels(
+            Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+            "doc_id", Shared.ccLabels(spark, dir))
+          .select(col("doc_id"), md5(col("text")).as("content_hash"))
+          .orderBy(col("doc_id")))
+    }
   }
 
   /** Per-source duplicate-rate report — the dedup OBSERVABILITY query every
@@ -390,12 +404,17 @@ object DedupQueries {
        |      FROM m)
        |SELECT doc_id, quality FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     import graft.operators.TextAnalysis
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-    Dedup.keepBestWithComponentLabels(
-        docs, "doc_id", "quality", Shared.ccLabels(spark, dir))
-      .select(col("doc_id"), col("quality"))
-      .orderBy(col("doc_id"))
+    // eager static-plan assembly — see dd11's rationale
+    graft.operators.Dedup.withStaticPlan(spark) {
+      graft.operators.Dedup.cachedForReuse {
+        val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+          .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        Dedup.keepBestWithComponentLabels(
+            docs, "doc_id", "quality", Shared.ccLabels(spark, dir))
+          .select(col("doc_id"), col("quality"))
+          .orderBy(col("doc_id"))
+      }
+    }
   }
 
   /** Containment detection over winnowing fingerprints (tx7's scheme:
@@ -914,10 +933,86 @@ object DedupQueries {
       "doc_id", "text", shingleK = 3, bands = 16, rowsPerBand = 4)
   }
 
+  /** SemDeDup over the embeddings table ([[Dedup.semDedup]]): spherical
+    * k-means (k = 8, 5 Lloyd iterations, first-8-ids init), within-cell
+    * cosine pairs at τ = 0.7, transitive duplicate groups, keep the
+    * member FARTHEST from its centroid per group. The oracle replays the
+    * ENTIRE pipeline — the Lloyd recursion carries the full point set and
+    * codebook per iteration (the sim9 pattern), the within-cell pair
+    * graph closes through the dd11 recursive-reachability CTE, and every
+    * cosine is the same sequential-fold IEEE sum — so cell, group, and
+    * survivor flags match bit-for-bit.
+    */
+  val dd26SemDedup: Q = {
+    val cos = (v: String, c: String) =>
+      s"""list_sum(list_transform(range(1, 65), i2 -> $v[CAST(i2 AS INT)] * $c[CAST(i2 AS INT)]))"""
+    val scores =
+      s"""list_transform(range(1, 9), c2 ->
+         |  ${cos("z.v", "cents[CAST(c2 AS INT)]")}
+         |  / (z.nrm * sqrt(${cos("cents[CAST(c2 AS INT)]", "cents[CAST(c2 AS INT)]")})))""".stripMargin
+    val fscores =
+      s"""list_transform(range(1, 9), c2 ->
+         |  ${cos("x.v", "fc.cents[CAST(c2 AS INT)]")}
+         |  / (x.nrm * sqrt(${cos("fc.cents[CAST(c2 AS INT)]", "fc.cents[CAST(c2 AS INT)]")})))""".stripMargin
+    Q(
+      "dd26_semdedup",
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, v,
+         |        sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm
+         |      FROM e),
+         |pts AS (SELECT list({'id': vec_id, 'v': v, 'nrm': nrm} ORDER BY vec_id) AS ps
+         |        FROM n),
+         |lloyd AS (
+         |  SELECT 0 AS it, list_transform(ps[1:8], z -> z.v) AS cents, ps FROM pts
+         |  UNION ALL
+         |  SELECT it + 1,
+         |    list_transform(range(1, 9), c ->
+         |      CASE WHEN len(list_filter(zp, z -> z.cell = c)) = 0
+         |             THEN cents[CAST(c AS INT)]
+         |           ELSE list_transform(range(1, 65), i ->
+         |             list_sum(list_transform(list_filter(zp, z -> z.cell = c),
+         |               z -> z.v[CAST(i AS INT)]))
+         |             / len(list_filter(zp, z -> z.cell = c))) END) AS cents,
+         |    ps
+         |  FROM (
+         |    SELECT it, cents, ps,
+         |      list_transform(ps, z ->
+         |        {'cell': list_position($scores, list_max($scores)),
+         |         'v': z.v}) AS zp
+         |    FROM lloyd WHERE it < 5)),
+         |fc AS (SELECT cents FROM lloyd WHERE it = 5),
+         |asg AS (SELECT x.vec_id, x.v, x.nrm,
+         |    CAST(list_position($fscores, list_max($fscores)) - 1 AS BIGINT) AS cell,
+         |    list_max($fscores) AS cell_cos
+         |  FROM n x, fc),
+         |pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cos("a.v", "b.v")} / (a.nrm * b.nrm) >= CAST(0.7 AS DOUBLE)),
+         |edges AS (SELECT ia AS s, ib AS t FROM pr
+         |          UNION ALL SELECT ib, ia FROM pr),
+         |reach AS (SELECT s AS id, s AS r FROM edges
+         |          UNION
+         |          SELECT g.t AS id, reach.r AS r FROM reach JOIN edges g ON g.s = reach.id),
+         |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+         |m AS (SELECT a.vec_id, a.cell, COALESCE(c.comp, a.vec_id) AS grp, a.cell_cos
+         |      FROM asg a LEFT JOIN comp c ON c.id = a.vec_id),
+         |r AS (SELECT vec_id, cell, grp,
+         |        ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cell_cos ASC, vec_id) AS rn
+         |      FROM m)
+         |SELECT vec_id, cell, grp, rn = 1 AS keep
+         |FROM r ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      Dedup.semDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
+          k = 8, iters = 5, threshold = 0.7)
+        .orderBy(col("vec_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
     dd15Containment, dd16SourceLeakage, dd17PrefixFilter, dd18SentenceDedup,
     dd19BloomDecontaminate, dd20FuzzyEr, dd21DupSpans, dd22LshCapacity,
-    dd23SoftWeights, dd24UrlDedup, dd25LshCalibration)
+    dd23SoftWeights, dd24UrlDedup, dd25LshCalibration, dd26SemDedup)
 }

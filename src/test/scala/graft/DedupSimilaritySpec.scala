@@ -219,6 +219,74 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(b(0L) != b(2L))
   }
 
+  test("semDedup: scalar replay of cluster -> pair -> keep-farthest agrees") {
+    val vecs = Seq(
+      10L -> Array(1.0, 0.0, 0.0, 0.0),
+      20L -> Array(0.0, 1.0, 0.0, 0.0),
+      11L -> Array(0.9, 0.3, 0.0, 0.0),
+      12L -> Array(0.95, 0.2, 0.0, 0.0),
+      21L -> Array(0.1, 0.9, 0.0, 0.0),
+      30L -> Array(0.0, 0.0, 1.0, 0.0))
+    val (k, iters, thr) = (2, 3, 0.9)
+    val df = vecs.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(df, "vec_id", "embedding", k, iters, thr)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+
+    // scalar replay: same init (first k by id), argmax-cosine assignment
+    // (ties -> lowest cell), componentwise member mean in id order
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val byId = vecs.sortBy(_._1)
+    var cents = byId.take(k).map(_._2).toArray
+    def assign(v: Array[Double]): Int =
+      cents.indices.maxBy(c => (dot(v, cents(c)) / (nrm(v) * nrm(cents(c))), -c))
+    for (_ <- 1 to iters) {
+      val cells = byId.map { case (_, v) => assign(v) }
+      cents = cents.indices.map { c =>
+        val members = byId.zip(cells).filter(_._2 == c).map(_._1._2)
+        if (members.isEmpty) cents(c)
+        else {
+          val acc = new Array[Double](4)
+          members.foreach(v => v.indices.foreach(i => acc(i) += v(i)))
+          acc.map(_ / members.length)
+        }
+      }.toArray
+    }
+    val cell = byId.map { case (id, v) => id -> assign(v) }.toMap
+    val cos = byId.map { case (id, v) =>
+      id -> (dot(v, cents(cell(id))) / (nrm(v) * nrm(cents(cell(id))))) }.toMap
+    val ids = byId.map(_._1)
+    val pairs = for {
+      a <- ids; b <- ids
+      if a < b && cell(a) == cell(b)
+      va = vecs.toMap.apply(a); vb = vecs.toMap.apply(b)
+      if dot(va, vb) / (nrm(va) * nrm(vb)) >= thr
+    } yield (a, b)
+    // transitive closure on 6 elements
+    val grp = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    var changed = true
+    while (changed) {
+      changed = false
+      pairs.foreach { case (a, b) =>
+        val m = math.min(grp(a), grp(b))
+        if (grp(a) != m || grp(b) != m) { grp(a) = m; grp(b) = m; changed = true }
+      }
+    }
+    val expect = ids.map { id =>
+      val members = ids.filter(j => grp(j) == grp(id))
+      val keeper = members.minBy(j => (cos(j), j))
+      (id, cell(id).toLong, grp(id), id == keeper)
+    }
+    assert(got.toSeq == expect)
+    // the fixture must exercise real duplicate groups: two 2-member groups
+    // (one keeper each) plus two singletons -> 4 keepers, 2 losers
+    assert(got.count(_._4) == 4 && got.length == 6)
+    assert(got.map(_._3).distinct.length == 4)
+  }
+
   test("contaminatedDocsBloom = contaminatedDocs at any FP rate (rescue join)") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
     val pred = col("doc_id") % 97 === 0
