@@ -818,7 +818,10 @@ object Similarity {
     * ever reaches the driver. Returns a centroid frame `(c_id, cv, cn)`.
     */
   def kmeansCentroids(
-      df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame = {
+      df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame =
+    // iterative Lloyd rounds over a persisted corpus: fixed per-round plan
+    // shape, so AQE only multiplies scheduler jobs (Dedup.withStaticPlan)
+    graft.operators.Dedup.withStaticPlan(df.sparkSession) {
     val spark = df.sparkSession
     import spark.implicits._
     val p = prepared(df, idCol, vecCol)
@@ -853,7 +856,7 @@ object Similarity {
     }
     p.unpersist()
     centFrame(cents)
-  }
+    }
 
   /** Recall@k of an approximate ANN result against the exact baseline: per
     * query, |approx ∩ exact| / |exact| over the neighbor sets (both frames in

@@ -1003,9 +1003,13 @@ object DedupQueries {
          |      FROM m)
          |SELECT vec_id, cell, grp, rn = 1 AS keep
          |FROM r ORDER BY vec_id""".stripMargin) { (spark, dir) =>
-      Dedup.semDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
-          k = 8, iters = 5, threshold = 0.7)
-        .orderBy(col("vec_id"))
+      // eager static-plan assembly — see dd11's rationale
+      Dedup.withStaticPlan(spark) {
+        Dedup.cachedForReuse(
+          Dedup.semDedup(Tables.embeddings(spark, dir), "vec_id", "embedding",
+              k = 8, iters = 5, threshold = 0.7)
+            .orderBy(col("vec_id")))
+      }
     }
   }
 
