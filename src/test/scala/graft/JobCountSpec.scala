@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scheduler-job-count regression guard for the queries whose round-8 work
+  * collapsed multi-job plans (iterative loops under static plans, eager
+  * bounded-report assembly, pointer-jumped connected components). Job count
+  * is the driver-environment scale lever — each job pays a scheduler
+  * round-trip, and on a congested driver that fixed cost dominates small
+  * stages — so a regression here is a real perf regression even when local
+  * wall-clock looks fine. Bounds carry ~30% headroom over measured counts;
+  * exceeding one means a plan change re-introduced per-exchange scheduling
+  * or a new action crept into a loop.
+  */
+class JobCountSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val jobs = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    })
+    counter
+  }
+
+  private def jobsFor(name: String): Int = {
+    org.apache.spark.graft.ListenerBusDrain.waitUntilEmpty(spark.sparkContext)
+    val j0 = jobs.get()
+    SparkEntry.queries(name)(spark, sf).count()
+    org.apache.spark.graft.ListenerBusDrain.waitUntilEmpty(spark.sparkContext)
+    jobs.get() - j0
+  }
+
+  test("iterative and report queries stay within their job budgets") {
+    // (query, bound). Memo-backed queries are measured COLD here —
+    // graft.queries.Shared is cleared first, so dd11 pays the whole kernel
+    // and dd14 hits the memo dd11 just built (Bench-order semantics).
+    graft.queries.Shared.clear()
+    val budgets = Seq(
+      "q_pagerank" -> 12,
+      "q_peak_concurrency" -> 11,
+      "tx15_pmi" -> 11,
+      "w18_psar" -> 8,
+      "dd11_dup_clusters" -> 23, // kernel + CC first build + report
+      "dd14_cluster_keep_best" -> 8, // memo hit
+      "dd26_semdedup" -> 27) // Lloyd training + CC + report
+    val over = budgets.flatMap { case (name, bound) =>
+      val n = jobsFor(name)
+      if (n > bound) Some(s"$name: $n jobs > budget $bound") else None
+    }
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    graft.queries.Shared.clear()
+    assert(over.isEmpty, over.mkString("; "))
+  }
+}
