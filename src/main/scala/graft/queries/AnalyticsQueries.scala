@@ -712,25 +712,18 @@ object AnalyticsQueries {
          |${(1 to 5).map(itSql).mkString(",\n")}
          |SELECT node AS l_partkey, r AS rank_fp
          |FROM it5 ORDER BY r DESC, node LIMIT 100""".stripMargin) { (spark, dir) =>
-      val li = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
       // The degree is FOLDED INTO the edge table once — (u, v, deg_u) —
       // so each iteration is exactly one equi-join of the small rank table
       // to the stationary edge frame + one group-by on the destination:
       // per-edge contribution floor(rank/deg) evaluates inline from the
-      // edge row, no per-round rank⋈deg join. The edge frame is
-      // materialized once, pre-partitioned on the join key `u`, and its
-      // LogicalRDD keeps that partitioning, so only the (much smaller)
-      // rank side shuffles per round (SCALE.md invariant #3).
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+      // edge row, no per-round rank⋈deg join. The raw edge frame is the
+      // memoized [[Shared.partEdges]] (also consumed by q_reachability);
+      // the degree-annotated copy is materialized once, pre-partitioned on
+      // the join key `u`, and its LogicalRDD keeps that partitioning, so
+      // only the (much smaller) rank side shuffles per round (SCALE.md
+      // invariant #3).
+      val ed = Shared.partEdges(spark, dir)
       val ranks = graft.operators.Dedup.withStaticPlan(spark) {
-        val ed = graft.operators.Dedup.cachedForReuse(
-          e.withColumn("deg", count(lit(1)).over(Window.partitionBy(col("u"))))
-            .repartition(col("u")))
         var rk = ed.select(col("u").as("node")).distinct()
           .withColumn("r", lit(1000000L))
         // Each round re-roots on a materialized RDD (O(1) plan size across
@@ -1204,25 +1197,33 @@ object AnalyticsQueries {
          |${(1 to 3).map(stepSql).mkString(",\n")}
          |SELECT node AS l_partkey, d AS dist FROM r3 ORDER BY node""".stripMargin) {
       (spark, dir) =>
-        val li = Tables.lineitem(spark, dir)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val e = graft.operators.Dedup.cachedForReuse(
-          li.as("a").join(li.as("b"),
-              col("a.l_orderkey") === col("b.l_orderkey") &&
-                col("a.l_partkey") =!= col("b.l_partkey"))
-            .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-            .distinct())
-        var dist = Tables.part(spark, dir)
-          .filter(col("p_partkey") <= 10)
-          .select(col("p_partkey").as("node"), lit(0L).as("d"))
-        for (_ <- 1 to 3) {
-          dist = dist
-            .unionAll(e.join(dist, col("u") === col("node"))
-              .select(col("v").as("node"), (col("d") + 1L).as("d")))
-            .groupBy(col("node")).agg(min(col("d")).as("d"))
+        // BFS frontier rounds over the memoized co-occurrence edges
+        // ([[Shared.partEdges]]): each round re-roots on a materialized
+        // RDD under the static plan (one scheduler job per round — the
+        // round body references `dist` twice, union + join, so a carried
+        // plan would also double per round).
+        val e = Shared.partEdges(spark, dir)
+        graft.operators.Dedup.withStaticPlan(spark) {
+          var dist = Tables.part(spark, dir)
+            .filter(col("p_partkey") <= 10)
+            .select(col("p_partkey").as("node"), lit(0L).as("d"))
+          var release: () => Unit = () => ()
+          for (_ <- 1 to 3) {
+            val next = dist
+              .unionAll(e.join(dist, col("u") === col("node"))
+                .select(col("v").as("node"), (col("d") + 1L).as("d")))
+              .groupBy(col("node")).agg(min(col("d")).as("d"))
+              .localCheckpoint(true)
+            release()
+            release = () => next.queryExecution.analyzed.collectFirst {
+              case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                lr.rdd.unpersist(false); ()
+            }.getOrElse(())
+            dist = next
+          }
+          dist.select(col("node").as("l_partkey"), col("d").as("dist"))
+            .orderBy(col("l_partkey"))
         }
-        dist.select(col("node").as("l_partkey"), col("d").as("dist"))
-          .orderBy(col("l_partkey"))
     }
   }
 
