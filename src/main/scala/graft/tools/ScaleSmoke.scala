@@ -111,6 +111,66 @@ object ScaleSmoke {
       val mm = h.agg(min("h"), max("h"), count_distinct(col("h"))).head()
       require(mm.getLong(0) == 0L && mm.getLong(1) == 65535L && mm.getLong(2) == 65536L)
     }
+    t(s"psar n=$n keys=1000") {
+      // 1000 parallel symbol partitions, deterministic jagged bars; exactly
+      // one warmup NULL per key and a defined SAR everywhere else
+      val bars = spark.range(0, n).toDF("i").select(
+        (col("i") % 1000).as("sym"), expr("i div 1000").as("t"),
+        (lit(100.0) + (col("i") * 37 % 17).cast("double")).as("h"),
+        (lit(100.0) + (col("i") * 37 % 17).cast("double")
+          - (col("i") * 13 % 5).cast("double") - 1.0).as("l"))
+      val out = graft.operators.Indicators.withPsar(
+        bars, "h", "l", "psar", "t", Seq("sym"))
+      val row = out.agg(count(lit(1)),
+        sum(when(col("psar_sar").isNull, 1L).otherwise(0L))).head()
+      require(row.getLong(0) == n, "row count changed")
+      require(row.getLong(1) == 1000L, s"expected 1000 warmup NULLs, got ${row.getLong(1)}")
+    }
+    t(s"connected_components chains n=$n") {
+      // n edges forming n/10 disjoint 10-node chains (diameter 10): the
+      // pointer-jumped loop must close them in O(log) rounds and label
+      // every node with its chain head — verified in aggregate against the
+      // closed form Σcomp = 10·Σ heads
+      val edges = spark.range(0, n).toDF("i")
+        .filter(col("i") % 10 =!= 9)
+        .select(col("i").as("doc_a"), (col("i") + 1).as("doc_b"))
+      val labels = graft.operators.Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      val got = labels.agg(count(lit(1)),
+        sum(col("comp").cast("decimal(38,0)"))).head()
+      val chains = n / 10
+      val sumHeads = java.math.BigInteger.valueOf(chains)
+        .multiply(java.math.BigInteger.valueOf(chains - 1)).divide(java.math.BigInteger.valueOf(2))
+        .multiply(java.math.BigInteger.TEN) // Σ over heads s=10k of s, k<chains
+      val expect = new java.math.BigDecimal(sumHeads.multiply(java.math.BigInteger.TEN))
+      require(got.getLong(0) == n, s"label count ${got.getLong(0)} != $n nodes")
+      require(got.getDecimal(1).compareTo(expect) == 0,
+        s"Σcomp ${got.getDecimal(1)} != closed form $expect")
+    }
+    t(s"semdedup n=${n / 100} dim=8 k=64") {
+      // pseudo-random 8-dim points duplicated in id pairs (vec_id div 2):
+      // each duplicate pair shares one exact direction (cos = 1), distinct
+      // bases are far apart, and k = 64 cells keep the in-cell pair space
+      // ~(m/k)²·k ≈ 3M — the paper's subquadratic shape at smoke scale.
+      // Invariants: one keeper per group, groups never span cells.
+      val m = n / 100
+      val primes = Seq(131, 137, 139, 149, 151, 157, 163, 167)
+      val vecs = spark.range(0, m).toDF("vec_id").select(col("vec_id"),
+        array(primes.map(p =>
+          ((expr("vec_id div 2") * p % 1009) + 1.0).cast("double")): _*)
+          .as("embedding"))
+      val out = graft.operators.Dedup.semDedup(
+        vecs, "vec_id", "embedding", k = 64, iters = 2, threshold = 0.999999)
+      val chk = out.groupBy("grp")
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("keeps"),
+          count_distinct(col("cell")).as("cells"))
+        .agg(count(lit(1)), max("keeps"), min("keeps"), max("cells")).head()
+      require(chk.getLong(1) == 1L && chk.getLong(2) == 1L,
+        "every duplicate group must keep exactly one member")
+      require(chk.getLong(3) == 1L, "groups must never span k-means cells")
+      require(chk.getLong(0) <= m / 2, // duplicate pairs must actually merge
+        s"${chk.getLong(0)} groups for $m rows — pair duplicates not detected")
+      require(out.count() == m, "row count changed")
+    }
     spark.stop()
   }
 }
