@@ -139,6 +139,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "psar", buildPsar, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "supertrend", exprs => {
+        require(exprs.size == 3, "supertrend(basic_ub, basic_lb, close)")
+        SuperTrend(exprs(0), exprs(1), exprs(2))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash32", exprs => Hash32Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dotp", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")

@@ -369,6 +369,40 @@ object Indicators {
       .drop("__ps")
   }
 
+  /** SuperTrend per key: Wilder ATR (native [[graft.functions.Ewm]] over
+    * TR, `minPeriods = period` warmup) → basic bands
+    * `(h+l)/2 ± mult·ATR` → the final-band conditional-carry recursion
+    * and trend flips through the native
+    * [[graft.functions.SuperTrend]] window state machine. Both
+    * recursions share ONE keyed WindowExec sort. Appends
+    * `{outPrefix}_fub/_flb/_line/_up`; rows in the ATR warmup emit NULL.
+    * Every emitted double is a fixed IEEE sequence over the carried
+    * state, so a single recursive CTE carrying (smoothed TR, fub, flb,
+    * up, prev close) replays it bit-for-bit — the w17_adx discipline.
+    */
+  def withSupertrend(
+      df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+      outPrefix: String, period: Int, mult: Double,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val w = baseWindow(partitionCols, orderCol)
+    val a = 1.0 / period.toDouble
+    val (h, l, c) = (col(highCol), col(lowCol), col(closeCol))
+    val pc = lag(c, 1).over(w)
+    df
+      .withColumn("__tr", when(pc.isNotNull,
+        greatest(h - l, abs(h - pc), abs(l - pc))))
+      .withColumn("__atr", expr(s"ewm(__tr, $a, $period)").over(w))
+      .withColumn("__bub", (h + l) / 2.0 + lit(mult) * col("__atr"))
+      .withColumn("__blb", (h + l) / 2.0 - lit(mult) * col("__atr"))
+      .withColumn("__st", expr(s"supertrend(__bub, __blb, $closeCol)").over(w))
+      .withColumn(s"${outPrefix}_fub", col("__st.fub"))
+      .withColumn(s"${outPrefix}_flb", col("__st.flb"))
+      .withColumn(s"${outPrefix}_line", col("__st.line"))
+      .withColumn(s"${outPrefix}_up", col("__st.up"))
+      .drop("__tr", "__atr", "__bub", "__blb", "__st")
+  }
+
   /** Commodity Channel Index over an integer-valued typical-price column,
     * as an EXACT integer rational: CCI = (tp − SMA) / (0.015 · MAD), where
     * MAD is the mean absolute deviation of the window's prices from the

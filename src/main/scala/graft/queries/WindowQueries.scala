@@ -1873,6 +1873,87 @@ object WindowQueries {
     }
   }
 
+  /** SuperTrend per symbol ([[Indicators.withSupertrend]], period 14,
+    * multiplier 3): the Wilder-ATR recursion AND the final-band
+    * conditional-carry recursion fused into ONE recursive CTE carrying
+    * (satr, fub, flb, up, pc) — the basic bands are a pure function of
+    * the carried smoothed TR, so the second-stage state machine consumes
+    * them inline (the w17_adx single-CTE discipline; a nested two-CTE
+    * replay would blow up super-linearly in DuckDB). Bit-exact from the
+    * first emitted row (rn = period + 1 = 15).
+    */
+  val w19Supertrend: Q = {
+    val a = "(CAST(1.0 AS DOUBLE)/14.0)"
+    val b = "(1.0 - CAST(1.0 AS DOUBLE)/14.0)"
+    val m = "CAST(3.0 AS DOUBLE)"
+    Q(
+      "w19_supertrend",
+      s"""WITH RECURSIVE bars AS (
+         |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+         |    FLOOR(MAX(o_totalprice) / 100.0) + 1.0 AS h,
+         |    FLOOR(MIN(o_totalprice) / 100.0) - 1.0 AS l,
+         |    FLOOR(arg_max(o_totalprice, o_orderkey) / 100.0) AS c
+         |  FROM orders GROUP BY 1, 2),
+         |s AS (SELECT sym, d, h, l, c,
+         |        ROW_NUMBER() OVER (PARTITION BY sym ORDER BY d) AS rn,
+         |        LAG(c) OVER (PARTITION BY sym ORDER BY d) AS pcl
+         |      FROM bars),
+         |dm AS (SELECT sym, d, rn, h, l, c,
+         |        GREATEST(h - l, ABS(h - pcl), ABS(l - pcl)) AS tr
+         |      FROM s WHERE pcl IS NOT NULL),
+         |rec AS (
+         |  SELECT sym, rn, tr AS satr,
+         |         CAST(NULL AS DOUBLE) AS fub, CAST(NULL AS DOUBLE) AS flb,
+         |         CAST(NULL AS BOOLEAN) AS up, CAST(NULL AS DOUBLE) AS pc
+         |  FROM dm WHERE rn = 2
+         |  UNION ALL
+         |  SELECT sym, rn, satr,
+         |    CASE WHEN rn < 15 THEN CAST(NULL AS DOUBLE)
+         |         WHEN rn = 15 THEN bub ELSE nfub END,
+         |    CASE WHEN rn < 15 THEN CAST(NULL AS DOUBLE)
+         |         WHEN rn = 15 THEN blb ELSE nflb END,
+         |    CASE WHEN rn < 15 THEN CAST(NULL AS BOOLEAN)
+         |         WHEN rn = 15 THEN c > bub
+         |         WHEN up THEN NOT (c < nflb) ELSE c > nfub END,
+         |    CASE WHEN rn < 15 THEN CAST(NULL AS DOUBLE) ELSE c END
+         |  FROM (
+         |    SELECT sym, rn, satr, c, up, bub, blb,
+         |      CASE WHEN bub < fub OR pc > fub THEN bub ELSE fub END AS nfub,
+         |      CASE WHEN blb > flb OR pc < flb THEN blb ELSE flb END AS nflb
+         |    FROM (
+         |      SELECT g.sym, g.rn,
+         |        $a * g.tr + $b * r.satr AS satr,
+         |        (g.h + g.l) / CAST(2.0 AS DOUBLE)
+         |          + $m * ($a * g.tr + $b * r.satr) AS bub,
+         |        (g.h + g.l) / CAST(2.0 AS DOUBLE)
+         |          - $m * ($a * g.tr + $b * r.satr) AS blb,
+         |        g.c, r.fub, r.flb, r.up, r.pc
+         |      FROM dm g JOIN rec r ON g.sym = r.sym AND g.rn = r.rn + 1
+         |    ) st
+         |  ) bands),
+         |emit AS (SELECT sym, rn, fub, flb, up FROM rec WHERE rn >= 15)
+         |SELECT s.sym, s.d, e.fub AS st_fub, e.flb AS st_flb,
+         |  CASE WHEN e.up THEN e.flb ELSE e.fub END AS st_line,
+         |  e.up AS st_up
+         |FROM emit e JOIN s ON s.sym = e.sym AND s.rn = e.rn
+         |ORDER BY s.sym, s.d""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val bars = graft.Tables.orders(spark, dir)
+        .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+        .agg(
+          (floor(max(col("o_totalprice")) / 100.0) + 1.0).as("h"),
+          (floor(min(col("o_totalprice")) / 100.0) - 1.0).as("l"),
+          floor(max_by(col("o_totalprice"), col("o_orderkey")) / 100.0).as("c"))
+      val rn = row_number().over(Window.partitionBy("sym").orderBy("d"))
+      Indicators.withSupertrend(bars, "h", "l", "c", "st", 14, 3.0,
+          orderCol = "d", partitionCols = Seq("sym"))
+        .withColumn("__rn", rn)
+        .filter(col("__rn") >= 15)
+        .select("sym", "d", "st_fub", "st_flb", "st_line", "st_up")
+        .orderBy(col("sym"), col("d"))
+    }
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
@@ -1881,5 +1962,5 @@ object WindowQueries {
     w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
     m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
-    w18Psar)
+    w18Psar, w19Supertrend)
 }

@@ -299,4 +299,61 @@ class IndicatorsSpec extends AnyFunSuite {
     assert(g(1).isNullAt(g.head.fieldIndex("psar_sar")))
     assert(!g(2).isNullAt(g.head.fieldIndex("psar_sar")))
   }
+
+  test("withSupertrend: hand-replayed ATR + final-band recursion, trend flips, warmup") {
+    val period = 2; val mult = 2.0; val a = 1.0 / period
+    // rise, spike down (flip), recover (flip back)
+    val hs = Seq(11.0, 12.0, 13.0, 14.0, 8.0, 7.5, 13.0, 15.0, 16.0)
+    val ls = Seq(9.0, 10.0, 11.0, 12.0, 6.0, 6.0, 11.0, 13.0, 14.0)
+    val cs = Seq(10.0, 11.0, 12.0, 13.0, 7.0, 6.5, 12.0, 14.0, 15.0)
+    val df = hs.indices.map(i => (f"d$i%02d", hs(i), ls(i), cs(i)))
+      .toDF("d", "h", "l", "c")
+    val out = Indicators.withSupertrend(df, "h", "l", "c", "st", period, mult, "d")
+      .orderBy("d").collect()
+
+    var satr = 0.0; var seenA = 0
+    var (fub, flb, up, pc) = (0.0, 0.0, false, 0.0)
+    var seenS = 0
+    val expect = hs.indices.map { i =>
+      if (i == 0) None
+      else {
+        val tr = math.max(hs(i) - ls(i),
+          math.max(math.abs(hs(i) - cs(i - 1)), math.abs(ls(i) - cs(i - 1))))
+        if (seenA == 0) satr = tr else satr = a * tr + (1.0 - a) * satr
+        seenA += 1
+        if (seenA < period) None
+        else {
+          val bub = (hs(i) + ls(i)) / 2.0 + mult * satr
+          val blb = (hs(i) + ls(i)) / 2.0 - mult * satr
+          if (seenS == 0) { fub = bub; flb = blb; up = cs(i) > bub }
+          else {
+            val nfub = if (bub < fub || pc > fub) bub else fub
+            val nflb = if (blb > flb || pc < flb) blb else flb
+            up = if (up) !(cs(i) < nflb) else cs(i) > nfub
+            fub = nfub; flb = nflb
+          }
+          pc = cs(i); seenS += 1
+          Some((fub, flb, if (up) flb else fub, up))
+        }
+      }
+    }
+    hs.indices.foreach { i =>
+      val r = out(i)
+      def cell(c: String): Option[Double] = {
+        val ix = r.fieldIndex(c); if (r.isNullAt(ix)) None else Some(r.getDouble(ix))
+      }
+      expect(i) match {
+        case None =>
+          assert(r.isNullAt(r.fieldIndex("st_line")), s"warmup row $i")
+        case Some((f, fl, line, u)) =>
+          assert(cell("st_fub").contains(f), s"fub row $i")
+          assert(cell("st_flb").contains(fl), s"flb row $i")
+          assert(cell("st_line").contains(line), s"line row $i")
+          assert(r.getBoolean(r.fieldIndex("st_up")) == u, s"up row $i")
+      }
+    }
+    // the fixture must exercise both flip directions
+    val ups = out.drop(period).map(_.getBoolean(out.head.fieldIndex("st_up")))
+    assert(ups.contains(true) && ups.contains(false))
+  }
 }
