@@ -105,4 +105,23 @@ object TextAnalysis {
   def symbolRatio(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double") /
       greatest(length(text), lit(1)).cast("double")
+
+  /** The tx16 C4-style keep predicate (Raffel et al. 2020 §2.2 adapted):
+    * word-count band [30, 5000], ≥½ distinct words, ≥2 distinct core
+    * stopwords, mean word length in [4.5, 8] chars — all-integer
+    * comparisons (cross-multiplied fractions), one codegen'd projection.
+    * Shared verbatim by the tx16 audit query (per-rule booleans) and the
+    * mx17 curation pipeline (the composed filter stage).
+    */
+  def c4Keep(text: Column, nChars: Column): Column = {
+    val ws = split(text, " ")
+    val nw = size(ws)
+    val rLen = nw.between(30, 5000)
+    val rDistinct = size(array_distinct(ws)) * 2 >= nw
+    val rStop = size(array_distinct(filter(ws,
+      t => t.isin("the", "a", "of", "and", "is")))) >= 2
+    val halfMean = (nChars - (nw - 1)) * 2
+    val rWordlen = halfMean >= nw * 9 && halfMean <= nw * 16
+    rLen && rDistinct && rStop && rWordlen
+  }
 }

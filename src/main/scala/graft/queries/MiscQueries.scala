@@ -1497,6 +1497,90 @@ object MiscQueries {
           .cast(LongType).as("err_bp"))
   }
 
+  /** The composed curation DAG as ONE gated query — the end-to-end shape a
+    * training-data pipeline actually runs, each stage an operator this
+    * library already gates in isolation:
+    *
+    *   quality filter (three of tx16's C4 rules — length band, stopword
+    *   evidence, mean-word-length band; the distinct-fraction rule is
+    *   dropped so the synthetic corpus keeps a meaningful survivor set) →
+    *   exact dedup keep-first
+    *   ([[graft.operators.Dedup.dropExactDuplicates]], dd1's semantics) →
+    *   per-source quota (first 10 surviving docs per source — mx2's
+    *   shape) → best-fit-decreasing sequence packing at a 256-token budget
+    *   ([[graft.operators.Packing.packSequences]], mx8's kernel).
+    *
+    * The oracle chains the same four stages as CTEs ending in mx8's
+    * packing replay over the SURVIVOR set. Emits the packed survivors
+    * (doc_id, source, n_tokens, bin_id) — compositions must stay
+    * bit-exact end-to-end, not just per stage. Scale: filter/dedup/quota
+    * are one projection + two keyed windows; packing is the bounded
+    * per-split BFD (the only stage with a size cap, already smoke-tested
+    * at 2M rows).
+    */
+  val mx17CurationPipeline: Q = Q(
+    "mx17_curation_pipeline",
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, source, text, n_chars, string_split(text, ' ') AS ws
+      |  FROM documents),
+      |kept AS (SELECT doc_id, source, text FROM w
+      |  WHERE (len(ws) BETWEEN 30 AND 5000)
+      |    AND len(list_distinct(list_filter(ws,
+      |      t -> t IN ('the','a','of','and','is')))) >= 2
+      |    AND ((n_chars - (len(ws) - 1)) * 2 BETWEEN 9 * len(ws) AND 16 * len(ws))),
+      |dd AS (SELECT doc_id, source, text FROM (
+      |  SELECT doc_id, source, text,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM kept) WHERE rn = 1),
+      |quota AS (SELECT doc_id, source, text FROM (
+      |  SELECT doc_id, source, text,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM dd) WHERE rn <= 10),
+      |docs AS (
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |         row_number() OVER (ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rn
+      |  FROM quota),
+      |pack AS (
+      |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
+      |         CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bin_id,
+      |         CAST([] AS BIGINT[]) AS caps
+      |  UNION ALL
+      |  SELECT rn, doc_id, n_tokens,
+      |         CASE WHEN fit IS NULL THEN CAST(len(caps) AS BIGINT)
+      |              ELSE CAST(list_position(caps, fit) - 1 AS BIGINT) END AS bin_id,
+      |         CASE WHEN fit IS NULL THEN list_append(caps, 256 - n_tokens)
+      |              ELSE caps[1:list_position(caps, fit)-1] || [fit - n_tokens] || caps[list_position(caps, fit)+1:]
+      |         END AS caps
+      |  FROM (
+      |    SELECT d.rn, d.doc_id, d.n_tokens, p.caps,
+      |           list_min(list_filter(p.caps, c -> c >= d.n_tokens)) AS fit
+      |    FROM pack p JOIN docs d ON d.rn = p.rn + 1))
+      |SELECT p.doc_id, d.source, p.n_tokens, p.bin_id
+      |FROM pack p JOIN docs d USING (doc_id)
+      |WHERE p.rn > 0 ORDER BY p.doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Dedup, Packing, TextAnalysis}
+    val ws = split(col("text"), " ")
+    val nw = size(ws)
+    val halfMean = (col("n_chars") - (nw - 1)) * 2
+    val kept = Tables.documents(spark, dir)
+      .filter(nw.between(30, 5000) &&
+        size(array_distinct(filter(ws,
+          t => t.isin("the", "a", "of", "and", "is")))) >= 2 &&
+        halfMean >= nw * 9 && halfMean <= nw * 16)
+      .select(col("doc_id"), col("source"), col("text"))
+    val dd = Dedup.dropExactDuplicates(kept, "doc_id", "text")
+    val quota = dd
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("__rn") <= 10)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    Packing.packSequences(quota, "doc_id", "n_tokens", budget = 256L, numPartitions = 1)
+      .select("doc_id", "source", "n_tokens", "bin_id")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
     qProfile, qProfileApprox, qProfileLi, qProfileLiApprox,
@@ -1507,5 +1591,6 @@ object MiscQueries {
     mx12GroupSplit, mx13SourceWaterfill, mx14TemperatureMix,
     qTableChecksum, qDqReport,
     qPercentileBands, qCdcCompact, qIntervalUnion, qZorderLayout, qSkewReport,
-    qWeightedMedian, mx15EpochShuffle, qHilbertLayout, mx16Curriculum, qJoinEstimate)
+    qWeightedMedian, mx15EpochShuffle, qHilbertLayout, mx16Curriculum, qJoinEstimate,
+    mx17CurationPipeline)
 }

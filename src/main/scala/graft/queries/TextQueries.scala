@@ -480,7 +480,8 @@ object TextQueries {
     Tables.documents(spark, dir).select(col("doc_id"),
         rLen.as("r_len"), rDistinct.as("r_distinct"), rStop.as("r_stop"),
         rWordlen.as("r_wordlen"),
-        (rLen && rDistinct && rStop && rWordlen).as("keep"))
+        // same composed predicate the mx17 pipeline filters on
+        graft.operators.TextAnalysis.c4Keep(col("text"), col("n_chars")).as("keep"))
       .orderBy(col("doc_id"))
   }
 

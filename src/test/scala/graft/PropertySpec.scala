@@ -328,6 +328,42 @@ class PropertySpec extends AnyFunSuite {
     assert(got.map(_._2).sum == ev.map(_._1).distinct.length.toLong) // every user counted once
   }
 
+  test("mx17 curation pipeline: scalar filter->dedup->quota->BFD replay agrees") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Tables.documents(spark, dir)
+      .select("doc_id", "source", "text", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    def toks(t: String) = t.split(" ", -1)
+    val kept = rows.filter { case (_, _, text, nChars) =>
+      val ws = toks(text); val nw = ws.length.toLong
+      val stop = ws.filter(Set("the", "a", "of", "and", "is")).distinct.length
+      val halfMean = (nChars - (nw - 1)) * 2
+      nw >= 30 && nw <= 5000 && stop >= 2 &&
+        halfMean >= nw * 9 && halfMean <= nw * 16
+    }
+    val seen = scala.collection.mutable.Set.empty[String]
+    val dd = kept.filter { case (_, _, text, _) => seen.add(text) } // ids ascend
+    val quota = dd.groupBy(_._2).values.flatMap(_.sortBy(_._1).take(10)).toSeq
+    val docs = quota.map { case (id, src, text, _) =>
+      (id, src, toks(text).length.toLong) }
+      .sortBy { case (id, _, n) => (-n, id) }
+    // best-fit-decreasing: smallest remaining capacity that fits, tie -> low id
+    val caps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val binOf = docs.map { case (id, _, n) =>
+      val fits = caps.zipWithIndex.filter(_._1 >= n)
+      val bin = if (fits.isEmpty) { caps += (256L - n); caps.length - 1 }
+        else { val (_, i) = fits.minBy { case (c, i) => (c, i) }; caps(i) -= n; i }
+      id -> bin.toLong
+    }.toMap
+    val expect = docs.map { case (id, src, n) => (id, src, n, binOf(id)) }
+      .sortBy(_._1)
+    val got = SparkEntry.queries("mx17_curation_pipeline")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == expect)
+    assert(got.nonEmpty && got.map(_._4).max >= 1) // packing actually opened >1 bin
+  }
+
   test("dd18 sentence dedup: first-global-occurrence ownership agrees") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.documents(spark, dir)
