@@ -1013,10 +1013,72 @@ object DedupQueries {
     }
   }
 
+  /** LSH RECALL audit — the view [[dd25LshCalibration]] cannot see: dd25
+    * grades the estimator on pairs the banding SURFACED; this query grades
+    * the banding on pairs it MISSED. Ground truth is the exact
+    * prefix-filter join ([[Dedup.prefixFilterNearDuplicates]], provably no
+    * false negatives) at the same 0.8 threshold and shingle universe as
+    * the MinHash kernel; per 0.05-wide Jaccard bucket: exact-pair count,
+    * how many the banded+verified LSH path found, and recall in basis
+    * points. The 16-band×4-row banding's S-curve predicts low recall just
+    * above the threshold and ~1 at the top — this makes that measurable
+    * on the real corpus. The oracle computes ground truth NAIVELY
+    * (all-pairs) — the oracle may be slow, the engine side must stay
+    * subquadratic (prefix-filter index + banded LSH, never all-pairs).
+    */
+  val dd27LshRecall: Q = Q(
+    "dd27_lsh_recall",
+    s"""WITH $ShinglesSql,
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+       |     + (104729*j + 12345)) % 4294967311))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, t.b AS band,
+       |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+       |  FROM sig CROSS JOIN range(0, 16) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |lsh AS (SELECT doc_a, doc_b FROM (
+       |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
+       |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
+       |  WHERE jaccard >= 0.8),
+       |ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+       |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |exth AS (SELECT doc_a, doc_b, inter * 20 // uni AS bucket
+       |         FROM ex WHERE inter * 10 >= uni * 8),
+       |j AS (SELECT e.bucket,
+       |        CASE WHEN l.doc_a IS NULL THEN 0 ELSE 1 END AS found
+       |      FROM exth e LEFT JOIN lsh l
+       |        ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(SUM(found) AS BIGINT) AS n_found,
+       |  CAST(SUM(found) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+       |FROM j GROUP BY bucket ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    val exact = Dedup.prefixFilterNearDuplicates(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", thresholdNum = 8, thresholdDen = 10, shingleK = 3)
+      .withColumn("bucket", expr("inter * 20 div (n_a + n_b - inter)"))
+      .select(col("doc_a"), col("doc_b"), col("bucket"))
+    val lsh = Shared.minhashPairs(spark, dir)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("found"))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .select(col("bucket"), col("n_exact"), col("n_found"),
+        expr("n_found * 10000 div n_exact").as("recall_bp"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
     dd15Containment, dd16SourceLeakage, dd17PrefixFilter, dd18SentenceDedup,
     dd19BloomDecontaminate, dd20FuzzyEr, dd21DupSpans, dd22LshCapacity,
-    dd23SoftWeights, dd24UrlDedup, dd25LshCalibration, dd26SemDedup)
+    dd23SoftWeights, dd24UrlDedup, dd25LshCalibration, dd26SemDedup,
+    dd27LshRecall)
 }

