@@ -446,6 +446,45 @@ object Indicators {
       .drop("__tp", "__cnt", "__s", "__vals", "__mad_n")
   }
 
+  /** TRIX — the 1-step rate of change of a TRIPLE exponential smoothing:
+    * e1 = EMA(close), e2 = EMA(e1), e3 = EMA(e2) (all α = 2/(span+1),
+    * `adjust=False`, seeded at the first close), then
+    * trix = 100·(e3 − e3₋₁)/e3₋₁ (null on the first row and when
+    * e3₋₁ = 0). Also emits the e3 line itself (`<out>_e3`) — charting
+    * convention pairs them.
+    *
+    * The three stacked smoothings run through the native
+    * [[graft.functions.Ewm]] window function over ONE window spec — Spark
+    * chains them as successive Window projections reusing the first's
+    * partitioning and sort, so the plan shuffles once per `partitionCols`
+    * key set and never funnels through a single task (except the
+    * mathematically forced single-series case, see docs/SCALE.md).
+    *
+    * Determinism: each update is the identical `α·x + (1−α)·y` IEEE
+    * sequence; with α exactly representable (e.g. span 15 → α = 0.125)
+    * every double matches a single recursive replay carrying (e1, e2, e3)
+    * bit-for-bit — the fused-state oracle shape that keeps a SQL replay
+    * strictly linear (the w17_adx lesson: never nest one recursion inside
+    * another's step).
+    */
+  def withTrix(
+      df: DataFrame, closeCol: String, outCol: String, span: Int,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(span >= 1, "trix span must be >= 1")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val alpha = 2.0 / (span.toDouble + 1.0)
+    val w = baseWindow(partitionCols, orderCol)
+    val e3Col = s"${outCol}_e3"
+    df.withColumn("__trix_e1", expr(s"ewm(`$closeCol`, $alpha, 0)").over(w))
+      .withColumn("__trix_e2", expr(s"ewm(__trix_e1, $alpha, 0)").over(w))
+      .withColumn(e3Col, expr(s"ewm(__trix_e2, $alpha, 0)").over(w))
+      .withColumn("__trix_pe3", lag(col(e3Col), 1).over(w))
+      .withColumn(outCol,
+        when(col("__trix_pe3") =!= 0.0,
+          lit(100.0) * (col(e3Col) - col("__trix_pe3")) / col("__trix_pe3")))
+      .drop("__trix_e1", "__trix_e2", "__trix_pe3")
+  }
+
   /** The full reference transformer. Requires (case-insensitively)
     * `date, open, high, low, close, volume`; appends the seven hardcoded
     * indicator columns and drops warmup rows.

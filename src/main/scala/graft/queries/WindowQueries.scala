@@ -1954,6 +1954,58 @@ object WindowQueries {
     }
   }
 
+  /** TRIX per symbol ([[Indicators.withTrix]]): a TRIPLE exponential
+    * smoothing (e1 = EMA(close), e2 = EMA(e1), e3 = EMA(e2), α = 0.125 —
+    * span 15, exactly representable) followed by the 1-step rate of change
+    * of e3. The oracle replays all three recursions as ONE recursive CTE
+    * carrying the fused state `(e1, e2, e3)` per step — e2's update consumes
+    * the CURRENT step's e1 and e3's the current e2, so the whole chain stays
+    * a single strictly-linear recursion (the w17_adx rule: a stacked
+    * recursion must be fused into the carried state, never expressed as a
+    * second recursive CTE over the first). The final rate of change is a
+    * plain LAG over the materialized recursion — non-recursive, linear.
+    * Every update is the identical `α·x + (1−α)·y` IEEE sequence with exact
+    * α = 0.125 / β = 0.875, so e1/e2/e3 and trix match bit-for-bit.
+    */
+  val w20Trix: Q = Q(
+    "w20_trix",
+    """WITH RECURSIVE bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    FLOOR(arg_max(o_totalprice, o_orderkey) / 100.0) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (SELECT sym, d, CAST(c AS DOUBLE) AS c,
+      |        ROW_NUMBER() OVER (PARTITION BY sym ORDER BY d) AS rn
+      |      FROM bars),
+      |rec AS (
+      |  SELECT sym, rn, c AS e1, c AS e2, c AS e3 FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT sym, rn, e1, e2, 0.125 * e2 + 0.875 * pe3 AS e3
+      |  FROM (
+      |    SELECT sym, rn, e1, 0.125 * e1 + 0.875 * pe2 AS e2, pe3
+      |    FROM (
+      |      SELECT g.sym, g.rn, 0.125 * g.c + 0.875 * r.e1 AS e1,
+      |        r.e2 AS pe2, r.e3 AS pe3
+      |      FROM s g JOIN rec r ON g.sym = r.sym AND g.rn = r.rn + 1
+      |    ) t1
+      |  ) t2),
+      |lagged AS (
+      |  SELECT sym, rn, e3,
+      |    LAG(e3) OVER (PARTITION BY sym ORDER BY rn) AS pe3
+      |  FROM rec)
+      |SELECT s.sym, s.d, x.e3 AS trix_e3,
+      |  CASE WHEN x.pe3 <> 0.0
+      |    THEN 100.0 * (x.e3 - x.pe3) / x.pe3 END AS trix
+      |FROM lagged x JOIN s ON s.sym = x.sym AND s.rn = x.rn
+      |ORDER BY s.sym, s.d""".stripMargin) { (spark, dir) =>
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(floor(max_by(col("o_totalprice"), col("o_orderkey")) / 100.0).as("c"))
+    Indicators.withTrix(bars, "c", "trix", 15,
+        orderCol = "d", partitionCols = Seq("sym"))
+      .select("sym", "d", "trix_e3", "trix")
+      .orderBy(col("sym"), col("d"))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
@@ -1962,5 +2014,5 @@ object WindowQueries {
     w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
     m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
-    w18Psar, w19Supertrend)
+    w18Psar, w19Supertrend, w20Trix)
 }

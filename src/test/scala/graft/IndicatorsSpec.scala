@@ -356,4 +356,58 @@ class IndicatorsSpec extends AnyFunSuite {
     val ups = out.drop(period).map(_.getBoolean(out.head.fieldIndex("st_up")))
     assert(ups.contains(true) && ups.contains(false))
   }
+
+  test("withTrix: hand-replayed fused triple-EMA recursion, first-row null, zero guard") {
+    val cs = Seq(10.0, 12.0, 11.0, 15.0, 14.0, 18.0, 13.0, 20.0)
+    val df = cs.indices.map(i => (f"d$i%02d", cs(i))).toDF("d", "c")
+    val out = Indicators.withTrix(df, "c", "trix", 15, "d").orderBy("d").collect()
+
+    // Independent scalar replay: one pass carrying (e1, e2, e3) — e2
+    // consumes the CURRENT step's e1, e3 the current e2 (adjust=False,
+    // seeded at the first close), exactly the fused-state oracle shape.
+    val a = 0.125; val b = 0.875
+    var (e1, e2, e3) = (cs.head, cs.head, cs.head)
+    var pe3 = Option.empty[Double]
+    val expect = cs.indices.map { i =>
+      if (i > 0) {
+        pe3 = Some(e3)
+        e1 = a * cs(i) + b * e1
+        e2 = a * e1 + b * e2
+        e3 = a * e2 + b * e3
+      }
+      val trix = pe3.collect { case p if p != 0.0 => 100.0 * (e3 - p) / p }
+      (e3, trix)
+    }
+    cs.indices.foreach { i =>
+      val r = out(i)
+      assert(r.getDouble(r.fieldIndex("trix_e3")) == expect(i)._1, s"e3 row $i")
+      val ix = r.fieldIndex("trix")
+      val got = if (r.isNullAt(ix)) None else Some(r.getDouble(ix))
+      assert(got == expect(i)._2, s"trix row $i")
+    }
+    assert(out.head.isNullAt(out.head.fieldIndex("trix"))) // no lag on row 1
+
+    // constant series: e3 constant -> trix exactly 0.0 from row 2
+    val const = (0 until 4).map(i => (f"d$i%02d", 7.0)).toDF("d", "c")
+    val k = Indicators.withTrix(const, "c", "trix", 15, "d").orderBy("d").collect()
+    assert(k.drop(1).forall(r => r.getDouble(r.fieldIndex("trix")) == 0.0))
+
+    // zero-valued e3 lag: division guarded -> null, not Inf/NaN
+    val zero = Seq(("d00", 0.0), ("d01", 0.0), ("d02", 8.0), ("d03", 8.0))
+      .toDF("d", "c")
+    val z = Indicators.withTrix(zero, "c", "trix", 15, "d").orderBy("d").collect()
+    // rows 1 AND 2 guard on a zero lagged e3; row 3's lag is positive
+    assert(z(1).isNullAt(z(1).fieldIndex("trix")))
+    assert(z(2).isNullAt(z(2).fieldIndex("trix")))
+    assert(!z(3).isNullAt(z(3).fieldIndex("trix")))
+
+    // per-symbol partitioning: each key replays independently
+    val two = Seq(("A", "d0", 10.0), ("A", "d1", 12.0),
+      ("B", "d0", 5.0), ("B", "d1", 4.0)).toDF("sym", "d", "c")
+    val t = Indicators.withTrix(two, "c", "trix", 15, "d", Seq("sym"))
+      .orderBy("sym", "d").collect()
+    assert(t(0).isNullAt(t(0).fieldIndex("trix")) && t(2).isNullAt(t(2).fieldIndex("trix")))
+    assert(t(1).getDouble(t(1).fieldIndex("trix")) > 0.0)
+    assert(t(3).getDouble(t(3).fieldIndex("trix")) < 0.0)
+  }
 }
