@@ -558,4 +558,64 @@ object Eval {
               | * 10000 div (cast(b01 as decimal(38,0)) + b10)""".stripMargin)
             .cast(LongType)).as("chi2_cc_bp"))
   }
+
+  /** Mann–Whitney U (Wilcoxon rank-sum) with average-rank tie handling and
+    * normal approximation — the nonparametric two-sample location test
+    * (does group 1's value distribution stochastically dominate group 0's?).
+    *
+    * Same quantized-input contract as [[spearmanRho]]: the corpus reduces
+    * to a per-VALUE grid `(v → total count c, group-1 count c1)` in one
+    * map-side-combinable groupBy, so ranking never touches a row-scale
+    * window — each distinct value's doubled midrank is
+    * `2·(cumulative count of smaller values) + c + 1` (doubling keeps .5
+    * midranks integral), one running sum over the ≤G-row grid.
+    *
+    * Output (exact integers, hash-compare bit-for-bit): `n1`, `n2`,
+    * `u1_x2` = 2·U₁ = 2·R₁ − n₁(n₁+1), `tie_sum` = Σ(c³−c), and `z_bp` —
+    * the tie-corrected z statistic in basis points, derived through double
+    * from exact decimals only:
+    * `z = (2U₁ − n₁n₂) / (2·√(n₁n₂·((n+1)·n·(n−1) − T) / (12·n·(n−1))))`.
+    * Both engines cast the SAME exact decimals with round-to-nearest and
+    * IEEE divide/sqrt on identical doubles are identical; `floor(x·10⁴+0.5)`
+    * fixes half-up rounding cross-engine. Degenerate inputs (either group
+    * empty, or every value tied → zero variance) yield NULL z.
+    *
+    * 100 TB shape: one grid groupBy + one bounded-grid window + one
+    * single-row aggregate; decimal(38,0) holds 2·R₁ ≤ 2n² to ~10¹⁸ rows.
+    */
+  def mannWhitneyU(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    import org.apache.spark.sql.expressions.Window
+    val grid = df.select(
+        when(col(groupCol), 1L).otherwise(0L).as("g"),
+        col(valueCol).cast(LongType).as("v"))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("g")).as("c1"))
+    // grid-sized running sum (bounded by the quantized-input contract)
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grid.withColumn("r2",
+      coalesce(sum(col("c")).over(w), lit(0L)) * 2 + col("c") + 1)
+    ranked.agg(
+        sum(col("c")).cast(D).as("n"),
+        sum(col("c1")).cast(D).as("n1"),
+        sum(col("c1").cast(D) * col("r2")).cast(D).as("r1_x2"),
+        sum(col("c").cast(D) * col("c") * col("c") - col("c")).cast(D).as("tie_sum"))
+      .select(
+        col("n1").cast(LongType).as("n1"),
+        (col("n") - col("n1")).cast(LongType).as("n2"),
+        (col("r1_x2") - col("n1") * (col("n1") + 1)).cast(D).as("u1_x2"),
+        col("tie_sum").cast(LongType).as("tie_sum"),
+        (col("n1") * (col("n") - col("n1"))
+          * ((col("n") + 1) * col("n") * (col("n") - 1) - col("tie_sum")))
+          .cast(D).as("var_num"),
+        (lit(12).cast(D) * col("n") * (col("n") - 1)).cast(D).as("var_den"),
+        (col("n1") * (col("n") - col("n1"))).cast(D).as("n1n2"))
+      .withColumn("z_bp",
+        when(col("var_num") <= 0, lit(null).cast(LongType))
+          .otherwise(
+            floor((col("u1_x2") - col("n1n2")).cast(DoubleType) * 10000.0
+              / (lit(2.0) * sqrt(col("var_num").cast(DoubleType)
+                / col("var_den").cast(DoubleType))) + 0.5).cast(LongType)))
+      .select("n1", "n2", "u1_x2", "tie_sum", "z_bp")
+  }
 }

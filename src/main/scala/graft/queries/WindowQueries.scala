@@ -1954,6 +1954,49 @@ object WindowQueries {
     }
   }
 
+  /** Mann–Whitney U ([[graft.operators.Eval.mannWhitneyU]]): do
+    * purchase/click events carry a stochastically larger value than the
+    * other event types? Values quantize to whole currency units (≤ ~500
+    * distinct keys — the bounded value-grid contract), midranks come from
+    * one running sum over that grid, and every reported statistic is an
+    * exact integer except z_bp, which both engines derive from the SAME
+    * exact decimals through identical IEEE divide/sqrt steps.
+    */
+  val m33MannWhitney: Q = Q(
+    "m33_mann_whitney",
+    """WITH src AS (SELECT
+      |    event_type IN ('purchase', 'click') AS g,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS v
+      |  FROM events),
+      |grid AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |  FROM src GROUP BY v),
+      |ranked AS (SELECT c, c1,
+      |    2 * COALESCE(SUM(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+      |  FROM grid),
+      |a AS (SELECT SUM(c) AS n, SUM(c1) AS n1, SUM(c1 * r2) AS r1_x2,
+      |    SUM(c * c * c - c) AS tie_sum FROM ranked)
+      |SELECT CAST(n1 AS BIGINT) AS n1,
+      |  CAST(n - n1 AS BIGINT) AS n2,
+      |  CAST(r1_x2 - n1 * (n1 + 1) AS DECIMAL(38,0)) AS u1_x2,
+      |  CAST(tie_sum AS BIGINT) AS tie_sum,
+      |  CAST(CASE WHEN n1 * (n - n1)
+      |         * ((n + 1) * n * (n - 1) - tie_sum) <= 0 THEN NULL
+      |    ELSE FLOOR(CAST(r1_x2 - n1 * (n1 + 1) - n1 * (n - n1) AS DOUBLE)
+      |      * 10000.0
+      |      / (2.0 * SQRT(
+      |          CAST(n1 * (n - n1) * ((n + 1) * n * (n - 1) - tie_sum) AS DOUBLE)
+      |          / CAST(12 * n * (n - 1) AS DOUBLE))) + 0.5)
+      |    END AS BIGINT) AS z_bp
+      |FROM a""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val e = graft.Tables.events(spark, dir).select(
+      col("event_type").isin("purchase", "click").as("g"),
+      expr("cast(cast(value as decimal(18,2)) * 100 as bigint) div 100").as("v"))
+    graft.operators.Eval.mannWhitneyU(e, "g", "v")
+  }
+
   /** TRIX per symbol ([[Indicators.withTrix]]): a TRIPLE exponential
     * smoothing (e1 = EMA(close), e2 = EMA(e1), e3 = EMA(e2), α = 0.125 —
     * span 15, exactly representable) followed by the 1-step rate of change
@@ -2014,5 +2057,5 @@ object WindowQueries {
     w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
     m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
-    w18Psar, w19Supertrend, w20Trix)
+    w18Psar, w19Supertrend, w20Trix, m33MannWhitney)
 }

@@ -460,6 +460,30 @@ class EvalMixSpec extends AnyFunSuite {
     assert(Eval.mcnemar(agree, "t", "a", "b").collect()(0).isNullAt(3))
   }
 
+  test("mannWhitneyU: hand-computed midranks/U, tie correction, degenerate NULLs") {
+    // group1 = {1, 2}, group0 = {2, 3, 4}: midranks 1, 2.5 | 2.5, 4, 5
+    // → U₁ = 0.5 (one tie pair), u1_x2 = 2·R₁ − n₁(n₁+1) = 7 − 6 = 1
+    val df = Seq((true, 1L), (true, 2L), (false, 2L), (false, 3L), (false, 4L))
+      .toDF("g", "v")
+    val r = Eval.mannWhitneyU(df, "g", "v").collect()(0)
+    assert(r.getLong(0) == 2 && r.getLong(1) == 3)
+    assert(r.getDecimal(2).longValueExact == 1L)
+    assert(r.getLong(3) == 6L) // one 2-way tie: 2³ − 2
+    // z from the same exact pieces: (1 − 6) / (2·√(684/240)), half-up bp
+    val z = (1.0 - 6.0) * 10000.0 / (2.0 * math.sqrt(684.0 / 240.0))
+    assert(r.getLong(4) == math.floor(z + 0.5).toLong)
+
+    // every value tied → zero variance → NULL z (u1_x2 still defined)
+    val tied = Seq((true, 7L), (false, 7L), (false, 7L)).toDF("g", "v")
+    val t = Eval.mannWhitneyU(tied, "g", "v").collect()(0)
+    assert(t.isNullAt(4))
+    assert(t.getDecimal(2).longValueExact == 2L) // R₁ = midrank 2 → 2·2 − 2
+
+    // one group empty → n₁n₂ = 0 → NULL z
+    val solo = Seq((false, 1L), (false, 2L)).toDF("g", "v")
+    assert(Eval.mannWhitneyU(solo, "g", "v").collect()(0).isNullAt(4))
+  }
+
   test("tx17 gopher filter: keep is the conjunction of the rule booleans") {
     val dir = "/root/testdata/sf0.001"
     val rows = queries.TextQueries.tx17GopherFilter.run(spark, dir).collect()
