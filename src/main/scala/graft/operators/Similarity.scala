@@ -858,6 +858,66 @@ object Similarity {
     centFrame(cents)
     }
 
+  /** IVF recall audit across probe depths — the [[recallAtK]] idea turned
+    * into ONE corpus-shaped report: for every `nProbe` in `probes`, recall@k
+    * of IVF search against the exact brute-force top-k, on the same query
+    * set. The dd27 discipline applied to the vector path: dd25/sim3 pin
+    * that the IVF plan is correct; this pins what the probe knob BUYS
+    * (recall climbing toward 1.0 as nProbe → nCells).
+    *
+    * Cost shape (why this is not "run IVF |probes| times"): the corpus is
+    * assigned ONCE, each query's centroid ranking is computed ONCE, and one
+    * candidate frame (cells with probe rank ≤ max(probes)) is scored ONCE —
+    * per-probe results are then |probes| bounded window passes over that
+    * single scored frame (filter crn ≤ p, rank, top-k), so the expensive
+    * shuffle/score work is shared and only the cheap ranking is repeated.
+    * At 100 TB the scored frame is queries×(k·probe-cells) — query-scale,
+    * not corpus-scale.
+    */
+  def ivfRecallReport(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nCells: Int, probes: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(probes.nonEmpty && probes.forall(_ >= 1), "probes must be >= 1")
+    val maxProbe = probes.max
+    val p = prepared(df, idCol, vecCol)
+    val cents = p.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val assigned = assignCells(p, cents).drop("cell_cos")
+    // per-query centroid ranking, kept to the deepest probe once
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val qCells = p.filter(queryPred).join(broadcast(cents))
+      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("crn", row_number().over(wProbe))
+      .filter(col("crn") <= maxProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"),
+        col("c_id").as("cell"), col("crn"))
+    // single scored candidate frame across all probe depths
+    val cand = assigned.join(broadcast(qCells), Seq("cell"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cosine", dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
+      .select(col("q_id"), col("vec_id").as("neighbor"), col("cosine"), col("crn"))
+    val candM = Dedup.cachedForReuse(cand)
+    val truth = bruteForceTopK(df, df.filter(queryPred), idCol, vecCol, k)
+      .select(col("q_id"), col("neighbor"))
+    val truthM = Dedup.cachedForReuse(truth)
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor"))
+    val perProbe = probes.sorted.map { np =>
+      candM.filter(col("crn") <= np)
+        .withColumn("rnk", row_number().over(wRank))
+        .filter(col("rnk") <= k)
+        .join(truthM, Seq("q_id", "neighbor"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(np.toLong).as("n_probe"), col("n_hit"))
+    }.reduce(_ unionAll _)
+    val totals = truthM.agg(
+      countDistinct(col("q_id")).as("n_queries"), count(lit(1)).as("n_truth"))
+    perProbe.crossJoin(totals)
+      .select(col("n_probe"), col("n_queries"), col("n_truth"), col("n_hit"),
+        expr("n_hit * 10000 div n_truth").as("recall_bp"))
+      .orderBy(col("n_probe"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact baseline: per
     * query, |approx ∩ exact| / |exact| over the neighbor sets (both frames in
     * the `(q_id, neighbor, ...)` shape the top-k operators emit). THE tuning

@@ -434,8 +434,65 @@ object SimilarityQueries {
     }
   }
 
+  /** IVF recall audit ([[Similarity.ivfRecallReport]]): recall@10 of
+    * IVF search vs exact brute-force ground truth at probe depths 1, 2, 4 —
+    * the dd27 discipline for the vector path. sim3 pins that the IVF plan is
+    * correct; this pins what the probe knob BUYS (recall should climb with
+    * nProbe). The corpus is assigned once and one candidate frame (probe
+    * rank ≤ 4) is scored once; per-probe results are three bounded window
+    * passes over it. The oracle replays assignment, probe ranking, scoring,
+    * per-probe top-k, and the recall division over the same 32-query set.
+    */
+  val sim10IvfRecall: Q = Q(
+    "sim10_ivf_recall",
+    s"""WITH $NormedSql,
+       |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 16),
+       |a AS (SELECT vec_id, v, nrm, c_id AS cell FROM (
+       |  SELECT n.vec_id, n.v, n.nrm, c.c_id,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])) / (n.nrm*c.cn) DESC,
+       |      c.c_id) AS rn
+       |  FROM n CROSS JOIN c) WHERE rn = 1),
+       |qc AS (SELECT * FROM (
+       |  SELECT n.vec_id AS q_id, n.v AS qv, n.nrm AS qn, c.c_id AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |      list_sum(list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])) / (n.nrm*c.cn) DESC,
+       |      c.c_id) AS crn
+       |  FROM n CROSS JOIN c WHERE n.vec_id < 32) WHERE crn <= 4),
+       |cand AS (SELECT qc.q_id, x.vec_id AS neighbor,
+       |    list_sum(list_transform(range(1, len(qc.qv)+1), i -> qc.qv[i]*x.v[i])) / (qc.qn*x.nrm) AS cosine,
+       |    qc.crn
+       |  FROM qc JOIN a x ON x.cell = qc.cell AND x.vec_id <> qc.q_id),
+       |probes AS (SELECT CAST(1 AS BIGINT) AS n_probe UNION ALL
+       |           SELECT 2 UNION ALL SELECT 4),
+       |ivf AS (SELECT n_probe, q_id, neighbor FROM (
+       |  SELECT p.n_probe, cand.q_id, cand.neighbor,
+       |    ROW_NUMBER() OVER (PARTITION BY p.n_probe, cand.q_id
+       |      ORDER BY cand.cosine DESC, cand.neighbor) AS rnk
+       |  FROM probes p JOIN cand ON cand.crn <= p.n_probe) WHERE rnk <= 10),
+       |q2 AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn FROM n WHERE vec_id < 32),
+       |truth AS (SELECT q_id, neighbor FROM (
+       |  SELECT q2.q_id, x.vec_id AS neighbor,
+       |    ROW_NUMBER() OVER (PARTITION BY q2.q_id ORDER BY
+       |      list_sum(list_transform(range(1, len(q2.qv)+1), i -> q2.qv[i]*x.v[i])) / (q2.qn*x.nrm) DESC,
+       |      x.vec_id) AS rnk
+       |  FROM q2 JOIN n x ON x.vec_id <> q2.q_id) WHERE rnk <= 10),
+       |hit AS (SELECT n_probe, CAST(COUNT(*) AS BIGINT) AS n_hit
+       |  FROM ivf JOIN truth USING (q_id, neighbor) GROUP BY n_probe),
+       |t AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries,
+       |  CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth)
+       |SELECT p.n_probe, t.n_queries, t.n_truth,
+       |  COALESCE(h.n_hit, 0) AS n_hit,
+       |  COALESCE(h.n_hit, 0) * 10000 // t.n_truth AS recall_bp
+       |FROM probes p CROSS JOIN t LEFT JOIN hit h USING (n_probe)
+       |ORDER BY p.n_probe""".stripMargin) { (spark, dir) =>
+    Similarity.ivfRecallReport(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      queryPred = col("vec_id") < 32, k = 10, nCells = 16, probes = Seq(1, 2, 4))
+  }
+
   val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, dd7EmbeddingLshNearDup,
     sim8MmrSelect,
     sim2LshTopK, sim3IvfTopK, sim4QuantizedTopK, sim5PqTopK, sim6KnnLabel,
-    sim7LabelCentroids, sim9PqTrainedTopK, m19RetrievalMrr, m23RetrievalNdcg)
+    sim7LabelCentroids, sim9PqTrainedTopK, m19RetrievalMrr, m23RetrievalNdcg,
+    sim10IvfRecall)
 }

@@ -145,4 +145,21 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(ivf3 >= 0.9)
     exact.unpersist()
   }
+
+  test("ivfRecallReport: recall climbs with probe depth, full probe is exact") {
+    val emb = Tables.embeddings(spark, sf)
+    val rep = Similarity.ivfRecallReport(emb, "vec_id", "embedding",
+      queryPred = col("vec_id") < 8, k = 5, nCells = 4, probes = Seq(1, 2, 4))
+      .orderBy("n_probe").collect()
+    assert(rep.length == 3)
+    assert(rep.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    // shared totals: every row reports the same ground-truth set
+    assert(rep.map(_.getLong(2)).distinct.length == 1)
+    // recall is monotone nondecreasing in probe depth...
+    val recalls = rep.map(_.getLong(4)).toSeq
+    assert(recalls == recalls.sorted)
+    // ...and probing ALL cells is exact search: recall = 10000 bp
+    assert(recalls.last == 10000L)
+    assert(rep.last.getLong(3) == rep.last.getLong(2)) // n_hit == n_truth
+  }
 }
