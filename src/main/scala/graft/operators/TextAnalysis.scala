@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines: token
@@ -123,5 +123,43 @@ object TextAnalysis {
     val halfMean = (nChars - (nw - 1)) * 2
     val rWordlen = halfMean >= nw * 9 && halfMean <= nw * 16
     rLen && rDistinct && rStop && rWordlen
+  }
+
+  /** Corpus-trained bigram LM fluency score per document — the CCNet-style
+    * "is this text predictable under a language model?" curation signal,
+    * in the repo's LOG-FREE exact-integer form: for every bigram occurrence
+    * the conditional probability of its second word given its first,
+    * P(w₂|w₁) = c(w₁,w₂)/c(w₁·), quantized to parts-per-million by integer
+    * division, then averaged per document (again by integer division). A
+    * true cross-entropy would sum ln P — but ln() is not correctly rounded
+    * and differs across libm implementations (the tx9/tx15 rule), while
+    * mean conditional probability ranks documents by the same
+    * "predictability under the corpus model" signal with every step exact.
+    * Documents with fewer than 2 non-empty tokens have no bigrams and are
+    * absent from the output (no model evidence either way).
+    *
+    * Plan shape (the tx15 lesson, applied from birth): the bigram stream is
+    * built once; the bigram count c(w₁,w₂) and the context count c(w₁·) are
+    * WINDOW counts over that stream (partition by (w₁,w₂) / by w₁), then
+    * one groupBy(doc) mean — three keyed shuffles of the bigram stream,
+    * zero joins, zero vocabulary-sized broadcasts. At 100 TB each shuffle
+    * partitions by high-cardinality keys (no hot single reducer beyond
+    * natural stopword skew, which AQE's skew handling splits).
+    */
+  def bigramFluencyPpm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = tokens(col(textCol))
+    val bg = df.select(col(idCol).as("doc_id"),
+        explode(zip_with(
+          slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bgm"))
+      .select(col("doc_id"), col("bgm.w1").as("w1"), col("bgm.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    bg
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy("w1", "w2")))
+      .withColumn("c1", count(lit(1)).over(Window.partitionBy("w1")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(c2 * 1000000 div c1) div count(1)").as("fluency_ppm"))
   }
 }

@@ -677,9 +677,33 @@ object TextQueries {
       .orderBy(col("source"), col("cnt").desc, col("value"))
   }
 
+  /** Bigram-LM fluency per document
+    * ([[graft.operators.TextAnalysis.bigramFluencyPpm]]): mean conditional
+    * probability of each bigram under the corpus-trained model, in exact
+    * integer ppm — the log-free CCNet-style predictability signal. The
+    * oracle replays the two window counts and both integer divisions.
+    */
+  val tx22LmFluency: Q = Q(
+    "tx22_lm_fluency",
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents),
+      |x0 AS (SELECT doc_id, l, unnest(generate_series(1, len(l) - 1)) AS i FROM d),
+      |x AS (SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+      |      FROM x0 WHERE l[i] <> '' AND l[i + 1] <> ''),
+      |w AS (SELECT doc_id,
+      |        COUNT(*) OVER (PARTITION BY w1, w2) AS c2,
+      |        COUNT(*) OVER (PARTITION BY w1) AS c1
+      |      FROM x)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(c2 * 1000000 // c1) // COUNT(*) AS BIGINT) AS fluency_ppm
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.TextAnalysis
+      .bigramFluencyPpm(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
     tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift, tx19OovRate,
-    tx20FeatureHashing, tx21GroupedHeavyHitters)
+    tx20FeatureHashing, tx21GroupedHeavyHitters, tx22LmFluency)
 }

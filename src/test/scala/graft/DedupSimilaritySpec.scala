@@ -381,4 +381,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
       assert(r.getLong(1) > 0)
     }
   }
+
+  test("bigramFluencyPpm: hand-computed conditional ppm means; short docs absent") {
+    // corpus: c(a,b)=3, c(b,a)=1, c(b,c)=1; contexts a*=3, b*=2
+    val d = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "x"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramFluencyPpm(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // no-bigram docs absent
+    // d1: (1e6, 5e5, 1e6) -> 2500000 div 3 = 833333; d2: (1e6, 5e5) -> 750000
+    assert(out(0).getLong(1) == 3 && out(0).getLong(2) == 833333L)
+    assert(out(1).getLong(1) == 2 && out(1).getLong(2) == 750000L)
+    // fluency is a probability mean: every score within (0, 1e6]
+    val sf = TextAnalysis.bigramFluencyPpm(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+    assert(sf.filter($"fluency_ppm" <= 0 || $"fluency_ppm" > 1000000L).count() == 0)
+  }
 }
