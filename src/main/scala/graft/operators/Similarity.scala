@@ -866,20 +866,26 @@ object Similarity {
     * (recall climbing toward 1.0 as nProbe → nCells).
     *
     * Cost shape (why this is not "run IVF |probes| times"): the corpus is
-    * assigned ONCE, each query's centroid ranking is computed ONCE, and one
+    * assigned ONCE, each query's centroid ranking is computed ONCE, one
     * candidate frame (cells with probe rank ≤ max(probes)) is scored ONCE —
-    * per-probe results are then |probes| bounded window passes over that
-    * single scored frame (filter crn ≤ p, rank, top-k), so the expensive
-    * shuffle/score work is shared and only the cheap ranking is repeated.
-    * At 100 TB the scored frame is queries×(k·probe-cells) — query-scale,
-    * not corpus-scale.
+    * and ALL probe depths rank in ONE WindowExec: for each probe p, a row's
+    * rank within the crn ≤ p candidate subset is the running count
+    * `sum(crn ≤ p ? 1 : 0)` over the same (cosine desc, neighbor) order, so
+    * |probes| filtered ranks are |probes| window COLUMNS sharing a single
+    * partition/sort, not |probes| plan branches. Rows in no probe's top-k
+    * drop immediately (query-scale survivor set), truth joins once, and one
+    * aggregate emits every per-probe hit count, exploded to the report rows
+    * at the end. No unions, no caches, no repeated passes — the job count
+    * stays flat as `probes` grows. At 100 TB the scored frame is
+    * queries×(probe-cells × cell size) — query-scale, not corpus-scale.
     */
   def ivfRecallReport(
       df: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int, nCells: Int, probes: Seq[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(probes.nonEmpty && probes.forall(_ >= 1), "probes must be >= 1")
-    val maxProbe = probes.max
+    val ps = probes.distinct.sorted
+    val maxProbe = ps.max
     val p = prepared(df, idCol, vecCol)
     val cents = p.filter(col("vec_id") < nCells)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
@@ -897,22 +903,30 @@ object Similarity {
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cosine", dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
       .select(col("q_id"), col("vec_id").as("neighbor"), col("cosine"), col("crn"))
-    val candM = Dedup.cachedForReuse(cand)
+    // one window, |probes| running-count columns = filtered ranks
+    val wRank = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("neighbor"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ranked = ps.foldLeft(cand) { (acc, np) =>
+      acc.withColumn(s"rk$np",
+        sum(when(col("crn") <= np, 1L).otherwise(0L)).over(wRank))
+    }
+    val inTop = ps.map(np => col("crn") <= np && col(s"rk$np") <= k)
+    val survivors = ranked.filter(inTop.reduce(_ || _))
+      .select(col("q_id") +: col("neighbor") +:
+        ps.map(np => inTop(ps.indexOf(np)).as(s"in$np")): _*)
     val truth = bruteForceTopK(df, df.filter(queryPred), idCol, vecCol, k)
       .select(col("q_id"), col("neighbor"))
-    val truthM = Dedup.cachedForReuse(truth)
-    val wRank = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("neighbor"))
-    val perProbe = probes.sorted.map { np =>
-      candM.filter(col("crn") <= np)
-        .withColumn("rnk", row_number().over(wRank))
-        .filter(col("rnk") <= k)
-        .join(truthM, Seq("q_id", "neighbor"))
-        .agg(count(lit(1)).as("n_hit"))
-        .select(lit(np.toLong).as("n_probe"), col("n_hit"))
-    }.reduce(_ unionAll _)
-    val totals = truthM.agg(
-      countDistinct(col("q_id")).as("n_queries"), count(lit(1)).as("n_truth"))
-    perProbe.crossJoin(totals)
+    // truth is queries×k rows; survivors are queries×k×|probes| — both tiny
+    val joined = truth.join(survivors, Seq("q_id", "neighbor"), "left")
+    val aggCols = Seq(count(lit(1)).as("n_truth")) ++
+      ps.map(np => sum(when(col(s"in$np"), 1L).otherwise(0L)).as(s"h$np"))
+    val aggRow = joined.agg(
+      countDistinct(col("q_id")).as("n_queries"), aggCols: _*)
+    val stacked = ps.map(np =>
+        s"${np}L, h$np").mkString("stack(" + ps.length + ", ", ", ", ")")
+    aggRow.select(col("n_queries"), col("n_truth"),
+        expr(s"$stacked as (n_probe, n_hit)"))
       .select(col("n_probe"), col("n_queries"), col("n_truth"), col("n_hit"),
         expr("n_hit * 10000 div n_truth").as("recall_bp"))
       .orderBy(col("n_probe"))
