@@ -559,6 +559,35 @@ object Eval {
             .cast(LongType)).as("chi2_cc_bp"))
   }
 
+  /** Cramér's V — the [0, 1]-normalized effect size of a two-way
+    * contingency association, `V = √(χ² / (n·min(r−1, c−1)))`: the "how
+    * strong is this dependence?" companion to [[chi2Contingency]]'s "is
+    * there one?". The per-cell χ² contributions come from the SAME exact
+    * integer-rational quantization as m16 (centi-bp per cell, HUGEINT/
+    * decimal(38,0) inner products), summed to one exact integer; only the
+    * final normalization passes through double (identical IEEE
+    * divide/sqrt on the same exact inputs in both engines, half-up bp
+    * rounding). Degenerate tables (a single row or column level, or an
+    * empty frame) yield NULL v_bp. One margins-sized aggregate on top of
+    * the broadcast grid — nothing about the shape changes at 100 TB.
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = chi2Contingency(df, aCol, bCol)
+    cells.agg(
+        sum(col("obs")).as("n"),
+        countDistinct(col("a")).as("r"),
+        countDistinct(col("b")).as("c"),
+        sum(col("chi2_cbp")).as("chi2_cbp"))
+      .withColumn("dof_min", least(col("r") - 1, col("c") - 1))
+      .select(
+        col("n"), col("r"), col("c"), col("chi2_cbp"),
+        when(col("dof_min") <= 0 || col("n") <= 0, lit(null).cast(LongType))
+          .otherwise(
+            floor(sqrt(col("chi2_cbp").cast(DoubleType) / lit(100.0)
+                / col("n") / col("dof_min")) * 10000.0 + 0.5)
+              .cast(LongType)).as("v_bp"))
+  }
+
   /** Mann–Whitney U (Wilcoxon rank-sum) with average-rank tie handling and
     * normal approximation — the nonparametric two-sample location test
     * (does group 1's value distribution stochastically dominate group 0's?).

@@ -1954,6 +1954,44 @@ object WindowQueries {
     }
   }
 
+  /** Cramér's V ([[graft.operators.Eval.cramersV]]): effect size of the
+    * association between event type and value band (50-unit buckets of the
+    * cent-exact value) — the normalized strength behind an m16-style χ².
+    * Per-cell contributions use the identical centi-bp quantization as
+    * m16; only the final √(χ²/(n·min(r−1,c−1))) passes through double.
+    */
+  val m34CramersV: Q = Q(
+    "m34_cramers_v",
+    """WITH src AS (SELECT event_type AS av,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000 AS bv
+      |  FROM events),
+      |o AS (SELECT av, bv, CAST(COUNT(*) AS BIGINT) AS obs FROM src GROUP BY 1, 2),
+      |r AS (SELECT av, SUM(obs) AS rt FROM o GROUP BY av),
+      |c AS (SELECT bv, SUM(obs) AS ct FROM o GROUP BY bv),
+      |t AS (SELECT SUM(obs) AS n FROM o),
+      |cells AS (SELECT
+      |    CAST(CAST(COALESCE(obs, 0) * n - rt * ct AS HUGEINT)
+      |           * (COALESCE(obs, 0) * n - rt * ct) * 100
+      |         // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT) AS chi2_cbp,
+      |    COALESCE(obs, 0) AS obs, av, bv
+      |  FROM r CROSS JOIN c LEFT JOIN o USING (av, bv), t),
+      |a AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+      |    CAST(COUNT(DISTINCT av) AS BIGINT) AS r,
+      |    CAST(COUNT(DISTINCT bv) AS BIGINT) AS c,
+      |    CAST(SUM(chi2_cbp) AS BIGINT) AS chi2_cbp
+      |  FROM cells)
+      |SELECT n, r, c, chi2_cbp,
+      |  CAST(CASE WHEN LEAST(r - 1, c - 1) <= 0 OR n <= 0 THEN NULL
+      |    ELSE FLOOR(SQRT(CAST(chi2_cbp AS DOUBLE) / 100.0
+      |      / n / LEAST(r - 1, c - 1)) * 10000.0 + 0.5)
+      |    END AS BIGINT) AS v_bp
+      |FROM a""".stripMargin) { (spark, dir) =>
+    val e = graft.Tables.events(spark, dir).select(
+      col("event_type").as("av"),
+      expr("cast(cast(value as decimal(18,2)) * 100 as bigint) div 5000").as("bv"))
+    graft.operators.Eval.cramersV(e, "av", "bv")
+  }
+
   /** Mann–Whitney U ([[graft.operators.Eval.mannWhitneyU]]): do
     * purchase/click events carry a stochastically larger value than the
     * other event types? Values quantize to whole currency units (≤ ~500
@@ -2057,5 +2095,5 @@ object WindowQueries {
     w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
     m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
-    w18Psar, w19Supertrend, w20Trix, m33MannWhitney)
+    w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV)
 }

@@ -495,4 +495,18 @@ class EvalMixSpec extends AnyFunSuite {
          r.getAs[Boolean]("r_stop"))
     })
   }
+
+  test("cramersV: perfect association = 10000 bp, independence = 0, degenerate NULL") {
+    // perfect 2x2 association: a fully determines b
+    val perfect = Seq(("x", 1L), ("x", 1L), ("y", 2L), ("y", 2L)).toDF("a", "b")
+    val p = Eval.cramersV(perfect, "a", "b").collect()(0)
+    assert(p.getLong(0) == 4 && p.getLong(1) == 2 && p.getLong(2) == 2)
+    assert(p.getLong(4) == 10000L)
+    // exact independence: every cell obs*n == rt*ct -> chi2 = 0 -> V = 0
+    val indep = Seq(("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L)).toDF("a", "b")
+    assert(Eval.cramersV(indep, "a", "b").collect()(0).getLong(4) == 0L)
+    // single column level: min(r-1, c-1) = 0 -> NULL
+    val degen = Seq(("x", 1L), ("y", 1L)).toDF("a", "b")
+    assert(Eval.cramersV(degen, "a", "b").collect()(0).isNullAt(4))
+  }
 }
