@@ -171,6 +171,49 @@ object ScaleSmoke {
         s"${chk.getLong(0)} groups for $m rows — pair duplicates not detected")
       require(out.count() == m, "row count changed")
     }
+    t(s"trix n=$n keys=1000") {
+      // 1000 parallel symbols, per-key CONSTANT closes: e1=e2=e3=close every
+      // step, so trix is exactly 0.0 from each key's second row and NULL on
+      // its first — closed form at any n, and the three stacked Ewm calls
+      // must distribute per key (no single-task funnel)
+      val bars = spark.range(0, n).toDF("i").select(
+        (col("i") % 1000).as("sym"), expr("i div 1000").as("t"),
+        (lit(100.0) + (col("i") % 1000 % 7).cast("double")).as("c"))
+      val out = graft.operators.Indicators.withTrix(
+        bars, "c", "trix", 15, "t", Seq("sym"))
+      val row = out.agg(count(lit(1)),
+        sum(when(col("trix").isNull, 1L).otherwise(0L)),
+        sum(when(col("trix") === 0.0, 1L).otherwise(0L))).head()
+      require(row.getLong(0) == n, "row count changed")
+      require(row.getLong(1) == 1000L, s"expected 1000 warmup NULLs, got ${row.getLong(1)}")
+      require(row.getLong(2) == n - 1000L, "constant series must give trix = 0 everywhere else")
+    }
+    t(s"mann_whitney n=$n grid=100") {
+      // both groups see the IDENTICAL value multiset → R₁ = R₂ exactly, so
+      // 2U₁ = n₁n₂ and z = 0 — closed form from the exact-integer pipeline
+      val gv = docs.select((col("doc_id") % 2 === 0).as("g"),
+        (expr("doc_id div 2") % 100).as("v"))
+      val r = graft.operators.Eval.mannWhitneyU(gv, "g", "v").head()
+      val n1 = r.getLong(0); val n2 = r.getLong(1)
+      require(r.getDecimal(2).longValueExact == n1 * n2,
+        s"u1_x2 ${r.getDecimal(2)} != n1*n2 ${n1 * n2}")
+      require(r.getLong(4) == 0L, s"z_bp ${r.getLong(4)} != 0")
+    }
+    t(s"bigram_fluency n=${n / 10}") {
+      // every doc is the same 20-token sentence: each bigram's count equals
+      // its context count, so P(w2|w1) = 1 and fluency is exactly 10⁶ ppm
+      // for every doc — while the window shuffles still see n/10 × 19 rows
+      val m = n / 10
+      val sentence = (1 to 20).map(i => s"tok$i").mkString(" ")
+      val d = spark.range(0, m).toDF("doc_id").withColumn("text", lit(sentence))
+      val out = graft.operators.TextAnalysis.bigramFluencyPpm(d, "doc_id", "text")
+      val chk = out.agg(count(lit(1)), min("fluency_ppm"), max("fluency_ppm"),
+        min("n_bigrams"), max("n_bigrams")).head()
+      require(chk.getLong(0) == m, "one row per doc")
+      require(chk.getLong(1) == 1000000L && chk.getLong(2) == 1000000L,
+        "identical docs must score exactly 10^6 ppm")
+      require(chk.getLong(3) == 19L && chk.getLong(4) == 19L)
+    }
     spark.stop()
   }
 }
