@@ -361,4 +361,68 @@ object Multimodal {
       }
     }(Encoders.row(outSchema))
   }
+
+  /** Dynamic high-resolution TILING plan — the LLaVA-NeXT-style loader step
+    * that picks, per image, a tile grid from a candidate set so the image
+    * can be split into `tileSize²` crops for a ViT encoder. For every
+    * candidate grid (gx, gy) with gx·gy ≤ `maxTiles`, the image is
+    * aspect-preserving scaled to FIT inside the gx·tileSize × gy·tileSize
+    * canvas (cross-multiplied integer compare, floor-div scaled dims —
+    * the [[resizePlan]] idiom, no float ratios); the chosen grid follows
+    * the paper's `select_best_resolution` rule: maximize EFFECTIVE
+    * resolution (scaled area capped at the original area — upscaling earns
+    * no credit), then minimize wasted canvas, then fewer tiles, then
+    * smaller gx — fully deterministic and all-integer, so a SQL oracle
+    * replays it exactly. (Minimizing waste alone degenerates: an extreme
+    * aspect ratio always "wins" on the 1×1 grid by shrinking the image to
+    * almost nothing.)
+    *
+    * Input: a frame with `media_id` and integer `w`/`h` columns (decoded
+    * dims from [[decodeMeta]], or synthetic dims in tests). Output: one row
+    * per image with the winning grid, scaled dims, tile count, waste, and
+    * `n_patches` = n_tiles · (tileSize div patchSize)² — the vision-token
+    * budget the text-side packer consumes ([[graft.operators.Packing]]).
+    *
+    * Scale: the candidate set is a LITERAL ≤ maxTiles·H(maxTiles)-row
+    * array (14 rows at maxTiles = 6) exploded against the corpus — a
+    * narrow codegen'd projection + one per-image min-ranking window, no
+    * joins, no shuffle beyond the window's own key partitioning.
+    */
+  def tilingPlan(
+      df: DataFrame, idCol: String, wCol: String, hCol: String,
+      tileSize: Int, maxTiles: Int, patchSize: Int = 14): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tileSize >= 1 && maxTiles >= 1 && patchSize >= 1)
+    val grids = for {
+      gx <- 1 to maxTiles; gy <- 1 to maxTiles if gx * gy <= maxTiles
+    } yield (gx, gy)
+    val gridArr = array(grids.map { case (gx, gy) =>
+      struct(lit(gx).as("gx"), lit(gy).as("gy")) }: _*)
+    val t = lit(tileSize.toLong)
+    val w = col(wCol).cast(LongType); val h = col(hCol).cast(LongType)
+    val cw = col("g.gx") * t; val ch = col("g.gy") * t
+    // aspect-preserving scale-to-fit: width binds iff w·CH ≥ h·CW
+    val widthBinds = w * ch >= h * cw
+    val sw = when(widthBinds, cw).otherwise((w * ch).cast(LongType) / h)
+    val sh = when(widthBinds, (h * cw).cast(LongType) / w).otherwise(ch)
+    val exploded = df.select(col(idCol).as("media_id"), w.as("w"), h.as("h"),
+        explode(gridArr).as("g"))
+      .withColumn("scaled_w", sw.cast(LongType))
+      .withColumn("scaled_h", sh.cast(LongType))
+      .withColumn("n_tiles", (col("g.gx") * col("g.gy")).cast(LongType))
+      .withColumn("effective",
+        least(col("scaled_w") * col("scaled_h"), col("w") * col("h")))
+      .withColumn("waste",
+        cw.cast(LongType) * ch - col("scaled_w") * col("scaled_h"))
+    val pick = Window.partitionBy(col("media_id"))
+      .orderBy(col("effective").desc, col("waste"), col("n_tiles"), col("g.gx"))
+    val patchesPerTile = (tileSize / patchSize).toLong * (tileSize / patchSize)
+    exploded.withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col("media_id"), col("w"), col("h"),
+        col("g.gx").cast(LongType).as("grid_x"),
+        col("g.gy").cast(LongType).as("grid_y"),
+        col("n_tiles"), col("scaled_w"), col("scaled_h"), col("waste"),
+        (col("n_tiles") * patchesPerTile).as("n_patches"))
+  }
 }

@@ -134,6 +134,53 @@ object MultimodalQueries {
       .orderBy(col("modality"))
   }
 
+  /** Dynamic high-res tiling plan ([[Multimodal.tilingPlan]]): per image,
+    * the LLaVA-NeXT-style grid pick from the gx·gy ≤ 6 candidate set at
+    * tile 336 / patch 14 — aspect-preserving integer scale-to-fit, waste
+    * minimized, ties to fewer tiles then smaller gx. Synthetic dims derive
+    * from payload bytes exactly as mm4's image branch, so the oracle
+    * replays the whole plan bit-for-bit (select_best_resolution: max
+    * effective resolution capped at the original, then min waste).
+    */
+  val mm5TilingPlan: Q = Q(
+    "mm5_tiling_plan",
+    """WITH img AS (SELECT doc_id AS media_id,
+      |    CAST(112 + octet_length(encode(text)) % 400 AS BIGINT) AS w,
+      |    CAST(112 + (octet_length(encode(text)) * 31) % 400 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |g(gx, gy) AS (VALUES (1,1),(1,2),(1,3),(1,4),(1,5),(1,6),
+      |  (2,1),(2,2),(2,3),(3,1),(3,2),(4,1),(5,1),(6,1)),
+      |e AS (SELECT media_id, w, h,
+      |    CAST(gx AS BIGINT) AS gx, CAST(gy AS BIGINT) AS gy,
+      |    CAST(gx * 336 AS BIGINT) AS cw, CAST(gy * 336 AS BIGINT) AS ch
+      |  FROM img CROSS JOIN g),
+      |s AS (SELECT media_id, w, h, gx, gy, cw, ch,
+      |    CASE WHEN w * ch >= h * cw THEN cw ELSE w * ch // h END AS scaled_w,
+      |    CASE WHEN w * ch >= h * cw THEN h * cw // w ELSE ch END AS scaled_h,
+      |    gx * gy AS n_tiles
+      |  FROM e),
+      |r AS (SELECT media_id, w, h, gx, gy, n_tiles, scaled_w, scaled_h,
+      |    cw * ch - scaled_w * scaled_h AS waste,
+      |    ROW_NUMBER() OVER (PARTITION BY media_id
+      |      ORDER BY LEAST(scaled_w * scaled_h, w * h) DESC,
+      |        cw * ch - scaled_w * scaled_h, gx * gy, gx) AS rn
+      |  FROM s)
+      |SELECT media_id, w, h, gx AS grid_x, gy AS grid_y,
+      |  CAST(n_tiles AS BIGINT) AS n_tiles, scaled_w, scaled_h, waste,
+      |  CAST(n_tiles * 576 AS BIGINT) AS n_patches
+      |FROM r WHERE rn = 1 ORDER BY media_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.LongType
+    val img = Multimodal.fromDocuments(Tables.documents(spark, dir), "doc_id", "text")
+      .filter(col("modality") === "image")
+      .withColumn("nb", length(col("payload")).cast(LongType))
+      .select(col("media_id"),
+        (lit(112L) + col("nb") % 400).as("w"),
+        (lit(112L) + (col("nb") * 31) % 400).as("h"))
+    Multimodal.tilingPlan(img, "media_id", "w", "h",
+        tileSize = 336, maxTiles = 6, patchSize = 14)
+      .orderBy(col("media_id"))
+  }
+
   val all: Seq[Q] = Seq(mm1ByteFeatures, mm2FrameSampling, mm3AudioWindows,
-    mm4SequenceBudget)
+    mm4SequenceBudget, mm5TilingPlan)
 }

@@ -515,4 +515,29 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     q.stop()
     assert(streamed == batch)
   }
+
+  test("multimodal: tilingPlan picks the LLaVA-NeXT best grid deterministically") {
+    import graft.multimodal.Multimodal
+    val imgs = Seq(
+      (1L, 336L, 336L),   // exact 1x1 fit: waste 0
+      (2L, 672L, 336L),   // exact 2x1 fit
+      (3L, 336L, 1008L),  // exact 1x3 fit
+      (4L, 3360L, 336L),  // 10:1 — effective resolution must force (6,1)
+      (5L, 100L, 100L))   // tiny — all grids cap effective, min waste -> (1,1)
+      .toDF("media_id", "w", "h")
+    val out = Multimodal.tilingPlan(imgs, "media_id", "w", "h",
+        tileSize = 336, maxTiles = 6, patchSize = 14)
+      .orderBy("media_id").collect()
+    def grid(i: Int) = (out(i).getLong(3), out(i).getLong(4))
+    assert(grid(0) == ((1L, 1L)) && out(0).getLong(8) == 0L)
+    assert(grid(1) == ((2L, 1L)) && out(1).getLong(8) == 0L)
+    assert(grid(2) == ((1L, 3L)) && out(2).getLong(8) == 0L)
+    // wide: (6,1) preserves the most of the original (effective 2016*201)
+    assert(grid(3) == ((6L, 1L)))
+    assert(out(3).getLong(6) == 2016L && out(3).getLong(7) == 201L)
+    // tiny upscale: every grid caps at the original area -> min waste wins
+    assert(grid(4) == ((1L, 1L)))
+    // patches: n_tiles * (336/14)^2
+    assert(out.forall(r => r.getLong(9) == r.getLong(5) * 576L))
+  }
 }
