@@ -559,6 +559,52 @@ object Eval {
             .cast(LongType)).as("chi2_cc_bp"))
   }
 
+  /** Interpolated percentiles (SQL `PERCENTILE_CONT` / pandas
+    * `quantile(interpolation='linear')` semantics) per group, as EXACT
+    * integers: for percent p over n values, the 0-based position is
+    * `p·(n−1)/100`; with `idx100 = p·(n−1)`, `lo = idx100 div 100` and
+    * fractional part `fn = idx100 mod 100`, the result is
+    * `v[lo]·100 + (v[lo+1] − v[lo])·fn` — the linear interpolation scaled
+    * ×100 ("centi-units") so it stays integral, no float division anywhere.
+    * The companion to the nearest-rank q_percentile_report: THIS is what
+    * pandas/NumPy report by default, so parity matters for anyone porting
+    * quantile-based quality gates.
+    *
+    * Same bounded-value-grid shape as the rank report: one grid groupBy,
+    * one per-group cumulative window over ≤G rows, then conditional MINs
+    * pick v[lo] and v[lo+1] for every requested p in one aggregate — the
+    * percentile list multiplies expressions, not passes. Groups with a
+    * single value interpolate to themselves (v[lo+1] falls back to v[lo]).
+    */
+  def percentileCont(
+      df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 100))
+    val grid = df.select(col(groupCol).as("g"), col(valueCol).cast(LongType).as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("g")
+    val cumd = grid
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val pCols = ps.flatMap { p =>
+      val idx100 = expr(s"$p * (n - 1)")
+      val lo = expr(s"$p * (n - 1) div 100")
+      val fn = idx100 - lo * 100
+      val vlo = min(when(col("cum") >= lo + 1, col("v")))
+      val vhi = min(when(col("cum") >= lo + 2, col("v")))
+      // fn is group-constant (derives from n); max() carries it through agg
+      Seq((vlo * 100 + (coalesce(vhi, vlo) - vlo) * max(fn)).as(s"p${p}_centi"))
+    }
+    // idx100/lo/fn are per-row constants within a group (n is), so the
+    // conditional mins see consistent thresholds; max() collapses them
+    val aggd = cumd.groupBy(col("g"))
+      .agg(max(col("n")).as("n"), pCols: _*)
+    aggd.select(col("g") +: col("n") +: ps.map(p => col(s"p${p}_centi")): _*)
+  }
+
   /** Cramér's V — the [0, 1]-normalized effect size of a two-way
     * contingency association, `V = √(χ² / (n·min(r−1, c−1)))`: the "how
     * strong is this dependence?" companion to [[chi2Contingency]]'s "is

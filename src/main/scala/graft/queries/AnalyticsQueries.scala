@@ -1507,6 +1507,43 @@ object AnalyticsQueries {
     * `percentile_approx` when the answer must be exact at 100 TB: grid
     * cardinality, not row count, bounds every sort.
     */
+  /** Interpolated percentiles per event type
+    * ([[graft.operators.Eval.percentileCont]]): PERCENTILE_CONT / pandas
+    * default-quantile semantics in exact integer centi-cents —
+    * `v[lo]·100 + (v[lo+1] − v[lo])·fn` at the 0-based position p·(n−1)/100.
+    * The linear-interpolation companion to q_percentile_report's
+    * nearest-rank picks; the oracle spells out the identical integer
+    * arithmetic per percentile.
+    */
+  val qPercentileCont: Q = {
+    val ps = Seq(25, 50, 75, 90, 99)
+    def term(p: Int): String = {
+      val lo = s"$p * (n - 1) // 100"
+      val vlo = s"MIN(CASE WHEN cum >= $lo + 1 THEN v END)"
+      val vhi = s"MIN(CASE WHEN cum >= $lo + 2 THEN v END)"
+      val fn = s"MAX($p * (n - 1) - ($lo) * 100)"
+      s"CAST($vlo * 100 + (COALESCE($vhi, $vlo) - $vlo) * $fn AS BIGINT) AS p${p}_centi"
+    }
+    Q(
+      "q_percentile_cont",
+      s"""WITH src AS (SELECT event_type AS g,
+         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events),
+         |grid AS (SELECT g, v, COUNT(*) AS c FROM src GROUP BY 1, 2),
+         |w AS (SELECT g, v, c,
+         |        SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         |        SUM(c) OVER (PARTITION BY g) AS n FROM grid)
+         |SELECT g AS event_type, CAST(MAX(n) AS BIGINT) AS n,
+         |  ${ps.map(term).mkString(",\n         |  ")}
+         |FROM w GROUP BY g ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val e = graft.Tables.events(spark, dir).select(
+        col("event_type").as("g"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+      graft.operators.Eval.percentileCont(e, "g", "cents", ps)
+        .withColumnRenamed("g", "event_type")
+        .orderBy(col("event_type"))
+    }
+  }
+
   val qPercentileReport: Q = Q(
     "q_percentile_report",
     """WITH v AS (SELECT event_type AS g,
@@ -1679,5 +1716,5 @@ object AnalyticsQueries {
     qCusumDrift, qMarketBasket, qOhlcBars, qGapsIslands, qRfm, qPareto,
     qSourceDiversity, qReachability, qRollingDistinct,
     qEquiDepthHist, qAbcByNation, qWindowFunnel, qGridClosestPair,
-    qPercentileReport, qBenford, qRefIntegrity, qPathAnalysis)
+    qPercentileReport, qBenford, qRefIntegrity, qPathAnalysis, qPercentileCont)
 }

@@ -509,4 +509,24 @@ class EvalMixSpec extends AnyFunSuite {
     val degen = Seq(("x", 1L), ("y", 1L)).toDF("a", "b")
     assert(Eval.cramersV(degen, "a", "b").collect()(0).isNullAt(4))
   }
+
+  test("percentileCont: numpy-linear interpolation in exact centi-units") {
+    // [10,20,30,40]: q25 = 17.5, q50 = 25, q75 = 32.5, q99 = 39.7
+    val df = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("b", 7L))
+      .toDF("g", "v")
+    val out = Eval.percentileCont(df, "g", "v", Seq(25, 50, 75, 99))
+      .orderBy("g").collect()
+    val a = out(0)
+    assert(a.getLong(1) == 4)
+    assert(a.getLong(2) == 1750L && a.getLong(3) == 2500L)
+    assert(a.getLong(4) == 3250L && a.getLong(5) == 3970L)
+    // singleton group: every percentile interpolates to the value itself
+    val b = out(1)
+    assert(b.getLong(1) == 1)
+    assert((2 to 5).forall(i => b.getLong(i) == 700L))
+    // duplicated values collapse onto the grid but weight the cum counts:
+    // [1,1,3] -> q50 at position 1 -> exactly the middle occurrence = 1.0
+    val dup = Seq(("c", 1L), ("c", 1L), ("c", 3L)).toDF("g", "v")
+    assert(Eval.percentileCont(dup, "g", "v", Seq(50)).collect()(0).getLong(2) == 100L)
+  }
 }
