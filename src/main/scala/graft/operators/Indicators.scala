@@ -446,6 +446,53 @@ object Indicators {
       .drop("__tp", "__cnt", "__s", "__vals", "__mad_n")
   }
 
+  /** Aroon oscillator over INTEGER-valued high/low columns: how recently
+    * did the trailing `period+1`-bar window set its high/low?
+    * `aroon_up = (period − bars_since_high)·10⁴ div period` (basis points;
+    * 10⁴ = high set this bar, 0 = high is `period` bars old), same for
+    * down with the window low, plus the oscillator up − down. NULL until
+    * a full window. Ties (the same extreme hit twice) resolve to the MOST
+    * RECENT bar on both sides — pinned, not engine luck, via the composite
+    * integer key trick: the argmax is decoded from one plain MAX over the
+    * frame of `h·10⁹ + rn` (max picks the highest h, then the largest rn),
+    * and the argmin from one MIN of `l·10⁹ + (10⁸ − rn)` — no arg_max
+    * (whose tie rule differs by engine), no second pass, no collect. Needs
+    * NON-NEGATIVE values (the decode uses truncated %, whose sign follows
+    * the dividend) below 2⁶³/10⁹ ≈ 9·10⁹ integer units, and rn < 10⁸ per
+    * key (ANSI mode throws past the upper bound rather than wrapping).
+    *
+    * Scale: two plain MIN/MAX frame aggregates and a row_number sharing
+    * one WindowExec — per-key sort, O(1) state per row, distributes like
+    * every other indicator here.
+    */
+  def withAroon(
+      df: DataFrame, highCol: String, lowCol: String, outPrefix: String,
+      period: Int, orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(period >= 1, "aroon period must be >= 1")
+    val w = baseWindow(partitionCols, orderCol)
+    val wf = w.rowsBetween(-period, 0)
+    val K = 1000000000L
+    val BIG = 100000000L
+    val rn = row_number().over(w)
+    val out = df
+      .withColumn("__rn", rn.cast(LongType))
+      .withColumn("__cnt", count(lit(1)).over(wf))
+      .withColumn("__hk",
+        max(col(highCol).cast(LongType) * K + col("__rn")).over(wf))
+      .withColumn("__lk",
+        min(col(lowCol).cast(LongType) * K + (lit(BIG) - col("__rn"))).over(wf))
+      .withColumn(s"${outPrefix}_up",
+        when(col("__cnt") === period + 1,
+          expr(s"($period - (__rn - __hk % ${K}L)) * 10000 div $period")))
+      .withColumn(s"${outPrefix}_dn",
+        when(col("__cnt") === period + 1,
+          expr(s"($period - (__rn - (${BIG}L - __lk % ${K}L))) * 10000 div $period")))
+    out
+      .withColumn(s"${outPrefix}_osc",
+        col(s"${outPrefix}_up") - col(s"${outPrefix}_dn"))
+      .drop("__rn", "__cnt", "__hk", "__lk")
+  }
+
   /** TRIX — the 1-step rate of change of a TRIPLE exponential smoothing:
     * e1 = EMA(close), e2 = EMA(e1), e3 = EMA(e2) (all α = 2/(span+1),
     * `adjust=False`, seeded at the first close), then

@@ -1954,6 +1954,54 @@ object WindowQueries {
     }
   }
 
+  /** Aroon oscillator per symbol ([[Indicators.withAroon]], period 25):
+    * recency of the trailing window's high/low in basis points, ties
+    * pinned to the most recent bar via the composite-integer-key argmax
+    * (one plain MAX/MIN per side — no engine-dependent arg_max). The
+    * oracle replays the identical key encode/decode arithmetic.
+    */
+  val w21Aroon: Q = Q(
+    "w21_aroon",
+    """WITH bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(MAX(o_totalprice) / 100.0) + 1 AS BIGINT) AS h,
+      |    CAST(FLOOR(MIN(o_totalprice) / 100.0) - 1 AS BIGINT) AS l
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (SELECT sym, d, h, l,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY sym ORDER BY d) AS BIGINT) AS rn
+      |  FROM bars),
+      |w AS (SELECT sym, d, rn,
+      |    COUNT(*) OVER (PARTITION BY sym ORDER BY d
+      |      ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS cnt,
+      |    MAX(h * 1000000000 + rn) OVER (PARTITION BY sym ORDER BY d
+      |      ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS hk,
+      |    MIN(l * 1000000000 + (100000000 - rn)) OVER (PARTITION BY sym ORDER BY d
+      |      ROWS BETWEEN 25 PRECEDING AND CURRENT ROW) AS lk
+      |  FROM s)
+      |SELECT sym, d,
+      |  CASE WHEN cnt = 26
+      |    THEN (25 - (rn - hk % 1000000000)) * 10000 // 25 END AS aroon_up,
+      |  CASE WHEN cnt = 26
+      |    THEN (25 - (rn - (100000000 - lk % 1000000000))) * 10000 // 25 END AS aroon_dn,
+      |  CASE WHEN cnt = 26
+      |    THEN (25 - (rn - hk % 1000000000)) * 10000 // 25
+      |       - (25 - (rn - (100000000 - lk % 1000000000))) * 10000 // 25
+      |    END AS aroon_osc
+      |FROM w ORDER BY sym, d""".stripMargin) { (spark, dir) =>
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(
+        (floor(max(col("o_totalprice")) / 100.0) + 1)
+          .cast(org.apache.spark.sql.types.LongType).as("h"),
+        (floor(min(col("o_totalprice")) / 100.0) - 1)
+          .cast(org.apache.spark.sql.types.LongType).as("l"))
+    Indicators.withAroon(bars, "h", "l", "aroon", 25,
+        orderCol = "d", partitionCols = Seq("sym"))
+      .select(col("sym"), col("d"), col("aroon_up"), col("aroon_dn"),
+        col("aroon_osc"))
+      .orderBy(col("sym"), col("d"))
+  }
+
   /** Cramér's V ([[graft.operators.Eval.cramersV]]): effect size of the
     * association between event type and value band (50-unit buckets of the
     * cent-exact value) — the normalized strength behind an m16-style χ².
@@ -2095,5 +2143,5 @@ object WindowQueries {
     w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
     m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
-    w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV)
+    w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon)
 }

@@ -410,4 +410,43 @@ class IndicatorsSpec extends AnyFunSuite {
     assert(t(1).getDouble(t(1).fieldIndex("trix")) > 0.0)
     assert(t(3).getDouble(t(3).fieldIndex("trix")) < 0.0)
   }
+
+  test("withAroon: recency in bp, ties pin to most recent bar, warmup nulls") {
+    val hs = Seq(5L, 9L, 9L, 7L, 6L, 10L)
+    val ls = Seq(1L, 2L, 1L, 3L, 4L, 5L)
+    val df = hs.indices.map(i => (f"d$i%02d", hs(i), ls(i))).toDF("d", "h", "l")
+    val out = Indicators.withAroon(df, "h", "l", "ar", 3, "d").orderBy("d").collect()
+    def cell(i: Int, c: String): Option[Long] = {
+      val ix = out(i).fieldIndex(c)
+      if (out(i).isNullAt(ix)) None else Some(out(i).getLong(ix))
+    }
+    // warmup: first 3 rows have no full 4-bar window
+    (0 to 2).foreach(i => assert(cell(i, "ar_up").isEmpty && cell(i, "ar_dn").isEmpty))
+    // row 3: high 9 tied at rows 1,2 -> most recent (row 2) -> 1 bar ago;
+    // low 1 tied at rows 0,2 -> row 2 -> 1 bar ago
+    assert(cell(3, "ar_up").contains((3L - 1) * 10000 / 3))
+    assert(cell(3, "ar_dn").contains((3L - 1) * 10000 / 3))
+    assert(cell(3, "ar_osc").contains(0L))
+    // row 4: extremes both 2 bars ago
+    assert(cell(4, "ar_up").contains((3L - 2) * 10000 / 3))
+    assert(cell(4, "ar_dn").contains((3L - 2) * 10000 / 3))
+    // row 5: new high THIS bar (10000), low left the window entirely -> min
+    // of the window is 3 bars ago -> 0
+    assert(cell(5, "ar_up").contains(10000L))
+    assert(cell(5, "ar_dn").contains(0L))
+    assert(cell(5, "ar_osc").contains(10000L))
+
+    // per-symbol independence
+    val two = (hs.indices.map(i => ("A", f"d$i%02d", hs(i), ls(i))) ++
+      hs.indices.map(i => ("B", f"d$i%02d", 100L + i, 50L - i)))
+      .toDF("sym", "d", "h", "l")
+    val t = Indicators.withAroon(two, "h", "l", "ar", 3, "d", Seq("sym"))
+      .filter($"sym" === "B").orderBy("d").collect()
+    // B: strictly rising highs -> up always 10000 once warm; strictly
+    // falling lows -> dn always 10000 once warm
+    (3 to 5).foreach { i =>
+      assert(t(i).getLong(t(i).fieldIndex("ar_up")) == 10000L)
+      assert(t(i).getLong(t(i).fieldIndex("ar_dn")) == 10000L)
+    }
+  }
 }
