@@ -450,8 +450,36 @@ object StreamingQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Hourly value percentiles from the streaming-safe bucket histogram
+    * ([[EventsStream.windowedValueHistogram]] at 10-unit buckets →
+    * [[EventsStream.histogramPercentiles]] readout): per hour, p50/p90/p99
+    * as bucket lower bounds in cents — the O(buckets)-state monitoring
+    * shape, exact integers end to end. The oracle replays the bucketing,
+    * the per-window cum grid, and the nearest-rank picks.
+    */
+  val st16WindowedPercentiles: Q = Q(
+    "st16_windowed_percentiles",
+    """WITH b AS (SELECT date_trunc('hour', ts) AS h,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000 AS bucket
+      |  FROM events),
+      |g AS (SELECT h, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+      |w AS (SELECT h, bucket, n,
+      |    SUM(n) OVER (PARTITION BY h ORDER BY bucket) AS cum,
+      |    SUM(n) OVER (PARTITION BY h) AS tot FROM g)
+      |SELECT epoch_us(h) AS h_us, CAST(MAX(tot) AS BIGINT) AS n,
+      |  MIN(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN bucket END) * 1000 AS p50_cents,
+      |  MIN(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN bucket END) * 1000 AS p90_cents,
+      |  MIN(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN bucket END) * 1000 AS p99_cents
+      |FROM w GROUP BY h ORDER BY h_us""".stripMargin) { (spark, dir) =>
+    val hist = EventsStream.windowedValueHistogram(Tables.events(spark, dir), 1000L)
+    EventsStream.histogramPercentiles(hist, 1000L, Seq(50, 90, 99))
+      .select(unix_micros(col("h")).as("h_us"), col("n"),
+        col("p50_cents"), col("p90_cents"), col("p99_cents"))
+      .orderBy(col("h_us"))
+  }
+
   val all: Seq[Q] = Seq(st1SessionWindows, st2HourlyCounts, st3IncrementalDedup,
     st4Enrich, st5ClickAttribution, st6Matview, st7CepSequence, st8CepSequenceN,
     st9IngestQuota, st10JoinMatview, st11SlidingCounts, st12OuterAttribution,
-    st13WindowedDistinct, st14Trending, st15TtlDedup)
+    st13WindowedDistinct, st14Trending, st15TtlDedup, st16WindowedPercentiles)
 }

@@ -293,6 +293,53 @@ object EventsStream {
         col("e.cnt_lower").as("n"))
   }
 
+  /** Windowed value HISTOGRAM — the streaming-safe building block for
+    * "p50/p99 value per hour" monitoring: per hourly window, exact counts
+    * per fixed-width value bucket (`cents div bucketCents`). This is a
+    * plain watermarked streaming aggregate whose state is O(buckets) per
+    * window — BOUNDED by construction, unlike a true streaming percentile
+    * over raw values (state O(distinct values), unbounded) — which is
+    * exactly the histogram-sketch trade a production metrics pipeline
+    * makes. The percentile READOUT ([[histogramPercentiles]]) is a
+    * stateless batch pass over the emitted histogram (foreachBatch / the
+    * downstream table), so the streaming query itself stays a single
+    * append-mode aggregate. The batch twin is the identical expression.
+    */
+  def windowedValueHistogram(events: DataFrame, bucketCents: Long): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .select(window(col("ts"), "1 hour").as("w"),
+        expr(s"cast(cast(value as decimal(18,2)) * 100 as bigint) div ${bucketCents}L")
+          .as("bucket"))
+      .groupBy(col("w"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("h"), col("bucket"), col("n"))
+
+  /** Nearest-rank percentiles from a [[windowedValueHistogram]] frame
+    * `(h, bucket, n)`: per window, the LOWER BOUND (in cents) of the
+    * bucket holding each requested percentile — the deterministic
+    * bucket-resolution answer a histogram can give (error ≤ bucket width,
+    * the documented trade). Exact integer arithmetic end to end; the
+    * per-window cum/total windows run over the ≤buckets-row grid.
+    */
+  def histogramPercentiles(
+      hist: DataFrame, bucketCents: Long, ps: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(ps.nonEmpty && ps.forall(p => p >= 1 && p <= 100))
+    val wCum = Window.partitionBy("h").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.partitionBy("h")
+    val cumd = hist
+      .withColumn("cum", sum(col("n")).over(wCum))
+      .withColumn("tot", sum(col("n")).over(wAll))
+    val pCols = ps.map { p =>
+      (min(when(col("cum") >= expr(s"(tot * $p + 99) div 100"), col("bucket")))
+        * bucketCents).as(s"p${p}_cents")
+    }
+    cumd.groupBy(col("h"))
+      .agg(max(col("tot")).as("n"), pCols: _*)
+  }
+
   /** STREAM-STREAM interval join: each purchase matched to the same user's
     * clicks in the 30 minutes before it — ad/click attribution, the
     * canonical two-stream correlation. Both sides are watermarked and the

@@ -126,4 +126,33 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     // purchase 1 window [30, 60): clicks 40, 59; purchase 2 window [170, 200): click 171
     assert(got == Set((1L, 11L), (1L, 12L), (2L, 13L)))
   }
+
+  test("windowedValueHistogram: streaming histogram equals the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val q = EventsStream.windowedValueHistogram(
+        mem.toDF().toDF("ts", "value"), bucketCents = 1000L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("hist_test").start()
+    // hour 0: values 5.00, 7.50 (bucket 0), 12.00 (bucket 1); hour 1: 25.00
+    mem.addData((ts(10), 5.0), (ts(20), 7.5), (ts(30), 12.0), (ts(70), 25.0))
+    // advance the watermark far enough to close both hourly windows
+    mem.addData((ts(300), 99.0))
+    q.processAllAvailable()
+    val got = spark.sql("SELECT h, bucket, n FROM hist_test")
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000, r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got.contains((0L, 0L, 2L)) && got.contains((0L, 1L, 1L)),
+      s"hour-0 buckets wrong: $got")
+    assert(got.contains((60L, 2L, 1L)), s"hour-1 bucket missing: $got")
+    q.stop()
+
+    // percentile readout from a hand-built histogram: 10 values in bucket 0,
+    // 1 in bucket 9 -> p50 = 0, p99 = 9000
+    val hist = Seq((ts(0), 0L, 10L), (ts(0), 9L, 1L)).toDF("h", "bucket", "n")
+    val out = EventsStream.histogramPercentiles(hist, 1000L, Seq(50, 99))
+      .collect()(0)
+    assert(out.getLong(1) == 11L)
+    assert(out.getLong(2) == 0L && out.getLong(3) == 9000L)
+  }
 }
