@@ -1286,6 +1286,49 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
   }
 
+  /** k-core of an undirected pair graph: iteratively peel every vertex of
+    * degree < k until the remainder is stable; emit the surviving vertices
+    * with their within-core degree. The standard "dense enough to matter"
+    * graph filter (community kernels, co-occurrence backbones) and the
+    * degeneracy-ordering building block.
+    *
+    * Loop discipline = [[connectedComponents]]'s: the symmetrized edge set
+    * re-roots on a materialized RDD each round ([[cachedForReuse]] — the
+    * round body references it twice), one degree aggregate + two key
+    * semi-joins per round, convergence detected from the (strictly
+    * decreasing) edge count — O(1) driver state, no collect. Rounds are
+    * bounded by the peeling depth (≤ vertex count, in practice a handful);
+    * exceeding `maxIter` THROWS rather than returning a non-fixpoint.
+    * Empty result (the whole graph peels away) is a valid outcome.
+    */
+  def kCore(
+      pairs: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIter: Int = 60): DataFrame =
+    withStaticPlan(pairs.sparkSession) {
+    require(k >= 1, "k must be >= 1")
+    val e0 = pairs.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst"))
+    var edges = cachedForReuse(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    var n = edges.count()
+    var it = 0
+    var done = n == 0
+    while (!done) {
+      it += 1
+      require(it <= maxIter, s"k-core did not converge in $maxIter rounds")
+      val good = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src"))
+      val kept = cachedForReuse(
+        edges.join(good, Seq("src"))
+          .join(good.select(col("src").as("dst")), Seq("dst"))
+          .select(col("src"), col("dst")))
+      val m = kept.count()
+      edges = kept
+      if (m == n || m == 0) done = true else n = m
+    }
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   // --------------------------------------------------- composite pipeline
 
   /** The end-to-end corpus-cleaning pipeline a training-data run executes,

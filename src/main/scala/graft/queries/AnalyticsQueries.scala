@@ -1515,6 +1515,50 @@ object AnalyticsQueries {
     * nearest-rank picks; the oracle spells out the identical integer
     * arithmetic per percentile.
     */
+  /** k-core of the purchase co-occurrence graph ([[graft.operators.Dedup
+    * .kCore]], k = 3): iteratively peel users with fewer than 3 same-hour
+    * co-purchasers until stable, emit survivors with their within-core
+    * degree. The oracle replays the peel as ONE recursive CTE whose step
+    * recomputes degrees with window counts over the surviving edge set and
+    * carries a `go` flag — a round that drops nothing re-emits the fixpoint
+    * once with `go = false` and the recursion stops (the w17 discipline:
+    * single recursion, strictly linear, no nesting).
+    */
+  val qKcore: Q = Q(
+    "q_kcore",
+    """WITH RECURSIVE p AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+      |           FROM events WHERE event_type = 'purchase'),
+      |e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      |      FROM p a JOIN p b ON a.h = b.h AND a.user_id < b.user_id),
+      |sym AS (SELECT u AS a, v AS b FROM e UNION SELECT v, u FROM e),
+      |rec AS (
+      |  SELECT 0 AS r, a, b, true AS go FROM sym
+      |  UNION ALL
+      |  SELECT r + 1, a, b, cnt_new < cnt_old FROM (
+      |    SELECT r, a, b, cnt_old, COUNT(*) OVER () AS cnt_new FROM (
+      |      SELECT r, a, b, cnt_old FROM (
+      |        SELECT r, a, b,
+      |          COUNT(*) OVER (PARTITION BY a) AS da,
+      |          COUNT(*) OVER (PARTITION BY b) AS db,
+      |          COUNT(*) OVER () AS cnt_old
+      |        FROM rec WHERE go
+      |      ) d WHERE da >= 3 AND db >= 3
+      |    ) f
+      |  ) g)
+      |SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      |FROM rec WHERE NOT go GROUP BY a ORDER BY node""".stripMargin) { (spark, dir) =>
+    val p = graft.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .distinct()
+    val e = p.as("a").join(p.as("b"),
+        col("a.h") === col("b.h") && col("a.user_id") < col("b.user_id"))
+      .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+      .distinct()
+    graft.operators.Dedup.kCore(e, "u", "v", k = 3)
+      .orderBy(col("node"))
+  }
+
   val qPercentileCont: Q = {
     val ps = Seq(25, 50, 75, 90, 99)
     def term(p: Int): String = {
@@ -1716,5 +1760,6 @@ object AnalyticsQueries {
     qCusumDrift, qMarketBasket, qOhlcBars, qGapsIslands, qRfm, qPareto,
     qSourceDiversity, qReachability, qRollingDistinct,
     qEquiDepthHist, qAbcByNation, qWindowFunnel, qGridClosestPair,
-    qPercentileReport, qBenford, qRefIntegrity, qPathAnalysis, qPercentileCont)
+    qPercentileReport, qBenford, qRefIntegrity, qPathAnalysis, qPercentileCont,
+    qKcore)
 }

@@ -397,4 +397,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
       Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
     assert(sf.filter($"fluency_ppm" <= 0 || $"fluency_ppm" > 1000000L).count() == 0)
   }
+
+  test("kCore: hand-built graph peels cascade, empty core, within-core degrees") {
+    // clique K4 on {1,2,3,4} plus a pendant chain 4-5-6: the 3-core is the
+    // clique alone — peeling 6 (deg 1) then 5 (deg 1) then nothing
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val core3 = Dedup.kCore(edges, "u", "v", k = 3).orderBy("node").collect()
+    assert(core3.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(core3.forall(_.getLong(1) == 3L)) // within-core degree, chain gone
+    // the 2-core keeps the clique only as well (the chain is a tree)
+    val core2 = Dedup.kCore(edges, "u", "v", k = 2).collect()
+    assert(core2.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    // k above the max degree peels EVERYTHING: empty core is a valid result
+    assert(Dedup.kCore(edges, "u", "v", k = 5).count() == 0)
+    // cascade depth > 1: a path graph has an empty 2-core (peel ends inward)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    assert(Dedup.kCore(path, "u", "v", k = 2).count() == 0)
+    // a cycle IS its own 2-core
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("u", "v")
+    val c = Dedup.kCore(cyc, "u", "v", k = 2).collect()
+    assert(c.map(_.getLong(0)).toSet == Set(1L, 2L, 3L) && c.forall(_.getLong(1) == 2L))
+  }
 }
