@@ -1292,41 +1292,49 @@ object Dedup {
     * graph filter (community kernels, co-occurrence backbones) and the
     * degeneracy-ordering building block.
     *
-    * Loop discipline = [[connectedComponents]]'s: the symmetrized edge set
-    * re-roots on a materialized RDD each round ([[cachedForReuse]] — the
-    * round body references it twice), one degree aggregate + two key
-    * semi-joins per round, convergence detected from the (strictly
-    * decreasing) edge count — O(1) driver state, no collect. Rounds are
-    * bounded by the peeling depth (≤ vertex count, in practice a handful);
-    * exceeding `maxIter` THROWS rather than returning a non-fixpoint.
-    * Empty result (the whole graph peels away) is a valid outcome.
+    * Loop discipline = [[connectedComponents]]'s: the edge set re-roots on
+    * a materialized RDD each round (the round body references it twice),
+    * with the round's edge COUNT accumulated DURING the materialization
+    * job ([[cutLineageEdgeSummed]]) — ONE action per round, no separate
+    * count. Counts strictly decrease until the fixpoint, so an unchanged
+    * fingerprint is a CLAIMED fixpoint; because accumulators can
+    * over-count under task retries on a real cluster, the claim is
+    * CONFIRMED once with the retry-safe exact count before the loop exits.
+    * Rounds are bounded by the peeling depth (≤ vertex count, in practice
+    * a handful); exceeding `maxIter` THROWS rather than returning a
+    * non-fixpoint. Empty result (the whole graph peels away) is valid.
     */
   def kCore(
       pairs: DataFrame, srcCol: String, dstCol: String, k: Int,
       maxIter: Int = 60): DataFrame =
     withStaticPlan(pairs.sparkSession) {
     require(k >= 1, "k must be >= 1")
-    val e0 = pairs.select(col(srcCol).cast(LongType).as("src"),
-      col(dstCol).cast(LongType).as("dst"))
-    var edges = cachedForReuse(
-      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    var n = edges.count()
+    val e0 = pairs.select(col(srcCol).cast(LongType).as("u"),
+      col(dstCol).cast(LongType).as("v"))
+    var (edges, release, fp0) = cutLineageEdgeSummed(
+      e0.union(e0.select(col("v").as("u"), col("u").as("v"))).distinct())
+    var n = fp0.head.longValueExact()
     var it = 0
     var done = n == 0
     while (!done) {
       it += 1
       require(it <= maxIter, s"k-core did not converge in $maxIter rounds")
-      val good = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k).select(col("src"))
-      val kept = cachedForReuse(
-        edges.join(good, Seq("src"))
-          .join(good.select(col("src").as("dst")), Seq("dst"))
-          .select(col("src"), col("dst")))
-      val m = kept.count()
-      edges = kept
-      if (m == n || m == 0) done = true else n = m
+      val good = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("u"))
+      val kept = edges.join(good, Seq("u"))
+        .join(good.select(col("u").as("v")), Seq("v"))
+        .select(col("u"), col("v"))
+      val (cp, rel2, fp) = cutLineageEdgeSummed(kept)
+      val m = fp.head.longValueExact()
+      if (m == 0) { release(); edges = cp; release = rel2; done = true }
+      else if (m == n) {
+        // claimed fixpoint: confirm with the retry-safe exact counts
+        val exactM = cp.count(); val exactN = edges.count()
+        release(); edges = cp; release = rel2
+        if (exactM == exactN) done = true else n = exactM
+      } else { release(); edges = cp; release = rel2; n = m }
     }
-    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
 
   // --------------------------------------------------- composite pipeline

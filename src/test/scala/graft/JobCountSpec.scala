@@ -46,7 +46,20 @@ class JobCountSpec extends AnyFunSuite {
       "w18_psar" -> 8,
       "dd11_dup_clusters" -> 23, // kernel + CC first build + report
       "dd14_cluster_keep_best" -> 8, // memo hit
-      "dd26_semdedup" -> 27) // Lloyd training + CC + report
+      "dd26_semdedup" -> 27, // Lloyd training + CC + report
+      // round-8 second-sitting additions (measured at sf0.1 via ProfQueries,
+      // +30% headroom): the one-window-pass probe ranking keeps sim10 flat
+      // in |probes|, and the peel loop keeps q_kcore at a handful of rounds
+      "w20_trix" -> 6,
+      "m33_mann_whitney" -> 5,
+      "sim10_ivf_recall" -> 16,
+      "tx22_lm_fluency" -> 6,
+      "m34_cramers_v" -> 11,
+      "mm5_tiling_plan" -> 6,
+      "q_percentile_cont" -> 6,
+      "w21_aroon" -> 6,
+      "st16_windowed_percentiles" -> 6,
+      "q_kcore" -> 14)
     val over = budgets.flatMap { case (name, bound) =>
       val n = jobsFor(name)
       if (n > bound) Some(s"$name: $n jobs > budget $bound") else None
