@@ -559,6 +559,56 @@ object Eval {
             .cast(LongType)).as("chi2_cc_bp"))
   }
 
+  /** Welch's unequal-variance t-test — the parametric companion to
+    * [[mannWhitneyU]] on the same two-sample framing: does group 1's MEAN
+    * value differ from group 0's?
+    * `t = (m̄₁ − m̄₂) / √(s₁²/n₁ + s₂²/n₂)` with the Welch–Satterthwaite
+    * degrees of freedom. One map-side-combinable aggregate collects the
+    * exact integer moments (n, Σv, Σv² per group, decimal(38,0) — the m21
+    * overflow discipline); the t and dof normalizations pass through
+    * double in a PINNED op order (every operand is the same exact decimal
+    * in both engines; IEEE divide/sqrt on identical doubles are
+    * identical), rounded half-up to milli-units. Degenerate inputs
+    * (either group < 2 rows, or both sample variances zero) yield NULL
+    * t/dof. Nothing about the single-aggregate shape changes at 100 TB.
+    */
+  def welchT(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val g = when(col(groupCol), 1L).otherwise(0L)
+    val v = col(valueCol).cast(LongType)
+    val agg = df.select(g.as("g"), v.as("v")).agg(
+      sum(when(col("g") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("g") === 0, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("g") === 1, col("v")).otherwise(0L)).cast(D).as("s1"),
+      sum(when(col("g") === 0, col("v")).otherwise(0L)).cast(D).as("s2"),
+      sum(when(col("g") === 1, col("v").cast(D) * col("v")).otherwise(lit(0).cast(D)))
+        .cast(D).as("q1"),
+      sum(when(col("g") === 0, col("v").cast(D) * col("v")).otherwise(lit(0).cast(D)))
+        .cast(D).as("q2"))
+    // aᵢ = sᵢ²/nᵢ as double, each factor derived from exact decimals with
+    // one fixed division order: (nᵢQᵢ − Sᵢ²) / (nᵢ(nᵢ−1)) / nᵢ
+    val a1 = expr("cast(n1 * q1 - s1 * s1 as double)") /
+      expr("cast(n1 as double) * (n1 - 1)") / expr("cast(n1 as double)")
+    val a2 = expr("cast(n2 * q2 - s2 * s2 as double)") /
+      expr("cast(n2 as double) * (n2 - 1)") / expr("cast(n2 as double)")
+    val dMean = expr("cast(s1 * n2 - s2 * n1 as double)") /
+      expr("cast(n1 as double) * n2")
+    val se2 = a1 + a2
+    val tM = floor(dMean / sqrt(se2) * 1000.0 + 0.5).cast(LongType)
+    val dofM = floor(se2 * se2
+      / (a1 * a1 / expr("cast(n1 - 1 as double)")
+         + a2 * a2 / expr("cast(n2 - 1 as double)")) * 1000.0 + 0.5)
+      .cast(LongType)
+    val degenerate = col("n1") < 2 || col("n2") < 2 ||
+      (expr("n1 * q1 - s1 * s1") === 0 && expr("n2 * q2 - s2 * s2") === 0)
+    agg.select(
+      col("n1"), col("n2"),
+      col("s1").cast(LongType).as("sum1"),
+      col("s2").cast(LongType).as("sum2"),
+      when(degenerate, lit(null).cast(LongType)).otherwise(tM).as("t_milli"),
+      when(degenerate, lit(null).cast(LongType)).otherwise(dofM).as("dof_milli"))
+  }
+
   /** Interpolated percentiles (SQL `PERCENTILE_CONT` / pandas
     * `quantile(interpolation='linear')` semantics) per group, as EXACT
     * integers: for percent p over n values, the 0-based position is

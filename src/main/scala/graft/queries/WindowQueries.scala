@@ -1954,6 +1954,66 @@ object WindowQueries {
     }
   }
 
+  /** Welch's t ([[graft.operators.Eval.welchT]]) on the m33 two-sample
+    * framing — mean value of purchase/click events vs the rest. Exact
+    * integer moments (n, Σv, Σv² per group); t and the Welch–Satterthwaite
+    * dof pass through double in the pinned op order, so both engines emit
+    * the identical milli-unit integers.
+    */
+  val m35WelchT: Q = Q(
+    "m35_welch_t",
+    """WITH src AS (SELECT
+      |    event_type IN ('purchase', 'click') AS g,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |a AS (SELECT
+      |    CAST(SUM(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(SUM(CASE WHEN g THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+      |    SUM(CASE WHEN g THEN v ELSE 0 END) AS s1,
+      |    SUM(CASE WHEN NOT g THEN v ELSE 0 END) AS s2,
+      |    SUM(CASE WHEN g THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q1,
+      |    SUM(CASE WHEN NOT g THEN CAST(v AS HUGEINT) * v ELSE 0 END) AS q2
+      |  FROM src)
+      |SELECT n1, n2, CAST(s1 AS BIGINT) AS sum1, CAST(s2 AS BIGINT) AS sum2,
+      |  CAST(CASE WHEN n1 < 2 OR n2 < 2
+      |         OR (n1 * q1 - s1 * s1 = 0 AND n2 * q2 - s2 * s2 = 0) THEN NULL
+      |    ELSE FLOOR(
+      |      CAST(s1 * n2 - s2 * n1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+      |      / SQRT(
+      |          CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+      |            / (CAST(n1 AS DOUBLE) * (n1 - 1)) / CAST(n1 AS DOUBLE)
+      |        + CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+      |            / (CAST(n2 AS DOUBLE) * (n2 - 1)) / CAST(n2 AS DOUBLE))
+      |      * 1000.0 + 0.5) END AS BIGINT) AS t_milli,
+      |  CAST(CASE WHEN n1 < 2 OR n2 < 2
+      |         OR (n1 * q1 - s1 * s1 = 0 AND n2 * q2 - s2 * s2 = 0) THEN NULL
+      |    ELSE FLOOR(
+      |      (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+      |          / (CAST(n1 AS DOUBLE) * (n1 - 1)) / CAST(n1 AS DOUBLE)
+      |        + CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+      |          / (CAST(n2 AS DOUBLE) * (n2 - 1)) / CAST(n2 AS DOUBLE))
+      |      * (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+      |          / (CAST(n1 AS DOUBLE) * (n1 - 1)) / CAST(n1 AS DOUBLE)
+      |        + CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+      |          / (CAST(n2 AS DOUBLE) * (n2 - 1)) / CAST(n2 AS DOUBLE))
+      |      / (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+      |           / (CAST(n1 AS DOUBLE) * (n1 - 1)) / CAST(n1 AS DOUBLE)
+      |         * (CAST(n1 * q1 - s1 * s1 AS DOUBLE)
+      |           / (CAST(n1 AS DOUBLE) * (n1 - 1)) / CAST(n1 AS DOUBLE))
+      |         / CAST(n1 - 1 AS DOUBLE)
+      |       + CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+      |           / (CAST(n2 AS DOUBLE) * (n2 - 1)) / CAST(n2 AS DOUBLE)
+      |         * (CAST(n2 * q2 - s2 * s2 AS DOUBLE)
+      |           / (CAST(n2 AS DOUBLE) * (n2 - 1)) / CAST(n2 AS DOUBLE))
+      |         / CAST(n2 - 1 AS DOUBLE))
+      |      * 1000.0 + 0.5) END AS BIGINT) AS dof_milli
+      |FROM a""".stripMargin) { (spark, dir) =>
+    val e = graft.Tables.events(spark, dir).select(
+      col("event_type").isin("purchase", "click").as("g"),
+      expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("v"))
+    graft.operators.Eval.welchT(e, "g", "v")
+  }
+
   /** Aroon oscillator per symbol ([[Indicators.withAroon]], period 25):
     * recency of the trailing window's high/low in basis points, ties
     * pinned to the most recent bar via the composite-integer-key argmax
@@ -2143,5 +2203,6 @@ object WindowQueries {
     w9Stochastic, m24Kappa, w10Atr, w11Vwap, m25GroupedAuc, m26OrdinalAssoc,
     m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
-    w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon)
+    w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
+    m35WelchT)
 }

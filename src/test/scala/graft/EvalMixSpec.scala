@@ -529,4 +529,32 @@ class EvalMixSpec extends AnyFunSuite {
     val dup = Seq(("c", 1L), ("c", 1L), ("c", 3L)).toDF("g", "v")
     assert(Eval.percentileCont(dup, "g", "v", Seq(50)).collect()(0).getLong(2) == 100L)
   }
+
+  test("welchT: scalar replay of t and Welch dof; degenerate NULLs") {
+    // group1 = {10, 20, 30}, group0 = {10, 12}
+    val df = Seq((true, 10L), (true, 20L), (true, 30L), (false, 10L), (false, 12L))
+      .toDF("g", "v")
+    val r = Eval.welchT(df, "g", "v").collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(r.getLong(2) == 60L && r.getLong(3) == 22L)
+    // scalar replay with the same op order
+    val a1 = (3.0 * 1400 - 60.0 * 60) / (3.0 * 2) / 3.0   // s1²/n1 = 100/3
+    val a2 = (2.0 * 244 - 22.0 * 22) / (2.0 * 1) / 2.0    // s2²/n2 = 1
+    val d = (60.0 * 2 - 22.0 * 3) / (3.0 * 2)             // 20 - 11 = 9
+    val t = d / math.sqrt(a1 + a2)
+    val dof = (a1 + a2) * (a1 + a2) / (a1 * a1 / 2.0 + a2 * a2 / 1.0)
+    assert(r.getLong(4) == math.floor(t * 1000.0 + 0.5).toLong)
+    assert(r.getLong(5) == math.floor(dof * 1000.0 + 0.5).toLong)
+
+    // both groups constant -> zero variance on both sides -> NULL
+    val const = Seq((true, 5L), (true, 5L), (false, 9L), (false, 9L)).toDF("g", "v")
+    val c = Eval.welchT(const, "g", "v").collect()(0)
+    assert(c.isNullAt(4) && c.isNullAt(5))
+    // a single-row group -> NULL (variance undefined)
+    val solo = Seq((true, 5L), (false, 1L), (false, 2L)).toDF("g", "v")
+    assert(Eval.welchT(solo, "g", "v").collect()(0).isNullAt(4))
+    // one-sided zero variance is fine (se² > 0): defined t
+    val half = Seq((true, 5L), (true, 5L), (false, 1L), (false, 3L)).toDF("g", "v")
+    assert(!Eval.welchT(half, "g", "v").collect()(0).isNullAt(4))
+  }
 }
