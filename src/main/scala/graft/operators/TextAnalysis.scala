@@ -125,6 +125,78 @@ object TextAnalysis {
     rLen && rDistinct && rStop && rWordlen
   }
 
+  /** BPE merge-rule TRAINING (Sennrich et al. 2016, the subword-nmt
+    * algorithm): starting from character-level symbol sequences over the
+    * corpus's word-frequency table, repeatedly find the most frequent
+    * adjacent symbol pair and fuse it, emitting the learned merge list
+    * `(rank, left, right, pair_count)` — the tokenizer-training step an
+    * LLM data pipeline runs before token accounting ([[bpeTokenCount]] is
+    * the heuristic stand-in; this is the real learner). Deterministic:
+    * pair-count ties break lexicographically on (left, right), and each
+    * round's merge applies greedily left-to-right (leftmost
+    * non-overlapping occurrences — "aaa" under merge (a,a) yields
+    * ["aa","a"]), via a codegen'd `aggregate` fold, no UDF. Training stops
+    * early when no pair occurs twice.
+    *
+    * Scale shape: the corpus is tokenized and shuffled ONCE into the
+    * word-frequency grid (vocabulary-bounded — Heaps' law, not corpus
+    * scale) and cached; every round then runs one pair-count aggregate
+    * over that bounded grid plus one driver-side top-1 (a single row —
+    * the merge rule itself — crosses the driver boundary, never data).
+    * Rounds = `nMerges`, the vocabulary budget, fixed and small relative
+    * to corpus size. Not SQL-expressible (each round's tokenization
+    * depends on the previous round's learned rule), so the gate is the
+    * hand-replayed spec, not a DuckDB oracle.
+    */
+  def learnBpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(nMerges >= 1, "nMerges must be >= 1")
+    // fixed-shape round loop: AQE would schedule every exchange as its own
+    // job to observe sizes it cannot exploit here (the grid is tiny) —
+    // static plans keep each round at ONE scheduler job (SCALE.md, the
+    // round-8 job lever)
+    graft.operators.Dedup.withStaticPlan(spark) {
+    val words = graft.operators.Dedup.cachedForReuse(
+      df.select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .select(split(col("w"), "").as("syms"), col("cnt")))
+    def pairCounts(cur: DataFrame): DataFrame =
+      cur.select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+    def applyMerge(cur: DataFrame, a: String, b: String): DataFrame =
+      cur.withColumn("syms",
+        when(size(col("syms")) <= 1, col("syms")).otherwise(
+          aggregate(
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            slice(col("syms"), lit(1), lit(1)),
+            (acc, x) => when(element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x))))))
+    var cur = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0
+    var exhausted = false
+    while (r < nMerges && !exhausted) {
+      val top = pairCounts(cur)
+        .orderBy(col("c").desc, col("l"), col("r")).limit(1).collect()
+      if (top.isEmpty || top.head.getLong(2) < 2) exhausted = true
+      else {
+        r += 1
+        val (a, b, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += ((r.toLong, a, b, c))
+        cur = applyMerge(cur, a, b)
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right", "pair_count")
+    }
+  }
+
   /** Corpus-trained bigram LM fluency score per document — the CCNet-style
     * "is this text predictable under a language model?" curation signal,
     * in the repo's LOG-FREE exact-integer form: for every bigram occurrence

@@ -701,9 +701,22 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge training ([[graft.operators.TextAnalysis.learnBpeMerges]]):
+    * the first 8 learned merge rules over the corpus word-frequency grid.
+    * No DuckDB oracle — each round's tokenization depends on the previous
+    * round's DATA-DEPENDENT winner, which static SQL cannot replay; the
+    * semantics gate is the hand-replayed scalar BPE in BpeTrainSpec
+    * (driver records the rows-only check, like the sketch queries).
+    */
+  val tx23BpeTrain: Q = Q.noOracle("tx23_bpe_train") { (spark, dir) =>
+    graft.operators.TextAnalysis
+      .learnBpeMerges(Tables.documents(spark, dir), "text", nMerges = 8)
+      .orderBy(col("rank"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
     tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift, tx19OovRate,
-    tx20FeatureHashing, tx21GroupedHeavyHitters, tx22LmFluency)
+    tx20FeatureHashing, tx21GroupedHeavyHitters, tx22LmFluency, tx23BpeTrain)
 }

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** Gate for the (non-SQL-expressible) BPE merge trainer: an independent
+  * scalar replay of the subword-nmt algorithm — word-frequency table,
+  * weighted adjacent-pair counts, lexicographic tie-break, greedy
+  * leftmost-non-overlapping merge — compared rule-for-rule against the
+  * distributed operator on crafted corpora.
+  */
+class BpeTrainSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Scalar reference BPE (Sennrich et al. 2016). */
+  private def replay(text: String, nMerges: Int): Seq[(Long, String, String, Long)] = {
+    var words: Map[Vector[String], Long] = text.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).groupBy(identity)
+      .map { case (w, ws) => w.map(_.toString).toVector -> ws.length.toLong }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 0L
+    var done = false
+    while (r < nMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, cnt) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + cnt
+          case _ =>
+        }
+      }
+      val best = pairs.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= 2 =>
+          r += 1
+          out += ((r, a, b, c))
+          words = words.groupBy { case (syms, _) =>
+            val acc = scala.collection.mutable.ArrayBuffer(syms.head)
+            syms.tail.foreach { x =>
+              if (acc.last == a && x == b) acc(acc.length - 1) = a + b
+              else acc += x
+            }
+            acc.toVector
+          }.map { case (k, m) => k -> m.values.sum }
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  private def run(text: String, nMerges: Int): Seq[(Long, String, String, Long)] = {
+    val df = Seq(Tuple1(text)).toDF("text")
+    TextAnalysis.learnBpeMerges(df, "text", nMerges).orderBy("rank")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+  }
+
+  test("learnBpeMerges matches the scalar subword-nmt replay on the classic corpus") {
+    // Sennrich's example frequencies: low:5 lower:2 newest:6 widest:3
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val got = run(corpus, 6)
+    val want = replay(corpus, 6)
+    assert(got == want, s"got $got\nwant $want")
+    // the canonical first merges: (e,s) 9 then (es,t) 9
+    assert(got.head._2 == "e" && got.head._3 == "s" && got.head._4 == 9L)
+    assert(got(1)._2 == "es" && got(1)._3 == "t" && got(1)._4 == 9L)
+  }
+
+  test("learnBpeMerges: greedy leftmost-non-overlapping and early exhaustion") {
+    // "aaa"x3 + "aa": pair (a,a) counts 2*3 + 1 = 7; after the merge the
+    // words are [aa,a]x3 and [aa] — greedy, no overlap double-count
+    val got = run("aaa aaa aaa aa", 5)
+    val want = replay("aaa aaa aaa aa", 5)
+    assert(got == want)
+    assert(got.head == ((1L, "a", "a", 7L)))
+    // exhaustion: every remaining pair occurs once -> trainer stops early
+    val sparse = run("ab cd ef", 5)
+    assert(sparse == replay("ab cd ef", 5))
+    assert(sparse.length <= 3)
+  }
+}
