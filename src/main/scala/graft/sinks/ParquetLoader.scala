@@ -23,6 +23,9 @@ abstract class ColumnarLoader(conf: Conf, format: String, plugin: String)
   private val ifExists = conf.strOr("if_exists", "append")
   private val partitionBy = conf.strSeq("partition_by")
 
+  /** Extra format-specific writer options (e.g. the CSV header flag). */
+  protected def options: Map[String, String] = Map.empty
+
   override def load(df: DataFrame): Unit = {
     val mode = ifExists match {
       case "append" => SaveMode.Append
@@ -31,7 +34,7 @@ abstract class ColumnarLoader(conf: Conf, format: String, plugin: String)
       case other => throw new IllegalArgumentException(
         s"$plugin: unknown if_exists '$other'")
     }
-    val w = df.write.mode(mode).format(format)
+    val w = df.write.mode(mode).format(format).options(options)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).save(path)
   }
 }
@@ -46,3 +49,12 @@ class OrcLoader(conf: Conf) extends ColumnarLoader(conf, "orc", "orc_local")
   * writer surface as the columnar sinks (modes + partition_by).
   */
 class JsonlLoader(conf: Conf) extends ColumnarLoader(conf, "json", "jsonl_local")
+
+/** Distributed CSV sink — completes the csv_file round-trip (the reference
+  * world's lowest-common-denominator export). Header on by default; same
+  * writer surface as the other file sinks (modes + partition_by).
+  */
+class CsvLoader(conf: Conf) extends ColumnarLoader(conf, "csv", "csv_local") {
+  override protected def options: Map[String, String] =
+    Map("header" -> conf.strOr("header", "true"))
+}

@@ -14,5 +14,6 @@ object Sinks {
     Registries.loaders.register("parquet_local")((_, c) => new ParquetLoader(c))
     Registries.loaders.register("orc_local")((_, c) => new OrcLoader(c))
     Registries.loaders.register("jsonl_local")((_, c) => new JsonlLoader(c))
+    Registries.loaders.register("csv_local")((_, c) => new CsvLoader(c))
   }
 }

@@ -130,4 +130,27 @@ class JsonLocalLoaderSpec extends AnyFunSuite {
     assert(out.schema == df.schema)
     assert(out.collect().toSeq == df.collect().toSeq)
   }
+
+  test("csv_local -> csv_file round-trips with header and partition_by") {
+    val dir = Files.createTempDirectory("csv_rt")
+    val out = dir.resolve("out_csv").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "a", 3.5)).toDF("id", "name", "score")
+    new graft.sinks.CsvLoader(
+      Map("path" -> out, "if_exists" -> "replace", "partition_by" -> Seq("name")))
+      .load(df)
+    assert(Files.exists(dir.resolve("out_csv/name=a")))
+    val back = new graft.sources.CsvFileExtractor(spark,
+      Map("path" -> out, "header" -> "true", "infer_schema" -> "true")).extract()
+    assert(back.count() == 3)
+    assert(back.columns.toSet == Set("id", "name", "score"))
+    assert(back.filter(col("name") === "a").count() == 2)
+    // append adds rows; fail throws on existing path
+    new graft.sinks.CsvLoader(Map("path" -> out, "if_exists" -> "append",
+      "partition_by" -> Seq("name"))).load(df.limit(1))
+    assert(new graft.sources.CsvFileExtractor(spark,
+      Map("path" -> out, "header" -> "true")).extract().count() == 4)
+    intercept[Exception] {
+      new graft.sinks.CsvLoader(Map("path" -> out, "if_exists" -> "fail")).load(df)
+    }
+  }
 }
