@@ -788,4 +788,91 @@ class PropertySpec extends AnyFunSuite {
       assert(got == expect)
     }
   }
+
+  test("percentileCont matches a scalar numpy-linear quantile on random data") {
+    val g = Gen.nonEmptyListOf(Gen.choose(-500L, 500L))
+    forAll(g, n = 6) { vs =>
+      val df = vs.map(("g", _)).toDF("g", "v")
+      val ps = Seq(10, 50, 90)
+      val row = graft.operators.Eval.percentileCont(df, "g", "v", ps).collect()(0)
+      val sorted = vs.sorted.toIndexedSeq
+      ps.zipWithIndex.foreach { case (p, i) =>
+        val idx100 = p.toLong * (sorted.length - 1)
+        val lo = (idx100 / 100).toInt
+        val fn = idx100 - lo * 100L
+        val vlo = sorted(lo)
+        val vhi = if (lo + 1 < sorted.length) sorted(lo + 1) else vlo
+        assert(row.getLong(2 + i) == vlo * 100 + (vhi - vlo) * fn,
+          s"p$p of $sorted")
+      }
+    }
+  }
+
+  test("mannWhitneyU: swapping groups negates z and mirrors U") {
+    val g = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(0L, 30L)), Gen.nonEmptyListOf(Gen.choose(0L, 30L)))
+    forAll(g, n = 6) { case (as, bs) =>
+      val df = (as.map((true, _)) ++ bs.map((false, _))).toDF("g", "v")
+      val fl = (as.map((false, _)) ++ bs.map((true, _))).toDF("g", "v")
+      val r1 = graft.operators.Eval.mannWhitneyU(df, "g", "v").collect()(0)
+      val r2 = graft.operators.Eval.mannWhitneyU(fl, "g", "v").collect()(0)
+      assert(r1.getLong(0) == r2.getLong(1) && r1.getLong(1) == r2.getLong(0))
+      // U₁ + U₂ = n₁n₂ (in doubled units: u1_x2 + u2_x2 = 2n₁n₂)
+      val n1n2x2 = 2L * r1.getLong(0) * r1.getLong(1)
+      assert(r1.getDecimal(2).longValueExact + r2.getDecimal(2).longValueExact == n1n2x2)
+      // z mirrors (within the ±1 half-up rounding asymmetry at .5 exactly)
+      if (!r1.isNullAt(4))
+        assert(math.abs(r1.getLong(4) + r2.getLong(4)) <= 1)
+    }
+  }
+
+  test("withAroon outputs stay in [0, 10000] bp and osc = up - dn") {
+    val g = Gen.nonEmptyListOf(Gen.choose(1L, 50L)).suchThat(_.length >= 6)
+    forAll(g, n = 6) { hs =>
+      val rows = hs.zipWithIndex.map { case (h, i) => (f"d$i%03d", h + 2, h) }
+      val df = rows.toDF("d", "h", "l")
+      val out = graft.operators.Indicators.withAroon(df, "h", "l", "ar", 4, "d")
+        .filter(col("ar_up").isNotNull).collect()
+      out.foreach { r =>
+        val up = r.getLong(r.fieldIndex("ar_up")); val dn = r.getLong(r.fieldIndex("ar_dn"))
+        assert(up >= 0 && up <= 10000 && dn >= 0 && dn <= 10000)
+        assert(r.getLong(r.fieldIndex("ar_osc")) == up - dn)
+      }
+    }
+  }
+
+  test("kCore: every kept node has >= k kept neighbors (the defining invariant)") {
+    val edgeGen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+      .map(_.filter(e => e._1 != e._2))
+      .suchThat(_.nonEmpty)
+    forAll(Gen.zip(edgeGen, Gen.choose(2, 4)), n = 6) { case (es, k) =>
+      val df = es.toDF("u", "v")
+      val core = graft.operators.Dedup.kCore(df, "u", "v", k).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // within-core degree >= k for every survivor
+      assert(core.values.forall(_ >= k), s"core $core for edges $es k=$k")
+      // and the reported degree equals the count of kept neighbors
+      val sym = es.flatMap(e => Seq(e, e.swap)).distinct
+      core.foreach { case (node, deg) =>
+        val kept = sym.count(e => e._1 == node && core.contains(e._2))
+        assert(kept == deg, s"node $node deg $deg != $kept")
+      }
+    }
+  }
+
+  test("tilingPlan: scaled dims fit the canvas and effective never exceeds original") {
+    val g = Gen.zip(Gen.choose(10L, 2000L), Gen.choose(10L, 2000L))
+    forAll(g, n = 8) { case (w, h) =>
+      val df = Seq((1L, w, h)).toDF("media_id", "w", "h")
+      val r = graft.multimodal.Multimodal
+        .tilingPlan(df, "media_id", "w", "h", tileSize = 336, maxTiles = 6)
+        .collect()(0)
+      val (gx, gy) = (r.getLong(3), r.getLong(4))
+      val (sw, sh) = (r.getLong(6), r.getLong(7))
+      assert(sw <= gx * 336 && sh <= gy * 336)
+      assert(math.min(sw * sh, w * h) <= w * h)
+      assert(r.getLong(8) == gx * 336 * gy * 336 - sw * sh) // waste identity
+      assert(r.getLong(9) == gx * gy * 576)
+    }
+  }
 }
