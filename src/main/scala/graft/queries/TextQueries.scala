@@ -701,6 +701,55 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Language-ID CONFUSION MATRIX — the eval loop closed over tx2's
+    * heuristic: predicted language vs the corpus's `lang` ground truth,
+    * one row per (truth, predicted) cell with count and the cell's share
+    * of its truth row in basis points, plus per-row `correct` for quick
+    * recall reads. The "how good is the cheap classifier" audit every
+    * curation pipeline needs before trusting a language quota
+    * ([[graft.queries.MiscQueries]]'s mx2). All-integer; one groupBy over
+    * ≤|langs|² keys after the same narrow projection tx2 runs.
+    */
+  val tx24LangidConfusion: Q = {
+    def markersSql(lang: String) =
+      TextAnalysis.langMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("[", ", ", "]")
+    Q(
+      "tx24_langid_confusion",
+      s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  len(list_intersect(toks, ${markersSql("de")})) AS s_de,
+         |  len(list_intersect(toks, ${markersSql("en")})) AS s_en,
+         |  len(list_intersect(toks, ${markersSql("es")})) AS s_es,
+         |  len(list_intersect(toks, ${markersSql("fr")})) AS s_fr,
+         |  len(list_intersect(toks, ${markersSql("zh")})) AS s_zh
+         |  FROM t),
+         |p AS (SELECT lang,
+         |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS predicted
+         |  FROM s),
+         |c AS (SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+         |      FROM p GROUP BY 1, 2)
+         |SELECT lang, predicted, n,
+         |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS row_share_bp,
+         |  lang = predicted AS correct
+         |FROM c ORDER BY lang, predicted""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(spark, dir)
+        .select(col("lang"),
+          TextAnalysis.languageId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("__rt", sum(col("n")).over(Window.partitionBy("lang")))
+        .withColumn("row_share_bp", expr("n * 10000 div __rt"))
+        .drop("__rt")
+        .withColumn("correct", col("lang") === col("predicted"))
+        .orderBy(col("lang"), col("predicted"))
+    }
+  }
+
   /** BPE merge training ([[graft.operators.TextAnalysis.learnBpeMerges]]):
     * the first 8 learned merge rules over the corpus word-frequency grid.
     * No DuckDB oracle — each round's tokenization depends on the previous
@@ -718,5 +767,6 @@ object TextQueries {
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
     tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift, tx19OovRate,
-    tx20FeatureHashing, tx21GroupedHeavyHitters, tx22LmFluency, tx23BpeTrain)
+    tx20FeatureHashing, tx21GroupedHeavyHitters, tx22LmFluency, tx23BpeTrain,
+    tx24LangidConfusion)
 }

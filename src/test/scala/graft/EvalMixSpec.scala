@@ -557,4 +557,26 @@ class EvalMixSpec extends AnyFunSuite {
     val half = Seq((true, 5L), (true, 5L), (false, 1L), (false, 3L)).toDF("g", "v")
     assert(!Eval.welchT(half, "g", "v").collect()(0).isNullAt(4))
   }
+
+  test("tx24 langid confusion: rows partition the corpus, shares sum to ~10000") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.TextQueries.tx24LangidConfusion.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") > 0)
+      assert(r.getAs[Boolean]("correct") ==
+        (r.getAs[String]("lang") == r.getAs[String]("predicted")))
+    }
+    // per-truth-language: cell counts sum to the corpus row count for that
+    // language, and floor-div shares sum to 10000 minus sub-bp remainders
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    val corpusByLang = Tables.documents(spark, dir)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, cells) =>
+      assert(cells.map(_.getAs[Long]("n")).sum == corpusByLang(lang))
+      val shares = cells.map(_.getAs[Long]("row_share_bp")).sum
+      assert(shares <= 10000 && shares > 10000 - cells.length)
+    }
+  }
 }
