@@ -197,6 +197,45 @@ object TextAnalysis {
     }
   }
 
+  /** Apply an ordered BPE merge list (the [[learnBpeMerges]] output, or any
+    * fixed vocabulary's rules) to a text column: each word becomes its
+    * subword symbol sequence after replaying every merge rule in rank
+    * order with the same greedy leftmost-non-overlapping semantics the
+    * trainer used. Returns the per-document SUBWORD TOKEN COUNT — the
+    * number a context-budget planner actually needs (and the exact
+    * counterpart of [[bpeTokenCount]]'s regex estimate).
+    *
+    * The merge list is a plain driver-side Seq (rules are vocabulary-sized
+    * by definition — they ARE the vocabulary budget) compiled into a
+    * chain of `nRules` codegen'd `aggregate` folds over each word's symbol
+    * array: one narrow projection, no shuffle, no UDF; the corpus streams
+    * through once. At realistic vocab sizes (30–100k rules) the fold chain
+    * exceeds codegen limits — then the same fold runs as a per-partition
+    * trie walk; the `nRules ≤ 64` expression path here keeps the oracle
+    * story (pure Column expressions) for the budgets the suite trains.
+    */
+  def bpeTokenCountLearned(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.length <= 64,
+      "expression-path applyBpe is bounded at 64 rules; see scaladoc")
+    val words = split(lower(col(textCol)), "\\s+")
+    val chars = transform(filter(words, w => length(w) > 0), w => split(w, ""))
+    val folded = merges.foldLeft(chars) { case (acc, (a, b)) =>
+      transform(acc, syms =>
+        when(size(syms) <= 1, syms).otherwise(
+          aggregate(
+            slice(syms, lit(2), size(syms) - 1),
+            slice(syms, lit(1), lit(1)),
+            (st, x) => when(element_at(st, -1) === lit(a) && x === lit(b),
+                concat(slice(st, lit(1), size(st) - 1), array(lit(a + b))))
+              .otherwise(concat(st, array(x))))))
+    }
+    df.select(col(idCol).as("doc_id"),
+      aggregate(folded, lit(0L), (acc, syms) => acc + size(syms))
+        .as("n_subword_tokens"))
+  }
+
   /** Corpus-trained bigram LM fluency score per document — the CCNet-style
     * "is this text predictable under a language model?" curation signal,
     * in the repo's LOG-FREE exact-integer form: for every bigram occurrence

@@ -763,10 +763,35 @@ object TextQueries {
       .orderBy(col("rank"))
   }
 
+  /** The trained tokenizer APPLIED ([[graft.operators.TextAnalysis
+    * .bpeTokenCountLearned]]): train 8 merges on the corpus (tx23's
+    * learner), replay them over every document, and report the per-source
+    * subword-token budget — the exact number a context-packing planner
+    * consumes, next to the whitespace estimate it replaces
+    * (`tokens_per_word_centi` = how far 8 merges compress a word). Like
+    * tx23, not SQL-expressible (rules are data-dependent); gated by the
+    * BpeTrainSpec replay of the full train→apply→count chain.
+    */
+  val tx25BpeBudget: Q = Q.noOracle("tx25_bpe_token_budget") { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+    val merges = TextAnalysis.learnBpeMerges(docs, "text", 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    TextAnalysis.bpeTokenCountLearned(docs, "doc_id", "text", merges)
+      .join(docs.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).cast(LongType).as("ws")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_subword_tokens")).as("subword_tokens"),
+        sum(col("ws")).as("ws_tokens"),
+        expr("sum(n_subword_tokens) * 100 div sum(ws)").as("tokens_per_word_centi"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
     tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift, tx19OovRate,
     tx20FeatureHashing, tx21GroupedHeavyHitters, tx22LmFluency, tx23BpeTrain,
-    tx24LangidConfusion)
+    tx24LangidConfusion, tx25BpeBudget)
 }

@@ -79,4 +79,36 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(sparse == replay("ab cd ef", 5))
     assert(sparse.length <= 3)
   }
+
+  test("bpeTokenCountLearned: apply replays the trained rules word-for-word") {
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val rules = replay(corpus, 6).map(m => (m._2, m._3))
+    // scalar application of the same greedy merges
+    def tokenize(w: String): Int = {
+      var syms = w.map(_.toString).toVector
+      rules.foreach { case (a, b) =>
+        val acc = scala.collection.mutable.ArrayBuffer(syms.head)
+        syms.tail.foreach { x =>
+          if (acc.last == a && x == b) acc(acc.length - 1) = a + b else acc += x
+        }
+        syms = acc.toVector
+      }
+      syms.length
+    }
+    val docs = Seq((1L, corpus), (2L, "low lowest wide"), (3L, "zz")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenCountLearned(docs, "doc_id", "text", rules)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(1L -> corpus, 2L -> "low lowest wide", 3L -> "zz").foreach { case (id, text) =>
+      val want = text.split("\\s+").filter(_.nonEmpty).map(tokenize).sum.toLong
+      assert(got(id) == want, s"doc $id")
+    }
+    // a single fully-merged word collapses to one token
+    val aa = Seq((1L, "aa aa aa aa")).toDF("doc_id", "text")
+    val m = TextAnalysis.learnBpeMerges(aa, "text", 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val n = TextAnalysis.bpeTokenCountLearned(aa, "doc_id", "text", m)
+      .collect()(0).getLong(1)
+    assert(m == Seq(("a", "a")) && n == 4L)
+  }
 }

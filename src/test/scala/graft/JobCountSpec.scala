@@ -60,7 +60,8 @@ class JobCountSpec extends AnyFunSuite {
       "w21_aroon" -> 6,
       "st16_windowed_percentiles" -> 6,
       "q_kcore" -> 14,
-      "tx23_bpe_train" -> 16) // 8 training rounds, 1 job each under static plans
+      "tx23_bpe_train" -> 16, // 8 training rounds, 1 job each under static plans
+      "tx25_bpe_token_budget" -> 22) // train (as tx23) + one apply/aggregate pass
     val over = budgets.flatMap { case (name, bound) =>
       val n = jobsFor(name)
       if (n > bound) Some(s"$name: $n jobs > budget $bound") else None
