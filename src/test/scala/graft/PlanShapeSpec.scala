@@ -230,4 +230,39 @@ class PlanShapeSpec extends AnyFunSuite {
       docs, "doc_id", "text", "quality")
     assert(out.count() == 200, "every singleton must survive keep-best dedup")
   }
+
+  test("w20 trix: three stacked ewm windows, one sort, no Coalesce funnel") {
+    val p = plan(WindowQueries.w20Trix.run(spark, sf))
+    assert(!p.contains("Coalesce"))
+    assert(p.contains("ewm("))
+    // the three smoothings + lag chain over the same (sym, d) spec: Spark
+    // plans them as consecutive Window nodes reusing ONE exchange
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"trix should reuse the symbol partitioning, got $exchanges exchanges:\n$p")
+  }
+
+  test("tx22 fluency: two keyed window passes + one doc aggregate, no joins") {
+    val p = plan(graft.queries.TextQueries.tx22LmFluency.run(spark, sf))
+    assert(!p.contains("Join"), "fluency must not join the corpus against marginals")
+    assert(!p.contains("BroadcastExchange"), "no vocabulary-sized broadcasts")
+    val windows = p.linesIterator.count(_.contains("- Window ["))
+    assert(windows == 2, s"expected the two count windows, got $windows")
+  }
+
+  test("sim10 ivf recall: all probe depths rank inside ONE Window node") {
+    val p = plan(SimilarityQueries.sim10IvfRecall.run(spark, sf))
+    // the three filtered running counts (rk1/rk2/rk4) must share a single
+    // WindowExec — a per-probe plan branch would show one Window per probe
+    val rankWindows = p.linesIterator
+      .filter(_.contains("- Window [")).count(_.contains("rk1"))
+    assert(rankWindows == 1, s"probe ranks must share one Window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("mm5 tiling: literal grid explode is a narrow projection + one ranking window") {
+    val p = plan(graft.queries.MultimodalQueries.mm5TilingPlan.run(spark, sf))
+    assert(!p.contains("Join"), "candidate grids are a literal explode, not a join")
+    val windows = p.linesIterator.count(_.contains("- Window ["))
+    assert(windows == 1, s"one per-image pick window expected, got $windows")
+  }
 }
