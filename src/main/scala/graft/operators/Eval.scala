@@ -559,6 +559,55 @@ object Eval {
             .cast(LongType)).as("chi2_cc_bp"))
   }
 
+  /** Wald–Wolfowitz runs test — is a sequence's above/below-median pattern
+    * RANDOM, or does it trend/oscillate? The classic regime-shift screen
+    * for a monitored series (daily revenue, error rates): too few runs =
+    * sticky trends, too many = oscillation. Values equal to the median
+    * drop (the standard convention); the median itself is the exact
+    * nearest-rank pick from the value grid. Exact outputs `n1`, `n2`
+    * (above/below counts) and `runs`; `z_milli` is the normal
+    * approximation `(R − μ)/σ` (μ = 2n₁n₂/n + 1,
+    * σ² = 2n₁n₂(2n₁n₂ − n)/(n²(n − 1))) derived from exact integers
+    * through a pinned double op order. Either side empty or n < 2 → NULL z.
+    *
+    * The run counting is one lag window over the ORDERED kept sequence —
+    * single-series, so the window is as bounded as the series itself (the
+    * docs/SCALE.md single-series stance: a calendar-bounded grid, not
+    * corpus-scale); with a partitioned variant the same window distributes
+    * per key.
+    */
+  def runsTest(df: DataFrame, orderCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(orderCol).as("o"), col(valueCol).cast(LongType).as("v"))
+    val grid = v.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val wCum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val med = grid
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .crossJoin(broadcast(grid.agg(sum(col("c")).as("nn"))))
+      .filter(col("cum") >= expr("(nn + 1) div 2"))
+      .agg(min(col("v")).as("med"))
+    val kept = v.crossJoin(broadcast(med)).filter(col("v") =!= col("med"))
+      .withColumn("s", col("v") > col("med"))
+    val wOrd = Window.orderBy("o")
+    val marked = kept.withColumn("chg",
+      when(lag(col("s"), 1).over(wOrd).isNull, 1L)
+        .when(lag(col("s"), 1).over(wOrd) =!= col("s"), 1L).otherwise(0L))
+    marked.agg(
+        sum(when(col("s"), 1L).otherwise(0L)).as("n1"),
+        sum(when(!col("s"), 1L).otherwise(0L)).as("n2"),
+        sum(col("chg")).as("runs"))
+      .select(col("n1"), col("n2"), col("runs"),
+        when(col("n1") === 0 || col("n2") === 0 || col("n1") + col("n2") < 2,
+            lit(null).cast(LongType))
+          .otherwise(floor(
+            expr("cast(runs * (n1 + n2) - 2 * n1 * n2 - (n1 + n2) as double)")
+              / expr("cast(n1 + n2 as double)")
+              / sqrt(
+                expr("cast(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) as double)")
+                / expr("cast((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) as double)"))
+            * 1000.0 + 0.5).cast(LongType)).as("z_milli"))
+  }
+
   /** Welch's unequal-variance t-test — the parametric companion to
     * [[mannWhitneyU]] on the same two-sample framing: does group 1's MEAN
     * value differ from group 0's?

@@ -1954,6 +1954,42 @@ object WindowQueries {
     }
   }
 
+  /** Wald–Wolfowitz runs test ([[graft.operators.Eval.runsTest]]) on the
+    * daily revenue series: is the above/below-median pattern random, or do
+    * revenue regimes persist? Exact run/side counts; z through the pinned
+    * double order. The oracle replays the grid median, the median-drop,
+    * the lag-marked run starts, and the normal approximation.
+    */
+  val m36RunsTest: Q = Q(
+    "m36_runs_test",
+    s"""WITH ${Series.DailySql},
+       |v AS (SELECT d, CAST(close AS BIGINT) AS v FROM daily),
+       |grid AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY v),
+       |m AS (SELECT MIN(v) AS med FROM (
+       |    SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS nn
+       |    FROM grid) WHERE cum >= (nn + 1) // 2),
+       |kept AS (SELECT d, v > med AS s FROM v, m WHERE v <> med),
+       |mk AS (SELECT s,
+       |    CASE WHEN LAG(s) OVER (ORDER BY d) IS NULL THEN 1
+       |         WHEN LAG(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS chg
+       |  FROM kept),
+       |a AS (SELECT
+       |    CAST(SUM(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(SUM(CASE WHEN NOT s THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(SUM(chg) AS BIGINT) AS runs
+       |  FROM mk)
+       |SELECT n1, n2, runs,
+       |  CAST(CASE WHEN n1 = 0 OR n2 = 0 OR n1 + n2 < 2 THEN NULL
+       |    ELSE FLOOR(
+       |      CAST(runs * (n1 + n2) - 2 * n1 * n2 - (n1 + n2) AS DOUBLE)
+       |      / CAST(n1 + n2 AS DOUBLE)
+       |      / SQRT(CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2)) AS DOUBLE)
+       |          / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE))
+       |      * 1000.0 + 0.5) END AS BIGINT) AS z_milli
+       |FROM a""".stripMargin) { (spark, dir) =>
+    graft.operators.Eval.runsTest(Series.daily(spark, dir), "d", "close")
+  }
+
   /** Welch's t ([[graft.operators.Eval.welchT]]) on the m33 two-sample
     * framing — mean value of purchase/click events vs the rest. Exact
     * integer moments (n, Σv, Σv² per group); t and the Welch–Satterthwaite
@@ -2204,5 +2240,5 @@ object WindowQueries {
     m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
     w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
-    m35WelchT)
+    m35WelchT, m36RunsTest)
 }

@@ -579,4 +579,30 @@ class EvalMixSpec extends AnyFunSuite {
       assert(shares <= 10000 && shares > 10000 - cells.length)
     }
   }
+
+  test("runsTest: hand-counted runs, median-drop convention, degenerate NULL") {
+    // values 1..6 in order [1,4,2,5,3,6], median pick = nearest-rank(3) = 3;
+    // 3 drops -> signs over [1,4,2,5,6] (ordered by o) = B,A,B,A,A -> 4 runs
+    val df = Seq((1L, 1L), (2L, 4L), (3L, 2L), (4L, 5L), (5L, 3L), (6L, 6L))
+      .toDF("o", "v")
+    val r = Eval.runsTest(df, "o", "v").collect()(0)
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2) // above: 4,5,6; below: 1,2
+    assert(r.getLong(2) == 4L)
+    // z replay with the same op order: R=4, n1=3, n2=2, n=5
+    val z = (4.0 * 5 - 2 * 3 * 2 - 5) / 5.0 /
+      math.sqrt((2.0 * 3 * 2 * (2 * 3 * 2 - 5)) / (5.0 * 5 * 4))
+    assert(r.getLong(3) == math.floor(z * 1000.0 + 0.5).toLong)
+
+    // oscillating pattern (post-drop [B,A,A,B,A,A]) -> more runs than the
+    // trend expectation -> positive z
+    val alt = Seq((1L, 1L), (2L, 8L), (3L, 2L), (4L, 9L),
+      (5L, 1L), (6L, 8L), (7L, 2L), (8L, 9L)).toDF("o", "v")
+    val a = Eval.runsTest(alt, "o", "v").collect()(0)
+    assert(a.getLong(0) == 4 && a.getLong(1) == 2) // med = 2 drops both 2s
+    assert(a.getLong(2) == 4L)
+    assert(a.getLong(3) > 0)
+    // one-sided after the median drop -> NULL z
+    val flat = Seq((1L, 5L), (2L, 5L), (3L, 7L)).toDF("o", "v")
+    assert(Eval.runsTest(flat, "o", "v").collect()(0).isNullAt(3))
+  }
 }
