@@ -1074,11 +1074,68 @@ object DedupQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Threshold SWEEP over the verified near-dup pair table — the
+    * operating-point selection a dedup rollout runs before committing to a
+    * cutoff: for each candidate Jaccard threshold (0.80–0.95), how many
+    * pairs survive and how many documents they touch. Consumes the
+    * memoized dd2 pair kernel (one build, [[Shared.minhashPairs]]) and
+    * sweeps with one explode + aggregate over the TINY verified pair
+    * table — thresholds multiply expressions over ~|pairs| rows, never
+    * corpus passes. The jaccard each pair carries is the identical exact
+    * division in both engines, so literal-threshold compares are
+    * deterministic.
+    */
+  val dd28ThresholdSweep: Q = Q(
+    "dd28_threshold_sweep",
+    s"""WITH $ShinglesSql,
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+       |     + (104729*j + 12345)) % 4294967311))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, t.b AS band,
+       |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+       |  FROM sig CROSS JOIN range(0, 16) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
+       |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
+       |  WHERE jaccard >= 0.8),
+       |ts(t_bp) AS (VALUES (CAST(8000 AS BIGINT)), (8500), (9000), (9500)),
+       |hit AS (SELECT t_bp, doc_a, doc_b FROM ts JOIN pairs
+       |        ON jaccard >= t_bp / 10000.0),
+       |pc AS (SELECT t_bp, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |       FROM hit GROUP BY t_bp),
+       |docs AS (SELECT t_bp, doc_a AS d FROM hit
+       |         UNION SELECT t_bp, doc_b FROM hit),
+       |dc AS (SELECT t_bp, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |       FROM docs GROUP BY t_bp)
+       |SELECT t_bp AS threshold_bp, n_pairs, n_docs
+       |FROM pc JOIN dc USING (t_bp) ORDER BY t_bp""".stripMargin) { (spark, dir) =>
+    val pairs = Shared.minhashPairs(spark, dir)
+    val ts = array((8000L to 9500L by 500L).map(lit): _*)
+    val hit = pairs.select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(ts).as("t_bp"))
+      .filter(col("jaccard") >= col("t_bp") / 10000.0)
+    val hitM = graft.operators.Dedup.cachedForReuse(
+      hit.select(col("t_bp"), col("doc_a"), col("doc_b")))
+    val pc = hitM.groupBy(col("t_bp")).agg(count(lit(1)).as("n_pairs"))
+    val dc = hitM.select(col("t_bp"), col("doc_a").as("d"))
+      .union(hitM.select(col("t_bp"), col("doc_b").as("d")))
+      .distinct()
+      .groupBy(col("t_bp")).agg(count(lit(1)).as("n_docs"))
+    pc.join(dc, Seq("t_bp"))
+      .select(col("t_bp").as("threshold_bp"), col("n_pairs"), col("n_docs"))
+      .orderBy(col("threshold_bp"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
     dd15Containment, dd16SourceLeakage, dd17PrefixFilter, dd18SentenceDedup,
     dd19BloomDecontaminate, dd20FuzzyEr, dd21DupSpans, dd22LshCapacity,
     dd23SoftWeights, dd24UrlDedup, dd25LshCalibration, dd26SemDedup,
-    dd27LshRecall)
+    dd27LshRecall, dd28ThresholdSweep)
 }

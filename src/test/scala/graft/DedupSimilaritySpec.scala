@@ -419,4 +419,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val c = Dedup.kCore(cyc, "u", "v", k = 2).collect()
     assert(c.map(_.getLong(0)).toSet == Set(1L, 2L, 3L) && c.forall(_.getLong(1) == 2L))
   }
+
+  test("dd28 threshold sweep: counts are monotone nonincreasing in threshold") {
+    val dir = "/root/testdata/sf0.001"
+    graft.queries.Shared.clear()
+    val rows = queries.DedupQueries.dd28ThresholdSweep.run(spark, dir)
+      .orderBy("threshold_bp").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(8000L, 8500L, 9000L, 9500L))
+    val pairs = rows.map(_.getLong(1)); val docs = rows.map(_.getLong(2))
+    assert(pairs.zip(pairs.tail).forall { case (a, b) => a >= b })
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b })
+    // every pair touches exactly two docs, so docs <= 2*pairs
+    rows.foreach(r => assert(r.getLong(2) <= 2 * r.getLong(1)))
+    // the 0.80 row IS the memoized dd2 pair table
+    assert(pairs.head == graft.queries.Shared.minhashPairs(spark, dir).count())
+    graft.queries.Shared.clear()
+  }
 }
