@@ -493,6 +493,45 @@ object Indicators {
       .drop("__rn", "__cnt", "__hk", "__lk")
   }
 
+  /** Vortex Indicator over INTEGER-valued OHLC columns: VI⁺ = Σ|Hₜ −
+    * Lₜ₋₁| / ΣTR and VI⁻ = Σ|Lₜ − Hₜ₋₁| / ΣTR over the trailing `period`
+    * rows (TR = Wilder true range), emitted in exact basis points —
+    * integer-valued bars keep every |·| term and every window sum
+    * integral, so `vm⁺·10⁴ div tr_sum` needs no float at all. NULL until
+    * `period` full VM terms exist (the first bar has no previous close)
+    * and when the TR sum is zero (flat window). Two window sums + the lag
+    * share ONE WindowExec; per-symbol everything distributes.
+    */
+  def withVortex(
+      df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+      outPrefix: String, period: Int,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(period >= 1, "vortex period must be >= 1")
+    val w = baseWindow(partitionCols, orderCol)
+    val wf = w.rowsBetween(-(period - 1), 0)
+    val h = col(highCol).cast(LongType); val l = col(lowCol).cast(LongType)
+    val ph = lag(h, 1).over(w); val pl = lag(l, 1).over(w)
+    val pc = lag(col(closeCol).cast(LongType), 1).over(w)
+    val out = df
+      .withColumn("__vmp", abs(h - pl))
+      .withColumn("__vmm", abs(l - ph))
+      .withColumn("__tr",
+        when(pc.isNull, lit(null).cast(LongType))
+          .otherwise(greatest(h - l, abs(h - pc), abs(l - pc))))
+      .withColumn("__cnt", count(col("__tr")).over(wf))
+      .withColumn("__vps", sum(col("__vmp")).over(wf))
+      .withColumn("__vms", sum(col("__vmm")).over(wf))
+      .withColumn("__trs", sum(col("__tr")).over(wf))
+    out
+      .withColumn(s"${outPrefix}_plus_bp",
+        when(col("__cnt") === period && col("__trs") > 0,
+          expr(s"__vps * 10000 div __trs")))
+      .withColumn(s"${outPrefix}_minus_bp",
+        when(col("__cnt") === period && col("__trs") > 0,
+          expr(s"__vms * 10000 div __trs")))
+      .drop("__vmp", "__vmm", "__tr", "__cnt", "__vps", "__vms", "__trs")
+  }
+
   /** TRIX — the 1-step rate of change of a TRIPLE exponential smoothing:
     * e1 = EMA(close), e2 = EMA(e1), e3 = EMA(e2) (all α = 2/(span+1),
     * `adjust=False`, seeded at the first close), then

@@ -1954,6 +1954,54 @@ object WindowQueries {
     }
   }
 
+  /** Vortex Indicator per symbol ([[Indicators.withVortex]], period 14):
+    * trend-direction strength from window sums of vortex movements over
+    * true range, in exact integer basis points (integer-valued bars keep
+    * every term integral — no float anywhere). The oracle replays the
+    * lags, the windowed sums, and both integer divisions.
+    */
+  val w22Vortex: Q = Q(
+    "w22_vortex",
+    """WITH bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(MAX(o_totalprice) / 100.0) + 1 AS BIGINT) AS h,
+      |    CAST(FLOOR(MIN(o_totalprice) / 100.0) - 1 AS BIGINT) AS l,
+      |    CAST(FLOOR(arg_max(o_totalprice, o_orderkey) / 100.0) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (SELECT sym, d, h, l,
+      |    ABS(h - LAG(l) OVER (PARTITION BY sym ORDER BY d)) AS vmp,
+      |    ABS(l - LAG(h) OVER (PARTITION BY sym ORDER BY d)) AS vmm,
+      |    CASE WHEN LAG(c) OVER (PARTITION BY sym ORDER BY d) IS NULL THEN NULL
+      |      ELSE GREATEST(h - l,
+      |        ABS(h - LAG(c) OVER (PARTITION BY sym ORDER BY d)),
+      |        ABS(l - LAG(c) OVER (PARTITION BY sym ORDER BY d))) END AS tr
+      |  FROM bars),
+      |w AS (SELECT sym, d,
+      |    COUNT(tr) OVER fw AS cnt,
+      |    SUM(vmp) OVER fw AS vps, SUM(vmm) OVER fw AS vms,
+      |    SUM(tr) OVER fw AS trs
+      |  FROM s WINDOW fw AS (PARTITION BY sym ORDER BY d
+      |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT sym, d,
+      |  CASE WHEN cnt = 14 AND trs > 0 THEN vps * 10000 // trs END AS vi_plus_bp,
+      |  CASE WHEN cnt = 14 AND trs > 0 THEN vms * 10000 // trs END AS vi_minus_bp
+      |FROM w ORDER BY sym, d""".stripMargin) { (spark, dir) =>
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(
+        (floor(max(col("o_totalprice")) / 100.0) + 1)
+          .cast(org.apache.spark.sql.types.LongType).as("h"),
+        (floor(min(col("o_totalprice")) / 100.0) - 1)
+          .cast(org.apache.spark.sql.types.LongType).as("l"),
+        floor(max_by(col("o_totalprice"), col("o_orderkey")) / 100.0)
+          .cast(org.apache.spark.sql.types.LongType).as("c"))
+    Indicators.withVortex(bars, "h", "l", "c", "vi", 14,
+        orderCol = "d", partitionCols = Seq("sym"))
+      .select(col("sym"), col("d"),
+        col("vi_plus_bp"), col("vi_minus_bp"))
+      .orderBy(col("sym"), col("d"))
+  }
+
   /** Wald–Wolfowitz runs test ([[graft.operators.Eval.runsTest]]) on the
     * daily revenue series: is the above/below-median pattern random, or do
     * revenue regimes persist? Exact run/side counts; z through the pinned
@@ -2240,5 +2288,5 @@ object WindowQueries {
     m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
     w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
-    m35WelchT, m36RunsTest)
+    m35WelchT, m36RunsTest, w22Vortex)
 }

@@ -449,4 +449,38 @@ class IndicatorsSpec extends AnyFunSuite {
       assert(t(i).getLong(t(i).fieldIndex("ar_dn")) == 10000L)
     }
   }
+
+  test("withVortex: hand-computed window ratios, warmup/flat guards") {
+    // integer bars; period 3 -> first defined at row 3 (three TR terms)
+    val hs = Seq(10L, 12L, 11L, 14L, 13L)
+    val ls = Seq(8L, 9L, 7L, 10L, 11L)
+    val cs = Seq(9L, 11L, 8L, 12L, 12L)
+    val df = hs.indices.map(i => (f"d$i%02d", hs(i), ls(i), cs(i)))
+      .toDF("d", "h", "l", "c")
+    val out = Indicators.withVortex(df, "h", "l", "c", "vi", 3, "d")
+      .orderBy("d").collect()
+    def cell(i: Int, c: String): Option[Long] = {
+      val ix = out(i).fieldIndex(c)
+      if (out(i).isNullAt(ix)) None else Some(out(i).getLong(ix))
+    }
+    // scalar replay
+    val vmp = hs.indices.map(i => if (i == 0) None else Some(math.abs(hs(i) - ls(i - 1))))
+    val vmm = hs.indices.map(i => if (i == 0) None else Some(math.abs(ls(i) - hs(i - 1))))
+    val tr = hs.indices.map(i => if (i == 0) None else Some(
+      math.max(hs(i) - ls(i), math.max(math.abs(hs(i) - cs(i - 1)), math.abs(ls(i) - cs(i - 1))))))
+    (0 until hs.length).foreach { i =>
+      if (i < 3) assert(cell(i, "vi_plus_bp").isEmpty, s"warmup row $i")
+      else {
+        val idx = (i - 2) to i
+        val vps = idx.map(vmp(_).get).sum; val vms = idx.map(vmm(_).get).sum
+        val trs = idx.map(tr(_).get).sum
+        assert(cell(i, "vi_plus_bp").contains(vps * 10000 / trs), s"row $i")
+        assert(cell(i, "vi_minus_bp").contains(vms * 10000 / trs), s"row $i")
+      }
+    }
+    // flat series: TR = 0 everywhere -> guarded NULL, no division throw
+    val flat = (0 until 5).map(i => (f"d$i%02d", 5L, 5L, 5L)).toDF("d", "h", "l", "c")
+    val f = Indicators.withVortex(flat, "h", "l", "c", "vi", 3, "d").collect()
+    assert(f.forall(_.isNullAt(f.head.fieldIndex("vi_plus_bp"))))
+  }
 }
