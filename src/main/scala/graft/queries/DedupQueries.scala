@@ -1131,11 +1131,111 @@ object DedupQueries {
       .orderBy(col("threshold_bp"))
   }
 
+  /** The second composed curation DAG: DEDUP-AWARE temperature mixing.
+    * Soft-dedup weights (dd23 — every member of a near-dup cluster carries
+    * 1/cluster_size) discount each document's token mass, the per-source
+    * EFFECTIVE token counts aggregate exactly in bp-token units, and the
+    * mx14 temperature allocator (√-weights, largest-remainder exhaustion
+    * of a half-budget) then mixes on effective — not raw — mass: a source
+    * whose volume is mostly internal duplication gets the allocation its
+    * UNIQUE content earns. Chains the memoized pair graph → CC labels →
+    * weights → one source aggregate → the bounded allocator grid; the
+    * oracle replays the full chain (dd23's recursive closure + mx14's
+    * largest-remainder arithmetic) end-to-end.
+    */
+  val mx19DedupAwareMix: Q = Q(
+    "mx19_dedup_aware_mix",
+    s"""WITH RECURSIVE $ShinglesSql,
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+       |     + (104729*j + 12345)) % 4294967311))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, t.b AS band,
+       |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+       |  FROM sig CROSS JOIN range(0, 16) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b FROM (
+       |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
+       |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
+       |  WHERE jaccard >= 0.8),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT a AS id, a AS r FROM edges
+       |          UNION
+       |          SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |m AS (SELECT d.doc_id, d.source,
+       |        CAST(len(regexp_extract_all(d.text,
+       |          '${graft.operators.TextAnalysis.BpePattern}')) AS BIGINT) AS tok,
+       |        COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+       |      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       |       FROM m GROUP BY 1),
+       |eff AS (SELECT m.source,
+       |    CAST(SUM(m.tok) AS BIGINT) AS raw_tokens,
+       |    CAST(SUM(m.tok * (10000 // sz.cluster_size)) AS BIGINT) // 10000 AS eff_tokens
+       |  FROM m JOIN sz USING (cluster_id) GROUP BY m.source),
+       |wts AS (SELECT source, raw_tokens, eff_tokens,
+       |    CAST(FLOOR(SQRT(CAST(eff_tokens AS DOUBLE))) AS BIGINT) AS wt FROM eff),
+       |g AS (SELECT CAST(SUM(eff_tokens) AS BIGINT) // 2 AS b,
+       |             CAST(SUM(wt) AS BIGINT) AS wsum FROM wts),
+       |a AS (SELECT source, raw_tokens, eff_tokens, wt, g.b, g.wsum,
+       |        CASE WHEN g.wsum = 0 THEN 0 ELSE g.b * wt // g.wsum END AS base,
+       |        CASE WHEN g.wsum = 0 THEN 0 ELSE g.b * wt % g.wsum END AS rem
+       |      FROM wts, g),
+       |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rr,
+       |        CAST(SUM(base) OVER () AS BIGINT) AS base_sum
+       |      FROM a)
+       |SELECT source, raw_tokens, eff_tokens, wt AS weight,
+       |  CAST(base + CASE WHEN rr <= b - base_sum THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens,
+       |  CASE WHEN b = 0 THEN NULL
+       |       ELSE CAST((base + CASE WHEN rr <= b - base_sum THEN 1 ELSE 0 END) * 10000 // b AS BIGINT)
+       |  END AS share_bp
+       |FROM r ORDER BY source""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, dir)
+    val weights = Dedup.softDedupWeights(
+      docs.select(col("doc_id")), "doc_id", Shared.ccLabels(spark, dir))
+    val eff = docs
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.bpeTokenCount(col("text")).cast(LongType).as("tok"))
+      .join(weights.select(col("doc_id"), col("weight_bp")), "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("tok")).as("raw_tokens"),
+        expr("sum(tok * weight_bp) div 10000").as("eff_tokens"))
+    val wts = eff.withColumn("wt",
+      floor(sqrt(col("eff_tokens").cast("double"))).cast(LongType))
+    val g = wts.agg(expr("sum(eff_tokens) div 2").as("b"), sum(col("wt")).as("wsum"))
+    val a = wts.crossJoin(broadcast(g))
+      .withColumn("base",
+        when(col("wsum") === 0, 0L).otherwise(expr("b * wt div wsum")))
+      .withColumn("rem",
+        when(col("wsum") === 0, 0L).otherwise(expr("b * wt % wsum")))
+    val r = a
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("source"))).cast(LongType))
+      .withColumn("base_sum", sum(col("base")).over(
+        Window.orderBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    r.withColumn("alloc_tokens",
+        col("base") + when(col("rr") <= col("b") - col("base_sum"), 1L).otherwise(0L))
+      .select(col("source"), col("raw_tokens"), col("eff_tokens"),
+        col("wt").as("weight"), col("alloc_tokens"),
+        when(col("b") === 0, lit(null).cast(LongType))
+          .otherwise(expr("alloc_tokens * 10000 div b")).as("share_bp"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
     dd15Containment, dd16SourceLeakage, dd17PrefixFilter, dd18SentenceDedup,
     dd19BloomDecontaminate, dd20FuzzyEr, dd21DupSpans, dd22LshCapacity,
     dd23SoftWeights, dd24UrlDedup, dd25LshCalibration, dd26SemDedup,
-    dd27LshRecall, dd28ThresholdSweep)
+    dd27LshRecall, dd28ThresholdSweep, mx19DedupAwareMix)
 }

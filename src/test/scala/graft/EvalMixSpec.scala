@@ -605,4 +605,21 @@ class EvalMixSpec extends AnyFunSuite {
     val flat = Seq((1L, 5L), (2L, 5L), (3L, 7L)).toDF("o", "v")
     assert(Eval.runsTest(flat, "o", "v").collect()(0).isNullAt(3))
   }
+
+  test("mx19 dedup-aware mix: allocation exhausts the effective half-budget") {
+    val dir = "/root/testdata/sf0.001"
+    graft.queries.Shared.clear()
+    val rows = queries.DedupQueries.mx19DedupAwareMix.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // effective mass never exceeds raw mass (weights <= 1)
+    rows.foreach(r => assert(r.getAs[Long]("eff_tokens") <= r.getAs[Long]("raw_tokens")))
+    // largest-remainder exhausts B = sum(eff) div 2 exactly
+    val eff = rows.map(_.getAs[Long]("eff_tokens")).sum
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(alloc == eff / 2, s"alloc $alloc != B ${eff / 2}")
+    // weights are isqrt of effective mass
+    rows.foreach(r => assert(r.getAs[Long]("weight") ==
+      math.sqrt(r.getAs[Long]("eff_tokens").toDouble).floor.toLong))
+    graft.queries.Shared.clear()
+  }
 }
