@@ -490,9 +490,74 @@ object SimilarityQueries {
       queryPred = col("vec_id") < 32, k = 10, nCells = 16, probes = Seq(1, 2, 4))
   }
 
+  /** Inter-class centroid separation matrix — pairwise cosine between the
+    * sim7 label centroids, the "are my classes distinguishable in
+    * embedding space?" audit (low separation predicts label noise /
+    * embedding collapse before any classifier is trained). The mean-vector
+    * normalizers cancel in the cosine, so the whole statistic reduces to
+    * exact integer sums of the QUANTIZED per-(label, dim) sums sim7
+    * already defines: dot and both squared norms accumulate in
+    * decimal(38,0) (the m21 discipline), and only the final
+    * `dot/√·√·` passes through the pinned double order to basis points.
+    * Label-pair grid is |labels|²/2 rows over a 64-dim frame — bounded
+    * everywhere; the corpus is touched once by the sim7 aggregate.
+    */
+  val sim11LabelSeparation: Q = Q(
+    "sim11_label_separation",
+    """WITH x0 AS (SELECT label, embedding,
+      |                   unnest(generate_series(1, len(embedding))) AS i
+      |            FROM embeddings),
+      |x AS (SELECT CAST(label AS BIGINT) AS label,
+      |             CAST(i - 1 AS BIGINT) AS dim,
+      |             CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS qv
+      |      FROM x0),
+      |s AS (SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS qsum
+      |      FROM x GROUP BY label, dim),
+      |nrm AS (SELECT label, SUM(CAST(qsum AS HUGEINT) * qsum) AS norm2
+      |        FROM s GROUP BY label),
+      |pair AS (SELECT a.label AS label_a, b.label AS label_b,
+      |    SUM(CAST(a.qsum AS HUGEINT) * b.qsum) AS dot
+      |  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+      |  GROUP BY 1, 2)
+      |SELECT p.label_a, p.label_b,
+      |  CAST(p.dot AS DECIMAL(38,0)) AS dot,
+      |  CAST(na.norm2 AS DECIMAL(38,0)) AS norm2_a,
+      |  CAST(nb.norm2 AS DECIMAL(38,0)) AS norm2_b,
+      |  CAST(CASE WHEN na.norm2 = 0 OR nb.norm2 = 0 THEN NULL
+      |    ELSE FLOOR(CAST(p.dot AS DOUBLE) / SQRT(CAST(na.norm2 AS DOUBLE))
+      |      / SQRT(CAST(nb.norm2 AS DOUBLE)) * 10000.0 + 0.5) END AS BIGINT) AS cos_bp
+      |FROM pair p
+      |JOIN nrm na ON na.label = p.label_a
+      |JOIN nrm nb ON nb.label = p.label_b
+      |ORDER BY p.label_a, p.label_b""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val D = DecimalType(38, 0)
+    val s = Similarity.labelCentroidSums(Tables.embeddings(spark, dir),
+        "label", "embedding")
+      .select(col("label"), col("dim"), col("qsum"))
+    val sM = graft.operators.Dedup.cachedForReuse(s)
+    val nrm = sM.groupBy(col("label"))
+      .agg(sum(col("qsum").cast(D) * col("qsum")).cast(D).as("norm2"))
+    val pair = sM.as("a").join(sM.as("b"),
+        col("a.dim") === col("b.dim") && col("a.label") < col("b.label"))
+      .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+      .agg(sum(col("a.qsum").cast(D) * col("b.qsum")).cast(D).as("dot"))
+    pair
+      .join(broadcast(nrm.select(col("label").as("label_a"), col("norm2").as("norm2_a"))), "label_a")
+      .join(broadcast(nrm.select(col("label").as("label_b"), col("norm2").as("norm2_b"))), "label_b")
+      .select(col("label_a"), col("label_b"), col("dot"),
+        col("norm2_a"), col("norm2_b"),
+        when(col("norm2_a") === 0 || col("norm2_b") === 0, lit(null).cast(LongType))
+          .otherwise(floor(col("dot").cast("double")
+            / sqrt(col("norm2_a").cast("double"))
+            / sqrt(col("norm2_b").cast("double")) * 10000.0 + 0.5)
+            .cast(LongType)).as("cos_bp"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, dd7EmbeddingLshNearDup,
     sim8MmrSelect,
     sim2LshTopK, sim3IvfTopK, sim4QuantizedTopK, sim5PqTopK, sim6KnnLabel,
     sim7LabelCentroids, sim9PqTrainedTopK, m19RetrievalMrr, m23RetrievalNdcg,
-    sim10IvfRecall)
+    sim10IvfRecall, sim11LabelSeparation)
 }

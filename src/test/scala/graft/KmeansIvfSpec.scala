@@ -162,4 +162,14 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(recalls.last == 10000L)
     assert(rep.last.getLong(3) == rep.last.getLong(2)) // n_hit == n_truth
   }
+
+  test("sim11 label separation: full 45-pair grid, cosines within [-10000, 10000] bp") {
+    import org.apache.spark.sql.functions.col
+    val rows = queries.SimilarityQueries.sim11LabelSeparation.run(spark, sf).collect()
+    assert(rows.length == 45) // 10 labels -> 45 unordered pairs
+    rows.foreach { r =>
+      val bp = r.getLong(r.fieldIndex("cos_bp"))
+      assert(bp >= -10000 && bp <= 10000)
+    }
+  }
 }
