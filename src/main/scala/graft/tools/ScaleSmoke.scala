@@ -214,6 +214,42 @@ object ScaleSmoke {
         "identical docs must score exactly 10^6 ppm")
       require(chk.getLong(3) == 19L && chk.getLong(4) == 19L)
     }
+    t(s"kcore n=$n") {
+      // n/4 disjoint 3-cycles (2M·3/4 edges) + n/4 pendant chains hanging
+      // off them: the 2-core is EXACTLY the cycles — every pendant peels,
+      // and each survivor has within-core degree 2. Closed form at any n.
+      val m = n / 4
+      val tri = spark.range(0, m).toDF("i").select(
+          (col("i") * 4).as("u"), (col("i") * 4 + 1).as("v"))
+        .union(spark.range(0, m).toDF("i").select(
+          (col("i") * 4 + 1).as("u"), (col("i") * 4 + 2).as("v")))
+        .union(spark.range(0, m).toDF("i").select(
+          (col("i") * 4 + 2).as("u"), (col("i") * 4).as("v")))
+      val pendant = spark.range(0, m).toDF("i").select(
+        (col("i") * 4).as("u"), (col("i") * 4 + 3).as("v"))
+      val core = graft.operators.Dedup.kCore(tri.union(pendant), "u", "v", k = 2)
+      val chk = core.agg(count(lit(1)), min("deg"), max("deg")).head()
+      require(chk.getLong(0) == 3 * m, s"core size ${chk.getLong(0)} != ${3 * m}")
+      require(chk.getLong(1) == 2L && chk.getLong(2) == 2L, "cycle degrees must be 2")
+    }
+    t(s"vortex n=$n keys=1000") {
+      // 1000 symbols, deterministic jagged bars: every full window must
+      // satisfy vi+ + vi- >= 0 with both defined, and warmup NULLs are
+      // exactly period+... per key (first `period` rows lack 14 TR terms)
+      val bars = spark.range(0, n).toDF("i").select(
+        (col("i") % 1000).as("sym"), expr("i div 1000").as("t"),
+        (lit(200L) + (col("i") * 37 % 17)).as("h"),
+        (lit(100L) + (col("i") * 13 % 5)).as("l"),
+        (lit(150L) + (col("i") * 7 % 11)).as("c"))
+      val out = graft.operators.Indicators.withVortex(
+        bars, "h", "l", "c", "vi", 14, "t", Seq("sym"))
+      val row = out.agg(count(lit(1)),
+        sum(when(col("vi_plus_bp").isNull, 1L).otherwise(0L)),
+        min(col("vi_plus_bp")), min(col("vi_minus_bp"))).head()
+      require(row.getLong(0) == n)
+      require(row.getLong(1) == 14000L, s"expected 14 warmup NULLs per key, got ${row.getLong(1)}")
+      require(row.getLong(2) >= 0L && row.getLong(3) >= 0L)
+    }
     spark.stop()
   }
 }
