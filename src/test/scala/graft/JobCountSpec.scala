@@ -61,7 +61,13 @@ class JobCountSpec extends AnyFunSuite {
       "st16_windowed_percentiles" -> 6,
       "q_kcore" -> 14,
       "tx23_bpe_train" -> 16, // 8 training rounds, 1 job each under static plans
-      "tx25_bpe_token_budget" -> 22) // train (as tx23) + one apply/aggregate pass
+      "tx25_bpe_token_budget" -> 22, // train (as tx23) + one apply/aggregate pass
+      "w22_vortex" -> 6,
+      "m36_runs_test" -> 12,
+      "sim11_label_separation" -> 12,
+      // listed after dd11 so the pair/CC memo is warm (bench order): the
+      // memo-hit path is weights-join + source aggregate + allocator grid
+      "mx19_dedup_aware_mix" -> 18)
     val over = budgets.flatMap { case (name, bound) =>
       val n = jobsFor(name)
       if (n > bound) Some(s"$name: $n jobs > budget $bound") else None
