@@ -559,6 +559,65 @@ object Eval {
             .cast(LongType)).as("chi2_cc_bp"))
   }
 
+  /** Per-group distribution moments: n, mean (exact centi-units), and the
+    * shape diagnostics — sample skewness g₁ = (√n·M₃)/M₂^1.5 and excess
+    * kurtosis g₂ = M₄/M₂² − 3 — every power sum Σv, Σv², Σv³, Σv⁴
+    * accumulated EXACTLY in decimal(38,0) (the m21 discipline). The
+    * binding magnitude bound is the S₁⁴ / n³S₄ terms: quantize v so that
+    * `(n·max|v|)⁴ < 10³⁸`, i.e. n·max|v| ≲ 3·10⁹ per group — whole units
+    * rather than cents at corpus scale (document the quantization at the
+    * call site; ANSI throws past the bound rather than wrapping), central
+    * moments derived by the standard power-sum identities still in exact
+    * decimals, and only the final ratios passing through double in a
+    * pinned op order to milli-units. Degenerate groups (n < 2 or zero
+    * variance) yield NULL shape stats. One map-side-combinable aggregate —
+    * the 100 TB plan is a single scan.
+    *
+    * Identities used (all exact): n²·M₂ = n·S₂ − S₁²,
+    * n³·M₃ = n²·S₃ − 3n·S₁S₂ + 2S₁³,
+    * n⁴·M₄ = n³·S₄ − 4n²·S₁S₃ + 6n·S₁²S₂ − 3S₁⁴; the normalizer powers
+    * fold into the final double ratio.
+    */
+  def momentsByGroup(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    val v = col(valueCol).cast(LongType)
+    df.select(col(groupCol).as("g"), v.as("v"))
+      .groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).cast(D).as("s1"),
+        sum(col("v").cast(D) * col("v")).cast(D).as("s2"),
+        sum(col("v").cast(D) * col("v") * col("v")).cast(D).as("s3"),
+        sum(col("v").cast(D) * col("v") * col("v") * col("v")).cast(D).as("s4"))
+      .select(col("g"), col("n"),
+        expr("s1 * 100 div n").cast(LongType).as("mean_centi"),
+        expr("cast(n as decimal(38,0)) * s2 - s1 * s1").cast(D).as("m2_n2"),
+        expr("""cast(n as decimal(38,0)) * n * s3
+               | - 3 * cast(n as decimal(38,0)) * s1 * s2
+               | + 2 * s1 * s1 * s1""".stripMargin).cast(D).as("m3_n3"),
+        expr("""cast(n as decimal(38,0)) * n * n * s4
+               | - 4 * cast(n as decimal(38,0)) * n * s1 * s3
+               | + 6 * cast(n as decimal(38,0)) * s1 * s1 * s2
+               | - 3 * s1 * s1 * s1 * s1""".stripMargin).cast(D).as("m4_n4"))
+      .select(col("g"), col("n"), col("mean_centi"),
+        // population g₁ = M₃/M₂^1.5: the n-powers cancel exactly
+        // (n³ against (n²)^1.5), so the ratio is m3_n3 / m2_n2^1.5.
+        // x^1.5 is computed as x·√x — multiply and sqrt are both correctly
+        // rounded IEEE ops, where pow(x, 1.5) is NOT and differs by ulps
+        // across libm implementations (the tx9 ln() rule, applied to pow).
+        when(col("n") < 2 || col("m2_n2") <= 0, lit(null).cast(LongType))
+          .otherwise(floor(
+            col("m3_n3").cast(DoubleType)
+              / (col("m2_n2").cast(DoubleType) * sqrt(col("m2_n2").cast(DoubleType)))
+              * 1000.0 + 0.5).cast(LongType)).as("skew_milli"),
+        // population excess g₂ = M₄/M₂² − 3: n-powers cancel likewise
+        when(col("n") < 2 || col("m2_n2") <= 0, lit(null).cast(LongType))
+          .otherwise(floor(
+            (col("m4_n4").cast(DoubleType)
+              / (col("m2_n2").cast(DoubleType) * col("m2_n2").cast(DoubleType))
+              - 3.0) * 1000.0 + 0.5).cast(LongType)).as("kurt_milli"))
+  }
+
   /** Wald–Wolfowitz runs test — is a sequence's above/below-median pattern
     * RANDOM, or does it trend/oscillate? The classic regime-shift screen
     * for a monitored series (daily revenue, error rates): too few runs =

@@ -1954,6 +1954,52 @@ object WindowQueries {
     }
   }
 
+  /** Distribution moments per event type
+    * ([[graft.operators.Eval.momentsByGroup]]): mean, population skewness
+    * and excess kurtosis from exact decimal power sums (values quantized
+    * to whole units — the documented (n·max|v|)⁴ < 10³⁸ bound), the shape
+    * profile a feature-QA pass reads before assuming normality. The
+    * oracle replays the power-sum identities in HUGEINT and the identical
+    * x·√x / ratio double steps.
+    */
+  val m37Moments: Q = Q(
+    "m37_moments",
+    """WITH src AS (SELECT event_type AS g,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS v
+      |  FROM events),
+      |a AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(v AS HUGEINT)) AS s1,
+      |    SUM(CAST(v AS HUGEINT) * v) AS s2,
+      |    SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+      |    SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
+      |  FROM src GROUP BY g),
+      |m AS (SELECT g, n,
+      |    CAST(s1 * 100 // n AS BIGINT) AS mean_centi,
+      |    CAST(n AS HUGEINT) * s2 - s1 * s1 AS m2_n2,
+      |    CAST(n AS HUGEINT) * n * s3
+      |      - 3 * CAST(n AS HUGEINT) * s1 * s2 + 2 * s1 * s1 * s1 AS m3_n3,
+      |    CAST(n AS HUGEINT) * n * n * s4
+      |      - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+      |      + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+      |      - 3 * s1 * s1 * s1 * s1 AS m4_n4
+      |  FROM a)
+      |SELECT g, n, mean_centi,
+      |  CAST(CASE WHEN n < 2 OR m2_n2 <= 0 THEN NULL
+      |    ELSE FLOOR(CAST(m3_n3 AS DOUBLE)
+      |      / (CAST(m2_n2 AS DOUBLE) * SQRT(CAST(m2_n2 AS DOUBLE)))
+      |      * 1000.0 + 0.5) END AS BIGINT) AS skew_milli,
+      |  CAST(CASE WHEN n < 2 OR m2_n2 <= 0 THEN NULL
+      |    ELSE FLOOR((CAST(m4_n4 AS DOUBLE)
+      |      / (CAST(m2_n2 AS DOUBLE) * CAST(m2_n2 AS DOUBLE)) - 3.0)
+      |      * 1000.0 + 0.5) END AS BIGINT) AS kurt_milli
+      |FROM m ORDER BY g""".stripMargin) { (spark, dir) =>
+    val e = graft.Tables.events(spark, dir).select(
+      col("event_type").as("g"),
+      expr("cast(cast(value as decimal(18,2)) * 100 as bigint) div 100").as("v"))
+    graft.operators.Eval.momentsByGroup(e, "g", "v")
+      .orderBy(col("g"))
+  }
+
   /** Vortex Indicator per symbol ([[Indicators.withVortex]], period 14):
     * trend-direction strength from window sums of vortex movements over
     * true range, in exact integer basis points (integer-valued bars keep
@@ -2288,5 +2334,5 @@ object WindowQueries {
     m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
     w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
-    m35WelchT, m36RunsTest, w22Vortex)
+    m35WelchT, m36RunsTest, w22Vortex, m37Moments)
 }

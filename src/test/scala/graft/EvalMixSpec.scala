@@ -622,4 +622,22 @@ class EvalMixSpec extends AnyFunSuite {
       math.sqrt(r.getAs[Long]("eff_tokens").toDouble).floor.toLong))
     graft.queries.Shared.clear()
   }
+
+  test("momentsByGroup: symmetric zero skew, uniform kurtosis, crafted skew/kurt") {
+    // uniform {1..5}: mean 3, M2 = 2, M3 = 0, M4 = 6.8 -> skew 0, kurt -1.3
+    // skewed {0,0,0,0,10}: M2 = 16, M3 = 96, M4 = 832 -> skew 1.5, kurt 0.25
+    val df = (Seq(1L, 2L, 3L, 4L, 5L).map(("u", _)) ++
+      Seq(0L, 0L, 0L, 0L, 10L).map(("s", _)) ++
+      Seq(7L).map(("one", _)) ++ Seq(4L, 4L, 4L).map(("const", _)))
+      .toDF("g", "v")
+    val out = Eval.momentsByGroup(df, "g", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("u").getLong(1) == 5 && out("u").getLong(2) == 300L)
+    assert(out("u").getLong(3) == 0L && out("u").getLong(4) == -1300L)
+    assert(out("s").getLong(2) == 200L)
+    assert(out("s").getLong(3) == 1500L && out("s").getLong(4) == 250L)
+    // degenerate groups: singleton and zero variance -> NULL shape stats
+    assert(out("one").isNullAt(3) && out("one").isNullAt(4))
+    assert(out("const").isNullAt(3) && out("const").isNullAt(4))
+  }
 }
