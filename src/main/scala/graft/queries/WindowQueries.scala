@@ -1954,6 +1954,68 @@ object WindowQueries {
     }
   }
 
+  /** Lag-1..5 autocorrelation of daily revenue — Pearson r over the
+    * (xₜ, xₜ₊ₖ) pair sets, the ACF head a forecasting pass inspects before
+    * model choice. All five lags evaluate in ONE WindowExec (five lag
+    * columns over the same order), the pair moments accumulate exactly in
+    * decimal(38,0) per lag, and r_bp passes through the m31 pinned double
+    * order. Single-series by construction (the documented calendar-bounded
+    * stance); per-key ACFs would partition the same window.
+    */
+  val m38Autocorr: Q = Q(
+    "m38_autocorr",
+    s"""WITH ${Series.DailySql},
+       |v AS (SELECT d, CAST(close AS BIGINT) AS x FROM daily),
+       |l AS (SELECT x,
+       |    LAG(x, 1) OVER (ORDER BY d) AS y1, LAG(x, 2) OVER (ORDER BY d) AS y2,
+       |    LAG(x, 3) OVER (ORDER BY d) AS y3, LAG(x, 4) OVER (ORDER BY d) AS y4,
+       |    LAG(x, 5) OVER (ORDER BY d) AS y5
+       |  FROM v),
+       |p AS (SELECT 1 AS k, x, y1 AS y FROM l WHERE y1 IS NOT NULL
+       |  UNION ALL SELECT 2, x, y2 FROM l WHERE y2 IS NOT NULL
+       |  UNION ALL SELECT 3, x, y3 FROM l WHERE y3 IS NOT NULL
+       |  UNION ALL SELECT 4, x, y4 FROM l WHERE y4 IS NOT NULL
+       |  UNION ALL SELECT 5, x, y5 FROM l WHERE y5 IS NOT NULL),
+       |a AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |    SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+       |    SUM(CAST(x AS HUGEINT) * y) AS sxy
+       |  FROM p GROUP BY k)
+       |SELECT CAST(k AS BIGINT) AS lag_k, n,
+       |  CAST(CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN NULL
+       |    ELSE FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 10000.0
+       |      / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
+       |      / SQRT(CAST(n * syy - sy * sy AS DOUBLE)) + 0.5)
+       |    END AS BIGINT) AS r_bp
+       |FROM a ORDER BY lag_k""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val D = DecimalType(38, 0)
+    val w = Window.orderBy("d")
+    val v = Series.daily(spark, dir).select(col("d"), col("close").cast(LongType).as("x"))
+    val lags = (1 to 5).foldLeft(v) { (acc, k) =>
+      acc.withColumn(s"y$k", lag(col("x"), k).over(w))
+    }
+    val stacked = lags.select(col("x"),
+        expr("stack(5, 1L, y1, 2L, y2, 3L, y3, 4L, y4, 5L, y5) as (k, y)"))
+      .filter(col("y").isNotNull)
+    stacked.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast(D).as("sx"), sum(col("y")).cast(D).as("sy"),
+        sum(col("x").cast(D) * col("x")).cast(D).as("sxx"),
+        sum(col("y").cast(D) * col("y")).cast(D).as("syy"),
+        sum(col("x").cast(D) * col("y")).cast(D).as("sxy"))
+      .select(col("k").as("lag_k"), col("n"),
+        when(expr("n * sxx = sx * sx") || expr("n * syy = sy * sy"),
+            lit(null).cast(LongType))
+          .otherwise(floor(
+            expr("cast(n * sxy - sx * sy as double)") * 10000.0
+              / sqrt(expr("cast(n * sxx - sx * sx as double)"))
+              / sqrt(expr("cast(n * syy - sy * sy as double)")) + 0.5)
+            .cast(LongType)).as("r_bp"))
+      .orderBy(col("lag_k"))
+  }
+
   /** Distribution moments per event type
     * ([[graft.operators.Eval.momentsByGroup]]): mean, population skewness
     * and excess kurtosis from exact decimal power sums (values quantized
@@ -2334,5 +2396,5 @@ object WindowQueries {
     m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
     w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
-    m35WelchT, m36RunsTest, w22Vortex, m37Moments)
+    m35WelchT, m36RunsTest, w22Vortex, m37Moments, m38Autocorr)
 }

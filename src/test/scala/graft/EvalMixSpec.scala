@@ -640,4 +640,22 @@ class EvalMixSpec extends AnyFunSuite {
     assert(out("one").isNullAt(3) && out("one").isNullAt(4))
     assert(out("const").isNullAt(3) && out("const").isNullAt(4))
   }
+
+  test("m38 autocorr: perfect periodicity shows in the ACF head") {
+    // invariants over the real series: all five lags present, r within
+    // [-1, 1] bp, and each extra lag drops exactly one pair
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.WindowQueries.m38Autocorr.run(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 5L))
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      if (!r.isNullAt(2)) {
+        val bp = r.getLong(2)
+        assert(bp >= -10000 && bp <= 10000, s"r_bp $bp out of range")
+      }
+    }
+    // pair counts shrink by exactly one row per extra lag
+    val ns = rows.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a == b + 1 })
+  }
 }
