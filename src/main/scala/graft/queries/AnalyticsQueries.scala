@@ -321,6 +321,70 @@ object AnalyticsQueries {
       .orderBy(col("d"))
   }
 
+  /** Linear-INTERPOLATION gap fill over the same daily spine as
+    * [[qResampleFfill]] (pandas `interpolate(method='time')` semantics in
+    * exact integers): every missing day takes
+    * `v₀·100 + (v₁−v₀)·100·(d−d₀) div (d₁−d₀)` centi-units between its
+    * nearest observed anchors (two ignore-nulls window passes carry value
+    * AND anchor date in each direction); edge gaps with only one anchor
+    * fall back to that anchor. Truncating integer division is identical
+    * in both engines (both truncate toward zero), so the fill is
+    * bit-exact. Same single-series window stance as the ffill variant.
+    */
+  val qResampleInterp: Q = Q(
+    "q_resample_interp",
+    s"""WITH ${Series.DailySql},
+       |b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM daily),
+       |spine0 AS (SELECT unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS ts FROM b),
+       |spine AS (SELECT CAST(ts AS DATE) AS d FROM spine0),
+       |j AS (SELECT s.d, CAST(daily.close AS BIGINT) AS v
+       |      FROM spine s LEFT JOIN daily ON daily.d = s.d),
+       |a AS (SELECT d, v,
+       |    LAST_VALUE(v IGNORE NULLS) OVER (ORDER BY d
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v0,
+       |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+       |      OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+       |    FIRST_VALUE(v IGNORE NULLS) OVER (ORDER BY d
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v1,
+       |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+       |      OVER (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+       |  FROM j)
+       |SELECT d,
+       |  CAST(CASE
+       |    WHEN v IS NOT NULL THEN v * 100
+       |    WHEN v0 IS NOT NULL AND v1 IS NOT NULL THEN
+       |      v0 * 100 + (v1 - v0) * 100 * CAST(d - pd AS BIGINT) // CAST(nd - pd AS BIGINT)
+       |    WHEN v0 IS NOT NULL THEN v0 * 100
+       |    ELSE v1 * 100 END AS BIGINT) AS close_centi,
+       |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+       |FROM a ORDER BY d""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.LongType
+    val daily = Series.daily(spark, dir)
+      .select(col("d"), col("close").cast(LongType).as("v"))
+    val spine = daily.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"),
+        expr("interval 1 day"))).as("d"))
+    val wB = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.orderBy(col("d"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val a = spine.join(daily, Seq("d"), "left")
+      .withColumn("v0", last(col("v"), ignoreNulls = true).over(wB))
+      .withColumn("pd", last(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(wB))
+      .withColumn("v1", first(col("v"), ignoreNulls = true).over(wF))
+      .withColumn("nd", first(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(wF))
+    a.select(col("d"),
+        when(col("v").isNotNull, col("v") * 100)
+          .when(col("v0").isNotNull && col("v1").isNotNull,
+            col("v0") * 100 + expr(
+              "(v1 - v0) * 100 * cast(datediff(d, pd) as bigint) div cast(datediff(nd, pd) as bigint)"))
+          .when(col("v0").isNotNull, col("v0") * 100)
+          .otherwise(col("v1") * 100)
+          .cast(LongType).as("close_centi"),
+        when(col("v").isNull, 1L).otherwise(0L).as("filled"))
+      .orderBy(col("d"))
+  }
+
   /** The PER-KEY form of [[qResampleFfill]] — the scale path its scaladoc
     * promises: each priority-symbol's daily series gets its own date
     * spine (per-key min..max, generated inside the aggregate row, no
@@ -1760,6 +1824,6 @@ object AnalyticsQueries {
     qCusumDrift, qMarketBasket, qOhlcBars, qGapsIslands, qRfm, qPareto,
     qSourceDiversity, qReachability, qRollingDistinct,
     qEquiDepthHist, qAbcByNation, qWindowFunnel, qGridClosestPair,
-    qPercentileReport, qBenford, qRefIntegrity, qPathAnalysis, qPercentileCont,
+    qPercentileReport, qBenford, qRefIntegrity, qPathAnalysis, qPercentileCont, qResampleInterp,
     qKcore)
 }

@@ -658,4 +658,29 @@ class EvalMixSpec extends AnyFunSuite {
     val ns = rows.map(_.getLong(1))
     assert(ns.zip(ns.tail).forall { case (a, b) => a == b + 1 })
   }
+
+  test("q_resample_interp: filled rows interpolate between anchors on the real spine") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.AnalyticsQueries.qResampleInterp.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the spine is contiguous daily
+    val ds = rows.map(_.getDate(0).toLocalDate)
+    ds.zip(ds.tail).foreach { case (a, b) => assert(b == a.plusDays(1)) }
+    // every filled value lies within [min, max] of its neighbors' band:
+    // linear interpolation never overshoots the anchor interval
+    val vals = rows.map(r => (r.getLong(1), r.getLong(2)))
+    var lastObs = Option.empty[Long]
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Long]
+    vals.foreach { case (v, filled) =>
+      if (filled == 0L) {
+        lastObs.foreach { lo =>
+          pending.foreach { pv =>
+            val (a, b) = (math.min(lo, v), math.max(lo, v))
+            assert(pv >= a && pv <= b, s"fill $pv outside [$a, $b]")
+          }
+        }
+        pending.clear(); lastObs = Some(v)
+      } else pending += v
+    }
+  }
 }
