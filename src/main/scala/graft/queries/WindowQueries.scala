@@ -1954,6 +1954,59 @@ object WindowQueries {
     }
   }
 
+  /** Rolling 30-day OLS beta of one symbol's daily close against
+    * another's (URGENT revenue vs MEDIUM revenue) — the rolling
+    * hedge-ratio/exposure estimate, as an EXACT integer rational:
+    * β = (nΣxy − ΣxΣy)·10³ div (nΣxx − (Σx)²) over each trailing window,
+    * every sum a window aggregate of integer-valued closes in
+    * decimal(38,0) — no doubles anywhere. NULL until a full window and on
+    * a degenerate (constant-x) window. The two series align by date with
+    * one inner join; all four window sums share a single WindowExec.
+    */
+  val w23RollingBeta: Q = Q(
+    "w23_rolling_beta",
+    """WITH bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS BIGINT) AS close
+      |  FROM orders GROUP BY 1, 2),
+      |x AS (SELECT d, close AS xv FROM bars WHERE sym = '1-URGENT'),
+      |y AS (SELECT d, close AS yv FROM bars WHERE sym = '3-MEDIUM'),
+      |j AS (SELECT x.d, x.xv, y.yv FROM x JOIN y ON x.d = y.d),
+      |w AS (SELECT d,
+      |    COUNT(*) OVER fw AS cnt,
+      |    SUM(CAST(xv AS HUGEINT)) OVER fw AS sx,
+      |    SUM(CAST(yv AS HUGEINT)) OVER fw AS sy,
+      |    SUM(CAST(xv AS HUGEINT) * xv) OVER fw AS sxx,
+      |    SUM(CAST(xv AS HUGEINT) * yv) OVER fw AS sxy
+      |  FROM j WINDOW fw AS (ORDER BY d ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+      |SELECT d,
+      |  CAST(CASE WHEN cnt = 30 AND cnt * sxx - sx * sx <> 0
+      |    THEN (cnt * sxy - sx * sy) * 1000 // (cnt * sxx - sx * sx)
+      |    END AS BIGINT) AS beta_milli
+      |FROM w ORDER BY d""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val D = DecimalType(38, 0)
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(floor(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") / 100.0)
+        .cast(LongType).as("close"))
+    val x = bars.filter(col("sym") === "1-URGENT").select(col("d"), col("close").as("xv"))
+    val y = bars.filter(col("sym") === "3-MEDIUM").select(col("d"), col("close").as("yv"))
+    val j = x.join(y, "d")
+    val fw = Window.orderBy("d").rowsBetween(-29, 0)
+    j.withColumn("cnt", count(lit(1)).over(fw))
+      .withColumn("sx", sum(col("xv").cast(D)).over(fw))
+      .withColumn("sy", sum(col("yv").cast(D)).over(fw))
+      .withColumn("sxx", sum(col("xv").cast(D) * col("xv")).over(fw))
+      .withColumn("sxy", sum(col("xv").cast(D) * col("yv")).over(fw))
+      .select(col("d"),
+        when(col("cnt") === 30 && expr("cnt * sxx - sx * sx") =!= 0,
+          expr("(cnt * sxy - sx * sy) * 1000 div (cnt * sxx - sx * sx)"))
+          .cast(LongType).as("beta_milli"))
+      .orderBy(col("d"))
+  }
+
   /** Lag-1..5 autocorrelation of daily revenue — Pearson r over the
     * (xₜ, xₜ₊ₖ) pair sets, the ACF head a forecasting pass inspects before
     * model choice. All five lags evaluate in ONE WindowExec (five lag
@@ -2396,5 +2449,5 @@ object WindowQueries {
     m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
     w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
-    m35WelchT, m36RunsTest, w22Vortex, m37Moments, m38Autocorr)
+    m35WelchT, m36RunsTest, w22Vortex, m37Moments, m38Autocorr, w23RollingBeta)
 }

@@ -483,4 +483,31 @@ class IndicatorsSpec extends AnyFunSuite {
     val f = Indicators.withVortex(flat, "h", "l", "c", "vi", 3, "d").collect()
     assert(f.forall(_.isNullAt(f.head.fieldIndex("vi_plus_bp"))))
   }
+
+  test("w23 rolling beta: scalar replay of the last full window") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = graft.queries.WindowQueries.w23RollingBeta.run(spark, dir)
+      .collect()
+    assert(rows.length >= 30, "need at least one full window")
+    // rebuild the joined series exactly as the query does
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(floor(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") / 100.0)
+        .cast(LongType).as("close"))
+    val x = bars.filter($"sym" === "1-URGENT").select($"d", $"close".as("xv"))
+    val y = bars.filter($"sym" === "3-MEDIUM").select($"d", $"close".as("yv"))
+    val series = x.join(y, "d").orderBy("d")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val win = series.takeRight(30)
+    val n = BigInt(30)
+    val sx = win.map(t => BigInt(t._1)).sum; val sy = win.map(t => BigInt(t._2)).sum
+    val sxx = win.map(t => BigInt(t._1) * t._1).sum
+    val sxy = win.map(t => BigInt(t._1) * t._2).sum
+    val den = n * sxx - sx * sx
+    val want = (n * sxy - sx * sy) * 1000 / den // BigInt / truncates toward zero for positive den
+    val last = rows.last
+    assert(!last.isNullAt(1))
+    assert(BigInt(last.getLong(1)) == want, s"beta ${last.getLong(1)} != $want")
+  }
 }
