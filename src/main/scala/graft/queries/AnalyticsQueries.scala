@@ -321,6 +321,50 @@ object AnalyticsQueries {
       .orderBy(col("d"))
   }
 
+  /** Day-of-week seasonality profile of order revenue: per ISO weekday,
+    * order count, exact revenue cents, the day's share in basis points,
+    * and the deviation from a uniform-across-days baseline in centi-bp
+    * (the m16 χ²-contribution quantization) — the weekly-cycle screen a
+    * forecasting pass runs before de-seasonalizing. All-integer; one
+    * 7-key map-side-combinable aggregate, grand totals broadcast.
+    */
+  val qDowSeasonality: Q = Q(
+    "q_dow_seasonality",
+    """WITH o AS (SELECT isodow(CAST(o_orderdate AS DATE)) AS dow,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS cents
+      |  FROM orders),
+      |a AS (SELECT CAST(dow AS BIGINT) AS dow,
+      |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |    CAST(SUM(cents) AS BIGINT) AS revenue_cents
+      |  FROM o GROUP BY 1),
+      |t AS (SELECT SUM(n_orders) AS tn, SUM(revenue_cents) AS tr,
+      |             CAST(COUNT(*) AS BIGINT) AS days FROM a)
+      |SELECT dow, n_orders, revenue_cents,
+      |  CAST(revenue_cents * 10000 // t.tr AS BIGINT) AS share_bp,
+      |  CAST(CAST(revenue_cents * t.days - t.tr AS HUGEINT)
+      |         * (revenue_cents * t.days - t.tr) * 100
+      |       // (CAST(t.tr AS HUGEINT) * t.days) AS BIGINT) AS dev_cbp
+      |FROM a, t ORDER BY dow""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val a = graft.Tables.orders(spark, dir)
+      .select(dayofweek(to_date(col("o_orderdate"))).as("dw"),
+        (col("o_totalprice").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      // Spark dayofweek: 1=Sunday..7=Saturday; ISO dow: 1=Monday..7=Sunday
+      .select(expr("cast((dw + 5) % 7 + 1 as bigint)").as("dow"), col("cents"))
+      .groupBy(col("dow"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("revenue_cents"))
+    val t = a.agg(sum(col("n_orders")).as("tn"),
+      sum(col("revenue_cents")).as("tr"), count(lit(1)).as("days"))
+    a.crossJoin(broadcast(t))
+      .select(col("dow"), col("n_orders"), col("revenue_cents"),
+        expr("revenue_cents * 10000 div tr").as("share_bp"),
+        expr("""cast(cast(revenue_cents as decimal(38,0)) * days - tr as decimal(38,0))
+               | * (cast(revenue_cents as decimal(38,0)) * days - tr) * 100
+               | div (cast(tr as decimal(38,0)) * days)""".stripMargin)
+          .cast(LongType).as("dev_cbp"))
+      .orderBy(col("dow"))
+  }
+
   /** Linear-INTERPOLATION gap fill over the same daily spine as
     * [[qResampleFfill]] (pandas `interpolate(method='time')` semantics in
     * exact integers): every missing day takes
@@ -1824,6 +1868,6 @@ object AnalyticsQueries {
     qCusumDrift, qMarketBasket, qOhlcBars, qGapsIslands, qRfm, qPareto,
     qSourceDiversity, qReachability, qRollingDistinct,
     qEquiDepthHist, qAbcByNation, qWindowFunnel, qGridClosestPair,
-    qPercentileReport, qBenford, qRefIntegrity, qPathAnalysis, qPercentileCont, qResampleInterp,
+    qPercentileReport, qBenford, qRefIntegrity, qPathAnalysis, qPercentileCont, qResampleInterp, qDowSeasonality,
     qKcore)
 }

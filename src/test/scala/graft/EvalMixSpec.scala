@@ -683,4 +683,18 @@ class EvalMixSpec extends AnyFunSuite {
       } else pending += v
     }
   }
+
+  test("q_dow_seasonality: seven ISO weekdays, shares sum to ~10000, totals conserved") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.AnalyticsQueries.qDowSeasonality.run(spark, dir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 7L))
+    val shares = rows.map(_.getLong(3)).sum
+    assert(shares <= 10000 && shares > 10000 - 7)
+    val totalCents = rows.map(_.getLong(2)).sum
+    val expect = Tables.orders(spark, dir)
+      .agg(sum(expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)")))
+      .head().getLong(0)
+    assert(totalCents == expect)
+    rows.foreach(r => assert(r.getLong(4) >= 0)) // squared deviations
+  }
 }
