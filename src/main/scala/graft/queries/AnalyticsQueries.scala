@@ -321,6 +321,42 @@ object AnalyticsQueries {
       .orderBy(col("d"))
   }
 
+  /** Order-priority TRANSITION matrix — for every customer's consecutive
+    * order pairs (ordered by date, ties by order key), the (from, to)
+    * priority counts and each row's share in basis points: the Markov
+    * view of "do urgent customers stay urgent?". One lag window
+    * partitioned by customer (the sessionize shuffle shape) + a
+    * ≤25-cell aggregate; the row-share window runs over the bounded
+    * transition grid. All-integer.
+    */
+  val qPriorityTransitions: Q = Q(
+    "q_priority_transitions",
+    """WITH o AS (SELECT o_custkey, o_orderpriority AS p,
+      |    CAST(o_orderdate AS DATE) AS d, o_orderkey AS k
+      |  FROM orders),
+      |s AS (SELECT o_custkey, p,
+      |    LAG(p) OVER (PARTITION BY o_custkey ORDER BY d, k) AS prev_p
+      |  FROM o),
+      |c AS (SELECT prev_p AS from_p, p AS to_p, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM s WHERE prev_p IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_p, to_p, n,
+      |  CAST(n * 10000 // SUM(n) OVER (PARTITION BY from_p) AS BIGINT) AS row_share_bp
+      |FROM c ORDER BY from_p, to_p""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("d"), col("k"))
+    val c = graft.Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderpriority").as("p"),
+        to_date(col("o_orderdate")).as("d"), col("o_orderkey").as("k"))
+      .withColumn("prev_p", lag(col("p"), 1).over(w))
+      .filter(col("prev_p").isNotNull)
+      .groupBy(col("prev_p").as("from_p"), col("p").as("to_p"))
+      .agg(count(lit(1)).as("n"))
+    c.withColumn("__rt", sum(col("n")).over(Window.partitionBy("from_p")))
+      .select(col("from_p"), col("to_p"), col("n"),
+        expr("n * 10000 div __rt").as("row_share_bp"))
+      .orderBy(col("from_p"), col("to_p"))
+  }
+
   /** Day-of-week seasonality profile of order revenue: per ISO weekday,
     * order count, exact revenue cents, the day's share in basis points,
     * and the deviation from a uniform-across-days baseline in centi-bp
@@ -1868,6 +1904,6 @@ object AnalyticsQueries {
     qCusumDrift, qMarketBasket, qOhlcBars, qGapsIslands, qRfm, qPareto,
     qSourceDiversity, qReachability, qRollingDistinct,
     qEquiDepthHist, qAbcByNation, qWindowFunnel, qGridClosestPair,
-    qPercentileReport, qBenford, qRefIntegrity, qPathAnalysis, qPercentileCont, qResampleInterp, qDowSeasonality,
+    qPercentileReport, qBenford, qRefIntegrity, qPathAnalysis, qPercentileCont, qResampleInterp, qDowSeasonality, qPriorityTransitions,
     qKcore)
 }

@@ -697,4 +697,19 @@ class EvalMixSpec extends AnyFunSuite {
     assert(totalCents == expect)
     rows.foreach(r => assert(r.getLong(4) >= 0)) // squared deviations
   }
+
+  test("q_priority_transitions: 5x5 grid, row shares sum to ~10000, pair conservation") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = queries.AnalyticsQueries.qPriorityTransitions.run(spark, dir).collect()
+    assert(rows.length == 25)
+    rows.groupBy(_.getString(0)).foreach { case (_, cells) =>
+      val shares = cells.map(_.getLong(3)).sum
+      assert(shares <= 10000 && shares > 10000 - cells.length)
+    }
+    // total transitions = total orders - customers with >= 1 order
+    val total = rows.map(_.getLong(2)).sum
+    val o = Tables.orders(spark, dir)
+    val expect = o.count() - o.select("o_custkey").distinct().count()
+    assert(total == expect, s"$total != $expect")
+  }
 }
