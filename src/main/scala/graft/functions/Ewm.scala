@@ -144,6 +144,18 @@ object GraftFunctions {
         SuperTrend(exprs(0), exprs(1), exprs(2))
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "holt", exprs => {
+        require(exprs.size == 3, "holt(value, alpha, beta)")
+        def d(e: Expression, what: String): Double = e match {
+          case Literal(v: java.lang.Double, _) => v.doubleValue()
+          case Literal(v: Decimal, _) => v.toDouble
+          case Literal(v: java.lang.Integer, _) => v.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"holt: $what must be a numeric literal, got $other")
+        }
+        HoltLinear(exprs(0), d(exprs(1), "alpha"), d(exprs(2), "beta"))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash32", exprs => Hash32Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dotp", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")

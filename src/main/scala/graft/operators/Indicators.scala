@@ -532,6 +532,33 @@ object Indicators {
       .drop("__vmp", "__vmm", "__tr", "__cnt", "__vps", "__vms", "__trs")
   }
 
+  /** Holt linear-trend (double exponential) smoothing per key — level,
+    * trend, and the one-step-ahead fitted value ŷ_t = l_{t−1} + b_{t−1},
+    * the forecasting-pass primitive (Hyndman & Athanasopoulos §8.2) that
+    * no single EWMA expresses because level and trend feed each other.
+    * Runs through the native [[graft.functions.HoltLinear]] window state
+    * machine: ONE keyed WindowExec, no reshuffle beyond the window sort.
+    * Seed at the first row: l = y, b = 0 (fitted NULL there); every
+    * later update is the fixed IEEE sequence `α·y + (1−α)·(l+b)` then
+    * `β·(l_new − l) + (1−β)·b`, so a single recursive CTE carrying
+    * (l, b) replays it bit-for-bit (the w17_adx single-CTE discipline).
+    * Appends `{outPrefix}_level/_trend/_fitted`.
+    */
+  def withHolt(
+      df: DataFrame, valueCol: String, outPrefix: String,
+      alpha: Double, beta: Double,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1,
+      "holt: need 0 < alpha <= 1 and 0 <= beta <= 1")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val w = baseWindow(partitionCols, orderCol)
+    df.withColumn("__h", expr(s"holt($valueCol, $alpha, $beta)").over(w))
+      .withColumn(s"${outPrefix}_level", col("__h.level"))
+      .withColumn(s"${outPrefix}_trend", col("__h.trend"))
+      .withColumn(s"${outPrefix}_fitted", col("__h.fitted"))
+      .drop("__h")
+  }
+
   /** TRIX — the 1-step rate of change of a TRIPLE exponential smoothing:
     * e1 = EMA(close), e2 = EMA(e1), e3 = EMA(e2) (all α = 2/(span+1),
     * `adjust=False`, seeded at the first close), then

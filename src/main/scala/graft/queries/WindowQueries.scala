@@ -2440,6 +2440,49 @@ object WindowQueries {
       .orderBy(col("sym"), col("d"))
   }
 
+  /** Holt linear-trend smoothing of the per-priority daily close — level,
+    * trend, and the one-step-ahead fitted value, through the native
+    * [[graft.operators.Indicators.withHolt]] window state machine (ONE
+    * keyed WindowExec; the coupled 2-state recursion no single EWMA
+    * expresses). α = 0.5, β = 0.25 — exact binary fractions, so every
+    * double is a fixed IEEE sequence the oracle's SINGLE recursive CTE
+    * carrying (l, b) replays bit-for-bit (the w17_adx discipline: one
+    * recursion, full state carried, nothing nested).
+    */
+  val w24Holt: Q = Q(
+    "w24_holt",
+    """WITH RECURSIVE bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    FLOOR(arg_max(o_totalprice, o_orderkey) / 100.0) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (SELECT sym, d, CAST(c AS DOUBLE) AS c,
+      |        ROW_NUMBER() OVER (PARTITION BY sym ORDER BY d) AS rn
+      |      FROM bars),
+      |rec AS (
+      |  SELECT sym, rn, c AS l, CAST(0 AS DOUBLE) AS b,
+      |         CAST(NULL AS DOUBLE) AS fitted
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT sym, rn, l, 0.25 * (l - pl) + 0.75 * pb AS b,
+      |         pl + pb AS fitted
+      |  FROM (
+      |    SELECT g.sym, g.rn, 0.5 * g.c + 0.5 * (r.l + r.b) AS l,
+      |           r.l AS pl, r.b AS pb
+      |    FROM s g JOIN rec r ON g.sym = r.sym AND g.rn = r.rn + 1
+      |  ) t)
+      |SELECT s.sym, s.d, x.l AS holt_level, x.b AS holt_trend,
+      |       x.fitted AS holt_fitted
+      |FROM rec x JOIN s ON s.sym = x.sym AND s.rn = x.rn
+      |ORDER BY s.sym, s.d""".stripMargin) { (spark, dir) =>
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(floor(max_by(col("o_totalprice"), col("o_orderkey")) / 100.0).as("c"))
+    Indicators.withHolt(bars, "c", "holt", alpha = 0.5, beta = 0.25,
+        orderCol = "d", partitionCols = Seq("sym"))
+      .select("sym", "d", "holt_level", "holt_trend", "holt_fitted")
+      .orderBy(col("sym"), col("d"))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
@@ -2449,5 +2492,6 @@ object WindowQueries {
     m27PoissonBootstrap, m28Gini, w12Keltner, w13Donchian, m29Ols, w14Ichimoku,
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
     w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
-    m35WelchT, m36RunsTest, w22Vortex, m37Moments, m38Autocorr, w23RollingBeta)
+    m35WelchT, m36RunsTest, w22Vortex, m37Moments, m38Autocorr, w23RollingBeta,
+    w24Holt)
 }

@@ -484,6 +484,66 @@ class IndicatorsSpec extends AnyFunSuite {
     assert(f.forall(_.isNullAt(f.head.fieldIndex("vi_plus_bp"))))
   }
 
+  test("withHolt: hand-replayed coupled level/trend recursion, seed row, NULL passthrough, per-key") {
+    val cs = Seq(10.0, 12.0, 11.0, 15.0, 14.0, 18.0, 13.0, 20.0)
+    val df = cs.indices.map(i => (f"d$i%02d", cs(i))).toDF("d", "c")
+    val out = Indicators.withHolt(df, "c", "holt", 0.5, 0.25, "d")
+      .orderBy("d").collect()
+
+    // Independent scalar replay of the pinned IEEE sequence: seed (l=y,
+    // b=0, fitted null), then l' = α·y + (1−α)·(l+b),
+    // b' = β·(l'−l) + (1−β)·b, fitted = old l + old b.
+    var l = cs.head; var b = 0.0
+    val expect = cs.indices.map { i =>
+      if (i == 0) (l, b, Option.empty[Double])
+      else {
+        val fit = l + b
+        val nl = 0.5 * cs(i) + 0.5 * (l + b)
+        val nb = 0.25 * (nl - l) + 0.75 * b
+        l = nl; b = nb
+        (l, b, Some(fit))
+      }
+    }
+    cs.indices.foreach { i =>
+      val r = out(i)
+      assert(r.getDouble(r.fieldIndex("holt_level")) == expect(i)._1, s"level row $i")
+      assert(r.getDouble(r.fieldIndex("holt_trend")) == expect(i)._2, s"trend row $i")
+      val ix = r.fieldIndex("holt_fitted")
+      val got = if (r.isNullAt(ix)) None else Some(r.getDouble(ix))
+      assert(got == expect(i)._3, s"fitted row $i")
+    }
+
+    // constant series: level stays at the constant, trend exactly 0,
+    // fitted equals the constant from row 2
+    val const = (0 until 5).map(i => (f"d$i%02d", 7.0)).toDF("d", "c")
+    val k = Indicators.withHolt(const, "c", "holt", 0.5, 0.25, "d")
+      .orderBy("d").collect()
+    assert(k.forall(r => r.getDouble(r.fieldIndex("holt_level")) == 7.0))
+    assert(k.forall(r => r.getDouble(r.fieldIndex("holt_trend")) == 0.0))
+    assert(k.drop(1).forall(r => r.getDouble(r.fieldIndex("holt_fitted")) == 7.0))
+
+    // NULL input mid-series: state untouched, row emits NULL, next row
+    // resumes from the carried state
+    val withNull = Seq(("d00", Some(10.0)), ("d01", Some(12.0)),
+      ("d02", None), ("d03", Some(14.0))).toDF("d", "c")
+    val z = Indicators.withHolt(withNull, "c", "holt", 0.5, 0.25, "d")
+      .orderBy("d").collect()
+    assert(z(2).isNullAt(z(2).fieldIndex("holt_level")))
+    // replay: seed(10,0); d01: l=11, b=0.25; d03 consumes (11, 0.25)
+    val l3 = 0.5 * 14.0 + 0.5 * (11.0 + 0.25)
+    assert(z(3).getDouble(z(3).fieldIndex("holt_level")) == l3)
+    assert(z(3).getDouble(z(3).fieldIndex("holt_fitted")) == 11.0 + 0.25)
+
+    // per-key: each symbol replays independently (B's seed is its own)
+    val two = Seq(("A", "d0", 10.0), ("A", "d1", 12.0),
+      ("B", "d0", 5.0), ("B", "d1", 4.0)).toDF("sym", "d", "c")
+    val t = Indicators.withHolt(two, "c", "holt", 0.5, 0.25, "d", Seq("sym"))
+      .orderBy("sym", "d").collect()
+    assert(t(1).getDouble(t(1).fieldIndex("holt_trend")) > 0.0)
+    assert(t(3).getDouble(t(3).fieldIndex("holt_trend")) < 0.0)
+    assert(t(2).getDouble(t(2).fieldIndex("holt_level")) == 5.0)
+  }
+
   test("w23 rolling beta: scalar replay of the last full window") {
     val dir = "/root/testdata/sf0.01"
     val rows = graft.queries.WindowQueries.w23RollingBeta.run(spark, dir)
