@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -790,6 +790,68 @@ object Eval {
             floor(sqrt(col("chi2_cbp").cast(DoubleType) / lit(100.0)
                 / col("n") / col("dof_min")) * 10000.0 + 0.5)
               .cast(LongType)).as("v_bp"))
+  }
+
+  /** Gini-impurity information gain per candidate feature — the CART
+    * split-quality criterion as a feature-selection screen, and the
+    * LOG-FREE stand-in for entropy mutual information (the tx9 ln() rule:
+    * ln is not correctly rounded cross-libm, Gini gain is pure rational
+    * arithmetic, and both rank features near-identically).
+    *
+    * For each feature F with values x and label values y:
+    *   base  Gini = 1 − Σ_y (n_y/N)²
+    *   child Gini = Σ_x (n_x/N)·(1 − Σ_y (n_xy/n_x)²)
+    *   gain       = base − child
+    * Quantization (documented, identical in both engines): per value x,
+    * `purity_ppm_x = (Σ_y n_xy² · 10⁶) div n_x`; per feature,
+    * `child_purity_ppm = (Σ_x purity_ppm_x) div N` and
+    * `base_purity_ppm = (Σ_y n_y² · 10⁶) div N²` — every step a
+    * truncating integer division over decimal(38,0) sums, so the result
+    * hash-compares bit-for-bit (exact to ~10¹⁶ rows: n_y²·10⁶ ≤ 10³⁸).
+    *
+    * 100 TB shape: ONE corpus pass (the stacked explode multiplies rows
+    * by |features|, all map-side-combinable into the (feature, value,
+    * label) cell grid); everything after is arithmetic over the bounded
+    * grid. No joins against the corpus, no windows, no broadcasts of
+    * data-sized frames.
+    *
+    * Output: one row per feature — `feature, n_values, base_gini_ppm,
+    * child_gini_ppm, gain_ppm`, ordered by gain desc (feature asc on
+    * ties).
+    */
+  def giniGain(df: DataFrame, features: Seq[(String, Column)],
+      label: Column): DataFrame = {
+    require(features.nonEmpty, "giniGain: need at least one feature")
+    val D = DecimalType(38, 0)
+    val stacked = df.select(
+        explode(array(features.map { case (n, c) =>
+          struct(lit(n).as("feature"), c.cast(StringType).as("v"))
+        }: _*)).as("fv"),
+        label.cast(StringType).as("y"))
+      .select(col("fv.feature").as("feature"), col("fv.v").as("v"), col("y"))
+    val cells = stacked.groupBy("feature", "v", "y")
+      .agg(count(lit(1)).as("n_xy"))
+    val byVal = cells.groupBy("feature", "v")
+      .agg(sum(col("n_xy")).as("n_x"),
+        sum(col("n_xy").cast(D) * col("n_xy")).as("s_x"))
+      .withColumn("purity_ppm_x", expr("s_x * 1000000 div n_x"))
+    val perFeature = byVal.groupBy("feature")
+      .agg(count(lit(1)).as("n_values"),
+        sum(col("purity_ppm_x").cast(D)).as("sp"))
+    val lab = cells.groupBy("feature", "y")
+      .agg(sum(col("n_xy")).as("n_y"))
+      .groupBy("feature")
+      .agg(sum(col("n_y").cast(D) * col("n_y")).as("sy2"),
+        sum(col("n_y")).as("n"))
+    perFeature.join(lab, "feature")
+      .select(col("feature"), col("n_values"),
+        (lit(1000000L) - expr("sy2 * 1000000 div (cast(n as decimal(38,0)) * n)"))
+          .cast(LongType).as("base_gini_ppm"),
+        (lit(1000000L) - expr("sp div n")).cast(LongType).as("child_gini_ppm"),
+        (expr("sp div n")
+          - expr("sy2 * 1000000 div (cast(n as decimal(38,0)) * n)"))
+          .cast(LongType).as("gain_ppm"))
+      .orderBy(col("gain_ppm").desc, col("feature"))
   }
 
   /** Mann–Whitney U (Wilcoxon rank-sum) with average-rank tie handling and

@@ -2483,6 +2483,60 @@ object WindowQueries {
       .orderBy(col("sym"), col("d"))
   }
 
+  /** Gini-gain feature screen over lineitem: which candidate feature
+    * (line status, quantity bucket, discount pct, tax pct, ship month)
+    * best splits the return-flag label — the CART criterion as the
+    * log-free mutual-information stand-in ([[graft.operators.Eval.giniGain]]).
+    * One stacked corpus pass into the (feature, value, label) cell grid;
+    * all derived numbers are truncating integer divisions over
+    * decimal(38,0) sums (exact, hash-stable). Bucketizations are pinned
+    * half-up via floor(x·100 + 0.5) — DuckDB's double→BIGINT cast rounds
+    * while Spark's truncates, so neither engine's raw cast appears.
+    */
+  val m39GiniGain: Q = Q(
+    "m39_gini_gain",
+    """WITH base AS (
+      |  SELECT l_returnflag AS y,
+      |    l_linestatus AS linestatus,
+      |    CAST((CAST(l_quantity AS BIGINT) - 1) // 10 AS VARCHAR) AS qty_bucket,
+      |    CAST(CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS VARCHAR) AS disc_pct,
+      |    CAST(CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS VARCHAR) AS tax_pct,
+      |    CAST(month(l_shipdate) AS VARCHAR) AS ship_month
+      |  FROM lineitem),
+      |st AS (
+      |  SELECT 'linestatus' AS feature, linestatus AS v, y FROM base UNION ALL
+      |  SELECT 'qty_bucket', qty_bucket, y FROM base UNION ALL
+      |  SELECT 'disc_pct', disc_pct, y FROM base UNION ALL
+      |  SELECT 'tax_pct', tax_pct, y FROM base UNION ALL
+      |  SELECT 'ship_month', ship_month, y FROM base),
+      |cells AS (SELECT feature, v, y, CAST(COUNT(*) AS BIGINT) AS n_xy
+      |          FROM st GROUP BY 1, 2, 3),
+      |pv AS (SELECT feature, v, SUM(n_xy) AS n_x,
+      |         SUM(CAST(n_xy AS HUGEINT) * n_xy) * 1000000 AS s_x6
+      |       FROM cells GROUP BY 1, 2),
+      |per AS (SELECT feature, CAST(COUNT(*) AS BIGINT) AS n_values,
+      |          SUM(s_x6 // n_x) AS sp
+      |        FROM pv GROUP BY 1),
+      |lab AS (SELECT feature, SUM(CAST(n_y AS HUGEINT) * n_y) AS sy2, SUM(n_y) AS n
+      |        FROM (SELECT feature, y, SUM(n_xy) AS n_y
+      |              FROM cells GROUP BY 1, 2) GROUP BY 1)
+      |SELECT per.feature, n_values,
+      |  CAST(1000000 - sy2 * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS base_gini_ppm,
+      |  CAST(1000000 - sp // n AS BIGINT) AS child_gini_ppm,
+      |  CAST(sp // n - sy2 * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS gain_ppm
+      |FROM per JOIN lab ON per.feature = lab.feature
+      |ORDER BY gain_ppm DESC, per.feature""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.LongType
+    val li = graft.Tables.lineitem(spark, dir)
+    graft.operators.Eval.giniGain(li, Seq(
+        "linestatus" -> col("l_linestatus"),
+        "qty_bucket" -> expr("(cast(l_quantity as bigint) - 1) div 10"),
+        "disc_pct" -> floor(col("l_discount") * 100 + 0.5).cast(LongType),
+        "tax_pct" -> floor(col("l_tax") * 100 + 0.5).cast(LongType),
+        "ship_month" -> month(col("l_shipdate"))),
+      col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
@@ -2493,5 +2547,5 @@ object WindowQueries {
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
     w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
     m35WelchT, m36RunsTest, w22Vortex, m37Moments, m38Autocorr, w23RollingBeta,
-    w24Holt)
+    w24Holt, m39GiniGain)
 }

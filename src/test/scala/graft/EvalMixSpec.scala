@@ -712,4 +712,32 @@ class EvalMixSpec extends AnyFunSuite {
     val expect = o.count() - o.select("o_custkey").distinct().count()
     assert(total == expect, s"$total != $expect")
   }
+
+  test("giniGain: perfect split gains the full base impurity, uninformative gains zero") {
+    // f1 separates the label perfectly; f2 is independent of it
+    val df = Seq(("x", "p", "a"), ("x", "q", "a"), ("y", "p", "b"), ("y", "q", "b"))
+      .toDF("f1", "f2", "lbl")
+    val out = Eval.giniGain(df,
+        Seq("f1" -> col("f1"), "f2" -> col("f2")), col("lbl"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // base Gini with labels 2/2 of 4: 1 - 2·(1/2)² = 1/2 → 500000 ppm
+    assert(out("f1").getLong(2) == 500000 && out("f2").getLong(2) == 500000)
+    // f1: both children pure → child Gini 0, gain = full base impurity
+    assert(out("f1").getLong(3) == 0 && out("f1").getLong(4) == 500000)
+    // f2: children replicate the base mix → no gain
+    assert(out("f2").getLong(3) == 500000 && out("f2").getLong(4) == 0)
+    // ordering: best feature first
+    val ordered = Eval.giniGain(df,
+      Seq("f1" -> col("f1"), "f2" -> col("f2")), col("lbl")).collect()
+    assert(ordered.head.getString(0) == "f1")
+    // n_values per feature
+    assert(out("f1").getLong(1) == 2 && out("f2").getLong(1) == 2)
+
+    // three-way feature dominated by a pure majority value
+    val df3 = Seq(("u", "a"), ("u", "a"), ("u", "a"), ("v", "b"), ("w", "b"))
+      .toDF("f", "lbl")
+    val r3 = Eval.giniGain(df3, Seq("f" -> col("f")), col("lbl")).head()
+    // base: 1 - (9+4)/25 = 12/25 = 480000 ppm; children all pure → gain = base
+    assert(r3.getLong(2) == 480000 && r3.getLong(3) == 0 && r3.getLong(4) == 480000)
+  }
 }
