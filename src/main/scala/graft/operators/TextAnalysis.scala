@@ -257,6 +257,71 @@ object TextAnalysis {
     * partitions by high-cardinality keys (no hot single reducer beyond
     * natural stopword skew, which AQE's skew handling splits).
     */
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents" — public literature): candidate
+    * phrases are the maximal token runs between stopword/boundary
+    * delimiters; each content word scores `degree/freq` (degree = summed
+    * length of the phrases its occurrences sit in, freq = occurrence
+    * count); a phrase scores the sum of its words' scores; the per-doc
+    * top-k phrases are the document's keywords.
+    *
+    * Pinned conventions (bit-exact gate):
+    *   - the stopword delimiter set is [[langMarkers]]' English list (the
+    *     corpus's marker vocabulary — deliberately tiny, documented);
+    *   - phrase extraction is a REGEX SPLIT on `\b(?:stop|…)\b` over the
+    *     lowercased text — no positional window needed; segments trim to
+    *     phrases, empties drop, and runs longer than `maxLen` words are
+    *     discarded (the rake-nltk max_length knob);
+    *   - word score in milli-units: `degree·1000 div freq` (truncating);
+    *     phrase score = Σ word-score over the phrase's words WITH
+    *     multiplicity — all integer, so ranking is exact;
+    *   - identical phrase strings within a doc are ONE candidate
+    *     (occurrence count carried as `n_occ`); ties rank phrase-asc.
+    *
+    * 100 TB shape: ONE codegen'd split/explode chain — text → phrase
+    * occurrences → word positions — then every stat is a doc-keyed
+    * WINDOW over that single frame (occurrence number over
+    * (doc, phrase); freq/degree over (doc, word)) and one doc-keyed
+    * group-by folds words back to ranked phrases. No self-joins, no
+    * second corpus scan, nothing global, no broadcasts.
+    */
+  def rakeKeywords(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 3, maxLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val stops = langMarkers.toMap.apply("en")
+    val splitRe = "\\b(?:" + stops.mkString("|") + ")\\b"
+    val ph = df.select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), splitRe)).as("seg"))
+      .select(col("doc_id"), trim(col("seg")).as("phrase"))
+      .filter(col("phrase") =!= "")
+      .withColumn("plen", size(split(col("phrase"), " ")).cast(LongType))
+      .filter(col("plen") <= maxLen)
+    // one word-position row per phrase OCCURRENCE (standard RAKE: every
+    // occurrence of a word contributes its phrase's length to the degree)
+    val words = ph.select(col("doc_id"), col("phrase"), col("plen"),
+      explode(split(col("phrase"), " ")).as("w"))
+    val ww = Window.partitionBy("doc_id", "w")
+    val withScore = words
+      .withColumn("degree", sum(col("plen")).over(ww))
+      .withColumn("freq", count(lit(1)).over(ww))
+      .withColumn("wscore_milli", expr("degree * 1000 div freq"))
+    // fold word rows back to phrases: each occurrence contributed exactly
+    // plen word rows, so n_occ = rows div plen, and the occurrence copies
+    // are identical, so the per-occurrence score is sum div n_occ — both
+    // divisions exact (no truncation loss)
+    val scored = withScore.groupBy("doc_id", "phrase", "plen")
+      .agg(count(lit(1)).as("nrows"), sum(col("wscore_milli")).as("stot"))
+      .withColumn("n_occ", expr("nrows div plen"))
+      .withColumn("score_milli", expr("stot div n_occ"))
+    val rw = Window.partitionBy("doc_id")
+      .orderBy(col("score_milli").desc, col("phrase"))
+    scored.withColumn("rank", row_number().over(rw).cast(LongType))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("phrase"), col("n_occ"),
+        col("score_milli"))
+  }
+
   def bigramFluencyPpm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val l = tokens(col(textCol))

@@ -788,10 +788,52 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** RAKE keywords: per-doc top-3 candidate phrases by summed word
+    * degree/freq scores ([[graft.operators.TextAnalysis.rakeKeywords]]).
+    * Phrase extraction is a regex split on the pinned stopword
+    * delimiters — the same `\b(?:…)\b` pattern evaluates in Spark's Java
+    * regex and DuckDB's RE2 identically on this alternation (plain ASCII
+    * words, word boundaries) — so the oracle needs no positional window;
+    * all scores are truncating integer divisions (no doubles anywhere).
+    */
+  val tx26Rake: Q = Q(
+    "tx26_rake_keywords",
+    """WITH segs AS (
+      |  SELECT doc_id, trim(s) AS phrase
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(lower(text), '\b(?:the|a|of|and|is)\b')) AS s
+      |        FROM documents)),
+      |phk AS (SELECT * FROM (
+      |          SELECT doc_id, phrase,
+      |            CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen
+      |          FROM segs WHERE phrase <> '')
+      |        WHERE plen <= 8),
+      |pd AS (SELECT doc_id, phrase, CAST(COUNT(*) AS BIGINT) AS n_occ
+      |       FROM phk GROUP BY 1, 2),
+      |wsc AS (SELECT doc_id, w,
+      |          CAST(SUM(plen) * 1000 // COUNT(*) AS BIGINT) AS wscore_milli
+      |        FROM (SELECT doc_id, plen, unnest(string_split(phrase, ' ')) AS w
+      |              FROM phk)
+      |        GROUP BY 1, 2),
+      |sc AS (SELECT p.doc_id, p.phrase, p.n_occ,
+      |         CAST(SUM(wsc.wscore_milli) AS BIGINT) AS score_milli
+      |       FROM (SELECT doc_id, phrase, n_occ,
+      |               unnest(string_split(phrase, ' ')) AS w FROM pd) p
+      |       JOIN wsc ON p.doc_id = wsc.doc_id AND p.w = wsc.w
+      |       GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rank, phrase, n_occ, score_milli
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |        ORDER BY score_milli DESC, phrase) AS rnk FROM sc)
+      |WHERE rnk <= 3 ORDER BY doc_id, rank""".stripMargin) { (spark, dir) =>
+    graft.operators.TextAnalysis.rakeKeywords(
+        graft.Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
     tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift, tx19OovRate,
     tx20FeatureHashing, tx21GroupedHeavyHitters, tx22LmFluency, tx23BpeTrain,
-    tx24LangidConfusion, tx25BpeBudget)
+    tx24LangidConfusion, tx25BpeBudget, tx26Rake)
 }

@@ -420,6 +420,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(c.map(_.getLong(0)).toSet == Set(1L, 2L, 3L) && c.forall(_.getLong(1) == 2L))
   }
 
+  test("rakeKeywords: hand-computed degree/freq scores, dup phrases, maxLen") {
+    val d = Seq(
+      (1L, "the quick brown fox and the lazy dog is quick"),
+      (2L, "quick fox of quick fox of quick fox"),
+      (3L, "one two three four five six seven eight nine")) // 9-word run > maxLen
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.rakeKeywords(d, "doc_id", "text", topK = 3, maxLen = 8)
+      .orderBy("doc_id", "rank").collect()
+    // doc 1: quick(freq 2, deg 4 -> 2000), brown/fox(deg 3 -> 3000),
+    // lazy/dog(deg 2 -> 2000); phrases 8000 / 4000 / 2000
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, "quick brown fox", 1L, 8000L), (2L, "lazy dog", 1L, 4000L),
+        (3L, "quick", 1L, 2000L)))
+    // doc 2: ONE candidate with n_occ=3; quick/fox freq 3 deg 6 -> 2000 each
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, "quick fox", 3L, 4000L)))
+    // doc 3: its only run exceeds maxLen words -> doc absent entirely
+    assert(!out.exists(_.getLong(0) == 3L))
+    // corpus sanity: ranks dense from 1, scores positive, phrases stopword-free
+    val sf = TextAnalysis.rakeKeywords(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+    val stops = Set("the", "a", "of", "and", "is")
+    sf.collect().foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= 3L && r.getLong(4) > 0L)
+      assert(r.getString(2).split(" ").forall(w => !stops.contains(w)))
+    }
+  }
+
   test("dd28 threshold sweep: counts are monotone nonincreasing in threshold") {
     val dir = "/root/testdata/sf0.001"
     graft.queries.Shared.clear()

@@ -63,6 +63,7 @@ class JobCountSpec extends AnyFunSuite {
       "tx23_bpe_train" -> 16, // 8 training rounds, 1 job each under static plans
       "tx25_bpe_token_budget" -> 22, // train (as tx23) + one apply/aggregate pass
       "w22_vortex" -> 6,
+      "tx26_rake_keywords" -> 6, // one explode chain, 3 doc-keyed shuffles
       "w24_holt" -> 6,
       "m36_runs_test" -> 12,
       "sim11_label_separation" -> 12,
