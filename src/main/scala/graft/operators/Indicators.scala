@@ -598,6 +598,43 @@ object Indicators {
       .drop("__trix_e1", "__trix_e2", "__trix_pe3")
   }
 
+  /** Ulcer Index (Peter Martin's drawdown-depth risk measure — public
+    * literature; the pandas_ta rolling-max convention): per row, the
+    * drawdown from the trailing `period`-bar rolling maximum in integer
+    * basis points, `dd_bp = (rollmax − close)·10000 div rollmax`, then
+    * the index is the quadratic mean `sqrt(Σ dd_bp² / period)` of the
+    * trailing `period` drawdowns.
+    *
+    * Exactness: `closeCol` must be POSITIVE integer-valued Longs (the
+    * bars convention), so dd_bp is a truncating division of non-negative
+    * Longs — identical in Spark's `div` and DuckDB's `//` — and
+    * Σ dd_bp² is exact Long arithmetic (dd_bp ≤ 10⁴ ⇒ the sum is ≤
+    * period·10⁸, far inside 2⁶³). Only the final `/period` and `sqrt`
+    * pass through doubles — each ONE correctly-rounded IEEE op, so the
+    * output is bit-stable cross-engine. Full-window-only on BOTH stages
+    * (pandas rolling semantics): dd_bp is null until `period` bars
+    * exist, the index until `period` drawdowns exist (row 2·period−1).
+    *
+    * Both stages ride the same keyed sort (one shuffle, stacked
+    * WindowExec, second sort elided). Scale: partitions by the symbol
+    * key; no joins, nothing global.
+    */
+  def withUlcer(
+      df: DataFrame, closeCol: String, outPrefix: String, period: Int,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(period >= 1, "ulcer period must be >= 1")
+    val w = baseWindow(partitionCols, orderCol).rowsBetween(-(period - 1), 0)
+    val ddCol = s"${outPrefix}_dd_bp"
+    df.withColumn("__ui_rm", max(col(closeCol)).over(w))
+      .withColumn(ddCol,
+        when(count(col(closeCol)).over(w) === period,
+          expr(s"((__ui_rm - $closeCol) * 10000L) div __ui_rm")))
+      .withColumn(s"${outPrefix}_ui",
+        when(count(col(ddCol)).over(w) === period,
+          sqrt(sum(col(ddCol) * col(ddCol)).over(w).cast("double") / period.toDouble)))
+      .drop("__ui_rm")
+  }
+
   /** The full reference transformer. Requires (case-insensitively)
     * `date, open, high, low, close, volume`; appends the seven hardcoded
     * indicator columns and drops warmup rows.

@@ -322,6 +322,38 @@ object TextAnalysis {
         col("score_milli"))
   }
 
+  /** Flesch reading-ease (Flesch 1948 — public literature) in exact
+    * milli-units: `206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    * words)`, computed as `206835 − (1015·W) div S − (84600·Y) div W`
+    * with truncating Long division, so the score is integral and
+    * bit-identical cross-engine (no doubles anywhere).
+    *
+    * Pinned counting conventions (deterministic, engine-parity):
+    *   - words W: single-space tokens ([[tokenCount]]'s convention;
+    *     empty text counts 1 — never a zero divisor);
+    *   - sentences S: regex matches of `[.!?]+` runs, floored at 1
+    *     (punctuation-free corpora read as one long sentence);
+    *   - syllables Y: vowel-group runs `[aeiou]+` over the lowercased
+    *     text — whitespace breaks groups, so the per-text count equals
+    *     the per-word sum with no explode; no per-word minimum (the
+    *     vowel-group heuristic, not a dictionary).
+    *
+    * 100 TB shape: a pure codegen'd projection — no shuffle, no joins,
+    * no explode; the regex counts are per-row scalar work.
+    */
+  def fleschReadability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    df.select(col(idCol).as("doc_id"),
+        tokenCount(col(textCol)).cast(LongType).as("n_words"),
+        greatest(size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0)))
+          .cast(LongType), lit(1L)).as("n_sentences"),
+        size(regexp_extract_all(lower(col(textCol)), lit("[aeiou]+"), lit(0)))
+          .cast(LongType).as("n_syllables"))
+      .withColumn("flesch_milli",
+        expr("206835L - (1015L * n_words) div n_sentences" +
+          " - (84600L * n_syllables) div n_words"))
+  }
+
   def bigramFluencyPpm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val l = tokens(col(textCol))

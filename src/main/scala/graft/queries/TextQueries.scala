@@ -830,10 +830,33 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Flesch reading-ease in exact milli-units
+    * ([[graft.operators.TextAnalysis.fleschReadability]]): truncating
+    * Long arithmetic end-to-end, conventions pinned in the operator doc
+    * (single-space words, `[.!?]+` sentence runs floored at 1,
+    * vowel-group syllables). Pure projection — no shuffle either side.
+    */
+  val tx27Readability: Q = Q(
+    "tx27_readability",
+    """SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  206835 - (1015 * n_words) // n_sentences
+      |         - (84600 * n_syllables) // n_words AS flesch_milli
+      |FROM (SELECT doc_id,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |        GREATEST(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT),
+      |          CAST(1 AS BIGINT)) AS n_sentences,
+      |        CAST(len(regexp_extract_all(lower(text), '[aeiou]+')) AS BIGINT) AS n_syllables
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.TextAnalysis.fleschReadability(
+        graft.Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
     tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift, tx19OovRate,
     tx20FeatureHashing, tx21GroupedHeavyHitters, tx22LmFluency, tx23BpeTrain,
-    tx24LangidConfusion, tx25BpeBudget, tx26Rake)
+    tx24LangidConfusion, tx25BpeBudget, tx26Rake, tx27Readability)
 }

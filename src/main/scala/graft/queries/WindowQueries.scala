@@ -2537,6 +2537,46 @@ object WindowQueries {
       col("l_returnflag"))
   }
 
+  /** Ulcer Index per symbol ([[Indicators.withUlcer]], the pandas_ta
+    * rolling-max convention): trailing-14 drawdowns from the rolling max
+    * in truncating integer basis points, then the quadratic mean of the
+    * trailing 14 drawdowns. All-Long until the final `/14` + `sqrt` —
+    * two correctly-rounded IEEE ops, bit-stable cross-engine. Both
+    * stages ride one keyed window sort.
+    */
+  val w25Ulcer: Q = Q(
+    "w25_ulcer",
+    """WITH bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS BIGINT) AS close
+      |  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)),
+      |s AS (SELECT sym, d, close,
+      |        ROW_NUMBER() OVER w AS rn,
+      |        CASE WHEN ROW_NUMBER() OVER w >= 14 THEN
+      |          ((MAX(close) OVER w14 - close) * 10000) // MAX(close) OVER w14 END AS dd_bp
+      |      FROM bars
+      |      WINDOW w AS (PARTITION BY sym ORDER BY d),
+      |             w14 AS (PARTITION BY sym ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+      |u AS (SELECT sym, d, dd_bp,
+      |        CASE WHEN COUNT(dd_bp) OVER w14 = 14 THEN
+      |          sqrt(CAST(SUM(dd_bp * dd_bp) OVER w14 AS DOUBLE) / 14.0) END AS ui
+      |      FROM s
+      |      WINDOW w14 AS (PARTITION BY sym ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+      |SELECT sym, d, dd_bp AS ulcer_dd_bp, ui AS ulcer_ui
+      |FROM u WHERE dd_bp IS NOT NULL ORDER BY sym, d""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val D2 = DecimalType(18, 2)
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(floor(sum(col("o_totalprice").cast(D2)).cast(DoubleType) / 100.0)
+        .cast(LongType).as("close"))
+    Indicators.withUlcer(bars, "close", "ulcer", 14,
+        orderCol = "d", partitionCols = Seq("sym"))
+      .filter(col("ulcer_dd_bp").isNotNull)
+      .select("sym", "d", "ulcer_dd_bp", "ulcer_ui")
+      .orderBy(col("sym"), col("d"))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
@@ -2547,5 +2587,5 @@ object WindowQueries {
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
     w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
     m35WelchT, m36RunsTest, w22Vortex, m37Moments, m38Autocorr, w23RollingBeta,
-    w24Holt, m39GiniGain)
+    w24Holt, m39GiniGain, w25Ulcer)
 }

@@ -450,6 +450,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("fleschReadability: hand-computed counts, punctuation-free floor, empty text") {
+    val d = Seq(
+      (1L, "The cat sat. The dog ran! Wow"), // 7 words, 2 sentence runs, 7 vowel groups
+      (2L, "xyz qrs"), // no vowels: Y=0
+      (3L, "")) // empty: W=1 (split convention), S floored to 1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.fleschReadability(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc1: 206835 - (1015*7) div 2 - (84600*7) div 7 = 206835 - 3552 - 84600
+    assert(out(0).getLong(1) == 7L && out(0).getLong(2) == 2L && out(0).getLong(3) == 7L)
+    assert(out(0).getLong(4) == 206835L - 3552L - 84600L)
+    // doc2: W=2 S=1 Y=0 -> 206835 - 2030 - 0
+    assert(out(1).getLong(4) == 204805L)
+    // doc3: W=1 S=1 Y=0 -> 206835 - 1015
+    assert(out(2).getLong(1) == 1L && out(2).getLong(4) == 205820L)
+  }
+
   test("dd28 threshold sweep: counts are monotone nonincreasing in threshold") {
     val dir = "/root/testdata/sf0.001"
     graft.queries.Shared.clear()

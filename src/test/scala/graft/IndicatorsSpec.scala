@@ -570,4 +570,27 @@ class IndicatorsSpec extends AnyFunSuite {
     assert(!last.isNullAt(1))
     assert(BigInt(last.getLong(1)) == want, s"beta ${last.getLong(1)} != $want")
   }
+
+  test("withUlcer: hand-computed drawdowns and quadratic mean, warmup nulls, per-key") {
+    import spark.implicits._
+    // period=2 trailing window; closes 10, 8, 12, 6
+    val df = Seq(("a", "d1", 10L), ("a", "d2", 8L), ("a", "d3", 12L),
+      ("a", "d4", 6L), ("b", "d1", 5L)).toDF("sym", "d", "c")
+    val out = Indicators.withUlcer(df, "c", "u", 2, "d", Seq("sym"))
+      .orderBy("sym", "d").collect()
+    val a = out.filter(_.getString(0) == "a")
+    def dd(r: org.apache.spark.sql.Row) =
+      if (r.isNullAt(r.fieldIndex("u_dd_bp"))) None else Some(r.getLong(r.fieldIndex("u_dd_bp")))
+    def ui(r: org.apache.spark.sql.Row) =
+      if (r.isNullAt(r.fieldIndex("u_ui"))) None else Some(r.getDouble(r.fieldIndex("u_ui")))
+    // rn1: no full window; rn2: rm=10 dd=(10-8)*10000 div 10=2000;
+    // rn3: rm=12 dd=0; rn4: rm=12 dd=(12-6)*10000 div 12=5000
+    assert(a.map(dd).toSeq == Seq(None, Some(2000L), Some(0L), Some(5000L)))
+    // ui needs 2 drawdowns: rn3 sqrt((2000^2+0)/2), rn4 sqrt((0+5000^2)/2)
+    assert(a.map(ui).toSeq == Seq(None, None,
+      Some(math.sqrt(4000000.0 / 2.0)), Some(math.sqrt(25000000.0 / 2.0))))
+    // key isolation: the single-row symbol never reaches a full window
+    val b = out.filter(_.getString(0) == "b")
+    assert(b.length == 1 && dd(b.head).isEmpty && ui(b.head).isEmpty)
+  }
 }
