@@ -69,6 +69,33 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** DEDUP-AWARE holdout split: [[hashSplit]] keyed by each document's
+    * near-duplicate-cluster representative rather than its own id, so a
+    * cluster of near-duplicates lands wholly on one side — the
+    * decontamination guarantee a row-id split cannot give (a paraphrase
+    * of a training document inside the validation set is leakage, not
+    * signal). `labels` is an (id, comp) component frame (min reachable
+    * id per node, e.g. [[Dedup.connectedComponents]]); documents absent
+    * from it are singletons and split by their own id — which IS their
+    * would-be component label, so the convention is seamless.
+    *
+    * Scale: one LEFT join against the clustered subset (tiny next to the
+    * corpus — broadcastable in practice) plus the codegen'd hash; the
+    * split label stays a pure function of (salt, representative).
+    */
+  def clusterAwareSplit(
+      df: DataFrame, idCol: String, labels: DataFrame, trainFraction: Double,
+      salt: String, outCol: String = "split"): DataFrame = {
+    require(trainFraction >= 0.0 && trainFraction <= 1.0,
+      s"trainFraction out of range: $trainFraction")
+    df.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn(outCol,
+        when(selectionHash(coalesce(col("comp"), col(idCol)), salt)
+            < math.round(trainFraction * 4294967296.0), "train")
+          .otherwise("test"))
+      .drop("comp")
+  }
+
   def quotaPerGroup(
       df: DataFrame, groupCol: String, idCol: String, n: Int, salt: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -354,6 +354,46 @@ object TextAnalysis {
           " - (84600L * n_syllables) div n_words"))
   }
 
+  /** Heaps'-law vocabulary-growth curve: the corpus in `buckets` equal
+    * id-range slices, reporting per slice the token volume, the number
+    * of NEW word types (first corpus occurrence falls in that slice) and
+    * the cumulative vocabulary. Sublinear growth (new_types flattening)
+    * is the expected natural-language shape; a late-slice spike is the
+    * classic signal of a distribution shift in corpus assembly order.
+    *
+    * Pinned conventions: ids must be dense 0-based Longs (the documents
+    * convention — for general ids, densify first; a global row_number
+    * over 100 TB is exactly what this avoids); slice =
+    * `doc_id·buckets div (max_id+1)`; words are [[tokens]]' single-space
+    * convention with empties dropped; "first occurrence" orders by
+    * doc_id. All integer arithmetic.
+    *
+    * 100 TB shape: one explode pass, ONE word-keyed aggregate for first
+    * occurrences (min slice — monotone in doc_id, so min slice == the
+    * slice of the min doc), two bounded `buckets`-row aggregates, and a
+    * single-row max broadcast. Nothing global beyond the bounded curve.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    require(buckets >= 1, "buckets must be >= 1")
+    val toks = df.select(col(idCol).cast(LongType).as("doc_id"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+    val scale = df.select((max(col(idCol)).cast(LongType) + 1L).as("__n"))
+    val t = toks.crossJoin(broadcast(scale))
+      .withColumn("bucket", expr(s"doc_id * $buckets div __n"))
+    val vol = t.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val firsts = t.groupBy("w").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    vol.join(firsts, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .select("bucket", "n_tokens", "new_types", "cum_types")
+  }
+
   def bigramFluencyPpm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val l = tokens(col(textCol))

@@ -1231,11 +1231,101 @@ object DedupQueries {
       .orderBy(col("source"))
   }
 
+  /** Dedup-aware train/test split + leakage audit
+    * ([[graft.operators.Sampling.clusterAwareSplit]]): documents split
+    * 80/20 by the selection hash of their near-duplicate-cluster
+    * representative ([[Shared.ccLabels]]), so a cluster lands wholly on
+    * one side — then the audit counts near-dup pairs straddling the
+    * boundary under (a) the cluster-keyed split (0 BY CONSTRUCTION:
+    * both endpoints share a representative) and (b) the naive doc-id
+    * split (the leakage a row split would have shipped). The single-row
+    * report is the decontamination evidence a training run logs.
+    *
+    * Scale: the memoized pair/CC kernel + one broadcastable label join,
+    * one pair-frame join, two bounded aggregates.
+    */
+  val mx20DedupAwareSplit: Q = Q(
+    "mx20_dedup_aware_split",
+    s"""WITH RECURSIVE $ShinglesSql,
+       |sig AS (SELECT doc_id, sh,
+       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+       |     + (104729*j + 12345)) % 4294967311))) AS sig
+       |  FROM sh),
+       |bands AS (SELECT doc_id, t.b AS band,
+       |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+       |  FROM sig CROSS JOIN range(0, 16) t(b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b FROM (
+       |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
+       |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
+       |  WHERE jaccard >= 0.8),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT a AS id, a AS r FROM edges
+       |          UNION
+       |          SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id),
+       |comp AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+       |lab AS (SELECT d.doc_id,
+       |    CASE WHEN CAST(concat('0x', substr(md5(concat('ds:',
+       |           CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR))), 1, 8)) AS BIGINT)
+       |         < CAST(round(0.8 * 4294967296.0) AS BIGINT)
+       |      THEN 'train' ELSE 'test' END AS split,
+       |    CASE WHEN CAST(concat('0x', substr(md5(concat('ds:',
+       |           CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+       |         < CAST(round(0.8 * 4294967296.0) AS BIGINT)
+       |      THEN 'train' ELSE 'test' END AS naive
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |cnt AS (SELECT
+       |    CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |    CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+       |    CAST(SUM(CASE WHEN naive = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train_naive
+       |  FROM lab),
+       |lk AS (SELECT
+       |    CAST(COALESCE(SUM(CASE WHEN la.split <> lb.split THEN 1 ELSE 0 END), 0) AS BIGINT) AS leaked_grouped,
+       |    CAST(COALESCE(SUM(CASE WHEN la.naive <> lb.naive THEN 1 ELSE 0 END), 0) AS BIGINT) AS leaked_naive
+       |  FROM pairs p JOIN lab la ON la.doc_id = p.doc_a
+       |               JOIN lab lb ON lb.doc_id = p.doc_b)
+       |SELECT n_train, n_test, n_train_naive, leaked_grouped, leaked_naive
+       |FROM cnt, lk""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.LongType
+    import graft.operators.Sampling
+    graft.operators.Dedup.withStaticPlan(spark) {
+      graft.operators.Dedup.cachedForReuse {
+        val thr = math.round(0.8 * 4294967296.0)
+        val labeled = Sampling.clusterAwareSplit(
+            Tables.documents(spark, dir).select(col("doc_id")),
+            "doc_id", Shared.ccLabels(spark, dir), 0.8, "ds")
+          .withColumn("naive",
+            when(Sampling.selectionHash(col("doc_id"), "ds") < thr, "train")
+              .otherwise("test"))
+        val cnt = labeled.agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"),
+          sum(when(col("naive") === "train", 1L).otherwise(0L)).as("n_train_naive"))
+        val la = labeled.select(col("doc_id").as("doc_a"),
+          col("split").as("sa"), col("naive").as("na"))
+        val lb = labeled.select(col("doc_id").as("doc_b"),
+          col("split").as("sb"), col("naive").as("nb"))
+        val lk = Shared.minhashPairs(spark, dir)
+          .join(la, "doc_a").join(lb, "doc_b")
+          .agg(
+            coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)), lit(0L))
+              .cast(LongType).as("leaked_grouped"),
+            coalesce(sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)), lit(0L))
+              .cast(LongType).as("leaked_naive"))
+        cnt.crossJoin(lk)
+      }
+    }
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
     dd15Containment, dd16SourceLeakage, dd17PrefixFilter, dd18SentenceDedup,
     dd19BloomDecontaminate, dd20FuzzyEr, dd21DupSpans, dd22LshCapacity,
     dd23SoftWeights, dd24UrlDedup, dd25LshCalibration, dd26SemDedup,
-    dd27LshRecall, dd28ThresholdSweep, mx19DedupAwareMix)
+    dd27LshRecall, dd28ThresholdSweep, mx19DedupAwareMix, mx20DedupAwareSplit)
 }

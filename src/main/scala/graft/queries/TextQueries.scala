@@ -853,10 +853,38 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Heaps'-law vocabulary growth over corpus deciles
+    * ([[graft.operators.TextAnalysis.vocabGrowth]]): per id-range slice,
+    * token volume, NEW word types and the cumulative vocabulary — all
+    * integer, first-occurrence = min slice per word.
+    */
+  val tx28VocabGrowth: Q = Q(
+    "tx28_vocab_growth",
+    """WITH n AS (SELECT MAX(doc_id) + 1 AS nd FROM documents),
+      |toks AS (SELECT doc_id, w FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents) WHERE w <> ''),
+      |tb AS (SELECT doc_id * 10 // nd AS bucket, w FROM toks, n),
+      |vol AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      |        FROM tb GROUP BY 1),
+      |fw AS (SELECT MIN(bucket) AS bucket FROM tb GROUP BY w),
+      |nt AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types
+      |       FROM fw GROUP BY 1)
+      |SELECT vol.bucket, n_tokens,
+      |  COALESCE(new_types, CAST(0 AS BIGINT)) AS new_types,
+      |  CAST(SUM(COALESCE(new_types, 0)) OVER (ORDER BY vol.bucket) AS BIGINT) AS cum_types
+      |FROM vol LEFT JOIN nt ON vol.bucket = nt.bucket
+      |ORDER BY vol.bucket""".stripMargin) { (spark, dir) =>
+    graft.operators.TextAnalysis.vocabGrowth(
+        graft.Tables.documents(spark, dir), "doc_id", "text", buckets = 10)
+      .orderBy("bucket")
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
     tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift, tx19OovRate,
     tx20FeatureHashing, tx21GroupedHeavyHitters, tx22LmFluency, tx23BpeTrain,
-    tx24LangidConfusion, tx25BpeBudget, tx26Rake, tx27Readability)
+    tx24LangidConfusion, tx25BpeBudget, tx26Rake, tx27Readability,
+    tx28VocabGrowth)
 }

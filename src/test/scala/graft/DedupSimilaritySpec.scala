@@ -467,6 +467,45 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(2).getLong(1) == 1L && out(2).getLong(4) == 205820L)
   }
 
+  test("vocabGrowth: hand-computed new-type curve, empty-token drop") {
+    val d = Seq((0L, "a b a"), (1L, "b c"), (2L, "a"), (3L, "d d"), (4L, "c d e"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(d, "doc_id", "text", buckets = 5)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 3L, 2L, 2L), (1L, 2L, 1L, 3L),
+      (2L, 1L, 0L, 3L), (3L, 2L, 1L, 4L), (4L, 3L, 1L, 5L)))
+    // final cumulative vocabulary == distinct words in the corpus
+    assert(out.last._4 == 5L)
+  }
+
+  test("clusterAwareSplit: cluster lands wholly on one side, singletons = id split") {
+    import graft.operators.Sampling
+    val docs = (1L to 6L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "comp")
+    val out = Sampling.clusterAwareSplit(docs, "doc_id", labels, 0.8, "s8")
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("split"))).toMap
+    // the whole cluster carries the representative's label
+    assert(out(1L) == out(2L) && out(2L) == out(3L))
+    val byOwnId = Sampling.hashSplit(docs, "doc_id", 0.8, "s8")
+      .collect().map(r => r.getLong(0) -> r.getString(r.fieldIndex("split"))).toMap
+    assert(out(1L) == byOwnId(1L)) // rep IS doc 1
+    (4L to 6L).foreach(i => assert(out(i) == byOwnId(i))) // singletons unchanged
+  }
+
+  test("mx20 dedup-aware split: zero grouped leakage, counts partition the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    graft.queries.Shared.clear()
+    val r = queries.DedupQueries.mx20DedupAwareSplit.run(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(row.fieldIndex("leaked_grouped")) == 0L)
+    val total = Tables.documents(spark, dir).count()
+    assert(row.getLong(row.fieldIndex("n_train")) + row.getLong(row.fieldIndex("n_test")) == total)
+    assert(row.getLong(row.fieldIndex("leaked_naive")) >= 0L)
+    graft.queries.Shared.clear()
+  }
+
   test("dd28 threshold sweep: counts are monotone nonincreasing in threshold") {
     val dir = "/root/testdata/sf0.001"
     graft.queries.Shared.clear()

@@ -69,7 +69,9 @@ class JobCountSpec extends AnyFunSuite {
       "sim11_label_separation" -> 12,
       // listed after dd11 so the pair/CC memo is warm (bench order): the
       // memo-hit path is weights-join + source aggregate + allocator grid
-      "mx19_dedup_aware_mix" -> 18)
+      "mx19_dedup_aware_mix" -> 18,
+      // memo-hit: label join + census + pair-straddle audit + crossJoin
+      "mx20_dedup_aware_split" -> 10)
     val over = budgets.flatMap { case (name, bound) =>
       val n = jobsFor(name)
       if (n > bound) Some(s"$name: $n jobs > budget $bound") else None
