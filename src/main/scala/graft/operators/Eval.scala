@@ -465,6 +465,65 @@ object Eval {
         expr(s"score_sum * 10000 div (n * ${fullScale}L)").as("mean_score_bp"))
       .orderBy(col("bin"))
 
+  /** Brier score with Murphy's decomposition (Murphy 1973, public
+    * literature): reliability − resolution + uncertainty over pre-binned
+    * probability forecasts, every statistic in exact truncating integer
+    * arithmetic. `pBp` is the forecast probability in basis points
+    * (0..10⁴), `y` the 0/1 outcome, `bin` the forecast bin (the
+    * [[calibrationBins]] binning contract). With per-bin
+    * n_k / o_k = Σy / a_k = Σp_bp and grand totals N, P:
+    *
+    *   brier_ppm = 10⁶·Σ(p_bp − 10⁴y)²               div (10⁸·N)
+    *   rel_ppm   = [Σ_k 10⁶·(a_k − 10⁴·o_k)²  div (10⁸·n_k)]   div N
+    *   res_ppm   = [Σ_k 10⁶·(o_k·N − P·n_k)²  div (n_k·N²)]    div N
+    *   unc_ppm   = 10⁶·P·(N−P) div N²
+    *
+    * Each div runs in the same order in both engines, so the four
+    * outputs are bit-exact. NOTE the classic identity
+    * brier = rel − res + unc is exact only when the forecast is
+    * CONSTANT within each bin (bins = distinct forecast values); under
+    * fixed-width binning the residual is the within-bin
+    * variance/covariance term of the generalized (Stephenson et al.)
+    * decomposition — rel/res remain the standard reliability-diagram
+    * summaries either way. All sums/products in
+    * decimal(38,0): (o_k·N)² needs ~4·log₁₀N digits, so the exact range
+    * is N ≲ 10⁸ rows — shard or rescale beyond (documented bound, same
+    * discipline as spearmanRho). One grouped aggregate over rows, one
+    * bounded bin-level pass, one single-row broadcast.
+    */
+  def brierDecomposition(
+      df: DataFrame, pBp: Column, y: Column, bin: Column): DataFrame = {
+    val D = DecimalType(38, 0)
+    val k = df.select(bin.cast(LongType).as("bin"), pBp.cast(LongType).as("p"),
+        y.cast(LongType).as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("nk"), sum(col("y")).as("ok"), sum(col("p")).as("ak"),
+        sum((col("p") - lit(10000L) * col("y")).cast(D)
+          * (col("p") - lit(10000L) * col("y"))).as("sqk"))
+    val t = k.agg(sum(col("nk")).as("n"), sum(col("ok")).as("pos"),
+      sum(col("sqk")).as("sq"))
+    val terms = k.crossJoin(broadcast(t))
+      .select(
+        expr("(cast(ak as decimal(38,0)) - cast(10000 as decimal(38,0)) * ok)")
+          .as("dk"),
+        expr("cast(ok as decimal(38,0)) * n - cast(pos as decimal(38,0)) * nk")
+          .as("ek"),
+        col("nk"), col("n"))
+      .agg(
+        sum(expr("dk * dk * 1000000 div (cast(100000000 as decimal(38,0)) * nk)"))
+          .as("rel_num"),
+        sum(expr("ek * ek * 1000000 div (cast(nk as decimal(38,0)) * n * n)"))
+          .as("res_num"))
+    t.crossJoin(broadcast(terms))
+      .select(col("n"), col("pos"),
+        expr("sq * 1000000 div (cast(100000000 as decimal(38,0)) * n)")
+          .cast(LongType).as("brier_ppm"),
+        expr("rel_num div cast(n as decimal(38,0))").cast(LongType).as("rel_ppm"),
+        expr("res_num div cast(n as decimal(38,0))").cast(LongType).as("res_ppm"),
+        expr("cast(pos as decimal(38,0)) * (n - pos) * 1000000" +
+          " div (cast(n as decimal(38,0)) * n)").cast(LongType).as("unc_ppm"))
+  }
+
   /** Spearman rank correlation with average ("midrank") tie handling —
     * Pearson over ranks, the monotone-association sibling of
     * [[ordinalAssociation]] (tau counts pair inversions; rho weights them by

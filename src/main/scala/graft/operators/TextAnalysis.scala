@@ -394,6 +394,48 @@ object TextAnalysis {
       .select("bucket", "n_tokens", "new_types", "cum_types")
   }
 
+  /** Pairwise total-variation distance between per-group unigram
+    * distributions, in exact ppm: TV(P,Q) = ½·Σ_w |P(w) − Q(w)| — the
+    * LOG-FREE distribution-drift metric (KL/JS need ln(), which is not
+    * correctly rounded cross-libm; TV is pure rational arithmetic, so it
+    * follows the repo's tx9 exactness rule). With integer counts,
+    * ½·Σ|c₁/n₁ − c₂/n₂| = Σ|c₁·n₂ − c₂·n₁| / (2·n₁·n₂) — one truncating
+    * decimal division per pair at the very end.
+    *
+    * 100 TB shape: the corpus reduces ONCE to the (group, word) count
+    * grid (map-side combinable); everything after runs on the
+    * vocab×groups grid (words missing from a group enter as 0 via the
+    * densified grid — their mass must count or TV is underestimated),
+    * and the pair join is grid-sized, never corpus-sized. Output is
+    * groups·(groups−1)/2 rows. Exact while |c·n| fits decimal(38,0) —
+    * astronomically beyond any real corpus.
+    */
+  def sourceTvDistance(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val D = DecimalType(38, 0)
+    val cnt = df.select(col(groupCol).as("src"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("src", "w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("src").agg(sum(col("c")).as("n"))
+    val grid = cnt.select("w").distinct()
+      .crossJoin(tot)
+      .join(cnt, Seq("src", "w"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val a = grid.select(col("src").as("source_a"), col("n").as("na"),
+      col("w"), col("c").as("ca"))
+    val b = grid.select(col("src").as("source_b"), col("n").as("nb"),
+      col("w"), col("c").as("cb"))
+    a.join(b, "w").filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b", "na", "nb")
+      .agg(sum(abs(col("ca").cast(D) * col("nb") - col("cb").cast(D) * col("na")))
+        .as("s"))
+      .select(col("source_a"), col("source_b"),
+        expr("s * 1000000 div (cast(2 as decimal(38,0)) * na * nb)")
+          .cast(LongType).as("tv_ppm"))
+      .orderBy("source_a", "source_b")
+  }
+
   def bigramFluencyPpm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val l = tokens(col(textCol))

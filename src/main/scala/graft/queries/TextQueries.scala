@@ -880,11 +880,37 @@ object TextQueries {
       .orderBy("bucket")
   }
 
+  /** Pairwise total-variation distance between source unigram
+    * distributions ([[graft.operators.TextAnalysis.sourceTvDistance]]):
+    * the log-free drift metric in exact ppm, zero-mass words densified
+    * via the vocab×source grid.
+    */
+  val tx29SourceTv: Q = Q(
+    "tx29_source_tv",
+    """WITH c AS (SELECT src, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT source AS src, unnest(string_split(lower(text), ' ')) AS w
+      |    FROM documents) WHERE w <> '' GROUP BY 1, 2),
+      |t AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+      |grid AS (SELECT t.src, t.n, words.w, COALESCE(c.c, 0) AS c
+      |         FROM (SELECT DISTINCT w FROM c) words
+      |         CROSS JOIN t
+      |         LEFT JOIN c ON c.src = t.src AND c.w = words.w),
+      |p AS (SELECT a.src AS source_a, b.src AS source_b, a.n AS na, b.n AS nb,
+      |        SUM(ABS(CAST(a.c AS HUGEINT) * b.n - CAST(b.c AS HUGEINT) * a.n)) AS s
+      |      FROM grid a JOIN grid b ON a.w = b.w AND a.src < b.src
+      |      GROUP BY 1, 2, 3, 4)
+      |SELECT source_a, source_b,
+      |  CAST(s * 1000000 // (CAST(2 AS HUGEINT) * na * nb) AS BIGINT) AS tv_ppm
+      |FROM p ORDER BY source_a, source_b""".stripMargin) { (spark, dir) =>
+    graft.operators.TextAnalysis.sourceTvDistance(
+      graft.Tables.documents(spark, dir), "source", "text")
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
     tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift, tx19OovRate,
     tx20FeatureHashing, tx21GroupedHeavyHitters, tx22LmFluency, tx23BpeTrain,
     tx24LangidConfusion, tx25BpeBudget, tx26Rake, tx27Readability,
-    tx28VocabGrowth)
+    tx28VocabGrowth, tx29SourceTv)
 }

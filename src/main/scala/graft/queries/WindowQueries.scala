@@ -2577,6 +2577,43 @@ object WindowQueries {
       .orderBy(col("sym"), col("d"))
   }
 
+  /** Brier score + Murphy decomposition ([[Eval.brierDecomposition]]) on
+    * m18's calibration framing: forecast = n_chars scaled to bp (capped
+    * at 10⁴), outcome = lang='en', bins = m18's fixed-width deciles.
+    * Every statistic exact truncating integer arithmetic; the pinned
+    * per-term div order makes all four bit-exact cross-engine.
+    */
+  val m40Brier: Q = Q(
+    "m40_brier_decomposition",
+    """WITH b AS (SELECT LEAST(n_chars * 5, 10000) AS p,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    LEAST(n_chars // 200, 9) AS bin
+      |  FROM documents),
+      |k AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk,
+      |        CAST(SUM(y) AS BIGINT) AS ok, CAST(SUM(p) AS BIGINT) AS ak,
+      |        SUM(CAST(p - 10000 * y AS HUGEINT) * (p - 10000 * y)) AS sqk
+      |      FROM b GROUP BY bin),
+      |t AS (SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(ok) AS BIGINT) AS pos,
+      |             SUM(sqk) AS sq FROM k),
+      |terms AS (SELECT
+      |    SUM(CAST(ak - 10000 * ok AS HUGEINT) * (ak - 10000 * ok) * 1000000
+      |        // (CAST(100000000 AS HUGEINT) * nk)) AS rel_num,
+      |    SUM(CAST(ok * t.n - t.pos * nk AS HUGEINT) * (ok * t.n - t.pos * nk) * 1000000
+      |        // (CAST(nk AS HUGEINT) * t.n * t.n)) AS res_num
+      |  FROM k, t)
+      |SELECT t.n, t.pos,
+      |  CAST(sq * 1000000 // (CAST(100000000 AS HUGEINT) * t.n) AS BIGINT) AS brier_ppm,
+      |  CAST(rel_num // t.n AS BIGINT) AS rel_ppm,
+      |  CAST(res_num // t.n AS BIGINT) AS res_ppm,
+      |  CAST(t.pos * (t.n - t.pos) * 1000000 // (CAST(t.n AS HUGEINT) * t.n) AS BIGINT) AS unc_ppm
+      |FROM terms, t""".stripMargin) { (spark, dir) =>
+    graft.operators.Eval.brierDecomposition(
+      graft.Tables.documents(spark, dir),
+      least(col("n_chars") * 5L, lit(10000L)),
+      (col("lang") === "en").cast("long"),
+      least(expr("n_chars div 200L"), lit(9L)))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
@@ -2587,5 +2624,5 @@ object WindowQueries {
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
     w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
     m35WelchT, m36RunsTest, w22Vortex, m37Moments, m38Autocorr, w23RollingBeta,
-    w24Holt, m39GiniGain, w25Ulcer)
+    w24Holt, m39GiniGain, w25Ulcer, m40Brier)
 }

@@ -506,6 +506,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     graft.queries.Shared.clear()
   }
 
+  test("sourceTvDistance: hand fractions, disjoint vocab = exactly 1e6 ppm") {
+    val d = Seq((1L, "s1", "a a b"), (2L, "s2", "a b b b"), (3L, "s3", "c"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.sourceTvDistance(d, "source", "text")
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // TV(s1,s2) = (|2*4-1*3| + |1*4-3*3|)*1e6 div (2*3*4) = 10e6 div 24
+    assert(out(("s1", "s2")) == 416666L)
+    // disjoint vocabularies: TV = 1 exactly (zero-mass words must count)
+    assert(out(("s1", "s3")) == 1000000L && out(("s2", "s3")) == 1000000L)
+    assert(out.size == 3)
+  }
+
   test("dd28 threshold sweep: counts are monotone nonincreasing in threshold") {
     val dir = "/root/testdata/sf0.001"
     graft.queries.Shared.clear()

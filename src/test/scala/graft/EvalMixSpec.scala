@@ -740,4 +740,20 @@ class EvalMixSpec extends AnyFunSuite {
     // base: 1 - (9+4)/25 = 12/25 = 480000 ppm; children all pure → gain = base
     assert(r3.getLong(2) == 480000 && r3.getLong(3) == 0 && r3.getLong(4) == 480000)
   }
+
+  test("brierDecomposition: hand-computed Murphy terms, pinned truncation") {
+    // bin0: p_bp 2000,2000,4000,0 with y 0,0,1,0; bin1: 8000,6000,10000 / 1,0,1
+    val df = Seq((2000L, 0L, 0L), (2000L, 0L, 0L), (4000L, 1L, 0L), (0L, 0L, 0L),
+      (8000L, 1L, 1L), (6000L, 0L, 1L), (10000L, 1L, 1L)).toDF("p", "y", "bin")
+    val r = Eval.brierDecomposition(df, col("p"), col("y"), col("bin")).head()
+    assert(r.getLong(r.fieldIndex("n")) == 7L && r.getLong(r.fieldIndex("pos")) == 3L)
+    // brier = (1/7)*0.84 -> 120000 ppm exactly
+    assert(r.getLong(r.fieldIndex("brier_ppm")) == 120000L)
+    // rel: bin0 (8000-10000)^2*1e6 div 4e8 = 10000; bin1 4000^2*1e6 div 3e8 = 53333
+    assert(r.getLong(r.fieldIndex("rel_ppm")) == (10000L + 53333L) / 7L) // 9047
+    // res: bin0 (1*7-3*4)^2*1e6 div (4*49) = 127551; bin1 25e6 div 147 = 170068
+    assert(r.getLong(r.fieldIndex("res_ppm")) == (127551L + 170068L) / 7L) // 42517
+    // unc: 3*4*1e6 div 49 = 244897
+    assert(r.getLong(r.fieldIndex("unc_ppm")) == 244897L)
+  }
 }
