@@ -524,6 +524,53 @@ object Eval {
           " div (cast(n as decimal(38,0)) * n)").cast(LongType).as("unc_ppm"))
   }
 
+  /** Wilcoxon signed-rank test — the PAIRED companion to [[mannWhitneyU]]
+    * (public literature: Wilcoxon 1945): given per-pair integer
+    * differences d (QUANTIZED by the caller — same bounded-value-grid
+    * contract as spearmanRho/mannWhitneyU, so ranking never touches a
+    * row-scale window), zero differences drop (the standard convention),
+    * |d| midranks come from the value grid with doubled ranks keeping
+    * .5 midranks integral, W⁺ = Σ ranks of positive d, and the
+    * tie-corrected normal approximation
+    *
+    *   z = (W⁺ − n(n+1)/4) / sqrt( n(n+1)(2n+1)/24 − Σ(c³−c)/48 )
+    *
+    * is emitted in half-up-rounded basis points through a PINNED IEEE op
+    * order (cast num → ·10⁴ → / (2·sqrt(var_num/48)) → +0.5 → floor), so
+    * the integer output is bit-exact cross-engine. Everything before the
+    * final doubles is exact decimal(38,0).
+    */
+  def wilcoxonSignedRank(df: DataFrame, dCol: String): DataFrame = {
+    val D = DecimalType(38, 0)
+    import org.apache.spark.sql.expressions.Window
+    val nz = df.select(col(dCol).cast(LongType).as("d")).filter(col("d") =!= 0L)
+    val grid = nz.groupBy(abs(col("d")).as("a"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("cpos"))
+    val w = Window.orderBy("a").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grid.withColumn("r2",
+      coalesce(sum(col("c")).over(w), lit(0L)) * 2 + col("c") + 1)
+    ranked.agg(
+        sum(col("c")).cast(D).as("n"),
+        sum(col("cpos").cast(D) * col("r2")).cast(D).as("wp2"),
+        sum(col("c").cast(D) * col("c") * col("c") - col("c")).cast(D).as("tie_sum"))
+      .select(
+        col("n").cast(LongType).as("n_pairs"),
+        col("wp2").cast(LongType).as("w_plus_x2"),
+        col("tie_sum").cast(LongType).as("tie_sum"),
+        // num = wp2 − n(n+1)/2 (doubled centering; n(n+1) is even → exact)
+        (col("wp2") - expr("n * (n + 1) div 2")).cast(D).as("num"),
+        (lit(2).cast(D) * col("n") * (col("n") + 1) * (lit(2).cast(D) * col("n") + 1)
+          - col("tie_sum")).cast(D).as("var_num"))
+      .withColumn("z_bp",
+        when(col("var_num") <= 0, lit(null).cast(LongType))
+          .otherwise(
+            floor(col("num").cast(DoubleType) * 10000.0
+              / (lit(2.0) * sqrt(col("var_num").cast(DoubleType) / 48.0)) + 0.5)
+              .cast(LongType)))
+      .select("n_pairs", "w_plus_x2", "tie_sum", "z_bp")
+  }
+
   /** Spearman rank correlation with average ("midrank") tie handling —
     * Pearson over ranks, the monotone-association sibling of
     * [[ordinalAssociation]] (tau counts pair inversions; rho weights them by

@@ -598,6 +598,34 @@ object Indicators {
       .drop("__trix_e1", "__trix_e2", "__trix_pe3")
   }
 
+  /** Chaikin Money Flow (public literature): volume-weighted accumulation
+    * pressure over a trailing window,
+    * `CMF = Σ mfv / Σ vol` with `mfv = ((c−l) − (h−c))/(h−l) · vol`.
+    * Exact-integer convention on integer-valued bars: per bar,
+    * `mfv_bp = (2c − h − l)·10⁴·vol div (h − l)` (truncating; 0 when
+    * h = l — the flat-bar convention), then
+    * `cmf_bp = Σ mfv_bp div Σ vol` over the window. Both Spark `div` and
+    * DuckDB `//` truncate toward zero, so the negative-pressure bars are
+    * safe. Full-window-only; one keyed WindowExec.
+    */
+  def withCmf(
+      df: DataFrame, highCol: String, lowCol: String, closeCol: String,
+      volCol: String, outCol: String, period: Int,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(period >= 1, "cmf period must be >= 1")
+    val w = baseWindow(partitionCols, orderCol).rowsBetween(-(period - 1), 0)
+    val mfv = when(col(highCol) =!= col(lowCol),
+      expr(s"((2 * $closeCol - $highCol - $lowCol) * 10000 * $volCol)" +
+        s" div ($highCol - $lowCol)")).otherwise(lit(0L))
+    df.withColumn("__cmf_mfv", mfv)
+      .withColumn("__cmf_sum", sum(col("__cmf_mfv")).over(w))
+      .withColumn("__cmf_vol", sum(col(volCol)).over(w))
+      .withColumn(outCol,
+        when(count(col(closeCol)).over(w) === period && col("__cmf_vol") =!= 0L,
+          expr("__cmf_sum div __cmf_vol")))
+      .drop("__cmf_mfv", "__cmf_sum", "__cmf_vol")
+  }
+
   /** Ulcer Index (Peter Martin's drawdown-depth risk measure — public
     * literature; the pandas_ta rolling-max convention): per row, the
     * drawdown from the trailing `period`-bar rolling maximum in integer

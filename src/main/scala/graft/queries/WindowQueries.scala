@@ -2614,6 +2614,99 @@ object WindowQueries {
       least(expr("n_chars div 200L"), lit(9L)))
   }
 
+  /** Wilcoxon signed-rank test ([[Eval.wilcoxonSignedRank]]): paired
+    * daily revenues (1-URGENT vs 2-HIGH per order date, both sides
+    * present), differences quantized to whole dollars (the bounded-grid
+    * contract), zero differences dropped, tie-corrected z in half-up bp
+    * through the pinned IEEE order.
+    */
+  val m41Wilcoxon: Q = Q(
+    "m41_wilcoxon_signed_rank",
+    """WITH p AS (SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+      |          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS xc,
+      |    CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+      |          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) * 100 AS BIGINT) AS yc
+      |  FROM orders GROUP BY 1),
+      |dd AS (SELECT xc // 100 - yc // 100 AS d FROM p
+      |       WHERE xc IS NOT NULL AND yc IS NOT NULL AND xc // 100 - yc // 100 <> 0),
+      |grid AS (SELECT ABS(d) AS a, CAST(COUNT(*) AS BIGINT) AS c,
+      |    CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+      |  FROM dd GROUP BY 1),
+      |ranked AS (SELECT c, cpos,
+      |    2 * COALESCE(SUM(c) OVER (ORDER BY a
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+      |  FROM grid),
+      |a AS (SELECT SUM(c) AS n, SUM(cpos * r2) AS wp2,
+      |    SUM(c * c * c - c) AS tie_sum FROM ranked)
+      |SELECT CAST(n AS BIGINT) AS n_pairs,
+      |  CAST(wp2 AS BIGINT) AS w_plus_x2,
+      |  CAST(tie_sum AS BIGINT) AS tie_sum,
+      |  CAST(CASE WHEN 2 * n * (n + 1) * (2 * n + 1) - tie_sum <= 0 THEN NULL
+      |    ELSE FLOOR(CAST(wp2 - n * (n + 1) // 2 AS DOUBLE) * 10000.0
+      |      / (2.0 * SQRT(
+      |          CAST(2 * n * (n + 1) * (2 * n + 1) - tie_sum AS DOUBLE) / 48.0))
+      |      + 0.5)
+      |    END AS BIGINT) AS z_bp
+      |FROM a""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val D2 = DecimalType(18, 2)
+    val p = graft.Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(
+        expr("cast(sum(case when o_orderpriority = '1-URGENT'" +
+          " then cast(o_totalprice as decimal(18,2)) end) * 100 as bigint)").as("xc"),
+        expr("cast(sum(case when o_orderpriority = '2-HIGH'" +
+          " then cast(o_totalprice as decimal(18,2)) end) * 100 as bigint)").as("yc"))
+      .filter(col("xc").isNotNull && col("yc").isNotNull)
+      .select(expr("xc div 100 - yc div 100").as("dq"))
+    graft.operators.Eval.wilcoxonSignedRank(p, "dq")
+  }
+
+  /** Chaikin Money Flow per symbol ([[Indicators.withCmf]]): per-bar
+    * money-flow volume in truncating integer bp (negative-pressure bars
+    * exercise toward-zero division — identical in Spark `div` and
+    * DuckDB `//`), then the 20-bar window ratio. Volume = daily order
+    * count, so every input is an exact integer.
+    */
+  val w26Cmf: Q = Q(
+    "w26_cmf",
+    """WITH bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    CAST(FLOOR(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS BIGINT) + 1 AS h,
+      |    CAST(FLOOR(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 100.0) AS BIGINT) - 1 AS l,
+      |    CAST(FLOOR(CAST(arg_max(CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS DOUBLE) / 100.0) AS BIGINT) AS c,
+      |    CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM orders GROUP BY 1, 2),
+      |m AS (SELECT sym, d, v,
+      |    CASE WHEN h <> l THEN ((2 * c - h - l) * 10000 * v) // (h - l)
+      |         ELSE 0 END AS mfv,
+      |    ROW_NUMBER() OVER w AS rn
+      |  FROM bars WINDOW w AS (PARTITION BY sym ORDER BY d)),
+      |s AS (SELECT sym, d, rn,
+      |    SUM(mfv) OVER w20 AS ms, SUM(v) OVER w20 AS vs
+      |  FROM m WINDOW w20 AS (PARTITION BY sym ORDER BY d
+      |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT sym, d, CAST(ms // vs AS BIGINT) AS cmf_bp
+      |FROM s WHERE rn >= 20 AND vs <> 0 ORDER BY sym, d""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types._
+    val D2 = DecimalType(18, 2)
+    def fl(c: org.apache.spark.sql.Column) =
+      floor(c.cast(DoubleType) / 100.0).cast(LongType)
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(
+        (fl(max(col("o_totalprice").cast(D2))) + 1L).as("h"),
+        (fl(min(col("o_totalprice").cast(D2))) - 1L).as("l"),
+        fl(max_by(col("o_totalprice").cast(D2), col("o_orderkey"))).as("c"),
+        count(lit(1)).as("v"))
+    Indicators.withCmf(bars, "h", "l", "c", "v", "cmf_bp", 20,
+        orderCol = "d", partitionCols = Seq("sym"))
+      .filter(col("cmf_bp").isNotNull)
+      .select("sym", "d", "cmf_bp")
+      .orderBy(col("sym"), col("d"))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
@@ -2624,5 +2717,5 @@ object WindowQueries {
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
     w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
     m35WelchT, m36RunsTest, w22Vortex, m37Moments, m38Autocorr, w23RollingBeta,
-    w24Holt, m39GiniGain, w25Ulcer, m40Brier)
+    w24Holt, m39GiniGain, w25Ulcer, m40Brier, m41Wilcoxon, w26Cmf)
 }

@@ -756,4 +756,17 @@ class EvalMixSpec extends AnyFunSuite {
     // unc: 3*4*1e6 div 49 = 244897
     assert(r.getLong(r.fieldIndex("unc_ppm")) == 244897L)
   }
+
+  test("wilcoxonSignedRank: hand-computed midranks, zero drop, tie correction") {
+    // d: +3, -1, +1, +2, +2, 0 (zero drops) -> n=5
+    val df = Seq(3L, -1L, 1L, 2L, 2L, 0L).toDF("d")
+    val r = Eval.wilcoxonSignedRank(df, "d").head()
+    // |d| grid: 1 -> c=2 cpos=1 r2=3; 2 -> c=2 cpos=2 r2=7; 3 -> c=1 cpos=1 r2=10
+    assert(r.getLong(r.fieldIndex("n_pairs")) == 5L)
+    assert(r.getLong(r.fieldIndex("w_plus_x2")) == 27L) // W+ = 13.5
+    assert(r.getLong(r.fieldIndex("tie_sum")) == 12L)
+    // var_num = 2*5*6*11 - 12 = 648 (Var = 13.5); num = 27 - 15 = 12
+    val want = math.floor(12.0 * 10000.0 / (2.0 * math.sqrt(648.0 / 48.0)) + 0.5).toLong
+    assert(r.getLong(r.fieldIndex("z_bp")) == want && want == 16330L)
+  }
 }

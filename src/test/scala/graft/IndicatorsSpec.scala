@@ -593,4 +593,19 @@ class IndicatorsSpec extends AnyFunSuite {
     val b = out.filter(_.getString(0) == "b")
     assert(b.length == 1 && dd(b.head).isEmpty && ui(b.head).isEmpty)
   }
+
+  test("withCmf: hand-computed money flow, flat-bar zero, toward-zero negative div") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", "d1", 10L, 6L, 9L, 5L),  // mfv = (18-16)*1e4*5 div 4 = 25000
+      ("a", "d2", 8L, 8L, 8L, 3L),   // flat bar -> mfv = 0
+      ("a", "d3", 13L, 6L, 9L, 3L))  // mfv = (-1*30000) div 7 = -4285 (toward zero)
+      .toDF("sym", "d", "h", "l", "c", "v")
+    val out = Indicators.withCmf(df, "h", "l", "c", "v", "cmf", 2, "d", Seq("sym"))
+      .orderBy("d").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("cmf"))) // warmup
+    assert(out(1).getLong(out(1).fieldIndex("cmf")) == 25000L / 8L) // 3125
+    // window: (0 + -4285) div 6 = -714 (toward zero, not floor's -715)
+    assert(out(2).getLong(out(2).fieldIndex("cmf")) == -714L)
+  }
 }
