@@ -156,6 +156,11 @@ object GraftFunctions {
         HoltLinear(exprs(0), d(exprs(1), "alpha"), d(exprs(2), "beta"))
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "var_ewm", exprs => {
+        require(exprs.size == 2, "var_ewm(value, alpha)")
+        VarEwm(exprs(0), exprs(1))
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "hash32", exprs => Hash32Expr(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dotp", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")

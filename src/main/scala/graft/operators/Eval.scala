@@ -1019,4 +1019,81 @@ object Eval {
                 / col("var_den").cast(DoubleType))) + 0.5).cast(LongType)))
       .select("n1", "n2", "u1_x2", "tie_sum", "z_bp")
   }
+
+  /** Kruskal–Wallis H (Kruskal & Wallis 1952, public literature) — the
+    * k-group generalization of [[mannWhitneyU]]: do the groups' value
+    * distributions share a location? Same bounded-value-grid contract:
+    * `valueCol` must be pre-quantized Longs, midranks come from ONE
+    * running sum over the grid (doubled, so they stay integers under
+    * ties), and every per-group rank sum is an exact integer.
+    *
+    * `groups` is the LITERAL group list (alphabetically sorted — the
+    * pinned summation order below); rows outside it are dropped. With
+    * R2ᵢ = 2·Σranksᵢ exact:
+    *
+    *   H = 3·T/(N(N+1)) − 3(N+1),  T = Σᵢ R2ᵢ²/nᵢ
+    *   H_c = H / (1 − Σ(t³−t)/(N³−N))          (tie correction)
+    *
+    * Double discipline (the m33 z_bp conventions): T sums its k terms in
+    * the WRITTEN group order (left-associative `+` in both engines), each
+    * term `double(R2ᵢ)·double(R2ᵢ)/double(nᵢ)` — three correctly-rounded
+    * IEEE ops on exact inputs (R2ᵢ < 2⁵³ up to ~10¹² rows/group); H and
+    * H_c are fixed scalar IEEE sequences from exact integers; outputs in
+    * half-up basis points. All-tied input (tie_sum = N³−N) pins H_c NULL;
+    * an empty listed group contributes 0 to T. N³ casts to double
+    * exactly below ~2×10¹⁷ rows — far past any per-partition gate, and
+    * the exact integer inputs (n, tie_sum, per-group n/R2) ship alongside
+    * so a reader can re-derive H at any scale.
+    *
+    * Plan: one grid aggregate (shuffle on v), one grid-sized running-sum
+    * window (bounded by the quantization contract, the m33 shape), one
+    * single-row aggregate. Nothing data-sized crosses a window or the
+    * driver.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+      groups: Seq[String]): DataFrame = {
+    require(groups.nonEmpty && groups == groups.sorted &&
+      groups.distinct == groups,
+      "kruskalWallis: groups must be a sorted, distinct, non-empty literal list")
+    val D = DecimalType(38, 0)
+    import org.apache.spark.sql.expressions.Window
+    val grid = df.select(col(groupCol).as("g"), col(valueCol).cast(LongType).as("v"))
+      .filter(col("g").isin(groups: _*))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"),
+        groups.map(grp =>
+          sum(when(col("g") === grp, 1L).otherwise(0L)).as(s"c_$grp")): _*)
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = grid.withColumn("r2",
+      coalesce(sum(col("c")).over(w), lit(0L)) * 2 + col("c") + 1)
+    val aggCols =
+      Seq(sum(col("c")).cast(D).as("n"),
+        sum(col("c").cast(D) * col("c") * col("c") - col("c")).cast(D).as("tie_sum")) ++
+      groups.flatMap(grp => Seq(
+        sum(col(s"c_$grp")).cast(D).as(s"n_$grp"),
+        sum(col(s"c_$grp").cast(D) * col("r2")).cast(D).as(s"r2x2_$grp")))
+    val t = groups.map { grp =>
+      when(col(s"n_$grp") > 0,
+        col(s"r2x2_$grp").cast(DoubleType) * col(s"r2x2_$grp").cast(DoubleType)
+          / col(s"n_$grp").cast(DoubleType))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val outInts =
+      Seq(col("n").cast(LongType).as("n"), col("tie_sum").cast(LongType).as("tie_sum")) ++
+      groups.flatMap(grp => Seq(
+        col(s"n_$grp").cast(LongType).as(s"n_$grp"),
+        col(s"r2x2_$grp").cast(LongType).as(s"r2x2_$grp")))
+    ranked.agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("__t", t)
+      .withColumn("__nnn", (col("n") * col("n") * col("n") - col("n")).cast(D))
+      .withColumn("__h",
+        lit(3.0) * col("__t") / (col("n") * (col("n") + 1)).cast(DoubleType)
+          - lit(3.0) * (col("n").cast(DoubleType) + lit(1.0)))
+      .select(outInts ++ Seq(
+        floor(col("__h") * 10000.0 + 0.5).cast(LongType).as("h_bp"),
+        when(col("tie_sum") < col("__nnn"),
+          floor(col("__h") / (lit(1.0) - col("tie_sum").cast(DoubleType)
+              / col("__nnn").cast(DoubleType)) * 10000.0 + 0.5)
+            .cast(LongType)).as("hc_bp")): _*)
+  }
 }

@@ -663,6 +663,68 @@ object Indicators {
       .drop("__ui_rm")
   }
 
+  /** Kaufman's Adaptive Moving Average (Kaufman 1995, public literature)
+    * — an EMA whose smoothing constant adapts per row to the efficiency
+    * ratio of the last `period` bars:
+    *
+    *   er_t = |c_t − c_{t−n}| / Σ_{i=t−n+1..t} |c_i − c_{i−1}|   (0 if flat)
+    *   sc_t = (er_t·(2/(fast+1) − 2/(slow+1)) + 2/(slow+1))²
+    *   kama_t = kama_{t−1} + sc_t·(c_t − kama_{t−1})
+    *
+    * Plan: er/sc are ordinary rolling-window expressions (one lag-n, one
+    * `period`-row sum of |diff|), and the recursion runs through the
+    * native [[graft.functions.VarEwm]] window state machine — ONE keyed
+    * WindowExec evaluates all of it, no reshuffle beyond the window sort.
+    *
+    * Pinned conventions (full-window-only, the w1 SMA discipline):
+    *   - er is defined from row n+1 (both the lag-n change and all n
+    *     one-bar diffs exist); er = 0 when the volatility sum is 0 (flat
+    *     window — the chg numerator is then 0 too);
+    *   - sc is NULL during warmup, so VarEwm seeds kama = close at row
+    *     n+1 and updates from row n+2 — each update the fixed IEEE
+    *     sequence `k + sc·(c − k)`;
+    *   - the smoothing bounds enter as the written expressions
+    *     `2.0/(fast+1) − 2.0/(slow+1)` and `2.0/(slow+1)` — correctly
+    *     rounded IEEE divisions both engines reproduce bit-for-bit; sc
+    *     squares by self-multiplication (never `pow`, which is not
+    *     correctly rounded cross-libm).
+    *
+    * A single recursive CTE carrying kama replays the recursion exactly
+    * (seed at rn = n+1, step `r.kama + g.sc·(g.c − r.kama)`).
+    * Appends `{outPrefix}_er/_sc/{outPrefix}` (er/sc doubles, kama
+    * double; all NULL during warmup).
+    */
+  def withKama(
+      df: DataFrame, closeCol: String, outPrefix: String,
+      period: Int = 10, fast: Int = 2, slow: Int = 30,
+      orderCol: String = "date", partitionCols: Seq[String] = Nil): DataFrame = {
+    require(period >= 1 && fast >= 1 && slow > fast,
+      "kama: need period >= 1 and slow > fast >= 1")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val w = baseWindow(partitionCols, orderCol)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wVol = w.rowsBetween(-(period - 1), 0)
+    val fastSc = 2.0 / (fast + 1)
+    val slowSc = 2.0 / (slow + 1)
+    val c = col(closeCol).cast(DoubleType)
+    val erCol = s"${outPrefix}_er"; val scCol = s"${outPrefix}_sc"
+    df.withColumn("__k_absd", abs(c - lag(c, 1).over(w)))
+      .withColumn("__k_chg", abs(c - lag(c, period).over(w)))
+      .withColumn("__k_vol",
+        when(count(col("__k_absd")).over(wVol) === period,
+          sum(col("__k_absd")).over(wVol)))
+      .withColumn(erCol,
+        when(col("__k_chg").isNotNull && col("__k_vol").isNotNull,
+          when(col("__k_vol") > 0.0, col("__k_chg") / col("__k_vol"))
+            .otherwise(lit(0.0))))
+      .withColumn(scCol, {
+        val t = col(erCol) * lit(fastSc - slowSc) + lit(slowSc)
+        t * t
+      })
+      .withColumn(outPrefix, expr(s"var_ewm($closeCol, $scCol)").over(wRun))
+      .drop("__k_absd", "__k_chg", "__k_vol")
+  }
+
   /** The full reference transformer. Requires (case-insensitively)
     * `date, open, high, low, close, volume`; appends the seven hardcoded
     * indicator columns and drops warmup rows.

@@ -2707,6 +2707,119 @@ object WindowQueries {
       .orderBy(col("sym"), col("d"))
   }
 
+  /** KAMA per symbol ([[Indicators.withKama]]): Kaufman's adaptive MA —
+    * an EMA whose per-row smoothing constant derives from the 10-bar
+    * efficiency ratio, run through the native
+    * [[graft.functions.VarEwm]] variable-alpha window state machine (ONE
+    * keyed WindowExec evaluates the lag/rolling-sum warmup columns AND
+    * the recursion). er/sc are exact-integral-double arithmetic (the
+    * bars are floor-cents units, so the 10-term volatility sum is exact
+    * in any order); the smoothing bounds are the written IEEE divisions
+    * `2/3` and `2/31`; sc squares by self-multiplication (no `pow`). The
+    * oracle replays the recursion as a SINGLE recursive CTE carrying
+    * kama, seeded kama = close at rn 11 (the first row with a defined
+    * efficiency ratio — full-window-only warmup, the w1 discipline).
+    */
+  val w27Kama: Q = Q(
+    "w27_kama",
+    """WITH RECURSIVE bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    FLOOR(arg_max(o_totalprice, o_orderkey) / 100.0) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |s0 AS (SELECT sym, d, CAST(c AS DOUBLE) AS c,
+      |        ROW_NUMBER() OVER (PARTITION BY sym ORDER BY d) AS rn
+      |      FROM bars),
+      |s1 AS (SELECT sym, d, c, rn,
+      |        ABS(c - LAG(c, 1) OVER w) AS absd,
+      |        ABS(c - LAG(c, 10) OVER w) AS chg
+      |      FROM s0 WINDOW w AS (PARTITION BY sym ORDER BY rn)),
+      |s2 AS (SELECT sym, d, c, rn, chg,
+      |        CASE WHEN COUNT(absd) OVER wv = 10
+      |          THEN SUM(absd) OVER wv END AS vol
+      |      FROM s1 WINDOW wv AS (PARTITION BY sym ORDER BY rn
+      |        ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)),
+      |se AS (SELECT sym, d, c, rn,
+      |        CASE WHEN chg IS NOT NULL AND vol IS NOT NULL THEN
+      |          CASE WHEN vol > 0.0 THEN chg / vol ELSE 0.0 END
+      |        END AS er
+      |      FROM s2),
+      |sc AS (SELECT sym, d, c, rn, er,
+      |        (er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0)
+      |          * (er * (2.0/3.0 - 2.0/31.0) + 2.0/31.0) AS sc
+      |      FROM se),
+      |rec AS (
+      |  SELECT sym, rn, c AS kama FROM sc WHERE rn = 11
+      |  UNION ALL
+      |  SELECT g.sym, g.rn, r.kama + g.sc * (g.c - r.kama)
+      |  FROM sc g JOIN rec r ON g.sym = r.sym AND g.rn = r.rn + 1)
+      |SELECT x.sym, x.d, x.er AS kama_er, x.sc AS kama_sc, r.kama AS kama
+      |FROM sc x LEFT JOIN rec r ON r.sym = x.sym AND r.rn = x.rn
+      |ORDER BY x.sym, x.d""".stripMargin) { (spark, dir) =>
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(floor(max_by(col("o_totalprice"), col("o_orderkey")) / 100.0).as("c"))
+    Indicators.withKama(bars, "c", "kama", 10, 2, 30,
+        orderCol = "d", partitionCols = Seq("sym"))
+      .select(col("sym"), col("d"), col("kama_er"), col("kama_sc"), col("kama"))
+      .orderBy(col("sym"), col("d"))
+  }
+
+  /** Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]): do the
+    * five event types carry different value distributions? The k-group
+    * rank test completing the nonparametric family (m33 two-sample,
+    * m41 paired): values quantize to whole currency units (the bounded
+    * value-grid contract), doubled midranks come from one running sum
+    * over that grid, and every reported count/rank-sum is an exact
+    * integer. Only H/H_c pass through doubles — a fixed IEEE sequence
+    * with the five per-group terms summed in alphabetical group order
+    * (the written, left-associative order in BOTH engines).
+    */
+  val m42KruskalWallis: Q = {
+    val groups = Seq("click", "error", "purchase", "signup", "view")
+    val gridCols = groups.map(g =>
+      s"CAST(SUM(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT) AS c_$g")
+      .mkString(",\n      |    ")
+    val aggCols = groups.map(g =>
+      s"SUM(c_$g) AS n_$g, SUM(c_$g * r2) AS r2x2_$g").mkString(",\n      |    ")
+    val tTerms = groups.map(g =>
+      s"CASE WHEN n_$g > 0 THEN CAST(r2x2_$g AS DOUBLE) * CAST(r2x2_$g AS DOUBLE)" +
+        s" / CAST(n_$g AS DOUBLE) ELSE 0.0 END").mkString("\n      |    + ")
+    val outInts = groups.map(g =>
+      s"CAST(n_$g AS BIGINT) AS n_$g, CAST(r2x2_$g AS BIGINT) AS r2x2_$g")
+      .mkString(",\n      |  ")
+    Q(
+      "m42_kruskal_wallis",
+      s"""WITH src AS (SELECT event_type AS g,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS v
+      |  FROM events),
+      |grid AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+      |    $gridCols
+      |  FROM src GROUP BY v),
+      |ranked AS (SELECT *, 2 * COALESCE(SUM(c) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+      |  FROM grid),
+      |a AS (SELECT SUM(c) AS n, SUM(c * c * c - c) AS tie_sum,
+      |    $aggCols
+      |  FROM ranked),
+      |b AS (SELECT *, $tTerms AS t
+      |  FROM a),
+      |h AS (SELECT *,
+      |    3.0 * t / CAST(n * (n + 1) AS DOUBLE) - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h
+      |  FROM b)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(tie_sum AS BIGINT) AS tie_sum,
+      |  $outInts,
+      |  CAST(FLOOR(h * 10000.0 + 0.5) AS BIGINT) AS h_bp,
+      |  CAST(CASE WHEN tie_sum < n * n * n - n THEN
+      |    FLOOR(h / (1.0 - CAST(tie_sum AS DOUBLE) / CAST(n * n * n - n AS DOUBLE))
+      |      * 10000.0 + 0.5) END AS BIGINT) AS hc_bp
+      |FROM h""".stripMargin) { (spark, dir) =>
+      val e = graft.Tables.events(spark, dir).select(
+        col("event_type").as("g"),
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint) div 100").as("v"))
+      graft.operators.Eval.kruskalWallis(e, "g", "v", groups)
+    }
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
@@ -2717,5 +2830,6 @@ object WindowQueries {
     m30GroupedOls, w15Cci, m31Spearman, m32Mcnemar, w16HeikinAshi, w17Adx,
     w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
     m35WelchT, m36RunsTest, w22Vortex, m37Moments, m38Autocorr, w23RollingBeta,
-    w24Holt, m39GiniGain, w25Ulcer, m40Brier, m41Wilcoxon, w26Cmf)
+    w24Holt, m39GiniGain, w25Ulcer, m40Brier, m41Wilcoxon, w26Cmf, w27Kama,
+    m42KruskalWallis)
 }

@@ -769,4 +769,29 @@ class EvalMixSpec extends AnyFunSuite {
     val want = math.floor(12.0 * 10000.0 / (2.0 * math.sqrt(648.0 / 48.0)) + 0.5).toLong
     assert(r.getLong(r.fieldIndex("z_bp")) == want && want == 16330L)
   }
+
+  test("kruskalWallis: hand-computed midranks, empty group, all-tied NULL correction") {
+    // a: [1,2,2], b: [2,3], c: [5]; grid ranks 1, 3(mid), 5, 6 (doubled: 2,6,10,12)
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 2L), ("b", 3L), ("c", 5L))
+      .toDF("g", "v")
+    val r = Eval.kruskalWallis(df, "g", "v", Seq("a", "b", "c", "z")).head()
+    assert(r.getLong(r.fieldIndex("n")) == 6L)
+    assert(r.getLong(r.fieldIndex("tie_sum")) == 24L) // 0 + (27-3) + 0 + 0
+    assert(r.getLong(r.fieldIndex("n_a")) == 3L && r.getLong(r.fieldIndex("r2x2_a")) == 14L)
+    assert(r.getLong(r.fieldIndex("n_b")) == 2L && r.getLong(r.fieldIndex("r2x2_b")) == 16L)
+    assert(r.getLong(r.fieldIndex("n_c")) == 1L && r.getLong(r.fieldIndex("r2x2_c")) == 12L)
+    // listed-but-empty group contributes exact zeros (and 0.0 to T)
+    assert(r.getLong(r.fieldIndex("n_z")) == 0L && r.getLong(r.fieldIndex("r2x2_z")) == 0L)
+    // replay the pinned double sequence: T in listed order, then H, H_c
+    val t = 14.0 * 14.0 / 3.0 + 16.0 * 16.0 / 2.0 + 12.0 * 12.0 / 1.0 + 0.0
+    val h = 3.0 * t / 42.0 - 3.0 * 7.0
+    val hc = h / (1.0 - 24.0 / 210.0)
+    assert(r.getLong(r.fieldIndex("h_bp")) == math.floor(h * 10000.0 + 0.5).toLong)
+    assert(r.getLong(r.fieldIndex("hc_bp")) == math.floor(hc * 10000.0 + 0.5).toLong)
+    // all-tied input: H exactly 0, tie correction degenerates to NULL
+    val tied = Seq(("a", 7L), ("a", 7L), ("b", 7L), ("b", 7L)).toDF("g", "v")
+    val z = Eval.kruskalWallis(tied, "g", "v", Seq("a", "b")).head()
+    assert(z.getLong(z.fieldIndex("h_bp")) == 0L)
+    assert(z.isNullAt(z.fieldIndex("hc_bp")))
+  }
 }

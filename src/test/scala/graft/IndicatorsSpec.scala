@@ -608,4 +608,42 @@ class IndicatorsSpec extends AnyFunSuite {
     // window: (0 + -4285) div 6 = -714 (toward zero, not floor's -715)
     assert(out(2).getLong(out(2).fieldIndex("cmf")) == -714L)
   }
+
+  test("withKama: hand-replayed er/sc/recursion, warmup NULLs, flat-window er=0, per-key") {
+    import spark.implicits._
+    // period 3 (fast 2, slow 30) keeps the hand replay small: er defined
+    // from row 4 (lag-3 change + three one-bar diffs), seed kama at row 4.
+    val cs = Seq(10.0, 12.0, 11.0, 15.0, 15.0, 15.0, 15.0, 18.0)
+    val df = cs.indices.map(i => ("a", f"d$i%02d", cs(i))).toDF("sym", "d", "c")
+    val out = Indicators.withKama(df, "c", "k", 3, 2, 30, "d", Seq("sym"))
+      .orderBy("d").collect()
+    def g(i: Int, f: String): Option[Double] = {
+      val ix = out(i).fieldIndex(f)
+      if (out(i).isNullAt(ix)) None else Some(out(i).getDouble(ix))
+    }
+    // warmup: er/sc/kama all NULL for rows 0..2
+    (0 until 3).foreach { i =>
+      assert(g(i, "k_er").isEmpty && g(i, "k_sc").isEmpty && g(i, "k").isEmpty, s"row $i")
+    }
+    // independent scalar replay with the same pinned IEEE sequence
+    val fs = 2.0 / 3.0 - 2.0 / 31.0; val ss = 2.0 / 31.0
+    var kama = 0.0
+    (3 until cs.length).foreach { i =>
+      val vol = (i - 2 to i).map(j => math.abs(cs(j) - cs(j - 1))).sum
+      val chg = math.abs(cs(i) - cs(i - 3))
+      val er = if (vol > 0.0) chg / vol else 0.0
+      val t = er * fs + ss; val sc = t * t
+      kama = if (i == 3) cs(i) else kama + sc * (cs(i) - kama)
+      assert(g(i, "k_er").contains(er), s"er row $i")
+      assert(g(i, "k_sc").contains(sc), s"sc row $i")
+      assert(g(i, "k").contains(kama), s"kama row $i")
+    }
+    // rows 4..6 sit on a flat 3-bar window at row 6: vol=0 -> er pinned 0
+    assert(g(6, "k_er").contains(0.0))
+    // key isolation: a 3-row symbol never defines er, kama stays NULL
+    val short = (0 until 3).map(i => ("b", f"d$i%02d", 9.0 + i)).toDF("sym", "d", "c")
+    val s = Indicators.withKama(short, "c", "k", 3, 2, 30, "d", Seq("sym"))
+      .collect()
+    assert(s.forall(_.isNullAt(s.head.fieldIndex("k"))))
+  }
 }

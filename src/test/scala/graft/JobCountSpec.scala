@@ -65,6 +65,8 @@ class JobCountSpec extends AnyFunSuite {
       "w22_vortex" -> 6,
       "tx26_rake_keywords" -> 6, // one explode chain, 3 doc-keyed shuffles
       "w24_holt" -> 6,
+      "w27_kama" -> 6, // one keyed WindowExec: warmup lags/sums + VarEwm recursion
+      "m42_kruskal_wallis" -> 5, // grid agg + grid window + single-row agg (m33 shape)
       "m36_runs_test" -> 12,
       "sim11_label_separation" -> 12,
       // listed after dd11 so the pair/CC memo is warm (bench order): the
