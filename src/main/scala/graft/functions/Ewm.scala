@@ -156,6 +156,25 @@ object GraftFunctions {
         HoltLinear(exprs(0), d(exprs(1), "alpha"), d(exprs(2), "beta"))
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "holt_winters", exprs => {
+        require(exprs.size == 5, "holt_winters(value, alpha, beta, gamma, period)")
+        def d(e: Expression, what: String): Double = e match {
+          case Literal(v: java.lang.Double, _) => v.doubleValue()
+          case Literal(v: Decimal, _) => v.toDouble
+          case Literal(v: java.lang.Integer, _) => v.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"holt_winters: $what must be a numeric literal, got $other")
+        }
+        val m = exprs(4) match {
+          case Literal(i: java.lang.Integer, _) => i.intValue()
+          case Literal(i: java.lang.Long, _) => i.intValue()
+          case other => throw new IllegalArgumentException(
+            s"holt_winters: period must be an integer literal, got $other")
+        }
+        HoltWinters(exprs(0), d(exprs(1), "alpha"), d(exprs(2), "beta"),
+          d(exprs(3), "gamma"), m)
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "var_ewm", exprs => {
         require(exprs.size == 2, "var_ewm(value, alpha)")
         VarEwm(exprs(0), exprs(1))

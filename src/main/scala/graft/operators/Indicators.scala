@@ -663,6 +663,36 @@ object Indicators {
       .drop("__ui_rm")
   }
 
+  /** Holt–Winters additive seasonal smoothing per key — level, trend,
+    * the current seasonal state, and the one-step-ahead fitted value
+    * ŷ_t = l_{t−1} + b_{t−1} + s_{t−m} (Winters 1960; Hyndman &
+    * Athanasopoulos §8.3), through the native
+    * [[graft.functions.HoltWinters]] window state machine: the m-slot
+    * seasonal vector unrolls into scalar buffer slots at plan time, so
+    * the whole triple-coupled recursion is ONE keyed WindowExec of pure
+    * primitive expressions. Zero-seeded seasonal convention and pinned
+    * IEEE update order documented on the function; a single recursive
+    * CTE carrying (l, b, s1..s_m) replays it bit-for-bit. Appends
+    * `{outPrefix}_level/_trend/_seasonal/_fitted`.
+    */
+  def withHoltWinters(
+      df: DataFrame, valueCol: String, outPrefix: String,
+      alpha: Double, beta: Double, gamma: Double, period: Int,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1 && beta >= 0 && beta <= 1 &&
+      gamma >= 0 && gamma <= 1 && period >= 2,
+      "holt_winters: need 0 < alpha <= 1, 0 <= beta,gamma <= 1, period >= 2")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val w = baseWindow(partitionCols, orderCol)
+    df.withColumn("__hw",
+        expr(s"holt_winters($valueCol, $alpha, $beta, $gamma, $period)").over(w))
+      .withColumn(s"${outPrefix}_level", col("__hw.level"))
+      .withColumn(s"${outPrefix}_trend", col("__hw.trend"))
+      .withColumn(s"${outPrefix}_seasonal", col("__hw.seasonal"))
+      .withColumn(s"${outPrefix}_fitted", col("__hw.fitted"))
+      .drop("__hw")
+  }
+
   /** Kaufman's Adaptive Moving Average (Kaufman 1995, public literature)
     * — an EMA whose smoothing constant adapts per row to the efficiency
     * ratio of the last `period` bars:

@@ -2764,6 +2764,63 @@ object WindowQueries {
       .orderBy(col("sym"), col("d"))
   }
 
+  /** Holt–Winters additive seasonal smoothing of the per-priority daily
+    * close, weekly period m = 7 ([[Indicators.withHoltWinters]] /
+    * [[graft.functions.HoltWinters]]): the triple-coupled recursion
+    * (level, trend, 7 rotating seasonal states) as ONE keyed WindowExec
+    * — the m-slot seasonal vector unrolls into scalar buffer slots at
+    * plan time. α = 0.5, β = 0.25, γ = 0.5 — exact binary fractions, so
+    * every double is a fixed IEEE sequence the oracle's SINGLE recursive
+    * CTE carrying (l, b, s1..s7) replays bit-for-bit (w17_adx
+    * discipline; the chained nL→nB→nS bindings nest as subqueries, the
+    * w20_trix pattern). Zero-seeded seasonal convention documented on
+    * the function.
+    */
+  val w28HoltWinters: Q = Q(
+    "w28_holt_winters",
+    """WITH RECURSIVE bars AS (
+      |  SELECT o_orderpriority AS sym, CAST(o_orderdate AS DATE) AS d,
+      |    FLOOR(arg_max(o_totalprice, o_orderkey) / 100.0) AS c
+      |  FROM orders GROUP BY 1, 2),
+      |s AS (SELECT sym, d, CAST(c AS DOUBLE) AS c,
+      |        ROW_NUMBER() OVER (PARTITION BY sym ORDER BY d) AS rn
+      |      FROM bars),
+      |rec AS (
+      |  SELECT sym, rn, c AS l, CAST(0 AS DOUBLE) AS b,
+      |    CAST(0 AS DOUBLE) AS s1, CAST(0 AS DOUBLE) AS s2,
+      |    CAST(0 AS DOUBLE) AS s3, CAST(0 AS DOUBLE) AS s4,
+      |    CAST(0 AS DOUBLE) AS s5, CAST(0 AS DOUBLE) AS s6,
+      |    CAST(0 AS DOUBLE) AS s7,
+      |    CAST(NULL AS DOUBLE) AS fitted, CAST(0 AS DOUBLE) AS snew
+      |  FROM s WHERE rn = 1
+      |  UNION ALL
+      |  SELECT sym, rn, l, b, s2, s3, s4, s5, s6, s7, ns, fitted, ns
+      |  FROM (
+      |    SELECT sym, rn, l, 0.25 * (l - pl) + 0.75 * pb AS b,
+      |      0.5 * (c - (pl + pb)) + 0.5 * sold AS ns,
+      |      pl + pb + sold AS fitted,
+      |      s2, s3, s4, s5, s6, s7
+      |    FROM (
+      |      SELECT g.sym, g.rn, g.c, r.l AS pl, r.b AS pb, r.s1 AS sold,
+      |        r.s2, r.s3, r.s4, r.s5, r.s6, r.s7,
+      |        0.5 * (g.c - r.s1) + 0.5 * (r.l + r.b) AS l
+      |      FROM s g JOIN rec r ON g.sym = r.sym AND g.rn = r.rn + 1
+      |    ) t1
+      |  ) t2)
+      |SELECT x.sym, x.d, r.l AS hw_level, r.b AS hw_trend,
+      |  r.snew AS hw_seasonal, r.fitted AS hw_fitted
+      |FROM rec r JOIN s x ON x.sym = r.sym AND x.rn = r.rn
+      |ORDER BY x.sym, x.d""".stripMargin) { (spark, dir) =>
+    val bars = graft.Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("sym"), to_date(col("o_orderdate")).as("d"))
+      .agg(floor(max_by(col("o_totalprice"), col("o_orderkey")) / 100.0).as("c"))
+    Indicators.withHoltWinters(bars, "c", "hw", 0.5, 0.25, 0.5, 7,
+        orderCol = "d", partitionCols = Seq("sym"))
+      .select(col("sym"), col("d"), col("hw_level"), col("hw_trend"),
+        col("hw_seasonal"), col("hw_fitted"))
+      .orderBy(col("sym"), col("d"))
+  }
+
   /** Kruskal–Wallis H ([[graft.operators.Eval.kruskalWallis]]): do the
     * five event types carry different value distributions? The k-group
     * rank test completing the nonparametric family (m33 two-sample,
@@ -2831,5 +2888,5 @@ object WindowQueries {
     w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
     m35WelchT, m36RunsTest, w22Vortex, m37Moments, m38Autocorr, w23RollingBeta,
     w24Holt, m39GiniGain, w25Ulcer, m40Brier, m41Wilcoxon, w26Cmf, w27Kama,
-    m42KruskalWallis)
+    m42KruskalWallis, w28HoltWinters)
 }

@@ -609,6 +609,47 @@ class IndicatorsSpec extends AnyFunSuite {
     assert(out(2).getLong(out(2).fieldIndex("cmf")) == -714L)
   }
 
+  test("withHoltWinters: hand-replayed triple recursion with seasonal rotation, seed, NULL passthrough") {
+    import spark.implicits._
+    // period 3 so the rotation wraps twice in 8 rows
+    val cs = Seq(10.0, 14.0, 12.0, 16.0, 11.0, 15.0, 13.0, 17.0)
+    val df = cs.indices.map(i => (f"d$i%02d", cs(i))).toDF("d", "c")
+    val out = Indicators.withHoltWinters(df, "c", "hw", 0.5, 0.25, 0.5, 3, "d")
+      .orderBy("d").collect()
+    // independent scalar replay of the pinned IEEE sequence
+    var l = cs.head; var b = 0.0; var s = Array(0.0, 0.0, 0.0)
+    cs.indices.foreach { i =>
+      var snew = 0.0; var fitted = Option.empty[Double]
+      if (i > 0) {
+        val sold = s(0)
+        fitted = Some(l + b + sold)
+        val nl = 0.5 * (cs(i) - sold) + 0.5 * (l + b)
+        val nb = 0.25 * (nl - l) + 0.75 * b
+        snew = 0.5 * (cs(i) - (l + b)) + 0.5 * sold
+        l = nl; b = nb; s = Array(s(1), s(2), snew)
+      }
+      val r = out(i)
+      assert(r.getDouble(r.fieldIndex("hw_level")) == l, s"level row $i")
+      assert(r.getDouble(r.fieldIndex("hw_trend")) == b, s"trend row $i")
+      assert(r.getDouble(r.fieldIndex("hw_seasonal")) == snew, s"seasonal row $i")
+      val ix = r.fieldIndex("hw_fitted")
+      val got = if (r.isNullAt(ix)) None else Some(r.getDouble(ix))
+      assert(got == fitted, s"fitted row $i")
+    }
+    // NULL input mid-series: state untouched, row emits NULL, next resumes
+    val withNull = Seq(("d00", Some(10.0)), ("d01", Some(14.0)),
+      ("d02", None), ("d03", Some(12.0))).toDF("d", "c")
+    val z = Indicators.withHoltWinters(withNull, "c", "hw", 0.5, 0.25, 0.5, 3, "d")
+      .orderBy("d").collect()
+    assert(z(2).isNullAt(z(2).fieldIndex("hw_level")))
+    // replay: seed(l=10,b=0,s=[0,0,0]); d01: l=12, b=0.5, s=[0,0,2]
+    // d03 consumes (12, 0.5, sold=0): l = 0.5*12 + 0.5*12.5 = 12.25
+    assert(z(3).getDouble(z(3).fieldIndex("hw_level")) == 0.5 * 12.0 + 0.5 * 12.5)
+    assert(z(3).getDouble(z(3).fieldIndex("hw_fitted")) == 12.5)
+    // seasonal slot consumed at d03 is s(0)=0 (rotation advanced once at d01)
+    assert(z(1).getDouble(z(1).fieldIndex("hw_seasonal")) == 2.0)
+  }
+
   test("withKama: hand-replayed er/sc/recursion, warmup NULLs, flat-window er=0, per-key") {
     import spark.implicits._
     // period 3 (fast 2, slow 30) keeps the hand replay small: er defined
