@@ -1390,6 +1390,73 @@ object Dedup {
     * stream feeds two consumers, so it roots on a localCheckpoint (the
     * tx13/dd15 treatment).
     */
+  /** Bottom-k sketch containment audit — the CONSTANT-STATE scale path to
+    * exact containment (dd15 ships full gram sets to every pair; at corpus
+    * scale a doc's sketch must be O(k), mergeable, and computed once —
+    * Cohen & Kaplan, "Summarizing data using bottom-k sketches", PODC'07;
+    * Broder's minwise estimators).
+    *
+    * Per document: the distinct word-trigram 32-bit hash set `hv` (exact
+    * size n kept as a scalar), and the bottom-k sketch `bk` = the k
+    * smallest hashes. For candidate pairs (docs sharing a sketch hash,
+    * df-capped like dd15's rare-fingerprint index):
+    *
+    *   y = |bottom-k of bk_a ∪ bk_b|   (≤ k)
+    *   x = |{h in those y} ∩ bk_a ∩ bk_b|
+    *   Ĵ = x/y; |A∩B|^ = Ĵ·(n_a+n_b)/(1+Ĵ) = x·(n_a+n_b)/(y+x)
+    *   ĉ = |A∩B|^ / min(n_a, n_b)    (dd15's containment denominator)
+    *
+    * — every statistic an exact integer rational (ppm via one truncating
+    * div; x ≤ k, so nothing approaches 2⁶³), alongside the EXACT
+    * containment on the same pairs, so the output is a calibration report:
+    * est vs exact vs signed error per pair (the dd25/dd27 audit shape).
+    *
+    * Scale: the per-doc state is k+1 integers, the pair stage touches only
+    * sketches (2k values) — the full hv arrays appear ONLY in the exact
+    * audit columns, which a production run drops. One explode of k rows
+    * per doc, one df-capped hash join, one pair join; nothing all-pairs.
+    */
+  def bottomKContainment(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, dfCap: Int = 50): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val kdf = cachedForReuse(df
+      .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("ts"))
+      .filter(size(col("ts")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(1, size(ts) - 2), i -> concat_ws(' ', slice(ts, i, 3))))"))
+      .withColumn("hv", array_sort(array_distinct(shingleHashesExpr("sh"))))
+      .select(col("doc_id"), col("hv"),
+        slice(col("hv"), 1, k).as("bk"),
+        size(col("hv")).cast(LongType).as("n")))
+    val e = kdf.select(col("doc_id"), explode(col("bk")).as("h"))
+    val dfc = e.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("h")
+    val shared = e.join(dfc, "h")
+    val cand = shared.select(col("doc_id").as("doc_a"), col("h"))
+      .join(shared.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(kdf.select(col("doc_id").as("doc_a"), col("hv").as("hv_a"),
+        col("bk").as("bk_a"), col("n").as("n_a")), "doc_a")
+      .join(kdf.select(col("doc_id").as("doc_b"), col("hv").as("hv_b"),
+        col("bk").as("bk_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("__top", slice(array_sort(array_union(col("bk_a"), col("bk_b"))), 1, k))
+      .withColumn("y", size(col("__top")).cast(LongType))
+      .withColumn("x",
+        size(array_intersect(array_intersect(col("__top"), col("bk_a")), col("bk_b")))
+          .cast(LongType))
+      .withColumn("shared_exact",
+        size(array_intersect(col("hv_a"), col("hv_b"))).cast(LongType))
+      .withColumn("c_est_ppm",
+        expr("(1000000 * x * (n_a + n_b)) div ((y + x) * least(n_a, n_b))"))
+      .withColumn("c_exact_ppm", expr("(1000000 * shared_exact) div least(n_a, n_b)"))
+      .withColumn("err_ppm", col("c_est_ppm") - col("c_exact_ppm"))
+      .select("doc_a", "doc_b", "n_a", "n_b", "x", "y",
+        "shared_exact", "c_est_ppm", "c_exact_ppm", "err_ppm")
+  }
+
   def duplicatedNgramSpans(
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

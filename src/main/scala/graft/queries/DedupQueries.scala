@@ -1085,6 +1085,51 @@ object DedupQueries {
     * division in both engines, so literal-threshold compares are
     * deterministic.
     */
+  /** Bottom-k sketch containment audit
+    * ([[graft.operators.Dedup.bottomKContainment]]): per candidate pair,
+    * the O(k)-state containment ESTIMATE (bottom-32 sketches, Cohen–Kaplan
+    * estimator, exact integer ppm) against the EXACT containment on the
+    * same pairs — the calibration report (dd25/dd27 shape) for the sketch
+    * that replaces dd15's full-gram-set shipping at corpus scale. The
+    * oracle replays sketch construction, the df-capped candidate index,
+    * and both statistics with DuckDB list arithmetic on the identical
+    * md5-prefix hashes.
+    */
+  val dd29BottomkContainment: Q = Q(
+    "dd29_bottomk_containment",
+    s"""WITH $ShinglesSql,
+       |h AS (SELECT doc_id,
+       |    list_sort(list_distinct(list_transform(sh, s ->
+       |      CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)))) AS hv
+       |  FROM sh),
+       |k AS (SELECT doc_id, hv, hv[1:32] AS bk,
+       |    CAST(len(hv) AS BIGINT) AS n FROM h),
+       |e AS (SELECT doc_id, unnest(bk) AS hh FROM k),
+       |dfc AS (SELECT hh FROM e GROUP BY hh HAVING COUNT(*) <= 50),
+       |se AS (SELECT e.doc_id, e.hh FROM e JOIN dfc ON dfc.hh = e.hh),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM se a JOIN se b ON a.hh = b.hh AND a.doc_id < b.doc_id),
+       |p AS (SELECT c.doc_a, c.doc_b, ka.n AS n_a, kb.n AS n_b,
+       |        list_sort(list_distinct(ka.bk || kb.bk))[1:32] AS top,
+       |        ka.bk AS bk_a, kb.bk AS bk_b, ka.hv AS hv_a, kb.hv AS hv_b
+       |      FROM cand c JOIN k ka ON ka.doc_id = c.doc_a
+       |                  JOIN k kb ON kb.doc_id = c.doc_b),
+       |q AS (SELECT doc_a, doc_b, n_a, n_b,
+       |        CAST(len(top) AS BIGINT) AS y,
+       |        CAST(len(list_intersect(list_intersect(top, bk_a), bk_b)) AS BIGINT) AS x,
+       |        CAST(len(list_intersect(hv_a, hv_b)) AS BIGINT) AS shared_exact
+       |      FROM p)
+       |SELECT doc_a, doc_b, n_a, n_b, x, y, shared_exact,
+       |  (1000000 * x * (n_a + n_b)) // ((y + x) * LEAST(n_a, n_b)) AS c_est_ppm,
+       |  (1000000 * shared_exact) // LEAST(n_a, n_b) AS c_exact_ppm,
+       |  (1000000 * x * (n_a + n_b)) // ((y + x) * LEAST(n_a, n_b))
+       |    - (1000000 * shared_exact) // LEAST(n_a, n_b) AS err_ppm
+       |FROM q ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    Dedup.bottomKContainment(Tables.documents(spark, dir), "doc_id", "text",
+        k = 32, dfCap = 50)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val dd28ThresholdSweep: Q = Q(
     "dd28_threshold_sweep",
     s"""WITH $ShinglesSql,
@@ -1324,6 +1369,7 @@ object DedupQueries {
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
+    dd29BottomkContainment,
     dd15Containment, dd16SourceLeakage, dd17PrefixFilter, dd18SentenceDedup,
     dd19BloomDecontaminate, dd20FuzzyEr, dd21DupSpans, dd22LshCapacity,
     dd23SoftWeights, dd24UrlDedup, dd25LshCalibration, dd26SemDedup,

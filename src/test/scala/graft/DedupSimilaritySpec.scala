@@ -533,4 +533,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.head == graft.queries.Shared.minhashPairs(spark, dir).count())
     graft.queries.Shared.clear()
   }
+
+  test("bottomKContainment: small-set exactness, subset pair, disjoint doc excluded") {
+    // gram sets far below k = 32: y = |A∪B| and x = |A∩B| exactly, so the
+    // estimator collapses to the exact intersection — err_ppm must be 0.
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"), // 4 distinct trigrams
+      (2L, "w1 w2 w3 w4"),       // 2 trigrams, a strict subset of doc 1's
+      (3L, "x1 x2 x3"))          // 1 trigram, disjoint from both
+      .toDF("doc_id", "text")
+    val out = Dedup.bottomKContainment(docs, "doc_id", "text").collect()
+    // only (1,2) share a sketch hash; doc 3 pairs with nobody
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("doc_a")) == 1L && r.getLong(r.fieldIndex("doc_b")) == 2L)
+    assert(r.getLong(r.fieldIndex("n_a")) == 4L && r.getLong(r.fieldIndex("n_b")) == 2L)
+    assert(r.getLong(r.fieldIndex("shared_exact")) == 2L)
+    // union below k: y = 4, x = 2; est = 1e6·2·6/((4+2)·2) = exactly 1e6
+    assert(r.getLong(r.fieldIndex("y")) == 4L && r.getLong(r.fieldIndex("x")) == 2L)
+    assert(r.getLong(r.fieldIndex("c_est_ppm")) == 1000000L)
+    assert(r.getLong(r.fieldIndex("c_exact_ppm")) == 1000000L)
+    assert(r.getLong(r.fieldIndex("err_ppm")) == 0L)
+    // identical docs: x = y = n, estimate pinned at exactly 1e6 as well
+    val twins = Seq((7L, "a b c d e"), (8L, "a b c d e")).toDF("doc_id", "text")
+    val t = Dedup.bottomKContainment(twins, "doc_id", "text").collect()
+    assert(t.length == 1)
+    assert(t.head.getLong(t.head.fieldIndex("err_ppm")) == 0L)
+    assert(t.head.getLong(t.head.fieldIndex("c_est_ppm")) == 1000000L)
+  }
 }
