@@ -250,6 +250,49 @@ object ScaleSmoke {
       require(row.getLong(1) == 14000L, s"expected 14 warmup NULLs per key, got ${row.getLong(1)}")
       require(row.getLong(2) >= 0L && row.getLong(3) >= 0L)
     }
+    t(s"holt_winters n=$n keys=1000") {
+      // per-key CONSTANT series (a different constant per key, so key
+      // mixing is detectable): zero-seeded HW stays at the fixed point —
+      // level = c, trend = 0, seasonal = 0, fitted = c from row 2. Closed
+      // form at any n; one keyed WindowExec, no driver state.
+      val bars = spark.range(0, n).toDF("i").select(
+        (col("i") % 1000).as("sym"), expr("i div 1000").as("t"),
+        (lit(100.0) + (col("i") % 1000 % 50).cast("double")).as("c"))
+      val out = graft.operators.Indicators.withHoltWinters(
+        bars, "c", "hw", 0.5, 0.25, 0.5, 7, "t", Seq("sym"))
+      val row = out.agg(count(lit(1)),
+        sum(when(col("hw_level") =!= col("c"), 1L).otherwise(0L)),
+        sum(when(col("hw_trend") =!= 0.0 || col("hw_seasonal") =!= 0.0, 1L)
+          .otherwise(0L)),
+        sum(when(col("hw_fitted").isNull, 1L).otherwise(0L)),
+        sum(when(col("hw_fitted").isNotNull && col("hw_fitted") =!= col("c"), 1L)
+          .otherwise(0L))).head()
+      require(row.getLong(0) == n)
+      require(row.getLong(1) == 0L, s"${row.getLong(1)} rows off the level fixed point")
+      require(row.getLong(2) == 0L, "trend/seasonal must stay exactly 0")
+      require(row.getLong(3) == 1000L, s"expected 1 NULL fitted per key, got ${row.getLong(3)}")
+      require(row.getLong(4) == 0L, "fitted must equal the constant from row 2")
+    }
+    t(s"kama n=$n keys=1000") {
+      // per-key constant series: the 10-bar volatility sum is 0, er pins
+      // to 0, and the recursion holds kama = c exactly from row 11 (warmup
+      // NULLs are exactly 10 per key). Closed form at any n.
+      val bars = spark.range(0, n).toDF("i").select(
+        (col("i") % 1000).as("sym"), expr("i div 1000").as("t"),
+        (lit(100.0) + (col("i") % 1000 % 50).cast("double")).as("c"))
+      val out = graft.operators.Indicators.withKama(
+        bars, "c", "kama", 10, 2, 30, "t", Seq("sym"))
+      val row = out.agg(count(lit(1)),
+        sum(when(col("kama").isNull, 1L).otherwise(0L)),
+        sum(when(col("kama").isNotNull && col("kama") =!= col("c"), 1L)
+          .otherwise(0L)),
+        sum(when(col("kama_er").isNotNull && col("kama_er") =!= 0.0, 1L)
+          .otherwise(0L))).head()
+      require(row.getLong(0) == n)
+      require(row.getLong(1) == 10000L, s"expected 10 warmup NULLs per key, got ${row.getLong(1)}")
+      require(row.getLong(2) == 0L, "kama must hold the constant exactly")
+      require(row.getLong(3) == 0L, "er must pin to 0 on a flat window")
+    }
     spark.stop()
   }
 }
