@@ -1020,6 +1020,94 @@ object Eval {
       .select("n1", "n2", "u1_x2", "tie_sum", "z_bp")
   }
 
+  /** Jonckheere–Terpstra trend test (Jonckheere 1954; Terpstra 1952;
+    * variance with ties per Lehmann, "Nonparametrics" — public
+    * literature): is there a MONOTONE trend in location across the
+    * ordered groups g₁ < g₂ < … < g_k? More powerful than
+    * [[kruskalWallis]] when the alternative is ordered. Same bounded
+    * value-grid contract (`valueCol` pre-quantized Longs); `groups` is
+    * the literal ordered list.
+    *
+    * J is the sum over group pairs i<j of the Mann–Whitney count
+    * #{a<b} + ½#{ties}; doubled (J2) it is exact:
+    *
+    *   J2 = Σ_v Σ_{i<j} c_j(v)·(2·P_i(v⁻) + c_i(v)),  E2 = Σ_{i<j} nᵢ·nⱼ
+    *
+    * computed from per-grid-value pivot counts and ONE running-sum
+    * window over the grid (P_i = prefix count below v). The tie-corrected
+    * null variance is assembled from five exact decimal aggregates
+    * (A = N(N−1)(2N+5) − Σnᵢ(nᵢ−1)(2nᵢ+5) − Σt(t−1)(2t+5), B, C, D, E per
+    * Lehmann) and only then passes through the pinned IEEE sequence
+    *   var = A/72 + B/(36·C) + D/(8·E),  z = (J2−E2)/(2·√var)
+    * → half-up basis points. Degenerate variance (all values tied) pins
+    * z NULL. Decimal(38,0) holds every product up to ~10¹² rows.
+    *
+    * Plan: one grid aggregate, one bounded-grid window, one single-row
+    * aggregate — the m33/m42 shape; nothing data-sized is global.
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String, valueCol: String,
+      groups: Seq[String]): DataFrame = {
+    require(groups.nonEmpty && groups.distinct == groups,
+      "jonckheereTerpstra: groups must be a distinct, ordered, non-empty literal list")
+    val D = DecimalType(38, 0)
+    import org.apache.spark.sql.expressions.Window
+    val grid = df.select(col(groupCol).as("g"), col(valueCol).cast(LongType).as("v"))
+      .filter(col("g").isin(groups: _*))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"),
+        groups.zipWithIndex.map { case (grp, i) =>
+          sum(when(col("g") === grp, 1L).otherwise(0L)).as(s"c$i")
+        }: _*)
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val pre = grid.select(Seq(col("v"), col("c")) ++
+      groups.indices.map(i => col(s"c$i")) ++
+      groups.indices.map(i =>
+        coalesce(sum(col(s"c$i")).over(w), lit(0L)).as(s"p$i")): _*)
+    // per-row J2 contribution: all ordered pairs i < j, written order
+    val contrib = (for {
+      j <- groups.indices; i <- 0 until j
+    } yield col(s"c$j").cast(D) * (col(s"p$i") * 2 + col(s"c$i")))
+      .reduce(_ + _)
+    val aggCols =
+      Seq(sum(col("c")).cast(D).as("n"),
+        sum(contrib).cast(D).as("j2"),
+        sum(col("c").cast(D) * (col("c") - 1) * (col("c") * 2 + 5)).cast(D).as("tv_a"),
+        sum(col("c").cast(D) * (col("c") - 1) * (col("c") - 2)).cast(D).as("tv_b"),
+        sum(col("c").cast(D) * (col("c") - 1)).cast(D).as("tv_d")) ++
+      groups.indices.map(i => sum(col(s"c$i")).cast(D).as(s"n$i"))
+    // E2 = Σ_{i<j} nᵢ·nⱼ — the doubled null mean, an exact product sum
+    val e2sum = (for { j <- groups.indices; i <- 0 until j }
+      yield col(s"n$i") * col(s"n$j")).reduce(_ + _)
+    val gA = groups.indices.map(i =>
+      col(s"n$i") * (col(s"n$i") - 1) * (col(s"n$i") * 2 + 5)).reduce(_ + _)
+    val gB = groups.indices.map(i =>
+      col(s"n$i") * (col(s"n$i") - 1) * (col(s"n$i") - 2)).reduce(_ + _)
+    val gD = groups.indices.map(i =>
+      col(s"n$i") * (col(s"n$i") - 1)).reduce(_ + _)
+    pre.agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("e2", e2sum.cast(D))
+      .withColumn("va", (col("n") * (col("n") - 1) * (col("n") * 2 + 5)
+        - gA - col("tv_a")).cast(D))
+      .withColumn("vb", (gB * col("tv_b")).cast(D))
+      .withColumn("vc", (col("n") * (col("n") - 1) * (col("n") - 2)).cast(D))
+      .withColumn("vd", (gD * col("tv_d")).cast(D))
+      .withColumn("ve", (col("n") * (col("n") - 1)).cast(D))
+      .withColumn("__var",
+        col("va").cast(DoubleType) / 72.0
+          + col("vb").cast(DoubleType) / (lit(36.0) * col("vc").cast(DoubleType))
+          + col("vd").cast(DoubleType) / (lit(8.0) * col("ve").cast(DoubleType)))
+      .select(Seq(
+        col("n").cast(LongType).as("n"),
+        col("j2").cast(LongType).as("j2"),
+        col("e2").cast(LongType).as("e2")) ++
+        groups.zipWithIndex.map { case (grp, i) =>
+          col(s"n$i").cast(LongType).as(s"n_$grp") } ++
+        Seq(when(col("__var") > 0.0,
+          floor((col("j2") - col("e2")).cast(DoubleType) * 10000.0
+            / (lit(2.0) * sqrt(col("__var"))) + 0.5).cast(LongType))
+          .as("z_bp")): _*)
+  }
+
   /** Kruskal–Wallis H (Kruskal & Wallis 1952, public literature) — the
     * k-group generalization of [[mannWhitneyU]]: do the groups' value
     * distributions share a location? Same bounded-value-grid contract:

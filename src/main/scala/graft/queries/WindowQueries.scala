@@ -2877,6 +2877,80 @@ object WindowQueries {
     }
   }
 
+  /** Jonckheere–Terpstra ordered-trend test
+    * ([[graft.operators.Eval.jonckheereTerpstra]]): does order value trend
+    * monotonically across the FIVE ORDERED priority classes (1-URGENT →
+    * 5-LOW)? The ordered-alternative companion to m42's unordered H:
+    * priorities collapse to their leading digit (a clean ordered key),
+    * values to 100-unit buckets (the bounded grid contract). J2/E2 and
+    * all five Lehmann tie-corrected variance pieces are exact decimals
+    * from one grid aggregate + one bounded-grid prefix window; only
+    * var/z pass through the pinned three-term IEEE sequence.
+    */
+  val m43Jonckheere: Q = {
+    val groups = Seq("1", "2", "3", "4", "5")
+    val k = groups.length
+    val gridCols = groups.zipWithIndex.map { case (g, i) =>
+      s"CAST(SUM(CASE WHEN g = '$g' THEN 1 ELSE 0 END) AS BIGINT) AS c$i"
+    }.mkString(",\n      |    ")
+    val preCols = (0 until k).map(i =>
+      s"COALESCE(SUM(c$i) OVER wp, 0) AS p$i").mkString(",\n      |    ")
+    val pairs = for { j <- 0 until k; i <- 0 until j } yield (i, j)
+    val j2Terms = pairs.map { case (i, j) => s"c$j * (2 * p$i + c$i)" }
+      .mkString("\n      |      + ")
+    val nSums = (0 until k).map(i => s"SUM(c$i) AS n$i").mkString(", ")
+    val e2 = pairs.map { case (i, j) => s"n$i * n$j" }.mkString(" + ")
+    val gA = (0 until k).map(i => s"n$i * (n$i - 1) * (n$i * 2 + 5)").mkString(" + ")
+    val gB = (0 until k).map(i => s"n$i * (n$i - 1) * (n$i - 2)").mkString(" + ")
+    val gD = (0 until k).map(i => s"n$i * (n$i - 1)").mkString(" + ")
+    val outNs = groups.zipWithIndex.map { case (g, i) =>
+      s"CAST(n$i AS BIGINT) AS n_$g" }.mkString(", ")
+    Q(
+      "m43_jonckheere",
+      s"""WITH src AS (SELECT substr(o_orderpriority, 1, 1) AS g,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS v
+      |  FROM orders),
+      |grid AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c,
+      |    $gridCols
+      |  FROM src GROUP BY v),
+      |pre AS (SELECT *,
+      |    $preCols
+      |  FROM grid WINDOW wp AS (ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      |a AS (SELECT SUM(c) AS n,
+      |    SUM($j2Terms) AS j2,
+      |    SUM(c * (c - 1) * (c * 2 + 5)) AS tv_a,
+      |    SUM(c * (c - 1) * (c - 2)) AS tv_b,
+      |    SUM(c * (c - 1)) AS tv_d,
+      |    $nSums
+      |  FROM pre),
+      |b AS (SELECT *,
+      |    $e2 AS e2,
+      |    n * (n - 1) * (n * 2 + 5) - ($gA) - tv_a AS va,
+      |    ($gB) * tv_b AS vb,
+      |    n * (n - 1) * (n - 2) AS vc,
+      |    ($gD) * tv_d AS vd,
+      |    n * (n - 1) AS ve
+      |  FROM a),
+      |f AS (SELECT *,
+      |    CAST(va AS DOUBLE) / 72.0
+      |      + CAST(vb AS DOUBLE) / (36.0 * CAST(vc AS DOUBLE))
+      |      + CAST(vd AS DOUBLE) / (8.0 * CAST(ve AS DOUBLE)) AS vr
+      |  FROM b)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(j2 AS BIGINT) AS j2,
+      |  CAST(e2 AS BIGINT) AS e2, $outNs,
+      |  CAST(CASE WHEN vr > 0.0 THEN
+      |    FLOOR(CAST(j2 - e2 AS DOUBLE) * 10000.0 / (2.0 * SQRT(vr)) + 0.5)
+      |    END AS BIGINT) AS z_bp
+      |FROM f""".stripMargin) { (spark, dir) =>
+      val e = graft.Tables.orders(spark, dir).select(
+        substring(col("o_orderpriority"), 1, 1).as("g"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint) div 10000")
+          .as("v"))
+      graft.operators.Eval.jonckheereTerpstra(e, "g", "v", groups)
+    }
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
@@ -2888,5 +2962,5 @@ object WindowQueries {
     w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
     m35WelchT, m36RunsTest, w22Vortex, m37Moments, m38Autocorr, w23RollingBeta,
     w24Holt, m39GiniGain, w25Ulcer, m40Brier, m41Wilcoxon, w26Cmf, w27Kama,
-    m42KruskalWallis, w28HoltWinters)
+    m42KruskalWallis, w28HoltWinters, m43Jonckheere)
 }

@@ -794,4 +794,25 @@ class EvalMixSpec extends AnyFunSuite {
     assert(z.getLong(z.fieldIndex("h_bp")) == 0L)
     assert(z.isNullAt(z.fieldIndex("hc_bp")))
   }
+
+  test("jonckheereTerpstra: hand-computed J2/E2/tie-corrected variance, all-tied NULL") {
+    // a: [1,2], b: [2,3], c: [4] -> pairwise doubled U: (a,b)=7, (a,c)=4, (b,c)=4
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L), ("c", 4L)).toDF("g", "v")
+    val r = Eval.jonckheereTerpstra(df, "g", "v", Seq("a", "b", "c")).head()
+    assert(r.getLong(r.fieldIndex("n")) == 5L)
+    assert(r.getLong(r.fieldIndex("j2")) == 15L)
+    assert(r.getLong(r.fieldIndex("e2")) == 8L) // n_a·n_b + n_a·n_c + n_b·n_c
+    assert(r.getLong(r.fieldIndex("n_a")) == 2L &&
+      r.getLong(r.fieldIndex("n_b")) == 2L && r.getLong(r.fieldIndex("n_c")) == 1L)
+    // Lehmann pieces: A = 5·4·15 − (18+18+0) − 18 = 246, B = 0·0, C = 60,
+    // D = (2+2+0)·2 = 8, E = 20; replay the pinned IEEE sequence
+    val vr = 246.0 / 72.0 + 0.0 / (36.0 * 60.0) + 8.0 / (8.0 * 20.0)
+    val want = math.floor(7.0 * 10000.0 / (2.0 * math.sqrt(vr)) + 0.5).toLong
+    assert(r.getLong(r.fieldIndex("z_bp")) == want && want == 18798L)
+    // all values tied: variance pieces cancel to 0, z pinned NULL
+    val tied = Seq(("a", 9L), ("b", 9L), ("c", 9L)).toDF("g", "v")
+    val t = Eval.jonckheereTerpstra(tied, "g", "v", Seq("a", "b", "c")).head()
+    assert(t.isNullAt(t.fieldIndex("z_bp")))
+    assert(t.getLong(t.fieldIndex("j2")) == t.getLong(t.fieldIndex("e2"))) // all ties: J2 = E2
+  }
 }

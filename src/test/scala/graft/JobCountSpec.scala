@@ -69,6 +69,7 @@ class JobCountSpec extends AnyFunSuite {
       "m42_kruskal_wallis" -> 5, // grid agg + grid window + single-row agg (m33 shape)
       "w28_holt_winters" -> 6, // one keyed WindowExec, unrolled seasonal slots
       "dd29_bottomk_containment" -> 10, // sketch kernel + df-cap index + pair join
+      "m43_jonckheere" -> 5, // grid agg + grid window + single-row agg (m33 shape)
       "m36_runs_test" -> 12,
       "sim11_label_separation" -> 12,
       // listed after dd11 so the pair/CC memo is warm (bench order): the
