@@ -425,4 +425,50 @@ object Multimodal {
         col("n_tiles"), col("scaled_w"), col("scaled_h"), col("waste"),
         (col("n_tiles") * patchesPerTile).as("n_patches"))
   }
+
+  /** Modality quality gate — the multimodal loader's pre-filter (the mx4
+    * quality-gate shape applied to decoded media metadata, the screen
+    * every image/audio/video curation pass runs before tokenization):
+    * per example, ONE verdict from integer threshold rules with pinned
+    * precedence, then per-(modality, verdict) counts and exact ppm
+    * shares.
+    *
+    *   image: `too_small` if min(w,h) < minDim, else `extreme_aspect`
+    *          if w > maxAspect·h or h > maxAspect·w, else `keep`
+    *   audio: `too_short` if samples < minSamples, else `keep`
+    *   video: `too_short` if frames < minFrames, else `keep`
+    *
+    * Input needs `modality` plus the per-modality meta columns (`w`/`h`
+    * for images, `nsamples` for audio, `nframes` for video — from
+    * [[decodeMeta]] in production, synthetic-meta conventions in tests;
+    * irrelevant columns may be NULL). All comparisons and the
+    * share_ppm = 10⁶·n div modality-total are exact integers.
+    *
+    * Scale: one codegen'd projection + one (modality, verdict) aggregate
+    * + one ppm window over the ≤ |modalities|·|verdicts| grouped frame —
+    * nothing data-sized is global.
+    */
+  def modalityQualityGate(
+      df: DataFrame, minDim: Long = 128, maxAspect: Long = 3,
+      minSamples: Long = 16000, minFrames: Long = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val verdict =
+      when(col("modality") === "image",
+        when(least(col("w"), col("h")) < minDim, "too_small")
+          .when(col("w") > col("h") * maxAspect ||
+                col("h") > col("w") * maxAspect, "extreme_aspect")
+          .otherwise("keep"))
+      .when(col("modality") === "audio",
+        when(col("nsamples") < minSamples, "too_short").otherwise("keep"))
+      .otherwise(
+        when(col("nframes") < minFrames, "too_short").otherwise("keep"))
+    val byModality = Window.partitionBy(col("modality"))
+    df.withColumn("verdict", verdict)
+      .groupBy(col("modality"), col("verdict"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__tot", sum(col("n")).over(byModality))
+      .withColumn("share_ppm", expr("(1000000 * n) div __tot"))
+      .select(col("modality"), col("verdict"), col("n").cast(LongType).as("n"),
+        col("share_ppm"))
+  }
 }

@@ -181,6 +181,53 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Modality quality gate ([[Multimodal.modalityQualityGate]]): the
+    * loader pre-filter over decoded media metadata — per (modality,
+    * verdict) counts and exact ppm shares under pinned-precedence integer
+    * threshold rules (image min-dim → aspect; audio/video min length).
+    * Meta derives from the payload bytes by the mm4 synthetic-meta
+    * conventions, so the oracle replays rules, counts, and shares
+    * exactly.
+    */
+  val mm6QualityGate: Q = Q(
+    "mm6_quality_gate",
+    """WITH m AS (SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      |  FROM documents),
+      |meta AS (SELECT media_id, modality,
+      |    112 + nb % 400 AS w, 112 + (nb * 31) % 400 AS h,
+      |    1 + (nb * 997) % 100000 AS ns, 1 + nb % 300 AS nf
+      |  FROM m),
+      |v AS (SELECT modality,
+      |    CASE modality
+      |      WHEN 'image' THEN
+      |        CASE WHEN LEAST(w, h) < 128 THEN 'too_small'
+      |             WHEN w > h * 3 OR h > w * 3 THEN 'extreme_aspect'
+      |             ELSE 'keep' END
+      |      WHEN 'audio' THEN
+      |        CASE WHEN ns < 16000 THEN 'too_short' ELSE 'keep' END
+      |      ELSE CASE WHEN nf < 10 THEN 'too_short' ELSE 'keep' END
+      |    END AS verdict
+      |  FROM meta),
+      |c AS (SELECT modality, verdict, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM v GROUP BY modality, verdict)
+      |SELECT modality, verdict, n,
+      |  (1000000 * n) // SUM(n) OVER (PARTITION BY modality) AS share_ppm
+      |FROM c ORDER BY modality, verdict""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.LongType
+    val meta = Multimodal.fromDocuments(Tables.documents(spark, dir), "doc_id", "text")
+      .withColumn("nb", length(col("payload")).cast(LongType))
+      .select(col("media_id"), col("modality"),
+        (lit(112L) + col("nb") % 400).as("w"),
+        (lit(112L) + (col("nb") * 31) % 400).as("h"),
+        (lit(1L) + (col("nb") * 997) % 100000).as("nsamples"),
+        (lit(1L) + col("nb") % 300).as("nframes"))
+    Multimodal.modalityQualityGate(meta)
+      .orderBy(col("modality"), col("verdict"))
+  }
+
   val all: Seq[Q] = Seq(mm1ByteFeatures, mm2FrameSampling, mm3AudioWindows,
-    mm4SequenceBudget, mm5TilingPlan)
+    mm4SequenceBudget, mm5TilingPlan, mm6QualityGate)
 }

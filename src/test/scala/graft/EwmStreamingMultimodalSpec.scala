@@ -540,4 +540,26 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     // patches: n_tiles * (336/14)^2
     assert(out.forall(r => r.getLong(9) == r.getLong(5) * 576L))
   }
+
+  test("multimodal: modalityQualityGate verdict precedence and exact ppm shares") {
+    import spark.implicits._
+    val meta = Seq(
+      // image 100×500: too_small WINS over extreme_aspect (precedence pin)
+      (1L, "image", Some(100L), Some(500L), None: Option[Long], None: Option[Long]),
+      (2L, "image", Some(130L), Some(500L), None, None), // 500 > 3·130 -> aspect
+      (3L, "image", Some(200L), Some(300L), None, None), // keep
+      (4L, "audio", None, None, Some(15999L), None),     // too_short
+      (5L, "audio", None, None, Some(16000L), None),     // keep (boundary)
+      (6L, "video", None, None, None, Some(9L)),         // too_short
+      (7L, "video", None, None, None, Some(10L)))        // keep (boundary)
+      .toDF("media_id", "modality", "w", "h", "nsamples", "nframes")
+    val out = graft.multimodal.Multimodal.modalityQualityGate(meta)
+      .orderBy("modality", "verdict").collect()
+    val got = out.map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      ("audio", "keep", 1L, 500000L), ("audio", "too_short", 1L, 500000L),
+      ("image", "extreme_aspect", 1L, 333333L), ("image", "keep", 1L, 333333L),
+      ("image", "too_small", 1L, 333333L),
+      ("video", "keep", 1L, 500000L), ("video", "too_short", 1L, 500000L)))
+  }
 }

@@ -70,6 +70,7 @@ class JobCountSpec extends AnyFunSuite {
       "w28_holt_winters" -> 6, // one keyed WindowExec, unrolled seasonal slots
       "dd29_bottomk_containment" -> 10, // sketch kernel + df-cap index + pair join
       "m43_jonckheere" -> 5, // grid agg + grid window + single-row agg (m33 shape)
+      "mm6_quality_gate" -> 5, // projection + (modality,verdict) agg + ppm window
       "m36_runs_test" -> 12,
       "sim11_label_separation" -> 12,
       // listed after dd11 so the pair/CC memo is warm (bench order): the
