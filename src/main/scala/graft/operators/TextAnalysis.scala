@@ -452,4 +452,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(c2 * 1000000 div c1) div count(1)").as("fluency_ppm"))
   }
+
+  /** Standardized type-token ratio (STTR — Kubát & Milička's segment-wise
+    * form of the classic lexical-diversity signal; public literature):
+    * raw TTR = types/tokens shrinks with document length, so the
+    * comparable statistic averages TTR over fixed-size NON-OVERLAPPING
+    * token segments. Pinned conventions: 0-based token position,
+    * segment = pos div `segTokens`, only FULL segments count (a trailing
+    * partial segment is dropped — the rolling full-window-only
+    * discipline), per-segment ttr_milli = 1000·types div segTokens and
+    * the per-doc mean both truncating integer divisions. Documents with
+    * no full segment are absent from the output.
+    *
+    * Plan: one posexplode, one (doc, segment) aggregate, one doc
+    * aggregate — all keyed by doc_id, nothing global; segments never
+    * span documents, so the shape is embarrassingly parallel at any
+    * corpus size.
+    */
+  def sttr(df: DataFrame, idCol: String, textCol: String,
+      segTokens: Int = 25): DataFrame = {
+    require(segTokens >= 1, "sttr: segTokens must be >= 1")
+    val seg = df
+      .select(col(idCol).as("doc_id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "w")))
+      .withColumn("seg", expr(s"pos div $segTokens"))
+      .groupBy(col("doc_id"), col("seg"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("n_types"))
+      .filter(col("n_tok") === segTokens)
+      .withColumn("ttr_milli", expr(s"(1000 * n_types) div $segTokens"))
+    seg.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        expr("sum(ttr_milli) div count(1)").as("sttr_milli"))
+  }
 }

@@ -906,11 +906,37 @@ object TextQueries {
       graft.Tables.documents(spark, dir), "source", "text")
   }
 
+  /** Standardized type-token ratio ([[graft.operators.TextAnalysis.sttr]]):
+    * lexical diversity averaged over full 25-token segments — the
+    * length-comparable form of TTR used as a data-quality screen (raw TTR
+    * shrinks with length, so per-doc comparisons need fixed segments).
+    * 0-based positions, trailing partials dropped, per-segment and
+    * per-doc means both truncating integer milli — all exact.
+    */
+  val tx30Sttr: Q = Q(
+    "tx30_sttr",
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS ts
+      |           FROM documents),
+      |e AS (SELECT doc_id, CAST((i - 1) // 25 AS BIGINT) AS seg, ts[i] AS w
+      |      FROM t, unnest(generate_series(1, len(ts))) AS u(i)),
+      |s AS (SELECT doc_id, seg, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |        CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+      |      FROM e GROUP BY doc_id, seg),
+      |f AS (SELECT doc_id, (1000 * n_types) // 25 AS ttr_milli
+      |      FROM s WHERE n_tok = 25)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+      |  CAST(SUM(ttr_milli) // COUNT(*) AS BIGINT) AS sttr_milli
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.operators.TextAnalysis.sttr(
+        graft.Tables.documents(spark, dir), "doc_id", "text", segTokens = 25)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
     tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift, tx19OovRate,
     tx20FeatureHashing, tx21GroupedHeavyHitters, tx22LmFluency, tx23BpeTrain,
     tx24LangidConfusion, tx25BpeBudget, tx26Rake, tx27Readability,
-    tx28VocabGrowth, tx29SourceTv)
+    tx28VocabGrowth, tx29SourceTv, tx30Sttr)
 }

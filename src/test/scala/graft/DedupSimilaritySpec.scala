@@ -534,6 +534,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     graft.queries.Shared.clear()
   }
 
+  test("sttr: segment means, trailing partial dropped, short doc absent") {
+    val seg0 = (1 to 25).map(i => s"a$i").mkString(" ") // 25 distinct -> ttr 1000
+    val seg1 = Seq.fill(25)("b").mkString(" ")          // 1 type -> ttr 40
+    val tail = Seq.fill(10)("c").mkString(" ")          // partial -> dropped
+    val docs = Seq(
+      (1L, s"$seg0 $seg1 $tail"),
+      (2L, "x y z")) // no full segment -> absent
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.sttr(docs, "doc_id", "text", segTokens = 25).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(r.fieldIndex("doc_id")) == 1L)
+    assert(r.getLong(r.fieldIndex("n_segments")) == 2L)
+    assert(r.getLong(r.fieldIndex("sttr_milli")) == (1000L + 40L) / 2L) // 520
+  }
+
   test("bottomKContainment: small-set exactness, subset pair, disjoint doc excluded") {
     // gram sets far below k = 32: y = |A∪B| and x = |A∩B| exactly, so the
     // estimator collapses to the exact intersection — err_ppm must be 0.

@@ -71,6 +71,7 @@ class JobCountSpec extends AnyFunSuite {
       "dd29_bottomk_containment" -> 10, // sketch kernel + df-cap index + pair join
       "m43_jonckheere" -> 5, // grid agg + grid window + single-row agg (m33 shape)
       "mm6_quality_gate" -> 5, // projection + (modality,verdict) agg + ppm window
+      "tx30_sttr" -> 5, // posexplode + (doc,seg) agg + doc agg, all doc-keyed
       "m36_runs_test" -> 12,
       "sim11_label_separation" -> 12,
       // listed after dd11 so the pair/CC memo is warm (bench order): the
