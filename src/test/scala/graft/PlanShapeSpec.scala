@@ -265,4 +265,33 @@ class PlanShapeSpec extends AnyFunSuite {
     val windows = p.linesIterator.count(_.contains("- Window ["))
     assert(windows == 1, s"one per-image pick window expected, got $windows")
   }
+
+  test("w27 kama: warmup lags/sums and the VarEwm recursion share one symbol exchange") {
+    val p = plan(WindowQueries.w27Kama.run(spark, sf))
+    assert(!p.contains("Join"), "kama is windows-only")
+    assert(p.contains("var_ewm("))
+    // lag-1/lag-10, the 10-row volatility sum, and the running recursion
+    // differ only in frame — CollapseWindow must keep them on ONE
+    // (sym, d) exchange (the bars aggregate is the other)
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges <= 2, s"kama should reuse the symbol partitioning:\n$p")
+  }
+
+  test("w28 holt_winters: the m+2-state recursion is ONE Window node, no joins") {
+    val p = plan(WindowQueries.w28HoltWinters.run(spark, sf))
+    assert(!p.contains("Join"), "holt_winters is windows-only")
+    assert(p.contains("holt_winters("))
+    val windows = p.linesIterator.count(_.contains("- Window ["))
+    assert(windows == 1, s"the unrolled seasonal state must stay in one Window:\n$p")
+  }
+
+  test("m42/m43 rank grids: one bounded-grid window, no data-sized global sort above it") {
+    val p42 = plan(WindowQueries.m42KruskalWallis.run(spark, sf))
+    val p43 = plan(WindowQueries.m43Jonckheere.run(spark, sf))
+    Seq("m42" -> p42, "m43" -> p43).foreach { case (n, p) =>
+      assert(!p.contains("Join"), s"$n must not join")
+      val windows = p.linesIterator.count(_.contains("- Window ["))
+      assert(windows == 1, s"$n: one grid prefix window expected, got $windows:\n$p")
+    }
+  }
 }
