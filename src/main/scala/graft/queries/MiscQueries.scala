@@ -1581,6 +1581,97 @@ object MiscQueries {
       .orderBy("doc_id")
   }
 
+  /** Multimodal shard packing — the FOURTH composed curation DAG and the
+    * interleaved-loader planning step: mm4's per-example effective
+    * sequence lengths (caption tokens + modality token cost under the
+    * synthetic-meta conventions) feed the mx8 best-fit-decreasing packer
+    * at a 4096-token budget (over-budget examples are excluded — they go
+    * to mm5's tiling/truncation path instead), and the report is what a
+    * shard builder reads: per bin, example count, token fill (exact ppm)
+    * and the modality mix. The oracle composes the mm4 length arithmetic
+    * into mx8's recursive caps-list BFD replay, then aggregates per bin
+    * — every number exact.
+    *
+    * Scale note (the mx8 contract): numPartitions = 1 replays the exact
+    * single-node BFD; production shards by hash first and runs the same
+    * packer per shard (documented on [[graft.operators.Packing]]).
+    */
+  val mx21MultimodalPacking: Q = Q(
+    "mx21_multimodal_packing",
+    """WITH RECURSIVE m AS (SELECT doc_id AS media_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS txt
+      |  FROM documents),
+      |lens AS (SELECT media_id, modality,
+      |    txt + CASE modality
+      |      WHEN 'image' THEN
+      |        ((112 + nb % 400 + 13) // 14) * ((112 + (nb * 31) % 400 + 13) // 14)
+      |      WHEN 'audio' THEN
+      |        CASE WHEN 1 + (nb * 997) % 100000 >= 16000
+      |             THEN ((1 + (nb * 997) % 100000 - 16000) // 8000 + 1) * 25
+      |             ELSE 0 END
+      |      ELSE ((1 + nb % 300 + 4) // 5) * 64
+      |    END AS len
+      |  FROM m),
+      |docs AS (SELECT media_id, modality, len,
+      |    row_number() OVER (ORDER BY len DESC, media_id) AS rn
+      |  FROM lens WHERE len <= 4096),
+      |pack AS (
+      |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS media_id,
+      |         CAST(NULL AS VARCHAR) AS modality,
+      |         CAST(NULL AS BIGINT) AS len, CAST(NULL AS BIGINT) AS bin_id,
+      |         CAST([] AS BIGINT[]) AS caps
+      |  UNION ALL
+      |  SELECT rn, media_id, modality, len,
+      |         CASE WHEN fit IS NULL THEN CAST(len(caps) AS BIGINT)
+      |              ELSE CAST(list_position(caps, fit) - 1 AS BIGINT) END AS bin_id,
+      |         CASE WHEN fit IS NULL THEN list_append(caps, 4096 - len)
+      |              ELSE caps[1:list_position(caps, fit)-1] || [fit - len]
+      |                   || caps[list_position(caps, fit)+1:]
+      |         END AS caps
+      |  FROM (
+      |    SELECT d.rn, d.media_id, d.modality, d.len, p.caps,
+      |           list_min(list_filter(p.caps, c -> c >= d.len)) AS fit
+      |    FROM pack p JOIN docs d ON d.rn = p.rn + 1))
+      |SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_examples,
+      |  CAST(SUM(len) AS BIGINT) AS tokens_total,
+      |  (1000000 * SUM(len)) // 4096 AS fill_ppm,
+      |  CAST(SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_image,
+      |  CAST(SUM(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+      |  CAST(SUM(CASE WHEN modality = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS n_video
+      |FROM pack WHERE rn > 0
+      |GROUP BY bin_id ORDER BY bin_id""".stripMargin) { (spark, dir) =>
+    import graft.multimodal.Multimodal
+    import org.apache.spark.sql.types.LongType
+    val m = Multimodal.fromDocuments(Tables.documents(spark, dir), "doc_id", "text")
+      .withColumn("nb", length(col("payload")).cast(LongType))
+      .withColumn("txt", graft.operators.TextAnalysis
+        .tokenCount(decode(col("payload"), "UTF-8")).cast(LongType))
+    val modalTokens =
+      when(col("modality") === "image",
+        expr("((112 + nb % 400 + 13) div 14) * ((112 + (nb * 31) % 400 + 13) div 14)"))
+      .when(col("modality") === "audio",
+        when(lit(1L) + (col("nb") * 997) % 100000 >= 16000,
+          (expr("(1 + (nb * 997) % 100000 - 16000) div 8000") + 1) * 25)
+          .otherwise(0L))
+      .otherwise(expr("((1 + nb % 300 + 4) div 5) * 64"))
+    val lens = m.withColumn("len", col("txt") + modalTokens)
+      .filter(col("len") <= 4096)
+      .select("media_id", "modality", "len")
+    graft.operators.Packing
+      .packSequences(lens, "media_id", "len", budget = 4096L, numPartitions = 1)
+      .groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n_examples"),
+        sum(col("len")).as("tokens_total"),
+        expr("(1000000 * sum(len)) div 4096").as("fill_ppm"),
+        sum(when(col("modality") === "image", 1L).otherwise(0L)).as("n_image"),
+        sum(when(col("modality") === "audio", 1L).otherwise(0L)).as("n_audio"),
+        sum(when(col("modality") === "video", 1L).otherwise(0L)).as("n_video"))
+      .orderBy(col("bin_id"))
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
     qProfile, qProfileApprox, qProfileLi, qProfileLiApprox,
@@ -1592,5 +1683,5 @@ object MiscQueries {
     qTableChecksum, qDqReport,
     qPercentileBands, qCdcCompact, qIntervalUnion, qZorderLayout, qSkewReport,
     qWeightedMedian, mx15EpochShuffle, qHilbertLayout, mx16Curriculum, qJoinEstimate,
-    mx17CurationPipeline)
+    mx17CurationPipeline, mx21MultimodalPacking)
 }

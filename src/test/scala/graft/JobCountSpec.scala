@@ -72,6 +72,7 @@ class JobCountSpec extends AnyFunSuite {
       "m43_jonckheere" -> 5, // grid agg + grid window + single-row agg (m33 shape)
       "mm6_quality_gate" -> 5, // projection + (modality,verdict) agg + ppm window
       "tx30_sttr" -> 5, // posexplode + (doc,seg) agg + doc agg, all doc-keyed
+      "mx21_multimodal_packing" -> 8, // length projection + range-part pack + bin agg
       "m36_runs_test" -> 12,
       "sim11_label_separation" -> 12,
       // listed after dd11 so the pair/CC memo is warm (bench order): the

@@ -45,4 +45,30 @@ class PackingSpec extends AnyFunSuite {
       .map(_.getAs[Long]("t"))
     assert(sums.count(_ > 1024L) == 2) // exactly the singletons exceed
   }
+
+  test("mx21 multimodal packing: budget respected, modality split sums, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.MiscQueries.mx21MultimodalPacking
+    val rows = q.run(TestSpark.spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(r.fieldIndex("n_examples"))
+      val tot = r.getLong(r.fieldIndex("tokens_total"))
+      val fill = r.getLong(r.fieldIndex("fill_ppm"))
+      // no bin over the 4096 budget (over-budget examples were excluded)
+      assert(tot <= 4096L && fill <= 1000000L)
+      assert(fill == 1000000L * tot / 4096L)
+      // the modality split partitions the bin
+      assert(r.getLong(r.fieldIndex("n_image")) + r.getLong(r.fieldIndex("n_audio"))
+        + r.getLong(r.fieldIndex("n_video")) == n)
+    }
+    // every under-budget example lands in exactly one bin
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val expected = graft.Tables.documents(spark2, dir).count() // all docs fit: max
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_examples"))).sum <= expected)
+    // deterministic: a second run reproduces the report bit-for-bit
+    val again = q.run(TestSpark.spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
