@@ -1020,6 +1020,70 @@ object Eval {
       .select("n1", "n2", "u1_x2", "tie_sum", "z_bp")
   }
 
+  /** Friedman test (Friedman 1937; tie handling per Conover,
+    * "Practical Nonparametric Statistics" — public literature): do the k
+    * treatments rank consistently WITHIN blocks? The repeated-measures
+    * member completing the rank-test family (m33 two-sample, m41 paired,
+    * m42 k-group, m43 ordered). Input: ONE row per (block, treatment)
+    * with an exact integer value; only COMPLETE blocks (all k
+    * treatments present) enter, k = `treatments.length`.
+    *
+    * Within each block the k values take doubled midranks
+    * r2 = 2·rank_min + (ties − 1) (integers under ties), and Conover's
+    * tie-corrected statistic collapses to a PURE INTEGER RATIONAL in
+    * doubled units:
+    *
+    *   χ²_F = (k−1)·Σ_j (R2_j − n(k+1))² / (Σ_{ij} r2² − n·k·(k+1)²)
+    *
+    * reported in truncating milli-units — NO floating point anywhere.
+    * All-tied-everywhere input zeroes the denominator → NULL.
+    *
+    * Plan: one (block, treatment) pre-aggregated input, per-block rank
+    * windows (partitions of exactly k rows — nothing global), one
+    * k-row treatment aggregate, one scalar row. Embarrassingly parallel
+    * in blocks at any scale.
+    */
+  def friedman(df: DataFrame, blockCol: String, treatmentCol: String,
+      valueCol: String, treatments: Seq[String]): DataFrame = {
+    require(treatments.nonEmpty && treatments.distinct == treatments,
+      "friedman: treatments must be a distinct, non-empty literal list")
+    val k = treatments.length
+    val D = DecimalType(38, 0)
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(blockCol).as("b"), col(treatmentCol).as("t"),
+        col(valueCol).cast(LongType).as("v"))
+      .filter(col("t").isin(treatments: _*))
+    // complete blocks only: exactly one row per (block, treatment), all k present
+    val complete = base.groupBy(col("b"))
+      .agg(count(lit(1)).as("__nrows"), countDistinct(col("t")).as("__nt"))
+      .filter(col("__nrows") === k && col("__nt") === k)
+      .select(col("b"))
+    val wb = Window.partitionBy(col("b")).orderBy(col("v"))
+    val wv = Window.partitionBy(col("b"), col("v"))
+    val ranked = base.join(complete, "b")
+      .withColumn("r2", rank().over(wb) * 2 + count(lit(1)).over(wv) - 1)
+    val aggCols =
+      Seq(expr(s"cast(count(1) div $k as decimal(38,0))").as("n"),
+        sum(col("r2").cast(D) * col("r2")).cast(D).as("a2")) ++
+      treatments.zipWithIndex.map { case (t, i) =>
+        sum(when(col("t") === t, col("r2")).otherwise(0L)).cast(D).as(s"r2_$i") }
+    val num = treatments.indices.map { i =>
+      val d = col(s"r2_$i") - col("n") * (k + 1)
+      d * d
+    }.reduce(_ + _)
+    ranked.agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("__num", (num * (k - 1)).cast(D))
+      .withColumn("__den",
+        (col("a2") - col("n") * k * (k + 1) * (k + 1)).cast(D))
+      .select(Seq(
+        col("n").cast(LongType).as("n_blocks")) ++
+        treatments.zipWithIndex.map { case (t, i) =>
+          col(s"r2_$i").cast(LongType).as(s"r2_$t") } ++
+        Seq(when(col("__den") > 0,
+          expr("(__num * 1000) div __den").cast(LongType))
+          .as("chi2_milli")): _*)
+  }
+
   /** Jonckheere–Terpstra trend test (Jonckheere 1954; Terpstra 1952;
     * variance with ties per Lehmann, "Nonparametrics" — public
     * literature): is there a MONOTONE trend in location across the

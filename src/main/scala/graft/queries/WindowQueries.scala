@@ -2951,6 +2951,53 @@ object WindowQueries {
     }
   }
 
+  /** Friedman test ([[graft.operators.Eval.friedman]]): do the five event
+    * types rank consistently WITHIN users (blocks = users with all five
+    * types, value = the user's exact total cents per type)? The
+    * repeated-measures member completing the rank family — and the only
+    * one that is a PURE INTEGER RATIONAL end to end: doubled within-block
+    * midranks, Conover's tie-corrected χ² as (k−1)·Σ(R2_j−n(k+1))² over
+    * Σr2²−nk(k+1)², one truncating milli division, no doubles anywhere.
+    */
+  val m44Friedman: Q = {
+    val ts = Seq("click", "error", "purchase", "signup", "view")
+    val k = ts.length
+    val rCols = ts.zipWithIndex.map { case (t, i) =>
+      s"SUM(CASE WHEN t = '$t' THEN r2 ELSE 0 END) AS r2_$i" }.mkString(",\n      |    ")
+    val numSql = ts.indices.map(i =>
+      s"(r2_$i - n * ${k + 1}) * (r2_$i - n * ${k + 1})").mkString("\n      |      + ")
+    val outR = ts.zipWithIndex.map { case (t, i) =>
+      s"CAST(r2_$i AS BIGINT) AS r2_$t" }.mkString(", ")
+    Q(
+      "m44_friedman",
+      s"""WITH src AS (SELECT user_id AS b, event_type AS t,
+      |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |comp AS (SELECT b FROM src GROUP BY b
+      |         HAVING COUNT(*) = $k AND COUNT(DISTINCT t) = $k),
+      |r AS (SELECT s.b, s.t, s.v,
+      |    2 * RANK() OVER (PARTITION BY s.b ORDER BY s.v)
+      |      + COUNT(*) OVER (PARTITION BY s.b, s.v) - 1 AS r2
+      |  FROM src s JOIN comp USING (b)),
+      |a AS (SELECT COUNT(*) // $k AS n, SUM(r2 * r2) AS a2,
+      |    $rCols
+      |  FROM r),
+      |f AS (SELECT *,
+      |    ${k - 1} * ($numSql) AS num,
+      |    a2 - n * ${k * (k + 1) * (k + 1)} AS den
+      |  FROM a)
+      |SELECT CAST(n AS BIGINT) AS n_blocks, $outR,
+      |  CAST(CASE WHEN den > 0 THEN (num * 1000) // den END AS BIGINT) AS chi2_milli
+      |FROM f""".stripMargin) { (spark, dir) =>
+      val src = graft.Tables.events(spark, dir)
+        .select(col("user_id").as("b"), col("event_type").as("t"),
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)").as("cents"))
+        .groupBy(col("b"), col("t"))
+        .agg(sum(col("cents")).as("v"))
+      graft.operators.Eval.friedman(src, "b", "t", "v", ts)
+    }
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
@@ -2962,5 +3009,5 @@ object WindowQueries {
     w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
     m35WelchT, m36RunsTest, w22Vortex, m37Moments, m38Autocorr, w23RollingBeta,
     w24Holt, m39GiniGain, w25Ulcer, m40Brier, m41Wilcoxon, w26Cmf, w27Kama,
-    m42KruskalWallis, w28HoltWinters, m43Jonckheere)
+    m42KruskalWallis, w28HoltWinters, m43Jonckheere, m44Friedman)
 }

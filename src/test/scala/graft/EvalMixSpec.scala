@@ -795,6 +795,30 @@ class EvalMixSpec extends AnyFunSuite {
     assert(z.isNullAt(z.fieldIndex("hc_bp")))
   }
 
+  test("friedman: hand-computed doubled midranks, incomplete block dropped, all-tied NULL") {
+    // blocks 1-3 complete; block 4 lacks treatment c and must be dropped
+    val df = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L),
+      (2L, "a", 2L), (2L, "b", 1L), (2L, "c", 3L),
+      (3L, "a", 1L), (3L, "b", 1L), (3L, "c", 2L), // a/b tied -> r2 = 3 each
+      (4L, "a", 9L), (4L, "b", 9L))
+      .toDF("b", "t", "v")
+    val r = Eval.friedman(df, "b", "t", "v", Seq("a", "b", "c")).head()
+    assert(r.getLong(r.fieldIndex("n_blocks")) == 3L)
+    assert(r.getLong(r.fieldIndex("r2_a")) == 9L)  // 2 + 4 + 3
+    assert(r.getLong(r.fieldIndex("r2_b")) == 9L)  // 4 + 2 + 3
+    assert(r.getLong(r.fieldIndex("r2_c")) == 18L) // 6 + 6 + 6
+    // num = 2·((9−12)² + (9−12)² + (18−12)²) = 108; den = 166 − 144 = 22
+    assert(r.getLong(r.fieldIndex("chi2_milli")) == 108000L / 22L) // 4909
+    // every block internally tied: denominator 0, chi2 pinned NULL
+    val tied = Seq(
+      (1L, "a", 5L), (1L, "b", 5L), (1L, "c", 5L),
+      (2L, "a", 7L), (2L, "b", 7L), (2L, "c", 7L)).toDF("b", "t", "v")
+    val z = Eval.friedman(tied, "b", "t", "v", Seq("a", "b", "c")).head()
+    assert(z.isNullAt(z.fieldIndex("chi2_milli")))
+    assert(z.getLong(z.fieldIndex("n_blocks")) == 2L)
+  }
+
   test("jonckheereTerpstra: hand-computed J2/E2/tie-corrected variance, all-tied NULL") {
     // a: [1,2], b: [2,3], c: [4] -> pairwise doubled U: (a,b)=7, (a,c)=4, (b,c)=4
     val df = Seq(("a", 1L), ("a", 2L), ("b", 2L), ("b", 3L), ("c", 4L)).toDF("g", "v")

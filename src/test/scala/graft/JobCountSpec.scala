@@ -73,6 +73,7 @@ class JobCountSpec extends AnyFunSuite {
       "mm6_quality_gate" -> 5, // projection + (modality,verdict) agg + ppm window
       "tx30_sttr" -> 5, // posexplode + (doc,seg) agg + doc agg, all doc-keyed
       "mx21_multimodal_packing" -> 8, // length projection + range-part pack + bin agg
+      "m44_friedman" -> 6, // (block,treatment) agg + block windows + scalar row
       "m36_runs_test" -> 12,
       "sim11_label_separation" -> 12,
       // listed after dd11 so the pair/CC memo is warm (bench order): the
