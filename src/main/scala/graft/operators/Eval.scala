@@ -869,6 +869,44 @@ object Eval {
     aggd.select(col("g") +: col("n") +: ps.map(p => col(s"p${p}_centi")): _*)
   }
 
+  /** Per-group Tukey boxplot (five-number summary + 1.5·IQR fences +
+    * outlier counts — Tukey, "Exploratory Data Analysis", 1977; public
+    * literature): the profiling operator behind every box-and-whisker
+    * readout. Quartiles come from [[percentileCont]] (PERCENTILE_CONT
+    * parity in exact integer centi-units); the fences stay exact by
+    * carrying DOUBLED centi-units (1.5·IQR = 3·IQR/2 needs no division
+    * when everything else is ×2 — the m33 u1_x2 convention):
+    *
+    *   lo_x2 = 2·q1 − 3·IQR,  hi_x2 = 2·q3 + 3·IQR,
+    *   outlier ⇔ 200·v < lo_x2  (resp. >)
+    *
+    * Plan: the quartile pass (grid aggregate + bounded-grid windows),
+    * then the |groups|-row fence table re-enters as a BROADCAST join
+    * against the raw values for the outlier counts — one more scan, no
+    * second shuffle of the data. Everything integer-exact.
+    */
+  def boxplot(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val vals = df.select(col(groupCol).as("g"), col(valueCol).cast(LongType).as("v"))
+    val fences = percentileCont(vals, "g", "v", Seq(25, 50, 75))
+      .withColumn("iqr_centi", col("p75_centi") - col("p25_centi"))
+      .withColumn("lo_fence_centi_x2", col("p25_centi") * 2 - col("iqr_centi") * 3)
+      .withColumn("hi_fence_centi_x2", col("p75_centi") * 2 + col("iqr_centi") * 3)
+    vals.join(broadcast(fences), "g")
+      .groupBy(col("g"))
+      .agg(
+        max(col("n")).as("n"),
+        max(col("p25_centi")).as("p25_centi"),
+        max(col("p50_centi")).as("p50_centi"),
+        max(col("p75_centi")).as("p75_centi"),
+        max(col("iqr_centi")).as("iqr_centi"),
+        max(col("lo_fence_centi_x2")).as("lo_fence_centi_x2"),
+        max(col("hi_fence_centi_x2")).as("hi_fence_centi_x2"),
+        sum(when(col("v") * 200 < col("lo_fence_centi_x2"), 1L).otherwise(0L))
+          .as("n_low_outliers"),
+        sum(when(col("v") * 200 > col("hi_fence_centi_x2"), 1L).otherwise(0L))
+          .as("n_high_outliers"))
+  }
+
   /** Cramér's V — the [0, 1]-normalized effect size of a two-way
     * contingency association, `V = √(χ² / (n·min(r−1, c−1)))`: the "how
     * strong is this dependence?" companion to [[chi2Contingency]]'s "is

@@ -1703,6 +1703,54 @@ object AnalyticsQueries {
       .orderBy(col("node"))
   }
 
+  /** Per-group Tukey boxplot ([[graft.operators.Eval.boxplot]]): order
+    * values by priority — exact quartiles (PERCENTILE_CONT parity,
+    * centi-cents), 1.5·IQR fences carried in DOUBLED centi-units so no
+    * division ever happens, and low/high outlier counts from a broadcast
+    * re-join of the 5-row fence table against the raw values.
+    */
+  val qBoxplot: Q = {
+    def term(p: Int): String = {
+      val lo = s"$p * (n - 1) // 100"
+      val vlo = s"MIN(CASE WHEN cum >= $lo + 1 THEN v END)"
+      val vhi = s"MIN(CASE WHEN cum >= $lo + 2 THEN v END)"
+      val fn = s"MAX($p * (n - 1) - ($lo) * 100)"
+      s"CAST($vlo * 100 + (COALESCE($vhi, $vlo) - $vlo) * $fn AS BIGINT) AS p${p}_centi"
+    }
+    Q(
+      "q_boxplot",
+      s"""WITH src AS (SELECT o_orderpriority AS g,
+         |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+         |  FROM orders),
+         |grid AS (SELECT g, v, COUNT(*) AS c FROM src GROUP BY 1, 2),
+         |w AS (SELECT g, v, c,
+         |        SUM(c) OVER (PARTITION BY g ORDER BY v) AS cum,
+         |        SUM(c) OVER (PARTITION BY g) AS n FROM grid),
+         |q AS (SELECT g, CAST(MAX(n) AS BIGINT) AS n,
+         |    ${Seq(25, 50, 75).map(term).mkString(",\n         |    ")}
+         |  FROM w GROUP BY g),
+         |f AS (SELECT *, p75_centi - p25_centi AS iqr_centi,
+         |    2 * p25_centi - 3 * (p75_centi - p25_centi) AS lo_fence_centi_x2,
+         |    2 * p75_centi + 3 * (p75_centi - p25_centi) AS hi_fence_centi_x2
+         |  FROM q)
+         |SELECT f.g AS o_orderpriority, f.n, f.p25_centi, f.p50_centi, f.p75_centi,
+         |  f.iqr_centi, f.lo_fence_centi_x2, f.hi_fence_centi_x2,
+         |  CAST(SUM(CASE WHEN s.v * 200 < f.lo_fence_centi_x2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_low_outliers,
+         |  CAST(SUM(CASE WHEN s.v * 200 > f.hi_fence_centi_x2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_high_outliers
+         |FROM f JOIN src s ON s.g = f.g
+         |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+         |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val src = Tables.orders(spark, dir).select(
+        col("o_orderpriority").as("g"),
+        expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)").as("cents"))
+      graft.operators.Eval.boxplot(src, "g", "cents")
+        .withColumnRenamed("g", "o_orderpriority")
+        .orderBy(col("o_orderpriority"))
+    }
+  }
+
   val qPercentileCont: Q = {
     val ps = Seq(25, 50, 75, 90, 99)
     def term(p: Int): String = {
@@ -1905,5 +1953,5 @@ object AnalyticsQueries {
     qSourceDiversity, qReachability, qRollingDistinct,
     qEquiDepthHist, qAbcByNation, qWindowFunnel, qGridClosestPair,
     qPercentileReport, qBenford, qRefIntegrity, qPathAnalysis, qPercentileCont, qResampleInterp, qDowSeasonality, qPriorityTransitions,
-    qKcore)
+    qKcore, qBoxplot)
 }

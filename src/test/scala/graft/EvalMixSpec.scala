@@ -795,6 +795,27 @@ class EvalMixSpec extends AnyFunSuite {
     assert(z.isNullAt(z.fieldIndex("hc_bp")))
   }
 
+  test("boxplot: exact quartiles, doubled fences, outlier counts, interpolated group") {
+    val df = (Seq(10L, 20L, 30L, 40L, 1000L).map(("a", _)) ++
+      Seq(10L, 20L).map(("b", _))).toDF("g", "v")
+    val out = Eval.boxplot(df, "g", "v").orderBy("g").collect()
+    val a = out(0)
+    assert(a.getLong(a.fieldIndex("p25_centi")) == 2000L)
+    assert(a.getLong(a.fieldIndex("p50_centi")) == 3000L)
+    assert(a.getLong(a.fieldIndex("p75_centi")) == 4000L)
+    assert(a.getLong(a.fieldIndex("iqr_centi")) == 2000L)
+    assert(a.getLong(a.fieldIndex("lo_fence_centi_x2")) == -2000L)
+    assert(a.getLong(a.fieldIndex("hi_fence_centi_x2")) == 14000L)
+    assert(a.getLong(a.fieldIndex("n_low_outliers")) == 0L)
+    assert(a.getLong(a.fieldIndex("n_high_outliers")) == 1L) // the 1000
+    // 2-value group exercises the interpolation path: p25 = 12.50
+    val b = out(1)
+    assert(b.getLong(b.fieldIndex("p25_centi")) == 1250L)
+    assert(b.getLong(b.fieldIndex("p75_centi")) == 1750L)
+    assert(b.getLong(b.fieldIndex("n_low_outliers")) == 0L)
+    assert(b.getLong(b.fieldIndex("n_high_outliers")) == 0L)
+  }
+
   test("friedman: hand-computed doubled midranks, incomplete block dropped, all-tied NULL") {
     // blocks 1-3 complete; block 4 lacks treatment c and must be dropped
     val df = Seq(

@@ -74,6 +74,7 @@ class JobCountSpec extends AnyFunSuite {
       "tx30_sttr" -> 5, // posexplode + (doc,seg) agg + doc agg, all doc-keyed
       "mx21_multimodal_packing" -> 8, // length projection + range-part pack + bin agg
       "m44_friedman" -> 6, // (block,treatment) agg + block windows + scalar row
+      "q_boxplot" -> 7, // quartile grid pass + broadcast fence re-join
       "m36_runs_test" -> 12,
       "sim11_label_separation" -> 12,
       // listed after dd11 so the pair/CC memo is warm (bench order): the
