@@ -932,6 +932,81 @@ object Similarity {
       .orderBy(col("n_probe"))
   }
 
+  /** Hyperplane-LSH recall/cost audit across bucket widths — the sim10
+    * report for the LSH path: what does each additional hyperplane bit
+    * buy (smaller candidate buckets) and cost (lost true neighbors)?
+    * For each width w in `widths` (a PREFIX of the full `bits`-plane
+    * signature — plane j contributes bit j, so width w uses planes
+    * 0..w−1):
+    *
+    *   n_hits(w)       = |exact top-k pairs whose buckets agree on the
+    *                      low w bits|               (recall numerator)
+    *   n_candidates(w) = Σ_q |corpus vectors sharing q's w-bit prefix|
+    *                      − n_queries (self)         (the cost axis)
+    *
+    * recall_bp = 10⁴·hits div truth — exact integers throughout; the
+    * only doubles are the cosine rankings both engines already replay
+    * bit-for-bit (sim1/sim2 precedent).
+    *
+    * Scale: the ground truth is the brute-force pass you run on a
+    * SAMPLED query set (the sim10 contract); the candidate-volume axis
+    * needs NO pairwise work at all — one explode of |widths| prefix rows
+    * per corpus vector, one (width, prefix) count, one tiny join against
+    * the queries' prefixes.
+    */
+  def lshRecallReport(
+      df: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, widths: Seq[Int],
+      bits: Int, dims: Int): DataFrame = {
+    require(widths.nonEmpty && widths.distinct == widths &&
+      widths == widths.sorted && widths.forall(w => w >= 1 && w <= bits),
+      "lshRecallReport: widths must be sorted, distinct, within 1..bits")
+    val sig = lshBuckets(df, idCol, vecCol, bits, dims)
+      .select(col("vec_id"), col("bucket"))
+    val qSig = sig.filter(queryPred).select(
+      col("vec_id").as("q_id"), col("bucket").as("q_bucket"))
+    // recall numerator: exact top-k pairs whose prefixes agree
+    val truth = bruteForceTopK(df, df.filter(queryPred), idCol, vecCol, k)
+      .select(col("q_id"), col("neighbor"))
+    val flagged = truth
+      .join(broadcast(qSig), Seq("q_id"))
+      .join(sig.select(col("vec_id").as("neighbor"), col("bucket").as("n_bucket")),
+        Seq("neighbor"))
+    val hitCols = widths.map { w =>
+      val m = (1L << w) - 1
+      sum(when((col("q_bucket").bitwiseAND(m)) === (col("n_bucket").bitwiseAND(m)),
+        1L).otherwise(0L)).as(s"h$w")
+    }
+    val hitsRow = flagged.agg(
+      countDistinct(col("q_id")).as("n_queries"),
+      count(lit(1)).as("n_truth") +: hitCols: _*)
+    // cost axis: per-width prefix populations, no pairwise work
+    val prefixes = sig.select(col("vec_id"),
+        explode(array(widths.map(w =>
+          struct(lit(w).as("w"),
+            col("bucket").bitwiseAND((1L << w) - 1).as("pfx"))): _*)).as("e"))
+      .select(col("e.w").as("w"), col("e.pfx").as("pfx"))
+      .groupBy(col("w"), col("pfx")).agg(count(lit(1)).as("c"))
+    val qPrefixes = qSig.select(col("q_id"),
+        explode(array(widths.map(w =>
+          struct(lit(w).as("w"),
+            col("q_bucket").bitwiseAND((1L << w) - 1).as("pfx"))): _*)).as("e"))
+      .select(col("q_id"), col("e.w").as("w"), col("e.pfx").as("pfx"))
+    val cand = qPrefixes.join(prefixes, Seq("w", "pfx"))
+      .groupBy(col("w"))
+      .agg((sum(col("c")) - countDistinct(col("q_id"))).as("n_candidates"))
+    val stacked = widths.map(w => s"${w}L, h$w")
+      .mkString("stack(" + widths.length + ", ", ", ", ")")
+    hitsRow
+      .select(col("n_queries"), col("n_truth"),
+        expr(s"$stacked as (width_bits, n_hits)"))
+      .join(cand.withColumnRenamed("w", "width_bits"), Seq("width_bits"))
+      .select(col("width_bits"), col("n_queries"), col("n_truth"),
+        col("n_hits"), expr("n_hits * 10000 div n_truth").as("recall_bp"),
+        col("n_candidates"))
+      .orderBy(col("width_bits"))
+  }
+
   /** Recall@k of an approximate ANN result against the exact baseline: per
     * query, |approx ∩ exact| / |exact| over the neighbor sets (both frames in
     * the `(q_id, neighbor, ...)` shape the top-k operators emit). THE tuning

@@ -555,9 +555,74 @@ object SimilarityQueries {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** Hyperplane-LSH recall/cost audit across prefix widths
+    * ([[Similarity.lshRecallReport]]): the sim10 tradeoff report for the
+    * LSH path — per signature width (2/4/6 of sim2's planes), how many
+    * exact top-10 neighbors still share the query's bucket prefix
+    * (recall, exact bp) and how big the candidate buckets are (cost —
+    * computed from prefix POPULATIONS, no pairwise work). The oracle
+    * replays the planes, the exact ranking, the `&`-mask agreements and
+    * the prefix counts.
+    */
+  val sim12LshRecall: Q = {
+    val coef = "(((1103515245 * (j*64 + (i - 1)) + 12345) % 2147483648) / 2147483648.0 - 0.5)"
+    val widths = Seq(2, 4, 6)
+    def mask(w: Int): Long = (1L << w) - 1
+    val hitCols = widths.map(w =>
+      s"SUM(CASE WHEN (qb & ${mask(w)}) = (nb & ${mask(w)}) THEN 1 ELSE 0 END) AS h$w")
+      .mkString(",\n         |    ")
+    val pfxUnion = widths.map(w =>
+      s"SELECT CAST($w AS BIGINT) AS w, bucket & ${mask(w)} AS pfx FROM sg")
+      .mkString("\n         |  UNION ALL ")
+    val qpUnion = widths.map(w =>
+      s"SELECT q_id, CAST($w AS BIGINT) AS w, qb & ${mask(w)} AS pfx FROM q")
+      .mkString("\n         |  UNION ALL ")
+    val hStack = widths.map(w =>
+      s"SELECT CAST($w AS BIGINT) AS width_bits, n_queries, n_truth, h$w AS n_hits FROM hits")
+      .mkString("\n         |  UNION ALL ")
+    Q(
+      "sim12_lsh_recall",
+      s"""WITH $NormedSql,
+         |sg AS (SELECT vec_id, v, nrm,
+         |  CAST(list_sum(list_transform(range(0, 6), j ->
+         |    CASE WHEN list_sum(list_transform(range(1, 65), i -> v[i] * $coef)) > 0.0
+         |         THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS bucket
+         |  FROM n),
+         |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qn, bucket AS qb
+         |      FROM sg WHERE vec_id < 10),
+         |tr AS (SELECT q_id, neighbor, qb, nb FROM (
+         |    SELECT q.q_id, c.vec_id AS neighbor, q.qb, c.bucket AS nb,
+         |      ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+         |        list_sum(list_transform(range(1, len(q.qv)+1), i -> q.qv[i]*c.v[i]))
+         |          / (q.qn*c.nrm) DESC, c.vec_id) AS rnk
+         |    FROM q JOIN sg c ON c.vec_id <> q.q_id)
+         |  WHERE rnk <= 10),
+         |hits AS (SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries,
+         |    CAST(COUNT(*) AS BIGINT) AS n_truth,
+         |    $hitCols
+         |  FROM tr),
+         |pf AS (SELECT w, pfx, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |  $pfxUnion) GROUP BY w, pfx),
+         |qp AS ($qpUnion),
+         |cand AS (SELECT qp.w,
+         |    CAST(SUM(pf.c) - COUNT(DISTINCT qp.q_id) AS BIGINT) AS n_candidates
+         |  FROM qp JOIN pf ON pf.w = qp.w AND pf.pfx = qp.pfx GROUP BY qp.w),
+         |h AS ($hStack)
+         |SELECT h.width_bits, h.n_queries, h.n_truth,
+         |  CAST(h.n_hits AS BIGINT) AS n_hits,
+         |  (h.n_hits * 10000) // h.n_truth AS recall_bp, cand.n_candidates
+         |FROM h JOIN cand ON cand.w = h.width_bits
+         |ORDER BY h.width_bits""".stripMargin) { (spark, dir) =>
+      Similarity.lshRecallReport(Tables.embeddings(spark, dir), "vec_id", "embedding",
+          queryPred = col("vec_id") < 10, k = 10, widths = widths,
+          bits = 6, dims = 64)
+        .orderBy(col("width_bits"))
+    }
+  }
+
   val all: Seq[Q] = Seq(sim1BruteTopK, dd5EmbeddingNearDup, dd7EmbeddingLshNearDup,
     sim8MmrSelect,
     sim2LshTopK, sim3IvfTopK, sim4QuantizedTopK, sim5PqTopK, sim6KnnLabel,
     sim7LabelCentroids, sim9PqTrainedTopK, m19RetrievalMrr, m23RetrievalNdcg,
-    sim10IvfRecall, sim11LabelSeparation)
+    sim10IvfRecall, sim11LabelSeparation, sim12LshRecall)
 }

@@ -75,6 +75,7 @@ class JobCountSpec extends AnyFunSuite {
       "mx21_multimodal_packing" -> 8, // length projection + range-part pack + bin agg
       "m44_friedman" -> 6, // (block,treatment) agg + block windows + scalar row
       "q_boxplot" -> 7, // quartile grid pass + broadcast fence re-join
+      "sim12_lsh_recall" -> 14, // truth rank + prefix populations + tiny joins
       "m36_runs_test" -> 12,
       "sim11_label_separation" -> 12,
       // listed after dd11 so the pair/CC memo is warm (bench order): the

@@ -163,6 +163,34 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(rep.last.getLong(3) == rep.last.getLong(2)) // n_hit == n_truth
   }
 
+  test("lshRecallReport: identical corpus pins recall 10000 at every width; wider = fewer candidates") {
+    import spark.implicits._
+    // 30 identical vectors: one bucket at every width -> recall exact,
+    // candidates = 10 queries × 29 others
+    val one = Array.fill(64)(0.25f)
+    val same = (0L until 30L).map(i => (i, one)).toDF("vec_id", "embedding")
+    val rep = Similarity.lshRecallReport(same, "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 10, widths = Seq(2, 4, 6),
+      bits = 6, dims = 64).orderBy("width_bits").collect()
+    assert(rep.map(_.getLong(0)).toSeq == Seq(2L, 4L, 6L))
+    rep.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_queries")) == 10L)
+      assert(r.getLong(r.fieldIndex("n_truth")) == 100L)
+      assert(r.getLong(r.fieldIndex("recall_bp")) == 10000L)
+      assert(r.getLong(r.fieldIndex("n_candidates")) == 290L)
+    }
+    // real embeddings: prefix agreement is monotone -> recall non-increasing
+    // and candidate volume non-increasing as the width grows
+    val emb = Tables.embeddings(spark, sf)
+    val r2 = Similarity.lshRecallReport(emb, "vec_id", "embedding",
+      queryPred = col("vec_id") < 10, k = 10, widths = Seq(2, 4, 6),
+      bits = 6, dims = 64).orderBy("width_bits").collect()
+    val recalls = r2.map(_.getLong(r2.head.fieldIndex("recall_bp"))).toSeq
+    val cands = r2.map(_.getLong(r2.head.fieldIndex("n_candidates"))).toSeq
+    assert(recalls == recalls.sorted.reverse, s"recall must not rise with width: $recalls")
+    assert(cands == cands.sorted.reverse, s"candidates must not rise with width: $cands")
+  }
+
   test("sim11 label separation: full 45-pair grid, cosines within [-10000, 10000] bp") {
     import org.apache.spark.sql.functions.col
     val rows = queries.SimilarityQueries.sim11LabelSeparation.run(spark, sf).collect()
