@@ -663,6 +663,36 @@ object Indicators {
       .drop("__ui_rm")
   }
 
+  /** Stochastic RSI (Chande & Kroll, "The New Technical Trader", 1994 —
+    * public literature): RSI re-normalized to its own trailing
+    * `stochPeriod`-value range, `(rsi − min)/(max − min)` — the
+    * momentum-of-momentum oscillator. Composes [[withRsi]] (the Wilder
+    * recursion) with two rolling extrema and ONE IEEE double division.
+    *
+    * Pinned conventions: the stochastic runs over the NON-NULL rsi
+    * stream (warmup and degenerate flat-history rows are dropped first —
+    * the output contains only rows with a defined RSI); full-window-only
+    * (`stochPeriod` rsi values present); a flat range (max = min) pins
+    * NULL. Both window passes ride one keyed sort.
+    */
+  def withStochRsi(
+      df: DataFrame, closeCol: String, rsiCol: String, outCol: String,
+      rsiPeriod: Int, stochPeriod: Int,
+      orderCol: String, partitionCols: Seq[String] = Nil): DataFrame = {
+    require(stochPeriod >= 1, "stoch_rsi: stochPeriod must be >= 1")
+    val w = baseWindow(partitionCols, orderCol)
+      .rowsBetween(-(stochPeriod - 1), 0)
+    withRsi(df, closeCol, rsiCol, rsiPeriod, orderCol, partitionCols)
+      .filter(col(rsiCol).isNotNull)
+      .withColumn("__sr_mn", min(col(rsiCol)).over(w))
+      .withColumn("__sr_mx", max(col(rsiCol)).over(w))
+      .withColumn(outCol,
+        when(count(col(rsiCol)).over(w) === stochPeriod &&
+             col("__sr_mx") =!= col("__sr_mn"),
+          (col(rsiCol) - col("__sr_mn")) / (col("__sr_mx") - col("__sr_mn"))))
+      .drop("__sr_mn", "__sr_mx")
+  }
+
   /** Holt–Winters additive seasonal smoothing per key — level, trend,
     * the current seasonal state, and the one-step-ahead fitted value
     * ŷ_t = l_{t−1} + b_{t−1} + s_{t−m} (Winters 1960; Hyndman &

@@ -49,6 +49,62 @@ object Temporal {
       .select((leftCols ++ valueCols.values).map(col): _*)
   }
 
+  /** Nearest-in-time as-of join with tolerance — pandas
+    * `merge_asof(direction='nearest', tolerance=...)` semantics under a
+    * pinned tie rule: for each left row, the right row (same keys)
+    * minimizing |Δt|, provided |Δt| ≤ `toleranceUs`; an exact tie between
+    * the latest at-or-before and the earliest after goes BACKWARD (the
+    * at-or-before side — at Δt = 0 both candidates are the same instant,
+    * so the rule only shows on symmetric straddles).
+    *
+    * Same scale shape as [[asofJoin]] — union the two sides, ONE keyed
+    * sort per direction (ascending fill for the backward candidate,
+    * descending for the forward), no join: cost is two window passes over
+    * one shuffle-sorted frame regardless of size. Appends `outCol`
+    * (timestamp of the matched right row, NULL when nothing within
+    * tolerance) and `${outCol}_delta_us` (signed: negative = matched
+    * backward).
+    */
+  def asofNearest(
+      left: DataFrame, right: DataFrame,
+      keyCols: Seq[String], timeCol: String,
+      toleranceUs: Long, outCol: String): DataFrame = {
+    require(toleranceUs >= 0, "asofNearest: tolerance must be >= 0")
+    val leftCols = left.columns.toSeq
+    val us = (c: Column) => unix_micros(c)
+    // tag 0 = right sorts before left at equal time in BOTH directions, so
+    // an equal-time right row is visible to each side's running fill
+    val taggedRight = right.select(
+      (keyCols.map(col) :+ us(col(timeCol)).as("__t") :+ lit(0).as("__tag") :+
+        us(col(timeCol)).as("__rus")) ++
+        leftCols.filterNot(keyCols.contains).map(c => lit(null).as(c)): _*)
+    val taggedLeft = left.select(
+      (keyCols.map(col) :+ us(col(timeCol)).as("__t") :+ lit(1).as("__tag") :+
+        lit(null).cast(LongType).as("__rus")) ++
+        leftCols.filterNot(keyCols.contains).map(col): _*)
+    val unioned = taggedRight.unionByName(taggedLeft)
+    val wB = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wF = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__t").desc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = unioned
+      .withColumn("__bus", last(col("__rus"), ignoreNulls = true).over(wB))
+      .withColumn("__fus", last(col("__rus"), ignoreNulls = true).over(wF))
+    val db = col("__t") - col("__bus")
+    val df_ = col("__fus") - col("__t")
+    val bOk = col("__bus").isNotNull && db <= toleranceUs
+    val fOk = col("__fus").isNotNull && df_ <= toleranceUs
+    val pickUs = when(bOk && (!fOk || db <= df_), col("__bus"))
+      .when(fOk, col("__fus"))
+    filled.filter(col("__tag") === 1)
+      .withColumn(outCol, timestamp_micros(pickUs))
+      .withColumn(s"${outCol}_delta_us",
+        when(pickUs.isNotNull, pickUs - col("__t")))
+      .select((leftCols ++ Seq(outCol, s"${outCol}_delta_us")).map(col): _*)
+  }
+
   /** Gap-based batch sessionization: appends a per-key `session_id` (1-based)
     * that increments whenever the gap to the key's previous event exceeds
     * `gapUs`. One shuffle (hash-partition by key, sort by time), then two

@@ -2998,6 +2998,53 @@ object WindowQueries {
     }
   }
 
+  /** Stochastic RSI ([[Indicators.withStochRsi]]): RSI₁₄ re-normalized to
+    * its own trailing 14-value range, (rsi − min)/(max − min) — the
+    * momentum-of-momentum oscillator (Chande & Kroll 1994, public
+    * literature). Composes the Wilder-recursive RSI (w6's proven
+    * bit-exact recursion) with two rolling extrema and ONE double
+    * division; full-window-only, flat-range (max = min) pinned NULL.
+    * The window rides the rsi frame's existing (sym, d) sort.
+    */
+  val w29StochRsi: Q = Q(
+    "w29_stoch_rsi",
+    s"""WITH RECURSIVE $DailyBySymSql,
+       |s AS (SELECT sym, d, close, ROW_NUMBER() OVER (PARTITION BY sym ORDER BY d) AS rn FROM daily2),
+       |gl AS (
+       |  SELECT sym, rn, d, close,
+       |    CASE WHEN delta > 0 THEN delta ELSE 0.0 END AS gain,
+       |    CASE WHEN delta < 0 THEN -delta ELSE 0.0 END AS loss
+       |  FROM (SELECT sym, rn, d, close,
+       |          close - LAG(close) OVER (PARTITION BY sym ORDER BY rn) AS delta FROM s)
+       |  WHERE delta IS NOT NULL),
+       |rec AS (
+       |  SELECT sym, rn, gain AS ag, loss AS al FROM gl WHERE rn = 2
+       |  UNION ALL
+       |  SELECT g.sym, g.rn,
+       |    (CAST(1.0 AS DOUBLE)/14.0) * g.gain + (1.0 - CAST(1.0 AS DOUBLE)/14.0) * r.ag,
+       |    (CAST(1.0 AS DOUBLE)/14.0) * g.loss + (1.0 - CAST(1.0 AS DOUBLE)/14.0) * r.al
+       |  FROM gl g JOIN rec r ON g.sym = r.sym AND g.rn = r.rn + 1),
+       |rs AS (SELECT s.sym, s.d,
+       |    CASE WHEN r.al = 0.0 THEN (CASE WHEN r.ag > 0.0 THEN 100.0 ELSE NULL END)
+       |         ELSE 100.0 - 100.0/(1.0 + r.ag/r.al) END AS rsi_14
+       |  FROM rec r JOIN s ON s.sym = r.sym AND s.rn = r.rn
+       |  WHERE r.rn >= 15 AND NOT (r.al = 0.0 AND r.ag = 0.0)),
+       |r2 AS (SELECT sym, d, rsi_14,
+       |    ROW_NUMBER() OVER (PARTITION BY sym ORDER BY d) AS rn FROM rs),
+       |w AS (SELECT sym, d, rsi_14,
+       |    MIN(rsi_14) OVER wd AS mn, MAX(rsi_14) OVER wd AS mx,
+       |    COUNT(*) OVER wd AS c
+       |  FROM r2 WINDOW wd AS (PARTITION BY sym ORDER BY rn
+       |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+       |SELECT sym, d, rsi_14,
+       |  CASE WHEN c = 14 AND mx <> mn THEN (rsi_14 - mn) / (mx - mn) END AS stoch_rsi
+       |FROM w ORDER BY sym, d""".stripMargin) { (spark, dir) =>
+    Indicators.withStochRsi(dailyBySym(spark, dir), "close", "rsi_14", "stoch_rsi",
+        rsiPeriod = 14, stochPeriod = 14, orderCol = "d", partitionCols = Seq("sym"))
+      .select("sym", "d", "rsi_14", "stoch_rsi")
+      .orderBy(col("sym"), col("d"))
+  }
+
   val all: Seq[Q] = Seq(w1Sma, w3Bollinger, w2Rsi, w4Macd, m2Target, m3CvSplits,
     w5SmaBySymbol, w6RsiBySymbol, w7IndicatorsFull, m8StandardScaler, m9OneHot,
     m10Winsorize, m11RobustOutliers, m12KsDrift, m13TargetEncode,
@@ -3009,5 +3056,5 @@ object WindowQueries {
     w18Psar, w19Supertrend, w20Trix, m33MannWhitney, m34CramersV, w21Aroon,
     m35WelchT, m36RunsTest, w22Vortex, m37Moments, m38Autocorr, w23RollingBeta,
     w24Holt, m39GiniGain, w25Ulcer, m40Brier, m41Wilcoxon, w26Cmf, w27Kama,
-    m42KruskalWallis, w28HoltWinters, m43Jonckheere, m44Friedman)
+    m42KruskalWallis, w28HoltWinters, m43Jonckheere, m44Friedman, w29StochRsi)
 }
