@@ -50,14 +50,16 @@ object Verify {
 
   /** (row count, SHA-256 hex) over the canonical rendering of `df`: columns
     * sorted by name, every value cast to string (UTC session — timestamps
-    * render deterministically), NULL → a sentinel no real string contains,
+    * render deterministically), NULL → "\u0000NULL" (the escaped-literal NUL
+    * prefix keeps this source file plain text while no cast-to-string value
+    * can ever contain a NUL byte, so the sentinel is collision-free),
     * rows in the total order of those strings. Deterministic across JVMs,
     * layouts, and partitionings of the same logical content.
     */
   private def contentChecksum(df: DataFrame): (Long, String) = {
     val cols = df.columns.sorted.toSeq
     val canon = df
-      .select(cols.map(c => coalesce(col(c).cast("string"), lit(" NULL")).as(c)): _*)
+      .select(cols.map(c => coalesce(col(c).cast("string"), lit("\u0000NULL")).as(c)): _*)
       .orderBy(cols.map(col): _*)
     val md = java.security.MessageDigest.getInstance("SHA-256")
     var n = 0L

@@ -279,20 +279,29 @@ object Multimodal {
     * which payloads a pipeline re-encodes.
     */
   def resizePlan(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
-    val w = col("meta.width").cast(LongType)
-    val h = col("meta.height").cast(LongType)
+    // The scaled dims use `div` (Catalyst IntegralDivide — true integer
+    // floor for these non-negative operands), NOT double `/` + cast: the
+    // all-integer bit-exact-oracle claim must hold literally, and a
+    // correctly-rounded double quotient of large products can round up
+    // across an integer boundary where integer division must not.
+    val staged = df
+      .withColumn("__mm_w", col("meta.width").cast(LongType))
+      .withColumn("__mm_h", col("meta.height").cast(LongType))
+    val w = col("__mm_w")
+    val h = col("__mm_h")
     val visual = col("modality").isin("image", "video") && w.isNotNull && h.isNotNull
     val fits = w <= maxW && h <= maxH
     // scale by the tighter axis: if w/maxW >= h/maxH (i.e. w*maxH >= h*maxW)
     // the width binds: target = (maxW, floor(h*maxW/w)); else height binds
     val widthBinds = w * maxH >= h * lit(maxW.toLong)
     val tw = when(fits, w).otherwise(when(widthBinds, lit(maxW.toLong))
-      .otherwise((w * maxH).cast(LongType) / h))
-    val th = when(fits, h).otherwise(when(widthBinds, (h * maxW).cast(LongType) / w)
+      .otherwise(expr(s"(__mm_w * ${maxH}L) div __mm_h")))
+    val th = when(fits, h).otherwise(when(widthBinds, expr(s"(__mm_h * ${maxW}L) div __mm_w"))
       .otherwise(lit(maxH.toLong)))
-    df.withColumn("resize_needed", when(visual, !fits))
+    staged.withColumn("resize_needed", when(visual, !fits))
       .withColumn("target_width", when(visual, tw.cast(IntegerType)))
       .withColumn("target_height", when(visual, th.cast(IntegerType)))
+      .drop("__mm_w", "__mm_h")
   }
 
   /** Execute the [[resizePlan]] for IMAGE payloads: decode via `ImageIO`,
@@ -400,20 +409,25 @@ object Multimodal {
       struct(lit(gx).as("gx"), lit(gy).as("gy")) }: _*)
     val t = lit(tileSize.toLong)
     val w = col(wCol).cast(LongType); val h = col(hCol).cast(LongType)
-    val cw = col("g.gx") * t; val ch = col("g.gy") * t
-    // aspect-preserving scale-to-fit: width binds iff w·CH ≥ h·CW
-    val widthBinds = w * ch >= h * cw
-    val sw = when(widthBinds, cw).otherwise((w * ch).cast(LongType) / h)
-    val sh = when(widthBinds, (h * cw).cast(LongType) / w).otherwise(ch)
+    // scaled dims via `div` (Catalyst IntegralDivide), not double `/` +
+    // cast — the "floor-div, all-integer" oracle claim must hold literally
+    // even where a correctly-rounded double quotient would cross an
+    // integer boundary (same discipline as [[resizePlan]]).
     val exploded = df.select(col(idCol).as("media_id"), w.as("w"), h.as("h"),
         explode(gridArr).as("g"))
-      .withColumn("scaled_w", sw.cast(LongType))
-      .withColumn("scaled_h", sh.cast(LongType))
+      .withColumn("__cw", col("g.gx") * t)
+      .withColumn("__ch", col("g.gy") * t)
+      // aspect-preserving scale-to-fit: width binds iff w·CH ≥ h·CW
+      .withColumn("__wb", col("w") * col("__ch") >= col("h") * col("__cw"))
+      .withColumn("scaled_w",
+        when(col("__wb"), col("__cw")).otherwise(expr("(w * __ch) div h")))
+      .withColumn("scaled_h",
+        when(col("__wb"), expr("(h * __cw) div w")).otherwise(col("__ch")))
       .withColumn("n_tiles", (col("g.gx") * col("g.gy")).cast(LongType))
       .withColumn("effective",
         least(col("scaled_w") * col("scaled_h"), col("w") * col("h")))
       .withColumn("waste",
-        cw.cast(LongType) * ch - col("scaled_w") * col("scaled_h"))
+        col("__cw") * col("__ch") - col("scaled_w") * col("scaled_h"))
     val pick = Window.partitionBy(col("media_id"))
       .orderBy(col("effective").desc, col("waste"), col("n_tiles"), col("g.gx"))
     val patchesPerTile = (tileSize / patchSize).toLong * (tileSize / patchSize)

@@ -48,6 +48,55 @@ object MiscQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest-as-of join ([[graft.operators.Temporal.asofNearest]]): each
+    * purchase matched to the user's nearest signup in EITHER direction
+    * within a 1-day tolerance (inclusive boundary; symmetric straddle ties
+    * go BACKWARD). The oracle restates the same union + two directional
+    * ignore-nulls running fills in SQL — backward fill over (t ASC, tag
+    * ASC), forward fill over (t DESC, tag ASC), right rows tagged 0 so an
+    * equal-time signup is visible to both directions — then replays the
+    * pick rule verbatim. Scale shape: one keyed sort, two stacked window
+    * passes, no join (see the operator scaladoc).
+    */
+  val qAsofNearest: Q = Q(
+    "q_asof_nearest",
+    """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+      |u AS (
+      |  SELECT user_id, epoch_us(ts) AS t, 0 AS tag, epoch_us(ts) AS rus,
+      |         CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS ts
+      |  FROM s
+      |  UNION ALL
+      |  SELECT user_id, epoch_us(ts) AS t, 1 AS tag, CAST(NULL AS BIGINT) AS rus,
+      |         event_id, ts
+      |  FROM p),
+      |f AS (SELECT *,
+      |    LAST_VALUE(rus IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t ASC, tag ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bus,
+      |    LAST_VALUE(rus IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY t DESC, tag ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fus
+      |  FROM u),
+      |g AS (SELECT *,
+      |    (bus IS NOT NULL AND t - bus <= 86400000000) AS bok,
+      |    (fus IS NOT NULL AND fus - t <= 86400000000) AS fok FROM f),
+      |h AS (SELECT *,
+      |    CASE WHEN bok AND ((NOT fok) OR t - bus <= fus - t) THEN bus
+      |         WHEN fok THEN fus END AS pick
+      |  FROM g WHERE tag = 1)
+      |SELECT event_id, user_id, ts,
+      |  make_timestamp(pick) AS near_signup_ts,
+      |  CASE WHEN pick IS NOT NULL THEN pick - t END AS near_signup_ts_delta_us
+      |FROM h ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select("user_id", "ts")
+    Temporal.asofNearest(purchases, signups, Seq("user_id"), "ts",
+        toleranceUs = 86400000000L, outCol = "near_signup_ts")
+      .orderBy(col("event_id"))
+  }
+
   val qOuterJoin: Q = Q(
     "q_outer_join",
     """SELECT COALESCE(c.k, s.k) AS nationkey, c.n_cust, s.n_supp
@@ -1672,7 +1721,8 @@ object MiscQueries {
       .orderBy(col("bin_id"))
   }
 
-  val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qRangeJoin,
+  val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qAsofNearest,
+    qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
     qProfile, qProfileApprox, qProfileLi, qProfileLiApprox,
     qSaltedJoin, qScalarFns, qAboveAvgOrders,

@@ -459,9 +459,11 @@ object StreamingQueries {
     */
   val st16WindowedPercentiles: Q = Q(
     "st16_windowed_percentiles",
-    """WITH b AS (SELECT date_trunc('hour', ts) AS h,
-      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000 AS bucket
-      |  FROM events),
+    """WITH c AS (SELECT date_trunc('hour', ts) AS h,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM events),
+      |b AS (SELECT h,
+      |    cents // 1000 - (CASE WHEN cents % 1000 < 0 THEN 1 ELSE 0 END) AS bucket
+      |  FROM c),
       |g AS (SELECT h, bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
       |w AS (SELECT h, bucket, n,
       |    SUM(n) OVER (PARTITION BY h ORDER BY bucket) AS cum,

@@ -358,6 +358,14 @@ object TextQueries {
     * postings on this corpus would be O(corpus) each), so postings are
     * short, the pair aggregate is candidate-bounded, and the final top-50
     * plans as TakeOrderedAndProject, never a global sort.
+    *
+    * Document-frequency cap (part of the query CONTRACT, mirrored in the
+    * oracle): shingles shared by more than 256 documents are dropped
+    * before the self-join — the [[graft.operators.Dedup.capBuckets]]
+    * discipline. Without it one boilerplate trigram shared by m documents
+    * emits m²/2 join rows in a single task; with it the per-key fan-out is
+    * bounded at 256²/2 regardless of corpus size. The df count rides a
+    * window over the same `sh` partitioning the join shuffles on.
     */
   val tx14TopkDot: Q = Q(
     "tx14_topk_dot",
@@ -366,14 +374,18 @@ object TextQueries {
       |s AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
       |        i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS sh
       |      FROM t),
-      |p AS (SELECT doc_id, sh, CAST(COUNT(*) AS BIGINT) AS tf
+      |p0 AS (SELECT doc_id, sh, CAST(COUNT(*) AS BIGINT) AS tf
       |      FROM s GROUP BY doc_id, sh),
+      |p AS (SELECT doc_id, sh, tf FROM (
+      |        SELECT doc_id, sh, tf, COUNT(*) OVER (PARTITION BY sh) AS df
+      |        FROM p0) WHERE df <= 256),
       |j AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
       |        CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
       |      FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
       |      GROUP BY a.doc_id, b.doc_id)
       |SELECT doc_a, doc_b, dot FROM j
       |ORDER BY dot DESC, doc_a, doc_b LIMIT 50""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
@@ -381,6 +393,8 @@ object TextQueries {
         """transform(sequence(1, size(w) - 2),
           |  i -> concat_ws(' ', slice(w, i, 3)))""".stripMargin)).as("sh"))
       .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("tf"))
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("__df") <= 256).drop("__df")
     p.as("a").join(p.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -309,7 +309,15 @@ object EventsStream {
     events
       .withWatermark("ts", "2 hours")
       .select(window(col("ts"), "1 hour").as("w"),
-        expr(s"cast(cast(value as decimal(18,2)) * 100 as bigint) div ${bucketCents}L")
+        expr(s"cast(cast(value as decimal(18,2)) * 100 as bigint)").as("__cents"))
+      // FLOOR division (div truncates toward zero): negative cents in
+      // (−bucketCents, 0) get their own bucket −1 with lower bound
+      // −bucketCents, so histogramPercentiles' `bucket * bucketCents`
+      // readout is a true lower bound for every sign. Spark's % carries the
+      // dividend's sign, so the −1 correction applies exactly when the
+      // truncated quotient rounded toward zero instead of −∞.
+      .select(col("w"),
+        expr(s"(__cents div ${bucketCents}L) - (case when __cents % ${bucketCents}L < 0 then 1 else 0 end)")
           .as("bucket"))
       .groupBy(col("w"), col("bucket"))
       .agg(count(lit(1)).as("n"))

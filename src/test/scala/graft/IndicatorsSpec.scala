@@ -687,4 +687,55 @@ class IndicatorsSpec extends AnyFunSuite {
       .collect()
     assert(s.forall(_.isNullAt(s.head.fieldIndex("k"))))
   }
+
+  test("withStochRsi: non-null-rsi stream, full-window warmup, flat-range NULL, hand replay") {
+    import spark.implicits._
+    // rsiPeriod=2 (alpha=0.5 -> exact dyadic ewm states), stochPeriod=3.
+    // closes 10,11,10,12,11,12: deltas +1,-1,+2,-1,+1
+    //   avg_gain: 1, .5, 1.25, .625, .8125 ; avg_loss: 0, .5, .25, .625, .3125
+    //   rsi (min_periods=2 -> defined from d02): 50, 100-100/6, 50, 100-100/3.6
+    val closes = Seq(10.0, 11.0, 10.0, 12.0, 11.0, 12.0)
+    val df = closes.indices.map(i => ("a", f"d$i%02d", closes(i)))
+      .toDF("sym", "d", "c")
+    val out = Indicators.withStochRsi(df, "c", "rsi", "sr",
+        rsiPeriod = 2, stochPeriod = 3, orderCol = "d", partitionCols = Seq("sym"))
+      .orderBy("d").collect()
+    // warmup rows (d00: no delta, d01: 1 ewm obs < min_periods) are DROPPED:
+    // the output is the non-null-rsi stream only
+    assert(out.length == 4, s"expected 4 defined-rsi rows, got ${out.length}")
+    assert(out.map(_.getString(1)).toSeq == Seq("d02", "d03", "d04", "d05"))
+    def sr(i: Int): Option[Double] = {
+      val ix = out(i).fieldIndex("sr")
+      if (out(i).isNullAt(ix)) None else Some(out(i).getDouble(ix))
+    }
+    // full-window-only over the FILTERED stream: the first two defined-rsi
+    // rows have < 3 rsi values in the frame (warmup rows occupy NO slots)
+    assert(sr(0).isEmpty && sr(1).isEmpty)
+    // replay with the identical IEEE op sequence as withRsi/withStochRsi
+    val r2 = 50.0                                       // ag=al=.5
+    val r3 = 100.0 - 100.0 / (1.0 + 1.25 / 0.25)        // = 100 - 100/6
+    val r4 = 100.0 - 100.0 / (1.0 + 0.625 / 0.625)      // = 50
+    val r5 = 100.0 - 100.0 / (1.0 + 0.8125 / 0.3125)
+    assert(out.map(_.getDouble(out(0).fieldIndex("rsi"))).toSeq ==
+      Seq(r2, r3, r4, r5))
+    // d04: window [r2, r3, r4], min=50=r4 -> (r4-mn)/(mx-mn) = 0.0 exactly
+    assert(sr(2).contains((r4 - 50.0) / (r3 - 50.0)) && sr(2).contains(0.0))
+    // d05: window [r3, r4, r5], r5 strictly interior -> exact replayed double
+    assert(sr(3).contains((r5 - r4) / (r3 - r4)))
+    // flat-range NULL: monotone-up symbol pins rsi=100 everywhere defined,
+    // so every full window has max=min -> stoch NULL (and rsi stays 100)
+    val up = (0 until 6).map(i => ("c", f"d$i%02d", 1.0 + i)).toDF("sym", "d", "c")
+    val flat = Indicators.withStochRsi(up, "c", "rsi", "sr",
+        rsiPeriod = 2, stochPeriod = 3, orderCol = "d", partitionCols = Seq("sym"))
+      .orderBy("d").collect()
+    assert(flat.length == 4)
+    assert(flat.forall(r => r.getDouble(r.fieldIndex("rsi")) == 100.0))
+    assert(flat.forall(r => r.isNullAt(r.fieldIndex("sr"))))
+    // degenerate flat HISTORY: constant closes -> ag=al=0 -> rsi NULL on
+    // every row -> the non-null-rsi stream is empty, zero output rows
+    val const = (0 until 6).map(i => ("b", f"d$i%02d", 7.0)).toDF("sym", "d", "c")
+    val none = Indicators.withStochRsi(const, "c", "rsi", "sr",
+        rsiPeriod = 2, stochPeriod = 3, orderCol = "d", partitionCols = Seq("sym"))
+    assert(none.count() == 0L)
+  }
 }

@@ -134,8 +134,10 @@ class StreamStreamJoinSpec extends AnyFunSuite {
         mem.toDF().toDF("ts", "value"), bucketCents = 1000L)
       .writeStream.outputMode("append").format("memory")
       .queryName("hist_test").start()
-    // hour 0: values 5.00, 7.50 (bucket 0), 12.00 (bucket 1); hour 1: 25.00
-    mem.addData((ts(10), 5.0), (ts(20), 7.5), (ts(30), 12.0), (ts(70), 25.0))
+    // hour 0: values 5.00, 7.50 (bucket 0), 12.00 (bucket 1), −3.00 (floor
+    // division → bucket −1, NOT collapsed into bucket 0); hour 1: 25.00
+    mem.addData((ts(10), 5.0), (ts(20), 7.5), (ts(30), 12.0), (ts(40), -3.0),
+      (ts(70), 25.0))
     // advance the watermark far enough to close both hourly windows
     mem.addData((ts(300), 99.0))
     q.processAllAvailable()
@@ -144,6 +146,7 @@ class StreamStreamJoinSpec extends AnyFunSuite {
       .toSet
     assert(got.contains((0L, 0L, 2L)) && got.contains((0L, 1L, 1L)),
       s"hour-0 buckets wrong: $got")
+    assert(got.contains((0L, -1L, 1L)), s"negative value must floor to bucket -1: $got")
     assert(got.contains((60L, 2L, 1L)), s"hour-1 bucket missing: $got")
     q.stop()
 

@@ -35,6 +35,46 @@ class TemporalSkewSpec extends AnyFunSuite {
     assert(out.select("last_price").head().getDouble(0) == 5.0)
   }
 
+  test("asofNearest: tie-goes-backward, inclusive tolerance boundary, per key") {
+    val tol = 600000000L // 10 min in µs
+    val left = Seq(
+      (1L, ts(100), "straddle_tie"),   // right at 90 and 110: symmetric → backward
+      (2L, ts(100), "forward_nearer"), // right at 80 and 105: forward wins
+      (3L, ts(100), "boundary_in"),    // right at exactly +tol: inclusive → in
+      (4L, ts(100), "boundary_out"),   // right at +tol+1min: out → no match
+      (5L, ts(100), "equal_time"),     // right at 100: delta 0, backward path
+      (6L, ts(100), "no_right")        // no right rows for this key
+    ).toDF("user_id", "ts", "name")
+    val right = Seq(
+      (1L, ts(90)), (1L, ts(110)),
+      (2L, ts(80)), (2L, ts(105)),
+      (3L, ts(110)),
+      (4L, ts(111)),
+      (5L, ts(100)),
+      (7L, ts(100))                    // foreign key: must never leak
+    ).toDF("user_id", "ts")
+    val out = Temporal.asofNearest(left, right, Seq("user_id"), "ts", tol, "near_ts")
+      .orderBy("user_id")
+      .collect()
+      .map { r =>
+        val nearMin = if (r.isNullAt(r.fieldIndex("near_ts"))) None
+          else Some(r.getTimestamp(r.fieldIndex("near_ts")).getTime / 60000)
+        val delta = if (r.isNullAt(r.fieldIndex("near_ts_delta_us"))) None
+          else Some(r.getLong(r.fieldIndex("near_ts_delta_us")))
+        (r.getLong(r.fieldIndex("user_id")), nearMin, delta)
+      }.toSeq
+    assert(out == Seq(
+      (1L, Some(90L), Some(-600000000L)),  // tie → backward, delta signed negative
+      (2L, Some(105L), Some(300000000L)),  // nearer forward
+      (3L, Some(110L), Some(600000000L)),  // |delta| == tol is IN (inclusive)
+      (4L, None, None),                    // just outside tolerance
+      (5L, Some(100L), Some(0L)),          // equal-time right row, delta 0
+      (6L, None, None)))                   // key isolation
+    // output schema: all left columns + the two appended ones, nothing else
+    assert(Temporal.asofNearest(left, right, Seq("user_id"), "ts", tol, "near_ts")
+      .columns.toSeq == Seq("user_id", "ts", "name", "near_ts", "near_ts_delta_us"))
+  }
+
   test("rangeJoin: inclusive lower, exclusive upper, per key, boundary-exact") {
     // band = [left.ts − 10 min, left.ts): right rows at exactly −10 min are
     // IN, at exactly 0 are OUT — boundary rows sit on bucket edges, so this

@@ -23,12 +23,30 @@ ORACLE_TIMEOUT = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "120"))
 
 def fetch_with_timeout(con, sql, seconds=ORACLE_TIMEOUT):
     """Run `sql` to completion; interrupt the connection if it exceeds the
-    budget. Raises TimeoutError on interrupt."""
-    timer = threading.Timer(seconds, con.interrupt)
+    budget. Raises TimeoutError on interrupt.
+
+    The done-flag (checked under a lock inside the timer callback) closes
+    the race where the timer fires after fetchall() returned but before
+    timer.cancel(): a late interrupt would otherwise land on the shared
+    connection and spuriously abort the NEXT query's oracle."""
+    done = [False]
+    lock = threading.Lock()
+
+    def maybe_interrupt():
+        with lock:
+            if not done[0]:
+                con.interrupt()
+
+    timer = threading.Timer(seconds, maybe_interrupt)
     timer.start()
     try:
-        return con.sql(sql).fetchall()
+        rows = con.sql(sql).fetchall()
+        with lock:
+            done[0] = True
+        return rows
     except duckdb.InterruptException:
+        with lock:
+            done[0] = True
         raise TimeoutError(f"oracle_timeout after {seconds:.0f}s")
     finally:
         timer.cancel()
