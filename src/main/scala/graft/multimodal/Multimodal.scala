@@ -440,6 +440,201 @@ object Multimodal {
         (col("n_tiles") * patchesPerTile).as("n_patches"))
   }
 
+  /** Schema of one decoded video-timing row: media timescale (ticks per
+    * second, from `mdhd`) and the `stts` sample-duration run-length table.
+    * Each entry carries PREFIX CUMULATIVES — the index of its first sample
+    * and the ticks elapsed before it — so per-frame timestamp arithmetic
+    * downstream is a stateless integer projection, no window pass.
+    */
+  val TimingSchema: StructType = StructType(Seq(
+    StructField("timescale", LongType),
+    StructField("entries", ArrayType(StructType(Seq(
+      StructField("first_idx", LongType, nullable = false),
+      StructField("ticks_before", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("delta", LongType, nullable = false))), containsNull = false))))
+
+  /** MP4 sample-TIMING decode — the same ISO-BMFF box walk as
+    * [[decodeMp4Meta]] reading two more leaves: the media timescale from
+    * `mdhd` (version 0 puts it 12 bytes into the FullBox payload, version 1
+    * at 20 after the 64-bit times) and the sample-duration run-length table
+    * from `stts` (`entry_count × (sample_count, sample_delta)`). Run
+    * lengths are re-emitted with prefix cumulatives ([[TimingSchema]]).
+    * Returns null when the bytes are not ISO-BMFF or carry no usable
+    * `mdhd`+`stts` pair — honest "decode failed", never fabricated.
+    */
+  def decodeMp4Timing(bytes: Array[Byte]): Row = try {
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def tag(off: Int): String =
+      new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || tag(4) != "ftyp") return null
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var timescale = 0L
+    var entries: Array[Row] = null
+    def walk(start: Long, end: Long): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        var size = u32(off.toInt)
+        var hdr = 8L
+        if (size == 1 && off + 16 <= end) { size = u64(off.toInt + 8); hdr = 16 }
+        else if (size == 0) size = end - off
+        if (size < hdr || off + size > end) return
+        val t = tag(off.toInt + 4)
+        if (containers(t)) walk(off + hdr, off + size)
+        else if (t == "mdhd" && timescale == 0) {
+          val p = (off + hdr).toInt
+          // FullBox version selects 32- vs 64-bit creation/modification times
+          val tsOff = p + (if ((bytes(p) & 0xff) == 1) 20 else 12)
+          if (tsOff + 4 <= off + size) timescale = u32(tsOff)
+        } else if (t == "stts" && entries == null) {
+          val p = (off + hdr).toInt // version/flags, entry_count, entries
+          if (p + 8 <= off + size) {
+            val n = u32(p + 4).toInt
+            if (n > 0 && p + 8 + 8L * n <= off + size) {
+              var firstIdx = 0L; var ticks = 0L
+              entries = Array.tabulate(n) { i =>
+                val cnt = u32(p + 8 + 8 * i); val d = u32(p + 12 + 8 * i)
+                val row = Row(firstIdx, ticks, cnt, d)
+                firstIdx += cnt; ticks += cnt * d
+                row
+              }
+            }
+          }
+        }
+        off += size
+      }
+    }
+    walk(0, bytes.length.toLong)
+    if (timescale > 0 && entries != null) Row(timescale, entries.toSeq) else null
+  } catch { case _: Exception => null }
+
+  /** Build a REAL minimal ISO-BMFF (MP4) payload — the harness-side
+    * generator for the synthetic corpus (the [[fromDocuments]] convention:
+    * deterministic test bytes, but genuine container grammar, so the box
+    * walks [[decodeMp4Meta]]/[[decodeMp4Timing]] parse them exactly as they
+    * would production files). Layout:
+    * `ftyp` + `moov[trak[tkhd, mdia[mdhd, minf[stbl[stts, stsz]]]]]` with
+    * v0 FullBoxes, 16.16 fixed-point tkhd dims, the given mdhd timescale,
+    * one stts entry per `(sampleCount, sampleDelta)` run, and an stsz whose
+    * sample_count is the total frame count (sample_size = 1, so no
+    * per-sample table follows).
+    */
+  def buildMp4(
+      width: Int, height: Int, timescale: Long,
+      runs: Seq[(Long, Long)]): Array[Byte] = {
+    require(timescale > 0 && runs.nonEmpty && runs.forall(r => r._1 > 0 && r._2 >= 0))
+    def u32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(t: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      u32(8L + body.length) ++ t.getBytes("US-ASCII") ++ body
+    }
+    val duration = runs.map { case (c, d) => c * d }.sum
+    val nSamples = runs.map(_._1).sum
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), u32(0),
+      "isom".getBytes("US-ASCII"))
+    // tkhd v0: fullbox + creation/modification/track_id/reserved/duration
+    // (20) + reserved (8) + layer/alt (4) + volume/reserved (4) + unity
+    // matrix (36) + 16.16 width/height
+    val tkhd = box("tkhd",
+      u32(0), u32(0), u32(0), u32(1), u32(0), u32(duration),
+      u32(0), u32(0), u32(0), u32(0),
+      u32(0x00010000L), u32(0), u32(0),
+      u32(0), u32(0x00010000L), u32(0),
+      u32(0), u32(0), u32(0x40000000L),
+      u32(width.toLong << 16), u32(height.toLong << 16))
+    // mdhd v0: fullbox + creation + modification + timescale + duration +
+    // language/pre_defined
+    val mdhd = box("mdhd",
+      u32(0), u32(0), u32(0), u32(timescale), u32(duration), u32(0x55c40000L))
+    val stts = box("stts", u32(0) +: u32(runs.length.toLong) +:
+      runs.flatMap { case (c, d) => Seq(u32(c), u32(d)) }: _*)
+    val stsz = box("stsz", u32(0), u32(1), u32(nSamples))
+    ftyp ++ box("moov", box("trak", tkhd,
+      box("mdia", mdhd, box("minf", box("stbl", stts, stsz)))))
+  }
+
+  /** Decode per-video sample timing ([[decodeMp4Timing]]) in the same
+    * partition-batch shape as [[decodeMeta]]: one row per VIDEO input row —
+    * `(media_id, timescale, entries)`, with null timing columns when the
+    * payload is not a parseable MP4 (callers filter or count failures).
+    */
+  def videoTiming(df: DataFrame): DataFrame = {
+    val idIdx = df.schema.fieldIndex("media_id")
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val outSchema = StructType(
+      StructField("media_id", LongType, nullable = false) +: TimingSchema.fields)
+    df.filter(col("modality").isNotNull && col("modality") === "video")
+      .mapPartitions { it =>
+        it.map { row =>
+          val payload =
+            if (row.isNullAt(payloadIdx)) null
+            else row.getAs[Array[Byte]](payloadIdx)
+          val t = if (payload == null) null else decodeMp4Timing(payload)
+          if (t == null) Row(row.getLong(idIdx), null, null)
+          else Row(row.getLong(idIdx), t.get(0), t.get(1))
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Frame-sampling plan with REAL presentation timestamps: every k-th
+    * frame index with its `stts`-derived pts, in ticks and (floor-div)
+    * microseconds — what a frame-extraction pass seeks to, computed from
+    * container metadata alone (no codec). Input is [[videoTiming]] output;
+    * undecodable rows (null timing) drop out here.
+    *
+    * All integer: for a sampled frame f inside a run-length entry,
+    * `pts_ticks = ticks_before + (f − first_idx)·delta` and
+    * `pts_us = pts_ticks·10⁶ div timescale`. Plan shape: explode the
+    * (short) entry list, one codegen'd `sequence` explode per entry for
+    * the sampled indices in its range — a narrow projection, no shuffle,
+    * per-row fan-out bounded by n_frames/k exactly like [[sampleFrames]].
+    */
+  def frameTimestamps(timing: DataFrame, everyK: Int): DataFrame = {
+    require(everyK >= 1, "everyK must be positive")
+    val k = everyK.toLong
+    timing.filter(col("timescale").isNotNull && col("entries").isNotNull)
+      .select(col("media_id"), col("timescale"), explode(col("entries")).as("e"))
+      // smallest multiple of k at or after this entry's first sample index
+      .withColumn("__first", expr(s"((e.first_idx + ${k - 1}L) div ${k}L) * ${k}L"))
+      .filter(col("__first") < col("e.first_idx") + col("e.n_samples"))
+      .select(col("media_id"), col("timescale"), col("e"),
+        explode(sequence(col("__first"),
+          col("e.first_idx") + col("e.n_samples") - 1, lit(k))).as("frame_idx"))
+      .withColumn("pts_ticks",
+        col("e.ticks_before") + (col("frame_idx") - col("e.first_idx")) * col("e.delta"))
+      .withColumn("pts_us", expr("(pts_ticks * 1000000L) div timescale"))
+      .select("media_id", "frame_idx", "pts_ticks", "pts_us")
+  }
+
+  /** CLIP-score-style image–text pair gate — the multimodal curation step
+    * that keeps only pairs whose stored image embedding and text embedding
+    * agree (cosine ≥ threshold), the web-scale image-text filtering rule
+    * (LAION-style: gate on a pretrained CLIP's score; the model inference
+    * that PRODUCED the embeddings runs upstream — this operator consumes
+    * stored vectors, which is also why it stays a pure Spark projection).
+    *
+    * Scores fold sequentially ([[graft.operators.Similarity.dot]]'s native
+    * expression — identical IEEE accumulation to the DuckDB `list_sum`
+    * oracle), so gate decisions are bit-deterministic. One codegen'd
+    * projection over the paired frame: no shuffle, no UDF, linear at any
+    * corpus size.
+    */
+  def imageTextGate(
+      pairs: DataFrame, imgVecCol: String, txtVecCol: String,
+      threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(pairs.sparkSession)
+    val img = graft.operators.Similarity.asDouble(col(imgVecCol))
+    val txt = graft.operators.Similarity.asDouble(col(txtVecCol))
+    pairs
+      .withColumn("clip_score", graft.operators.Similarity.cosine(img, txt))
+      .withColumn("kept", col("clip_score") >= threshold)
+  }
+
   /** Modality quality gate — the multimodal loader's pre-filter (the mx4
     * quality-gate shape applied to decoded media metadata, the screen
     * every image/audio/video curation pass runs before tokenization):

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Manifest-driven INCREMENTAL curation — the production re-run shape: a
+  * 100 TB corpus grows by shards (crawl snapshots, source drops, dated
+  * partitions), and re-running the whole curation DAG per delivery is the
+  * single largest avoidable cost in a recurring pipeline. The wrapper here
+  * processes ONLY shards not yet recorded in a processed-shard manifest,
+  * unions the fresh results with the carried-over prior outputs, and emits
+  * the updated manifest for the next run.
+  *
+  * Scale contract:
+  *  - The manifest is SHARD-count-sized (thousands of rows at most), never
+  *    data-sized — both the anti-join (what's new) and the semi-join
+  *    (what's covered) broadcast it, so delta selection costs one corpus
+  *    scan with a map-side filter: no shuffle of the corpus at all. With
+  *    shard-partitioned parquet the broadcast filter collapses further
+  *    into partition PRUNING (the scan skips covered directories).
+  *  - `process` sees only the delta frame; whatever shuffles it performs
+  *    are sized by the DELTA, not the corpus — the whole point.
+  *  - Prior results are read back from storage (data-sized, but a plain
+  *    scan-and-union: no recompute, no shuffle).
+  *
+  * Correctness caveat (documented, inherent to shard-incremental curation):
+  * stages whose state is GLOBAL (cross-shard dedup, corpus-level quotas)
+  * are only exactly incremental when their state travels alongside the
+  * manifest (e.g. the dedup fingerprint store); a per-shard `process` is
+  * exact for per-document stages (filters, token counts, per-doc scores).
+  */
+object Incremental {
+
+  /** Split `corpus` into (delta, covered) by the processed-shard manifest:
+    * rows whose `shardCol` is absent from / present in `manifest`. The
+    * manifest side is broadcast (shard-count-sized by contract).
+    */
+  def deltaShards(
+      corpus: DataFrame, manifest: DataFrame, shardCol: String): (DataFrame, DataFrame) = {
+    val m = broadcast(manifest.select(col(shardCol)).distinct())
+    (corpus.join(m, Seq(shardCol), "left_anti"),
+      corpus.join(m, Seq(shardCol), "left_semi"))
+  }
+
+  /** Run `process` over ONLY the shards the manifest doesn't cover, union
+    * with the prior run's outputs, and return `(results, newManifest)`.
+    *
+    * `prior` is the previous run's RESULT set (read from storage; its
+    * schema must match what `process` emits — enforced by `unionByName`).
+    * The new manifest is the old one plus the delta's distinct shard keys,
+    * emitted under the same single-column schema so it round-trips:
+    * feeding `newManifest` back in with an unchanged corpus yields an
+    * EMPTY delta and `process` runs over zero rows — idempotent re-runs.
+    */
+  def processDelta(
+      corpus: DataFrame, manifest: DataFrame, shardCol: String,
+      prior: DataFrame)(process: DataFrame => DataFrame): (DataFrame, DataFrame) = {
+    val (delta, _) = deltaShards(corpus, manifest, shardCol)
+    val results = prior.unionByName(process(delta))
+    val newManifest = manifest.select(col(shardCol))
+      .union(delta.select(col(shardCol)).distinct())
+      .distinct()
+    (results, newManifest)
+  }
+}

@@ -1721,6 +1721,52 @@ object MiscQueries {
       .orderBy(col("bin_id"))
   }
 
+  /** Manifest-driven incremental curation
+    * ([[graft.operators.Incremental.processDelta]]) — the production
+    * re-run shape: sources src0..src9 were processed by a "previous run"
+    * (recorded in the shard manifest); this run's DAG — a per-document
+    * token-count quality filter — executes over ONLY the remaining
+    * shards, and the output unions carried-over prior rows (run_id 1)
+    * with the fresh delta (run_id 2). The run_id column makes the
+    * delta/carried split itself oracle-checked per row, not just the
+    * union's contents. Prior results are reconstructed here (production
+    * reads them from storage) so the oracle can replay both runs.
+    *
+    * Scale: the manifest is shard-count-sized and BROADCAST — delta
+    * selection is a map-side anti-join filter on one corpus scan, and
+    * `process`'s shuffles are sized by the delta, not the corpus (see
+    * the operator scaladoc).
+    */
+  val mx22IncrementalCuration: Q = Q(
+    "mx22_incremental_curation",
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(substr(source, 4) AS INT) AS src_idx
+      |  FROM documents),
+      |k AS (SELECT doc_id, source, n_tokens,
+      |    CASE WHEN src_idx < 10 THEN 1 ELSE 2 END AS run_id
+      |  FROM d WHERE n_tokens >= 30)
+      |SELECT doc_id, source, n_tokens, CAST(run_id AS BIGINT) AS run_id
+      |FROM k ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.DataFrame
+    import graft.operators.{Incremental, TextAnalysis}
+    val corpus = Tables.documents(spark, dir)
+    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    val manifest = corpus.filter(srcIdx < 10).select("source").distinct()
+    def process(run: Long)(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 30)
+        .withColumn("run_id", lit(run))
+    // prior results: production reads these back from storage; replayed
+    // here over the covered shards so the oracle can reconstruct them
+    val prior = process(1L)(
+      corpus.join(broadcast(manifest), Seq("source"), "left_semi"))
+    val (results, _) =
+      Incremental.processDelta(corpus, manifest, "source", prior)(process(2L))
+    results.orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qAsofNearest,
     qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
@@ -1733,5 +1779,5 @@ object MiscQueries {
     qTableChecksum, qDqReport,
     qPercentileBands, qCdcCompact, qIntervalUnion, qZorderLayout, qSkewReport,
     qWeightedMedian, mx15EpochShuffle, qHilbertLayout, mx16Curriculum, qJoinEstimate,
-    mx17CurationPipeline, mx21MultimodalPacking)
+    mx17CurationPipeline, mx21MultimodalPacking, mx22IncrementalCuration)
 }

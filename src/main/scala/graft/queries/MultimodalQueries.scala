@@ -228,6 +228,98 @@ object MultimodalQueries {
       .orderBy(col("modality"), col("verdict"))
   }
 
+  /** Frame-sampling plan with REAL container timestamps
+    * ([[Multimodal.frameTimestamps]]): each video's payload is a genuine
+    * minimal ISO-BMFF file ([[Multimodal.buildMp4]] — deterministic params
+    * from the byte count, but real box grammar), decoded by the REAL
+    * `mdhd`+`stts` box walk ([[Multimodal.decodeMp4Timing]]), then every
+    * 5th frame gets its stts-derived presentation timestamp in ticks and
+    * floor-div microseconds. The corpus convention: `nf = 1 + bytes mod
+    * 300` frames at timescale 600, split into TWO stts runs — the first
+    * ⌈nf/2⌉ frames at 20 ticks, the rest at 40 (variable frame duration is
+    * the case that makes stts non-trivial) — so the oracle replays the
+    * timestamp arithmetic without parsing bytes, while the Spark side
+    * actually round-trips through container bytes. All integer.
+    */
+  val mm7FrameTimestamps: Q = Q(
+    "mm7_frame_timestamps",
+    """WITH v AS (SELECT doc_id AS media_id,
+      |    1 + octet_length(encode(text)) % 300 AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |p AS (SELECT media_id, nf, (nf + 1) // 2 AS h FROM v),
+      |f AS (SELECT media_id, h,
+      |    CAST(unnest(range(0, nf, 5)) AS BIGINT) AS frame_idx FROM p),
+      |t AS (SELECT media_id, frame_idx,
+      |    CAST(CASE WHEN frame_idx < h THEN frame_idx * 20
+      |         ELSE h * 20 + (frame_idx - h) * 40 END AS BIGINT) AS pts_ticks
+      |  FROM f)
+      |SELECT media_id, frame_idx, pts_ticks,
+      |  (pts_ticks * 1000000) // 600 AS pts_us
+      |FROM t ORDER BY media_id, frame_idx""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val vids = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast(LongType).as("nb"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("payload", BinaryType)))
+    val media = vids.mapPartitions { it =>
+      it.map { r =>
+        val nf = 1L + r.getLong(1) % 300L
+        val h = (nf + 1) / 2
+        val runs = if (nf > h) Seq((h, 20L), (nf - h, 40L)) else Seq((h, 20L))
+        Row(r.getLong(0), "video", Multimodal.buildMp4(640, 360, 600L, runs))
+      }
+    }(Encoders.row(schema))
+    Multimodal.frameTimestamps(Multimodal.videoTiming(media), everyK = 5)
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
+  /** CLIP-score-style image–text pair gating
+    * ([[Multimodal.imageTextGate]]): each document's stored embedding
+    * plays the image side; the text side is a deterministic 64-dim
+    * pseudo-embedding from the byte count (`((nb·(2i+1)·7919) mod
+    * 1000003)/1000003 − 0.5` — integer arithmetic then one exact double
+    * division, so both engines build bit-identical vectors). The gate is
+    * cosine ≥ 0.05 with sequential-fold dot products (the sim1 exactness
+    * convention), emitted per pair so the gate DECISION is oracle-checked
+    * row by row, not just in aggregate.
+    */
+  val mm8ClipGate: Q = Q(
+    "mm8_clip_gate",
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb FROM documents),
+      |p AS (SELECT d.doc_id AS media_id, d.source,
+      |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    list_transform(range(0, 64),
+      |      i -> ((d.nb * (2*i + 1) * 7919) % 1000003) / 1000003.0 - 0.5) AS t
+      |  FROM d JOIN embeddings e ON e.vec_id = d.doc_id),
+      |s AS (SELECT media_id, source,
+      |    list_sum(list_transform(range(1, 65), i -> v[i]*t[i])) /
+      |    (sqrt(list_sum(list_transform(range(1, 65), i -> v[i]*v[i]))) *
+      |     sqrt(list_sum(list_transform(range(1, 65), i -> t[i]*t[i])))) AS clip_score
+      |  FROM p)
+      |SELECT media_id, source, clip_score, clip_score >= 0.05 AS kept
+      |FROM s ORDER BY media_id""".stripMargin) { (spark, dir) =>
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("source"),
+        length(encode(col("text"), "UTF-8")).cast(LongType).as("nb"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("media_id"), col("embedding"))
+    // `D` suffixes: a bare `1000003.0` literal is DECIMAL in Spark SQL and
+    // the division would round through decimal(31,9) before reaching double
+    val pairs = docs.join(emb, "media_id")
+      .withColumn("txt_vec", expr(
+        "transform(sequence(0L, 63L), i -> ((nb * (2*i + 1) * 7919) % 1000003) / 1000003.0D - 0.5D)"))
+    Multimodal.imageTextGate(pairs, "embedding", "txt_vec", threshold = 0.05)
+      .select(col("media_id"), col("source"), col("clip_score"), col("kept"))
+      .orderBy(col("media_id"))
+  }
+
   val all: Seq[Q] = Seq(mm1ByteFeatures, mm2FrameSampling, mm3AudioWindows,
-    mm4SequenceBudget, mm5TilingPlan, mm6QualityGate)
+    mm4SequenceBudget, mm5TilingPlan, mm6QualityGate, mm7FrameTimestamps,
+    mm8ClipGate)
 }

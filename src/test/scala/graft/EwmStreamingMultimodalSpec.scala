@@ -446,6 +446,80 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAviMeta(("RIFF" + "\u0000" * 30).getBytes("UTF-8")) == null)
   }
 
+  test("multimodal: buildMp4 round-trips through decodeMp4Meta and decodeMp4Timing") {
+    import org.apache.spark.sql.Row
+    val mp4 = Multimodal.buildMp4(640, 360, 600L, Seq((4L, 10L), (3L, 100L)))
+    // the dims/frames walk reads the SAME bytes (independent parser paths)
+    val m = Multimodal.decodeMp4Meta(mp4)
+    assert(m != null && m.getInt(0) == 640 && m.getInt(1) == 360 && m.getInt(2) == 7)
+    val t = Multimodal.decodeMp4Timing(mp4)
+    assert(t != null && t.getLong(0) == 600L)
+    // prefix cumulatives: (first_idx, ticks_before, n_samples, delta)
+    val entries = t.getSeq[Row](1)
+      .map(e => (e.getLong(0), e.getLong(1), e.getLong(2), e.getLong(3)))
+    assert(entries == Seq((0L, 0L, 4L, 10L), (4L, 40L, 3L, 100L)))
+    // v1 mdhd puts the timescale 20 bytes in (64-bit creation/modification)
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tp: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ tp.getBytes("US-ASCII") ++ payload
+    val mdhdV1 = box("mdhd",
+      be32(0x01000000L) ++ new Array[Byte](16) ++ be32(1000) ++ new Array[Byte](12))
+    val stts = box("stts", be32(0) ++ be32(1) ++ be32(5) ++ be32(40))
+    val v1 = box("ftyp", "isom".getBytes ++ be32(0)) ++
+      box("moov", box("trak", box("mdia", mdhdV1 ++ box("minf", box("stbl", stts)))))
+    val tv1 = Multimodal.decodeMp4Timing(v1)
+    assert(tv1 != null && tv1.getLong(0) == 1000L)
+    assert(tv1.getSeq[Row](1).map(e => (e.getLong(2), e.getLong(3))) == Seq((5L, 40L)))
+    // junk and stts-less MP4s are honest nulls
+    assert(Multimodal.decodeMp4Timing("not an mp4 at all".getBytes("UTF-8")) == null)
+    val noStts = box("ftyp", "isom".getBytes ++ be32(0)) ++
+      box("moov", box("trak", box("mdia", mdhdV1)))
+    assert(Multimodal.decodeMp4Timing(noStts) == null)
+  }
+
+  test("multimodal: frameTimestamps samples every k-th frame with stts-exact pts") {
+    import org.apache.spark.sql.Row
+    val mp4 = Multimodal.buildMp4(320, 240, 600L, Seq((4L, 10L), (3L, 100L)))
+    val media = mediaDf(Seq(
+      Row(5L, "video", mp4, null),
+      Row(6L, "video", "junk payload".getBytes("UTF-8"), null),
+      Row(7L, "image", mp4, null))) // non-video never enters the timing pass
+    val timing = Multimodal.videoTiming(media)
+    // undecodable payloads surface as null-timing rows (failure-countable)
+    val byId = timing.collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(byId == Map(5L -> false, 6L -> true))
+    val out = Multimodal.frameTimestamps(timing, everyK = 3)
+      .orderBy("media_id", "frame_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // durations [10,10,10,10,100,100,100]; frames 0,3,6 → pts 0, 30, 40+2·100
+    assert(out.toSeq == Seq(
+      (5L, 0L, 0L, 0L), (5L, 3L, 30L, 50000L), (5L, 6L, 240L, 400000L)))
+    // k=1 yields every frame; pts are the running duration sum
+    val all = Multimodal.frameTimestamps(timing, everyK = 1)
+      .orderBy("frame_idx").collect().map(_.getLong(2)).toSeq
+    assert(all == Seq(0L, 10L, 20L, 30L, 40L, 140L, 240L))
+  }
+
+  test("multimodal: imageTextGate sequential-fold cosine gates pairs at the threshold") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),   // orthogonal → 0
+      (2L, Seq(3.0f, 4.0f), Seq(3.0f, 4.0f)),   // identical → 25/(5·5) = 1 exact
+      (3L, Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f)),  // opposite → −1
+      (4L, Seq(3.0f, 4.0f), Seq(4.0f, 3.0f))    // 24/25
+    ).toDF("media_id", "img", "txt")
+    val out = Multimodal.imageTextGate(df, "img", "txt", threshold = 0.5)
+      .orderBy("media_id").collect()
+    val scores = out.map(r => r.getDouble(r.fieldIndex("clip_score"))).toSeq
+    assert(scores == Seq(0.0, 1.0, -1.0, 24.0 / 25.0))
+    assert(out.map(r => r.getBoolean(r.fieldIndex("kept"))).toSeq ==
+      Seq(false, true, false, true))
+    // input columns ride through untouched (gate is an append-only projection)
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq("media_id", "img", "txt", "clip_score", "kept"))
+  }
+
   test("multimodal: GIF frame count and JPEG/BMP dims decode for real") {
     // ImageIO's GIF writer supports multi-frame via sequence writing; keep it
     // simple — verify single-frame GIF + JPEG + BMP all header-decode.
