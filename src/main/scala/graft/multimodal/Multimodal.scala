@@ -611,6 +611,27 @@ object Multimodal {
       .select("media_id", "frame_idx", "pts_ticks", "pts_us")
   }
 
+  /** Constant-frame-rate SEGMENT view of a video's timing: one row per
+    * `stts` run-length entry — boundaries are exactly where the sample
+    * duration changes, which in edited footage marks cut/splice points, so
+    * this is the container-only stand-in for scene segmentation (the
+    * codec-free part; a pixel-based scene detector would refine within
+    * segments). Per segment: ordinal, first frame index, frame count,
+    * per-frame tick delta, and floor-div µs start/duration — all integer
+    * from [[videoTiming]]'s prefix cumulatives, a stateless posexplode
+    * projection (no shuffle, no window).
+    */
+  def videoSegments(timing: DataFrame): DataFrame =
+    timing.filter(col("timescale").isNotNull && col("entries").isNotNull)
+      .select(col("media_id"), col("timescale"),
+        posexplode(col("entries")).as(Seq("seg_idx", "e")))
+      .select(col("media_id"), col("seg_idx").cast(LongType).as("seg_idx"),
+        col("e.first_idx").as("first_frame"),
+        col("e.n_samples").as("n_frames"),
+        col("e.delta").as("frame_ticks"),
+        expr("(e.ticks_before * 1000000L) div timescale").as("start_us"),
+        expr("(e.n_samples * e.delta * 1000000L) div timescale").as("duration_us"))
+
   /** CLIP-score-style image–text pair gate — the multimodal curation step
     * that keeps only pairs whose stored image embedding and text embedding
     * agree (cosine ≥ threshold), the web-scale image-text filtering rule

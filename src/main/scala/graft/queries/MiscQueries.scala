@@ -1767,6 +1767,41 @@ object MiscQueries {
     results.orderBy(col("doc_id"))
   }
 
+  /** Incremental EXACT dedup with fingerprint-store state travel
+    * ([[graft.operators.Incremental.dedupDelta]]) — the concrete form of
+    * the Incremental scaladoc's global-state caveat: content-hash dedup
+    * stays exactly incremental when the fingerprint store rides along
+    * with the manifest. The delta (sources src10+) is deduplicated
+    * against the prior runs' store (every distinct content hash from
+    * src0..src9) AND within itself (first occurrence by doc_id); output
+    * is the delta's surviving rows. The oracle replays both rules over
+    * the same split. Scale: one fp-keyed window over the DELTA, one
+    * anti-join against the (bucketable) store — the corpus is never
+    * rescanned for history.
+    */
+  val mx23IncrementalDedup: Q = Q(
+    "mx23_incremental_dedup",
+    """WITH d AS (SELECT doc_id, source, md5(text) AS fp,
+      |    CAST(substr(source, 4) AS INT) AS si FROM documents),
+      |prior AS (SELECT DISTINCT fp FROM d WHERE si < 10),
+      |delta AS (SELECT doc_id, source, fp FROM d WHERE si >= 10),
+      |r AS (SELECT doc_id, source, fp,
+      |    ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM delta)
+      |SELECT doc_id, source FROM r
+      |WHERE rn = 1 AND fp NOT IN (SELECT fp FROM prior)
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.Incremental
+    val corpus = Tables.documents(spark, dir)
+    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    val manifest = corpus.filter(srcIdx < 10).select("source").distinct()
+    // prior fingerprint store: in production read back from storage
+    val priorFps = corpus.join(broadcast(manifest), Seq("source"), "left_semi")
+      .select(md5(col("text")).as("fp")).distinct()
+    val (survivors, _) =
+      Incremental.dedupDelta(corpus, manifest, "source", priorFps, "doc_id", "text")
+    survivors.select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qAsofNearest,
     qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
@@ -1779,5 +1814,6 @@ object MiscQueries {
     qTableChecksum, qDqReport,
     qPercentileBands, qCdcCompact, qIntervalUnion, qZorderLayout, qSkewReport,
     qWeightedMedian, mx15EpochShuffle, qHilbertLayout, mx16Curriculum, qJoinEstimate,
-    mx17CurationPipeline, mx21MultimodalPacking, mx22IncrementalCuration)
+    mx17CurationPipeline, mx21MultimodalPacking, mx22IncrementalCuration,
+    mx23IncrementalDedup)
 }

@@ -319,7 +319,96 @@ object MultimodalQueries {
       .orderBy(col("media_id"))
   }
 
+  /** Resize planning ([[Multimodal.resizePlan]]) — the payload-rewrite
+    * decision pass: fit every image inside 256×224 preserving aspect,
+    * never upscaling. Synthetic dims follow the mm4 conventions (so the
+    * oracle replays them); the plan arithmetic is the real operator —
+    * integer cross-compare for which axis binds, floor-div target dims.
+    * One codegen'd projection, no shuffle; at 100 TB this decides which
+    * payloads the [[Multimodal.resizeImages]] rewrite pass touches.
+    */
+  val mm9ResizePlan: Q = Q(
+    "mm9_resize_plan",
+    """WITH img AS (SELECT doc_id AS media_id,
+      |    CAST(112 + octet_length(encode(text)) % 400 AS BIGINT) AS w,
+      |    CAST(112 + (octet_length(encode(text)) * 31) % 400 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |p AS (SELECT media_id, w, h,
+      |    (w <= 256 AND h <= 224) AS fits,
+      |    (w * 224 >= h * 256) AS wb
+      |  FROM img)
+      |SELECT media_id, w, h, NOT fits AS resize_needed,
+      |  CAST(CASE WHEN fits THEN w WHEN wb THEN 256 ELSE (w * 224) // h END AS INT)
+      |    AS target_width,
+      |  CAST(CASE WHEN fits THEN h WHEN wb THEN (h * 256) // w ELSE 224 END AS INT)
+      |    AS target_height
+      |FROM p ORDER BY media_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val img = Multimodal.fromDocuments(Tables.documents(spark, dir), "doc_id", "text")
+      .filter(col("modality") === "image")
+      .withColumn("nb", length(col("payload")).cast(LongType))
+      .withColumn("meta", struct(
+        (lit(112L) + col("nb") % 400).cast(IntegerType).as("width"),
+        (lit(112L) + (col("nb") * 31) % 400).cast(IntegerType).as("height"),
+        lit(1).as("n_frames"),
+        lit(null).cast(IntegerType).as("sample_rate")))
+    Multimodal.resizePlan(img, maxW = 256, maxH = 224)
+      .select(col("media_id"),
+        col("meta.width").cast(LongType).as("w"),
+        col("meta.height").cast(LongType).as("h"),
+        col("resize_needed"), col("target_width"), col("target_height"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Constant-frame-rate segment view ([[Multimodal.videoSegments]]):
+    * per video, one row per `stts` run — boundaries are where the frame
+    * duration changes (edit/splice points in real footage), the
+    * codec-free scene-segmentation stand-in. Same real-container
+    * round-trip as mm7 (buildMp4 → decodeMp4Timing), same two-run
+    * corpus convention, so the oracle replays ordinals, frame counts,
+    * tick deltas, and floor-div µs starts/durations arithmetically.
+    */
+  val mm10VideoSegments: Q = Q(
+    "mm10_video_segments",
+    """WITH v AS (SELECT doc_id AS media_id,
+      |    1 + octet_length(encode(text)) % 300 AS nf
+      |  FROM documents WHERE doc_id % 3 = 2),
+      |p AS (SELECT media_id, nf, (nf + 1) // 2 AS h FROM v),
+      |s AS (
+      |  SELECT media_id, 0 AS seg_idx, 0 AS first_frame, h AS n_frames,
+      |         20 AS frame_ticks, 0 AS start_ticks FROM p
+      |  UNION ALL
+      |  SELECT media_id, 1, h, nf - h, 40, h * 20 FROM p WHERE nf > h)
+      |SELECT media_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+      |  CAST(first_frame AS BIGINT) AS first_frame,
+      |  CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST(frame_ticks AS BIGINT) AS frame_ticks,
+      |  CAST((start_ticks * 1000000) // 600 AS BIGINT) AS start_us,
+      |  CAST((n_frames * frame_ticks * 1000000) // 600 AS BIGINT) AS duration_us
+      |FROM s ORDER BY media_id, seg_idx""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val vids = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast(LongType).as("nb"))
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("modality", StringType, nullable = false),
+      StructField("payload", BinaryType)))
+    val media = vids.mapPartitions { it =>
+      it.map { r =>
+        val nf = 1L + r.getLong(1) % 300L
+        val h = (nf + 1) / 2
+        val runs = if (nf > h) Seq((h, 20L), (nf - h, 40L)) else Seq((h, 20L))
+        Row(r.getLong(0), "video", Multimodal.buildMp4(640, 360, 600L, runs))
+      }
+    }(Encoders.row(schema))
+    Multimodal.videoSegments(Multimodal.videoTiming(media))
+      .orderBy(col("media_id"), col("seg_idx"))
+  }
+
   val all: Seq[Q] = Seq(mm1ByteFeatures, mm2FrameSampling, mm3AudioWindows,
     mm4SequenceBudget, mm5TilingPlan, mm6QualityGate, mm7FrameTimestamps,
-    mm8ClipGate)
+    mm8ClipGate, mm9ResizePlan, mm10VideoSegments)
 }

@@ -502,6 +502,24 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     assert(all == Seq(0L, 10L, 20L, 30L, 40L, 140L, 240L))
   }
 
+  test("multimodal: videoSegments emits one row per stts run with µs bounds") {
+    import org.apache.spark.sql.Row
+    val mp4 = Multimodal.buildMp4(320, 240, 1000L, Seq((4L, 10L), (3L, 100L), (2L, 10L)))
+    val media = mediaDf(Seq(
+      Row(9L, "video", mp4, null),
+      Row(10L, "video", "garbage".getBytes("UTF-8"), null)))
+    val out = Multimodal.videoSegments(Multimodal.videoTiming(media))
+      .orderBy("media_id", "seg_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // (media, seg, first_frame, n_frames, frame_ticks, start_us, duration_us)
+    // at timescale 1000: ticks·1000 µs each; undecodable 10L drops out
+    assert(out.toSeq == Seq(
+      (9L, 0L, 0L, 4L, 10L, 0L, 40000L),
+      (9L, 1L, 4L, 3L, 100L, 40000L, 300000L),
+      (9L, 2L, 7L, 2L, 10L, 340000L, 20000L)))
+  }
+
   test("multimodal: imageTextGate sequential-fold cosine gates pairs at the threshold") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),   // orthogonal → 0

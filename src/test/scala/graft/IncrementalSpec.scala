@@ -58,6 +58,39 @@ class IncrementalSpec extends AnyFunSuite {
     assert(sameManifest.as[String].collect().sorted.toSeq == Seq("s0", "s1", "s2"))
   }
 
+  test("dedupDelta: delta dedups against the store AND itself; store grows by survivors only") {
+    // shards: s0 processed; s1/s2 are the delta
+    val docs = Seq(
+      (1L, "s0", "seen before"),  // prior content
+      (2L, "s0", "only in prior"),
+      (3L, "s1", "seen before"),  // duplicate of history → dropped
+      (4L, "s1", "fresh a"),      // survives
+      (5L, "s2", "fresh a"),      // within-delta dup, doc_id 4 wins
+      (6L, "s2", "fresh b")       // survives
+    ).toDF("id", "shard", "text")
+    val manifest = Seq("s0").toDF("shard")
+    val priorFps = docs.filter(col("shard") === "s0")
+      .select(md5(col("text")).as("fp")).distinct()
+    val (survivors, newFps) = Incremental.dedupDelta(
+      docs, manifest, "shard", priorFps, "id", "text")
+    assert(survivors.select("id").as[Long].collect().sorted.toSeq == Seq(4L, 6L))
+    // survivor rows keep the delta's full schema
+    assert(survivors.columns.toSeq == Seq("id", "shard", "text"))
+    // the store gained exactly the survivors' fingerprints
+    assert(newFps.count() == 4L) // {seen before, only in prior, fresh a, fresh b}
+    // state travel: a second delivery re-using survivor content dedups
+    // against the GROWN store without rescanning history
+    val docs2 = docs.unionByName(Seq(
+      (7L, "s3", "fresh a"),      // now historical → dropped
+      (8L, "s3", "fresh c")       // survives
+    ).toDF("id", "shard", "text"))
+    val manifest2 = Seq("s0", "s1", "s2").toDF("shard")
+    val (s2, fps2) = Incremental.dedupDelta(
+      docs2, manifest2, "shard", newFps, "id", "text")
+    assert(s2.select("id").as[Long].collect().toSeq == Seq(8L))
+    assert(fps2.count() == 5L)
+  }
+
   test("delta selection broadcasts the manifest (map-side anti-join, no corpus shuffle)") {
     val manifest = Seq("s0").toDF("shard")
     val (delta, covered) = Incremental.deltaShards(corpus, manifest, "shard")
