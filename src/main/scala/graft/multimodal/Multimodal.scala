@@ -72,10 +72,15 @@ object Multimodal {
     } catch { case _: Exception => null } finally iis.close()
   }
 
-  /** WAV sample rate via a RIFF chunk scan: `RIFF....WAVE`, then walk the
-    * chunk list to `fmt ` and read its little-endian u32 sample rate (byte 24
-    * in a canonical 44-byte-header file; the scan also handles files with a
-    * leading LIST/JUNK chunk). Returns null for non-WAV bytes.
+  /** WAV metadata via a RIFF chunk scan: `RIFF....WAVE`, then walk the
+    * chunk list reading `fmt `'s little-endian u32 sample rate and u16
+    * block align (byte 24 / 32 in a canonical 44-byte-header file; the
+    * scan also handles files with a leading LIST/JUNK chunk), and the
+    * `data` chunk's declared size — `n_frames = data_size / block_align`,
+    * the per-channel sample count. The scan STOPS at the data header (the
+    * payload body is never read — a 100 TB metadata pass range-reads only
+    * the leading bytes of each object, and this decoder is exactly that
+    * read). Returns null for non-WAV bytes or when no `fmt ` is found.
     */
   def decodeWavMeta(bytes: Array[Byte]): Row = {
     def tag(off: Int): String =
@@ -83,21 +88,59 @@ object Multimodal {
     def u32le(off: Int): Long =
       (bytes(off) & 0xffL) | ((bytes(off + 1) & 0xffL) << 8) |
         ((bytes(off + 2) & 0xffL) << 16) | ((bytes(off + 3) & 0xffL) << 24)
-    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") null
+    def u16le(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    if (bytes.length < 36 || tag(0) != "RIFF" || tag(8) != "WAVE") null
     else try {
+      var rate = -1L; var blockAlign = -1; var dataSize = -1L
       var off = 12
-      while (off + 8 <= bytes.length) {
+      var stop = false
+      while (!stop && off + 8 <= bytes.length) {
         val size = u32le(off + 4) // unsigned u32: may exceed Int.MaxValue
-        if (tag(off) == "fmt " && off + 12 + 4 <= bytes.length)
-          return Row(null, null, null, u32le(off + 12).toInt)
-        // advance in Long: a crafted size in [2^31, 2^32) truncated to Int
-        // would advance 0/negative (infinite loop or IndexOutOfBounds)
-        val next = off.toLong + 8L + size + (size & 1L) // chunks word-aligned
-        if (size <= 0 || next <= off || next > bytes.length) return null
-        off = next.toInt
+        val t = tag(off)
+        if (t == "fmt " && off + 8 + 16 <= bytes.length) {
+          rate = u32le(off + 12)
+          blockAlign = u16le(off + 8 + 12)
+        }
+        if (t == "data") { dataSize = size; stop = true } // body never read
+        else {
+          // advance in Long: a crafted size in [2^31, 2^32) truncated to Int
+          // would advance 0/negative (infinite loop or IndexOutOfBounds)
+          val next = off.toLong + 8L + size + (size & 1L) // chunks word-aligned
+          if (size <= 0 || next <= off || next > bytes.length) stop = true
+          else off = next.toInt
+        }
       }
-      null
+      if (rate < 0) null
+      else Row(null, null,
+        if (dataSize > 0 && blockAlign > 0) (dataSize / blockAlign).toInt else null,
+        rate.toInt)
     } catch { case _: Exception => null } // undecodable ⇒ null meta, never throw
+  }
+
+  /** Build a REAL canonical WAV header — the audio counterpart of
+    * [[buildMp4]] for the synthetic corpus: genuine `RIFF/WAVE` grammar
+    * (PCM `fmt ` chunk + `data` chunk header carrying the true size), but
+    * HEADER-ONLY — no sample body follows, exactly the leading-bytes
+    * range-read a production metadata pass fetches per object, and all
+    * [[decodeWavMeta]] ever consumes.
+    */
+  def buildWav(
+      sampleRate: Int, nSamples: Long,
+      channels: Int = 1, bitsPerSample: Int = 16): Array[Byte] = {
+    require(sampleRate > 0 && nSamples >= 0 && channels > 0 && bitsPerSample % 8 == 0)
+    val blockAlign = channels * bitsPerSample / 8
+    val dataSize = nSamples * blockAlign
+    require(dataSize <= 0xffffffffL, "data chunk size overflows u32")
+    val b = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt((36L + dataSize).toInt)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * blockAlign).putShort(blockAlign.toShort)
+      .putShort(bitsPerSample.toShort)
+    b.put("data".getBytes("US-ASCII")).putInt(dataSize.toInt)
+    b.array()
   }
 
   /** MP4 (ISO BMFF) container metadata via a pure box walk — no codec

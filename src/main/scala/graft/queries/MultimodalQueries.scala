@@ -408,7 +408,52 @@ object MultimodalQueries {
       .orderBy(col("media_id"), col("seg_idx"))
   }
 
+  /** Audio analysis windows over a REAL WAV round-trip — mm3's window
+    * cutter upgraded to mm7's realism standard: payloads are genuine
+    * RIFF/WAVE headers ([[Multimodal.buildWav]], header-only — the
+    * leading-bytes range-read a metadata pass fetches), the sample count
+    * comes from the REAL chunk scan ([[Multimodal.decodeWavMeta]]:
+    * `data`-chunk size over `fmt ` block align, via the full
+    * [[Multimodal.decodeMeta]] partition pass), and window bounds are
+    * also reported in floor-div milliseconds. Sample counts follow the
+    * mm3 corpus convention (`1 + bytes·997 mod 100000` at 16 kHz) so the
+    * oracle replays the arithmetic without parsing bytes.
+    */
+  val mm11WavWindows: Q = Q(
+    "mm11_wav_windows",
+    """WITH a AS (
+      |  SELECT doc_id AS media_id,
+      |         1 + (octet_length(encode(text)) * 997) % 100000 AS ns
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |w AS (SELECT media_id,
+      |    CAST(unnest(range(0, ns - 16000 + 1, 8000)) AS BIGINT) AS start_sample
+      |  FROM a WHERE ns >= 16000)
+      |SELECT media_id, start_sample,
+      |  start_sample + 16000 AS end_sample,
+      |  (start_sample * 1000) // 16000 AS start_ms,
+      |  ((start_sample + 16000) * 1000) // 16000 AS end_ms
+      |FROM w ORDER BY media_id, start_sample""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val auds = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"),
+        length(encode(col("text"), "UTF-8")).cast(LongType).as("nb"))
+    val media = auds.mapPartitions { it =>
+      it.map { r =>
+        val ns = 1L + (r.getLong(1) * 997L) % 100000L
+        Row(r.getLong(0), "audio", Multimodal.buildWav(16000, ns), null)
+      }
+    }(Encoders.row(Multimodal.MediaSchema))
+    val decoded = Multimodal.decodeMeta(media)
+      .withColumn("ns", col("meta.n_frames").cast(LongType))
+    Multimodal.audioWindows(decoded, "ns", windowSamples = 16000, hopSamples = 8000)
+      .withColumn("start_ms", expr("(start_sample * 1000L) div 16000L"))
+      .withColumn("end_ms", expr("(end_sample * 1000L) div 16000L"))
+      .orderBy(col("media_id"), col("start_sample"))
+  }
+
   val all: Seq[Q] = Seq(mm1ByteFeatures, mm2FrameSampling, mm3AudioWindows,
     mm4SequenceBudget, mm5TilingPlan, mm6QualityGate, mm7FrameTimestamps,
-    mm8ClipGate, mm9ResizePlan, mm10VideoSegments)
+    mm8ClipGate, mm9ResizePlan, mm10VideoSegments, mm11WavWindows)
 }

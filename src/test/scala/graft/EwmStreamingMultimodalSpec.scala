@@ -502,6 +502,18 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     assert(all == Seq(0L, 10L, 20L, 30L, 40L, 140L, 240L))
   }
 
+  test("multimodal: buildWav header round-trips through the RIFF scan with frame count") {
+    // stereo 16-bit: n_frames = data_size / block_align = per-channel samples
+    val m = Multimodal.decodeWavMeta(
+      Multimodal.buildWav(22050, 44100L, channels = 2, bitsPerSample = 16))
+    assert(m != null && m.getInt(3) == 22050 && m.getInt(2) == 44100)
+    val mono = Multimodal.decodeWavMeta(Multimodal.buildWav(16000, 5L))
+    assert(mono.getInt(2) == 5 && mono.getInt(3) == 16000)
+    // zero samples: frame count unknown (null), rate still decoded
+    val empty = Multimodal.decodeWavMeta(Multimodal.buildWav(8000, 0L))
+    assert(empty.isNullAt(2) && empty.getInt(3) == 8000)
+  }
+
   test("multimodal: videoSegments emits one row per stts run with µs bounds") {
     import org.apache.spark.sql.Row
     val mp4 = Multimodal.buildMp4(320, 240, 1000L, Seq((4L, 10L), (3L, 100L), (2L, 10L)))
