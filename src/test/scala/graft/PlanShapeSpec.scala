@@ -285,6 +285,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(windows == 1, s"the unrolled seasonal state must stay in one Window:\n$p")
   }
 
+  test("tx14 topk-dot: df-cap window rides the shingle partitioning below the self-join") {
+    val p = plan(graft.queries.TextQueries.tx14TopkDot.run(spark, sf))
+    // the cap is a Window count partitioned on sh — the same key the join
+    // shuffles on — so per-key join fan-out is bounded at 256²/2 at any
+    // corpus size (the r8 scale-killer fix); top-50 must stay TakeOrdered
+    val capWindows = p.linesIterator.count(l =>
+      l.contains("Window [count(1) windowspecdefinition(sh#"))
+    assert(capWindows >= 1, s"expected the sh-partitioned df-cap window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-50 must not plan a global sort")
+  }
+
   test("m42/m43 rank grids: one bounded-grid window, no data-sized global sort above it") {
     val p42 = plan(WindowQueries.m42KruskalWallis.run(spark, sf))
     val p43 = plan(WindowQueries.m43Jonckheere.run(spark, sf))
