@@ -721,10 +721,14 @@ object Multimodal {
     * + one ppm window over the ≤ |modalities|·|verdicts| grouped frame —
     * nothing data-sized is global.
     */
-  def modalityQualityGate(
+  /** Row-level verdict for [[modalityQualityGate]]'s rules — exposed
+    * separately so curation DAGs can FILTER on it (`verdict = 'keep'`)
+    * rather than only report counts. Same pinned precedence, pure
+    * codegen'd projection.
+    */
+  def withModalityVerdict(
       df: DataFrame, minDim: Long = 128, maxAspect: Long = 3,
       minSamples: Long = 16000, minFrames: Long = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val verdict =
       when(col("modality") === "image",
         when(least(col("w"), col("h")) < minDim, "too_small")
@@ -735,8 +739,15 @@ object Multimodal {
         when(col("nsamples") < minSamples, "too_short").otherwise("keep"))
       .otherwise(
         when(col("nframes") < minFrames, "too_short").otherwise("keep"))
-    val byModality = Window.partitionBy(col("modality"))
     df.withColumn("verdict", verdict)
+  }
+
+  def modalityQualityGate(
+      df: DataFrame, minDim: Long = 128, maxAspect: Long = 3,
+      minSamples: Long = 16000, minFrames: Long = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byModality = Window.partitionBy(col("modality"))
+    withModalityVerdict(df, minDim, maxAspect, minSamples, minFrames)
       .groupBy(col("modality"), col("verdict"))
       .agg(count(lit(1)).as("n"))
       .withColumn("__tot", sum(col("n")).over(byModality))

@@ -1802,6 +1802,122 @@ object MiscQueries {
     survivors.select(col("doc_id"), col("source")).orderBy(col("doc_id"))
   }
 
+  /** The FIFTH composed curation DAG — the full multimodal pretraining
+    * ingest: media quality gate ([[graft.multimodal.Multimodal
+    * .withModalityVerdict]], mm6's rules as a row filter) → CLIP-score
+    * image–text gate (mm8's sequential-fold cosine at ≥ 0.05) → exact text
+    * dedup (first occurrence) → mm4 effective-length budget (≤ 4096) →
+    * best-fit-decreasing packing (mx8's kernel). Emits the packed
+    * examples (media_id, modality, len, bin_id) so the composition is
+    * bit-exact END-TO-END per row; the oracle chains all five stages as
+    * CTEs ending in the recursive caps-list BFD replay.
+    *
+    * Scale: gates are codegen'd projections (the clip gate's join is the
+    * one equi-join, co-partitionable on the id); dedup is one fp-keyed
+    * window; packing inherits the per-shard BFD contract. Corpus touched
+    * twice (once through the gates, once to pack).
+    */
+  val mx24MultimodalCuration: Q = Q(
+    "mx24_multimodal_curation",
+    """WITH RECURSIVE d AS (SELECT doc_id, text,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality
+      |  FROM documents),
+      |meta AS (SELECT *, 112 + nb % 400 AS w, 112 + (nb * 31) % 400 AS h,
+      |    1 + (nb * 997) % 100000 AS ns, 1 + nb % 300 AS nf FROM d),
+      |q AS (SELECT doc_id, text, nb, modality FROM meta WHERE
+      |    CASE modality
+      |      WHEN 'image' THEN LEAST(w, h) >= 128 AND w <= h * 3 AND h <= w * 3
+      |      WHEN 'audio' THEN ns >= 16000
+      |      ELSE nf >= 10 END),
+      |c AS (SELECT q.doc_id, q.text, q.nb, q.modality,
+      |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    list_transform(range(0, 64),
+      |      i -> ((q.nb * (2*i + 1) * 7919) % 1000003) / 1000003.0 - 0.5) AS t
+      |  FROM q JOIN embeddings e ON e.vec_id = q.doc_id),
+      |s AS (SELECT doc_id, text, nb, modality FROM c WHERE
+      |    list_sum(list_transform(range(1, 65), i -> v[i]*t[i])) /
+      |    (sqrt(list_sum(list_transform(range(1, 65), i -> v[i]*v[i]))) *
+      |     sqrt(list_sum(list_transform(range(1, 65), i -> t[i]*t[i])))) >= 0.05),
+      |dd AS (SELECT doc_id, text, nb, modality FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM s) WHERE rn = 1),
+      |lens AS (SELECT doc_id AS media_id, modality,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) + CASE modality
+      |      WHEN 'image' THEN
+      |        ((112 + nb % 400 + 13) // 14) * ((112 + (nb * 31) % 400 + 13) // 14)
+      |      WHEN 'audio' THEN
+      |        CASE WHEN 1 + (nb * 997) % 100000 >= 16000
+      |             THEN ((1 + (nb * 997) % 100000 - 16000) // 8000 + 1) * 25
+      |             ELSE 0 END
+      |      ELSE ((1 + nb % 300 + 4) // 5) * 64
+      |    END AS len
+      |  FROM dd),
+      |docs AS (SELECT media_id, modality, len,
+      |    row_number() OVER (ORDER BY len DESC, media_id) AS rn
+      |  FROM lens WHERE len <= 4096),
+      |pack AS (
+      |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS media_id,
+      |         CAST(NULL AS VARCHAR) AS modality,
+      |         CAST(NULL AS BIGINT) AS len, CAST(NULL AS BIGINT) AS bin_id,
+      |         CAST([] AS BIGINT[]) AS caps
+      |  UNION ALL
+      |  SELECT rn, media_id, modality, len,
+      |         CASE WHEN fit IS NULL THEN CAST(len(caps) AS BIGINT)
+      |              ELSE CAST(list_position(caps, fit) - 1 AS BIGINT) END AS bin_id,
+      |         CASE WHEN fit IS NULL THEN list_append(caps, 4096 - len)
+      |              ELSE caps[1:list_position(caps, fit)-1] || [fit - len]
+      |                   || caps[list_position(caps, fit)+1:]
+      |         END AS caps
+      |  FROM (
+      |    SELECT d.rn, d.media_id, d.modality, d.len, p.caps,
+      |           list_min(list_filter(p.caps, c -> c >= d.len)) AS fit
+      |    FROM pack p JOIN docs d ON d.rn = p.rn + 1))
+      |SELECT media_id, modality, len, bin_id FROM pack
+      |WHERE rn > 0 ORDER BY media_id""".stripMargin) { (spark, dir) =>
+    import graft.multimodal.Multimodal
+    import graft.operators.{Dedup, Packing, TextAnalysis}
+    import org.apache.spark.sql.types.LongType
+    val nb = length(encode(col("text"), "UTF-8")).cast(LongType)
+    val m = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"), col("text"), nb.as("nb"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("modality"))
+      .withColumn("w", lit(112L) + col("nb") % 400)
+      .withColumn("h", lit(112L) + (col("nb") * 31) % 400)
+      .withColumn("nsamples", lit(1L) + (col("nb") * 997) % 100000)
+      .withColumn("nframes", lit(1L) + col("nb") % 300)
+    val quality = Multimodal.withModalityVerdict(m)
+      .filter(col("verdict") === "keep")
+      .select("media_id", "text", "nb", "modality")
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("media_id"), col("embedding"))
+    val clipped = Multimodal.imageTextGate(
+        quality.join(emb, "media_id").withColumn("txt_vec", expr(
+          "transform(sequence(0L, 63L), i -> ((nb * (2*i + 1) * 7919) % 1000003) / 1000003.0D - 0.5D)")),
+        "embedding", "txt_vec", threshold = 0.05)
+      .filter(col("kept"))
+      .select("media_id", "text", "nb", "modality")
+    val dd = Dedup.dropExactDuplicates(clipped, "media_id", "text")
+    val modalTokens =
+      when(col("modality") === "image",
+        expr("((112 + nb % 400 + 13) div 14) * ((112 + (nb * 31) % 400 + 13) div 14)"))
+      .when(col("modality") === "audio",
+        when(lit(1L) + (col("nb") * 997) % 100000 >= 16000,
+          (expr("(1 + (nb * 997) % 100000 - 16000) div 8000") + 1) * 25)
+          .otherwise(0L))
+      .otherwise(expr("((1 + nb % 300 + 4) div 5) * 64"))
+    val lens = dd
+      .withColumn("len",
+        TextAnalysis.tokenCount(col("text")).cast(LongType) + modalTokens)
+      .filter(col("len") <= 4096)
+      .select("media_id", "modality", "len")
+    Packing.packSequences(lens, "media_id", "len", budget = 4096L, numPartitions = 1)
+      .select("media_id", "modality", "len", "bin_id")
+      .orderBy("media_id")
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qAsofNearest,
     qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
@@ -1815,5 +1931,5 @@ object MiscQueries {
     qPercentileBands, qCdcCompact, qIntervalUnion, qZorderLayout, qSkewReport,
     qWeightedMedian, mx15EpochShuffle, qHilbertLayout, mx16Curriculum, qJoinEstimate,
     mx17CurationPipeline, mx21MultimodalPacking, mx22IncrementalCuration,
-    mx23IncrementalDedup)
+    mx23IncrementalDedup, mx24MultimodalCuration)
 }
