@@ -453,7 +453,66 @@ object MultimodalQueries {
       .orderBy(col("media_id"), col("start_sample"))
   }
 
+  /** CLIP-gate calibration report — the dd25/dd27 audit shape applied to
+    * mm8's gate: per (modality, score decile), pair counts and how many
+    * clear the 0.05 threshold, plus each decile's share of its modality in
+    * exact ppm. This is the report a curation team reads BEFORE committing
+    * to a gate threshold (where does the mass sit, what would 0.10 cost?).
+    * Deciles are `floor(score·10)` on the bit-deterministic scores, so
+    * bucketing is engine-exact; shares are integer ppm. One projection +
+    * one small aggregate + one ppm window over the ≤ |modality|·20 grid.
+    */
+  val mm12ClipCalibration: Q = Q(
+    "mm12_clip_calibration",
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality
+      |  FROM documents),
+      |p AS (SELECT d.doc_id AS media_id, d.modality,
+      |    list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |    list_transform(range(0, 64),
+      |      i -> ((d.nb * (2*i + 1) * 7919) % 1000003) / 1000003.0 - 0.5) AS t
+      |  FROM d JOIN embeddings e ON e.vec_id = d.doc_id),
+      |s AS (SELECT media_id, modality,
+      |    list_sum(list_transform(range(1, 65), i -> v[i]*t[i])) /
+      |    (sqrt(list_sum(list_transform(range(1, 65), i -> v[i]*v[i]))) *
+      |     sqrt(list_sum(list_transform(range(1, 65), i -> t[i]*t[i])))) AS score
+      |  FROM p),
+      |b AS (SELECT modality, CAST(floor(score * 10) AS BIGINT) AS decile,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN score >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |  FROM s GROUP BY 1, 2)
+      |SELECT modality, decile, n, n_kept,
+      |  (1000000 * n) // SUM(n) OVER (PARTITION BY modality) AS share_ppm
+      |FROM b ORDER BY modality, decile""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("modality"),
+        length(encode(col("text"), "UTF-8")).cast(LongType).as("nb"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("media_id"), col("embedding"))
+    val scored = Multimodal.imageTextGate(
+        docs.join(emb, "media_id").withColumn("txt_vec", expr(
+          "transform(sequence(0L, 63L), i -> ((nb * (2*i + 1) * 7919) % 1000003) / 1000003.0D - 0.5D)")),
+        "embedding", "txt_vec", threshold = 0.05)
+    scored
+      .groupBy(col("modality"),
+        floor(col("clip_score") * 10).cast(LongType).as("decile"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("__tot",
+        sum(col("n")).over(Window.partitionBy(col("modality"))))
+      .withColumn("share_ppm", expr("(1000000 * n) div __tot"))
+      .drop("__tot")
+      .orderBy(col("modality"), col("decile"))
+  }
+
   val all: Seq[Q] = Seq(mm1ByteFeatures, mm2FrameSampling, mm3AudioWindows,
     mm4SequenceBudget, mm5TilingPlan, mm6QualityGate, mm7FrameTimestamps,
-    mm8ClipGate, mm9ResizePlan, mm10VideoSegments, mm11WavWindows)
+    mm8ClipGate, mm9ResizePlan, mm10VideoSegments, mm11WavWindows,
+    mm12ClipCalibration)
 }
