@@ -946,11 +946,67 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrubbing — the redaction pass every public-corpus release runs:
+    * emails → `<EMAIL>`, IPv4s → `<IP>`, phone-shaped digit runs →
+    * `<PHONE>`, with per-type redaction counts. Patterns use only regex
+    * constructs Java regex and RE2 interpret identically (character
+    * classes, counted quantifiers — the tx6 BPE-pattern rule), and the
+    * three passes apply in PINNED order (email, then IP, then phone),
+    * each count taken on that stage's input, so both engines see the
+    * same stage-wise text. The corpus carries no real PII, so
+    * deterministic synthetic contact lines (derived from doc_id) are
+    * APPENDED before scrubbing — the redaction counts are nonzero and
+    * oracle-checked, and the scrubbed text is compared by md5 + length
+    * (byte-exact without shipping the text). One codegen'd projection,
+    * no shuffle: linear at any corpus size.
+    */
+  val tx31PiiScrub: Q = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val phone = "\\+?[0-9][0-9-]{7,}[0-9]"
+    Q(
+      "tx31_pii_scrub",
+      s"""WITH a AS (SELECT doc_id,
+         |    text || ' contact user' || doc_id ||
+         |    '@example.com or 192.168.' || (doc_id % 256) || '.' ||
+         |    (doc_id % 100) || ' tel +1-555-0' || (100 + doc_id % 900) AS s0
+         |  FROM documents),
+         |e AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(s0, '$email')) AS BIGINT) AS n_emails,
+         |    regexp_replace(s0, '$email', '<EMAIL>', 'g') AS s1 FROM a),
+         |i AS (SELECT doc_id, n_emails,
+         |    CAST(len(regexp_extract_all(s1, '$ip')) AS BIGINT) AS n_ips,
+         |    regexp_replace(s1, '$ip', '<IP>', 'g') AS s2 FROM e),
+         |p AS (SELECT doc_id, n_emails, n_ips,
+         |    CAST(len(regexp_extract_all(s2, '$phone')) AS BIGINT) AS n_phones,
+         |    regexp_replace(s2, '$phone', '<PHONE>', 'g') AS s3 FROM i)
+         |SELECT doc_id, n_emails, n_ips, n_phones,
+         |  md5(s3) AS scrubbed_md5, CAST(length(s3) AS BIGINT) AS scrubbed_len
+         |FROM p ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.types.LongType
+      val s0 = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 192.168."), col("doc_id") % 256, lit("."),
+        col("doc_id") % 100, lit(" tel +1-555-0"), lit(100) + col("doc_id") % 900)
+      Tables.documents(spark, dir)
+        .withColumn("s0", s0)
+        .withColumn("n_emails", regexp_count(col("s0"), lit(email)).cast(LongType))
+        .withColumn("s1", regexp_replace(col("s0"), email, "<EMAIL>"))
+        .withColumn("n_ips", regexp_count(col("s1"), lit(ip)).cast(LongType))
+        .withColumn("s2", regexp_replace(col("s1"), ip, "<IP>"))
+        .withColumn("n_phones", regexp_count(col("s2"), lit(phone)).cast(LongType))
+        .withColumn("s3", regexp_replace(col("s2"), phone, "<PHONE>"))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("s3")).as("scrubbed_md5"),
+          length(col("s3")).cast(LongType).as("scrubbed_len"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
     tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift, tx19OovRate,
     tx20FeatureHashing, tx21GroupedHeavyHitters, tx22LmFluency, tx23BpeTrain,
     tx24LangidConfusion, tx25BpeBudget, tx26Rake, tx27Readability,
-    tx28VocabGrowth, tx29SourceTv, tx30Sttr)
+    tx28VocabGrowth, tx29SourceTv, tx30Sttr, tx31PiiScrub)
 }
