@@ -484,4 +484,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_segments"),
         expr("sum(ttr_milli) div count(1)").as("sttr_milli"))
   }
+
+  /** PII patterns restricted to constructs Java regex and RE2 interpret
+    * identically (character classes, counted quantifiers — the
+    * [[bpePreTokenCount]] rule), so scrubbing is engine-deterministic.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val PhonePattern = "\\+?[0-9][0-9-]{7,}[0-9]"
+
+  /** PII scrubbing — the redaction pass a public-corpus release runs:
+    * emails → `<EMAIL>`, IPv4s → `<IP>`, phone-shaped digit runs →
+    * `<PHONE>`, applied in PINNED stage order (email, then IP, then
+    * phone) with each per-type count taken on that stage's INPUT — the
+    * order is semantic: an email's digits must not be miscounted as a
+    * phone, so later patterns see earlier placeholders, never raw text.
+    * Appends `n_emails`/`n_ips`/`n_phones` and replaces `textCol` with
+    * the scrubbed text. One codegen'd projection, no shuffle.
+    */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        regexp_count(col(textCol), lit(EmailPattern)).cast("long"))
+      .withColumn(textCol, regexp_replace(col(textCol), EmailPattern, "<EMAIL>"))
+      .withColumn("n_ips",
+        regexp_count(col(textCol), lit(Ipv4Pattern)).cast("long"))
+      .withColumn(textCol, regexp_replace(col(textCol), Ipv4Pattern, "<IP>"))
+      .withColumn("n_phones",
+        regexp_count(col(textCol), lit(PhonePattern)).cast("long"))
+      .withColumn(textCol, regexp_replace(col(textCol), PhonePattern, "<PHONE>"))
 }

@@ -961,9 +961,9 @@ object TextQueries {
     * no shuffle: linear at any corpus size.
     */
   val tx31PiiScrub: Q = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
-    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-    val phone = "\\+?[0-9][0-9-]{7,}[0-9]"
+    val email = TextAnalysis.EmailPattern
+    val ip = TextAnalysis.Ipv4Pattern
+    val phone = TextAnalysis.PhonePattern
     Q(
       "tx31_pii_scrub",
       s"""WITH a AS (SELECT doc_id,
@@ -987,17 +987,11 @@ object TextQueries {
       val s0 = concat(col("text"), lit(" contact user"), col("doc_id"),
         lit("@example.com or 192.168."), col("doc_id") % 256, lit("."),
         col("doc_id") % 100, lit(" tel +1-555-0"), lit(100) + col("doc_id") % 900)
-      Tables.documents(spark, dir)
-        .withColumn("s0", s0)
-        .withColumn("n_emails", regexp_count(col("s0"), lit(email)).cast(LongType))
-        .withColumn("s1", regexp_replace(col("s0"), email, "<EMAIL>"))
-        .withColumn("n_ips", regexp_count(col("s1"), lit(ip)).cast(LongType))
-        .withColumn("s2", regexp_replace(col("s1"), ip, "<IP>"))
-        .withColumn("n_phones", regexp_count(col("s2"), lit(phone)).cast(LongType))
-        .withColumn("s3", regexp_replace(col("s2"), phone, "<PHONE>"))
+      TextAnalysis.piiScrub(
+          Tables.documents(spark, dir).withColumn("scrubbed", s0), "scrubbed")
         .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
-          md5(col("s3")).as("scrubbed_md5"),
-          length(col("s3")).cast(LongType).as("scrubbed_len"))
+          md5(col("scrubbed")).as("scrubbed_md5"),
+          length(col("scrubbed")).cast(LongType).as("scrubbed_len"))
         .orderBy(col("doc_id"))
     }
   }

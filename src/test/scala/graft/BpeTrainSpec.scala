@@ -111,4 +111,25 @@ class BpeTrainSpec extends AnyFunSuite {
       .collect()(0).getLong(1)
     assert(m == Seq(("a", "a")) && n == 4L)
   }
+
+  test("piiScrub: pinned stage order — email digits never count as phones, IP dots never as emails") {
+    val df = Seq(
+      // two emails (one with digits a phone pattern would otherwise hit),
+      // one IP, one phone; the raw phone survives, the email's does not
+      (1L, "mail a.b+c12345678@host90.example.org and x@y.io, " +
+        "ip 10.20.30.40, call +1-555-012-3456 now"),
+      (2L, "no pii here at all"),
+      // an IP alone: its digit runs must not double-count as a phone
+      // (dots break the [0-9-] phone run)
+      (3L, "bare ip 192.168.100.200 only")
+    ).toDF("id", "text")
+    val out = TextAnalysis.piiScrub(df, "text").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(r.fieldIndex("n_emails")),
+        r.getLong(r.fieldIndex("n_ips")), r.getLong(r.fieldIndex("n_phones")),
+        r.getString(r.fieldIndex("text"))))
+    assert(out(0) == (1L, 2L, 1L, 1L,
+      "mail <EMAIL> and <EMAIL>, ip <IP>, call <PHONE> now"))
+    assert(out(1) == (2L, 0L, 0L, 0L, "no pii here at all"))
+    assert(out(2) == (3L, 0L, 1L, 0L, "bare ip <IP> only"))
+  }
 }
