@@ -736,6 +736,42 @@ object Dedup {
       .select("doc_id").distinct()
   }
 
+  /** Gram-level contamination DEPTH — the quantitative companion to
+    * [[contaminatedDocs]]' boolean flags (the GPT-3-appendix metric):
+    * for each BENCHMARK document, what fraction of its distinct word
+    * k-shingles appears anywhere in the training split, in exact integer
+    * ppm. A doc at 10⁶ ppm is verbatim-covered; the distribution tells a
+    * team whether to drop, dedup, or discount eval items.
+    *
+    * Scale shape — every shuffle is bounded by the EVAL side (small by
+    * the dd10 contract): eval grams broadcast as the probe set; the
+    * training corpus is scanned ONCE with a map-side broadcast semi-join
+    * (no train-side shuffle, no corpus-sized distinct — the distinct runs
+    * over HIT grams, a subset of the eval gram set); the hit set then
+    * broadcasts back onto the eval grams for the per-doc ratio.
+    */
+  def contaminationDepth(
+      df: DataFrame, idCol: String, textCol: String,
+      benchPred: Column, shingleK: Int = 5): DataFrame = {
+    def side(pred: Column) = wordShingleRows(
+      spread(df.filter(pred).select(col(idCol).as("doc_id"), col(textCol).as("txt"))),
+      shingleK)
+    val evalSh = cachedForReuse(side(benchPred))
+    val evalGrams = evalSh.select(explode(col("sh")).as("g")).distinct()
+    val hitGrams = side(!benchPred)
+      .select(explode(col("sh")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .distinct() // ≤ |eval grams| rows — never corpus-sized
+    evalSh
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"),
+        explode(col("sh")).as("g"))
+      .join(broadcast(hitGrams.withColumn("__hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_grams")).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+      .withColumn("contaminated_ppm", expr("(1000000 * n_hit) div n_grams"))
+  }
+
   /** Bloom-prefiltered decontamination — the 100 TB shape of
     * [[contaminatedDocs]]: the benchmark gram set is folded into a k-hash
     * Bloom BITSET (m bits, built driver-side from the bench grams — small

@@ -1382,6 +1382,35 @@ object DedupQueries {
     }
   }
 
+  /** Gram-level contamination depth ([[Dedup.contaminationDepth]]) — the
+    * quantitative companion to dd10/dd19's boolean flags: per benchmark
+    * document (the dd19 split, `doc_id % 7 = 0`), the exact-ppm fraction
+    * of its distinct word 5-shingles found anywhere in the training
+    * split. Scale: every shuffle bounded by the eval side — eval grams
+    * broadcast as the probe, the training corpus scanned once with a
+    * map-side semi-join, the hit-gram distinct bounded by |eval grams|
+    * (see the operator scaladoc).
+    */
+  val dd30ContaminationDepth: Q = Q(
+    "dd30_contamination_depth",
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 3),
+      |         i -> array_to_string(list_slice(ts, i, i + 4), ' '))) AS sh
+      |       FROM tok WHERE len(ts) >= 5),
+      |train AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 7 <> 0),
+      |ev AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS g
+      |       FROM sh WHERE doc_id % 7 = 0),
+      |agg AS (SELECT ev.doc_id, MAX(ev.n) AS n_grams,
+      |    CAST(SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |  FROM ev LEFT JOIN train t ON t.g = ev.g GROUP BY ev.doc_id)
+      |SELECT doc_id, n_grams, n_hit,
+      |  CAST((1000000 * n_hit) // n_grams AS BIGINT) AS contaminated_ppm
+      |FROM agg ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    Dedup.contaminationDepth(Tables.documents(spark, dir), "doc_id", "text",
+        benchPred = col("doc_id") % 7 === 0, shingleK = 5)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
@@ -1389,5 +1418,6 @@ object DedupQueries {
     dd15Containment, dd16SourceLeakage, dd17PrefixFilter, dd18SentenceDedup,
     dd19BloomDecontaminate, dd20FuzzyEr, dd21DupSpans, dd22LshCapacity,
     dd23SoftWeights, dd24UrlDedup, dd25LshCalibration, dd26SemDedup,
-    dd27LshRecall, dd28ThresholdSweep, mx19DedupAwareMix, mx20DedupAwareSplit)
+    dd27LshRecall, dd28ThresholdSweep, dd30ContaminationDepth,
+    mx19DedupAwareMix, mx20DedupAwareSplit)
 }

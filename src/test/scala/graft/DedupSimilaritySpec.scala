@@ -577,4 +577,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(t.head.getLong(t.head.fieldIndex("err_ppm")) == 0L)
     assert(t.head.getLong(t.head.fieldIndex("c_est_ppm")) == 1000000L)
   }
+
+  test("contaminationDepth: exact ppm per eval doc, dup grams once, short eval docs dropped") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),     // train: shingles "a b c d e", "b c d e f"
+      (2L, "x y z w v"),       // train: "x y z w v"
+      (10L, "a b c d e f"),    // eval: both shingles in train → 10⁶ ppm
+      (11L, "a b c d e q r"),  // eval: 1 of 3 shingles hits → 333333 ppm
+      (12L, "p q r s t"),      // eval: 0 hits → 0 ppm
+      (13L, "a b c")           // eval: < 5 tokens → dropped entirely
+    ).toDF("doc_id", "text")
+    val out = Dedup.contaminationDepth(corpus, "doc_id", "text",
+        benchPred = col("doc_id") >= 10L, shingleK = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (10L, 2L, 2L, 1000000L),
+      (11L, 3L, 1L, 333333L),
+      (12L, 1L, 0L, 0L)))
+  }
 }
