@@ -1918,6 +1918,90 @@ object MiscQueries {
       .orderBy("media_id")
   }
 
+  /** The mx17-style curation DAG run INCREMENTALLY across two deliveries
+    * — the production wrapper shape end-to-end: run 1 processes sources
+    * src0..src9 (per-doc filter → [[graft.operators.Incremental
+    * .dedupDelta]] from an empty store); run 2 processes ONLY the
+    * remaining shards, deduping against run 1's carried fingerprint
+    * store; the global tail (per-source quota → BFD packing) re-runs
+    * over the SURVIVOR union (survivor-sized — the documented cost of
+    * global stages under shard-incremental execution). The oracle proves
+    * the two-phase dedup equals one global replay: first-occurrence per
+    * content hash ordered by (delivery phase, doc_id). Output carries
+    * run_id + bin_id per row, so both the incremental split AND the
+    * packed layout are bit-checked.
+    */
+  val mx25IncrementalPipeline: Q = Q(
+    "mx25_incremental_pipeline",
+    """WITH RECURSIVE d AS (SELECT doc_id, source, text,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(substr(source, 4) AS INT) AS si FROM documents),
+      |f AS (SELECT * FROM d WHERE n_tokens >= 30),
+      |r AS (SELECT doc_id, source, n_tokens,
+      |    CASE WHEN si < 10 THEN 1 ELSE 2 END AS run_id,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(text)
+      |      ORDER BY (CASE WHEN si < 10 THEN 0 ELSE 1 END), doc_id) AS rn
+      |  FROM f),
+      |surv AS (SELECT doc_id, source, n_tokens, CAST(run_id AS BIGINT) AS run_id
+      |  FROM r WHERE rn = 1),
+      |quota AS (SELECT doc_id, source, n_tokens, run_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS qrn
+      |    FROM surv) WHERE qrn <= 10),
+      |docs AS (SELECT doc_id, source, n_tokens, run_id,
+      |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
+      |  FROM quota),
+      |pack AS (
+      |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
+      |         CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_tokens,
+      |         CAST(NULL AS BIGINT) AS run_id, CAST(NULL AS BIGINT) AS bin_id,
+      |         CAST([] AS BIGINT[]) AS caps
+      |  UNION ALL
+      |  SELECT rn, doc_id, source, n_tokens, run_id,
+      |         CASE WHEN fit IS NULL THEN CAST(len(caps) AS BIGINT)
+      |              ELSE CAST(list_position(caps, fit) - 1 AS BIGINT) END AS bin_id,
+      |         CASE WHEN fit IS NULL THEN list_append(caps, 256 - n_tokens)
+      |              ELSE caps[1:list_position(caps, fit)-1] || [fit - n_tokens]
+      |                   || caps[list_position(caps, fit)+1:]
+      |         END AS caps
+      |  FROM (
+      |    SELECT d.rn, d.doc_id, d.source, d.n_tokens, d.run_id, p.caps,
+      |           list_min(list_filter(p.caps, c -> c >= d.n_tokens)) AS fit
+      |    FROM pack p JOIN docs d ON d.rn = p.rn + 1))
+      |SELECT doc_id, source, n_tokens, run_id, bin_id FROM pack
+      |WHERE rn > 0 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Incremental, Packing, TextAnalysis}
+    val corpus = Tables.documents(spark, dir)
+    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    def processFilter(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("source"), col("text"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 30)
+    val filtered = processFilter(corpus)
+    // run 1: sources src0..src9, empty manifest + empty fingerprint store
+    val manifest1 = corpus.filter(srcIdx < 10).select("source").distinct()
+    val emptyManifest = manifest1.limit(0)
+    val emptyFps = filtered.select(md5(col("text")).as("fp")).limit(0)
+    val (surv1, store1) = Incremental.dedupDelta(
+      filtered.join(broadcast(manifest1), Seq("source"), "left_semi"),
+      emptyManifest, "source", emptyFps, "doc_id", "text")
+    // run 2: the remaining shards only, deduped against run 1's store
+    val (surv2, _) = Incremental.dedupDelta(
+      filtered, manifest1, "source", store1, "doc_id", "text")
+    val surv = surv1.withColumn("run_id", lit(1L))
+      .unionByName(surv2.withColumn("run_id", lit(2L)))
+      .drop("text")
+    // global tail re-runs over the survivor union (survivor-sized)
+    val quota = surv
+      .withColumn("__qrn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      .filter(col("__qrn") <= 10).drop("__qrn")
+    Packing.packSequences(quota, "doc_id", "n_tokens", budget = 256L, numPartitions = 1)
+      .select("doc_id", "source", "n_tokens", "run_id", "bin_id")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qAsofNearest,
     qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
@@ -1931,5 +2015,5 @@ object MiscQueries {
     qPercentileBands, qCdcCompact, qIntervalUnion, qZorderLayout, qSkewReport,
     qWeightedMedian, mx15EpochShuffle, qHilbertLayout, mx16Curriculum, qJoinEstimate,
     mx17CurationPipeline, mx21MultimodalPacking, mx22IncrementalCuration,
-    mx23IncrementalDedup, mx24MultimodalCuration)
+    mx23IncrementalDedup, mx24MultimodalCuration, mx25IncrementalPipeline)
 }
