@@ -996,11 +996,51 @@ object TextQueries {
     }
   }
 
+  /** Drop-reason codes — the curation DEBUGGING view: per document, the
+    * FIRST failing rule of the mx17 quality filter under pinned
+    * precedence (`too_short` → `too_long` → `low_stopword` → `word_len`
+    * → `keep`), so "why did my document disappear?" is one lookup and
+    * per-(source, reason) counts are one aggregate away. The rules are
+    * mx17's predicates verbatim — a doc is `keep` here iff it enters
+    * mx17's pipeline — and every comparison is the same integer
+    * arithmetic, so reasons are oracle-exact per row. One codegen'd
+    * projection, no shuffle.
+    */
+  val tx32DropReasons: Q = Q(
+    "tx32_drop_reasons",
+    """WITH w AS (SELECT doc_id, source, n_chars,
+      |    string_split(text, ' ') AS ws FROM documents),
+      |r AS (SELECT doc_id, source,
+      |    CASE
+      |      WHEN len(ws) < 30 THEN 'too_short'
+      |      WHEN len(ws) > 5000 THEN 'too_long'
+      |      WHEN len(list_distinct(list_filter(ws,
+      |        t -> t IN ('the','a','of','and','is')))) < 2 THEN 'low_stopword'
+      |      WHEN NOT ((n_chars - (len(ws) - 1)) * 2 BETWEEN 9 * len(ws)
+      |        AND 16 * len(ws)) THEN 'word_len'
+      |      ELSE 'keep' END AS reason
+      |  FROM w)
+      |SELECT doc_id, source, reason FROM r ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val ws = split(col("text"), " ")
+    val nw = size(ws)
+    val halfMean = (col("n_chars") - (nw - 1)) * 2
+    val reason =
+      when(nw < 30, "too_short")
+        .when(nw > 5000, "too_long")
+        .when(size(array_distinct(filter(ws,
+          t => t.isin("the", "a", "of", "and", "is")))) < 2, "low_stopword")
+        .when(!(halfMean >= nw * 9 && halfMean <= nw * 16), "word_len")
+        .otherwise("keep")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), reason.as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(tx1TokenCount, tx2LangId, tx3Quality, tx4Fingerprint,
     tx5Repetition, tx6BpeTokens, tx7Winnowing, tx9Tfidf, tx10HeavyHitters,
     tx11VocabZipf, tx12Bigrams, tx13Novelty, tx14TopkDot, tx15Pmi,
     tx16C4Filter, tx17GopherFilter, tx18SourceVocabDrift, tx19OovRate,
     tx20FeatureHashing, tx21GroupedHeavyHitters, tx22LmFluency, tx23BpeTrain,
     tx24LangidConfusion, tx25BpeBudget, tx26Rake, tx27Readability,
-    tx28VocabGrowth, tx29SourceTv, tx30Sttr, tx31PiiScrub)
+    tx28VocabGrowth, tx29SourceTv, tx30Sttr, tx31PiiScrub, tx32DropReasons)
 }

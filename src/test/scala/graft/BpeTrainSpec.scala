@@ -112,6 +112,35 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(m == Seq(("a", "a")) && n == 4L)
   }
 
+  test("tx32 drop reasons: first-failing-rule precedence on crafted docs") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // a doc failing MULTIPLE rules must report the FIRST in precedence:
+    // too_short beats low_stopword beats word_len
+    val shortAndNoStops = "zz " * 10            // 10 tokens after trim, no stopwords
+    val stopless = Seq.fill(40)("zzzzzz").mkString(" ") // 40 tokens, 0 stopwords
+    val badLen = (Seq.fill(20)("the") ++ Seq.fill(20)("a")).mkString(" ") // stops ok, mean len 2
+    val good = Seq.fill(20)("the words here") .mkString(" a of ")
+    def row(id: Long, text: String) =
+      (id, "srcX", text, text.length.toLong)
+    val df = Seq(
+      row(1, shortAndNoStops.trim),
+      row(2, stopless),
+      row(3, badLen),
+      row(4, (1 to 40).map(_ => "quick").mkString(" ") + " the a of and is the a")
+    ).toDF("doc_id", "source", "text", "n_chars")
+    // evaluate via the registered query body on a temp dir? The reason
+    // expression is inline in the query; replicate its contract by writing
+    // the frame to parquet and pointing Tables.documents at it
+    val dir = java.nio.file.Files.createTempDirectory("graft-tx32").toString
+    df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQueries.tx32DropReasons.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "too_short")   // 20 tokens AND stopless: short wins
+    assert(out(2L) == "low_stopword")
+    assert(out(3L) == "word_len")    // mean word length 2 < 4.5
+    assert(out(4L) == "keep")
+  }
+
   test("piiScrub: pinned stage order — email digits never count as phones, IP dots never as emails") {
     val df = Seq(
       // two emails (one with digits a phone pattern would otherwise hit),
