@@ -1589,6 +1589,9 @@ object AnalyticsQueries {
     * lexicographically least (d², id₁, id₂): fully deterministic, one
     * TakeOrdered. At 100 TB the same plan holds with cell statistics
     * choosing C (salting any hot cell); nothing is quadratic in the corpus.
+    * The oracle spells out the SAME explode-into-neighborhood equi-join —
+    * its earlier `BETWEEN cx±1` form planned as a DuckDB nested-loop
+    * (234.9 s at sf0.1 vs 1.5 s equi-joined), identical pair set either way.
     */
   val qGridClosestPair: Q = Q(
     "q_grid_closest_pair",
@@ -1597,12 +1600,13 @@ object AnalyticsQueries {
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
       |  FROM events),
       |cells AS (SELECT id, x, y, x // 500 AS cx, y // 500 AS cy FROM pts),
-      |pairs AS (SELECT a.id AS id1, b.id AS id2,
-      |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
-      |  FROM cells a JOIN cells b
-      |    ON a.id < b.id
-      |   AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
-      |   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1),
+      |nbr AS (SELECT id AS id2, x AS x2, y AS y2,
+      |    cx + u.dx AS jx, cy + v.dy AS jy
+      |  FROM cells CROSS JOIN range(-1, 2) u(dx) CROSS JOIN range(-1, 2) v(dy)),
+      |pairs AS (SELECT a.id AS id1, b.id2 AS id2,
+      |    (a.x - b.x2) * (a.x - b.x2) + (a.y - b.y2) * (a.y - b.y2) AS d2
+      |  FROM cells a JOIN nbr b
+      |    ON b.jx = a.cx AND b.jy = a.cy AND a.id < b.id2),
       |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
       |          CAST(MIN(d2) AS BIGINT) AS min_d2 FROM pairs),
       |best AS (SELECT CAST(id1 AS BIGINT) AS best_id1, CAST(id2 AS BIGINT) AS best_id2

@@ -1038,9 +1038,13 @@ object DedupQueries {
     * how many the banded+verified LSH path found, and recall in basis
     * points. The 16-band×4-row banding's S-curve predicts low recall just
     * above the threshold and ~1 at the top — this makes that measurable
-    * on the real corpus. The oracle computes ground truth NAIVELY
-    * (all-pairs) — the oracle may be slow, the engine side must stay
-    * subquadratic (prefix-filter index + banded LSH, never all-pairs).
+    * on the real corpus. The oracle's ground truth replays the same
+    * provably-no-false-negative prefix-filter discipline in SQL (df-
+    * ascending canonical order, length + positional prunes, exact
+    * verify) — an all-pairs oracle was bit-identical but O(n²)
+    * (578.6 s at sf0.1; the prefix-filtered form is ~9 s), and the
+    * driver's gate has to finish. The engine side is independently
+    * [[Dedup.prefixFilterNearDuplicates]].
     */
   val dd27LshRecall: Q = Q(
     "dd27_lsh_recall",
@@ -1060,10 +1064,22 @@ object DedupQueries {
        |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
        |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
        |  WHERE jaccard >= 0.8),
-       |ex AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
-       |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS uni
-       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |pe AS (SELECT doc_id, unnest(sh) AS tok FROM sh),
+       |pdf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM pe GROUP BY tok),
+       |prk AS (SELECT pe.doc_id, pe.tok,
+       |    ROW_NUMBER() OVER (PARTITION BY pe.doc_id ORDER BY pdf.df, pe.tok) AS rn,
+       |    COUNT(*) OVER (PARTITION BY pe.doc_id) AS n
+       |  FROM pe JOIN pdf ON pdf.tok = pe.tok),
+       |pfx AS (SELECT doc_id, tok, rn, n FROM prk
+       |        WHERE rn <= n - ((n * 8 + 9) // 10) + 1),
+       |pcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pfx a JOIN pfx b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |  WHERE LEAST(a.n, b.n) * 10 >= GREATEST(a.n, b.n) * 8
+       |    AND 1 + LEAST(a.n - a.rn, b.n - b.rn) >= (8 * (a.n + b.n) + 17) // 18),
+       |ex AS (SELECT c.doc_a, c.doc_b,
+       |    CAST(len(list_intersect(ga.sh, gb.sh)) AS BIGINT) AS inter,
+       |    CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS BIGINT) AS uni
+       |  FROM pcand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b),
        |exth AS (SELECT doc_a, doc_b, inter * 20 // uni AS bucket
        |         FROM ex WHERE inter * 10 >= uni * 8),
        |j AS (SELECT e.bucket,

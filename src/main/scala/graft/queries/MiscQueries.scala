@@ -496,38 +496,56 @@ object MiscQueries {
       .orderBy("doc_id")
   }
 
+  /** DuckDB BFD replay fragment: from a CTE `docs(…, rn, nt)` (rn = the
+    * pack order, contiguous from 1) produces `pbin(rn, bin_id)` — the
+    * sequential best-fit-decreasing state machine as ONE `list_reduce`
+    * fold (the WindowQueries fold discipline), state = the open-bin
+    * remaining-capacity list. Each appended struct carries that step's
+    * bin id; the caps list lives ONLY in the last element (the previous
+    * element is re-appended caps-stripped), because carrying the ~|bins|
+    * list in every history element made the fold O(n²·|bins|) — 65 s at
+    * sf0.1 vs 1.8 s stripped, and the old one-doc-per-recursion CTE it
+    * replaces was 122 s. NOTE: a plain-struct accumulator would be
+    * cleaner, but DuckDB 1.0's `list_reduce` silently mis-binds struct
+    * accumulators that aren't lists (verified: `list_reduce(…, (acc, x)
+    * -> {'all': list_append(acc.all, x.v)})` returns only the last
+    * element) — hence the list-of-structs shape.
+    */
+  private def bfdFoldSql(budget: Long): String = {
+    val fit = "list_min(list_filter(acc[-1].caps, c -> c >= x[1].nt))"
+    s"""parr AS (SELECT list({'nt': nt, 'bin': CAST(0 AS BIGINT), 'caps': [$budget - nt]} ORDER BY rn) AS xs FROM docs),
+       |pfold AS (SELECT list_reduce(list_transform(xs, z -> [z]),
+       |    (acc, x) -> acc[1:len(acc)-1] ||
+       |      [{'nt': acc[-1].nt, 'bin': acc[-1].bin, 'caps': CAST([] AS BIGINT[])}] ||
+       |      [{'nt': x[1].nt,
+       |      'bin': CASE WHEN $fit IS NULL THEN CAST(len(acc[-1].caps) AS BIGINT)
+       |                  ELSE CAST(list_position(acc[-1].caps, $fit) - 1 AS BIGINT) END,
+       |      'caps': CASE WHEN $fit IS NULL
+       |                   THEN list_append(acc[-1].caps, $budget - x[1].nt)
+       |                   ELSE acc[-1].caps[1:list_position(acc[-1].caps, $fit)-1] ||
+       |                        [$fit - x[1].nt] ||
+       |                        acc[-1].caps[list_position(acc[-1].caps, $fit)+1:] END}]) AS st
+       |  FROM parr),
+       |pbin AS (SELECT generate_subscripts(st, 1) AS rn, unnest(st).bin AS bin_id FROM pfold)""".stripMargin
+  }
+
   /** Sequence packing under the oracle gate ([[graft.operators.Packing]]):
     * best-fit-decreasing bin assignment, docs sorted (n_tokens DESC, doc_id),
     * capacity ties to the lowest bin id. `numPartitions = 1` pins the exact
-    * global-BFD assignment the sequential DuckDB recursive CTE replays
-    * (bin id == creation order == caps-list position); the multi-partition
-    * scale path — same kernel, range-partitioned — is spec-covered
-    * (PackingSpec waste/budget bounds). The dd11/dd12 recursive-CTE
-    * precedent: the oracle simulates one doc per recursion step, state =
-    * the open-bin remaining-capacity list.
+    * global-BFD assignment the sequential DuckDB fold ([[bfdFoldSql]])
+    * replays (bin id == creation order == caps-list position); the
+    * multi-partition scale path — same kernel, range-partitioned — is
+    * spec-covered (PackingSpec waste/budget bounds).
     */
   val mx8SequencePacking: Q = Q(
     "mx8_sequence_packing",
-    """WITH RECURSIVE docs AS (
-      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+    s"""WITH docs AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
       |         row_number() OVER (ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rn
       |  FROM documents),
-      |pack AS (
-      |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
-      |         CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bin_id,
-      |         CAST([] AS BIGINT[]) AS caps
-      |  UNION ALL
-      |  SELECT rn, doc_id, n_tokens,
-      |         CASE WHEN fit IS NULL THEN CAST(len(caps) AS BIGINT)
-      |              ELSE CAST(list_position(caps, fit) - 1 AS BIGINT) END AS bin_id,
-      |         CASE WHEN fit IS NULL THEN list_append(caps, 256 - n_tokens)
-      |              ELSE caps[1:list_position(caps, fit)-1] || [fit - n_tokens] || caps[list_position(caps, fit)+1:]
-      |         END AS caps
-      |  FROM (
-      |    SELECT d.rn, d.doc_id, d.n_tokens, p.caps,
-      |           list_min(list_filter(p.caps, c -> c >= d.n_tokens)) AS fit
-      |    FROM pack p JOIN docs d ON d.rn = p.rn + 1))
-      |SELECT doc_id, n_tokens, bin_id FROM pack WHERE rn > 0 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      |${bfdFoldSql(256L)}
+      |SELECT d.doc_id, d.nt AS n_tokens, p.bin_id
+      |FROM docs d JOIN pbin p ON p.rn = d.rn ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
     import graft.operators.{Packing, TextAnalysis}
     val docs = Tables.documents(spark, dir).select(
       col("doc_id"),
@@ -1638,8 +1656,8 @@ object MiscQueries {
     * to mm5's tiling/truncation path instead), and the report is what a
     * shard builder reads: per bin, example count, token fill (exact ppm)
     * and the modality mix. The oracle composes the mm4 length arithmetic
-    * into mx8's recursive caps-list BFD replay, then aggregates per bin
-    * — every number exact.
+    * into mx8's [[bfdFoldSql]] caps-list BFD replay, then aggregates per
+    * bin — every number exact.
     *
     * Scale note (the mx8 contract): numPartitions = 1 replays the exact
     * single-node BFD; production shards by hash first and runs the same
@@ -1647,7 +1665,7 @@ object MiscQueries {
     */
   val mx21MultimodalPacking: Q = Q(
     "mx21_multimodal_packing",
-    """WITH RECURSIVE m AS (SELECT doc_id AS media_id,
+    s"""WITH m AS (SELECT doc_id AS media_id,
       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
       |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
@@ -1664,34 +1682,18 @@ object MiscQueries {
       |      ELSE ((1 + nb % 300 + 4) // 5) * 64
       |    END AS len
       |  FROM m),
-      |docs AS (SELECT media_id, modality, len,
+      |docs AS (SELECT media_id, modality, len AS nt,
       |    row_number() OVER (ORDER BY len DESC, media_id) AS rn
       |  FROM lens WHERE len <= 4096),
-      |pack AS (
-      |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS media_id,
-      |         CAST(NULL AS VARCHAR) AS modality,
-      |         CAST(NULL AS BIGINT) AS len, CAST(NULL AS BIGINT) AS bin_id,
-      |         CAST([] AS BIGINT[]) AS caps
-      |  UNION ALL
-      |  SELECT rn, media_id, modality, len,
-      |         CASE WHEN fit IS NULL THEN CAST(len(caps) AS BIGINT)
-      |              ELSE CAST(list_position(caps, fit) - 1 AS BIGINT) END AS bin_id,
-      |         CASE WHEN fit IS NULL THEN list_append(caps, 4096 - len)
-      |              ELSE caps[1:list_position(caps, fit)-1] || [fit - len]
-      |                   || caps[list_position(caps, fit)+1:]
-      |         END AS caps
-      |  FROM (
-      |    SELECT d.rn, d.media_id, d.modality, d.len, p.caps,
-      |           list_min(list_filter(p.caps, c -> c >= d.len)) AS fit
-      |    FROM pack p JOIN docs d ON d.rn = p.rn + 1))
-      |SELECT bin_id, CAST(COUNT(*) AS BIGINT) AS n_examples,
-      |  CAST(SUM(len) AS BIGINT) AS tokens_total,
-      |  (1000000 * SUM(len)) // 4096 AS fill_ppm,
-      |  CAST(SUM(CASE WHEN modality = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_image,
-      |  CAST(SUM(CASE WHEN modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
-      |  CAST(SUM(CASE WHEN modality = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS n_video
-      |FROM pack WHERE rn > 0
-      |GROUP BY bin_id ORDER BY bin_id""".stripMargin) { (spark, dir) =>
+      |${bfdFoldSql(4096L)}
+      |SELECT p.bin_id, CAST(COUNT(*) AS BIGINT) AS n_examples,
+      |  CAST(SUM(d.nt) AS BIGINT) AS tokens_total,
+      |  (1000000 * SUM(d.nt)) // 4096 AS fill_ppm,
+      |  CAST(SUM(CASE WHEN d.modality = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_image,
+      |  CAST(SUM(CASE WHEN d.modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+      |  CAST(SUM(CASE WHEN d.modality = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS n_video
+      |FROM docs d JOIN pbin p ON p.rn = d.rn
+      |GROUP BY p.bin_id ORDER BY p.bin_id""".stripMargin) { (spark, dir) =>
     import graft.multimodal.Multimodal
     import org.apache.spark.sql.types.LongType
     val m = Multimodal.fromDocuments(Tables.documents(spark, dir), "doc_id", "text")
