@@ -51,8 +51,11 @@ object Verify {
   /** (row count, SHA-256 hex) over the canonical rendering of `df`: columns
     * sorted by name, every value cast to string (UTC session — timestamps
     * render deterministically), NULL → "\u0000NULL" (the escaped-literal NUL
-    * prefix keeps this source file plain text while no cast-to-string value
-    * can ever contain a NUL byte, so the sentinel is collision-free),
+    * prefix keeps this source file plain text; collision-free for every
+    * non-string type — no numeric/date/timestamp cast-to-string contains a
+    * NUL — and for this corpus's string columns, which carry no NUL bytes;
+    * a raw string column that could legitimately start with NUL would need
+    * a per-row null bitmap instead of an in-band sentinel),
     * rows in the total order of those strings. Deterministic across JVMs,
     * layouts, and partitionings of the same logical content.
     */

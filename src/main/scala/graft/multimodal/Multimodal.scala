@@ -98,7 +98,10 @@ object Multimodal {
       while (!stop && off + 8 <= bytes.length) {
         val size = u32le(off + 4) // unsigned u32: may exceed Int.MaxValue
         val t = tag(off)
-        if (t == "fmt " && off + 8 + 16 <= bytes.length) {
+        // require the chunk's own declared size to cover the 16 PCM fmt
+        // bytes — a nonstandard short fmt chunk must not read rate/align
+        // out of the following chunk's bytes
+        if (t == "fmt " && size >= 16 && off + 8 + 16 <= bytes.length) {
           rate = u32le(off + 12)
           blockAlign = u16le(off + 8 + 12)
         }
@@ -112,9 +115,17 @@ object Multimodal {
         }
       }
       if (rate < 0) null
-      else Row(null, null,
-        if (dataSize > 0 && blockAlign > 0) (dataSize / blockAlign).toInt else null,
-        rate.toInt)
+      else {
+        // dataSize is a declared u32 (≤ 4294967295): an 8-bit-mono file
+        // (blockAlign = 1) can declare more frames than Int.MaxValue —
+        // emit null ("unknown") rather than a wrapped negative count that
+        // downstream quality gates would silently misclassify
+        val nFrames =
+          if (dataSize > 0 && blockAlign > 0) dataSize / blockAlign else -1L
+        Row(null, null,
+          if (nFrames > 0 && nFrames <= Int.MaxValue) nFrames.toInt else null,
+          rate.toInt)
+      }
     } catch { case _: Exception => null } // undecodable ⇒ null meta, never throw
   }
 

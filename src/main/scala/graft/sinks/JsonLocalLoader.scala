@@ -1,7 +1,8 @@
 package graft.sinks
 
 import java.nio.file.{Files, Paths}
-import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.core.JsonFactory
+import com.fasterxml.jackson.core.util.DefaultPrettyPrinter
 import org.apache.spark.sql.DataFrame
 import graft.core.Loader
 import graft.core.PluginConfig._
@@ -12,9 +13,13 @@ import graft.core.PluginConfig._
   * created on connect, row order preserved.
   *
   * Deliberately NOT `df.write.json` (that emits JSONL part-files): the
-  * contract is a single ordered array file, so rows are collected to the
-  * driver — correct for this sink's single-machine output contract; at
-  * cluster scale you'd use the parquet/JDBC sinks instead.
+  * contract is a single ordered array file, so rows stream to the driver —
+  * `toLocalIterator()` + an incremental `JsonGenerator`, holding ONE
+  * partition's rows and O(1) JSON state rather than the whole result plus a
+  * materialized document tree, so the sink's driver footprint is bounded by
+  * the largest partition, not the table. Correct for this sink's
+  * single-machine output contract; at cluster scale you'd use the
+  * parquet/JDBC sinks instead.
   */
 class JsonLocalLoader(conf: Conf) extends Loader {
   private val path = conf.str("path").getOrElse(
@@ -27,27 +32,37 @@ class JsonLocalLoader(conf: Conf) extends Loader {
   }
 
   override def load(df: DataFrame): Unit = {
-    val mapper = new ObjectMapper()
-    val arr = mapper.createArrayNode()
     val cols = df.columns
-    df.collect().foreach { row =>
-      val obj = arr.addObject()
-      cols.zipWithIndex.foreach { case (c, i) =>
-        row.get(i) match {
-          case null => obj.putNull(c)
-          case b: Boolean => obj.put(c, b)
-          case n: Int => obj.put(c, n)
-          case n: Long => obj.put(c, n)
-          case n: Double => obj.put(c, n)
-          case n: Float => obj.put(c, n.toDouble)
-          case n: java.math.BigDecimal => obj.put(c, n)
-          case other => obj.put(c, other.toString)
+    val out = new java.io.BufferedOutputStream(
+      Files.newOutputStream(Paths.get(path)))
+    val gen = new JsonFactory().createGenerator(
+      out, com.fasterxml.jackson.core.JsonEncoding.UTF8)
+    try {
+      // the same printer ObjectWriter#writerWithDefaultPrettyPrinter used
+      // when this sink serialized a materialized tree — byte-identical
+      // output (JsonLocalLoaderSpec pins it), streaming production
+      if (indent > 0) gen.setPrettyPrinter(new DefaultPrettyPrinter())
+      gen.writeStartArray()
+      df.toLocalIterator().forEachRemaining { row =>
+        gen.writeStartObject()
+        var i = 0
+        while (i < cols.length) {
+          val c = cols(i)
+          row.get(i) match {
+            case null => gen.writeNullField(c)
+            case b: Boolean => gen.writeBooleanField(c, b)
+            case n: Int => gen.writeNumberField(c, n)
+            case n: Long => gen.writeNumberField(c, n)
+            case n: Double => gen.writeNumberField(c, n)
+            case n: Float => gen.writeNumberField(c, n.toDouble)
+            case n: java.math.BigDecimal => gen.writeNumberField(c, n)
+            case other => gen.writeStringField(c, other.toString)
+          }
+          i += 1
         }
+        gen.writeEndObject()
       }
-    }
-    val writer =
-      if (indent > 0) mapper.writerWithDefaultPrettyPrinter()
-      else mapper.writer()
-    Files.writeString(Paths.get(path), writer.writeValueAsString(arr))
+      gen.writeEndArray()
+    } finally gen.close()
   }
 }

@@ -512,6 +512,26 @@ class EwmStreamingMultimodalSpec extends AnyFunSuite {
     // zero samples: frame count unknown (null), rate still decoded
     val empty = Multimodal.decodeWavMeta(Multimodal.buildWav(8000, 0L))
     assert(empty.isNullAt(2) && empty.getInt(3) == 8000)
+    // 8-bit mono with a >2 GiB declared data chunk: dataSize/blockAlign
+    // exceeds Int.MaxValue — frame count must be null, never a wrapped
+    // negative that downstream min-frames gates misclassify
+    val big = Multimodal.decodeWavMeta(
+      Multimodal.buildWav(8000, 3000000000L, channels = 1, bitsPerSample = 8))
+    assert(big != null && big.isNullAt(2) && big.getInt(3) == 8000)
+    // nonstandard fmt chunk declaring < 16 bytes: rate/blockAlign must not
+    // be read out of the next chunk's bytes — whole decode degrades to null
+    val shortFmt = {
+      val b = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36)
+      b.put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(8) // declares only 8 bytes
+      b.putShort(1).putShort(1).putInt(16000)
+      b.put("data".getBytes("US-ASCII")).putInt(0)
+      b.putInt(0).putInt(0)
+      b.array()
+    }
+    assert(Multimodal.decodeWavMeta(shortFmt) == null)
   }
 
   test("multimodal: videoSegments emits one row per stts run with µs bounds") {

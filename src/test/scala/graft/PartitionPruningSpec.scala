@@ -47,10 +47,13 @@ class PartitionPruningSpec extends AnyFunSuite {
       graft.operators.Incremental.deltaShards(corpus, manifest, "shard")
     assert(delta.select("id").as[Long].collect().toSeq == Seq(4L))
     // static verification that the scan is partition-prunable on the shard
-    // key: the delta plan's scan carries shard as a partition column
-    val plan = delta.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") || plan.contains("DynamicPruning") ||
-      plan.contains("BroadcastHashJoin"), plan)
+    // key: the SCAN NODE itself must carry PartitionFilters (or a
+    // DynamicPruning subquery) — asserting on the whole-plan string allowed
+    // the always-present BroadcastHashJoin to mask a lost pruning setup
+    val scanStr = delta.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(scanStr.contains("PartitionFilters") ||
+      scanStr.contains("DynamicPruning"), scanStr)
     // semantic pruning proof: a literal covered-shard predicate (what the
     // materialized manifest compiles to when pushed as a static filter)
     // touches NO covered directories

@@ -41,14 +41,17 @@ def fetch_with_timeout(con, sql, seconds=ORACLE_TIMEOUT):
     timer.start()
     try:
         rows = con.sql(sql).fetchall()
-        with lock:
-            done[0] = True
         return rows
     except duckdb.InterruptException:
-        with lock:
-            done[0] = True
         raise TimeoutError(f"oracle_timeout after {seconds:.0f}s")
     finally:
+        # set done under the lock BEFORE cancel, on every exit path: if any
+        # exception (not just InterruptException) escapes fetchall near the
+        # deadline, cancel() can't stop an already-running maybe_interrupt,
+        # which would otherwise see done=False and interrupt the shared
+        # connection, poisoning the NEXT query's oracle.
+        with lock:
+            done[0] = True
         timer.cancel()
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
