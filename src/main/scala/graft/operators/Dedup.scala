@@ -353,6 +353,20 @@ object Dedup {
       shingleK, k)
       .select(col("doc_id"), col("sig"))
 
+  /** [[minhashSignatures]] plus the per-band 64-bit bucket keys (`bk`,
+    * length `bands`) — the portable LSH index row `(doc_id, sig, bk)` that
+    * [[Incremental.nearDedupDelta]] persists as its signature store: the
+    * store side of a later delivery's banding joins on the carried `bk`
+    * without ever re-reading (or re-shingling) historical text.
+    */
+  def minhashSignaturesWithBands(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int, k: Int, bands: Int): DataFrame =
+    shingleSignatures(
+      spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt"))),
+      shingleK, k, bands)
+      .select(col("doc_id"), col("sig"), col("bk"))
+
   /** Drop rows whose (bucket-key) group exceeds `cap` members — the
     * hot-bucket bound every banded dedup self-join needs at corpus scale: a
     * boilerplate band key shared by m documents would otherwise emit m²/2

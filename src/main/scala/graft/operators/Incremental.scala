@@ -102,4 +102,85 @@ object Incremental {
       .union(kept.select(col("__fp").as("fp")))
     (kept.drop("__fp"), newFingerprints)
   }
+
+  /** Incremental NEAR-deduplication with MinHash-signature STATE TRAVEL —
+    * [[dedupDelta]]'s answer for the banded-LSH stage: the carried state is
+    * the `(doc_id, sig, bk)` signature store
+    * ([[Dedup.minhashSignaturesWithBands]]), so a delivery's banding joins
+    * delta×(delta ∪ store-index) on the persisted band-bucket keys and NEVER
+    * re-shingles (or re-reads) historical text.
+    *
+    * PINNED SEMANTICS (what the mx26 oracle replays as one global pass): a
+    * delta document is DROPPED iff the bands×rowsPerBand banding surfaces a
+    * candidate pairing with ANY EARLIER document — every prior-delivery
+    * document (kept or dropped), or a smaller-`idCol` document within the
+    * delta — whose signature-estimated Jaccard (#equal minhash components
+    * / k) reaches `thresholdNum/thresholdDen` (integer compare:
+    * `matches·den ≥ k·num`). Dropped-doc signatures stay in the store ON
+    * PURPOSE: "earlier doc, kept or not" makes the drop decision a pure
+    * per-pair predicate over a fixed total order — replay-stable across any
+    * delivery partitioning — where a kept-only rule would chain
+    * sequentially within a batch. Estimated (not exact-shingle) Jaccard is
+    * what keeps the state O(k) longs per document; the estimator's
+    * calibration against exact Jaccard is dd25's subject.
+    *
+    * Documents with fewer than `shingleK` tokens carry no signature: always
+    * kept, never stored (no near-dup semantics at that length — the
+    * [[Dedup.minhashNearDuplicates]] convention).
+    *
+    * Scale: the store is corpus-growing but O(k) per doc; both band frames
+    * shuffle on the 64-bit bucket key; `maxBucket` drops boilerplate
+    * buckets (counted over store ∪ delta — [[Dedup.oversizedBuckets]]) the
+    * way every banded self-join must at 100 TB. Returns
+    * `(survivors, newSigs)`; feed `newSigs` + the grown manifest back in
+    * and the next delivery's delta joins the same way — two deliveries
+    * produce bit-identically the one-shot run over the (delivery, id)
+    * order (IncrementalSpec pins it; mx26 oracle-checks it).
+    */
+  def nearDedupDelta(
+      corpus: DataFrame, manifest: DataFrame, shardCol: String,
+      priorSigs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      thresholdNum: Int = 8, thresholdDen: Int = 10,
+      maxBucket: Int = 100000): (DataFrame, DataFrame) = {
+    val k = bands * rowsPerBand
+    val (delta, _) = deltaShards(corpus, manifest, shardCol)
+    val deltaSigs = Dedup.cachedForReuse(
+      Dedup.minhashSignaturesWithBands(delta, idCol, textCol, shingleK, k, bands))
+    def bandFrame(sigs: DataFrame, idOut: String): DataFrame =
+      sigs.select(col("doc_id").as(idOut), posexplode(col("bk")).as(Seq("band", "key")))
+    val dBands = bandFrame(deltaSigs, "d_id")
+    val pBands = bandFrame(priorSigs, "p_id")
+    // hot-bucket cap measured over the WHOLE banded population (store ∪
+    // delta) so both sides drop the same boilerplate keys
+    val over = Dedup.oversizedBuckets(
+      pBands.select(col("band"), col("key"))
+        .union(dBands.select(col("band"), col("key"))),
+      Seq("band", "key"), maxBucket)
+    val dB = dBands.join(over, Seq("band", "key"), "left_anti")
+    val pB = pBands.join(over, Seq("band", "key"), "left_anti")
+    // candidates vs history (any prior doc is earlier) and within-delta
+    // (earlier = smaller id)
+    val candPrior = dB.join(pB, Seq("band", "key"))
+      .select(col("d_id"), col("p_id").as("e_id")).distinct()
+    val candDelta = dB.join(
+        dB.select(col("band"), col("key"), col("d_id").as("e_id")),
+        Seq("band", "key"))
+      .filter(col("d_id") > col("e_id"))
+      .select(col("d_id"), col("e_id")).distinct()
+    val cand = candPrior.union(candDelta).distinct()
+    val allSigs = priorSigs.select(col("doc_id"), col("sig"))
+      .union(deltaSigs.select(col("doc_id"), col("sig")))
+    val dropped = cand
+      .join(deltaSigs.select(col("doc_id").as("d_id"), col("sig").as("sd")), "d_id")
+      .join(allSigs.select(col("doc_id").as("e_id"), col("sig").as("se")), "e_id")
+      .withColumn("matches",
+        expr("aggregate(zip_with(sd, se, (x, y) -> IF(x = y, 1, 0)), 0, (a, x) -> a + x)"))
+      .filter(col("matches") * thresholdDen >= k * thresholdNum)
+      .select(col("d_id").as(idCol)).distinct()
+    val survivors = delta.join(dropped, Seq(idCol), "left_anti")
+    val newSigs = priorSigs.select(col("doc_id"), col("sig"), col("bk"))
+      .unionByName(deltaSigs.select(col("doc_id"), col("sig"), col("bk")))
+    (survivors, newSigs)
+  }
 }

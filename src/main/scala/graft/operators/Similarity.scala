@@ -806,6 +806,20 @@ object Similarity {
   def preparedCorpus(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     prepared(df, idCol, vecCol)
 
+  /** Deterministic per-member sampling key for [[kmeansCentroids]]'s cell
+    * cap: the 64-bit murmur3 finalizer (fmix64) of the vec id — a fixed
+    * public mixing function, so "the `cap` members with the smallest
+    * (hash, id)" is a stable pseudo-random sample independent of shuffle
+    * arrival order, partitioning, and engine.
+    */
+  private[graft] def sampleHash(id: Long): Long = {
+    var h = id
+    h ^= (h >>> 33); h *= 0xff51afd7ed558ccdL
+    h ^= (h >>> 33); h *= 0xc4ceb9fe1a85ec53L
+    h ^= (h >>> 33)
+    h
+  }
+
   /** Spherical k-means (Lloyd) coarse quantizer — the production centroid
     * source for IVF. Deterministic: init = the first `k` vectors by id, a
     * fixed `iters` iteration count, argmax-cosine assignment (ties → lowest
@@ -816,9 +830,18 @@ object Similarity {
     * plus one key-grouped mean kernel; only the centroid set itself
     * (k × dims doubles — small by construction, same as any broadcast dim)
     * ever reaches the driver. Returns a centroid frame `(c_id, cv, cn)`.
+    *
+    * `sampleCap` bounds the per-cell training set: a cell with more members
+    * than the cap trains its mean on the `sampleCap` members with the
+    * smallest ([[sampleHash]], id) — selected STREAMING through a bounded
+    * heap, so task memory is O(cap × dims) however hot the cell, and the
+    * selection (hence the centroid) is deterministic for any arrival order.
+    * Cells at or under the cap train on every member, bit-identically to
+    * the uncapped kernel (spec-pinned).
     */
   def kmeansCentroids(
-      df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int): DataFrame =
+      df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
+      sampleCap: Int = 1 << 18): DataFrame =
     // iterative Lloyd rounds over a persisted corpus: fixed per-round plan
     // shape, so AQE only multiplies scheduler jobs (Dedup.withStaticPlan)
     graft.operators.Dedup.withStaticPlan(df.sparkSession) {
@@ -838,11 +861,25 @@ object Similarity {
         .select(col("cell"), col("vec_id"), col("v")).as[(Long, Long, Array[Double])]
         .groupByKey(_._1)
         .mapGroups { (cell: Long, rows: Iterator[(Long, Long, Array[Double])]) =>
+          // Keep the `sampleCap` members with the smallest (sampleHash, id)
+          // via a bounded max-heap — O(cap × dims) task memory streaming,
+          // never the whole cell. Under the cap the heap holds every member
+          // and the kernel is bit-identical to the unbounded form.
+          implicit val ord: Ordering[(Long, Long, Array[Double])] =
+            Ordering.by { case (h, id, _) => (h, id) } // max-heap on (hash, id)
+          val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long, Array[Double])]
+          rows.foreach { case (_, id, v) =>
+            val key = sampleHash(id)
+            if (heap.size < sampleCap) heap.enqueue((key, id, v))
+            else if (ord.lt((key, id, v), heap.head)) {
+              heap.dequeue(); heap.enqueue((key, id, v))
+            }
+          }
           // Accumulate in vec_id order so the double sum is bit-reproducible
           // regardless of shuffle-arrival order (distributed fetch order is
-          // nondeterministic). Buffers one cell's members — bounded by the
-          // per-cell corpus share; train on a sample if cells outgrow a task.
-          val members = rows.map { case (_, id, v) => (id, v) }.toArray.sortBy(_._1)
+          // nondeterministic).
+          val members = heap.dequeueAll.toArray
+            .map(t => (t._2, t._3)).sortBy(_._1)
           val acc = new Array[Double](members(0)._2.length)
           members.foreach { case (_, v) =>
             var i = 0

@@ -2004,6 +2004,71 @@ object MiscQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental NEAR-dedup across two deliveries with signature state
+    * travel ([[graft.operators.Incremental.nearDedupDelta]]) — the mx25
+    * proof shape for the LSH stage: delivery 1 = sources src0..src9 from an
+    * empty store, delivery 2 = the rest against delivery 1's carried
+    * `(doc_id, sig, bk)` store, so delivery 2's banding joins
+    * delta×(delta ∪ store-index) and never re-shingles history. The oracle
+    * replays BOTH deliveries as ONE global banded pass over the
+    * (delivery, doc_id) order — a document is dropped iff banding surfaces
+    * any earlier candidate (kept or not) with ≥ 52/64 equal minhash
+    * components (0.8 × 64 → `matches·10 ≥ 64·8`) — proving the two-phase
+    * run ≡ the one-shot run, the operator's replay-stability contract.
+    */
+  val mx26IncrementalNearDedup: Q = Q(
+    "mx26_incremental_near_dedup",
+    """WITH tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ts
+      |  FROM documents),
+      |d AS (SELECT doc_id, source,
+      |    CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1 ELSE 2 END AS run_id,
+      |    ts FROM tok),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+      |         i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))) AS sh
+      |       FROM d WHERE len(ts) >= 3),
+      |sig AS (SELECT doc_id,
+      |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+      |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+      |     + (104729*j + 12345)) % 4294967311))) AS sig
+      |  FROM sh),
+      |bands AS (SELECT doc_id, t.b AS band,
+      |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+      |  FROM sig CROSS JOIN range(0, 16) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS d_id, b.doc_id AS e_id
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id <> b.doc_id),
+      |p AS (SELECT c.d_id, c.e_id FROM cand c
+      |      JOIN d od ON od.doc_id = c.d_id
+      |      JOIN d oe ON oe.doc_id = c.e_id
+      |      WHERE (oe.run_id, oe.doc_id) < (od.run_id, od.doc_id)),
+      |est AS (SELECT p.d_id,
+      |    len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) AS matches
+      |  FROM p JOIN sig sa ON sa.doc_id = p.d_id
+      |         JOIN sig sb ON sb.doc_id = p.e_id),
+      |dropped AS (SELECT DISTINCT d_id FROM est WHERE matches * 10 >= 64 * 8)
+      |SELECT d.doc_id, d.source, CAST(d.run_id AS BIGINT) AS run_id
+      |FROM d LEFT JOIN dropped x ON x.d_id = d.doc_id
+      |WHERE x.d_id IS NULL
+      |ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Dedup, Incremental}
+    val corpus = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    val manifest1 = corpus.filter(srcIdx < 10).select("source").distinct()
+    val emptyManifest = manifest1.limit(0)
+    val emptySigs = Dedup.minhashSignaturesWithBands(
+      corpus.limit(0), "doc_id", "text", shingleK = 3, k = 64, bands = 16)
+    val (s1, store1) = Incremental.nearDedupDelta(
+      corpus.join(broadcast(manifest1), Seq("source"), "left_semi"),
+      emptyManifest, "source", emptySigs, "doc_id", "text")
+    val (s2, _) = Incremental.nearDedupDelta(
+      corpus, manifest1, "source", store1, "doc_id", "text")
+    s1.withColumn("run_id", lit(1L))
+      .unionByName(s2.withColumn("run_id", lit(2L)))
+      .select("doc_id", "source", "run_id")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qAsofNearest,
     qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
@@ -2017,5 +2082,6 @@ object MiscQueries {
     qPercentileBands, qCdcCompact, qIntervalUnion, qZorderLayout, qSkewReport,
     qWeightedMedian, mx15EpochShuffle, qHilbertLayout, mx16Curriculum, qJoinEstimate,
     mx17CurationPipeline, mx21MultimodalPacking, mx22IncrementalCuration,
-    mx23IncrementalDedup, mx24MultimodalCuration, mx25IncrementalPipeline)
+    mx23IncrementalDedup, mx24MultimodalCuration, mx25IncrementalPipeline,
+    mx26IncrementalNearDedup)
 }

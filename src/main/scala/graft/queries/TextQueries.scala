@@ -236,10 +236,13 @@ object TextQueries {
   /** Corpus vocabulary with Zipf ranks: token → total occurrences, document
     * frequency, frequency rank. One explode → one (token) aggregate with
     * map-side combine — the vocabulary-build shuffle moves distinct tokens
-    * per partition, not the corpus. The rank window is deliberately global:
-    * a post-aggregation vocabulary is orders of magnitude smaller than its
-    * corpus (Heaps' law), so ranking it is a small-data step even at 100 TB
-    * input — same class as the ≤k-counter heavy-hitter collect in tx10.
+    * per partition, not the corpus. The rank itself is NOT a global window:
+    * a web-scale vocabulary still reaches ~10⁸ distinct tokens (Heaps' law
+    * shrinks it relative to the corpus, not to a task), so the Zipf rank
+    * rides the [[graft.operators.PrefixSum]] scan over the unique
+    * (−total_count, token) order — one range shuffle + two narrow passes,
+    * no single-partition sort (the m14/q_rfm rank discipline). The oracle
+    * keeps the ROW_NUMBER window form: different plan, same ranks.
     */
   val tx11VocabZipf: Q = Q(
     "tx11_vocab_zipf",
@@ -250,15 +253,17 @@ object TextQueries {
       |SELECT token, total_count, n_docs,
       |  CAST(ROW_NUMBER() OVER (ORDER BY total_count DESC, token) AS BIGINT) AS rank
       |FROM t ORDER BY rank""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    Tables.documents(spark, dir)
+    val t = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token"))
       .agg(count(lit(1)).as("total_count"),
         countDistinct(col("doc_id")).as("n_docs"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("total_count").desc, col("token"))).cast(LongType))
+      .withColumn("one", lit(1L))
+      .withColumn("ord", struct((-col("total_count")).cast(LongType), col("token")))
+    graft.operators.PrefixSum.withStartOffset(t, "ord", "one", "rank0")
+      .withColumn("rank", (col("rank0") + 1L).cast(LongType))
+      .select(col("token"), col("total_count"), col("n_docs"), col("rank"))
       .orderBy(col("rank"))
   }
 

@@ -91,6 +91,63 @@ class IncrementalSpec extends AnyFunSuite {
     assert(fps2.count() == 5L)
   }
 
+  test("nearDedupDelta: signature state travel; two deliveries == one-shot run") {
+    import graft.operators.Dedup
+    def words(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${(seed * 31 + i * 7) % 997}_$i").mkString(" ")
+    val base = words(1, 40)
+    val nearBase = base.split(" ").dropRight(1).mkString(" ") + " zzz" // 1 token off
+    val docs = Seq(
+      (1L, "s0", base),            // phase 1
+      (2L, "s0", words(2, 40)),    // phase 1, unrelated
+      (3L, "s1", base),            // phase 2: exact dup of history → dropped
+      (4L, "s1", nearBase),        // phase 2: near dup of history
+      (5L, "s1", words(9, 40)),    // phase 2, unrelated → kept
+      (6L, "s1", "too short")      // < 3 tokens: kept, never stored
+    ).toDF("id", "shard", "text")
+    val emptySigs = Dedup.minhashSignaturesWithBands(
+      docs.limit(0), "id", "text", shingleK = 3, k = 64, bands = 16)
+    val emptyManifest = Seq.empty[String].toDF("shard")
+
+    // two deliveries with state travel
+    val m1 = Seq("s0").toDF("shard")
+    val (s1, store1) = Incremental.nearDedupDelta(
+      docs.filter(col("shard") === "s0"), emptyManifest, "shard",
+      emptySigs, "id", "text")
+    val (s2, store2) = Incremental.nearDedupDelta(
+      docs, m1, "shard", store1, "id", "text")
+    val twoPhase = s1.unionByName(s2).select("id").as[Long].collect().sorted.toSeq
+
+    // one-shot run over everything; phase-1 ids < phase-2 ids, so the
+    // (delivery, id) order equals the plain id order and the runs must
+    // agree bit-for-bit — the replay-stability contract
+    val (oneShot, storeAll) = Incremental.nearDedupDelta(
+      docs, emptyManifest, "shard", emptySigs, "id", "text")
+    assert(twoPhase == oneShot.select("id").as[Long].collect().sorted.toSeq)
+
+    // exact dup of history always estimates 64/64 → dropped; unrelated kept;
+    // the short doc is kept and NOT in the store
+    assert(!twoPhase.contains(3L) && twoPhase.contains(5L) && twoPhase.contains(6L))
+    assert(store2.filter(col("doc_id") === 6L).count() == 0)
+    // the store carries every SIGNED doc (kept or dropped): 5 of 6
+    assert(store2.count() == 5L && storeAll.count() == 5L)
+
+    // the near-dup's fate matches the brute-force estimate from the
+    // signatures themselves (no hardcoded hash expectations)
+    val sigs = Dedup.minhashSignaturesWithBands(
+        docs, "id", "text", shingleK = 3, k = 64, bands = 16)
+      .select("doc_id", "sig").as[(Long, Array[Long])].collect().toMap
+    val est14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }
+    assert(twoPhase.contains(4L) == (est14 * 10 < 64 * 8),
+      s"doc 4 est=$est14 vs threshold 51.2")
+
+    // idempotence: grown manifest + store → empty delta, nothing changes
+    val m2 = Seq("s0", "s1").toDF("shard")
+    val (s3, store3) = Incremental.nearDedupDelta(
+      docs, m2, "shard", store2, "id", "text")
+    assert(s3.count() == 0 && store3.count() == store2.count())
+  }
+
   test("delta selection broadcasts the manifest (map-side anti-join, no corpus shuffle)") {
     val manifest = Seq("s0").toDF("shard")
     val (delta, covered) = Incremental.deltaShards(corpus, manifest, "shard")

@@ -35,6 +35,56 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(c3.orderBy("c_id").collect().toSeq == c3b.orderBy("c_id").collect().toSeq)
   }
 
+  test("kmeans sampleCap: no-op above the cell sizes, deterministic sample below") {
+    val emb = Tables.embeddings(spark, sf)
+    val n = emb.count().toInt
+    // cap >= every cell: bit-identical centroids to the default kernel
+    val full = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val capped = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2,
+      sampleCap = n)
+    assert(full.orderBy("c_id").collect().toSeq == capped.orderBy("c_id").collect().toSeq)
+
+    // cap below cell sizes: still k valid centroids, and the hash-sample is
+    // arrival-order independent — two runs agree bit-for-bit
+    val s1 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2,
+      sampleCap = 8)
+    val s2 = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 2,
+      sampleCap = 8)
+    assert(s1.count() == 4 && s1.filter(col("cn") <= 0.0 || col("cn").isNull).count() == 0)
+    assert(s1.orderBy("c_id").collect().toSeq == s2.orderBy("c_id").collect().toSeq)
+
+    // the capped mean is exactly the mean of the cap members with the
+    // smallest (fmix64(id), id) — verified against a driver-side replay of
+    // one iteration on the init centroids
+    import spark.implicits._
+    val p = Similarity.preparedCorpus(emb, "vec_id", "embedding")
+    val init = p.orderBy("vec_id").limit(4)
+      .select(col("vec_id"), col("v")).as[(Long, Array[Double])].collect()
+      .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
+    val initDf = init.toSeq.toDF("c_id", "cv")
+      .withColumn("cn", org.apache.spark.sql.functions.sqrt(
+        org.apache.spark.sql.functions.aggregate(
+          org.apache.spark.sql.functions.transform(col("cv"), x => x * x),
+          org.apache.spark.sql.functions.lit(0.0), (a, x) => a + x)))
+    val assigned = Similarity.assignCells(p, initDf)
+      .select(col("cell"), col("vec_id"), col("v"))
+      .as[(Long, Long, Array[Double])].collect()
+    val cap = 8
+    val expected = assigned.groupBy(_._1).map { case (cell, ms) =>
+      val sample = ms.map { case (_, id, v) => (Similarity.sampleHash(id), id, v) }
+        .sortBy { case (h, id, _) => (h, id) }.take(cap).sortBy(_._2)
+      val acc = new Array[Double](sample.head._3.length)
+      sample.foreach { case (_, _, v) =>
+        var i = 0; while (i < v.length) { acc(i) += v(i); i += 1 }
+      }
+      cell -> acc.map(_ / sample.length).toSeq
+    }
+    val got = Similarity.kmeansCentroids(emb, "vec_id", "embedding", k = 4, iters = 1,
+      sampleCap = cap).orderBy("c_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    expected.foreach { case (cell, mean) => assert(got(cell) == mean, s"cell $cell") }
+  }
+
   test("ivf with kmeans centroids: k neighbors per query, all from the query's cell") {
     val cents = Similarity.kmeansCentroids(Tables.embeddings(spark, sf), "vec_id", "embedding",
       k = 8, iters = 2)
