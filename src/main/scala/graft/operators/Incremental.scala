@@ -137,30 +137,27 @@ object Incremental {
     * produce bit-identically the one-shot run over the (delivery, id)
     * order (IncrementalSpec pins it; mx26 oracle-checks it).
     */
-  def nearDedupDelta(
-      corpus: DataFrame, manifest: DataFrame, shardCol: String,
-      priorSigs: DataFrame, idCol: String, textCol: String,
-      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
-      thresholdNum: Int = 8, thresholdDen: Int = 10,
-      maxBucket: Int = 100000): (DataFrame, DataFrame) = {
-    val k = bands * rowsPerBand
-    val (delta, _) = deltaShards(corpus, manifest, shardCol)
-    val deltaSigs = Dedup.cachedForReuse(
-      Dedup.minhashSignaturesWithBands(delta, idCol, textCol, shingleK, k, bands))
+  /** Shared candidate kernel for the signature-store incremental operators:
+    * band the delta against (delta ∪ store-index), cap hot buckets over the
+    * COMBINED banded population (so both sides drop the same boilerplate
+    * keys), and verify every surfaced pairing by signature-estimated
+    * Jaccard. Returns verified `(d_id, e_id)` pairs — `d_id` always a delta
+    * doc; `e_id` a prior-store doc, or a smaller-id delta doc (each
+    * unordered delta pair surfaces exactly once, oriented d_id > e_id).
+    */
+  private def estVerifiedPairs(
+      deltaSigs: DataFrame, priorSigs: DataFrame, k: Int,
+      thresholdNum: Int, thresholdDen: Int, maxBucket: Int): DataFrame = {
     def bandFrame(sigs: DataFrame, idOut: String): DataFrame =
       sigs.select(col("doc_id").as(idOut), posexplode(col("bk")).as(Seq("band", "key")))
     val dBands = bandFrame(deltaSigs, "d_id")
     val pBands = bandFrame(priorSigs, "p_id")
-    // hot-bucket cap measured over the WHOLE banded population (store ∪
-    // delta) so both sides drop the same boilerplate keys
     val over = Dedup.oversizedBuckets(
       pBands.select(col("band"), col("key"))
         .union(dBands.select(col("band"), col("key"))),
       Seq("band", "key"), maxBucket)
     val dB = dBands.join(over, Seq("band", "key"), "left_anti")
     val pB = pBands.join(over, Seq("band", "key"), "left_anti")
-    // candidates vs history (any prior doc is earlier) and within-delta
-    // (earlier = smaller id)
     val candPrior = dB.join(pB, Seq("band", "key"))
       .select(col("d_id"), col("p_id").as("e_id")).distinct()
     val candDelta = dB.join(
@@ -171,16 +168,96 @@ object Incremental {
     val cand = candPrior.union(candDelta).distinct()
     val allSigs = priorSigs.select(col("doc_id"), col("sig"))
       .union(deltaSigs.select(col("doc_id"), col("sig")))
-    val dropped = cand
+    cand
       .join(deltaSigs.select(col("doc_id").as("d_id"), col("sig").as("sd")), "d_id")
       .join(allSigs.select(col("doc_id").as("e_id"), col("sig").as("se")), "e_id")
       .withColumn("matches",
         expr("aggregate(zip_with(sd, se, (x, y) -> IF(x = y, 1, 0)), 0, (a, x) -> a + x)"))
       .filter(col("matches") * thresholdDen >= k * thresholdNum)
-      .select(col("d_id").as(idCol)).distinct()
+      .select(col("d_id"), col("e_id"))
+  }
+
+  def nearDedupDelta(
+      corpus: DataFrame, manifest: DataFrame, shardCol: String,
+      priorSigs: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      thresholdNum: Int = 8, thresholdDen: Int = 10,
+      maxBucket: Int = 100000): (DataFrame, DataFrame) = {
+    val k = bands * rowsPerBand
+    val (delta, _) = deltaShards(corpus, manifest, shardCol)
+    val deltaSigs = Dedup.cachedForReuse(
+      Dedup.minhashSignaturesWithBands(delta, idCol, textCol, shingleK, k, bands))
+    // every verified pairing is vs an EARLIER doc by construction (store
+    // docs precede the delta; within-delta pairs orient d_id > e_id)
+    val dropped =
+      estVerifiedPairs(deltaSigs, priorSigs, k, thresholdNum, thresholdDen, maxBucket)
+        .select(col("d_id").as(idCol)).distinct()
     val survivors = delta.join(dropped, Seq(idCol), "left_anti")
     val newSigs = priorSigs.select(col("doc_id"), col("sig"), col("bk"))
       .unionByName(deltaSigs.select(col("doc_id"), col("sig"), col("bk")))
     (survivors, newSigs)
+  }
+
+  /** Incremental near-dup CLUSTER maintenance — the retroactivity answer
+    * the keep/drop rule of [[nearDedupDelta]] deliberately sidesteps: dd11's
+    * min-id connected-component labels, maintained across deliveries by
+    * carrying `(doc_id, sig, bk, label)` state. Connected components are
+    * ORDER-INDEPENDENT, so incremental maintenance is exact by union-find
+    * contraction: map every verified delta pairing's historical endpoint to
+    * its carried label, run [[Dedup.connectedComponentsStar]] over the
+    * CONTRACTED graph (delta docs + old cluster labels as super-nodes —
+    * delta-sized, never corpus-sized), and rewrite labels through the
+    * result. A delivery that BRIDGES two historical clusters merges them —
+    * every member of both clusters is relabeled to the joint min via one
+    * join on the old label (state-sized, no text ever re-read). Two
+    * deliveries produce the same labels as one global banded run over the
+    * union (IncrementalSpec pins it, including the bridge case; mx27
+    * oracle-replays it), because run 1 already surfaced every
+    * history×history pair when that history was its delta. Caveat shared
+    * with every banded pass: the hot-bucket cap is counted over the
+    * population visible at each delivery, so a bucket that only crosses
+    * `maxBucket` in the global union can admit pairs a global run would
+    * cap away — at the default 100 k cap this needs pathological
+    * boilerplate, and the cap exists precisely to drop such buckets.
+    *
+    * Returns `(deltaLabels, newState)`: `deltaLabels` = (idCol, cluster_id)
+    * for every delta doc (sig-less docs are their own singleton);
+    * `newState` = the grown `(doc_id, sig, bk, label)` store (signed docs
+    * only, labels current as of this delivery).
+    */
+  def ccDelta(
+      corpus: DataFrame, manifest: DataFrame, shardCol: String,
+      priorState: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
+      thresholdNum: Int = 8, thresholdDen: Int = 10,
+      maxBucket: Int = 100000): (DataFrame, DataFrame) = {
+    val k = bands * rowsPerBand
+    val (delta, _) = deltaShards(corpus, manifest, shardCol)
+    val deltaSigs = Dedup.cachedForReuse(
+      Dedup.minhashSignaturesWithBands(delta, idCol, textCol, shingleK, k, bands))
+    val pairs = estVerifiedPairs(
+      deltaSigs, priorState, k, thresholdNum, thresholdDen, maxBucket)
+    // contract: historical endpoints collapse to their carried labels;
+    // delta endpoints stand for themselves
+    val priorLabels = priorState.select(col("doc_id").as("e_id"), col("label"))
+    val contracted = pairs
+      .join(priorLabels, Seq("e_id"), "left")
+      .select(col("d_id").as("a"), coalesce(col("label"), col("e_id")).as("b"))
+    val cc = Dedup.connectedComponentsStar(contracted, "a", "b")
+    // labels: delta docs through their own node; store docs through their
+    // OLD label's node (one state-sized join — the retroactive merge)
+    val deltaSigned = deltaSigs
+      .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("sig"), col("bk"),
+        coalesce(col("comp"), col("doc_id")).as("label"))
+    val storeUpdated = priorState
+      .join(cc.select(col("id").as("label"), col("comp")), Seq("label"), "left")
+      .select(col("doc_id"), col("sig"), col("bk"),
+        coalesce(col("comp"), col("label")).as("label"))
+    val newState = storeUpdated.unionByName(deltaSigned)
+    val deltaLabels = delta.select(col(idCol))
+      .join(deltaSigned.select(col("doc_id").as(idCol), col("label")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster_id"))
+    (deltaLabels, newState)
   }
 }

@@ -2069,6 +2069,86 @@ object MiscQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental near-dup CLUSTER maintenance across two deliveries
+    * ([[graft.operators.Incremental.ccDelta]]) — mx26's keep/drop rule
+    * upgraded to dd11's min-id component labels with `(doc_id, sig, bk,
+    * label)` state travel: delivery 2's verified pairings contract
+    * historical endpoints to their carried labels, CC runs over the
+    * contracted (delta-sized) graph, and a delivery that bridges two
+    * delivery-1 clusters relabels BOTH to the joint min — the retroactive
+    * merge exact dedup never needs. Connected components are
+    * order-independent, so the oracle replays both deliveries as ONE
+    * global banded pass (signature-estimated pairs ≥ 52/64 → transitive
+    * closure → min-id labels; the pair CTE is MATERIALIZED so the
+    * recursion doesn't re-run the signature pipeline per round). Output:
+    * every document with its delivery, final cluster id and cluster size.
+    */
+  val mx27IncrementalCc: Q = Q(
+    "mx27_incremental_cc",
+    """WITH RECURSIVE tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ts
+      |  FROM documents),
+      |d AS (SELECT doc_id, source,
+      |    CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1 ELSE 2 END AS run_id,
+      |    ts FROM tok),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+      |         i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))) AS sh
+      |       FROM d WHERE len(ts) >= 3),
+      |sig AS (SELECT doc_id,
+      |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+      |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+      |     + (104729*j + 12345)) % 4294967311))) AS sig
+      |  FROM sh),
+      |bands AS (SELECT doc_id, t.b AS band,
+      |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+      |  FROM sig CROSS JOIN range(0, 16) t(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+      |pr AS MATERIALIZED (SELECT c.da, c.db FROM cand c
+      |       JOIN sig sa ON sa.doc_id = c.da JOIN sig sb ON sb.doc_id = c.db
+      |       WHERE len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) * 10 >= 64 * 8),
+      |edges AS (SELECT da AS s, db AS t FROM pr UNION ALL SELECT db, da FROM pr),
+      |reach AS (SELECT s AS id, s AS r FROM edges
+      |          UNION
+      |          SELECT g.t AS id, reach.r AS r FROM reach JOIN edges g ON g.s = reach.id),
+      |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+      |lab AS (SELECT d.doc_id, d.source, CAST(d.run_id AS BIGINT) AS run_id,
+      |        COALESCE(c.comp, d.doc_id) AS cluster_id
+      |    FROM d LEFT JOIN comp c ON c.id = d.doc_id),
+      |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      |       FROM lab GROUP BY cluster_id)
+      |SELECT lab.doc_id, lab.source, lab.run_id, lab.cluster_id, sz.cluster_size
+      |FROM lab JOIN sz USING (cluster_id)
+      |ORDER BY lab.doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Dedup, Incremental}
+    val corpus = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    val manifest1 = corpus.filter(srcIdx < 10).select("source").distinct()
+    val emptyManifest = manifest1.limit(0)
+    val emptyState = Dedup.minhashSignaturesWithBands(
+        corpus.limit(0), "doc_id", "text", shingleK = 3, k = 64, bands = 16)
+      .withColumn("label", col("doc_id"))
+    val (lab1, state1) = Incremental.ccDelta(
+      corpus.join(broadcast(manifest1), Seq("source"), "left_semi"),
+      emptyManifest, "source", emptyState, "doc_id", "text")
+    val (lab2, state2) = Incremental.ccDelta(
+      corpus, manifest1, "source", state1, "doc_id", "text")
+    // final labels: the grown state carries every SIGNED doc's current
+    // label (delivery-2 merges already applied to delivery-1 members);
+    // sig-less docs are their own singletons
+    val runId = when(srcIdx < 10, 1L).otherwise(2L).as("run_id")
+    val labels = corpus.select(col("doc_id"), col("source"), runId)
+      .join(state2.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("run_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sz = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sz, "cluster_id")
+      .select("doc_id", "source", "run_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qAsofNearest,
     qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
@@ -2083,5 +2163,5 @@ object MiscQueries {
     qWeightedMedian, mx15EpochShuffle, qHilbertLayout, mx16Curriculum, qJoinEstimate,
     mx17CurationPipeline, mx21MultimodalPacking, mx22IncrementalCuration,
     mx23IncrementalDedup, mx24MultimodalCuration, mx25IncrementalPipeline,
-    mx26IncrementalNearDedup)
+    mx26IncrementalNearDedup, mx27IncrementalCc)
 }

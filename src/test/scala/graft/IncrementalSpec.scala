@@ -148,6 +148,59 @@ class IncrementalSpec extends AnyFunSuite {
     assert(s3.count() == 0 && store3.count() == store2.count())
   }
 
+  test("ccDelta: label state travel; a phase-2 bridge doc retroactively merges two phase-1 clusters") {
+    import graft.operators.Dedup
+    // base 200 words; B edits span X, C edits span Y (disjoint), the bridge
+    // edits BOTH — so est(B,C) < 52/64 (separate clusters in phase 1) while
+    // est(bridge,B) and est(bridge,C) both clear the threshold (verified
+    // below from the signatures themselves, not assumed)
+    val base = (0 until 200).map(i => s"w${(31 + i * 7) % 997}_$i").toArray
+    def edited(spans: (Range, String)*): String = {
+      val w = base.clone()
+      spans.foreach { case (r, p) => r.foreach(i => w(i) = s"$p$i") }
+      w.mkString(" ")
+    }
+    val tB = edited((50 until 58) -> "b")
+    val tC = edited((140 until 148) -> "c")
+    val tBr = edited((50 until 58) -> "b", (140 until 148) -> "c")
+    val docs = Seq(
+      (10L, "s0", tB), (20L, "s0", tC),   // phase 1: two separate clusters
+      (30L, "s1", tBr)                    // phase 2: bridges them
+    ).toDF("id", "shard", "text")
+    val sigs = Dedup.minhashSignaturesWithBands(
+        docs, "id", "text", shingleK = 3, k = 64, bands = 16)
+      .select("doc_id", "sig").as[(Long, Array[Long])].collect().toMap
+    def est(a: Long, b: Long) = sigs(a).zip(sigs(b)).count(p => p._1 == p._2)
+    assert(est(10L, 20L) * 10 < 64 * 8, s"B-C est ${est(10L, 20L)} must be below threshold")
+    assert(est(30L, 10L) * 10 >= 64 * 8 && est(30L, 20L) * 10 >= 64 * 8,
+      s"bridge ests ${est(30L, 10L)}/${est(30L, 20L)} must clear the threshold")
+
+    val emptyState = Dedup.minhashSignaturesWithBands(
+        docs.limit(0), "id", "text", shingleK = 3, k = 64, bands = 16)
+      .withColumn("label", col("doc_id"))
+    val emptyManifest = Seq.empty[String].toDF("shard")
+    val m1 = Seq("s0").toDF("shard")
+    val (lab1, state1) = Incremental.ccDelta(
+      docs.filter(col("shard") === "s0"), emptyManifest, "shard",
+      emptyState, "id", "text")
+    // phase 1: two singleton clusters, no merge
+    assert(lab1.orderBy("id").as[(Long, Long)].collect().toSeq ==
+      Seq((10L, 10L), (20L, 20L)))
+    val (lab2, state2) = Incremental.ccDelta(
+      docs, m1, "shard", state1, "id", "text")
+    assert(lab2.as[(Long, Long)].collect().toSeq == Seq((30L, 10L)))
+    // THE RETROACTIVE MERGE: doc 20's carried label is rewritten to 10
+    assert(state2.select("doc_id", "label").as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((10L, 10L), (20L, 10L), (30L, 10L)))
+
+    // order independence: one-shot run over everything yields the same labels
+    val (labAll, stateAll) = Incremental.ccDelta(
+      docs, emptyManifest, "shard", emptyState, "id", "text")
+    assert(stateAll.select("doc_id", "label").as[(Long, Long)].collect().sorted.toSeq ==
+      state2.select("doc_id", "label").as[(Long, Long)].collect().sorted.toSeq)
+    assert(labAll.count() == 3)
+  }
+
   test("delta selection broadcasts the manifest (map-side anti-join, no corpus shuffle)") {
     val manifest = Seq("s0").toDF("shard")
     val (delta, covered) = Incremental.deltaShards(corpus, manifest, "shard")
