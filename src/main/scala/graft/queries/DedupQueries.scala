@@ -259,7 +259,7 @@ object DedupQueries {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |pairs AS (SELECT doc_a, doc_b FROM (
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
        |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
        |  WHERE jaccard >= 0.8),
@@ -312,7 +312,7 @@ object DedupQueries {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |pairs AS (SELECT doc_a, doc_b FROM (
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
        |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
        |  WHERE jaccard >= 0.8),
@@ -379,7 +379,7 @@ object DedupQueries {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |pairs AS (SELECT doc_a, doc_b FROM (
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
        |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
        |  WHERE jaccard >= 0.8),
@@ -520,7 +520,7 @@ object DedupQueries {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |pairs AS (SELECT doc_a, doc_b FROM (
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
        |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
        |  WHERE jaccard >= 0.8)
@@ -811,7 +811,7 @@ object DedupQueries {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |pairs AS (SELECT doc_a, doc_b FROM (
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
        |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
        |  WHERE jaccard >= 0.8),
@@ -1003,7 +1003,7 @@ object DedupQueries {
          |    CAST(list_position($fscores, list_max($fscores)) - 1 AS BIGINT) AS cell,
          |    list_max($fscores) AS cell_cos
          |  FROM n x, fc),
-         |pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+         |pr AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib
          |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |  WHERE ${cos("a.v", "b.v")} / (a.nrm * b.nrm) >= CAST(0.7 AS DOUBLE)),
          |edges AS (SELECT ia AS s, ib AS t FROM pr
@@ -1234,7 +1234,7 @@ object DedupQueries {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |pairs AS (SELECT doc_a, doc_b FROM (
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
        |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
        |  WHERE jaccard >= 0.8),
@@ -1335,7 +1335,7 @@ object DedupQueries {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-       |pairs AS (SELECT doc_a, doc_b FROM (
+       |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM (
        |    SELECT c.doc_a, c.doc_b, $JaccardSql AS jaccard
        |    FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
        |  WHERE jaccard >= 0.8),
