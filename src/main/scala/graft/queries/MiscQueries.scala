@@ -1812,7 +1812,9 @@ object MiscQueries {
     * best-fit-decreasing packing (mx8's kernel). Emits the packed
     * examples (media_id, modality, len, bin_id) so the composition is
     * bit-exact END-TO-END per row; the oracle chains all five stages as
-    * CTEs ending in the recursive caps-list BFD replay.
+    * CTEs ending in the [[bfdFoldSql]] caps-list BFD replay (the old
+    * one-doc-per-recursion form re-evaluated the whole gated pipeline per
+    * round — 26 s at sf0.1; the fold runs it once).
     *
     * Scale: gates are codegen'd projections (the clip gate's join is the
     * one equi-join, co-partitionable on the id); dedup is one fp-keyed
@@ -1821,7 +1823,7 @@ object MiscQueries {
     */
   val mx24MultimodalCuration: Q = Q(
     "mx24_multimodal_curation",
-    """WITH RECURSIVE d AS (SELECT doc_id, text,
+    s"""WITH d AS (SELECT doc_id, text,
       |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
       |    CASE WHEN doc_id % 3 = 0 THEN 'image'
       |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality
@@ -1856,28 +1858,12 @@ object MiscQueries {
       |      ELSE ((1 + nb % 300 + 4) // 5) * 64
       |    END AS len
       |  FROM dd),
-      |docs AS (SELECT media_id, modality, len,
+      |docs AS (SELECT media_id, modality, len AS nt,
       |    row_number() OVER (ORDER BY len DESC, media_id) AS rn
       |  FROM lens WHERE len <= 4096),
-      |pack AS (
-      |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS media_id,
-      |         CAST(NULL AS VARCHAR) AS modality,
-      |         CAST(NULL AS BIGINT) AS len, CAST(NULL AS BIGINT) AS bin_id,
-      |         CAST([] AS BIGINT[]) AS caps
-      |  UNION ALL
-      |  SELECT rn, media_id, modality, len,
-      |         CASE WHEN fit IS NULL THEN CAST(len(caps) AS BIGINT)
-      |              ELSE CAST(list_position(caps, fit) - 1 AS BIGINT) END AS bin_id,
-      |         CASE WHEN fit IS NULL THEN list_append(caps, 4096 - len)
-      |              ELSE caps[1:list_position(caps, fit)-1] || [fit - len]
-      |                   || caps[list_position(caps, fit)+1:]
-      |         END AS caps
-      |  FROM (
-      |    SELECT d.rn, d.media_id, d.modality, d.len, p.caps,
-      |           list_min(list_filter(p.caps, c -> c >= d.len)) AS fit
-      |    FROM pack p JOIN docs d ON d.rn = p.rn + 1))
-      |SELECT media_id, modality, len, bin_id FROM pack
-      |WHERE rn > 0 ORDER BY media_id""".stripMargin) { (spark, dir) =>
+      |${bfdFoldSql(4096L)}
+      |SELECT d.media_id, d.modality, d.nt AS len, p.bin_id
+      |FROM docs d JOIN pbin p ON p.rn = d.rn ORDER BY d.media_id""".stripMargin) { (spark, dir) =>
     import graft.multimodal.Multimodal
     import graft.operators.{Dedup, Packing, TextAnalysis}
     import org.apache.spark.sql.types.LongType
@@ -1935,7 +1921,7 @@ object MiscQueries {
     */
   val mx25IncrementalPipeline: Q = Q(
     "mx25_incremental_pipeline",
-    """WITH RECURSIVE d AS (SELECT doc_id, source, text,
+    s"""WITH d AS (SELECT doc_id, source, text,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |    CAST(substr(source, 4) AS INT) AS si FROM documents),
       |f AS (SELECT * FROM d WHERE n_tokens >= 30),
@@ -1949,28 +1935,12 @@ object MiscQueries {
       |quota AS (SELECT doc_id, source, n_tokens, run_id FROM (
       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS qrn
       |    FROM surv) WHERE qrn <= 10),
-      |docs AS (SELECT doc_id, source, n_tokens, run_id,
+      |docs AS (SELECT doc_id, source, n_tokens AS nt, run_id,
       |    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn
       |  FROM quota),
-      |pack AS (
-      |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
-      |         CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_tokens,
-      |         CAST(NULL AS BIGINT) AS run_id, CAST(NULL AS BIGINT) AS bin_id,
-      |         CAST([] AS BIGINT[]) AS caps
-      |  UNION ALL
-      |  SELECT rn, doc_id, source, n_tokens, run_id,
-      |         CASE WHEN fit IS NULL THEN CAST(len(caps) AS BIGINT)
-      |              ELSE CAST(list_position(caps, fit) - 1 AS BIGINT) END AS bin_id,
-      |         CASE WHEN fit IS NULL THEN list_append(caps, 256 - n_tokens)
-      |              ELSE caps[1:list_position(caps, fit)-1] || [fit - n_tokens]
-      |                   || caps[list_position(caps, fit)+1:]
-      |         END AS caps
-      |  FROM (
-      |    SELECT d.rn, d.doc_id, d.source, d.n_tokens, d.run_id, p.caps,
-      |           list_min(list_filter(p.caps, c -> c >= d.n_tokens)) AS fit
-      |    FROM pack p JOIN docs d ON d.rn = p.rn + 1))
-      |SELECT doc_id, source, n_tokens, run_id, bin_id FROM pack
-      |WHERE rn > 0 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      |${bfdFoldSql(256L)}
+      |SELECT d.doc_id, d.source, d.nt AS n_tokens, d.run_id, p.bin_id
+      |FROM docs d JOIN pbin p ON p.rn = d.rn ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.expressions.Window
     import graft.operators.{Incremental, Packing, TextAnalysis}
