@@ -1587,7 +1587,7 @@ object MiscQueries {
     */
   val mx17CurationPipeline: Q = Q(
     "mx17_curation_pipeline",
-    """WITH RECURSIVE w AS (
+    s"""WITH w AS (
       |  SELECT doc_id, source, text, n_chars, string_split(text, ' ') AS ws
       |  FROM documents),
       |kept AS (SELECT doc_id, source, text FROM w
@@ -1604,27 +1604,12 @@ object MiscQueries {
       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
       |  FROM dd) WHERE rn <= 10),
       |docs AS (
-      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
       |         row_number() OVER (ORDER BY len(string_split(text, ' ')) DESC, doc_id) AS rn
       |  FROM quota),
-      |pack AS (
-      |  SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS BIGINT) AS doc_id,
-      |         CAST(NULL AS BIGINT) AS n_tokens, CAST(NULL AS BIGINT) AS bin_id,
-      |         CAST([] AS BIGINT[]) AS caps
-      |  UNION ALL
-      |  SELECT rn, doc_id, n_tokens,
-      |         CASE WHEN fit IS NULL THEN CAST(len(caps) AS BIGINT)
-      |              ELSE CAST(list_position(caps, fit) - 1 AS BIGINT) END AS bin_id,
-      |         CASE WHEN fit IS NULL THEN list_append(caps, 256 - n_tokens)
-      |              ELSE caps[1:list_position(caps, fit)-1] || [fit - n_tokens] || caps[list_position(caps, fit)+1:]
-      |         END AS caps
-      |  FROM (
-      |    SELECT d.rn, d.doc_id, d.n_tokens, p.caps,
-      |           list_min(list_filter(p.caps, c -> c >= d.n_tokens)) AS fit
-      |    FROM pack p JOIN docs d ON d.rn = p.rn + 1))
-      |SELECT p.doc_id, d.source, p.n_tokens, p.bin_id
-      |FROM pack p JOIN docs d USING (doc_id)
-      |WHERE p.rn > 0 ORDER BY p.doc_id""".stripMargin) { (spark, dir) =>
+      |${bfdFoldSql(256L)}
+      |SELECT d.doc_id, d.source, d.nt AS n_tokens, p.bin_id
+      |FROM docs d JOIN pbin p ON p.rn = d.rn ORDER BY d.doc_id""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     import graft.operators.{Dedup, Packing, TextAnalysis}
     val ws = split(col("text"), " ")
