@@ -187,13 +187,17 @@ object Incremental {
     val (delta, _) = deltaShards(corpus, manifest, shardCol)
     val deltaSigs = Dedup.cachedForReuse(
       Dedup.minhashSignaturesWithBands(delta, idCol, textCol, shingleK, k, bands))
+    // the store feeds the band index, the verify join AND the grown-store
+    // union — materialize once (a chained multi-delivery run would
+    // otherwise re-evaluate the whole prior-delivery plan per consumer)
+    val prior = Dedup.cachedForReuse(priorSigs)
     // every verified pairing is vs an EARLIER doc by construction (store
     // docs precede the delta; within-delta pairs orient d_id > e_id)
     val dropped =
-      estVerifiedPairs(deltaSigs, priorSigs, k, thresholdNum, thresholdDen, maxBucket)
+      estVerifiedPairs(deltaSigs, prior, k, thresholdNum, thresholdDen, maxBucket)
         .select(col("d_id").as(idCol)).distinct()
     val survivors = delta.join(dropped, Seq(idCol), "left_anti")
-    val newSigs = priorSigs.select(col("doc_id"), col("sig"), col("bk"))
+    val newSigs = prior.select(col("doc_id"), col("sig"), col("bk"))
       .unionByName(deltaSigs.select(col("doc_id"), col("sig"), col("bk")))
     (survivors, newSigs)
   }
@@ -235,11 +239,14 @@ object Incremental {
     val (delta, _) = deltaShards(corpus, manifest, shardCol)
     val deltaSigs = Dedup.cachedForReuse(
       Dedup.minhashSignaturesWithBands(delta, idCol, textCol, shingleK, k, bands))
+    // state feeds the band index, verify join, label contraction AND the
+    // grown-state union — materialize once (see nearDedupDelta)
+    val prior = Dedup.cachedForReuse(priorState)
     val pairs = estVerifiedPairs(
-      deltaSigs, priorState, k, thresholdNum, thresholdDen, maxBucket)
+      deltaSigs, prior, k, thresholdNum, thresholdDen, maxBucket)
     // contract: historical endpoints collapse to their carried labels;
     // delta endpoints stand for themselves
-    val priorLabels = priorState.select(col("doc_id").as("e_id"), col("label"))
+    val priorLabels = prior.select(col("doc_id").as("e_id"), col("label"))
     val contracted = pairs
       .join(priorLabels, Seq("e_id"), "left")
       .select(col("d_id").as("a"), coalesce(col("label"), col("e_id")).as("b"))
@@ -250,7 +257,7 @@ object Incremental {
       .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("sig"), col("bk"),
         coalesce(col("comp"), col("doc_id")).as("label"))
-    val storeUpdated = priorState
+    val storeUpdated = prior
       .join(cc.select(col("id").as("label"), col("comp")), Seq("label"), "left")
       .select(col("doc_id"), col("sig"), col("bk"),
         coalesce(col("comp"), col("label")).as("label"))

@@ -2093,10 +2093,13 @@ object MiscQueries {
     // label (delivery-2 merges already applied to delivery-1 members);
     // sig-less docs are their own singletons
     val runId = when(srcIdx < 10, 1L).otherwise(2L).as("run_id")
-    val labels = corpus.select(col("doc_id"), col("source"), runId)
-      .join(state2.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"), col("run_id"),
-        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    // label frame feeds BOTH the size aggregate and the final join —
+    // materialize once or the whole two-delivery chain re-evaluates
+    val labels = Dedup.cachedForReuse(
+      corpus.select(col("doc_id"), col("source"), runId)
+        .join(state2.select(col("doc_id"), col("label")), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("source"), col("run_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id")))
     val sz = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     labels.join(sz, "cluster_id")
