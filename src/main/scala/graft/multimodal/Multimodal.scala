@@ -114,7 +114,10 @@ object Multimodal {
           else off = next.toInt
         }
       }
-      if (rate < 0) null
+      // rate is a declared u32 too: a value over Int.MaxValue would wrap
+      // negative through .toInt (same class as the n_frames fix below) —
+      // no real sample rate approaches 2^31, so treat it as undecodable
+      if (rate < 0 || rate > Int.MaxValue) null
       else {
         // dataSize is a declared u32 (≤ 4294967295): an 8-bit-mono file
         // (blockAlign = 1) can declare more frames than Int.MaxValue —

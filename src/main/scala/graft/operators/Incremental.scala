@@ -165,7 +165,10 @@ object Incremental {
         Seq("band", "key"))
       .filter(col("d_id") > col("e_id"))
       .select(col("d_id"), col("e_id")).distinct()
-    val cand = candPrior.union(candDelta).distinct()
+    // no outer distinct: the two candidate sets are disjoint by
+    // construction (e_id domains are prior-store ids vs delta ids), so a
+    // third full-width dedup shuffle would buy nothing
+    val cand = candPrior.union(candDelta)
     val allSigs = priorSigs.select(col("doc_id"), col("sig"))
       .union(deltaSigs.select(col("doc_id"), col("sig")))
     cand

@@ -841,7 +841,8 @@ object Similarity {
     */
   def kmeansCentroids(
       df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
-      sampleCap: Int = 1 << 18): DataFrame =
+      sampleCap: Int = 1 << 18): DataFrame = {
+    require(sampleCap > 0, s"sampleCap must be positive, got $sampleCap")
     // iterative Lloyd rounds over a persisted corpus: fixed per-round plan
     // shape, so AQE only multiplies scheduler jobs (Dedup.withStaticPlan)
     graft.operators.Dedup.withStaticPlan(df.sparkSession) {
@@ -894,6 +895,7 @@ object Similarity {
     p.unpersist()
     centFrame(cents)
     }
+  }
 
   /** IVF recall audit across probe depths — the [[recallAtK]] idea turned
     * into ONE corpus-shaped report: for every `nProbe` in `probes`, recall@k

@@ -33,10 +33,15 @@ class JsonLocalLoader(conf: Conf) extends Loader {
 
   override def load(df: DataFrame): Unit = {
     val cols = df.columns
-    val out = new java.io.BufferedOutputStream(
-      Files.newOutputStream(Paths.get(path)))
+    // stream into a sibling temp file and move into place on success: a
+    // mid-stream failure (executor loss, bad row) must neither clobber the
+    // previous valid output nor leave a truncated array at `path`
+    val dest = Paths.get(path)
+    val tmp = Paths.get(path + ".tmp")
+    val out = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
     val gen = new JsonFactory().createGenerator(
       out, com.fasterxml.jackson.core.JsonEncoding.UTF8)
+    var ok = false
     try {
       // the same printer ObjectWriter#writerWithDefaultPrettyPrinter used
       // when this sink serialized a materialized tree — byte-identical
@@ -63,6 +68,19 @@ class JsonLocalLoader(conf: Conf) extends Loader {
         gen.writeEndObject()
       }
       gen.writeEndArray()
-    } finally gen.close()
+      ok = true
+    } finally {
+      gen.close()
+      if (ok)
+        try Files.move(tmp, dest,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.AtomicMoveNotSupportedException =>
+            Files.move(tmp, dest,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      else Files.deleteIfExists(tmp)
+    }
   }
 }

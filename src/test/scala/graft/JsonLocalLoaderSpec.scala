@@ -29,6 +29,30 @@ class JsonLocalLoaderSpec extends AnyFunSuite {
     assert(node.get(0).get("name").isTextual && node.get(0).get("score").isDouble)
   }
 
+  test("json_local streamed output is byte-identical to the ObjectWriter tree form") {
+    // the loader streams through a JsonGenerator + DefaultPrettyPrinter;
+    // this pins that the bytes equal the materialized-tree serialization
+    // the sink used before the toLocalIterator rewrite (and that a Jackson
+    // upgrade changing printer defaults would be caught, not silent)
+    val dir = Files.createTempDirectory("jsonlocal_bytes")
+    val path = dir.resolve("out.json")
+    val rows = Seq((1L, "a", 1.5, true), (2L, "b", 2.5, false))
+    val df = rows.toDF("id", "name", "score", "flag").orderBy("id")
+    val loader = new JsonLocalLoader(Map("path" -> path.toString))
+    loader.connect(); loader.load(df); loader.disconnect()
+
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val arr = mapper.createArrayNode()
+    rows.foreach { case (id, name, score, flag) =>
+      val o = arr.addObject()
+      o.put("id", id); o.put("name", name); o.put("score", score); o.put("flag", flag)
+    }
+    val expected = mapper.writerWithDefaultPrettyPrinter().writeValueAsString(arr)
+    assert(Files.readString(path) == expected)
+    // no temp file left behind on success
+    assert(!Files.exists(dir.resolve("out.json.tmp")))
+  }
+
   test("json_local creates missing parent directories on connect") {
     val dir = Files.createTempDirectory("jsonlocal2")
     val nested = dir.resolve("a/b/c/out.json")
