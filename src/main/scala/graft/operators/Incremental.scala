@@ -180,20 +180,28 @@ object Incremental {
       .select(col("d_id"), col("e_id"))
   }
 
+  /** `materializeState` (here and on [[ccDelta]]): the store feeds the band
+    * index, the verify join AND the grown-store union — 3–4 consumers. When
+    * deliveries CHAIN in one session (each store is the previous call's
+    * lazy result, as the mx26/mx27 oracle queries do), materializing once
+    * is the difference between one evaluation and re-running the whole
+    * prior-delivery plan per consumer. A production run whose store arrives
+    * from storage (bucketed parquet — the documented layout) should pass
+    * `false`: 3 scans of an on-disk table beat writing a transient
+    * state-sized localCheckpoint copy first.
+    */
   def nearDedupDelta(
       corpus: DataFrame, manifest: DataFrame, shardCol: String,
       priorSigs: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       thresholdNum: Int = 8, thresholdDen: Int = 10,
-      maxBucket: Int = 100000): (DataFrame, DataFrame) = {
+      maxBucket: Int = 100000,
+      materializeState: Boolean = true): (DataFrame, DataFrame) = {
     val k = bands * rowsPerBand
     val (delta, _) = deltaShards(corpus, manifest, shardCol)
     val deltaSigs = Dedup.cachedForReuse(
       Dedup.minhashSignaturesWithBands(delta, idCol, textCol, shingleK, k, bands))
-    // the store feeds the band index, the verify join AND the grown-store
-    // union — materialize once (a chained multi-delivery run would
-    // otherwise re-evaluate the whole prior-delivery plan per consumer)
-    val prior = Dedup.cachedForReuse(priorSigs)
+    val prior = if (materializeState) Dedup.cachedForReuse(priorSigs) else priorSigs
     // every verified pairing is vs an EARLIER doc by construction (store
     // docs precede the delta; within-delta pairs orient d_id > e_id)
     val dropped =
@@ -237,14 +245,14 @@ object Incremental {
       priorState: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       thresholdNum: Int = 8, thresholdDen: Int = 10,
-      maxBucket: Int = 100000): (DataFrame, DataFrame) = {
+      maxBucket: Int = 100000,
+      materializeState: Boolean = true): (DataFrame, DataFrame) = {
     val k = bands * rowsPerBand
     val (delta, _) = deltaShards(corpus, manifest, shardCol)
     val deltaSigs = Dedup.cachedForReuse(
       Dedup.minhashSignaturesWithBands(delta, idCol, textCol, shingleK, k, bands))
-    // state feeds the band index, verify join, label contraction AND the
-    // grown-state union — materialize once (see nearDedupDelta)
-    val prior = Dedup.cachedForReuse(priorState)
+    // see the materializeState note on nearDedupDelta
+    val prior = if (materializeState) Dedup.cachedForReuse(priorState) else priorState
     val pairs = estVerifiedPairs(
       deltaSigs, prior, k, thresholdNum, thresholdDen, maxBucket)
     // contract: historical endpoints collapse to their carried labels;
