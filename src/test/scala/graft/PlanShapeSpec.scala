@@ -305,4 +305,40 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(windows == 1, s"$n: one grid prefix window expected, got $windows:\n$p")
     }
   }
+
+  test("incremental near-dedup: banded candidates only — no cartesian, manifest broadcast") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"), col("text"))
+    val manifest = Seq("src0", "src1").toDF("source")
+    val emptySigs = graft.operators.Dedup.minhashSignaturesWithBands(
+      docs.limit(0), "doc_id", "text", shingleK = 3, k = 64, bands = 16)
+    val (survivors, _) = graft.operators.Incremental.nearDedupDelta(
+      docs, manifest, "source", emptySigs, "doc_id", "text")
+    val p = plan(survivors)
+    // every pairing must come from the band-bucket equi-join, never an
+    // all-pairs product; delta selection must broadcast the tiny manifest
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(30).mkString("\n"))
+    assert(p.contains("BroadcastHashJoin"), "manifest anti-join must broadcast")
+    assert(p.contains("Exchange hashpartitioning"),
+      "candidate generation must shuffle on the band-bucket key")
+  }
+
+  test("incremental ccDelta: contracted CC — no cartesian anywhere in the label plan") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("source"), col("text"))
+    val emptyState = graft.operators.Dedup.minhashSignaturesWithBands(
+        docs.limit(0), "doc_id", "text", shingleK = 3, k = 64, bands = 16)
+      .withColumn("label", col("doc_id"))
+    val (labels, state) = graft.operators.Incremental.ccDelta(
+      docs, Seq.empty[String].toDF("source"), "source", emptyState, "doc_id", "text")
+    // ccDelta runs CC eagerly inside; assert on both returned frames' plans
+    Seq("labels" -> labels, "state" -> state).foreach { case (n, df) =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$n:\n${p.linesIterator.take(30).mkString("\n")}")
+    }
+    // and the labels are real: every doc labeled, labels are doc ids
+    assert(labels.count() == docs.count())
+  }
 }
