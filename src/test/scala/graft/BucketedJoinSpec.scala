@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * repeated big-fact join at 100 TB from a per-query shuffle into a one-time
   * layout cost.
   */
-class BucketedJoinSpec extends AnyFunSuite {
+class BucketedJoinSpec extends AnyFunSuite
+    with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
   private lazy val spark = TestSpark.spark
 
   test("bucketed join on the bucket key plans without shuffle exchanges") {
@@ -51,6 +52,65 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS ord_bucketed")
+    }
+  }
+
+  test("near-dedup store index bucketed by (band, key): only the delta side shuffles") {
+    // substantiates Incremental.nearDedupDelta's production layout claim:
+    // persist the EXPLODED (band, key, doc_id) band index bucketed on the
+    // band-bucket key, and a later delivery's candidate join moves only the
+    // delta's band rows — the historical index is read co-located.
+    import org.apache.spark.sql.functions.posexplode
+    val dir = Files.createTempDirectory("graft-sig-buckets")
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val sigs = graft.operators.Dedup.minhashSignaturesWithBands(
+      docs, "doc_id", "text", shingleK = 3, k = 64, bands = 16)
+    sigs.select(col("doc_id"), posexplode(col("bk")).as(Seq("band", "key")))
+      .write.bucketBy(8, "band", "key").sortBy("band", "key")
+      .option("path", s"$dir/store_index").mode("overwrite")
+      .saveAsTable("store_index_bucketed")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // a "delta" band frame (stand-in: the same kernel over a doc slice)
+      val delta = graft.operators.Dedup.minhashSignaturesWithBands(
+          docs.filter(col("doc_id") % 7 === 0), "doc_id", "text",
+          shingleK = 3, k = 64, bands = 16)
+        .select(col("doc_id").as("d_id"), posexplode(col("bk")).as(Seq("band", "key")))
+      val cand = delta.join(spark.table("store_index_bucketed"), Seq("band", "key"))
+        .filter(col("d_id") =!= col("doc_id"))
+        .select(col("d_id"), col("doc_id").as("e_id"))
+      cand.collect()
+      val root = cand.queryExecution.executedPlan
+      val smjs = collect(root) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smjs.nonEmpty, root.toString)
+      // the side whose subtree holds the bucketed scan must contain NO
+      // shuffle — the historical index is read co-located; only the delta
+      // side exchanges (assert structurally: the AQE plan STRING duplicates
+      // the final and initial plans, so line-counting is unreliable)
+      def bucketedScans(p: org.apache.spark.sql.execution.SparkPlan) =
+        collect(p) {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.bucketSpec.isDefined => s
+        }
+      def shuffles(p: org.apache.spark.sql.execution.SparkPlan) =
+        collect(p) {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+      val smj = smjs.head
+      val (storeSide, deltaSide) =
+        if (bucketedScans(smj.right).nonEmpty) (smj.right, smj.left)
+        else (smj.left, smj.right)
+      assert(bucketedScans(storeSide).nonEmpty, "bucketed index scan not found")
+      assert(shuffles(storeSide).isEmpty,
+        s"store side must read co-located, got:\n$storeSide")
+      assert(shuffles(deltaSide).nonEmpty, "delta side should exchange to the buckets")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS store_index_bucketed")
     }
   }
 }
