@@ -103,40 +103,6 @@ object Incremental {
     (kept.drop("__fp"), newFingerprints)
   }
 
-  /** Incremental NEAR-deduplication with MinHash-signature STATE TRAVEL —
-    * [[dedupDelta]]'s answer for the banded-LSH stage: the carried state is
-    * the `(doc_id, sig, bk)` signature store
-    * ([[Dedup.minhashSignaturesWithBands]]), so a delivery's banding joins
-    * delta×(delta ∪ store-index) on the persisted band-bucket keys and NEVER
-    * re-shingles (or re-reads) historical text.
-    *
-    * PINNED SEMANTICS (what the mx26 oracle replays as one global pass): a
-    * delta document is DROPPED iff the bands×rowsPerBand banding surfaces a
-    * candidate pairing with ANY EARLIER document — every prior-delivery
-    * document (kept or dropped), or a smaller-`idCol` document within the
-    * delta — whose signature-estimated Jaccard (#equal minhash components
-    * / k) reaches `thresholdNum/thresholdDen` (integer compare:
-    * `matches·den ≥ k·num`). Dropped-doc signatures stay in the store ON
-    * PURPOSE: "earlier doc, kept or not" makes the drop decision a pure
-    * per-pair predicate over a fixed total order — replay-stable across any
-    * delivery partitioning — where a kept-only rule would chain
-    * sequentially within a batch. Estimated (not exact-shingle) Jaccard is
-    * what keeps the state O(k) longs per document; the estimator's
-    * calibration against exact Jaccard is dd25's subject.
-    *
-    * Documents with fewer than `shingleK` tokens carry no signature: always
-    * kept, never stored (no near-dup semantics at that length — the
-    * [[Dedup.minhashNearDuplicates]] convention).
-    *
-    * Scale: the store is corpus-growing but O(k) per doc; both band frames
-    * shuffle on the 64-bit bucket key; `maxBucket` drops boilerplate
-    * buckets (counted over store ∪ delta — [[Dedup.oversizedBuckets]]) the
-    * way every banded self-join must at 100 TB. Returns
-    * `(survivors, newSigs)`; feed `newSigs` + the grown manifest back in
-    * and the next delivery's delta joins the same way — two deliveries
-    * produce bit-identically the one-shot run over the (delivery, id)
-    * order (IncrementalSpec pins it; mx26 oracle-checks it).
-    */
   /** Shared candidate kernel for the signature-store incremental operators:
     * band the delta against (delta ∪ store-index), cap hot buckets over the
     * COMBINED banded population (so both sides drop the same boilerplate
@@ -180,15 +146,49 @@ object Incremental {
       .select(col("d_id"), col("e_id"))
   }
 
-  /** `materializeState` (here and on [[ccDelta]]): the store feeds the band
-    * index, the verify join AND the grown-store union — 3–4 consumers. When
-    * deliveries CHAIN in one session (each store is the previous call's
-    * lazy result, as the mx26/mx27 oracle queries do), materializing once
-    * is the difference between one evaluation and re-running the whole
-    * prior-delivery plan per consumer. A production run whose store arrives
-    * from storage (bucketed parquet — the documented layout) should pass
-    * `false`: 3 scans of an on-disk table beat writing a transient
-    * state-sized localCheckpoint copy first.
+  /** Incremental NEAR-deduplication with MinHash-signature STATE TRAVEL —
+    * [[dedupDelta]]'s answer for the banded-LSH stage: the carried state is
+    * the `(doc_id, sig, bk)` signature store
+    * ([[Dedup.minhashSignaturesWithBands]]), so a delivery's banding joins
+    * delta×(delta ∪ store-index) on the persisted band-bucket keys and NEVER
+    * re-shingles (or re-reads) historical text.
+    *
+    * PINNED SEMANTICS (what the mx26 oracle replays as one global pass): a
+    * delta document is DROPPED iff the bands×rowsPerBand banding surfaces a
+    * candidate pairing with ANY EARLIER document — every prior-delivery
+    * document (kept or dropped), or a smaller-`idCol` document within the
+    * delta — whose signature-estimated Jaccard (#equal minhash components
+    * / k) reaches `thresholdNum/thresholdDen` (integer compare:
+    * `matches·den ≥ k·num`). Dropped-doc signatures stay in the store ON
+    * PURPOSE: "earlier doc, kept or not" makes the drop decision a pure
+    * per-pair predicate over a fixed total order — replay-stable across any
+    * delivery partitioning — where a kept-only rule would chain
+    * sequentially within a batch. Estimated (not exact-shingle) Jaccard is
+    * what keeps the state O(k) longs per document; the estimator's
+    * calibration against exact Jaccard is dd25's subject.
+    *
+    * Documents with fewer than `shingleK` tokens carry no signature: always
+    * kept, never stored (no near-dup semantics at that length — the
+    * [[Dedup.minhashNearDuplicates]] convention).
+    *
+    * Scale: the store is corpus-growing but O(k) per doc; both band frames
+    * shuffle on the 64-bit bucket key; `maxBucket` drops boilerplate
+    * buckets (counted over store ∪ delta — [[Dedup.oversizedBuckets]]) the
+    * way every banded self-join must at 100 TB. Returns
+    * `(survivors, newSigs)`; feed `newSigs` + the grown manifest back in
+    * and the next delivery's delta joins the same way — two deliveries
+    * produce bit-identically the one-shot run over the (delivery, id)
+    * order (IncrementalSpec pins it; mx26 oracle-checks it).
+    *
+    * `materializeState`: the store feeds the band index, the verify join
+    * AND the grown-store union — 3–4 consumers. When deliveries CHAIN in
+    * one session (each store is the previous call's lazy result, as the
+    * mx26/mx27 oracle queries do), materializing once is the difference
+    * between one evaluation and re-running the whole prior-delivery plan
+    * per consumer. A production run whose store arrives from storage
+    * (bucketed parquet — the documented layout, BucketedJoinSpec) should
+    * pass `false`: 3 scans of an on-disk table beat writing a transient
+    * state-sized localCheckpoint copy first. Same knob on [[ccDelta]].
     */
   def nearDedupDelta(
       corpus: DataFrame, manifest: DataFrame, shardCol: String,
