@@ -62,13 +62,17 @@ object Eval {
       .select(
         col("p").cast(LongType).as("pos_n"),
         col("nn").cast(LongType).as("neg_n"),
-        // num/den stay decimal(38,0) all the way OUT: a long projection
-        // would re-cap the "~10¹⁹ rows" exactness at 4.3×10⁹ balanced rows
-        // (auc_den = 2·p·nn). p widens BEFORE the product for the same
-        // reason — long p·nn wraps at ~2×10⁹ per class.
-        (col("conc") * 2 + col("ties")).cast(DecimalType(38, 0)).as("auc_num"),
+        // internals ACCUMULATE in decimal(38,0) (long pair products wrap at
+        // ~4×10⁷ balanced rows), but the REPORT columns project to long:
+        // int64 is the one integer dtype both of the gate's comparison
+        // lanes (parquet→pyarrow vs DuckDB→pandas) preserve — DECIMAL(38,0)
+        // coerces to float64 on one side and Decimal objects on the other.
+        // The projection caps the reportable num/den at 2⁶³ (auc_den =
+        // 2·p·nn → ~2.1×10⁹ rows per class); ANSI mode throws, never
+        // wraps, past that — shard or rescale the score before this gate.
+        (col("conc") * 2 + col("ties")).cast(LongType).as("auc_num"),
         (col("p").cast(DecimalType(38, 0)) * col("nn") * 2)
-          .cast(DecimalType(38, 0)).as("auc_den"),
+          .cast(LongType).as("auc_den"),
         when(col("p") === 0 || col("nn") === 0, lit(null).cast(LongType))
           .otherwise(expr(
             "(conc * 2 + ties) * 10000 div (cast(p as decimal(38,0)) * nn * 2)"))
@@ -177,9 +181,10 @@ object Eval {
         col("g").as(groupCol),
         col("p").cast(LongType).as("pos_n"),
         col("nn").cast(LongType).as("neg_n"),
-        (col("conc") * 2 + col("ties")).cast(DecimalType(38, 0)).as("auc_num"),
+        // long report projection over decimal internals — see [[rankAuc]]
+        (col("conc") * 2 + col("ties")).cast(LongType).as("auc_num"),
         (col("p").cast(DecimalType(38, 0)) * col("nn") * 2)
-          .cast(DecimalType(38, 0)).as("auc_den"),
+          .cast(LongType).as("auc_den"),
         when(col("p") === 0 || col("nn") === 0, lit(null).cast(LongType))
           .otherwise(expr(
             "(conc * 2 + ties) * 10000 div (cast(p as decimal(38,0)) * nn * 2)"))
@@ -218,7 +223,8 @@ object Eval {
       .select(
         col("n").cast(LongType).as("n"),
         col("agree_n").cast(LongType).as("agree_n"),
-        col("src").cast(DecimalType(38, 0)).as("margin_prod_sum"),
+        // long report projection over decimal internals — see [[rankAuc]]
+        col("src").cast(LongType).as("margin_prod_sum"),
         expr("""case when cast(n as decimal(38,0)) * n = src then null
                |else (cast(n as decimal(38,0)) * agree_n - src) * 10000
                |     div (cast(n as decimal(38,0)) * n - src) end""".stripMargin)
@@ -260,7 +266,10 @@ object Eval {
     val n = grid.agg(sum(col("c")).as("n"))
     pairs.crossJoin(broadcast(n))
       .select(
-        col("n").cast(LongType).as("n"), col("conc"), col("disc"),
+        // long report projection over decimal internals — see [[rankAuc]]
+        col("n").cast(LongType).as("n"),
+        col("conc").cast(LongType).as("conc"),
+        col("disc").cast(LongType).as("disc"),
         // tau-a: den = n(n−1)/2; cleared to (C−D)·2·10⁴ div n(n−1) so the
         // halving never leaves the integers. n < 2 → NULL (no pairs).
         // Negative association is legal here, and truncating `div` (Spark)
@@ -324,7 +333,9 @@ object Eval {
         sum(col("__w")).as("n_eff"),
         sum(col("__w").cast(DecimalType(38, 0)) * col("__v"))
           .cast(DecimalType(38, 0)).as("w_sum"))
-      .select(col("b"), col("n_eff").cast(LongType).as("n_eff"), col("w_sum"),
+      .select(col("b"), col("n_eff").cast(LongType).as("n_eff"),
+        // long report projection over decimal internals — see [[rankAuc]]
+        col("w_sum").cast(LongType).as("w_sum"),
         when(col("n_eff") === 0, lit(null).cast(LongType))
           .otherwise(expr("w_sum * 1000 div cast(n_eff as decimal(38,0))"))
           .cast(LongType).as("mean_milli"))
@@ -360,7 +371,9 @@ object Eval {
       .agg(sum((col("__rn0") + 1).cast(DecimalType(38, 0)) * col("__v"))
         .cast(DecimalType(38, 0)).as("rank_weighted_sum"))
       .select(
-        lit(n).as("n"), lit(sumV).as("sum_v"), col("rank_weighted_sum"),
+        lit(n).as("n"), lit(sumV).as("sum_v"),
+        // long report projection over decimal internals — see [[rankAuc]]
+        col("rank_weighted_sum").cast(LongType).as("rank_weighted_sum"),
         (if (n == 0 || sumV == 0) lit(null).cast(LongType)
          else expr(
            s"""(rank_weighted_sum * 2 - (cast(${n}L as decimal(38,0)) + 1) * ${sumV}L)
@@ -436,7 +449,8 @@ object Eval {
         .cast(LongType).as(s"b${dn.drop(3)}_micro")
     withDets.select(
       groupCols.map(col) ++ Seq(
-        col("n").cast(LongType).as("n"), col("det").cast(D).as("det"),
+        // long report projection over decimal internals — see [[rankAuc]]
+        col("n").cast(LongType).as("n"), col("det").cast(LongType).as("det"),
         coef("det0"), coef("det1"), coef("det2")): _*)
   }
 
@@ -623,10 +637,14 @@ object Eval {
         sum(col("c").cast(D) * col("r2y") * col("r2y")).cast(D).as("syy"),
         sum(col("c").cast(D) * col("r2x") * col("r2y")).cast(D).as("sxy"))
       .select(
+        // long report projection over decimal internals — see [[rankAuc]];
+        // the rho_bp double below is identical either way (num/var fit in
+        // int64 at the quantized-input bound, and decimal→double and
+        // long→double round the same integer to the same double)
         col("n").cast(LongType).as("n"),
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast(D).as("num"),
-        (col("n") * col("sxx") - col("sx") * col("sx")).cast(D).as("var_x"),
-        (col("n") * col("syy") - col("sy") * col("sy")).cast(D).as("var_y"))
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast(LongType).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast(LongType).as("var_x"),
+        (col("n") * col("syy") - col("sy") * col("sy")).cast(LongType).as("var_y"))
       .withColumn("rho_bp",
         when(col("var_x") === 0 || col("var_y") === 0, lit(null).cast(LongType))
           .otherwise(
@@ -1042,7 +1060,8 @@ object Eval {
       .select(
         col("n1").cast(LongType).as("n1"),
         (col("n") - col("n1")).cast(LongType).as("n2"),
-        (col("r1_x2") - col("n1") * (col("n1") + 1)).cast(D).as("u1_x2"),
+        // long report projection over decimal internals — see [[rankAuc]]
+        (col("r1_x2") - col("n1") * (col("n1") + 1)).cast(LongType).as("u1_x2"),
         col("tie_sum").cast(LongType).as("tie_sum"),
         (col("n1") * (col("n") - col("n1"))
           * ((col("n") + 1) * col("n") * (col("n") - 1) - col("tie_sum")))

@@ -478,9 +478,9 @@ object MiscQueries {
     */
   val mx3ContextWindows: Q = Q(
     "mx3_context_windows",
-    """SELECT doc_id, n_tokens, start_offset,
-      |  start_offset // 2048 AS window_id,
-      |  start_offset % 2048 AS window_offset
+    """SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+      |  CAST(start_offset // 2048 AS BIGINT) AS window_id,
+      |  CAST(start_offset % 2048 AS BIGINT) AS window_offset
       |FROM (
       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
       |    COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
@@ -1541,8 +1541,8 @@ object MiscQueries {
       |    SUM(CASE WHEN hv < 268435456 THEN CAST(cnt AS HUGEINT) * cnt ELSE 0 END) AS samp
       |  FROM h)
       |SELECT n_keys, sampled_keys,
-      |  CAST(exact_pairs AS DECIMAL(38,0)) AS exact_pairs,
-      |  CAST(samp * 16 AS DECIMAL(38,0)) AS est_pairs,
+      |  CAST(exact_pairs AS BIGINT) AS exact_pairs,
+      |  CAST(samp * 16 AS BIGINT) AS est_pairs,
       |  CAST(abs(samp * 16 - exact_pairs) * 10000 // exact_pairs AS BIGINT) AS err_bp
       |FROM a""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.types.{DecimalType, LongType, StringType}
@@ -1558,8 +1558,10 @@ object MiscQueries {
         sum(when(col("hv") < 268435456L, col("cnt").cast(D) * col("cnt"))
           .otherwise(lit(0L).cast(D))).as("samp"))
       .select(col("n_keys"), col("sampled_keys"),
-        col("exact_pairs"),
-        (col("samp") * 16).cast(D).as("est_pairs"),
+        // long report projection over decimal internals (the Eval.rankAuc
+        // discipline): int64 is the one integer dtype both gate lanes keep
+        col("exact_pairs").cast(LongType).as("exact_pairs"),
+        (col("samp") * 16).cast(LongType).as("est_pairs"),
         expr("abs(samp * 16 - exact_pairs) * 10000 div exact_pairs")
           .cast(LongType).as("err_bp"))
   }
@@ -1673,7 +1675,7 @@ object MiscQueries {
       |${bfdFoldSql(4096L)}
       |SELECT p.bin_id, CAST(COUNT(*) AS BIGINT) AS n_examples,
       |  CAST(SUM(d.nt) AS BIGINT) AS tokens_total,
-      |  (1000000 * SUM(d.nt)) // 4096 AS fill_ppm,
+      |  CAST((1000000 * SUM(d.nt)) // 4096 AS BIGINT) AS fill_ppm,
       |  CAST(SUM(CASE WHEN d.modality = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_image,
       |  CAST(SUM(CASE WHEN d.modality = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
       |  CAST(SUM(CASE WHEN d.modality = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS n_video

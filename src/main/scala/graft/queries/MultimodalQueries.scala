@@ -214,7 +214,7 @@ object MultimodalQueries {
       |c AS (SELECT modality, verdict, CAST(COUNT(*) AS BIGINT) AS n
       |  FROM v GROUP BY modality, verdict)
       |SELECT modality, verdict, n,
-      |  (1000000 * n) // SUM(n) OVER (PARTITION BY modality) AS share_ppm
+      |  CAST((1000000 * n) // SUM(n) OVER (PARTITION BY modality) AS BIGINT) AS share_ppm
       |FROM c ORDER BY modality, verdict""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.types.LongType
     val meta = Multimodal.fromDocuments(Tables.documents(spark, dir), "doc_id", "text")
@@ -484,7 +484,7 @@ object MultimodalQueries {
       |    CAST(SUM(CASE WHEN score >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |  FROM s GROUP BY 1, 2)
       |SELECT modality, decile, n, n_kept,
-      |  (1000000 * n) // SUM(n) OVER (PARTITION BY modality) AS share_ppm
+      |  CAST((1000000 * n) // SUM(n) OVER (PARTITION BY modality) AS BIGINT) AS share_ppm
       |FROM b ORDER BY modality, decile""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.LongType

@@ -520,9 +520,9 @@ object SimilarityQueries {
       |  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
       |  GROUP BY 1, 2)
       |SELECT p.label_a, p.label_b,
-      |  CAST(p.dot AS DECIMAL(38,0)) AS dot,
-      |  CAST(na.norm2 AS DECIMAL(38,0)) AS norm2_a,
-      |  CAST(nb.norm2 AS DECIMAL(38,0)) AS norm2_b,
+      |  CAST(p.dot AS BIGINT) AS dot,
+      |  CAST(na.norm2 AS BIGINT) AS norm2_a,
+      |  CAST(nb.norm2 AS BIGINT) AS norm2_b,
       |  CAST(CASE WHEN na.norm2 = 0 OR nb.norm2 = 0 THEN NULL
       |    ELSE FLOOR(CAST(p.dot AS DOUBLE) / SQRT(CAST(na.norm2 AS DOUBLE))
       |      / SQRT(CAST(nb.norm2 AS DOUBLE)) * 10000.0 + 0.5) END AS BIGINT) AS cos_bp
@@ -545,8 +545,12 @@ object SimilarityQueries {
     pair
       .join(broadcast(nrm.select(col("label").as("label_a"), col("norm2").as("norm2_a"))), "label_a")
       .join(broadcast(nrm.select(col("label").as("label_b"), col("norm2").as("norm2_b"))), "label_b")
-      .select(col("label_a"), col("label_b"), col("dot"),
-        col("norm2_a"), col("norm2_b"),
+      .select(col("label_a"), col("label_b"),
+        // long report projection over decimal internals (the Eval.rankAuc
+        // discipline): int64 survives both gate comparison lanes
+        col("dot").cast(LongType).as("dot"),
+        col("norm2_a").cast(LongType).as("norm2_a"),
+        col("norm2_b").cast(LongType).as("norm2_b"),
         when(col("norm2_a") === 0 || col("norm2_b") === 0, lit(null).cast(LongType))
           .otherwise(floor(col("dot").cast("double")
             / sqrt(col("norm2_a").cast("double"))
@@ -610,7 +614,7 @@ object SimilarityQueries {
          |h AS ($hStack)
          |SELECT h.width_bits, h.n_queries, h.n_truth,
          |  CAST(h.n_hits AS BIGINT) AS n_hits,
-         |  (h.n_hits * 10000) // h.n_truth AS recall_bp, cand.n_candidates
+         |  CAST((h.n_hits * 10000) // h.n_truth AS BIGINT) AS recall_bp, cand.n_candidates
          |FROM h JOIN cand ON cand.w = h.width_bits
          |ORDER BY h.width_bits""".stripMargin) { (spark, dir) =>
       Similarity.lshRecallReport(Tables.embeddings(spark, dir), "vec_id", "embedding",

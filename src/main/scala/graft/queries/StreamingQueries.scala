@@ -252,9 +252,14 @@ object StreamingQueries {
       |      WHERE event_type = 'purchase' AND c2 IS NOT NULL
       |        AND us - c2.vus <= 86400000000),
       |f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pus, pid) AS rn FROM m)
-      |SELECT user_id, [vus, c1us, c2us, pus] AS step_us, [vid, c1id, c2id, pid] AS step_id
+      |SELECT user_id, concat_ws('-', vus, c1us, c2us, pus) AS step_us,
+      |  concat_ws('-', vid, c1id, c2id, pid) AS step_id
       |FROM f WHERE rn = 1 ORDER BY user_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // The operator emits the typed step arrays (the library API); the gate
+    // row renders them as '-'-joined strings because the driver's checker
+    // sorts results through pandas, which cannot sort/hash ndarray cells
+    // (the r10 st8 `err`). Canonical join keeps the row bit-comparable.
     EventsStream.cepFirstMatchN(
         Tables.events(spark, dir)
           .select(col("event_id"), col("ts"), col("user_id"),
@@ -262,6 +267,9 @@ object StreamingQueries {
           .as[EventsStream.Event],
         pattern = Seq("view", "click", "click", "purchase"))
       .toDF()
+      .select(col("user_id"),
+        expr("concat_ws('-', transform(step_us, x -> cast(x as string)))").as("step_us"),
+        expr("concat_ws('-', transform(step_id, x -> cast(x as string)))").as("step_id"))
       .orderBy(col("user_id"))
   }
 

@@ -713,8 +713,8 @@ object WindowQueries {
       |             SUM(pos) AS p, SUM(neg) AS nn
       |      FROM c)
       |SELECT CAST(p AS BIGINT) AS pos_n, CAST(nn AS BIGINT) AS neg_n,
-      |  CAST(2 * conc + ties AS DECIMAL(38,0)) AS auc_num,
-      |  CAST(2 * p * nn AS DECIMAL(38,0)) AS auc_den,
+      |  CAST(2 * conc + ties AS BIGINT) AS auc_num,
+      |  CAST(2 * p * nn AS BIGINT) AS auc_den,
       |  CASE WHEN p = 0 OR nn = 0 THEN NULL
       |       ELSE CAST((2 * conc + ties) * 10000 // (2 * p * nn) AS BIGINT)
       |  END AS auc_bp
@@ -744,8 +744,8 @@ object WindowQueries {
       |             SUM(pos) AS p, SUM(neg) AS nn
       |      FROM c GROUP BY source)
       |SELECT source, CAST(p AS BIGINT) AS pos_n, CAST(nn AS BIGINT) AS neg_n,
-      |  CAST(2 * conc + ties AS DECIMAL(38,0)) AS auc_num,
-      |  CAST(2 * p * nn AS DECIMAL(38,0)) AS auc_den,
+      |  CAST(2 * conc + ties AS BIGINT) AS auc_num,
+      |  CAST(2 * p * nn AS BIGINT) AS auc_den,
       |  CASE WHEN p = 0 OR nn = 0 THEN NULL
       |       ELSE CAST((2 * conc + ties) * 10000 // (2 * p * nn) AS BIGINT)
       |  END AS auc_bp
@@ -1332,7 +1332,7 @@ object WindowQueries {
       |cols_ AS (SELECT b AS cls, SUM(cnt) AS cn FROM ct GROUP BY b),
       |src AS (SELECT SUM(rn * cn) AS src FROM rows_ JOIN cols_ USING (cls))
       |SELECT tot.n, tot.agree_n,
-      |  CAST(src.src AS DECIMAL(38,0)) AS margin_prod_sum,
+      |  CAST(src.src AS BIGINT) AS margin_prod_sum,
       |  CAST(CASE WHEN tot.n * tot.n = src.src THEN NULL
       |    ELSE (tot.n * tot.agree_n - src.src) * 10000 // (tot.n * tot.n - src.src)
       |    END AS BIGINT) AS kappa_bp
@@ -1370,8 +1370,8 @@ object WindowQueries {
       |        THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END), 0) AS disc
       |  FROM g a JOIN g b ON a.x < b.x),
       |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM g)
-      |SELECT t.n, CAST(p.conc AS DECIMAL(38,0)) AS conc,
-      |  CAST(p.disc AS DECIMAL(38,0)) AS disc,
+      |SELECT t.n, CAST(p.conc AS BIGINT) AS conc,
+      |  CAST(p.disc AS BIGINT) AS disc,
       |  CAST(CASE WHEN t.n < 2 THEN NULL
       |    ELSE (CASE WHEN p.conc >= p.disc THEN 1 ELSE -1 END)
       |         * (abs(p.conc - p.disc) * 2 * 10000
@@ -1414,7 +1414,7 @@ object WindowQueries {
       |agg AS (SELECT b, CAST(SUM(w) AS BIGINT) AS n_eff,
       |          SUM(CAST(w AS HUGEINT) * v) AS w_sum
       |        FROM w GROUP BY b)
-      |SELECT b, n_eff, CAST(w_sum AS DECIMAL(38,0)) AS w_sum,
+      |SELECT b, n_eff, CAST(w_sum AS BIGINT) AS w_sum,
       |  CAST(CASE WHEN n_eff = 0 THEN NULL
       |       ELSE w_sum * 1000 // CAST(n_eff AS HUGEINT) END AS BIGINT) AS mean_milli
       |FROM agg ORDER BY b""".stripMargin) { (spark, dir) =>
@@ -1437,7 +1437,7 @@ object WindowQueries {
       |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, id) AS rn FROM x),
       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sum_v,
       |        SUM(CAST(rn AS HUGEINT) * v) AS ix FROM r)
-      |SELECT n, sum_v, CAST(ix AS DECIMAL(38,0)) AS rank_weighted_sum,
+      |SELECT n, sum_v, CAST(ix AS BIGINT) AS rank_weighted_sum,
       |  CAST(CASE WHEN n = 0 OR sum_v = 0 THEN NULL
       |    ELSE (ix * 2 - (CAST(n AS HUGEINT) + 1) * sum_v) * 10000
       |         // (CAST(n AS HUGEINT) * sum_v) END AS BIGINT) AS gini_bp
@@ -1479,7 +1479,7 @@ object WindowQueries {
       |    n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s2 * s1y)
       |      + sy * (s1 * s12 - s11 * s2) AS det2
       |  FROM m)
-      |SELECT CAST(n AS BIGINT) AS n, CAST(det AS DECIMAL(38,0)) AS det,
+      |SELECT CAST(n AS BIGINT) AS n, CAST(det AS BIGINT) AS det,
       |  CAST(CASE WHEN det = 0 THEN NULL
       |    ELSE (CASE WHEN (det0 >= 0) = (det >= 0) THEN 1 ELSE -1 END)
       |         * (abs(det0) * 1000000 // abs(det)) END AS BIGINT) AS b0_micro,
@@ -1529,7 +1529,7 @@ object WindowQueries {
       |    n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s2 * s1y)
       |      + sy * (s1 * s12 - s11 * s2) AS det2
       |  FROM m)
-      |SELECT g, CAST(n AS BIGINT) AS n, CAST(det AS DECIMAL(38,0)) AS det,
+      |SELECT g, CAST(n AS BIGINT) AS n, CAST(det AS BIGINT) AS det,
       |  CAST(CASE WHEN det = 0 THEN NULL
       |    ELSE (CASE WHEN (det0 >= 0) = (det >= 0) THEN 1 ELSE -1 END)
       |         * (abs(det0) * 1000000 // abs(det)) END AS BIGINT) AS b0_micro,
@@ -1623,9 +1623,9 @@ object WindowQueries {
       |        SUM(c * r2x * r2x) AS sxx, SUM(c * r2y * r2y) AS syy,
       |        SUM(c * r2x * r2y) AS sxy FROM j)
       |SELECT CAST(n AS BIGINT) AS n,
-      |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS num,
-      |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_x,
-      |  CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS var_y,
+      |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
+      |  CAST(n * sxx - sx * sx AS BIGINT) AS var_x,
+      |  CAST(n * syy - sy * sy AS BIGINT) AS var_y,
       |  CAST(CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN NULL
       |    ELSE FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 10000.0
       |         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))
@@ -2387,7 +2387,7 @@ object WindowQueries {
       |    SUM(c * c * c - c) AS tie_sum FROM ranked)
       |SELECT CAST(n1 AS BIGINT) AS n1,
       |  CAST(n - n1 AS BIGINT) AS n2,
-      |  CAST(r1_x2 - n1 * (n1 + 1) AS DECIMAL(38,0)) AS u1_x2,
+      |  CAST(r1_x2 - n1 * (n1 + 1) AS BIGINT) AS u1_x2,
       |  CAST(tie_sum AS BIGINT) AS tie_sum,
       |  CAST(CASE WHEN n1 * (n - n1)
       |         * ((n + 1) * n * (n - 1) - tie_sum) <= 0 THEN NULL

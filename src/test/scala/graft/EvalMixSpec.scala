@@ -436,9 +436,9 @@ class EvalMixSpec extends AnyFunSuite {
     val tied = Seq((1L, 5L), (1L, 7L), (2L, 7L)).toDF("x", "y")
     val t = Eval.spearmanRho(tied, "x", "y").collect()(0)
     assert(t.getLong(0) == 3)
-    assert(t.getDecimal(1).longValueExact == 9L)
-    assert(t.getDecimal(2).longValueExact == 18L)
-    assert(t.getDecimal(3).longValueExact == 18L)
+    assert(t.getLong(1) == 9L)
+    assert(t.getLong(2) == 18L)
+    assert(t.getLong(3) == 18L)
     assert(t.getLong(4) == 5000L)
     // constant axis → zero variance → NULL rho, not a divide/sqrt throw
     val const = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("x", "y")
@@ -467,7 +467,7 @@ class EvalMixSpec extends AnyFunSuite {
       .toDF("g", "v")
     val r = Eval.mannWhitneyU(df, "g", "v").collect()(0)
     assert(r.getLong(0) == 2 && r.getLong(1) == 3)
-    assert(r.getDecimal(2).longValueExact == 1L)
+    assert(r.getLong(2) == 1L)
     assert(r.getLong(3) == 6L) // one 2-way tie: 2³ − 2
     // z from the same exact pieces: (1 − 6) / (2·√(684/240)), half-up bp
     val z = (1.0 - 6.0) * 10000.0 / (2.0 * math.sqrt(684.0 / 240.0))
@@ -477,7 +477,7 @@ class EvalMixSpec extends AnyFunSuite {
     val tied = Seq((true, 7L), (false, 7L), (false, 7L)).toDF("g", "v")
     val t = Eval.mannWhitneyU(tied, "g", "v").collect()(0)
     assert(t.isNullAt(4))
-    assert(t.getDecimal(2).longValueExact == 2L) // R₁ = midrank 2 → 2·2 − 2
+    assert(t.getLong(2) == 2L) // R₁ = midrank 2 → 2·2 − 2
 
     // one group empty → n₁n₂ = 0 → NULL z
     val solo = Seq((false, 1L), (false, 2L)).toDF("g", "v")

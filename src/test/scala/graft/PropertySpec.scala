@@ -652,8 +652,8 @@ class PropertySpec extends AnyFunSuite {
           if (x1 == x2 || y1 == y2) (c, d)
           else if ((x1 < x2) == (y1 < y2)) (c + 1, d) else (c, d + 1)
       }
-      assert(r.getDecimal(1).longValueExact == cBrute)
-      assert(r.getDecimal(2).longValueExact == dBrute)
+      assert(r.getLong(1) == cBrute)
+      assert(r.getLong(2) == dBrute)
     }
     // strictly increasing → pure concordance
     val mono = (1L to 10L).map(i => (i, i * 3)).toDF("x", "y")
@@ -713,7 +713,7 @@ class PropertySpec extends AnyFunSuite {
     // x2 = 2·x1 (collinear) → det 0 → NULL coefficients, no throw
     val coll = (1L to 20L).map(i => (i, 2 * i, i * 7)).toDF("x1", "x2", "y")
     val s = Eval.olsNormalEq2(coll, "x1", "x2", "y").head()
-    assert(s.getDecimal(1).signum == 0 && s.isNullAt(2) && s.isNullAt(3) && s.isNullAt(4))
+    assert(s.getLong(1) == 0L && s.isNullAt(2) && s.isNullAt(3) && s.isNullAt(4))
   }
 
   test("poissonBootstrap: replica mass n±5sqrt(n), replica means concentrate at truth") {
@@ -819,7 +819,7 @@ class PropertySpec extends AnyFunSuite {
       assert(r1.getLong(0) == r2.getLong(1) && r1.getLong(1) == r2.getLong(0))
       // U₁ + U₂ = n₁n₂ (in doubled units: u1_x2 + u2_x2 = 2n₁n₂)
       val n1n2x2 = 2L * r1.getLong(0) * r1.getLong(1)
-      assert(r1.getDecimal(2).longValueExact + r2.getDecimal(2).longValueExact == n1n2x2)
+      assert(r1.getLong(2) + r2.getLong(2) == n1n2x2)
       // z mirrors (within the ±1 half-up rounding asymmetry at .5 exactly)
       if (!r1.isNullAt(4))
         assert(math.abs(r1.getLong(4) + r2.getLong(4)) <= 1)
