@@ -1005,10 +1005,23 @@ object Dedup {
     * non-converged labels if `maxIter` is hit (the paper's bound makes that
     * unreachable for any real graph: 50 rounds covers n < 2^7 diameters of
     * doubling).
+    *
+    * `smallGraphMax`: edge-count threshold (measured EXACTLY by the loop's
+    * own initial materialization, before any choice is made) under which the
+    * component labeling finishes as ONE collect + driver union-find instead
+    * of the iterative star loop. Rationale: each star round is an eager
+    * driver sync (checkpoint job + plan/codegen gap), so a delta-sized
+    * contracted graph — [[Incremental.ccDelta]]'s case, and the dominant
+    * cost of mx27's two-delivery replay — pays ~6 synchronization points to
+    * label a few thousand edges. ≤ 2²⁰ edges is ≤ 16 MB on the driver:
+    * bounded by the THRESHOLD, never by the data (the accumulator count can
+    * only over-count, so a graph past the bound always takes the
+    * distributed loop). Labels are identical: union-find with min-id roots
+    * IS the star fixpoint semantics.
     */
   def connectedComponentsStar(
       pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 50): DataFrame =
+      maxIter: Int = 50, smallGraphMax: Long = 1L << 20): DataFrame =
     withStaticPlan(pairs.sparkSession) {
     // materialize the RAW pair projection once: the loop's edge set AND the
     // final node set (for self-loop singletons) both derive from it, and
@@ -1041,46 +1054,94 @@ object Dedup {
       moved.union(mins.select(col("u"), col("m").as("v"))).distinct()
     }
     var iter = 0
-    // cnt can only OVER-count under retries, so fingerprint cnt = 0 is a
-    // reliable emptiness witness (and a spurious nonzero merely runs one
-    // harmless round over an empty frame)
-    var done = stat.head.signum == 0
-    while (!done && iter < maxIter) {
-      val (next, nextRelease, nstat) = cutLineageEdgeSummed(
-        smallStar(largeStar(edges)))
-      // CLAIMED fixpoint when the materialization-job fingerprints match;
-      // confirmed with the retry-safe exact comparison (both sides are
-      // materialized checkpoints, so releasing the old edges cannot trigger
-      // a recompute cascade). Non-final rounds pay zero extra jobs.
-      if (nstat == stat)
-        done = next.count() == edges.count() && next.exceptAll(edges).isEmpty
-      edgesRelease()
-      edges = next; edgesRelease = nextRelease; stat = nstat
-      iter += 1
-    }
-    if (!done && iter >= maxIter) {
-      rawRelease()
-      edgesRelease()
-      throw new IllegalStateException(
-        s"connectedComponentsStar did not converge within $maxIter rounds — " +
-          "raise maxIter (paper bound is O(log^2 n) rounds)")
-    }
-    // fixpoint edge set = star graph: u → component min. Representatives
-    // (the minima) map to themselves; nodes whose only edges were
-    // self-loops (filtered before the loop) re-enter as their own singleton
-    // component — matching connectedComponents, which emits (a, a) for a
-    // node whose only pair is (a, a).
+    // Loop-shuffle sizing: every round's groupBys shuffle the EDGE frame,
+    // whose exact size the initial materialization just measured (stat.head
+    // = edge count). Under the session default (sized for corpus-scale
+    // scans) a delta-sized contracted graph — the Incremental.ccDelta
+    // case — pays a full width of near-empty tasks per stage per round:
+    // pure scheduling overhead that dominated mx27's steady-state profile.
+    // Size the loop's shuffles to the GRAPH instead (~2×10⁵ edges per
+    // partition), clamped to [1, session default] so a corpus-scale edge
+    // set keeps the session setting — only small graphs shrink.
+    val spark = pairs.sparkSession
+    val partsKey = "spark.sql.shuffle.partitions"
+    val sessionParts = spark.conf.get(partsKey)
+    val edgeCnt = stat.head.min(java.math.BigInteger.valueOf(Long.MaxValue)).longValue
+    val loopParts = math.max(1L,
+      math.min(sessionParts.toLong, edgeCnt / 200000L + 1L))
+    spark.conf.set(partsKey, loopParts.toString)
+    val out = try {
+    val labeled: DataFrame =
+      if (edgeCnt <= smallGraphMax) {
+        // Small-graph path: the initial materialization just measured the
+        // exact (canonicalized, deduped) edge count; under the threshold,
+        // finish with ONE collect and a driver union-find. Union-by-min
+        // with path halving makes every root its component's MINIMUM id —
+        // exactly the star fixpoint's labels — and the result ships back
+        // as a LocalRelation (broadcastable to every consumer join).
+        import spark.implicits._
+        val arr = edges.select(col("u"), col("v")).as[(Long, Long)].collect()
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) {
+            val gp = parent.getOrElse(p, p)
+            parent(x) = gp; x = p; p = gp
+          }
+          x
+        }
+        val nodeSet = scala.collection.mutable.LongMap.empty[Unit]
+        arr.foreach { case (a, b) =>
+          nodeSet(a) = (); nodeSet(b) = ()
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        nodeSet.keys.toSeq.map(n => (n, find(n))).toDF("id", "comp")
+      } else {
+        // cnt can only OVER-count under retries, so fingerprint cnt = 0 is a
+        // reliable emptiness witness (and a spurious nonzero merely runs one
+        // harmless round over an empty frame)
+        var done = stat.head.signum == 0
+        while (!done && iter < maxIter) {
+          val (next, nextRelease, nstat) = cutLineageEdgeSummed(
+            smallStar(largeStar(edges)))
+          // CLAIMED fixpoint when the materialization-job fingerprints match;
+          // confirmed with the retry-safe exact comparison (both sides are
+          // materialized checkpoints, so releasing the old edges cannot
+          // trigger a recompute cascade). Non-final rounds pay zero extra
+          // jobs.
+          if (nstat == stat)
+            done = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+          edgesRelease()
+          edges = next; edgesRelease = nextRelease; stat = nstat
+          iter += 1
+        }
+        if (!done && iter >= maxIter) {
+          throw new IllegalStateException(
+            s"connectedComponentsStar did not converge within $maxIter rounds — " +
+              "raise maxIter (paper bound is O(log^2 n) rounds)")
+        }
+        // fixpoint edge set = star graph: u → component min
+        edges.select(col("u").as("id"), col("v").as("comp"))
+          .union(edges.select(col("v").as("id"), col("v").as("comp")).distinct())
+          .distinct()
+      }
+    // Representatives (the minima) map to themselves; nodes whose only
+    // edges were self-loops (filtered before the loop) re-enter as their
+    // own singleton component — matching connectedComponents, which emits
+    // (a, a) for a node whose only pair is (a, a).
     val nodes = raw.select(col("u").as("id"))
       .union(raw.select(col("v").as("id")))
       .distinct()
-    val labeled = edges.select(col("u").as("id"), col("v").as("comp"))
-      .union(edges.select(col("v").as("id"), col("v").as("comp")).distinct())
-      .distinct()
     val singletons = nodes.join(labeled.select("id"), Seq("id"), "left_anti")
       .withColumn("comp", col("id"))
-    val out = cachedForReuse(labeled.union(singletons))
-    rawRelease()
-    edgesRelease()
+    cachedForReuse(labeled.union(singletons))
+    } finally {
+      spark.conf.set(partsKey, sessionParts)
+      rawRelease()
+      edgesRelease()
+    }
     out
     }
 

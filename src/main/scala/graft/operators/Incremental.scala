@@ -31,6 +31,24 @@ import org.apache.spark.sql.functions._
   */
 object Incremental {
 
+  /** True iff Catalyst can PROVE `df` empty (it optimizes to a zero-row
+    * LocalRelation — e.g. a `Seq.empty.toDF`/`createDataFrame(Nil)` store, or
+    * anything `PropagateEmptyRelation` can fold). Used to SKIP materializing
+    * an empty prior state: the bootstrap delivery is the common case where
+    * the store is statically empty, and leaving the empty LocalRelation in
+    * the plan lets the optimizer prune every store-side join/union of the
+    * candidate kernel instead of checkpointing an empty frame and planning
+    * real (32-task) stages against it — a measurable slice of mx26/mx27's
+    * per-delivery fixed cost. A store read from parquet is never provably
+    * empty, so production deliveries are unaffected.
+    */
+  private def provablyEmpty(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan match {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        l.data.isEmpty
+      case _ => false
+    }
+
   /** Split `corpus` into (delta, covered) by the processed-shard manifest:
     * rows whose `shardCol` is absent from / present in `manifest`. The
     * manifest side is broadcast (shard-count-sized by contract).
@@ -112,8 +130,29 @@ object Incremental {
     * unordered delta pair surfaces exactly once, oriented d_id > e_id).
     */
   private def estVerifiedPairs(
-      deltaSigs: DataFrame, priorSigs: DataFrame, k: Int,
+      deltaSigs: DataFrame, priorSigs: DataFrame, k: Int, bands: Int,
       thresholdNum: Int, thresholdDen: Int, maxBucket: Int): DataFrame = {
+    // Collision-safety precondition: candidates surface via the 64-bit FNV
+    // band-bucket keys, and a key COLLISION between unequal band slices only
+    // stays harmless ("a collision only adds candidates; verify filters
+    // them", Dedup's banding contract) while the verify threshold tolerates
+    // fewer mismatching components than there are bands — then any pair the
+    // pinned string-banding semantics would keep MUST share ≥1 true band
+    // slice (pigeonhole: ≤ maxMismatch < bands mismatching components can
+    // spoil at most maxMismatch of the bands), so it is surfaced regardless
+    // of collisions. At the defaults (k=64, 8/10, 16 bands):
+    // 64 − ceil(64·8/10) = 12 < 16 holds. A looser threshold (e.g. 5/10
+    // with 16×4) breaks the argument: a collision could then be the ONLY
+    // surfacing of a keepable pair, making the result depend on hash
+    // collisions — reject loudly instead of silently diverging from the
+    // pinned string-banding semantics (and the mx26 oracle).
+    val maxMismatch = k - ((k * thresholdNum + thresholdDen - 1) / thresholdDen)
+    require(maxMismatch < bands,
+      s"threshold $thresholdNum/$thresholdDen with $bands bands of ${k / bands}" +
+        s" rows allows $maxMismatch mismatching components (≥ $bands bands):" +
+        " a pair at the threshold need not share any true band slice, so" +
+        " bucket-key collisions would change the result. Raise the" +
+        " threshold or use fewer rows per band.")
     def bandFrame(sigs: DataFrame, idOut: String): DataFrame =
       sigs.select(col("doc_id").as(idOut), posexplode(col("bk")).as(Seq("band", "key")))
     val dBands = bandFrame(deltaSigs, "d_id")
@@ -171,6 +210,14 @@ object Incremental {
     * kept, never stored (no near-dup semantics at that length — the
     * [[Dedup.minhashNearDuplicates]] convention).
     *
+    * PRECONDITION — `idCol` globally unique ACROSS deliveries, not just
+    * within one: the grown store unions prior and delta signatures with no
+    * uniqueness guard, and the candidate kernel's "no outer distinct"
+    * optimization rests on delta ids never appearing among store ids. A doc
+    * id re-delivered under a new shard would silently duplicate store rows
+    * and double-emit verified pairs. (IncrementalSpec asserts store-id
+    * uniqueness after each delivery; same contract on [[ccDelta]].)
+    *
     * Scale: the store is corpus-growing but O(k) per doc; both band frames
     * shuffle on the 64-bit bucket key; `maxBucket` drops boilerplate
     * buckets (counted over store ∪ delta — [[Dedup.oversizedBuckets]]) the
@@ -201,11 +248,13 @@ object Incremental {
     val (delta, _) = deltaShards(corpus, manifest, shardCol)
     val deltaSigs = Dedup.cachedForReuse(
       Dedup.minhashSignaturesWithBands(delta, idCol, textCol, shingleK, k, bands))
-    val prior = if (materializeState) Dedup.cachedForReuse(priorSigs) else priorSigs
+    val prior =
+      if (materializeState && !provablyEmpty(priorSigs)) Dedup.cachedForReuse(priorSigs)
+      else priorSigs
     // every verified pairing is vs an EARLIER doc by construction (store
     // docs precede the delta; within-delta pairs orient d_id > e_id)
     val dropped =
-      estVerifiedPairs(deltaSigs, prior, k, thresholdNum, thresholdDen, maxBucket)
+      estVerifiedPairs(deltaSigs, prior, k, bands, thresholdNum, thresholdDen, maxBucket)
         .select(col("d_id").as(idCol)).distinct()
     val survivors = delta.join(dropped, Seq(idCol), "left_anti")
     val newSigs = prior.select(col("doc_id"), col("sig"), col("bk"))
@@ -239,6 +288,9 @@ object Incremental {
     * for every delta doc (sig-less docs are their own singleton);
     * `newState` = the grown `(doc_id, sig, bk, label)` store (signed docs
     * only, labels current as of this delivery).
+    *
+    * PRECONDITION: `idCol` globally unique across deliveries — see the
+    * store-union note on [[nearDedupDelta]].
     */
   def ccDelta(
       corpus: DataFrame, manifest: DataFrame, shardCol: String,
@@ -252,9 +304,11 @@ object Incremental {
     val deltaSigs = Dedup.cachedForReuse(
       Dedup.minhashSignaturesWithBands(delta, idCol, textCol, shingleK, k, bands))
     // see the materializeState note on nearDedupDelta
-    val prior = if (materializeState) Dedup.cachedForReuse(priorState) else priorState
+    val prior =
+      if (materializeState && !provablyEmpty(priorState)) Dedup.cachedForReuse(priorState)
+      else priorState
     val pairs = estVerifiedPairs(
-      deltaSigs, prior, k, thresholdNum, thresholdDen, maxBucket)
+      deltaSigs, prior, k, bands, thresholdNum, thresholdDen, maxBucket)
     // contract: historical endpoints collapse to their carried labels;
     // delta endpoints stand for themselves
     val priorLabels = prior.select(col("doc_id").as("e_id"), col("label"))

@@ -2013,8 +2013,14 @@ object MiscQueries {
     val srcIdx = substring(col("source"), 4, 10).cast("int")
     val manifest1 = corpus.filter(srcIdx < 10).select("source").distinct()
     val emptyManifest = manifest1.limit(0)
-    val emptySigs = Dedup.minhashSignaturesWithBands(
-      corpus.limit(0), "doc_id", "text", shingleK = 3, k = 64, bands = 16)
+    // empty bootstrap store as a LocalRelation (createDataFrame over an
+    // empty local list), NOT the minhash kernel over limit(0): a provably
+    // empty prior lets Incremental skip the state checkpoint and Catalyst
+    // prune every store-side join of delivery 1's candidate kernel
+    val emptySigs = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      Dedup.minhashSignaturesWithBands(
+        corpus.limit(0), "doc_id", "text", shingleK = 3, k = 64, bands = 16).schema)
     val (s1, store1) = Incremental.nearDedupDelta(
       corpus.join(broadcast(manifest1), Seq("source"), "left_semi"),
       emptyManifest, "source", emptySigs, "doc_id", "text")
@@ -2083,9 +2089,12 @@ object MiscQueries {
     val srcIdx = substring(col("source"), 4, 10).cast("int")
     val manifest1 = corpus.filter(srcIdx < 10).select("source").distinct()
     val emptyManifest = manifest1.limit(0)
-    val emptyState = Dedup.minhashSignaturesWithBands(
-        corpus.limit(0), "doc_id", "text", shingleK = 3, k = 64, bands = 16)
-      .withColumn("label", col("doc_id"))
+    // provably-empty LocalRelation bootstrap state — see the mx26 note
+    val emptyState = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      Dedup.minhashSignaturesWithBands(
+          corpus.limit(0), "doc_id", "text", shingleK = 3, k = 64, bands = 16)
+        .withColumn("label", col("doc_id")).schema)
     val (lab1, state1) = Incremental.ccDelta(
       corpus.join(broadcast(manifest1), Seq("source"), "left_semi"),
       emptyManifest, "source", emptyState, "doc_id", "text")

@@ -35,9 +35,14 @@ class JsonLocalLoader(conf: Conf) extends Loader {
     val cols = df.columns
     // stream into a sibling temp file and move into place on success: a
     // mid-stream failure (executor loss, bad row) must neither clobber the
-    // previous valid output nor leave a truncated array at `path`
+    // previous valid output nor leave a truncated array at `path`. The temp
+    // name is UNIQUE per load (createTempFile in the destination directory,
+    // so the final move stays same-filesystem/atomic): a fixed `path +
+    // ".tmp"` would let two concurrent loads targeting the same path
+    // interleave bytes into one stream before either move.
     val dest = Paths.get(path)
-    val tmp = Paths.get(path + ".tmp")
+    val dir = Option(dest.toAbsolutePath.getParent).getOrElse(Paths.get("."))
+    val tmp = Files.createTempFile(dir, dest.getFileName.toString + ".", ".tmp")
     val out = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
     val gen = new JsonFactory().createGenerator(
       out, com.fasterxml.jackson.core.JsonEncoding.UTF8)

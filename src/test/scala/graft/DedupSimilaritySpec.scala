@@ -189,10 +189,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(lp.keySet == (0L to 199L).toSet)
     assert(lp.values.forall(_ == 0L), "every chain node must label to the min id 0")
-    val star = graft.operators.Dedup.connectedComponentsStar(chain, "doc_a", "doc_b")
-      .as[(Long, Long)].collect().toMap
-    assert(star.keySet == (0L to 199L).toSet)
-    assert(star.values.forall(_ == 0L), "every chain node must label to the min id 0")
+    // 199 edges is under the default smallGraphMax, so the plain call takes
+    // the driver union-find shortcut; smallGraphMax = 0 FORCES the
+    // distributed star loop — both paths must label every node to min id 0
+    for (cap <- Seq(Long.MaxValue, 0L)) {
+      val star = graft.operators.Dedup.connectedComponentsStar(
+          chain, "doc_a", "doc_b", smallGraphMax = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(star.keySet == (0L to 199L).toSet, s"cap=$cap")
+      assert(star.values.forall(_ == 0L),
+        s"every chain node must label to the min id 0 (cap=$cap)")
+    }
     spark.catalog.clearCache()
   }
 
@@ -202,9 +209,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (50L, 60L), (50L, 99L), (3L, 1L), (3L, 2L), (7L, 7L)).toDF("doc_a", "doc_b")
     val lp = graft.operators.Dedup.connectedComponents(edges, "doc_a", "doc_b")
       .as[(Long, Long)].collect().toSet
-    val star = graft.operators.Dedup.connectedComponentsStar(edges, "doc_a", "doc_b")
-      .as[(Long, Long)].collect().toSet
-    assert(star == lp)
+    // both the driver union-find shortcut (default cap) and the forced
+    // distributed star loop (cap 0) must agree with label propagation
+    for (cap <- Seq(Long.MaxValue, 0L)) {
+      val star = graft.operators.Dedup.connectedComponentsStar(
+          edges, "doc_a", "doc_b", smallGraphMax = cap)
+        .as[(Long, Long)].collect().toSet
+      assert(star == lp, s"cap=$cap")
+    }
     spark.catalog.clearCache()
   }
 

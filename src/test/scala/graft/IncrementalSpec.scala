@@ -131,6 +131,10 @@ class IncrementalSpec extends AnyFunSuite {
     assert(store2.filter(col("doc_id") === 6L).count() == 0)
     // the store carries every SIGNED doc (kept or dropped): 5 of 6
     assert(store2.count() == 5L && storeAll.count() == 5L)
+    // PRECONDITION audit (idCol globally unique across deliveries): the
+    // grown store holds each doc_id exactly once — a re-delivered id would
+    // silently duplicate store rows and double-emit verified pairs
+    assert(store2.select("doc_id").distinct().count() == store2.count())
 
     // the near-dup's fate matches the brute-force estimate from the
     // signatures themselves (no hardcoded hash expectations)
@@ -192,6 +196,8 @@ class IncrementalSpec extends AnyFunSuite {
     // THE RETROACTIVE MERGE: doc 20's carried label is rewritten to 10
     assert(state2.select("doc_id", "label").as[(Long, Long)].collect().sorted.toSeq ==
       Seq((10L, 10L), (20L, 10L), (30L, 10L)))
+    // store-id uniqueness (the global-idCol precondition, as on nearDedupDelta)
+    assert(state2.select("doc_id").distinct().count() == state2.count())
 
     // order independence: one-shot run over everything yields the same labels
     val (labAll, stateAll) = Incremental.ccDelta(
@@ -199,6 +205,25 @@ class IncrementalSpec extends AnyFunSuite {
     assert(stateAll.select("doc_id", "label").as[(Long, Long)].collect().sorted.toSeq ==
       state2.select("doc_id", "label").as[(Long, Long)].collect().sorted.toSeq)
     assert(labAll.count() == 3)
+  }
+
+  test("nearDedupDelta rejects thresholds whose mismatch budget reaches the band count") {
+    import graft.operators.Dedup
+    // 16 bands × 4 rows, threshold 5/10: 64 − ceil(64·5/10) = 32 ≥ 16 bands,
+    // so a threshold pair need not share any true band slice — the
+    // collision-safety argument fails and the operator must refuse loudly
+    val docs = Seq((1L, "s0", "a b c d e")).toDF("id", "shard", "text")
+    val emptySigs = Dedup.minhashSignaturesWithBands(
+      docs.limit(0), "id", "text", shingleK = 3, k = 64, bands = 16)
+    val ex = intercept[IllegalArgumentException] {
+      Incremental.nearDedupDelta(
+        docs, Seq.empty[String].toDF("shard"), "shard", emptySigs, "id", "text",
+        thresholdNum = 5, thresholdDen = 10)
+    }
+    assert(ex.getMessage.contains("bands"))
+    // the defaults (8/10) stay accepted
+    Incremental.nearDedupDelta(
+      docs, Seq.empty[String].toDF("shard"), "shard", emptySigs, "id", "text")
   }
 
   test("delta selection broadcasts the manifest (map-side anti-join, no corpus shuffle)") {
