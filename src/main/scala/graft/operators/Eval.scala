@@ -449,8 +449,14 @@ object Eval {
         .cast(LongType).as(s"b${dn.drop(3)}_micro")
     withDets.select(
       groupCols.map(col) ++ Seq(
-        // long report projection over decimal internals — see [[rankAuc]]
-        col("n").cast(LongType).as("n"), col("det").cast(LongType).as("det"),
+        col("n").cast(LongType).as("n"),
+        // det is n³-scale (3.8×10²⁰ already at 6×10⁵ rows) — the one report
+        // column here that cannot ride int64. DOUBLE is the lane-safe type
+        // past 2⁶³: both gate lanes render float64, and decimal→double
+        // (Spark) and HUGEINT→double (DuckDB) are both correctly rounded,
+        // so the bits match. The coefficient rationals below still divide
+        // the EXACT decimal det.
+        col("det").cast(DoubleType).as("det"),
         coef("det0"), coef("det1"), coef("det2")): _*)
   }
 

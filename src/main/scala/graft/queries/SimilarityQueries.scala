@@ -520,9 +520,9 @@ object SimilarityQueries {
       |  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
       |  GROUP BY 1, 2)
       |SELECT p.label_a, p.label_b,
-      |  CAST(p.dot AS BIGINT) AS dot,
-      |  CAST(na.norm2 AS BIGINT) AS norm2_a,
-      |  CAST(nb.norm2 AS BIGINT) AS norm2_b,
+      |  CAST(p.dot AS DOUBLE) AS dot,
+      |  CAST(na.norm2 AS DOUBLE) AS norm2_a,
+      |  CAST(nb.norm2 AS DOUBLE) AS norm2_b,
       |  CAST(CASE WHEN na.norm2 = 0 OR nb.norm2 = 0 THEN NULL
       |    ELSE FLOOR(CAST(p.dot AS DOUBLE) / SQRT(CAST(na.norm2 AS DOUBLE))
       |      / SQRT(CAST(nb.norm2 AS DOUBLE)) * 10000.0 + 0.5) END AS BIGINT) AS cos_bp
@@ -530,7 +530,7 @@ object SimilarityQueries {
       |JOIN nrm na ON na.label = p.label_a
       |JOIN nrm nb ON nb.label = p.label_b
       |ORDER BY p.label_a, p.label_b""".stripMargin) { (spark, dir) =>
-    import org.apache.spark.sql.types.{DecimalType, LongType}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
     val D = DecimalType(38, 0)
     val s = Similarity.labelCentroidSums(Tables.embeddings(spark, dir),
         "label", "embedding")
@@ -546,11 +546,16 @@ object SimilarityQueries {
       .join(broadcast(nrm.select(col("label").as("label_a"), col("norm2").as("norm2_a"))), "label_a")
       .join(broadcast(nrm.select(col("label").as("label_b"), col("norm2").as("norm2_b"))), "label_b")
       .select(col("label_a"), col("label_b"),
-        // long report projection over decimal internals (the Eval.rankAuc
-        // discipline): int64 survives both gate comparison lanes
-        col("dot").cast(LongType).as("dot"),
-        col("norm2_a").cast(LongType).as("norm2_a"),
-        col("norm2_b").cast(LongType).as("norm2_b"),
+        // report projections over decimal internals (the Eval.rankAuc
+        // discipline) — as DOUBLE, not BIGINT: the per-(label, dim)
+        // quantized sums grow with the corpus, so dot/norm2 are n²-scale
+        // and would cross 2⁶³ around 10⁷ vectors/label; both gate lanes
+        // render float64 and both engines' casts from the same exact
+        // decimal are correctly rounded, so the bits match at any scale.
+        // cos_bp below still derives from the exact decimals.
+        col("dot").cast(DoubleType).as("dot"),
+        col("norm2_a").cast(DoubleType).as("norm2_a"),
+        col("norm2_b").cast(DoubleType).as("norm2_b"),
         when(col("norm2_a") === 0 || col("norm2_b") === 0, lit(null).cast(LongType))
           .otherwise(floor(col("dot").cast("double")
             / sqrt(col("norm2_a").cast("double"))

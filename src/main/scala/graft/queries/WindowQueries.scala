@@ -1479,7 +1479,7 @@ object WindowQueries {
       |    n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s2 * s1y)
       |      + sy * (s1 * s12 - s11 * s2) AS det2
       |  FROM m)
-      |SELECT CAST(n AS BIGINT) AS n, CAST(det AS BIGINT) AS det,
+      |SELECT CAST(n AS BIGINT) AS n, CAST(det AS DOUBLE) AS det,
       |  CAST(CASE WHEN det = 0 THEN NULL
       |    ELSE (CASE WHEN (det0 >= 0) = (det >= 0) THEN 1 ELSE -1 END)
       |         * (abs(det0) * 1000000 // abs(det)) END AS BIGINT) AS b0_micro,
@@ -1529,7 +1529,7 @@ object WindowQueries {
       |    n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s2 * s1y)
       |      + sy * (s1 * s12 - s11 * s2) AS det2
       |  FROM m)
-      |SELECT g, CAST(n AS BIGINT) AS n, CAST(det AS BIGINT) AS det,
+      |SELECT g, CAST(n AS BIGINT) AS n, CAST(det AS DOUBLE) AS det,
       |  CAST(CASE WHEN det = 0 THEN NULL
       |    ELSE (CASE WHEN (det0 >= 0) = (det >= 0) THEN 1 ELSE -1 END)
       |         * (abs(det0) * 1000000 // abs(det)) END AS BIGINT) AS b0_micro,

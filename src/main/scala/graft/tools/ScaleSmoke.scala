@@ -146,6 +146,63 @@ object ScaleSmoke {
       require(got.getDecimal(1).compareTo(expect) == 0,
         s"Σcomp ${got.getDecimal(1)} != closed form $expect")
     }
+    t(s"cc_star chains n=$n (distributed path)") {
+      // same chain family through the STAR loop with the edge count
+      // (~0.9n > 2^20) past smallGraphMax — exercises the distributed
+      // rounds AND the measured-size loop-partition clamp at scale; the
+      // aggregate closed form matches the label-propagation smoke above
+      val edges = spark.range(0, n).toDF("i")
+        .filter(col("i") % 10 =!= 9)
+        .select(col("i").as("doc_a"), (col("i") + 1).as("doc_b"))
+      val labels = graft.operators.Dedup.connectedComponentsStar(edges, "doc_a", "doc_b")
+      val got = labels.agg(count(lit(1)),
+        sum(col("comp").cast("decimal(38,0)"))).head()
+      val chains = n / 10
+      val sumHeads = java.math.BigInteger.valueOf(chains)
+        .multiply(java.math.BigInteger.valueOf(chains - 1)).divide(java.math.BigInteger.valueOf(2))
+        .multiply(java.math.BigInteger.TEN)
+      val expect = new java.math.BigDecimal(sumHeads.multiply(java.math.BigInteger.TEN))
+      require(got.getLong(0) == n, s"label count ${got.getLong(0)} != $n nodes")
+      require(got.getDecimal(1).compareTo(expect) == 0,
+        s"Σcomp ${got.getDecimal(1)} != closed form $expect")
+    }
+    t(s"near_dedup_delta n=${n / 20} (two deliveries, state travel)") {
+      // n/20 docs in two shard deliveries; every doc whose id is ≡0 (mod 4)
+      // has an exact twin at id+1 (same 25-token text), other ids are
+      // unique. Twins straddle the shards by construction (shard = id mod 2
+      // of the PAIR index), so cross-delivery drops must come from the
+      // carried signature store — the mx26 semantics at smoke scale.
+      val m = n / 20
+      // token sets are DISJOINT across keys by construction ("w{key}x{i}"),
+      // so the only near-dup signal is the exact twin pairs: ids 4k / 4k+1
+      // share key (id div 2); all other ids get a unique key
+      val d = spark.range(0, m).toDF("id").select(col("id"),
+        concat(lit("s"), col("id") % 2).as("shard"),
+        array_join(transform(sequence(lit(0), lit(24)),
+          i => concat(lit("w"),
+            when(col("id") % 4 < 2, expr("id div 2"))
+              .otherwise(col("id") + 1000000000L),
+            lit("x"), i)), " ").as("text"))
+      import spark.implicits._
+      val manifest0 = Seq.empty[String].toDF("shard")
+      val manifest1 = Seq("s0").toDF("shard")
+      val emptySigs = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        graft.operators.Dedup.minhashSignaturesWithBands(
+          d.limit(0), "id", "text", shingleK = 3, k = 64, bands = 16).schema)
+      val (s1, store1) = graft.operators.Incremental.nearDedupDelta(
+        d.filter(col("shard") === "s0"), manifest0, "shard", emptySigs, "id", "text")
+      val (s2, _) = graft.operators.Incremental.nearDedupDelta(
+        d, manifest1, "shard", store1, "id", "text")
+      val kept = s1.select("id").union(s2.select("id"))
+      // every twin pair (4k even-shard, 4k+1 odd-shard) loses exactly its
+      // higher-id member; all salted docs survive
+      val twinsKept = kept.filter(col("id") % 4 < 2).count()
+      val saltedKept = kept.filter(col("id") % 4 >= 2).count()
+      require(twinsKept == m / 4,
+        s"twin survivors $twinsKept != ${m / 4} (one per exact pair)")
+      require(saltedKept == m / 2, s"salted survivors $saltedKept != ${m / 2}")
+    }
     t(s"semdedup n=${n / 100} dim=8 k=64") {
       // pseudo-random 8-dim points duplicated in id pairs (vec_id div 2):
       // each duplicate pair shares one exact direction (cos = 1), distinct
@@ -195,8 +252,8 @@ object ScaleSmoke {
         (expr("doc_id div 2") % 100).as("v"))
       val r = graft.operators.Eval.mannWhitneyU(gv, "g", "v").head()
       val n1 = r.getLong(0); val n2 = r.getLong(1)
-      require(r.getDecimal(2).longValueExact == n1 * n2,
-        s"u1_x2 ${r.getDecimal(2)} != n1*n2 ${n1 * n2}")
+      require(r.getLong(2) == n1 * n2,
+        s"u1_x2 ${r.getLong(2)} != n1*n2 ${n1 * n2}")
       require(r.getLong(4) == 0L, s"z_bp ${r.getLong(4)} != 0")
     }
     t(s"bigram_fluency n=${n / 10}") {

@@ -713,7 +713,7 @@ class PropertySpec extends AnyFunSuite {
     // x2 = 2·x1 (collinear) → det 0 → NULL coefficients, no throw
     val coll = (1L to 20L).map(i => (i, 2 * i, i * 7)).toDF("x1", "x2", "y")
     val s = Eval.olsNormalEq2(coll, "x1", "x2", "y").head()
-    assert(s.getLong(1) == 0L && s.isNullAt(2) && s.isNullAt(3) && s.isNullAt(4))
+    assert(s.getDouble(1) == 0.0 && s.isNullAt(2) && s.isNullAt(3) && s.isNullAt(4))
   }
 
   test("poissonBootstrap: replica mass n±5sqrt(n), replica means concentrate at truth") {
