@@ -903,10 +903,16 @@ object Dedup {
     * impossible; raise `maxIter` for adversarially high-diameter graphs.
     * The returned frame is cached leak-free (RDD-level, ContextCleaner
     * releases it when the caller drops the frame — see [[cachedForReuse]]).
+    *
+    * `smallGraphMax`: symmetric-edge-row threshold under which the labeling
+    * finishes as one collect + driver union-find instead of the per-round
+    * checkpoint loop — same rationale, bound, and label semantics as on
+    * [[connectedComponentsStar]] (the count that decides is the exact
+    * materialized row count, so a big graph never takes the small path).
     */
   def connectedComponents(
       pairs: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 25): DataFrame =
+      maxIter: Int = 25, smallGraphMax: Long = 1L << 20): DataFrame =
     withStaticPlan(pairs.sparkSession) {
     val e0 = pairs.select(col(srcCol).cast(LongType).as("src"),
       col(dstCol).cast(LongType).as("dst"))
@@ -917,6 +923,47 @@ object Dedup {
       // join re-exchanges only the (changing) label side, not the edges
       .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Small-graph shortcut (the connectedComponentsStar discipline): the
+    // count below is the first action, so it also materializes the persisted
+    // edge table; under the threshold (≤ 2²⁰ symmetric rows = ≤ 16 MB on the
+    // driver — bounded by the THRESHOLD, never the data) one collect plus a
+    // min-root union-find replaces the whole per-round checkpoint loop.
+    // Near-dup pair graphs at corpus scale are duplicate-cluster-sized, so
+    // this is the common case; past the bound the distributed loop runs
+    // unchanged (spec pins both paths).
+    val symCnt = sym.count()
+    if (symCnt <= smallGraphMax) {
+      val sp = pairs.sparkSession
+      import sp.implicits._
+      val arr = sym.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      sym.unpersist()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrElse(x, x)
+        while (p != x) {
+          val gp = parent.getOrElse(p, p)
+          parent(x) = gp; x = p; p = gp
+        }
+        x
+      }
+      val nodeSet = scala.collection.mutable.LongMap.empty[Unit]
+      arr.foreach { case (a, b) =>
+        nodeSet(a) = (); nodeSet(b) = ()
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      nodeSet.keys.toSeq.map(n => (n, find(n))).toDF("id", "comp")
+    } else
+    connectedComponentsLoop(sym, maxIter)
+    }
+
+  /** The distributed label-propagation loop of [[connectedComponents]] —
+    * runs when the symmetric edge table exceeds the small-graph threshold.
+    * `sym` is already persisted, partitioned on the round join key, and
+    * materialized (by the caller's count).
+    */
+  private def connectedComponentsLoop(sym: DataFrame, maxIter: Int): DataFrame = {
     // every round re-roots `labels` on a materialized RDD (cutLineageSummed):
     // the round body references labels twice (union + join), so carrying the
     // logical plan forward would double plan size per round — exponential
@@ -982,7 +1029,7 @@ object Dedup {
     // (leak-free: ContextCleaner releases the blocks once the caller drops
     // the frame) instead of paying one more copy-to-cache job.
     labels
-    }
+  }
 
   /** Connected components via alternating large-star/small-star edge
     * rewriting (Kiveris et al., "Connected Components in MapReduce and

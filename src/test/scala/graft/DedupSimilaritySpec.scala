@@ -185,10 +185,14 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // (comp∘comp each round) halves the remaining path length — both
     // algorithms must close the chain within their default round budgets.
     val chain = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val lp = graft.operators.Dedup.connectedComponents(chain, "doc_a", "doc_b")
-      .as[(Long, Long)].collect().toMap
-    assert(lp.keySet == (0L to 199L).toSet)
-    assert(lp.values.forall(_ == 0L), "every chain node must label to the min id 0")
+    for (cap <- Seq(Long.MaxValue, 0L)) { // driver union-find AND forced loop
+      val lp = graft.operators.Dedup.connectedComponents(
+          chain, "doc_a", "doc_b", smallGraphMax = cap)
+        .as[(Long, Long)].collect().toMap
+      assert(lp.keySet == (0L to 199L).toSet, s"cap=$cap")
+      assert(lp.values.forall(_ == 0L),
+        s"every chain node must label to the min id 0 (cap=$cap)")
+    }
     // 199 edges is under the default smallGraphMax, so the plain call takes
     // the driver union-find shortcut; smallGraphMax = 0 FORCES the
     // distributed star loop — both paths must label every node to min id 0
@@ -207,10 +211,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // includes a self-loop-only node (7,7): both algorithms must emit (7, 7)
     val edges = Seq((11L, 10L), (11L, 12L), (12L, 13L), (13L, 14L),
       (50L, 60L), (50L, 99L), (3L, 1L), (3L, 2L), (7L, 7L)).toDF("doc_a", "doc_b")
-    val lp = graft.operators.Dedup.connectedComponents(edges, "doc_a", "doc_b")
-      .as[(Long, Long)].collect().toSet
-    // both the driver union-find shortcut (default cap) and the forced
-    // distributed star loop (cap 0) must agree with label propagation
+    // label propagation through BOTH its paths (driver union-find / forced
+    // distributed loop) must self-agree...
+    val lps = Seq(Long.MaxValue, 0L).map { cap =>
+      graft.operators.Dedup.connectedComponents(
+          edges, "doc_a", "doc_b", smallGraphMax = cap)
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(lps(0) == lps(1), "connectedComponents paths disagree")
+    val lp = lps.head
+    // ...and the star algorithm through both ITS paths must agree with it
     for (cap <- Seq(Long.MaxValue, 0L)) {
       val star = graft.operators.Dedup.connectedComponentsStar(
           edges, "doc_a", "doc_b", smallGraphMax = cap)
