@@ -860,6 +860,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: all four paths agree with brute-force closure on random graphs") {
+    // random sparse multigraphs with self-loops and parallel/reversed edges:
+    // label propagation and star, each through its driver union-find
+    // shortcut AND its forced distributed loop, must all equal the
+    // brute-force transitive closure's min-reachable-id labels
+    val gEdges = Gen.listOfN(60,
+      Gen.zip(Gen.choose(0L, 24L), Gen.choose(0L, 24L)))
+    forAll(gEdges, n = 4) { es =>
+      // brute force: repeated relaxation over the symmetric closure
+      val sym = es.flatMap(e => Seq(e, e.swap)).distinct
+      val label = scala.collection.mutable.Map[Long, Long]()
+      sym.foreach { case (a, b) => label(a) = a; label(b) = b }
+      var changed = true
+      while (changed) {
+        changed = false
+        sym.foreach { case (a, b) =>
+          if (label(b) < label(a)) { label(a) = label(b); changed = true }
+          if (label(a) < label(b)) { label(b) = label(a); changed = true }
+        }
+      }
+      val want = label.toSet
+      val df = es.toDF("doc_a", "doc_b")
+      for (cap <- Seq(Long.MaxValue, 0L)) {
+        val lp = graft.operators.Dedup.connectedComponents(
+            df, "doc_a", "doc_b", smallGraphMax = cap)
+          .as[(Long, Long)].collect().toSet
+        assert(lp == want, s"connectedComponents cap=$cap")
+        val star = graft.operators.Dedup.connectedComponentsStar(
+            df, "doc_a", "doc_b", smallGraphMax = cap)
+          .as[(Long, Long)].collect().toSet
+        assert(star == want, s"connectedComponentsStar cap=$cap")
+      }
+      spark.catalog.clearCache()
+    }
+  }
+
   test("tilingPlan: scaled dims fit the canvas and effective never exceeds original") {
     val g = Gen.zip(Gen.choose(10L, 2000L), Gen.choose(10L, 2000L))
     forAll(g, n = 8) { case (w, h) =>
