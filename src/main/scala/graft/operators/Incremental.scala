@@ -262,6 +262,43 @@ object Incremental {
     (survivors, newSigs)
   }
 
+  /** Incremental IVF index maintenance — the ANN-side member of the
+    * state-travel family ([[dedupDelta]] exact, [[nearDedupDelta]] banded,
+    * [[ccDelta]] clusters): the carried state is the trained centroid frame
+    * `(c_id, cv, cn)` (from [[Similarity.kmeansCentroids]] or any
+    * deterministic quantizer) plus the per-cell population counts, so a
+    * delivery assigns ONLY its delta vectors to the carried centroids —
+    * history is never re-embedded, re-read, or re-clustered. Assignment is
+    * [[Similarity.assignCells]]'s broadcast argmax-cosine pass (ties →
+    * lowest cell id): per-row and stateless, so two deliveries trivially ≡
+    * one global pass with the same centroids — the replay-stability
+    * contract is exact here, not approximate.
+    *
+    * Returns `(assignments, newCounts)`: `assignments` = (idCol, cell) for
+    * the delta only; `newCounts` = the carried `(cell, n)` populations plus
+    * the delta's. The counts are what an index maintainer watches: a cell
+    * whose delta share drifts from its historical share signals quantizer
+    * staleness (mx28 reports the drift in exact ppm) — THE re-train
+    * trigger, available without any corpus-scale work.
+    *
+    * Scale: one broadcast of k×dims centroids, one narrow pass over the
+    * delta, a k-row counts state. Nothing else moves.
+    */
+  def ivfDelta(
+      corpus: DataFrame, manifest: DataFrame, shardCol: String,
+      centroids: DataFrame, priorCounts: DataFrame,
+      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
+    val (delta, _) = deltaShards(corpus, manifest, shardCol)
+    val assigned = Similarity.assignCells(
+        Similarity.preparedCorpus(delta, idCol, vecCol), centroids)
+      .select(col("vec_id").as(idCol), col("cell"))
+    val deltaCounts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val newCounts = priorCounts.select(col("cell"), col("n"))
+      .unionByName(deltaCounts)
+      .groupBy(col("cell")).agg(sum(col("n")).cast("long").as("n"))
+    (assigned, newCounts)
+  }
+
   /** Incremental near-dup CLUSTER maintenance — the retroactivity answer
     * the keep/drop rule of [[nearDedupDelta]] deliberately sidesteps: dd11's
     * min-id connected-component labels, maintained across deliveries by

@@ -2118,6 +2118,97 @@ object MiscQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental IVF index maintenance across two deliveries
+    * ([[graft.operators.Incremental.ivfDelta]]) — the ANN-side member of
+    * the mx23/mx26/mx27 state-travel family: the carried state is the
+    * centroid frame (here the sim3 deterministic quantizer — delivery 1's
+    * first 16 vectors by id — so the oracle replays it as plain SQL) plus
+    * the per-cell population counts, and delivery 2 assigns ONLY its delta
+    * vectors against the carried centroids — history is never re-read or
+    * re-clustered. Output: the per-cell maintenance report an index owner
+    * watches — historical vs delta population and share drift in exact
+    * ppm, the quantizer-staleness / re-train signal. Assignment is
+    * per-row stateless, so two deliveries ≡ one global pass exactly; the
+    * oracle computes that one global pass. Scale: one k×dims broadcast +
+    * one narrow pass over the delta; the counts state is k rows.
+    */
+  val mx28IncrementalIvf: Q = Q(
+    "mx28_incremental_ivf",
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |            vec_id % 2 AS sh FROM embeddings),
+      |n AS (SELECT vec_id, sh, v,
+      |        sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm
+      |      FROM e),
+      |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+      |      WHERE sh = 0 ORDER BY vec_id LIMIT 16),
+      |a AS (SELECT vec_id, sh, cell FROM (
+      |  SELECT n.vec_id, n.sh, c.c_id AS cell,
+      |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])) / (n.nrm*c.cn) DESC,
+      |      c.c_id) AS rn
+      |  FROM n CROSS JOIN c) WHERE rn = 1),
+      |cnt AS (SELECT cell,
+      |    CAST(SUM(CASE WHEN sh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_prior,
+      |    CAST(SUM(CASE WHEN sh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+      |  FROM a GROUP BY cell),
+      |f AS (SELECT c.c_id AS cell, COALESCE(cnt.n_prior, 0) AS n_prior,
+      |             COALESCE(cnt.n_delta, 0) AS n_delta
+      |      FROM c LEFT JOIN cnt ON cnt.cell = c.c_id),
+      |t AS (SELECT CAST(SUM(n_prior) AS BIGINT) AS tp,
+      |             CAST(SUM(n_delta) AS BIGINT) AS td FROM f)
+      |SELECT cell, n_prior, n_delta,
+      |  CAST(CASE WHEN t.tp = 0 THEN NULL
+      |       ELSE 1000000 * n_prior // t.tp END AS BIGINT) AS share_prior_ppm,
+      |  CAST(CASE WHEN t.td = 0 THEN NULL
+      |       ELSE 1000000 * n_delta // t.td END AS BIGINT) AS share_delta_ppm,
+      |  CAST(CASE WHEN t.tp = 0 OR t.td = 0 THEN NULL
+      |       ELSE abs(1000000 * n_prior // t.tp - 1000000 * n_delta // t.td)
+      |       END AS BIGINT) AS drift_ppm
+      |FROM f, t ORDER BY cell""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Dedup, Incremental, Similarity}
+    import org.apache.spark.sql.types.{LongType, StructType}
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        concat(lit("s"), col("vec_id") % 2).as("shard"))
+    val d1 = corpus.filter(col("shard") === "s0")
+    // the carried quantizer: delivery 1's first 16 vectors by id (the sim3
+    // rule — deterministic and SQL-replayable); materialized once, it
+    // broadcasts into BOTH deliveries' assignment passes
+    val cents = Dedup.cachedForReuse(
+      Similarity.preparedCorpus(d1, "vec_id", "embedding")
+        .orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+    val emptyManifest = corpus.select(col("shard")).limit(0)
+    val emptyCounts = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      new StructType().add("cell", LongType).add("n", LongType))
+    val (_, counts1) = Incremental.ivfDelta(
+      d1, emptyManifest, "shard", cents, emptyCounts, "vec_id", "embedding")
+    // prior counts feed delivery 2's grown state AND the report's n_prior
+    val counts1M = Dedup.cachedForReuse(counts1)
+    val manifest1 = d1.select(col("shard")).distinct()
+    val (a2, _) = Incremental.ivfDelta(
+      corpus, manifest1, "shard", cents, counts1M, "vec_id", "embedding")
+    val nDelta = a2.groupBy(col("cell")).agg(count(lit(1)).as("n_delta"))
+    val joined = cents.select(col("c_id").as("cell"))
+      .join(counts1M.select(col("cell"), col("n").as("n_prior")), Seq("cell"), "left")
+      .join(nDelta, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_prior", "n_delta"))
+    val tot = joined.agg(sum(col("n_prior")).cast(LongType).as("tp"),
+      sum(col("n_delta")).cast(LongType).as("td"))
+    joined.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_prior"), col("n_delta"),
+        when(col("tp") === 0, lit(null).cast(LongType))
+          .otherwise(expr("1000000 * n_prior div tp")).as("share_prior_ppm"),
+        when(col("td") === 0, lit(null).cast(LongType))
+          .otherwise(expr("1000000 * n_delta div td")).as("share_delta_ppm"),
+        when(col("tp") === 0 || col("td") === 0, lit(null).cast(LongType))
+          .otherwise(expr(
+            "abs(1000000 * n_prior div tp - 1000000 * n_delta div td)"))
+          .as("drift_ppm"))
+      .orderBy(col("cell"))
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qAsofNearest,
     qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
@@ -2132,5 +2223,5 @@ object MiscQueries {
     qWeightedMedian, mx15EpochShuffle, qHilbertLayout, mx16Curriculum, qJoinEstimate,
     mx17CurationPipeline, mx21MultimodalPacking, mx22IncrementalCuration,
     mx23IncrementalDedup, mx24MultimodalCuration, mx25IncrementalPipeline,
-    mx26IncrementalNearDedup, mx27IncrementalCc)
+    mx26IncrementalNearDedup, mx27IncrementalCc, mx28IncrementalIvf)
 }

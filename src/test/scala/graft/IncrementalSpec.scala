@@ -207,6 +207,53 @@ class IncrementalSpec extends AnyFunSuite {
     assert(labAll.count() == 3)
   }
 
+  test("ivfDelta: delta-only assignment against carried centroids; counts travel and re-runs are no-ops") {
+    import graft.operators.{Incremental, Similarity}
+    import org.apache.spark.sql.types.{LongType, StructType}
+    // 2 orthogonal-ish centroid directions; members lean toward one of them
+    def vec(a: Double, b: Double): Array[Float] = Array(a.toFloat, b.toFloat)
+    val docs = Seq(
+      (0L, "s0", vec(1.0, 0.0)),   // centroid 0's direction
+      (1L, "s0", vec(0.0, 1.0)),   // centroid 1's direction
+      (2L, "s0", vec(0.9, 0.1)),
+      (3L, "s1", vec(0.8, 0.2)),   // delta: near centroid 0
+      (4L, "s1", vec(0.1, 0.9)),   // delta: near centroid 1
+      (5L, "s1", vec(0.2, 0.8))
+    ).toDF("vec_id", "shard", "embedding")
+    val d1 = docs.filter(col("shard") === "s0")
+    val cents = Similarity.preparedCorpus(d1, "vec_id", "embedding")
+      .orderBy(col("vec_id")).limit(2)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val emptyManifest = Seq.empty[String].toDF("shard")
+    val emptyCounts = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      new StructType().add("cell", LongType).add("n", LongType))
+    val (a1, counts1) = Incremental.ivfDelta(
+      d1, emptyManifest, "shard", cents, emptyCounts, "vec_id", "embedding")
+    val m1 = Seq("s0").toDF("shard")
+    val (a2, counts2) = Incremental.ivfDelta(
+      docs, m1, "shard", cents, counts1, "vec_id", "embedding")
+    // delivery 2 assigned ONLY the delta, to the geometrically right cells
+    assert(a2.orderBy("vec_id").as[(Long, Long)].collect().toSeq ==
+      Seq((3L, 0L), (4L, 1L), (5L, 1L)))
+    // two deliveries ≡ one global pass (stateless per-row assignment)
+    val (aAll, countsAll) = Incremental.ivfDelta(
+      docs, emptyManifest, "shard", cents, emptyCounts, "vec_id", "embedding")
+    assert(a1.unionByName(a2).as[(Long, Long)].collect().sorted.toSeq ==
+      aAll.as[(Long, Long)].collect().sorted.toSeq)
+    // counts travel: state after delivery 2 == one-shot counts
+    assert(counts2.as[(Long, Long)].collect().sorted.toSeq ==
+      countsAll.as[(Long, Long)].collect().sorted.toSeq)
+    assert(counts2.as[(Long, Long)].collect().toMap == Map(0L -> 3L, 1L -> 3L))
+    // idempotent re-run: grown manifest → empty delta, counts unchanged
+    val m2 = Seq("s0", "s1").toDF("shard")
+    val (a3, counts3) = Incremental.ivfDelta(
+      docs, m2, "shard", cents, counts2, "vec_id", "embedding")
+    assert(a3.count() == 0)
+    assert(counts3.as[(Long, Long)].collect().sorted.toSeq ==
+      counts2.as[(Long, Long)].collect().sorted.toSeq)
+  }
+
   test("nearDedupDelta rejects thresholds whose mismatch budget reaches the band count") {
     import graft.operators.Dedup
     // 16 bands × 4 rows, threshold 5/10: 64 − ceil(64·5/10) = 32 ≥ 16 bands,
