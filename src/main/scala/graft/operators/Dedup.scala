@@ -1461,10 +1461,18 @@ object Dedup {
     * Rounds are bounded by the peeling depth (≤ vertex count, in practice
     * a handful); exceeding `maxIter` THROWS rather than returning a
     * non-fixpoint. Empty result (the whole graph peels away) is valid.
+    *
+    * `smallGraphMax`: the [[connectedComponents]] shortcut applied to
+    * peeling — under the threshold (exact count from the initial
+    * materialization; ≤ 16 MB collected) the core resolves via the classic
+    * O(V+E) bucket-queue peel on the driver instead of one eager sync per
+    * peel ROUND (peeling depth can be O(V) on adversarial graphs, where
+    * the driver peel stays linear). Identical fixpoint; the distributed
+    * loop runs unchanged past the bound (spec pins both paths).
     */
   def kCore(
       pairs: DataFrame, srcCol: String, dstCol: String, k: Int,
-      maxIter: Int = 60): DataFrame =
+      maxIter: Int = 60, smallGraphMax: Long = 1L << 20): DataFrame =
     withStaticPlan(pairs.sparkSession) {
     require(k >= 1, "k must be >= 1")
     val e0 = pairs.select(col(srcCol).cast(LongType).as("u"),
@@ -1472,6 +1480,38 @@ object Dedup {
     var (edges, release, fp0) = cutLineageEdgeSummed(
       e0.union(e0.select(col("v").as("u"), col("u").as("v"))).distinct())
     var n = fp0.head.longValueExact()
+    if (n > 0 && n <= smallGraphMax) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val arr = edges.select(col("u"), col("v")).as[(Long, Long)].collect()
+      release()
+      // adjacency over the SAME symmetric deduped edge list the loop uses
+      // (self-loops appear once and count once toward degree, both paths)
+      val adj = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.ArrayBuffer[Long]]
+      arr.foreach { case (u, v) =>
+        adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty[Long]) += v
+      }
+      val deg = scala.collection.mutable.LongMap.empty[Int]
+      adj.foreach { case (u, ns) => deg(u) = ns.length }
+      val queue = scala.collection.mutable.Queue.empty[Long]
+      deg.foreach { case (u, d) => if (d < k) queue += u }
+      val removed = scala.collection.mutable.LongMap.empty[Unit]
+      while (queue.nonEmpty) {
+        val u = queue.dequeue()
+        if (!removed.contains(u)) {
+          removed(u) = ()
+          adj(u).foreach { v =>
+            if (!removed.contains(v)) {
+              deg(v) -= 1
+              if (deg(v) == k - 1) queue += v // just crossed below k
+            }
+          }
+        }
+      }
+      adj.keys.toSeq.filterNot(removed.contains)
+        .map(u => (u, deg(u).toLong)).toDF("node", "deg")
+    } else {
     var it = 0
     var done = n == 0
     while (!done) {
@@ -1493,6 +1533,7 @@ object Dedup {
       } else { release(); edges = cp; release = rel2; n = m }
     }
     edges.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
+    }
   }
 
   // --------------------------------------------------- composite pipeline

@@ -847,8 +847,14 @@ class PropertySpec extends AnyFunSuite {
       .suchThat(_.nonEmpty)
     forAll(Gen.zip(edgeGen, Gen.choose(2, 4)), n = 6) { case (es, k) =>
       val df = es.toDF("u", "v")
-      val core = graft.operators.Dedup.kCore(df, "u", "v", k).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // both the driver bucket-queue peel (default cap) and the forced
+      // distributed round loop (cap 0) must produce the same core
+      val cores = Seq(Long.MaxValue, 0L).map { cap =>
+        graft.operators.Dedup.kCore(df, "u", "v", k, smallGraphMax = cap)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      assert(cores(0) == cores(1), s"kCore paths disagree for $es k=$k")
+      val core = cores.head
       // within-core degree >= k for every survivor
       assert(core.values.forall(_ >= k), s"core $core for edges $es k=$k")
       // and the reported degree equals the count of kept neighbors
