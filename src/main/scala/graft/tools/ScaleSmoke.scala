@@ -203,6 +203,44 @@ object ScaleSmoke {
         s"twin survivors $twinsKept != ${m / 4} (one per exact pair)")
       require(saltedKept == m / 2, s"salted survivors $saltedKept != ${m / 2}")
     }
+    t(s"ivf_delta n=${n / 10} dim=8 cells=16 (two deliveries)") {
+      // n/10 synthetic 8-dim vectors in two shard deliveries against 16
+      // carried centroids: assignment is per-row stateless, so the carried
+      // counts after delivery 2 must equal the one-shot global counts, and
+      // the total must be exactly n/10 — while the delta pass stays one
+      // broadcast narrow scan (no corpus-sized shuffle).
+      val m = n / 10
+      val dims = 8
+      val primes = Seq(131, 137, 139, 149, 151, 157, 163, 167)
+      val vecs = spark.range(0, m).toDF("vec_id").select(col("vec_id"),
+        concat(lit("s"), col("vec_id") % 2).as("shard"),
+        array(primes.map(p =>
+          (((col("vec_id") * p) % 1009) + 1.0).cast("double")): _*).as("embedding"))
+      val cents = graft.operators.Similarity
+        .preparedCorpus(vecs.filter(col("shard") === "s0"), "vec_id", "embedding")
+        .orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+        .localCheckpoint(true)
+      val counts0 = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        new org.apache.spark.sql.types.StructType()
+          .add("cell", org.apache.spark.sql.types.LongType)
+          .add("n", org.apache.spark.sql.types.LongType))
+      import spark.implicits._
+      val manifest0 = Seq.empty[String].toDF("shard")
+      val (_, c1) = graft.operators.Incremental.ivfDelta(
+        vecs.filter(col("shard") === "s0"), manifest0, "shard",
+        cents, counts0, "vec_id", "embedding")
+      val (_, c2) = graft.operators.Incremental.ivfDelta(
+        vecs, Seq("s0").toDF("shard"), "shard",
+        cents, c1.localCheckpoint(true), "vec_id", "embedding")
+      val (_, cAll) = graft.operators.Incremental.ivfDelta(
+        vecs, manifest0, "shard", cents, counts0, "vec_id", "embedding")
+      val two = c2.as[(Long, Long)].collect().sorted.toSeq
+      val one = cAll.as[(Long, Long)].collect().sorted.toSeq
+      require(two == one, "two deliveries must equal the one-shot counts")
+      require(two.map(_._2).sum == m, s"count mass ${two.map(_._2).sum} != $m")
+    }
     t(s"semdedup n=${n / 100} dim=8 k=64") {
       // pseudo-random 8-dim points duplicated in id pairs (vec_id div 2):
       // each duplicate pair shares one exact direction (cos = 1), distinct

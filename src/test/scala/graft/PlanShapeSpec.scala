@@ -341,4 +341,35 @@ class PlanShapeSpec extends AnyFunSuite {
     // and the labels are real: every doc labeled, labels are doc ids
     assert(labels.count() == docs.count())
   }
+
+  test("incremental ivfDelta: broadcast centroid assignment, no shuffle of the delta for the manifest") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        concat(lit("s"), col("vec_id") % 2).as("shard"))
+    val cents = graft.operators.Similarity
+      .preparedCorpus(emb.filter(col("shard") === "s0"), "vec_id", "embedding")
+      .orderBy(col("vec_id")).limit(4)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val counts0 = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      new org.apache.spark.sql.types.StructType()
+        .add("cell", org.apache.spark.sql.types.LongType)
+        .add("n", org.apache.spark.sql.types.LongType))
+    val (assigned, _) = graft.operators.Incremental.ivfDelta(
+      emb, Seq("s0").toDF("shard"), "shard", cents, counts0, "vec_id", "embedding")
+    val p = plan(assigned)
+    // the argmax-cosine pass joins every delta row against the (small,
+    // broadcast) centroid frame — a broadcast nested loop by design, never
+    // a shuffled product; the manifest anti-join broadcasts too, so the
+    // DELTA is never shuffled before assignment (the per-query window for
+    // the argmin is the only exchange, keyed by vec_id)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"), p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      "neither the manifest nor the centroids may shuffle the delta:\n" +
+        p.linesIterator.take(30).mkString("\n"))
+  }
 }
