@@ -1084,23 +1084,6 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct())
-    def largeStar(e: DataFrame): DataFrame = {
-      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
-      sym.join(mins, "u")
-        .filter(col("v") > col("u") && col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-    }
-    def smallStar(e: DataFrame): DataFrame = {
-      // e is already oriented u > v
-      val mins = e.groupBy("u").agg(min(col("v")).as("m")) // m < u by construction
-      val moved = e.join(mins, "u")
-        .filter(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-      moved.union(mins.select(col("u"), col("m").as("v"))).distinct()
-    }
-    var iter = 0
     // Loop-shuffle sizing: every round's groupBys shuffle the EDGE frame,
     // whose exact size the initial materialization just measured (stat.head
     // = edge count). Under the session default (sized for corpus-scale
@@ -1109,14 +1092,41 @@ object Dedup {
     // pure scheduling overhead that dominated mx27's steady-state profile.
     // Size the loop's shuffles to the GRAPH instead (~2×10⁵ edges per
     // partition), clamped to [1, session default] so a corpus-scale edge
-    // set keeps the session setting — only small graphs shrink.
+    // set keeps the session setting — only small graphs shrink. The sizing
+    // is scoped to the OPERATOR'S OWN FRAMES via explicit repartition on
+    // each round's shuffle inputs — never by mutating the session-global
+    // spark.sql.shuffle.partitions, which would re-plan any concurrently
+    // running query on the same session at the shrunken width (and two
+    // concurrent star calls could clobber each other's save/restore).
     val spark = pairs.sparkSession
-    val partsKey = "spark.sql.shuffle.partitions"
-    val sessionParts = spark.conf.get(partsKey)
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val edgeCnt = stat.head.min(java.math.BigInteger.valueOf(Long.MaxValue)).longValue
     val loopParts = math.max(1L,
-      math.min(sessionParts.toLong, edgeCnt / 200000L + 1L))
-    spark.conf.set(partsKey, loopParts.toString)
+      math.min(sessionParts.toLong, edgeCnt / 200000L + 1L)).toInt
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .repartition(loopParts, col("u"))
+      // the aggregate and the join both consume sym's HashPartitioning(u)
+      // — one loop-sized exchange feeds both (ReuseExchange)
+      val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      sym.join(mins, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .repartition(loopParts, col("u"), col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // e is already oriented u > v
+      val e2 = e.repartition(loopParts, col("u"))
+      val mins = e2.groupBy("u").agg(min(col("v")).as("m")) // m < u by construction
+      val moved = e2.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      moved.union(mins.select(col("u"), col("m").as("v")))
+        .repartition(loopParts, col("u"), col("v"))
+        .distinct()
+    }
+    var iter = 0
     val out = try {
     val labeled: DataFrame =
       if (edgeCnt <= smallGraphMax) {
@@ -1185,7 +1195,6 @@ object Dedup {
       .withColumn("comp", col("id"))
     cachedForReuse(labeled.union(singletons))
     } finally {
-      spark.conf.set(partsKey, sessionParts)
       rawRelease()
       edgesRelease()
     }

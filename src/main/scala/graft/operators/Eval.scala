@@ -63,16 +63,16 @@ object Eval {
         col("p").cast(LongType).as("pos_n"),
         col("nn").cast(LongType).as("neg_n"),
         // internals ACCUMULATE in decimal(38,0) (long pair products wrap at
-        // ~4×10⁷ balanced rows), but the REPORT columns project to long:
-        // int64 is the one integer dtype both of the gate's comparison
-        // lanes (parquet→pyarrow vs DuckDB→pandas) preserve — DECIMAL(38,0)
-        // coerces to float64 on one side and Decimal objects on the other.
-        // The projection caps the reportable num/den at 2⁶³ (auc_den =
-        // 2·p·nn → ~2.1×10⁹ rows per class); ANSI mode throws, never
-        // wraps, past that — shard or rescale the score before this gate.
-        (col("conc") * 2 + col("ties")).cast(LongType).as("auc_num"),
+        // ~4×10⁷ balanced rows); the n²-scale REPORT columns project to
+        // DOUBLE — the faster-than-corpus-magnitude rule (m29 det / sim11
+        // dot / spearmanRho): auc_den = 2·p·nn would overflow an int64
+        // projection past ~2.1×10⁹ rows per class (an ANSI throw), while
+        // decimal→double of the same exact integer is correctly rounded
+        // identically in both gate lanes (parquet→pyarrow vs
+        // DuckDB→pandas both render float64) — bit-stable at any SF.
+        (col("conc") * 2 + col("ties")).cast(DoubleType).as("auc_num"),
         (col("p").cast(DecimalType(38, 0)) * col("nn") * 2)
-          .cast(LongType).as("auc_den"),
+          .cast(DoubleType).as("auc_den"),
         when(col("p") === 0 || col("nn") === 0, lit(null).cast(LongType))
           .otherwise(expr(
             "(conc * 2 + ties) * 10000 div (cast(p as decimal(38,0)) * nn * 2)"))
@@ -181,10 +181,10 @@ object Eval {
         col("g").as(groupCol),
         col("p").cast(LongType).as("pos_n"),
         col("nn").cast(LongType).as("neg_n"),
-        // long report projection over decimal internals — see [[rankAuc]]
-        (col("conc") * 2 + col("ties")).cast(LongType).as("auc_num"),
+        // n²-scale report columns project to DOUBLE — see [[rankAuc]]
+        (col("conc") * 2 + col("ties")).cast(DoubleType).as("auc_num"),
         (col("p").cast(DecimalType(38, 0)) * col("nn") * 2)
-          .cast(LongType).as("auc_den"),
+          .cast(DoubleType).as("auc_den"),
         when(col("p") === 0 || col("nn") === 0, lit(null).cast(LongType))
           .otherwise(expr(
             "(conc * 2 + ties) * 10000 div (cast(p as decimal(38,0)) * nn * 2)"))
@@ -372,8 +372,10 @@ object Eval {
         .cast(DecimalType(38, 0)).as("rank_weighted_sum"))
       .select(
         lit(n).as("n"), lit(sumV).as("sum_v"),
-        // long report projection over decimal internals — see [[rankAuc]]
-        col("rank_weighted_sum").cast(LongType).as("rank_weighted_sum"),
+        // rank_weighted_sum ~ n·Σx is n²-scale → DOUBLE report column, not
+        // long (an int64 projection would ANSI-throw past ~2.1×10⁹
+        // row-weighted units) — see [[rankAuc]]
+        col("rank_weighted_sum").cast(DoubleType).as("rank_weighted_sum"),
         (if (n == 0 || sumV == 0) lit(null).cast(LongType)
          else expr(
            s"""(rank_weighted_sum * 2 - (cast(${n}L as decimal(38,0)) + 1) * ${sumV}L)
@@ -603,18 +605,22 @@ object Eval {
     * Ranks broadcast-join back onto the (x, y) cell grid, and the five
     * moment sums come from ONE decimal(38,0) aggregate over it.
     *
-    * Output: exact decimal num = n·Sxy − Sx·Sy and the two variance terms
-    * var_x, var_y (hash-compare exactly), plus rho_bp derived through
-    * double. The double step is still cross-engine deterministic: both
-    * engines cast the SAME exact decimals with round-to-nearest, and IEEE
-    * sqrt/divide on identical doubles are identical — no order-dependent
-    * float accumulation anywhere. Degenerate axes (constant x or y →
-    * var = 0) yield NULL rho_bp.
+    * Output: num = n·Sxy − Sx·Sy and the two variance terms var_x, var_y
+    * as DOUBLE report columns (the doubled midranks scale with ROW count,
+    * so var ~ n³ and num ~ n⁴ — n²-or-faster magnitudes must emit as
+    * double, never int64: a long projection would ANSI-throw around
+    * ~5·10⁴ distinct-valued rows), plus rho_bp derived from those doubles.
+    * Every double step is cross-engine deterministic: both engines cast
+    * the SAME exact decimals with round-to-nearest, and IEEE sqrt/divide
+    * on identical doubles are identical — no order-dependent float
+    * accumulation anywhere, so the output hash-compares exactly at any
+    * scale even where the double rounds past 2⁵³. Degenerate axes
+    * (constant x or y → var = 0) yield NULL rho_bp.
     *
     * 100 TB shape: two grid groupBys + two broadcast joins + one aggregate;
-    * decimal(38,0) holds the moments to ~10⁸ rows at doubled-rank
-    * magnitudes (past that, pre-bucket the axes — the same note as
-    * [[ordinalAssociation]]).
+    * the decimal(38,0) INTERNAL moments hold exactly to ~10⁸ rows at
+    * doubled-rank magnitudes (past that, pre-bucket the axes — the same
+    * note as [[ordinalAssociation]]).
     */
   def spearmanRho(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val D = DecimalType(38, 0)
@@ -643,23 +649,27 @@ object Eval {
         sum(col("c").cast(D) * col("r2y") * col("r2y")).cast(D).as("syy"),
         sum(col("c").cast(D) * col("r2x") * col("r2y")).cast(D).as("sxy"))
       .select(
-        // long report projection over decimal internals — see [[rankAuc]];
-        // the rho_bp double below is identical either way (num/var fit in
-        // int64 at the quantized-input bound, and decimal→double and
-        // long→double round the same integer to the same double)
+        // num/var_x/var_y are DOUBLE report columns, not long: the doubled
+        // midranks scale with ROW count (r2 ≤ 2n), so var ~ n·(2n)² ~ n³ —
+        // a LongType projection would ANSI-throw around ~5·10⁴ distinct-
+        // valued rows. DOUBLE is the faster-than-corpus-magnitude rule
+        // (the m29 det / sim11 dot discipline): both gate lanes render
+        // float64, and decimal→double of the same exact integer is
+        // correctly rounded identically on any engine — bit-stable at any
+        // SF, and rho_bp below consumes the SAME doubles either way.
         col("n").cast(LongType).as("n"),
-        (col("n") * col("sxy") - col("sx") * col("sy")).cast(LongType).as("num"),
-        (col("n") * col("sxx") - col("sx") * col("sx")).cast(LongType).as("var_x"),
-        (col("n") * col("syy") - col("sy") * col("sy")).cast(LongType).as("var_y"))
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType).as("num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType).as("var_x"),
+        (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType).as("var_y"))
       .withColumn("rho_bp",
-        when(col("var_x") === 0 || col("var_y") === 0, lit(null).cast(LongType))
+        when(col("var_x") === 0.0 || col("var_y") === 0.0, lit(null).cast(LongType))
           .otherwise(
             // floor(x + 0.5): explicit half-up rounding, identical on any
             // engine (a bare floor truncates the 9999.999… that float sqrt
             // leaves at exact ±1 down to 9999)
-            floor(col("num").cast(DoubleType) * 10000.0
-              / sqrt(col("var_x").cast(DoubleType))
-              / sqrt(col("var_y").cast(DoubleType)) + 0.5).cast(LongType)))
+            floor(col("num") * 10000.0
+              / sqrt(col("var_x"))
+              / sqrt(col("var_y")) + 0.5).cast(LongType)))
   }
 
   /** McNemar's test for paired classifiers: do models a and b disagree

@@ -2140,7 +2140,7 @@ object MiscQueries {
       |        sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm
       |      FROM e),
       |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
-      |      WHERE sh = 0 ORDER BY vec_id LIMIT 16),
+      |      WHERE sh = 0 AND nrm > 0 ORDER BY vec_id LIMIT 16),
       |a AS (SELECT vec_id, sh, cell FROM (
       |  SELECT n.vec_id, n.sh, c.c_id AS cell,
       |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
@@ -2171,11 +2171,18 @@ object MiscQueries {
       .select(col("vec_id"), col("embedding"),
         concat(lit("s"), col("vec_id") % 2).as("shard"))
     val d1 = corpus.filter(col("shard") === "s0")
-    // the carried quantizer: delivery 1's first 16 vectors by id (the sim3
-    // rule — deterministic and SQL-replayable); materialized once, it
-    // broadcasts into BOTH deliveries' assignment passes
+    // the carried quantizer: delivery 1's first 16 NONZERO vectors by id
+    // (the sim3 rule — deterministic and SQL-replayable; the nrm > 0 guard
+    // on BOTH lanes keeps a zero vector from ever becoming a centroid,
+    // whose cosine is 0/0 and whose tie-breaking would be engine-
+    // dependent); materialized once, it broadcasts into BOTH deliveries'
+    // assignment passes. Assignment itself assumes no zero-norm DATA
+    // vectors (preparedCorpus passes them through; a zero vector's cosine
+    // to every cell is NaN and its argmax engine-dependent) — holds for
+    // the synthetic embeddings table and any L2-normalized corpus.
     val cents = Dedup.cachedForReuse(
       Similarity.preparedCorpus(d1, "vec_id", "embedding")
+        .filter(col("nrm") > 0)
         .orderBy(col("vec_id")).limit(16)
         .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
     val emptyManifest = corpus.select(col("shard")).limit(0)

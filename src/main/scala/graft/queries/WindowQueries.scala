@@ -713,8 +713,8 @@ object WindowQueries {
       |             SUM(pos) AS p, SUM(neg) AS nn
       |      FROM c)
       |SELECT CAST(p AS BIGINT) AS pos_n, CAST(nn AS BIGINT) AS neg_n,
-      |  CAST(2 * conc + ties AS BIGINT) AS auc_num,
-      |  CAST(2 * p * nn AS BIGINT) AS auc_den,
+      |  CAST(2 * conc + ties AS DOUBLE) AS auc_num,
+      |  CAST(2 * p * nn AS DOUBLE) AS auc_den,
       |  CASE WHEN p = 0 OR nn = 0 THEN NULL
       |       ELSE CAST((2 * conc + ties) * 10000 // (2 * p * nn) AS BIGINT)
       |  END AS auc_bp
@@ -744,8 +744,8 @@ object WindowQueries {
       |             SUM(pos) AS p, SUM(neg) AS nn
       |      FROM c GROUP BY source)
       |SELECT source, CAST(p AS BIGINT) AS pos_n, CAST(nn AS BIGINT) AS neg_n,
-      |  CAST(2 * conc + ties AS BIGINT) AS auc_num,
-      |  CAST(2 * p * nn AS BIGINT) AS auc_den,
+      |  CAST(2 * conc + ties AS DOUBLE) AS auc_num,
+      |  CAST(2 * p * nn AS DOUBLE) AS auc_den,
       |  CASE WHEN p = 0 OR nn = 0 THEN NULL
       |       ELSE CAST((2 * conc + ties) * 10000 // (2 * p * nn) AS BIGINT)
       |  END AS auc_bp
@@ -1437,7 +1437,7 @@ object WindowQueries {
       |r AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, id) AS rn FROM x),
       |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sum_v,
       |        SUM(CAST(rn AS HUGEINT) * v) AS ix FROM r)
-      |SELECT n, sum_v, CAST(ix AS BIGINT) AS rank_weighted_sum,
+      |SELECT n, sum_v, CAST(ix AS DOUBLE) AS rank_weighted_sum,
       |  CAST(CASE WHEN n = 0 OR sum_v = 0 THEN NULL
       |    ELSE (ix * 2 - (CAST(n AS HUGEINT) + 1) * sum_v) * 10000
       |         // (CAST(n AS HUGEINT) * sum_v) END AS BIGINT) AS gini_bp
@@ -1623,9 +1623,9 @@ object WindowQueries {
       |        SUM(c * r2x * r2x) AS sxx, SUM(c * r2y * r2y) AS syy,
       |        SUM(c * r2x * r2y) AS sxy FROM j)
       |SELECT CAST(n AS BIGINT) AS n,
-      |  CAST(n * sxy - sx * sy AS BIGINT) AS num,
-      |  CAST(n * sxx - sx * sx AS BIGINT) AS var_x,
-      |  CAST(n * syy - sy * sy AS BIGINT) AS var_y,
+      |  CAST(n * sxy - sx * sy AS DOUBLE) AS num,
+      |  CAST(n * sxx - sx * sx AS DOUBLE) AS var_x,
+      |  CAST(n * syy - sy * sy AS DOUBLE) AS var_y,
       |  CAST(CASE WHEN n * sxx = sx * sx OR n * syy = sy * sy THEN NULL
       |    ELSE FLOOR(CAST(n * sxy - sx * sy AS DOUBLE) * 10000.0
       |         / SQRT(CAST(n * sxx - sx * sx AS DOUBLE))

@@ -436,9 +436,9 @@ class EvalMixSpec extends AnyFunSuite {
     val tied = Seq((1L, 5L), (1L, 7L), (2L, 7L)).toDF("x", "y")
     val t = Eval.spearmanRho(tied, "x", "y").collect()(0)
     assert(t.getLong(0) == 3)
-    assert(t.getLong(1) == 9L)
-    assert(t.getLong(2) == 18L)
-    assert(t.getLong(3) == 18L)
+    assert(t.getDouble(1) == 9.0)
+    assert(t.getDouble(2) == 18.0)
+    assert(t.getDouble(3) == 18.0)
     assert(t.getLong(4) == 5000L)
     // constant axis → zero variance → NULL rho, not a divide/sqrt throw
     val const = Seq((7L, 1L), (7L, 2L), (7L, 3L)).toDF("x", "y")
