@@ -299,6 +299,122 @@ object Incremental {
     (assigned, newCounts)
   }
 
+  /** Incremental SemDeDup ([[Dedup.semDedup]]'s embedding-space semantic
+    * dedup) with STATE TRAVEL — the last dedup family member whose state
+    * travels ([[dedupDelta]] hash, [[nearDedupDelta]] MinHash, [[ccDelta]]
+    * clusters, [[ivfDelta]] IVF counts): the carried state is one row per
+    * historical vector, `(vec_id, v, nrm, cell, cell_cos, grp, keep)` — its
+    * k-means cell under the CARRIED quantizer, its cosine to that cell's
+    * centroid, its duplicate-group label and its survivor flag.
+    *
+    * A delivery:
+    *  1. assigns ONLY its delta vectors to the carried centroids
+    *     ([[ivfDelta]]'s broadcast argmax-cosine pass — history is never
+    *     re-embedded or re-read);
+    *  2. pairs the delta WITHIN each cell against (delta ∪ store) at
+    *     `cosine ≥ threshold` — the store side participates only in cells
+    *     the delta touches, so the pair space is delta×cell-sized;
+    *  3. contracts historical endpoints to their carried `grp` labels and
+    *     runs [[Dedup.connectedComponentsStar]] over the CONTRACTED
+    *     (delta-sized) graph — a delivery that bridges two historical
+    *     groups merges them retroactively via one state-sized label join,
+    *     exactly [[ccDelta]]'s move;
+    *  4. recomputes the survivor flag ONLY in touched groups (keep = the
+    *     member with the LOWEST cosine to its cell centroid, ties → lowest
+    *     id — [[Dedup.semDedup]]'s policy verbatim); untouched groups carry
+    *     their flags forward unread.
+    *
+    * Two deliveries ≡ one global pass with the same centroids, exactly:
+    * cells and `cell_cos` are per-row functions of the carried quantizer;
+    * every within-cell pair ≥ threshold is surfaced by the delivery in
+    * which its LATER member arrives (induction — store×store pairs were
+    * delta×(delta ∪ store) pairs then); components are order-independent
+    * with `grp` = min member id by the same induction as [[ccDelta]]; and
+    * the keep rule is a pure function of final group membership and
+    * delivery-independent `cell_cos` values. IncrementalSpec pins the
+    * two-delivery ≡ one-global replay including a bridge + keep-flip case;
+    * mx29 oracle-replays it end-to-end.
+    *
+    * PRECONDITIONS: `centroids` must be the SAME frame across all
+    * deliveries (train once — e.g. [[Similarity.kmeansCentroids]] on the
+    * bootstrap delivery — then carry; re-training mid-stream changes cells
+    * and breaks the within-cell pairing induction); ids globally unique
+    * across deliveries (the store-union note on [[nearDedupDelta]]); no
+    * zero-norm vectors (cosine would be NaN with engine-dependent argmax —
+    * the mx28 note).
+    *
+    * Returns `(deltaResults, newState)`: `deltaResults` = (idCol, cell,
+    * grp, keep) for the delta only; `newState` = the grown state with
+    * labels AND keep flags current as of this delivery. Scale: one k×dims
+    * centroid broadcast, within-cell joins sized by delta×cell, CC over a
+    * delta-sized contracted graph, keep recompute sized by touched groups
+    * — nothing corpus-scale moves after the bootstrap.
+    */
+  def semDedupDelta(
+      corpus: DataFrame, manifest: DataFrame, shardCol: String,
+      centroids: DataFrame, priorState: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      materializeState: Boolean = true): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val (delta, _) = deltaShards(corpus, manifest, shardCol)
+    // (vec_id, v, nrm, cell, cell_cos) — feeds both pair sides and the
+    // final labeling, so materialize once (the semDedup discipline)
+    val asg = Dedup.cachedForReuse(Similarity.assignCells(
+      Similarity.preparedCorpus(delta, idCol, vecCol), centroids))
+    val prior =
+      if (materializeState && !provablyEmpty(priorState)) Dedup.cachedForReuse(priorState)
+      else priorState
+    val dA = asg.select(col("cell"), col("vec_id").as("d_id"),
+      col("v").as("dv"), col("nrm").as("dn"))
+    def eSide(f: DataFrame) = f.select(col("cell"), col("vec_id").as("e_id"),
+      col("v").as("ev"), col("nrm").as("en"))
+    val pairCos = Similarity.dot(col("dv"), col("ev")) / (col("dn") * col("en"))
+    // each unordered delta pair once (d_id > e_id); every delta×store pair
+    // has the delta doc as d_id — both orientations mirror estVerifiedPairs
+    val pairsDelta = dA.join(eSide(asg), "cell")
+      .filter(col("d_id") > col("e_id") && pairCos >= lit(threshold))
+      .select(col("d_id"), col("e_id"))
+    val pairsPrior = dA.join(eSide(prior), "cell")
+      .filter(pairCos >= lit(threshold))
+      .select(col("d_id"), col("e_id"))
+    // contract: historical endpoints collapse to their carried labels
+    val contracted = pairsDelta.union(pairsPrior)
+      .join(prior.select(col("vec_id").as("e_id"), col("grp")), Seq("e_id"), "left")
+      .select(col("d_id").as("a"), coalesce(col("grp"), col("e_id")).as("b"))
+    val cc = Dedup.connectedComponentsStar(contracted, "a", "b")
+    val deltaLab = asg
+      .join(cc.select(col("id").as("vec_id"), col("comp")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("cell_cos"),
+        coalesce(col("comp"), col("vec_id")).as("grp"))
+    // store docs relabel through their OLD label's node — the retroactive
+    // bridge merge, one state-sized join, no vectors re-read
+    val priorLab = prior
+      .join(cc.select(col("id").as("grp"), col("comp")), Seq("grp"), "left")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("cell_cos"),
+        coalesce(col("comp"), col("grp")).as("grp"), col("keep"))
+    // touched groups = exactly the CC components (a pairless delta doc's
+    // self-group can't collide with them: component minima are delta-with-
+    // pair ids or old labels, and ids are globally unique)
+    val touched = broadcast(cc.select(col("comp").as("grp")).distinct())
+    val wKeep = Window.partitionBy(col("grp"))
+      .orderBy(col("cell_cos").asc, col("vec_id"))
+    val rescored = priorLab.drop("keep")
+      .unionByName(deltaLab)
+      .join(touched, Seq("grp"), "left_semi")
+      .withColumn("keep", row_number().over(wKeep) === 1)
+    val newState = prior
+      .join(cc.select(col("id").as("grp")), Seq("grp"), "left_anti")
+      .select(rescored.columns.map(col): _*) // untouched: labels+keep carried
+      .unionByName(rescored)
+      .unionByName(deltaLab.join(touched, Seq("grp"), "left_anti")
+        .withColumn("keep", lit(true))
+        .select(rescored.columns.map(col): _*))
+    val deltaResults = newState
+      .join(asg.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id").as(idCol), col("cell"), col("grp"), col("keep"))
+    (deltaResults, newState)
+  }
+
   /** Incremental near-dup CLUSTER maintenance — the retroactivity answer
     * the keep/drop rule of [[nearDedupDelta]] deliberately sidesteps: dd11's
     * min-id connected-component labels, maintained across deliveries by

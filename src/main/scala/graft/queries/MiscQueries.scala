@@ -2216,6 +2216,119 @@ object MiscQueries {
       .orderBy(col("cell"))
   }
 
+  /** Incremental SemDeDup across two deliveries
+    * ([[graft.operators.Incremental.semDedupDelta]]) — dd26's embedding-
+    * space semantic dedup with STATE TRAVEL: delivery 1 (even vec_ids)
+    * trains the k = 8 / 5-iteration spherical k-means quantizer
+    * ([[graft.operators.Similarity.kmeansCentroids]]) and bootstraps the
+    * `(vec_id, v, nrm, cell, cell_cos, grp, keep)` state; delivery 2 (odd
+    * vec_ids) assigns ONLY its delta vectors to the CARRIED centroids,
+    * pairs within touched cells at cosine ≥ 0.7 against (delta ∪ store),
+    * contracts historical endpoints to their carried group labels, and
+    * recomputes survivor flags only in touched groups. SemDeDup groups are
+    * connected components (order-independent) and the keep rule is a pure
+    * function of final membership + delivery-independent centroid cosines,
+    * so two deliveries ≡ one global pass with the same centroids — which
+    * is exactly what the oracle replays: dd26's full Lloyd recursion
+    * restricted to shard-0 points, one global assignment, within-cell pair
+    * closure, keep = lowest cell_cos (ties → lowest id). Output: every
+    * vector with its delivery, final cell, duplicate-group label and
+    * survivor flag.
+    */
+  val mx29IncrementalSemDedup: Q = {
+    val cos = (v: String, c: String) =>
+      s"""list_sum(list_transform(range(1, 65), i2 -> $v[CAST(i2 AS INT)] * $c[CAST(i2 AS INT)]))"""
+    val scores =
+      s"""list_transform(range(1, 9), c2 ->
+         |  ${cos("z.v", "cents[CAST(c2 AS INT)]")}
+         |  / (z.nrm * sqrt(${cos("cents[CAST(c2 AS INT)]", "cents[CAST(c2 AS INT)]")})))""".stripMargin
+    val fscores =
+      s"""list_transform(range(1, 9), c2 ->
+         |  ${cos("x.v", "fc.cents[CAST(c2 AS INT)]")}
+         |  / (x.nrm * sqrt(${cos("fc.cents[CAST(c2 AS INT)]", "fc.cents[CAST(c2 AS INT)]")})))""".stripMargin
+    Q(
+      "mx29_incremental_semdedup",
+      s"""WITH RECURSIVE e AS (
+         |  SELECT vec_id, vec_id % 2 AS sh,
+         |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |n AS (SELECT vec_id, sh, v,
+         |        sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm
+         |      FROM e),
+         |pts AS (SELECT list({'id': vec_id, 'v': v, 'nrm': nrm} ORDER BY vec_id) AS ps
+         |        FROM n WHERE sh = 0),
+         |lloyd AS (
+         |  SELECT 0 AS it, list_transform(ps[1:8], z -> z.v) AS cents, ps FROM pts
+         |  UNION ALL
+         |  SELECT it + 1,
+         |    list_transform(range(1, 9), c ->
+         |      CASE WHEN len(list_filter(zp, z -> z.cell = c)) = 0
+         |             THEN cents[CAST(c AS INT)]
+         |           ELSE list_transform(range(1, 65), i ->
+         |             list_sum(list_transform(list_filter(zp, z -> z.cell = c),
+         |               z -> z.v[CAST(i AS INT)]))
+         |             / len(list_filter(zp, z -> z.cell = c))) END) AS cents,
+         |    ps
+         |  FROM (
+         |    SELECT it, cents, ps,
+         |      list_transform(ps, z ->
+         |        {'cell': list_position($scores, list_max($scores)),
+         |         'v': z.v}) AS zp
+         |    FROM lloyd WHERE it < 5)),
+         |fc AS (SELECT cents FROM lloyd WHERE it = 5),
+         |asg AS (SELECT x.vec_id, x.sh, x.v, x.nrm,
+         |    CAST(list_position($fscores, list_max($fscores)) - 1 AS BIGINT) AS cell,
+         |    list_max($fscores) AS cell_cos
+         |  FROM n x, fc),
+         |pr AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib
+         |  FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE ${cos("a.v", "b.v")} / (a.nrm * b.nrm) >= CAST(0.7 AS DOUBLE)),
+         |edges AS (SELECT ia AS s, ib AS t FROM pr
+         |          UNION ALL SELECT ib, ia FROM pr),
+         |reach AS (SELECT s AS id, s AS r FROM edges
+         |          UNION
+         |          SELECT g.t AS id, reach.r AS r FROM reach JOIN edges g ON g.s = reach.id),
+         |comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+         |m AS (SELECT a.vec_id, a.sh, a.cell, COALESCE(c.comp, a.vec_id) AS grp, a.cell_cos
+         |      FROM asg a LEFT JOIN comp c ON c.id = a.vec_id),
+         |r AS (SELECT vec_id, sh, cell, grp,
+         |        ROW_NUMBER() OVER (PARTITION BY grp ORDER BY cell_cos ASC, vec_id) AS rn
+         |      FROM m)
+         |SELECT vec_id, CAST(sh + 1 AS BIGINT) AS run_id, cell, grp, rn = 1 AS keep
+         |FROM r ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      import graft.operators.{Dedup, Incremental, Similarity}
+      import org.apache.spark.sql.types._
+      Dedup.withStaticPlan(spark) {
+        val corpus = Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("embedding"),
+            concat(lit("s"), col("vec_id") % 2).as("shard"))
+        val d1 = corpus.filter(col("shard") === "s0")
+        // the carried quantizer: trained ONCE on delivery 1, broadcast into
+        // both deliveries' assignment passes (the mx28 discipline)
+        val cents = Dedup.cachedForReuse(
+          Similarity.kmeansCentroids(d1, "vec_id", "embedding", k = 8, iters = 5))
+        val emptyManifest = corpus.select(col("shard")).limit(0)
+        // provably-empty LocalRelation bootstrap state — see the mx26 note
+        val stateSchema = new StructType()
+          .add("vec_id", LongType).add("v", ArrayType(DoubleType))
+          .add("nrm", DoubleType).add("cell", LongType)
+          .add("cell_cos", DoubleType).add("grp", LongType)
+          .add("keep", BooleanType)
+        val emptyState = spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), stateSchema)
+        val (_, state1) = Incremental.semDedupDelta(
+          d1, emptyManifest, "shard", cents, emptyState, "vec_id", "embedding", 0.7)
+        val manifest1 = d1.select(col("shard")).distinct()
+        val (_, state2) = Incremental.semDedupDelta(
+          corpus, manifest1, "shard", cents, state1, "vec_id", "embedding", 0.7)
+        state2.select(col("vec_id"),
+            (col("vec_id") % 2 + 1).cast(LongType).as("run_id"),
+            col("cell"), col("grp"), col("keep"))
+          .orderBy(col("vec_id"))
+      }
+    }
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qAsofNearest,
     qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
@@ -2230,5 +2343,6 @@ object MiscQueries {
     qWeightedMedian, mx15EpochShuffle, qHilbertLayout, mx16Curriculum, qJoinEstimate,
     mx17CurationPipeline, mx21MultimodalPacking, mx22IncrementalCuration,
     mx23IncrementalDedup, mx24MultimodalCuration, mx25IncrementalPipeline,
-    mx26IncrementalNearDedup, mx27IncrementalCc, mx28IncrementalIvf)
+    mx26IncrementalNearDedup, mx27IncrementalCc, mx28IncrementalIvf,
+    mx29IncrementalSemDedup)
 }

@@ -254,6 +254,67 @@ class IncrementalSpec extends AnyFunSuite {
       counts2.as[(Long, Long)].collect().sorted.toSeq)
   }
 
+  test("semDedupDelta: state travel; bridge merges two phase-1 groups and FLIPS a carried keep flag") {
+    import graft.operators.Incremental
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, LongType, StructType}
+    def vec(a: Double, b: Double): Array[Float] = Array(a.toFloat, b.toFloat)
+    // carried quantizer: two axis-aligned unit centroids
+    val cents = Seq((0L, Array(1.0, 0.0), 1.0), (1L, Array(0.0, 1.0), 1.0))
+      .toDF("c_id", "cv", "cn")
+    // cell 0: 10 and 20 are ~0.963 apart (below τ = 0.97 → separate phase-1
+    // groups); the phase-2 doc 40 sits between them (cos ≈ 0.990 to both →
+    // bridge). cell 1: 30 then 50 pair directly (cos ≈ 0.9997).
+    val docs = Seq(
+      (10L, "s0", vec(1.0, 0.02)), (20L, "s0", vec(1.0, 0.30)),
+      (30L, "s0", vec(0.02, 1.0)),
+      (40L, "s1", vec(1.0, 0.16)), (50L, "s1", vec(0.05, 1.0))
+    ).toDF("vec_id", "shard", "embedding")
+    val stateSchema = new StructType()
+      .add("vec_id", LongType).add("v", ArrayType(DoubleType))
+      .add("nrm", DoubleType).add("cell", LongType)
+      .add("cell_cos", DoubleType).add("grp", LongType)
+      .add("keep", BooleanType)
+    val emptyState = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), stateSchema)
+    val emptyManifest = Seq.empty[String].toDF("shard")
+    val (r1, state1) = Incremental.semDedupDelta(
+      docs.filter(col("shard") === "s0"), emptyManifest, "shard",
+      cents, emptyState, "vec_id", "embedding", threshold = 0.97)
+    // phase 1: three singleton groups, everyone keeps
+    assert(r1.orderBy("vec_id").as[(Long, Long, Long, Boolean)].collect().toSeq ==
+      Seq((10L, 0L, 10L, true), (20L, 0L, 20L, true), (30L, 1L, 30L, true)))
+    val m1 = Seq("s0").toDF("shard")
+    val (r2, state2) = Incremental.semDedupDelta(
+      docs, m1, "shard", cents, state1, "vec_id", "embedding", threshold = 0.97)
+    // the bridge lands in the merged group {10,20,40}; 20 has the LOWEST
+    // centroid cosine so it keeps — the bridge itself does not
+    assert(r2.orderBy("vec_id").as[(Long, Long, Long, Boolean)].collect().toSeq ==
+      Seq((40L, 0L, 10L, false), (50L, 1L, 30L, true)))
+    // THE RETROACTIVE MERGE + KEEP FLIP: doc 10's carried keep=true is
+    // rewritten to false (20 is less prototypical), doc 30's flips to 50
+    val s2 = state2.select("vec_id", "grp", "keep")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(s2 == Seq((10L, 10L, false), (20L, 10L, true), (30L, 30L, false),
+      (40L, 10L, false), (50L, 30L, true)))
+    // store-id uniqueness (the global-idCol precondition)
+    assert(state2.select("vec_id").distinct().count() == state2.count())
+    // order independence: one global pass with the same centroids matches
+    // the two-delivery state on (vec_id, cell, grp, keep) exactly
+    val (_, stateAll) = Incremental.semDedupDelta(
+      docs, emptyManifest, "shard", cents, emptyState, "vec_id", "embedding",
+      threshold = 0.97)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell", "grp", "keep")
+        .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(snap(stateAll) == snap(state2))
+    // idempotent re-run: full manifest → empty delta, state unchanged
+    val (r3, state3) = Incremental.semDedupDelta(
+      docs, Seq("s0", "s1").toDF("shard"), "shard", cents, state2,
+      "vec_id", "embedding", threshold = 0.97)
+    assert(r3.count() == 0)
+    assert(snap(state3) == snap(state2))
+  }
+
   test("nearDedupDelta rejects thresholds whose mismatch budget reaches the band count") {
     import graft.operators.Dedup
     // 16 bands × 4 rows, threshold 5/10: 64 − ceil(64·5/10) = 32 ≥ 16 bands,
