@@ -299,6 +299,167 @@ object Incremental {
     (assigned, newCounts)
   }
 
+  /** One deterministic Lloyd refinement of SELECTED cells: every cell with
+    * rows in `members` gets centroid = the componentwise mean of its member
+    * vectors; every other cell keeps its carried centroid (the emptied-cell
+    * rule of [[Similarity.kmeansCentroids]]). Accumulation is in vec_id
+    * order inside each group — bit-reproducible regardless of shuffle
+    * arrival order, and replayable in SQL as a vec_id-ordered list fold
+    * (the kmeansCentroids discipline). `members` is (cell, vec_id, v) and
+    * must already be CAPPED by the caller (drifted cells only, bounded
+    * historical sample) — the kernel materializes each group in task
+    * memory.
+    */
+  def retrainCentroids(members: DataFrame, centroids: DataFrame): DataFrame = {
+    val spark = members.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val means = members.select(col("cell"), col("vec_id"), col("v"))
+      .as[(Long, Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (cell: Long, rows: Iterator[(Long, Long, Array[Double])]) =>
+        val ms = rows.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+        val acc = new Array[Double](ms(0)._2.length)
+        ms.foreach { case (_, v) =>
+          var i = 0
+          while (i < v.length) { acc(i) += v(i); i += 1 }
+        }
+        (cell, acc.map(_ / ms.length))
+      }
+      .toDF("c_id", "ncv")
+    centroids.select(col("c_id"), col("cv"), col("cn"))
+      .join(means, Seq("c_id"), "left")
+      .select(col("c_id"), coalesce(col("ncv"), col("cv")).as("cv"))
+      .withColumn("cn", Similarity.norm(col("cv")))
+  }
+
+  /** Drift-triggered IVF retrain with a measured recall verdict — the
+    * operator that ACTS on [[ivfDelta]]'s re-train signal and reports what
+    * the retrain bought. mx28 reports per-cell ppm share drift between the
+    * carried populations and a delivery; this takes the `nDrifted` worst
+    * cells and:
+    *
+    *  1. retrains ONLY those centroids — one [[retrainCentroids]] Lloyd
+    *     step over (ALL delta members of the cell ∪ the `sampleCap` prior
+    *     members with the smallest (md5-hash, id) — the m24/mx1 hash
+    *     convention, a stable pseudo-random historical sample that never
+    *     re-reads more than `nDrifted × sampleCap` old vectors);
+    *  2. locally repairs the index: vectors in drifted cells re-assign
+    *     against the FULL updated codebook; every other vector keeps its
+    *     cell (no corpus-scale re-index);
+    *  3. measures recall@k of `nProbe`-cell IVF search on `queryPred`
+    *     queries against the exact brute-force top-k (the sim10 ground
+    *     truth), BEFORE (old codebook + old cells) and AFTER (updated
+    *     codebook + repaired cells).
+    *
+    * Output: two rows (phase ∈ {after, before}, hits, total, recall_bp) —
+    * the single number an index maintainer needs to accept or roll back a
+    * retrain. Every float is the deterministic sequential-fold dot product
+    * and every rank ties to the lowest id, so the whole report is
+    * oracle-exact.
+    *
+    * Scale: one corpus assignment pass (production substitutes the STORED
+    * per-delivery [[ivfDelta]] assignments — the pass here keeps the
+    * operator self-contained), k-row drift/centroid frames, a
+    * `nDrifted × sampleCap`-bounded retrain set, and query-scale search
+    * frames; `queryPred` must select a broadcast-sized query set.
+    */
+  def ivfRetrainReport(
+      corpus: DataFrame, manifest: DataFrame, shardCol: String,
+      centroids: DataFrame, idCol: String, vecCol: String,
+      queryPred: org.apache.spark.sql.Column, k: Int = 10, nProbe: Int = 2,
+      nDrifted: Int = 4, sampleCap: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val cov = broadcast(manifest.select(col(shardCol)).distinct()
+      .withColumn("__cov", lit(true)))
+    val flags = corpus.select(col(idCol).as("vec_id"), col(shardCol))
+      .join(cov, Seq(shardCol), "left")
+      .select(col("vec_id"), coalesce(col("__cov"), lit(false)).as("is_prior"))
+    val asg = Dedup.cachedForReuse(
+      Similarity.assignCells(
+          Similarity.preparedCorpus(corpus, idCol, vecCol), centroids)
+        .join(flags, Seq("vec_id")))
+    // drift in exact ppm over the full cell list (mx28's report shape);
+    // emptied totals read as zero drift rather than a divide-by-zero
+    val cellCounts = asg.groupBy(col("cell")).agg(
+      sum(when(col("is_prior"), 1L).otherwise(0L)).as("n_prior"),
+      sum(when(col("is_prior"), 0L).otherwise(1L)).as("n_delta"))
+    val fullCounts = centroids.select(col("c_id").as("cell"))
+      .join(cellCounts, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_prior", "n_delta"))
+    val tot = fullCounts.agg(sum(col("n_prior")).cast(LongType).as("tp"),
+      sum(col("n_delta")).cast(LongType).as("td"))
+    val drifted = broadcast(fullCounts.crossJoin(broadcast(tot))
+      .select(col("cell"), expr(
+        """abs(coalesce(1000000 * n_prior div nullif(tp, 0L), 0L)
+          |  - coalesce(1000000 * n_delta div nullif(td, 0L), 0L))""".stripMargin)
+        .as("drift_ppm"))
+      .withColumn("__rn", row_number().over(
+        Window.orderBy(col("drift_ppm").desc, col("cell"))))
+      .filter(col("__rn") <= nDrifted)
+      .select(col("cell")))
+    val inDrift = asg.join(drifted, Seq("cell"), "left_semi")
+    val deltaMembers = inDrift.filter(!col("is_prior"))
+      .select(col("cell"), col("vec_id"), col("v"))
+    val priorSample = inDrift.filter(col("is_prior"))
+      .withColumn("__hk", conv(substring(
+          md5(col("vec_id").cast(StringType)), 1, 8), 16, 10).cast(LongType))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("__hk"), col("vec_id"))))
+      .filter(col("__rn") <= sampleCap)
+      .select(col("cell"), col("vec_id"), col("v"))
+    val newCents = Dedup.cachedForReuse(
+      retrainCentroids(deltaMembers.unionByName(priorSample), centroids))
+    // local repair: drifted cells' vectors re-assign against the updated
+    // codebook; everything else keeps its cell
+    val idxAfter = asg.join(drifted, Seq("cell"), "left_anti")
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .unionByName(Similarity.assignCells(
+          inDrift.select(col("vec_id"), col("v"), col("nrm")), newCents)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell")))
+    val idxBefore = asg.select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val queries = asg.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("nrm").as("q_nrm"))
+    // exact ground truth: brute-force top-k over the whole corpus
+    val wT = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val truth = Dedup.cachedForReuse(asg.select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(queries), col("q_id") =!= col("vec_id"))
+      .withColumn("cosine",
+        Similarity.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
+      .withColumn("rnk", row_number().over(wT))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("vec_id")))
+    def recallRow(phase: String, cents: DataFrame, index: DataFrame): DataFrame = {
+      val wProbe = Window.partitionBy(col("q_id")).orderBy(col("c_cos").desc, col("c_id"))
+      val qCells = queries.join(broadcast(cents))
+        .withColumn("c_cos",
+          Similarity.dot(col("q_v"), col("cv")) / (col("q_nrm") * col("cn")))
+        .withColumn("__rn", row_number().over(wProbe))
+        .filter(col("__rn") <= nProbe)
+        .select(col("q_id"), col("q_v"), col("q_nrm"), col("c_id").as("cell"))
+      val wR = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("vec_id"))
+      val found = index.join(broadcast(qCells), Seq("cell"))
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cosine",
+          Similarity.dot(col("q_v"), col("v")) / (col("q_nrm") * col("nrm")))
+        .withColumn("rnk", row_number().over(wR))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("vec_id"))
+      found.join(truth, Seq("q_id", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(broadcast(truth.agg(count(lit(1)).as("total"))))
+        .select(lit(phase).as("phase"),
+          col("hits").cast(LongType).as("hits"),
+          col("total").cast(LongType).as("total"),
+          when(col("total") === 0, lit(null).cast(LongType))
+            .otherwise(expr("hits * 10000 div total")).as("recall_bp"))
+    }
+    recallRow("after", newCents, idxAfter)
+      .unionByName(recallRow("before", centroids, idxBefore))
+      .orderBy(col("phase"))
+  }
+
   /** Incremental SemDeDup ([[Dedup.semDedup]]'s embedding-space semantic
     * dedup) with STATE TRAVEL — the last dedup family member whose state
     * travels ([[dedupDelta]] hash, [[nearDedupDelta]] MinHash, [[ccDelta]]

@@ -2329,6 +2329,141 @@ object MiscQueries {
     }
   }
 
+  /** Drift-triggered IVF retrain with a measured recall verdict
+    * ([[graft.operators.Incremental.ivfRetrainReport]]) — the operator that
+    * ACTS on mx28's re-train signal: take the 4 worst cells by prior-vs-
+    * delta ppm share drift under the carried quantizer, retrain ONLY those
+    * centroids (one Lloyd step over all delta members ∪ a 64-vector
+    * md5-sampled historical slice per cell), locally repair the index
+    * (drifted cells re-assign against the updated codebook; everything
+    * else keeps its cell), and report recall@10 of 2-probe IVF search
+    * before vs after against the exact brute-force ground truth on the
+    * `vec_id % 50 = 1` query set. The oracle replays the entire chain —
+    * mx28's centroid/assignment/drift CTEs, the vec_id-ordered list-fold
+    * retrain means, the repaired assignment, both searches and the recall
+    * join — so hits/total/recall_bp are exact on both engines.
+    */
+  val mx30IvfRetrain: Q = Q(
+    "mx30_ivf_retrain",
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+      |            vec_id % 2 AS sh FROM embeddings),
+      |n AS (SELECT vec_id, sh, v,
+      |        sqrt(list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i]))) AS nrm
+      |      FROM e),
+      |c AS (SELECT vec_id AS c_id, v AS cv, nrm AS cn FROM n
+      |      WHERE sh = 0 AND nrm > 0 ORDER BY vec_id LIMIT 16),
+      |a AS (SELECT vec_id, sh, v, nrm, cell FROM (
+      |  SELECT n.vec_id, n.sh, n.v, n.nrm, c.c_id AS cell,
+      |    ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, len(n.v)+1), i -> n.v[i]*c.cv[i])) / (n.nrm*c.cn) DESC,
+      |      c.c_id) AS rn
+      |  FROM n CROSS JOIN c) WHERE rn = 1),
+      |cnt AS (SELECT cell,
+      |    CAST(SUM(CASE WHEN sh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_prior,
+      |    CAST(SUM(CASE WHEN sh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta
+      |  FROM a GROUP BY cell),
+      |f AS (SELECT c.c_id AS cell, COALESCE(cnt.n_prior, 0) AS n_prior,
+      |             COALESCE(cnt.n_delta, 0) AS n_delta
+      |      FROM c LEFT JOIN cnt ON cnt.cell = c.c_id),
+      |t AS (SELECT CAST(SUM(n_prior) AS BIGINT) AS tp,
+      |             CAST(SUM(n_delta) AS BIGINT) AS td FROM f),
+      |drv AS (SELECT f.cell,
+      |    abs(COALESCE(1000000 * f.n_prior // nullif(t.tp, 0), 0)
+      |      - COALESCE(1000000 * f.n_delta // nullif(t.td, 0), 0)) AS drift
+      |  FROM f, t),
+      |dr AS (SELECT cell FROM (
+      |  SELECT cell, ROW_NUMBER() OVER (ORDER BY drift DESC, cell) AS rn FROM drv)
+      |  WHERE rn <= 4),
+      |mem AS (
+      |  SELECT a.cell, a.vec_id, a.v FROM a JOIN dr USING (cell) WHERE a.sh = 1
+      |  UNION ALL
+      |  SELECT cell, vec_id, v FROM (
+      |    SELECT a.cell, a.vec_id, a.v,
+      |      ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY
+      |        CAST(concat('0x', substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+      |        a.vec_id) AS rn
+      |    FROM a JOIN dr USING (cell) WHERE a.sh = 0) WHERE rn <= 64),
+      |nc AS (SELECT cell, list_transform(range(1, 65), i ->
+      |         list_sum(list_transform(ms, z -> z.v[CAST(i AS INT)])) / len(ms)) AS cv2
+      |       FROM (SELECT cell, list({'id': vec_id, 'v': v} ORDER BY vec_id) AS ms
+      |             FROM mem GROUP BY cell)),
+      |c2 AS (SELECT c_id, cv,
+      |         sqrt(list_sum(list_transform(range(1, 65), i -> cv[i]*cv[i]))) AS cn
+      |       FROM (SELECT c.c_id, COALESCE(nc.cv2, c.cv) AS cv
+      |             FROM c LEFT JOIN nc ON nc.cell = c.c_id)),
+      |rep AS (SELECT vec_id, v, nrm, cell FROM (
+      |  SELECT a.vec_id, a.v, a.nrm, c2.c_id AS cell,
+      |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+      |      list_sum(list_transform(range(1, 65), i -> a.v[CAST(i AS INT)]*c2.cv[CAST(i AS INT)]))
+      |        / (a.nrm*c2.cn) DESC, c2.c_id) AS rn
+      |  FROM a JOIN dr USING (cell) CROSS JOIN c2) WHERE rn = 1),
+      |ia AS (SELECT a.vec_id, a.v, a.nrm, a.cell FROM a
+      |         LEFT JOIN dr ON dr.cell = a.cell WHERE dr.cell IS NULL
+      |       UNION ALL SELECT vec_id, v, nrm, cell FROM rep),
+      |q AS (SELECT vec_id AS q_id, v AS q_v, nrm AS q_nrm FROM n WHERE vec_id % 50 = 1),
+      |tr AS (SELECT q_id, vec_id FROM (
+      |  SELECT q.q_id, n.vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+      |      list_sum(list_transform(range(1, 65), i -> q.q_v[CAST(i AS INT)]*n.v[CAST(i AS INT)]))
+      |        / (q.q_nrm*n.nrm) DESC, n.vec_id) AS rnk
+      |  FROM q CROSS JOIN n WHERE n.vec_id <> q.q_id) WHERE rnk <= 10),
+      |pbq AS (SELECT q_id, q_v, q_nrm, cell FROM (
+      |  SELECT q.q_id, q.q_v, q.q_nrm, c.c_id AS cell,
+      |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+      |      list_sum(list_transform(range(1, 65), i -> q.q_v[CAST(i AS INT)]*c.cv[CAST(i AS INT)]))
+      |        / (q.q_nrm*c.cn) DESC, c.c_id) AS rn
+      |  FROM q CROSS JOIN c) WHERE rn <= 2),
+      |fb AS (SELECT q_id, vec_id FROM (
+      |  SELECT p.q_id, x.vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+      |      list_sum(list_transform(range(1, 65), i -> p.q_v[CAST(i AS INT)]*x.v[CAST(i AS INT)]))
+      |        / (p.q_nrm*x.nrm) DESC, x.vec_id) AS rnk
+      |  FROM pbq p JOIN a x ON x.cell = p.cell AND x.vec_id <> p.q_id) WHERE rnk <= 10),
+      |paq AS (SELECT q_id, q_v, q_nrm, cell FROM (
+      |  SELECT q.q_id, q.q_v, q.q_nrm, c2.c_id AS cell,
+      |    ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+      |      list_sum(list_transform(range(1, 65), i -> q.q_v[CAST(i AS INT)]*c2.cv[CAST(i AS INT)]))
+      |        / (q.q_nrm*c2.cn) DESC, c2.c_id) AS rn
+      |  FROM q CROSS JOIN c2) WHERE rn <= 2),
+      |fa AS (SELECT q_id, vec_id FROM (
+      |  SELECT p.q_id, x.vec_id,
+      |    ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+      |      list_sum(list_transform(range(1, 65), i -> p.q_v[CAST(i AS INT)]*x.v[CAST(i AS INT)]))
+      |        / (p.q_nrm*x.nrm) DESC, x.vec_id) AS rnk
+      |  FROM paq p JOIN ia x ON x.cell = p.cell AND x.vec_id <> p.q_id) WHERE rnk <= 10),
+      |hb AS (SELECT COUNT(*) AS hits FROM fb JOIN tr ON tr.q_id = fb.q_id AND tr.vec_id = fb.vec_id),
+      |ha AS (SELECT COUNT(*) AS hits FROM fa JOIN tr ON tr.q_id = fa.q_id AND tr.vec_id = fa.vec_id),
+      |tt AS (SELECT COUNT(*) AS total FROM tr)
+      |SELECT * FROM (
+      |  SELECT 'after' AS phase, CAST(ha.hits AS BIGINT) AS hits,
+      |    CAST(tt.total AS BIGINT) AS total,
+      |    CAST(CASE WHEN tt.total = 0 THEN NULL
+      |         ELSE ha.hits * 10000 // tt.total END AS BIGINT) AS recall_bp
+      |  FROM ha, tt
+      |  UNION ALL
+      |  SELECT 'before', CAST(hb.hits AS BIGINT), CAST(tt.total AS BIGINT),
+      |    CAST(CASE WHEN tt.total = 0 THEN NULL
+      |         ELSE hb.hits * 10000 // tt.total END AS BIGINT)
+      |  FROM hb, tt)
+      |ORDER BY phase""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Dedup, Incremental, Similarity}
+    val corpus = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        concat(lit("s"), col("vec_id") % 2).as("shard"))
+    val d1 = corpus.filter(col("shard") === "s0")
+    // the carried quantizer — mx28's rule verbatim (first 16 nonzero
+    // shard-0 vectors by id), so this query continues mx28's index
+    val cents = Dedup.cachedForReuse(
+      Similarity.preparedCorpus(d1, "vec_id", "embedding")
+        .filter(col("nrm") > 0)
+        .orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+    val manifest1 = d1.select(col("shard")).distinct()
+    Incremental.ivfRetrainReport(corpus, manifest1, "shard", cents,
+      "vec_id", "embedding", queryPred = col("vec_id") % 50 === 1,
+      k = 10, nProbe = 2, nDrifted = 4, sampleCap = 64)
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qAsofNearest,
     qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
@@ -2344,5 +2479,5 @@ object MiscQueries {
     mx17CurationPipeline, mx21MultimodalPacking, mx22IncrementalCuration,
     mx23IncrementalDedup, mx24MultimodalCuration, mx25IncrementalPipeline,
     mx26IncrementalNearDedup, mx27IncrementalCc, mx28IncrementalIvf,
-    mx29IncrementalSemDedup)
+    mx29IncrementalSemDedup, mx30IvfRetrain)
 }

@@ -315,6 +315,40 @@ class IncrementalSpec extends AnyFunSuite {
     assert(snap(state3) == snap(state2))
   }
 
+  test("ivfRetrainReport: drifted-cell Lloyd step + local repair lifts recall on a drift fixture") {
+    import graft.operators.Incremental
+    def vec(a: Double, b: Double, c: Double, d: Double): Array[Float] =
+      Array(a.toFloat, b.toFloat, c.toFloat, d.toFloat)
+    // prior: one anchor per axis cell, c1 padded with near-e1 points so its
+    // retrain mean STAYS near e1; delta: a cluster between e0 and e1 whose
+    // bulk lands in c0 and whose tail lands in c1 — the split that caps
+    // recall at nProbe = 1 until the retrain pulls the tail into c0
+    val docs = Seq(
+      (0L, "s0", vec(1, 0, 0, 0)), (1L, "s0", vec(0, 1, 0, 0)),
+      (2L, "s0", vec(0, 0, 1, 0)), (3L, "s0", vec(0, 0, 0, 1)),
+      (4L, "s0", vec(0, 1, 0.01, 0)), (5L, "s0", vec(0, 1, 0, 0.01)),
+      (6L, "s0", vec(0.01, 1, 0, 0)),
+      (10L, "s1", vec(1, 0.8, 0.001, 0)), (11L, "s1", vec(1, 0.8, 0, 0.001)),
+      (12L, "s1", vec(1, 0.8, 0.002, 0)), (13L, "s1", vec(1, 0.8, 0, 0.002)),
+      (14L, "s1", vec(0.8, 1, 0.001, 0)), (15L, "s1", vec(0.8, 1, 0, 0.001))
+    ).toDF("vec_id", "shard", "embedding")
+    val cents = Seq(
+      (0L, Array(1.0, 0.0, 0.0, 0.0), 1.0), (1L, Array(0.0, 1.0, 0.0, 0.0), 1.0),
+      (2L, Array(0.0, 0.0, 1.0, 0.0), 1.0), (3L, Array(0.0, 0.0, 0.0, 1.0), 1.0)
+    ).toDF("c_id", "cv", "cn")
+    val m1 = Seq("s0").toDF("shard")
+    val out = Incremental.ivfRetrainReport(
+        docs, m1, "shard", cents, "vec_id", "embedding",
+        queryPred = col("vec_id") === 10, k = 5, nProbe = 1, nDrifted = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // before: query 10 probes only c0 = {0, 11, 12, 13} → 3 of its 5 true
+    // neighbors; the retrain moves c0 toward the cluster and the repair
+    // re-assigns the 14/15 tail out of c1 into c0 → all 5 found
+    assert(out("before") == ((3L, 5L, 6000L)), s"before: ${out("before")}")
+    assert(out("after") == ((5L, 5L, 10000L)), s"after: ${out("after")}")
+    assert(out("after")._3 >= out("before")._3)
+  }
+
   test("nearDedupDelta rejects thresholds whose mismatch budget reaches the band count") {
     import graft.operators.Dedup
     // 16 bands × 4 rows, threshold 5/10: 64 − ceil(64·5/10) = 32 ≥ 16 bands,
