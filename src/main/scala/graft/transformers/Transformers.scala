@@ -1,6 +1,7 @@
 package graft.transformers
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 import graft.core.{Registries, Transformer}
 import graft.core.PluginConfig._
 import graft.operators.{Cleaning, Indicators, Validation}
@@ -20,6 +21,114 @@ object Transformers {
     Registries.transformers.register("pydantic_validation")((_, c) => new ValidationTransformer(c))
     Registries.transformers.register("technical_indicators")((_, c) => new IndicatorsTransformer(c))
     Registries.transformers.register("corpus_clean")((_, c) => new CorpusCleanTransformer(c))
+    Registries.transformers.register("quality_filter")((_, c) => new QualityFilterTransformer(c))
+    Registries.transformers.register("exact_dedup")((_, c) => new ExactDedupTransformer(c))
+    Registries.transformers.register("group_quota")((_, c) => new GroupQuotaTransformer(c))
+    Registries.transformers.register("sequence_packing")((_, c) => new SequencePackingTransformer(c))
+  }
+
+  /** Beyond-reference: the mx17 curation DAG's stages as INDIVIDUAL
+    * config-driven plugins, so quality-filter → exact-dedup → quota →
+    * packing composes from a pipeline YAML exactly like the reference's
+    * `data_cleaning` chain (`configs/curation_pipeline.yaml`;
+    * EnginePipelineSpec reproduces mx17's gated row set end-to-end).
+    * Defaults are mx17's parameters.
+    */
+  class QualityFilterTransformer(conf: Conf) extends Transformer {
+    private val textCol = conf.strOr("text_column", "text")
+    private val minWords = conf.intOr("min_words", 30)
+    private val maxWords = conf.intOr("max_words", 5000)
+    private val stopwords = {
+      val s = conf.strSeq("stopwords")
+      if (s.nonEmpty) s else Seq("the", "a", "of", "and", "is")
+    }
+    private val minStopwordTypes = conf.intOr("min_stopword_types", 2)
+    private val minMeanWordLen = conf.dblOr("min_mean_word_len", 4.5)
+    private val maxMeanWordLen = conf.dblOr("max_mean_word_len", 8.0)
+
+    override def validate(df: DataFrame): Unit =
+      require(df.columns.contains(textCol),
+        s"quality_filter: requires column '$textCol', got ${df.columns.mkString(", ")}")
+
+    def transform(df: DataFrame): DataFrame = {
+      val ws = split(col(textCol), " ")
+      val nw = size(ws)
+      // 2× mean word length as an exact integer (chars excluding the
+      // nw−1 separators, doubled) — the comparisons against n·bound are
+      // exact in double far past any real document length
+      val halfMean = (length(col(textCol)) - (nw - 1)) * 2
+      df.filter(nw.between(minWords, maxWords) &&
+        size(array_distinct(filter(ws, t => t.isin(stopwords: _*)))) >= minStopwordTypes &&
+        halfMean >= nw * lit(2 * minMeanWordLen) &&
+        halfMean <= nw * lit(2 * maxMeanWordLen))
+    }
+  }
+
+  /** dd1's keep-first exact dedup ([[graft.operators.Dedup.dropExactDuplicates]])
+    * as a pipeline stage.
+    */
+  class ExactDedupTransformer(conf: Conf) extends Transformer {
+    private val idCol = conf.strOr("id_column", "doc_id")
+    private val textCol = conf.strOr("text_column", "text")
+
+    override def validate(df: DataFrame): Unit = {
+      val have = df.columns.toSet
+      require(have.contains(idCol) && have.contains(textCol),
+        s"exact_dedup: requires columns '$idCol' and '$textCol', got ${have.mkString(", ")}")
+    }
+
+    def transform(df: DataFrame): DataFrame =
+      graft.operators.Dedup.dropExactDuplicates(df, idCol, textCol)
+  }
+
+  /** Per-group head quota (mx2's shape): keep the first `quota` rows of
+    * each group in `order_column` order — one keyed window, no collect.
+    */
+  class GroupQuotaTransformer(conf: Conf) extends Transformer {
+    private val groupCol = conf.strOr("group_column", "source")
+    private val orderCol = conf.strOr("order_column", "doc_id")
+    private val quota = conf.intOr("quota", 10)
+
+    override def validate(df: DataFrame): Unit = {
+      val have = df.columns.toSet
+      require(have.contains(groupCol) && have.contains(orderCol),
+        s"group_quota: requires columns '$groupCol' and '$orderCol', got ${have.mkString(", ")}")
+    }
+
+    def transform(df: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      df.withColumn("__rn", row_number().over(
+          Window.partitionBy(col(groupCol)).orderBy(col(orderCol))))
+        .filter(col("__rn") <= quota)
+        .drop("__rn")
+    }
+  }
+
+  /** Best-fit-decreasing sequence packing
+    * ([[graft.operators.Packing.packSequences]], mx8's kernel) as the
+    * chain's terminal stage: counts tokens from `text_column`, drops the
+    * text, appends (n_tokens, bin_id). `num_partitions: 1` pins the exact
+    * single-node BFD (the oracle-comparable setting); the default 0 packs
+    * per split at cluster parallelism — the 100 TB path.
+    */
+  class SequencePackingTransformer(conf: Conf) extends Transformer {
+    private val idCol = conf.strOr("id_column", "doc_id")
+    private val textCol = conf.strOr("text_column", "text")
+    private val budget = conf.intOr("budget", 256).toLong
+    private val numPartitions = conf.intOr("num_partitions", 0)
+
+    override def validate(df: DataFrame): Unit = {
+      val have = df.columns.toSet
+      require(have.contains(idCol) && have.contains(textCol),
+        s"sequence_packing: requires columns '$idCol' and '$textCol', got ${have.mkString(", ")}")
+    }
+
+    def transform(df: DataFrame): DataFrame =
+      graft.operators.Packing.packSequences(
+        df.withColumn("n_tokens",
+            graft.operators.TextAnalysis.tokenCount(col(textCol)).cast("long"))
+          .drop(textCol),
+        idCol, "n_tokens", budget, numPartitions)
   }
 
   /** Beyond-reference: the dd8 corpus-curation chain (quality gate → exact
