@@ -7,9 +7,141 @@ import org.apache.spark.sql.functions._
   * sampling): n defaults to 2M rows — ~3 orders above the spec scale — to
   * catch accidental driver funnels or quadratic behavior before a cluster
   * would. Usage: runMain graft.tools.ScaleSmoke [n]
+  *
+  * `runMain graft.tools.ScaleSmoke graph [n]` runs the ITERATIVE-graph
+  * tier instead — star connected components, k-core and the PageRank round
+  * loop at n = 20M nodes (an order above the default tier), all through
+  * their DISTRIBUTED paths (edge counts far past every small-graph
+  * shortcut threshold), with per-kernel stage counts and shuffle
+  * read/write bytes reported so docs/SCALE.md's O(log² n)-rounds claims
+  * carry measured evidence two orders above the bench SF.
   */
 object ScaleSmoke {
+
+  /** Aggregated shuffle traffic + stage count across one smoke item. */
+  private final class ShuffleMeter extends org.apache.spark.scheduler.SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+      stages.incrementAndGet(); ()
+    }
+    def reset(): Unit = { read.set(0); write.set(0); stages.set(0) }
+  }
+
+  private def graphTier(spark: SparkSession, n: Long): Unit = {
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    def t[A](name: String)(body: => A): A = {
+      org.apache.spark.graft.ListenerBusDrain.waitUntilEmpty(spark.sparkContext)
+      meter.reset()
+      val t0 = System.nanoTime()
+      val r = body
+      org.apache.spark.graft.ListenerBusDrain.waitUntilEmpty(spark.sparkContext)
+      println(f"$name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+        f"stages ${meter.stages.get}%3d  shuffle r/w " +
+        f"${meter.read.get / 1048576.0}%.0f/${meter.write.get / 1048576.0}%.0f MB")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      r
+    }
+    t(s"cc_star chains n=$n (distributed)") {
+      // n/10 disjoint 10-node chains: ~0.9n edges, 5 orders past
+      // smallGraphMax → the full large-star/small-star loop; closed-form
+      // label check as in the 2M tier
+      val edges = spark.range(0, n).toDF("i")
+        .filter(col("i") % 10 =!= 9)
+        .select(col("i").as("doc_a"), (col("i") + 1).as("doc_b"))
+      val labels = graft.operators.Dedup.connectedComponentsStar(edges, "doc_a", "doc_b")
+      val got = labels.agg(count(lit(1)),
+        sum(col("comp").cast("decimal(38,0)"))).head()
+      val chains = n / 10
+      val sumHeads = java.math.BigInteger.valueOf(chains)
+        .multiply(java.math.BigInteger.valueOf(chains - 1))
+        .divide(java.math.BigInteger.valueOf(2))
+        .multiply(java.math.BigInteger.TEN)
+      val expect = new java.math.BigDecimal(sumHeads.multiply(java.math.BigInteger.TEN))
+      require(got.getLong(0) == n, s"label count ${got.getLong(0)} != $n nodes")
+      require(got.getDecimal(1).compareTo(expect) == 0,
+        s"Σcomp ${got.getDecimal(1)} != closed form $expect")
+    }
+    t(s"kcore n=$n edges=$n (distributed peel)") {
+      // n/4 triangles + n/4 pendants = n edges, past the driver bucket-
+      // queue threshold → the distributed peel; 2-core = exactly the
+      // triangles, every survivor at within-core degree 2
+      val m = n / 4
+      val tri = spark.range(0, m).toDF("i").select(
+          (col("i") * 4).as("u"), (col("i") * 4 + 1).as("v"))
+        .union(spark.range(0, m).toDF("i").select(
+          (col("i") * 4 + 1).as("u"), (col("i") * 4 + 2).as("v")))
+        .union(spark.range(0, m).toDF("i").select(
+          (col("i") * 4 + 2).as("u"), (col("i") * 4).as("v")))
+      val pendant = spark.range(0, m).toDF("i").select(
+        (col("i") * 4).as("u"), (col("i") * 4 + 3).as("v"))
+      val core = graft.operators.Dedup.kCore(tri.union(pendant), "u", "v", k = 2)
+      val chk = core.agg(count(lit(1)), min("deg"), max("deg")).head()
+      require(chk.getLong(0) == 3 * m, s"core size ${chk.getLong(0)} != ${3 * m}")
+      require(chk.getLong(1) == 2L && chk.getLong(2) == 2L, "cycle degrees must be 2")
+    }
+    t(s"pagerank ring nodes=${n * 2 / 5} edges=${n * 4 / 5} (5 rounds)") {
+      // q_pagerank's exact round loop (integer micro-unit ranks, damped
+      // floor update, per-round localCheckpoint re-rooting) on a symmetric
+      // 2-regular ring: every node has outdeg 2, so the uniform start is
+      // the EXACT fixed point — r = 150000 + floor(0.85·2·floor(r/2)) =
+      // 1000000 every round, a closed form at any scale
+      import org.apache.spark.sql.types.{DoubleType, LongType}
+      val m = n * 2 / 5 // 8M nodes → 16M directed edges at the 20M tier
+      val ring = spark.range(0, m).toDF("i")
+      val ed = graft.operators.Dedup.cachedForReuse(
+        ring.select(col("i").as("u"), ((col("i") + 1) % m).as("v"))
+          .union(ring.select(((col("i") + 1) % m).as("u"), col("i").as("v")))
+          .withColumn("deg", lit(2L))
+          .repartition(col("u")))
+      var rk = ed.select(col("u").as("node")).distinct()
+        .withColumn("r", lit(1000000L))
+      var release: () => Unit = () => ()
+      for (_ <- 1 to 5) {
+        val next = ed.join(rk, ed("u") === rk("node"))
+          .groupBy(col("v"))
+          .agg((floor(lit(0.85) * sum(
+            floor(col("r").cast(DoubleType) / col("deg")))) + 150000L)
+            .cast(LongType).as("r"))
+          .select(col("v").as("node"), col("r"))
+          .localCheckpoint(true)
+        release()
+        release = () => next.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(false); ()
+        }.getOrElse(())
+        rk = next
+      }
+      val chk = rk.agg(count(lit(1)), min("r"), max("r")).head()
+      require(chk.getLong(0) == m, s"rank count ${chk.getLong(0)} != $m")
+      require(chk.getLong(1) == 1000000L && chk.getLong(2) == 1000000L,
+        s"ring fixed point violated: [${chk.getLong(1)}, ${chk.getLong(2)}]")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("graph")) {
+      val n = args.lift(1).map(_.toLong).getOrElse(20000000L)
+      // 128 shuffle partitions at the 20M tier: ~150k edge rows per task
+      // keeps every peel/star round's per-task state well inside the 8g
+      // measured heap (the per-partition sizing a cluster submit would set
+      // via spark.sql.files.maxPartitionBytes / shuffle.partitions)
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "128")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      graphTier(spark, n)
+      spark.stop()
+      return
+    }
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
