@@ -398,6 +398,81 @@ object ScaleSmoke {
         s"${chk.getLong(0)} groups for $m rows — pair duplicates not detected")
       require(out.count() == m, "row count changed")
     }
+    t(s"semdedup_delta n=${n / 100} dim=8 (two deliveries, state travel)") {
+      // the semdedup fixture (id-pair duplicates, far-apart bases) split
+      // into two deliveries by pair parity, against centroids CARRIED from
+      // delivery 1 (k = 64, 2 Lloyd rounds). Invariants: two-delivery
+      // final state ≡ the one-global pass (grp AND keep bit-equal), one
+      // keeper per group, full row count — mx29's semantics at smoke scale.
+      val m = n / 100
+      val primes = Seq(131, 137, 139, 149, 151, 157, 163, 167)
+      val vecs = spark.range(0, m).toDF("vec_id").select(col("vec_id"),
+        concat(lit("s"), expr("vec_id div 2") % 2).as("shard"),
+        array(primes.map(p =>
+          ((expr("vec_id div 2") * p % 1009) + 1.0).cast("double")): _*)
+          .as("embedding"))
+      val d1 = vecs.filter(col("shard") === "s0")
+      val cents = graft.operators.Similarity
+        .kmeansCentroids(d1, "vec_id", "embedding", k = 64, iters = 2)
+        .localCheckpoint(true)
+      import spark.implicits._
+      import org.apache.spark.sql.types._
+      val stateSchema = new StructType()
+        .add("vec_id", LongType).add("v", ArrayType(DoubleType))
+        .add("nrm", DoubleType).add("cell", LongType)
+        .add("cell_cos", DoubleType).add("grp", LongType)
+        .add("keep", BooleanType)
+      val emptyState = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), stateSchema)
+      val manifest0 = Seq.empty[String].toDF("shard")
+      val (_, st1) = graft.operators.Incremental.semDedupDelta(
+        d1, manifest0, "shard", cents, emptyState,
+        "vec_id", "embedding", threshold = 0.999999)
+      val (_, st2) = graft.operators.Incremental.semDedupDelta(
+        vecs, Seq("s0").toDF("shard"), "shard", cents, st1,
+        "vec_id", "embedding", threshold = 0.999999)
+      val (_, stAll) = graft.operators.Incremental.semDedupDelta(
+        vecs, manifest0, "shard", cents, emptyState,
+        "vec_id", "embedding", threshold = 0.999999)
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id", "cell", "grp", "keep")
+          .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+      val two = snap(st2)
+      require(two == snap(stAll), "two deliveries must equal the one-global pass")
+      require(two.size == m, s"state rows ${two.size} != $m")
+      val keepsPerGrp = two.groupBy(_._3).values.map(_.count(_._4))
+      require(keepsPerGrp.forall(_ == 1), "every group must keep exactly one member")
+    }
+    t(s"ivf_retrain n=${n / 10} dim=8 cells=16 queries=${n / 10 / 10000}") {
+      // the ivf_delta fixture through the full drift→retrain→repair→recall
+      // chain: the report must hold its invariants (two phases, total =
+      // queries×k, hits ≤ total, recall exact-rational) while every stage
+      // stays bounded — retrain reads ≤ nDrifted×cap history, search
+      // frames stay query-scale
+      val m = n / 10
+      val primes = Seq(131, 137, 139, 149, 151, 157, 163, 167)
+      val vecs = spark.range(0, m).toDF("vec_id").select(col("vec_id"),
+        concat(lit("s"), col("vec_id") % 2).as("shard"),
+        array(primes.map(p =>
+          (((col("vec_id") * p) % 1009) + 1.0).cast("double")): _*).as("embedding"))
+      val cents = graft.operators.Similarity
+        .preparedCorpus(vecs.filter(col("shard") === "s0"), "vec_id", "embedding")
+        .orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+        .localCheckpoint(true)
+      import spark.implicits._
+      val out = graft.operators.Incremental.ivfRetrainReport(
+          vecs, Seq("s0").toDF("shard"), "shard", cents, "vec_id", "embedding",
+          queryPred = col("vec_id") % 10000 === 1, k = 10, nProbe = 2)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val nq = m / 10000
+      Seq("before", "after").foreach { ph =>
+        val (hits, total, bp) = out(ph)
+        require(total == nq * 10, s"$ph total $total != ${nq * 10}")
+        require(hits >= 0 && hits <= total, s"$ph hits $hits out of range")
+        require(bp == hits * 10000 / total, s"$ph recall_bp $bp inconsistent")
+      }
+    }
     t(s"trix n=$n keys=1000") {
       // 1000 parallel symbols, per-key CONSTANT closes: e1=e2=e3=close every
       // step, so trix is exactly 0.0 from each key's second row and NULL on
