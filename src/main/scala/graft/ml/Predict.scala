@@ -112,15 +112,48 @@ object Predict {
   }
 
   /** M7 artifact — the reference saves `feature_importance.png`
-    * (`predict.py:75-93`); the observable-output analogue here (matplotlib is
-    * out of scope per SURVEY §2.7) is a sorted JSON artifact on disk.
+    * (`predict.py:75-93`); the machine-readable analogue here is a sorted
+    * JSON artifact on disk (and [[writeImportancesSvg]] is the chart).
     */
   def writeImportances(imps: Seq[(String, Double)], path: String): Unit = {
     val json = imps.map { case (c, w) => s"""  {"feature": "$c", "importance": $w}""" }
       .mkString("[\n", ",\n", "\n]\n")
+    writeText(json, path)
+  }
+
+  /** M7 chart artifact — the reference's matplotlib horizontal-bar PNG
+    * (`predict.py:86-93`) re-expressed as a dependency-free SVG: one bar
+    * per feature (importance-sorted, widths proportional to the max),
+    * feature label left, weight right. SVG is plain text, so the chart
+    * ships without any plotting library in the container — closing the
+    * SURVEY §2.7 "PNG descoped" gap with an equivalent vector artifact.
+    */
+  def importancesSvg(imps: Seq[(String, Double)]): String = {
+    val w = 640; val rowH = 32; val top = 34; val labelW = 150; val valueW = 80
+    val h = top + rowH * imps.size + 12
+    val maxW = imps.map(_._2).foldLeft(0.0)(math.max) max Double.MinPositiveValue
+    val bars = imps.zipWithIndex.map { case ((name, imp), i) =>
+      val y = top + i * rowH
+      val barW = math.max(1.0,
+        (w - labelW - valueW - 20) * (imp / maxW))
+      f"""  <text x="${labelW - 8}" y="${y + 16}" text-anchor="end" font-family="sans-serif" font-size="13">$name</text>
+         |  <rect x="$labelW" y="$y" width="$barW%.1f" height="${rowH - 10}" fill="#4878a8"/>
+         |  <text x="${labelW + barW + 6}%.1f" y="${y + 16}" font-family="sans-serif" font-size="12">$imp%.4f</text>""".stripMargin
+    }.mkString("\n")
+    s"""<svg xmlns="http://www.w3.org/2000/svg" width="$w" height="$h" viewBox="0 0 $w $h">
+       |  <text x="${w / 2}" y="20" text-anchor="middle" font-family="sans-serif" font-size="15" font-weight="bold">Top feature importances (GBT)</text>
+       |$bars
+       |</svg>
+       |""".stripMargin
+  }
+
+  def writeImportancesSvg(imps: Seq[(String, Double)], path: String): Unit =
+    writeText(importancesSvg(imps), path)
+
+  private def writeText(text: String, path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(p, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   def main(args: Array[String]): Unit = {
@@ -153,7 +186,10 @@ object Predict {
     val artifactPath = sys.env.getOrElse(
       "SPARK_GRAFT_IMPORTANCE_PATH", "target/feature_importance.json")
     writeImportances(imps, artifactPath)
-    println(s"Saved $artifactPath")
+    // the chart artifact (the reference's feature_importance.png role)
+    val svgPath = artifactPath.replaceAll("\\.json$", "") + ".svg"
+    writeImportancesSvg(imps, svgPath)
+    println(s"Saved $artifactPath and $svgPath")
     spark.stop()
   }
 }

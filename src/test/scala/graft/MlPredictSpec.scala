@@ -48,6 +48,17 @@ class MlPredictSpec extends AnyFunSuite {
     val body = new String(java.nio.file.Files.readAllBytes(artifact), "UTF-8")
     assert(imp.forall { case (c, _) => body.contains(s""""feature": "$c"""") })
     java.nio.file.Files.delete(artifact)
+
+    // M7 chart parity: the SVG bar chart (the PNG's role, no plotting lib) —
+    // one labeled bar per feature, widths monotone in the sorted weights
+    val svg = Predict.importancesSvg(imp)
+    assert(svg.startsWith("<svg ") && svg.contains("</svg>"))
+    assert(imp.forall { case (c, _) => svg.contains(s">$c</text>") })
+    val widths = """<rect [^/]*width="([0-9.]+)"""".r
+      .findAllMatchIn(svg).map(_.group(1).toDouble).toSeq
+    assert(widths.size == imp.size)
+    assert(widths.zip(widths.tail).forall { case (a, b) => a >= b },
+      s"bar widths must follow the importance sort: $widths")
     df.unpersist()
   }
 }
