@@ -314,6 +314,46 @@ object Incremental {
     (assigned, newCounts)
   }
 
+  /** Incremental per-group quota with CARRIED COUNTS — the curation-quota
+    * member of the state-travel family (mx2's "first `quota` docs per
+    * group" made delivery-incremental): the carried state is the
+    * group-count frame `(groupCol, n_kept)`, and a delivery keeps, per
+    * group, its first `quota − carried` rows in `orderCol` order. Feeding
+    * the grown counts (and manifest) back in, two deliveries produce
+    * EXACTLY the one-global run over the (delivery, orderCol) total order
+    * — a delta row's global rank is its within-delta rank plus the carried
+    * count, because every prior-delivery row precedes it by construction.
+    *
+    * PRECONDITION: deliveries are processed in the order that defines the
+    * quota's "first" (the manifest grows monotonically — same contract as
+    * every member of this family).
+    *
+    * Returns `(kept, newCounts)`. Scale: one window over the DELTA keyed
+    * by the group + one broadcast-sized join of the group-count state —
+    * the corpus and the kept history are never re-read; the state is
+    * |groups| rows, not data-sized.
+    */
+  def quotaDelta(
+      corpus: DataFrame, manifest: DataFrame, shardCol: String,
+      priorCounts: DataFrame, groupCol: String, orderCol: String,
+      quota: Long): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    require(quota >= 0, s"quota must be non-negative, got $quota")
+    val (delta, _) = deltaShards(corpus, manifest, shardCol)
+    val carried = priorCounts.select(col(groupCol), col("n_kept"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    val kept = delta
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(carried), Seq(groupCol), "left")
+      .filter(col("__rn") <= lit(quota) - coalesce(col("n_kept"), lit(0L)))
+      .drop("__rn", "n_kept")
+      .select(corpus.columns.map(col): _*)
+    val newCounts = carried
+      .unionByName(kept.groupBy(col(groupCol)).agg(count(lit(1)).as("n_kept")))
+      .groupBy(col(groupCol)).agg(sum(col("n_kept")).cast("long").as("n_kept"))
+    (kept, newCounts)
+  }
+
   /** One deterministic Lloyd refinement of SELECTED cells: every cell with
     * rows in `members` gets centroid = the componentwise mean of its member
     * vectors; every other cell keeps its carried centroid (the emptied-cell

@@ -2482,6 +2482,50 @@ object MiscQueries {
       k = 10, nProbe = 2, nDrifted = 4, sampleCap = 64)
   }
 
+  /** Incremental per-language quota with carried counts
+    * ([[graft.operators.Incremental.quotaDelta]]) — mx2's "first N per
+    * group" as a two-delivery replay: delivery 1 (sources s0–s9) keeps its
+    * first ≤ 40 docs per lang by doc_id and emits the `(lang, n_kept)`
+    * state; delivery 2 keeps only up to each lang's REMAINING quota.
+    * Because every delivery-1 row precedes every delivery-2 row in the
+    * (delivery, doc_id) total order, a delta row's global rank is its
+    * within-delta rank plus the carried count — so the oracle replays both
+    * deliveries as ONE global ROW_NUMBER over (run_id, doc_id) ≤ 40. At
+    * sf0.01 the quota FILLS inside delivery 1 for en/de and straddles the
+    * boundary for es/fr/zh, exercising both carry cases.
+    */
+  val mx31IncrementalQuota: Q = Q(
+    "mx31_incremental_quota",
+    """WITH d AS (SELECT doc_id, lang,
+      |    CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1 ELSE 2 END AS run_id
+      |  FROM documents),
+      |r AS (SELECT doc_id, lang, run_id,
+      |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY run_id, doc_id) AS rn
+      |      FROM d)
+      |SELECT doc_id, lang, CAST(run_id AS BIGINT) AS run_id
+      |FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.{Dedup, Incremental}
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    val corpus = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val d1 = corpus.filter(srcIdx < 10)
+    val emptyManifest = corpus.select(col("source")).limit(0)
+    val emptyCounts = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      new StructType().add("lang", StringType).add("n_kept", LongType))
+    val (k1, counts1) = Incremental.quotaDelta(
+      d1, emptyManifest, "source", emptyCounts, "lang", "doc_id", quota = 40L)
+    val manifest1 = d1.select(col("source")).distinct()
+    val (k2, _) = Incremental.quotaDelta(
+      corpus, manifest1, "source", Dedup.cachedForReuse(counts1),
+      "lang", "doc_id", quota = 40L)
+    k1.withColumn("run_id", lit(1L))
+      .unionByName(k2.withColumn("run_id", lit(2L)))
+      .select("doc_id", "lang", "run_id")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qAsofNearest,
     qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
@@ -2497,5 +2541,5 @@ object MiscQueries {
     mx17CurationPipeline, mx21MultimodalPacking, mx22IncrementalCuration,
     mx23IncrementalDedup, mx24MultimodalCuration, mx25IncrementalPipeline,
     mx26IncrementalNearDedup, mx27IncrementalCc, mx28IncrementalIvf,
-    mx29IncrementalSemDedup, mx30IvfRetrain)
+    mx29IncrementalSemDedup, mx30IvfRetrain, mx31IncrementalQuota)
 }

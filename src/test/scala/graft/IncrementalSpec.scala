@@ -332,6 +332,51 @@ class IncrementalSpec extends AnyFunSuite {
     assert(snap(state3) == snap(state2))
   }
 
+  test("quotaDelta: carried counts travel; quota fills, straddles, and re-runs idempotently") {
+    import graft.operators.Incremental
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    // group a: 3 in delivery 1, 2 in delivery 2, quota 4 → straddles (1
+    // kept in d2); group b: 2 + 2, quota 4 → never binds; group c: 5 + 1,
+    // quota 4 → fills inside d1 (d2 keeps none)
+    val docs = Seq(
+      (1L, "a", "s0"), (2L, "a", "s0"), (3L, "a", "s0"),
+      (4L, "b", "s0"), (5L, "b", "s0"),
+      (6L, "c", "s0"), (7L, "c", "s0"), (8L, "c", "s0"), (9L, "c", "s0"), (10L, "c", "s0"),
+      (11L, "a", "s1"), (12L, "a", "s1"),
+      (13L, "b", "s1"), (14L, "b", "s1"),
+      (15L, "c", "s1")
+    ).toDF("id", "g", "shard")
+    val emptyCounts = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      new StructType().add("g", StringType).add("n_kept", LongType))
+    val emptyManifest = Seq.empty[String].toDF("shard")
+    val (k1, c1) = Incremental.quotaDelta(
+      docs.filter(col("shard") === "s0"), emptyManifest, "shard",
+      emptyCounts, "g", "id", quota = 4L)
+    assert(k1.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    assert(c1.as[(String, Long)].collect().toMap == Map("a" -> 3L, "b" -> 2L, "c" -> 4L))
+    val (k2, c2) = Incremental.quotaDelta(
+      docs, Seq("s0").toDF("shard"), "shard", c1, "g", "id", quota = 4L)
+    // a gets 1 more (11), b gets both, c is full
+    assert(k2.select("id").as[Long].collect().sorted.toSeq == Seq(11L, 13L, 14L))
+    assert(c2.as[(String, Long)].collect().toMap == Map("a" -> 4L, "b" -> 4L, "c" -> 4L))
+    // two deliveries ≡ one global pass over the (delivery, id) order
+    val (kAll, cAll) = Incremental.quotaDelta(
+      docs, emptyManifest, "shard", emptyCounts, "g", "id", quota = 4L)
+    assert(kAll.select("id").as[Long].collect().sorted.toSeq ==
+      (k1.select("id").as[Long].collect() ++ k2.select("id").as[Long].collect())
+        .sorted.toSeq)
+    assert(cAll.as[(String, Long)].collect().toMap ==
+      c2.as[(String, Long)].collect().toMap)
+    // idempotent re-run: full manifest → empty delta, counts unchanged
+    val (k3, c3) = Incremental.quotaDelta(
+      docs, Seq("s0", "s1").toDF("shard"), "shard", c2, "g", "id", quota = 4L)
+    assert(k3.count() == 0)
+    assert(c3.as[(String, Long)].collect().toMap ==
+      c2.as[(String, Long)].collect().toMap)
+  }
+
   test("ivfRetrainReport: drifted-cell Lloyd step + local repair lifts recall on a drift fixture") {
     import graft.operators.Incremental
     def vec(a: Double, b: Double, c: Double, d: Double): Array[Float] =
