@@ -132,7 +132,12 @@ object Predict {
     val w = 640; val rowH = 32; val top = 34; val labelW = 150; val valueW = 80
     val h = top + rowH * imps.size + 12
     val maxW = imps.map(_._2).foldLeft(0.0)(math.max) max Double.MinPositiveValue
-    val bars = imps.zipWithIndex.map { case ((name, imp), i) =>
+    // feature names are caller data — XML-escape them or a '&'/'<' in a
+    // name makes the whole document invalid
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val bars = imps.zipWithIndex.map { case ((name0, imp), i) =>
+      val name = esc(name0)
       val y = top + i * rowH
       val barW = math.max(1.0,
         (w - labelW - valueW - 20) * (imp / maxW))

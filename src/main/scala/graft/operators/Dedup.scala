@@ -1169,7 +1169,10 @@ object Dedup {
           // trigger a recompute cascade). Non-final rounds pay zero extra
           // jobs.
           if (nstat == stat)
-            done = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+            done = next.count() == edges.count() &&
+              next.repartition(loopParts, col("u"), col("v"))
+                .exceptAll(edges.repartition(loopParts, col("u"), col("v")))
+                .isEmpty
           edgesRelease()
           edges = next; edgesRelease = nextRelease; stat = nstat
           iter += 1
@@ -1179,17 +1182,24 @@ object Dedup {
             s"connectedComponentsStar did not converge within $maxIter rounds — " +
               "raise maxIter (paper bound is O(log^2 n) rounds)")
         }
-        // fixpoint edge set = star graph: u → component min
+        // fixpoint edge set = star graph: u → component min (graph-sized
+        // widths here too — the loop's sizing rationale covers the final
+        // projection's distincts)
         edges.select(col("u").as("id"), col("v").as("comp"))
-          .union(edges.select(col("v").as("id"), col("v").as("comp")).distinct())
+          .union(edges.select(col("v").as("id"), col("v").as("comp"))
+            .repartition(loopParts, col("id"), col("comp")).distinct())
+          .repartition(loopParts, col("id"), col("comp"))
           .distinct()
       }
     // Representatives (the minima) map to themselves; nodes whose only
     // edges were self-loops (filtered before the loop) re-enter as their
     // own singleton component — matching connectedComponents, which emits
-    // (a, a) for a node whose only pair is (a, a).
+    // (a, a) for a node whose only pair is (a, a). Node-frame widths size
+    // to the graph like the loop's (nodes ≤ 2·edges): a delta-sized input
+    // should not pay a session-width of near-empty distinct/anti tasks.
     val nodes = raw.select(col("u").as("id"))
       .union(raw.select(col("v").as("id")))
+      .repartition(loopParts, col("id"))
       .distinct()
     val singletons = nodes.join(labeled.select("id"), Seq("id"), "left_anti")
       .withColumn("comp", col("id"))

@@ -324,23 +324,35 @@ object Incremental {
     * — a delta row's global rank is its within-delta rank plus the carried
     * count, because every prior-delivery row precedes it by construction.
     *
-    * PRECONDITION: deliveries are processed in the order that defines the
+    * PRECONDITIONS: deliveries are processed in the order that defines the
     * quota's "first" (the manifest grows monotonically — same contract as
-    * every member of this family).
+    * every member of this family), and `orderCol` is UNIQUE within each
+    * group (a tied order makes the row_number pick nondeterministic, so
+    * the kept set could differ between the incremental run and the global
+    * replay — the family's globally-unique-id discipline).
     *
     * Returns `(kept, newCounts)`. Scale: one window over the DELTA keyed
     * by the group + one broadcast-sized join of the group-count state —
     * the corpus and the kept history are never re-read; the state is
-    * |groups| rows, not data-sized.
+    * |groups| rows, not data-sized. The prior counts frame feeds both the
+    * remaining-quota join and the grown-state union, so a non-empty one
+    * is materialized once (`materializeState`, the family knob); note
+    * `kept` and `newCounts` still share the delta window lazily — a
+    * caller consuming BOTH in-session should persist `kept` (or the
+    * counts, which are |groups|-sized) rather than evaluate the window
+    * twice.
     */
   def quotaDelta(
       corpus: DataFrame, manifest: DataFrame, shardCol: String,
       priorCounts: DataFrame, groupCol: String, orderCol: String,
-      quota: Long): (DataFrame, DataFrame) = {
+      quota: Long, materializeState: Boolean = true): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     require(quota >= 0, s"quota must be non-negative, got $quota")
     val (delta, _) = deltaShards(corpus, manifest, shardCol)
-    val carried = priorCounts.select(col(groupCol), col("n_kept"))
+    val carried0 = priorCounts.select(col(groupCol), col("n_kept"))
+    val carried =
+      if (materializeState && !provablyEmpty(priorCounts)) Dedup.cachedForReuse(carried0)
+      else carried0
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
     val kept = delta
       .withColumn("__rn", row_number().over(w))

@@ -1740,7 +1740,7 @@ object MiscQueries {
     import org.apache.spark.sql.DataFrame
     import graft.operators.{Incremental, TextAnalysis}
     val corpus = Tables.documents(spark, dir)
-    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    val srcIdx = Shared.srcIdx
     val manifest = corpus.filter(srcIdx < 10).select("source").distinct()
     def process(run: Long)(df: DataFrame): DataFrame =
       df.select(col("doc_id"), col("source"),
@@ -1781,7 +1781,7 @@ object MiscQueries {
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     import graft.operators.Incremental
     val corpus = Tables.documents(spark, dir)
-    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    val srcIdx = Shared.srcIdx
     val manifest = corpus.filter(srcIdx < 10).select("source").distinct()
     // prior fingerprint store: in production read back from storage
     val priorFps = corpus.join(broadcast(manifest), Seq("source"), "left_semi")
@@ -1932,7 +1932,7 @@ object MiscQueries {
     import org.apache.spark.sql.expressions.Window
     import graft.operators.{Incremental, Packing, TextAnalysis}
     val corpus = Tables.documents(spark, dir)
-    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    val srcIdx = Shared.srcIdx
     def processFilter(df: DataFrame): DataFrame =
       df.select(col("doc_id"), col("source"), col("text"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
@@ -2010,7 +2010,7 @@ object MiscQueries {
     import graft.operators.{Dedup, Incremental}
     val corpus = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
-    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    val srcIdx = Shared.srcIdx
     val manifest1 = corpus.filter(srcIdx < 10).select("source").distinct()
     val emptyManifest = manifest1.limit(0)
     // empty bootstrap store as a LocalRelation (createDataFrame over an
@@ -2095,7 +2095,7 @@ object MiscQueries {
     import graft.operators.{Dedup, Incremental}
     val corpus = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
-    val srcIdx = substring(col("source"), 4, 10).cast("int")
+    val srcIdx = Shared.srcIdx
     val manifest1 = corpus.filter(srcIdx < 10).select("source").distinct()
     val emptyManifest = manifest1.limit(0)
     // provably-empty LocalRelation bootstrap state — see the mx26 note
@@ -2504,12 +2504,11 @@ object MiscQueries {
       |      FROM d)
       |SELECT doc_id, lang, CAST(run_id AS BIGINT) AS run_id
       |FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    import graft.operators.{Dedup, Incremental}
+    import graft.operators.Incremental
     import org.apache.spark.sql.types.{LongType, StringType, StructType}
-    val srcIdx = substring(col("source"), 4, 10).cast("int")
     val corpus = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("source"))
-    val d1 = corpus.filter(srcIdx < 10)
+    val d1 = corpus.filter(Shared.srcIdx < 10)
     val emptyManifest = corpus.select(col("source")).limit(0)
     val emptyCounts = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
@@ -2518,8 +2517,7 @@ object MiscQueries {
       d1, emptyManifest, "source", emptyCounts, "lang", "doc_id", quota = 40L)
     val manifest1 = d1.select(col("source")).distinct()
     val (k2, _) = Incremental.quotaDelta(
-      corpus, manifest1, "source", Dedup.cachedForReuse(counts1),
-      "lang", "doc_id", quota = 40L)
+      corpus, manifest1, "source", counts1, "lang", "doc_id", quota = 40L)
     k1.withColumn("run_id", lit(1L))
       .unionByName(k2.withColumn("run_id", lit(2L)))
       .select("doc_id", "lang", "run_id")

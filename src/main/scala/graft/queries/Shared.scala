@@ -118,6 +118,15 @@ object Shared {
       }
     }
 
+  /** The suite's delivery-split key over `documents`: the numeric suffix of
+    * the source name (`src<N>` → N). Sources 0–9 are delivery 1 in every
+    * two-delivery replay (mx26/mx27/mx31, the shared kernels below, and
+    * their oracles' `CAST(substr(source, 4) AS INT)`); ONE definition so
+    * the split convention cannot silently desynchronize across consumers.
+    */
+  def srcIdx: org.apache.spark.sql.Column =
+    substring(col("source"), 4, 10).cast("int")
+
   /** Per-delivery banded-signature store for the incremental two-delivery
     * replay over `documents` (sources s0–s9 = delivery 1, the rest =
     * delivery 2; 3-shingles, 64 hashes, 16 bands) — the
@@ -133,7 +142,6 @@ object Shared {
     memoized(spark, s"incrSigs|$deliv|$dir") {
       val corpus = Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), col("text"))
-      val srcIdx = substring(col("source"), 4, 10).cast("int")
       val delta =
         if (deliv == 1) corpus.filter(srcIdx < 10) else corpus.filter(srcIdx >= 10)
       Dedup.cachedForReuse(Dedup.minhashSignaturesWithBands(

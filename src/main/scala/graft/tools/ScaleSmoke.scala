@@ -51,9 +51,9 @@ object ScaleSmoke {
       r
     }
     t(s"cc_star chains n=$n (distributed)") {
-      // n/10 disjoint 10-node chains: ~0.9n edges, 5 orders past
-      // smallGraphMax → the full large-star/small-star loop; closed-form
-      // label check as in the 2M tier
+      // n/10 disjoint 10-node chains: ~0.9n edges, ~17× past smallGraphMax
+      // (2²⁰) → the full large-star/small-star loop; closed-form label
+      // check as in the 2M tier
       val edges = spark.range(0, n).toDF("i")
         .filter(col("i") % 10 =!= 9)
         .select(col("i").as("doc_a"), (col("i") + 1).as("doc_b"))
