@@ -184,6 +184,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dotp", exprs => DotProductExpr(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "assign_cell", exprs => AssignCellExpr(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "mg_topk", exprs => {
         val k = exprs(1) match {
           case Literal(i: java.lang.Integer, _) => i.intValue()

@@ -743,24 +743,37 @@ object Similarity {
     * The coarse quantizer here is deliberately trivial — the first
     * `nCells` vectors by id act as centroids (deterministic, reproducible in
     * a SQL oracle). Production IVF plugs k-means centroids into the same
-    * structure; the Spark plumbing (broadcast centroids → argmax-cosine
-    * assignment via one ranked window → equi-join on cell) is identical and
-    * is what scales: assignment is one narrow pass, search is an equi-join.
+    * structure; the Spark plumbing (broadcast centroids → per-row
+    * argmax-cosine fold → equi-join on cell) is identical and is what
+    * scales: assignment is one narrow pass, search is an equi-join.
     */
   /** Argmax-cosine cell assignment against a (small, broadcast) centroid
-    * frame `(c_id, cv, cn)`. One narrow pass over the corpus; ties broken by
-    * lowest centroid id. Output: `(vec_id, v, nrm, cell, cell_cos)`.
+    * frame `(c_id, cv, cn)`. One GENUINELY narrow pass over the corpus: the
+    * k centroids pack into a single array-of-struct row that broadcasts
+    * under every corpus row (BroadcastNestedLoopJoin with a 1-row side),
+    * and the argmax is the native codegen'd
+    * [[graft.functions.AssignCellExpr]] — one primitive loop per row,
+    * cosine strictly greater wins, exact ties go to the LOWEST centroid
+    * id, and the comparison is total, so the result is independent of
+    * centroid array order. No corpus×k expansion, no per-vec_id window
+    * exchange — the corpus is never shuffled (the previous shape paid a
+    * corpus×k row_number shuffle PER assignment pass, which a Lloyd loop
+    * multiplies by its iteration count; at 100 TB that was the whole
+    * cost). Assumes no zero-norm/null vectors (cosine NaN → engine-
+    * dependent argmax — the mx28 precondition). Empty centroid frames
+    * yield an empty result (the inner-join semantics of the old shape).
+    * Output: `(vec_id, v, nrm, cell, cell_cos)`.
     */
   def assignCells(p: DataFrame, cents: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("c_id"))
-    p.join(broadcast(cents))
-      .withColumn("c_cos", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("__rn", row_number().over(wAssign))
-      .filter(col("__rn") === 1)
+    graft.functions.GraftFunctions.register(p.sparkSession)
+    val packed = cents.agg(collect_list(struct(
+      col("c_id").cast(LongType).as("c_id"), col("cv"), col("cn"))).as("__cents"))
+    p.crossJoin(broadcast(packed))
+      .withColumn("__best",
+        call_function("assign_cell", col("v"), col("nrm"), col("__cents")))
+      .filter(col("__best").isNotNull)
       .select(col("vec_id"), col("v"), col("nrm"),
-        col("c_id").as("cell"), col("c_cos").as("cell_cos"))
+        col("__best.cell").as("cell"), col("__best.cell_cos").as("cell_cos"))
   }
 
   def ivfTopK(

@@ -35,28 +35,41 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("dd4 ngram: gram kernel cached once (RDD-level) and candidate joins on int64 hashes") {
-    // growth, not nonEmpty: the session is shared, so a stale RDD from
-    // another suite must not be able to satisfy this assertion
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // FRESH ids, not size growth: the session is shared and the
+    // ContextCleaner GC hook removes stale RDD-level caches at its own
+    // pace, so a size comparison races removals of OLDER entries (the
+    // build's new id can't satisfy `size > before` if two old ids vanish
+    // in between — an observed intermittent). The id-set difference is
+    // immune: concurrent removals never subtract OUR fresh id.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val df = DedupQueries.dd4NgramJaccard.run(spark, sf)
     val p = plan(df)
     // the kernel output is an RDD-level cache (ContextCleaner-released, no
     // CacheManager pin) — the plan reads it as an ExistingRDD scan
     assert(p.contains("Scan ExistingRDD"), "gram kernel should be cached for reuse")
-    assert(spark.sparkContext.getPersistentRDDs.size > before,
+    val after = spark.sparkContext.getPersistentRDDs
+    val fresh = after.keySet -- before
+    assert(fresh.nonEmpty,
       "building the query must register the kernel's persistent RDD")
     val analyzed = df.queryExecution.analyzed.toString
     assert(analyzed.contains("gh"), "candidate pipeline should key on gram hashes")
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // release only what THIS test created — a global sweep would clobber
+    // live memo-backed caches other tests rely on
+    fresh.foreach(id => after.get(id).foreach(_.unpersist(false)))
   }
 
   test("dd2 minhash: signature table cached once (RDD-level), reused 3x") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // fresh-id check — see the dd4 test above for why size growth races
+    // the ContextCleaner
+    graft.queries.Shared.clear() // a warm memo would satisfy the plan check without a build
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val p = plan(DedupQueries.dd2MinhashLsh.run(spark, sf))
     assert(p.contains("Scan ExistingRDD"), "signature kernel should be cached for reuse")
-    assert(spark.sparkContext.getPersistentRDDs.size > before,
+    val after = spark.sparkContext.getPersistentRDDs
+    val fresh = after.keySet -- before
+    assert(fresh.nonEmpty,
       "building the query must register the signature's persistent RDD")
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    fresh.foreach(id => after.get(id).foreach(_.unpersist(false)))
   }
 
   test("sim1 cosine scoring runs on the native dotp expression, not interpreted HOFs") {
