@@ -25,6 +25,10 @@ object Transformers {
     Registries.transformers.register("exact_dedup")((_, c) => new ExactDedupTransformer(c))
     Registries.transformers.register("group_quota")((_, c) => new GroupQuotaTransformer(c))
     Registries.transformers.register("sequence_packing")((_, c) => new SequencePackingTransformer(c))
+    Registries.transformers.register("near_dedup")((_, c) => new NearDedupTransformer(c))
+    Registries.transformers.register("sem_dedup")((_, c) => new SemDedupTransformer(c))
+    Registries.transformers.register("pii_scrub")((_, c) => new PiiScrubTransformer(c))
+    Registries.transformers.register("language_filter")((_, c) => new LanguageFilterTransformer(c))
   }
 
   /** Beyond-reference: the mx17 curation DAG's stages as INDIVIDUAL
@@ -129,6 +133,104 @@ object Transformers {
             graft.operators.TextAnalysis.tokenCount(col(textCol)).cast("long"))
           .drop(textCol),
         idCol, "n_tokens", budget, numPartitions)
+  }
+
+  /** dd2's MinHash-LSH near-duplicate REMOVAL as its own pipeline stage —
+    * the flagship scale-path dedup (banded signatures → bucket join →
+    * exact-Jaccard verify), with [[graft.operators.Dedup.cleanCorpus]]'s
+    * survivor policy: for every verified pair the LOWER id survives, so
+    * the dropped set is the distinct `doc_b` side. Unlike `corpus_clean`
+    * this composes freely (quality_filter → exact_dedup → near_dedup →
+    * quota → packing all from YAML) and keeps EVERY input column — the
+    * anti-join is id-keyed, the text is never rewritten.
+    */
+  class NearDedupTransformer(conf: Conf) extends Transformer {
+    private val idCol = conf.strOr("id_column", "doc_id")
+    private val textCol = conf.strOr("text_column", "text")
+    private val shingleK = conf.intOr("shingle_k", 3)
+    private val bands = conf.intOr("bands", 16)
+    private val rowsPerBand = conf.intOr("rows_per_band", 4)
+    private val threshold = conf.dblOr("jaccard_threshold", 0.8)
+    private val maxBucket = conf.intOr("max_bucket", 100000)
+
+    override def validate(df: DataFrame): Unit = {
+      val have = df.columns.toSet
+      require(have.contains(idCol) && have.contains(textCol),
+        s"near_dedup: requires columns '$idCol' and '$textCol', got ${have.mkString(", ")}")
+    }
+
+    def transform(df: DataFrame): DataFrame = {
+      val losers = graft.operators.Dedup.minhashNearDuplicates(
+          df, idCol, textCol, shingleK, bands, rowsPerBand, threshold, maxBucket)
+        .select(col("doc_b").as(idCol)).distinct()
+      df.join(losers, Seq(idCol), "left_anti")
+    }
+  }
+
+  /** dd26's embedding-space semantic dedup (SemDeDup, Abbas et al. 2023)
+    * as a pipeline stage: spherical-k-means cells over `embedding_column`,
+    * within-cell pairs at cosine ≥ threshold grouped by connected
+    * components, one survivor per group (lowest cosine to its cell
+    * centroid — the member FARTHEST from the semantic cluster center
+    * carries the most marginal information; ties → lowest id). Keeps every
+    * input column via an id-keyed semi-join on the survivor set.
+    */
+  class SemDedupTransformer(conf: Conf) extends Transformer {
+    private val idCol = conf.strOr("id_column", "vec_id")
+    private val vecCol = conf.strOr("embedding_column", "embedding")
+    private val k = conf.intOr("cells", 8)
+    private val iters = conf.intOr("iters", 5)
+    private val threshold = conf.dblOr("cosine_threshold", 0.7)
+
+    override def validate(df: DataFrame): Unit = {
+      val have = df.columns.toSet
+      require(have.contains(idCol) && have.contains(vecCol),
+        s"sem_dedup: requires columns '$idCol' and '$vecCol', got ${have.mkString(", ")}")
+    }
+
+    def transform(df: DataFrame): DataFrame = {
+      val keep = graft.operators.Dedup.semDedup(df, idCol, vecCol, k, iters, threshold)
+        .filter(col("keep")).select(col(idCol))
+      df.join(keep, Seq(idCol), "left_semi")
+    }
+  }
+
+  /** tx19's PII redaction ([[graft.operators.TextAnalysis.piiScrub]]) as a
+    * pipeline stage: emails/IPv4s/phone-shaped runs → typed placeholders in
+    * pinned stage order, with per-type counts appended. One codegen'd
+    * projection — the zero-shuffle stage of the chain.
+    */
+  class PiiScrubTransformer(conf: Conf) extends Transformer {
+    private val textCol = conf.strOr("text_column", "text")
+
+    override def validate(df: DataFrame): Unit =
+      require(df.columns.contains(textCol),
+        s"pii_scrub: requires column '$textCol', got ${df.columns.mkString(", ")}")
+
+    def transform(df: DataFrame): DataFrame =
+      graft.operators.TextAnalysis.piiScrub(df, textCol)
+  }
+
+  /** tx4's n-gram-marker language ID as a FILTER stage: keep documents
+    * whose predicted language is in `languages`. The predictor is the
+    * deterministic marker-score argmax of
+    * [[graft.operators.TextAnalysis.languageId]] — a narrow projection, no
+    * shuffle, no model artifact to ship.
+    */
+  class LanguageFilterTransformer(conf: Conf) extends Transformer {
+    private val textCol = conf.strOr("text_column", "text")
+    private val languages = {
+      val s = conf.strSeq("languages")
+      if (s.nonEmpty) s else Seq("en")
+    }
+
+    override def validate(df: DataFrame): Unit =
+      require(df.columns.contains(textCol),
+        s"language_filter: requires column '$textCol', got ${df.columns.mkString(", ")}")
+
+    def transform(df: DataFrame): DataFrame =
+      df.filter(graft.operators.TextAnalysis.languageId(col(textCol))
+        .isin(languages: _*))
   }
 
   /** Beyond-reference: the dd8 corpus-curation chain (quality gate → exact

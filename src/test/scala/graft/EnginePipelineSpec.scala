@@ -270,6 +270,88 @@ class EnginePipelineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("text-hygiene chain from pipeline YAML: language_filter -> pii_scrub -> near_dedup") {
+    // the remaining curation stages as YAML plugins: keep-English filter,
+    // PII redaction, MinHash-LSH near-dup removal — output must equal the
+    // direct operator composition on the identical extracted frame
+    val dir = tmp()
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val in = dir.resolve("docs.jsonl")
+    Files.writeString(in, docs.toJSON.collect().mkString("\n"))
+    val out = dir.resolve("hygiene").toString
+    val cfg = Config.parse(
+      s"""pipeline:
+         |  name: text_hygiene
+         |  extract:
+         |    type: jsonl_file
+         |    inline_config: {path: "${in.toString}"}
+         |  transform:
+         |    - type: language_filter
+         |      inline_config: {text_column: text, languages: [en, fr]}
+         |    - type: pii_scrub
+         |      inline_config: {text_column: text}
+         |    - type: near_dedup
+         |      inline_config: {id_column: doc_id, text_column: text, jaccard_threshold: 0.8}
+         |  load:
+         |    type: jsonl_local
+         |    inline_config: {path: "$out", if_exists: replace}
+         |""".stripMargin)
+    new Engine(spark).run(cfg)
+    val got = new graft.sources.JsonlFileExtractor(spark, Map("path" -> out))
+      .extract().select("doc_id", "text", "n_emails", "n_ips", "n_phones")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    // direct composition on the same extracted frame
+    import org.apache.spark.sql.functions.col
+    val base = new graft.sources.JsonlFileExtractor(spark, Map("path" -> in.toString)).extract()
+    val kept = base.filter(
+      graft.operators.TextAnalysis.languageId(col("text")).isin("en", "fr"))
+    val scrubbed = graft.operators.TextAnalysis.piiScrub(kept, "text")
+    val losers = graft.operators.Dedup.minhashNearDuplicates(
+        scrubbed, "doc_id", "text").select(col("doc_b").as("doc_id")).distinct()
+    val want = scrubbed.join(losers, Seq("doc_id"), "left_anti")
+      .select("doc_id", "text", "n_emails", "n_ips", "n_phones")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got.nonEmpty && got.size < base.count(), "stages must gate rows")
+    assert(got == want)
+  }
+
+  test("sem_dedup stage from pipeline YAML matches dd26's survivor set") {
+    val dir = tmp()
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val in = dir.resolve("emb.jsonl")
+    Files.writeString(in, emb.toJSON.collect().mkString("\n"))
+    val out = dir.resolve("kept").toString
+    val cfg = Config.parse(
+      s"""pipeline:
+         |  name: sem_dedup_stage
+         |  extract:
+         |    type: jsonl_file
+         |    inline_config: {path: "${in.toString}"}
+         |  transform:
+         |    - type: sem_dedup
+         |      inline_config: {id_column: vec_id, embedding_column: embedding,
+         |                      cells: 8, iters: 5, cosine_threshold: 0.7}
+         |  load:
+         |    type: jsonl_local
+         |    inline_config: {path: "$out", if_exists: replace}
+         |""".stripMargin)
+    new Engine(spark).run(cfg)
+    val got = new graft.sources.JsonlFileExtractor(spark, Map("path" -> out))
+      .extract().select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    // dd26's keep set over the SAME jsonl-extracted frame (json arrays
+    // parse as array<double> — semDedup widens any numeric array the same)
+    val base = new graft.sources.JsonlFileExtractor(spark, Map("path" -> in.toString)).extract()
+    val want = graft.operators.Dedup.semDedup(base, "vec_id", "embedding",
+        k = 8, iters = 5, threshold = 0.7)
+      .filter(org.apache.spark.sql.functions.col("keep"))
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("inline config wins over config file on merge") {
     val dir = tmp()
     Files.writeString(dir.resolve("step.yaml"), "path: /from/file\nindent: 4\n")
