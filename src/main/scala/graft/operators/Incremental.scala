@@ -366,6 +366,61 @@ object Incremental {
     (kept, newCounts)
   }
 
+  /** Incremental vocabulary / document-frequency store — the carried
+    * ADDITIVE-aggregate state shape the family's other members don't
+    * exercise (id-keyed stores travel rows; this travels a keyed SUM). The
+    * state is `(term, df)` with df = the number of documents ever seen
+    * containing `term` (whitespace tokens of `lower(textCol)`, the
+    * [[TextAnalysis.tokens]] convention, empty tokens dropped; a document
+    * counts once per term — `array_distinct` BEFORE the explode, so no
+    * corpus-scale distinct is ever shuffled). A delivery tokenizes ONLY its
+    * delta, aggregates per-term delta counts, and merges them into the
+    * store by one term-keyed sum.
+    *
+    * Two deliveries ≡ one global pass, exactly: each document belongs to
+    * exactly one delivery, so per-term document counts are additive over
+    * deliveries in any order — no policy, no tie-breaking, the strongest
+    * equivalence in the family (IncrementalSpec pins it; mx32
+    * oracle-replays it end-to-end).
+    *
+    * Returns `(deltaReport, newVocab)`: `deltaReport` = one row per term
+    * the DELTA touched — `(term, df_prior, df_delta, df_total)`, the
+    * vocabulary-drift feed (new terms are `df_prior = 0`; a tokenizer
+    * health monitor alerts on their rate) — and `newVocab` = the complete
+    * grown `(term, df)` store.
+    *
+    * Scale: one narrow tokenize+explode pass over the delta, one term-keyed
+    * map-side-combinable aggregate, one term-keyed merge against the store
+    * — with the store parquet BUCKETED by term (the production layout) only
+    * the delta-side counts move. State is vocabulary-sized (natural-corpus
+    * vocabularies grow ~Heaps' law, sublinearly in the corpus), the report
+    * is delta-vocabulary-sized, and history is never re-tokenized.
+    */
+  def vocabDelta(
+      corpus: DataFrame, manifest: DataFrame, shardCol: String,
+      priorVocab: DataFrame, textCol: String,
+      materializeState: Boolean = true): (DataFrame, DataFrame) = {
+    val (delta, _) = deltaShards(corpus, manifest, shardCol)
+    val prior =
+      if (materializeState && !provablyEmpty(priorVocab)) Dedup.cachedForReuse(priorVocab)
+      else priorVocab
+    val deltaCounts = delta
+      .select(explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term")).agg(count(lit(1)).as("df_delta"))
+    // full-outer merge feeds BOTH the grown store and the touched-term
+    // report; materialize it once when the caller wants reusable state
+    val merged0 = deltaCounts
+      .join(prior.select(col("term"), col("df").as("df_prior")), Seq("term"), "full_outer")
+      .na.fill(0L, Seq("df_prior", "df_delta"))
+      .withColumn("df_total", col("df_prior") + col("df_delta"))
+    val merged = if (materializeState) Dedup.cachedForReuse(merged0) else merged0
+    val newVocab = merged.select(col("term"), col("df_total").as("df"))
+    val deltaReport = merged.filter(col("df_delta") > 0)
+      .select(col("term"), col("df_prior"), col("df_delta"), col("df_total"))
+    (deltaReport, newVocab)
+  }
+
   /** One deterministic Lloyd refinement of SELECTED cells: every cell with
     * rows in `members` gets centroid = the componentwise mean of its member
     * vectors; every other cell keeps its carried centroid (the emptied-cell

@@ -2524,6 +2524,68 @@ object MiscQueries {
       .orderBy("doc_id")
   }
 
+  /** Incremental vocabulary / document-frequency store across two
+    * deliveries ([[graft.operators.Incremental.vocabDelta]]) — the carried
+    * ADDITIVE-aggregate state member of the incremental family: delivery 1
+    * (sources s0–s9) bootstraps the `(term, df)` store from an empty
+    * LocalRelation, delivery 2 tokenizes ONLY its delta and merges per-term
+    * document counts by one keyed sum. Per-term document counts are
+    * additive over the disjoint deliveries in any order, so the oracle
+    * replays both deliveries as ONE global pass with per-run conditional
+    * sums — the strongest two-deliveries ≡ one-global equivalence in the
+    * family (no survivor policy, no tie-breaking). Output: each delivery's
+    * top-10 touched terms by cumulative document frequency (ties → term) —
+    * the vocabulary-drift report a tokenizer health monitor consumes —
+    * with `is_new` flagging terms delivery saw first.
+    */
+  val mx32IncrementalVocab: Q = Q(
+    "mx32_incremental_vocab",
+    """WITH d AS (SELECT doc_id,
+      |    CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1 ELSE 2 END AS run_id,
+      |    list_distinct(string_split(lower(text), ' ')) AS ts
+      |  FROM documents),
+      |t AS (SELECT run_id, unnest(ts) AS term FROM d),
+      |c AS (SELECT term,
+      |        CAST(SUM(CASE WHEN run_id = 1 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+      |        CAST(SUM(CASE WHEN run_id = 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+      |      FROM t WHERE term <> '' GROUP BY term),
+      |u AS (SELECT 1 AS run_id, term, 0 AS df_prior, df1 AS df_delta, df1 AS df_total
+      |        FROM c WHERE df1 > 0
+      |      UNION ALL
+      |      SELECT 2, term, df1, df2, df1 + df2 FROM c WHERE df2 > 0),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (
+      |         PARTITION BY run_id ORDER BY df_total DESC, term) AS rnk FROM u)
+      |SELECT CAST(run_id AS BIGINT) AS run_id, term,
+      |  CAST(df_prior AS BIGINT) AS df_prior, CAST(df_delta AS BIGINT) AS df_delta,
+      |  CAST(df_total AS BIGINT) AS df_total, CAST(rnk AS BIGINT) AS rnk,
+      |  df_prior = 0 AS is_new
+      |FROM rk WHERE rnk <= 10 ORDER BY run_id, rnk""".stripMargin) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    import graft.operators.Incremental
+    val corpus = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val d1 = corpus.filter(Shared.srcIdx < 10)
+    val emptyManifest = corpus.select(col("source")).limit(0)
+    val emptyVocab = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      new StructType().add("term", StringType).add("df", LongType))
+    val (rep1, vocab1) = Incremental.vocabDelta(
+      d1, emptyManifest, "source", emptyVocab, "text")
+    val manifest1 = d1.select(col("source")).distinct()
+    val (rep2, _) = Incremental.vocabDelta(
+      corpus, manifest1, "source", vocab1, "text")
+    val w = Window.partitionBy(col("run_id"))
+      .orderBy(col("df_total").desc, col("term"))
+    rep1.withColumn("run_id", lit(1L))
+      .unionByName(rep2.withColumn("run_id", lit(2L)))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 10)
+      .withColumn("is_new", col("df_prior") === 0L)
+      .select("run_id", "term", "df_prior", "df_delta", "df_total", "rnk", "is_new")
+      .orderBy("run_id", "rnk")
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qAsofNearest,
     qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
@@ -2539,5 +2601,6 @@ object MiscQueries {
     mx17CurationPipeline, mx21MultimodalPacking, mx22IncrementalCuration,
     mx23IncrementalDedup, mx24MultimodalCuration, mx25IncrementalPipeline,
     mx26IncrementalNearDedup, mx27IncrementalCc, mx28IncrementalIvf,
-    mx29IncrementalSemDedup, mx30IvfRetrain, mx31IncrementalQuota)
+    mx29IncrementalSemDedup, mx30IvfRetrain, mx31IncrementalQuota,
+    mx32IncrementalVocab)
 }

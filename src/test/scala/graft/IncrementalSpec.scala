@@ -377,6 +377,47 @@ class IncrementalSpec extends AnyFunSuite {
       c2.as[(String, Long)].collect().toMap)
   }
 
+  test("vocabDelta: df store travels; two deliveries == one global pass; new terms flagged") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    // d1: "aa" in docs 1,2; "bb" in 2; repeated token within a doc counts
+    // once ("aa aa"). d2: "aa" in 11; "cc" (new) in 11,12; empty-token
+    // noise from a double space is dropped
+    val docs = Seq(
+      (1L, "s0", "aa aa bb"), (2L, "s0", "bb  aa"),
+      (11L, "s1", "aa cc"), (12L, "s1", "cc")
+    ).toDF("id", "shard", "text")
+    val emptyVocab = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      new StructType().add("term", StringType).add("df", LongType))
+    val emptyManifest = Seq.empty[String].toDF("shard")
+    val (r1, v1) = Incremental.vocabDelta(
+      docs.filter(col("shard") === "s0"), emptyManifest, "shard", emptyVocab, "text")
+    assert(r1.select("term", "df_prior", "df_delta", "df_total")
+      .as[(String, Long, Long, Long)].collect().toSet ==
+      Set(("aa", 0L, 2L, 2L), ("bb", 0L, 2L, 2L)))
+    val (r2, v2) = Incremental.vocabDelta(
+      docs, Seq("s0").toDF("shard"), "shard", v1, "text")
+    // report = touched terms only: bb (untouched by d2) must NOT appear,
+    // cc is new (df_prior = 0), aa carries its prior count
+    assert(r2.select("term", "df_prior", "df_delta", "df_total")
+      .as[(String, Long, Long, Long)].collect().toSet ==
+      Set(("aa", 2L, 1L, 3L), ("cc", 0L, 2L, 2L)))
+    // the grown store keeps untouched terms
+    assert(v2.as[(String, Long)].collect().toMap ==
+      Map("aa" -> 3L, "bb" -> 2L, "cc" -> 2L))
+    // two deliveries ≡ one global pass — additive, no policy
+    val (_, vAll) = Incremental.vocabDelta(
+      docs, emptyManifest, "shard", emptyVocab, "text")
+    assert(vAll.as[(String, Long)].collect().toMap ==
+      v2.as[(String, Long)].collect().toMap)
+    // idempotent re-run: full manifest → empty delta report, store unchanged
+    val (r3, v3) = Incremental.vocabDelta(
+      docs, Seq("s0", "s1").toDF("shard"), "shard", v2, "text")
+    assert(r3.count() == 0)
+    assert(v3.as[(String, Long)].collect().toMap ==
+      v2.as[(String, Long)].collect().toMap)
+  }
+
   test("ivfRetrainReport: drifted-cell Lloyd step + local repair lifts recall on a drift fixture") {
     import graft.operators.Incremental
     def vec(a: Double, b: Double, c: Double, d: Double): Array[Float] =
