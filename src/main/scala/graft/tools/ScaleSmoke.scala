@@ -335,6 +335,41 @@ object ScaleSmoke {
         s"twin survivors $twinsKept != ${m / 4} (one per exact pair)")
       require(saltedKept == m / 2, s"salted survivors $saltedKept != ${m / 2}")
     }
+    t(s"vocab_delta n=$n (two deliveries, additive df state)") {
+      // every doc carries the corpus-wide token "c" plus one of 1000 key
+      // tokens "w{id mod 1000}"; deliveries split by id parity, so
+      // delivery 1 (even ids) sees ONLY the 500 even key residues and
+      // delivery 2 must introduce exactly the 500 odd ones as new terms —
+      // closed-form df invariants plus an exact two-delivery ≡ one-global
+      // store equality at vocabulary size 1001.
+      val d = spark.range(0, n).toDF("id").select(col("id"),
+        concat(lit("s"), col("id") % 2).as("shard"),
+        concat(lit("c w"), col("id") % 1000).as("text"))
+      import spark.implicits._
+      val emptyVocab = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        new org.apache.spark.sql.types.StructType()
+          .add("term", org.apache.spark.sql.types.StringType)
+          .add("df", org.apache.spark.sql.types.LongType))
+      val manifest0 = Seq.empty[String].toDF("shard")
+      val (_, v1) = graft.operators.Incremental.vocabDelta(
+        d.filter(col("shard") === "s0"), manifest0, "shard", emptyVocab, "text")
+      val (r2, v2) = graft.operators.Incremental.vocabDelta(
+        d, Seq("s0").toDF("shard"), "shard", v1, "text")
+      val newTerms = r2.filter(col("df_prior") === 0L).count()
+      require(newTerms == 500L, s"delivery-2 new terms $newTerms != 500")
+      val (size2, sum2, dfC) = v2.agg(count(lit(1)), sum(col("df")),
+        sum(when(col("term") === "c", col("df")).otherwise(0L))).head() match {
+        case r => (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      require(size2 == 1001L, s"vocab size $size2 != 1001")
+      require(sum2 == 2 * n, s"df mass $sum2 != ${2 * n}")
+      require(dfC == n, s"df(c) $dfC != $n")
+      val (_, vAll) = graft.operators.Incremental.vocabDelta(
+        d, manifest0, "shard", emptyVocab, "text")
+      require(vAll.exceptAll(v2).count() == 0 && v2.exceptAll(vAll).count() == 0,
+        "two-delivery store != one-global store")
+    }
     t(s"ivf_delta n=${n / 10} dim=8 cells=16 (two deliveries)") {
       // n/10 synthetic 8-dim vectors in two shard deliveries against 16
       // carried centroids: assignment is per-row stateless, so the carried
