@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, TextAnalysis}
 
 /** Deduplication operators over `documents`: exact, MinHash+LSH, SimHash,
   * n-gram Jaccard. Oracles recompute the identical hash pipelines in DuckDB
@@ -1427,6 +1427,99 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** The text-hygiene YAML chain (`configs/hygiene_pipeline.yaml`:
+    * language_filter → pii_scrub → near_dedup) under the DRIVER gate —
+    * the composed-DAG oracle the plugin registrations themselves can't
+    * give (EnginePipelineSpec pins YAML ≡ operator composition; this pins
+    * the composition against an independent SQL replay). The corpus
+    * carries no real PII, so deterministic contact lines (derived from
+    * doc_id — the tx31 fixture) are APPENDED first; scrubbing then turns
+    * every doc's unique contact line into the IDENTICAL
+    * `<EMAIL>/<IP>/<PHONE>` boilerplate suffix, which is precisely why a
+    * release pipeline scrubs BEFORE near-dedup (unscrubbed PII is
+    * high-entropy salt that hides duplicates; scrubbed boilerplate is
+    * shared shingles the banded join must shrug off — the verify step's
+    * exact Jaccard keeps false candidates out). Survivors: predicted
+    * en/fr docs, deduped on the SCRUBBED text, with per-type redaction
+    * counts and the scrubbed md5 (byte-exact without shipping text).
+    */
+  val dd31HygieneChain: Q = {
+    def markersSql(lang: String) =
+      TextAnalysis.langMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("[", ", ", "]")
+    val email = TextAnalysis.EmailPattern
+    val ip = TextAnalysis.Ipv4Pattern
+    val phone = TextAnalysis.PhonePattern
+    Q(
+      "dd31_hygiene_chain",
+      s"""WITH a AS (SELECT doc_id, lang,
+         |    text || ' contact user' || doc_id ||
+         |    '@example.com or 192.168.' || (doc_id % 256) || '.' ||
+         |    (doc_id % 100) || ' tel +1-555-0' || (100 + doc_id % 900) AS s0
+         |  FROM documents),
+         |ls AS (SELECT doc_id, lang, s0,
+         |    len(list_intersect(string_split(lower(s0), ' '), ${markersSql("de")})) AS s_de,
+         |    len(list_intersect(string_split(lower(s0), ' '), ${markersSql("en")})) AS s_en,
+         |    len(list_intersect(string_split(lower(s0), ' '), ${markersSql("es")})) AS s_es,
+         |    len(list_intersect(string_split(lower(s0), ' '), ${markersSql("fr")})) AS s_fr,
+         |    len(list_intersect(string_split(lower(s0), ' '), ${markersSql("zh")})) AS s_zh
+         |  FROM a),
+         |l AS (SELECT doc_id, lang, s0 FROM (
+         |  SELECT *, CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         |       WHEN s_fr >= s_zh THEN 'fr'
+         |       ELSE 'zh' END AS pl FROM ls) WHERE pl IN ('en', 'fr')),
+         |e AS (SELECT doc_id, lang,
+         |    CAST(len(regexp_extract_all(s0, '$email')) AS BIGINT) AS n_emails,
+         |    regexp_replace(s0, '$email', '<EMAIL>', 'g') AS s1 FROM l),
+         |i AS (SELECT doc_id, lang, n_emails,
+         |    CAST(len(regexp_extract_all(s1, '$ip')) AS BIGINT) AS n_ips,
+         |    regexp_replace(s1, '$ip', '<IP>', 'g') AS s2 FROM e),
+         |p AS (SELECT doc_id, lang, n_emails, n_ips,
+         |    CAST(len(regexp_extract_all(s2, '$phone')) AS BIGINT) AS n_phones,
+         |    regexp_replace(s2, '$phone', '<PHONE>', 'g') AS s3 FROM i),
+         |tok AS (SELECT doc_id, string_split(lower(s3), ' ') AS ts FROM p),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
+         |         i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))) AS sh
+         |       FROM tok WHERE len(ts) >= 3),
+         |sig AS (SELECT doc_id, sh,
+         |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
+         |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
+         |     + (104729*j + 12345)) % 4294967311))) AS sig
+         |  FROM sh),
+         |bands AS (SELECT doc_id, t.b AS band,
+         |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
+         |  FROM sig CROSS JOIN range(0, 16) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM (
+         |  SELECT c.doc_a, c.doc_b,
+         |    len(list_intersect(ga.sh, gb.sh)) / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh))) AS jaccard
+         |  FROM cand c JOIN sh ga ON ga.doc_id = c.doc_a JOIN sh gb ON gb.doc_id = c.doc_b)
+         |  WHERE jaccard >= 0.8)
+         |SELECT doc_id, lang, n_emails, n_ips, n_phones, md5(s3) AS scrubbed_md5
+         |FROM p WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val pii = concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 192.168."), col("doc_id") % 256, lit("."),
+        col("doc_id") % 100, lit(" tel +1-555-0"), lit(100) + col("doc_id") % 900)
+      val base = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), pii.as("text"))
+      val kept = base.filter(
+        TextAnalysis.languageId(col("text")).isin("en", "fr"))
+      // the scrubbed frame feeds BOTH the near-dup kernel and the final
+      // anti-join — materialize once (the dd8 lesson)
+      val scrubbed = Dedup.cachedForReuse(TextAnalysis.piiScrub(kept, "text"))
+      val losers = Dedup.minhashNearDuplicates(scrubbed, "doc_id", "text")
+        .select(col("doc_b").as("doc_id")).distinct()
+      scrubbed.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_emails"), col("n_ips"),
+          col("n_phones"), md5(col("text")).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(dd1ExactDedup, dd2MinhashLsh, dd3Simhash, dd4NgramJaccard,
     dd6SimhashHamming, dd8CleanCorpus, dd9Simhash64Hamming, dd10Decontaminate,
     dd11DupClusters, dd12ClusterClean, dd13DupRate, dd14ClusterKeepBest,
@@ -1435,5 +1528,6 @@ object DedupQueries {
     dd19BloomDecontaminate, dd20FuzzyEr, dd21DupSpans, dd22LshCapacity,
     dd23SoftWeights, dd24UrlDedup, dd25LshCalibration, dd26SemDedup,
     dd27LshRecall, dd28ThresholdSweep, dd30ContaminationDepth,
+    dd31HygieneChain,
     mx19DedupAwareMix, mx20DedupAwareSplit)
 }
