@@ -29,6 +29,7 @@ object Transformers {
     Registries.transformers.register("sem_dedup")((_, c) => new SemDedupTransformer(c))
     Registries.transformers.register("pii_scrub")((_, c) => new PiiScrubTransformer(c))
     Registries.transformers.register("language_filter")((_, c) => new LanguageFilterTransformer(c))
+    Registries.transformers.register("embedding_guard")((_, c) => new EmbeddingGuardTransformer(c))
   }
 
   /** Beyond-reference: the mx17 curation DAG's stages as INDIVIDUAL
@@ -231,6 +232,38 @@ object Transformers {
     def transform(df: DataFrame): DataFrame =
       df.filter(graft.operators.TextAnalysis.languageId(col(textCol))
         .isin(languages: _*))
+  }
+
+  /** Embedding-hygiene gate for the vector stages: drops rows whose
+    * embedding is null, empty, or zero-norm — the documented PRECONDITION
+    * of every cosine consumer downstream (`sem_dedup`, IVF assignment,
+    * SemDeDup state travel: a zero vector's cosine is 0/0 → NaN, whose
+    * argmax is engine-dependent — the mx28 note made enforceable in the
+    * pipeline itself). With `normalize: true` the surviving vectors are
+    * L2-normalized in place (double precision), which turns downstream
+    * cosine into plain dot product. One narrow codegen'd projection+filter
+    * via the native `dotp` norm — no shuffle, linear at any corpus size.
+    */
+  class EmbeddingGuardTransformer(conf: Conf) extends Transformer {
+    private val vecCol = conf.strOr("embedding_column", "embedding")
+    private val normalize = conf.bool("normalize")
+
+    override def validate(df: DataFrame): Unit =
+      require(df.columns.contains(vecCol),
+        s"embedding_guard: requires column '$vecCol', got ${df.columns.mkString(", ")}")
+
+    def transform(df: DataFrame): DataFrame = {
+      import graft.operators.Similarity
+      graft.functions.GraftFunctions.register(df.sparkSession)
+      val v = Similarity.asDouble(col(vecCol))
+      val nrm = Similarity.norm(v)
+      val kept = df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0 && nrm > 0.0)
+      // fully-qualified: the class's own transform(df) shadows the HOF
+      if (normalize)
+        kept.withColumn(vecCol,
+          org.apache.spark.sql.functions.transform(v, x => x / nrm))
+      else kept
+    }
   }
 
   /** Beyond-reference: the dd8 corpus-curation chain (quality gate → exact

@@ -352,6 +352,25 @@ class EnginePipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("embedding_guard: null/empty/zero-norm vectors dropped; normalize rescales survivors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.transformers.Transformers.register()
+    val df = Seq(
+      (1L, Seq(3.0f, 4.0f)),
+      (2L, Seq(0.0f, 0.0f)),          // zero-norm → dropped
+      (3L, Seq.empty[Float]),          // empty → dropped
+      (4L, null.asInstanceOf[Seq[Float]]) // null → dropped
+    ).toDF("vec_id", "embedding")
+    val guard = Registries.transformers.resolve("embedding_guard")(
+      spark, Map("embedding_column" -> "embedding"))
+    assert(guard.transform(df).select("vec_id").as[Long].collect().toSeq == Seq(1L))
+    val norm = Registries.transformers.resolve("embedding_guard")(
+      spark, Map("embedding_column" -> "embedding", "normalize" -> true))
+    val v = norm.transform(df).select(col("embedding")).as[Seq[Double]].head()
+    assert(v == Seq(0.6, 0.8)) // 3-4-5 triangle, exact in binary floating point
+  }
+
   test("inline config wins over config file on merge") {
     val dir = tmp()
     Files.writeString(dir.resolve("step.yaml"), "path: /from/file\nindent: 4\n")
