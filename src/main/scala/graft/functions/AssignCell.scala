@@ -42,10 +42,11 @@ case class AssignCellExpr(first: Expression, second: Expression, third: Expressi
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val centsOk = third.dataType match {
       case ArrayType(StructType(Array(a, b, c)), _) =>
-        a.dataType == LongType && b.dataType == ArrayType(DoubleType, false) &&
-          c.dataType == DoubleType ||
-          a.dataType == LongType && b.dataType == ArrayType(DoubleType, true) &&
-            c.dataType == DoubleType
+        a.dataType == LongType && c.dataType == DoubleType &&
+          (b.dataType match { // either containsNull variant of the cv array
+            case ArrayType(DoubleType, _) => true
+            case _ => false
+          })
       case _ => false
     }
     if (first.dataType.isInstanceOf[ArrayType] &&
@@ -84,6 +85,19 @@ object AssignCellExpr {
 
   /** Static kernel shared by interpreted eval and generated code. Returns
     * null for an empty centroid array.
+    *
+    * NaN cosines (a zero-norm centroid — possible mid-Lloyd when a cell's
+    * members cancel to the zero vector, which [[graft.operators.Similarity
+    * .kmeansCentroids]] does not guard against) are SKIPPED: a NaN
+    * candidate never wins and never blocks a finite one, so the result
+    * stays independent of centroid array order even on degenerate
+    * codebooks. Only if EVERY cosine is NaN does the row fall back to the
+    * lowest centroid id (deterministic; cell_cos NaN). The window form
+    * this kernel replaced sorted NaN FIRST (`desc` ranks NaN above every
+    * finite double), letting one degenerate centroid capture the whole
+    * corpus — skipping is the strictly-better deterministic choice, and
+    * the two shapes agree everywhere the documented no-zero-norm
+    * precondition holds.
     */
   def assign(v: ArrayData, nrm: Double, cents: ArrayData): InternalRow = {
     val n = cents.numElements()
@@ -91,16 +105,20 @@ object AssignCellExpr {
     var bestId = 0L
     var bestCos = 0.0
     var found = false
+    var minId = Long.MaxValue
     var i = 0
     while (i < n) {
       val c = cents.getStruct(i, 3)
       val cid = c.getLong(0)
+      if (cid < minId) minId = cid
       val cos = DotProductExpr.dot(v, c.getArray(1)) / (nrm * c.getDouble(2))
-      if (!found || cos > bestCos || (cos == bestCos && cid < bestId)) {
+      if (!cos.isNaN &&
+          (!found || cos > bestCos || (cos == bestCos && cid < bestId))) {
         found = true; bestCos = cos; bestId = cid
       }
       i += 1
     }
-    new GenericInternalRow(Array[Any](bestId, bestCos))
+    if (found) new GenericInternalRow(Array[Any](bestId, bestCos))
+    else new GenericInternalRow(Array[Any](minId, Double.NaN))
   }
 }

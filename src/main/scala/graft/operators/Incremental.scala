@@ -401,9 +401,11 @@ object Incremental {
       priorVocab: DataFrame, textCol: String,
       materializeState: Boolean = true): (DataFrame, DataFrame) = {
     val (delta, _) = deltaShards(corpus, manifest, shardCol)
-    val prior =
-      if (materializeState && !provablyEmpty(priorVocab)) Dedup.cachedForReuse(priorVocab)
-      else priorVocab
+    // unlike the pair-store operators, the prior feeds exactly ONE
+    // consumer (the merge join) — caching it would be a write-once
+    // read-once materialization, pure overhead; only the merged frame
+    // (which feeds both the report and the grown store) checkpoints
+    val prior = priorVocab
     val deltaCounts = delta
       .select(explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("term"))
       .filter(col("term") =!= "")

@@ -1444,8 +1444,7 @@ object DedupQueries {
     * counts and the scrubbed md5 (byte-exact without shipping text).
     */
   val dd31HygieneChain: Q = {
-    def markersSql(lang: String) =
-      TextAnalysis.langMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("[", ", ", "]")
+    def markersSql(lang: String) = Shared.markersSql(lang)
     val email = TextAnalysis.EmailPattern
     val ip = TextAnalysis.Ipv4Pattern
     val phone = TextAnalysis.PhonePattern

@@ -124,6 +124,15 @@ object Shared {
     * their oracles' `CAST(substr(source, 4) AS INT)`); ONE definition so
     * the split convention cannot silently desynchronize across consumers.
     */
+  /** [[graft.operators.TextAnalysis.langMarkers]] for one language as a
+    * DuckDB list literal — the language-id oracles' marker rendering
+    * (tx2/tx24/dd31), defined ONCE so a marker-list or quoting change
+    * cannot silently desynchronize the replays.
+    */
+  def markersSql(lang: String): String =
+    graft.operators.TextAnalysis.langMarkers.toMap.apply(lang)
+      .map(m => s"'$m'").mkString("[", ", ", "]")
+
   def srcIdx: org.apache.spark.sql.Column =
     substring(col("source"), 4, 10).cast("int")
 

@@ -24,8 +24,7 @@ object TextQueries {
   }
 
   val tx2LangId: Q = {
-    def markersSql(lang: String) =
-      TextAnalysis.langMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("[", ", ", "]")
+    def markersSql(lang: String) = Shared.markersSql(lang)
     Q(
       "tx2_langid",
       s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),
@@ -730,8 +729,7 @@ object TextQueries {
     * ≤|langs|² keys after the same narrow projection tx2 runs.
     */
   val tx24LangidConfusion: Q = {
-    def markersSql(lang: String) =
-      TextAnalysis.langMarkers.toMap.apply(lang).map(m => s"'$m'").mkString("[", ", ", "]")
+    def markersSql(lang: String) = Shared.markersSql(lang)
     Q(
       "tx24_langid_confusion",
       s"""WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS toks FROM documents),

@@ -175,6 +175,11 @@ object Transformers {
     * centroid — the member FARTHEST from the semantic cluster center
     * carries the most marginal information; ties → lowest id). Keeps every
     * input column via an id-keyed semi-join on the survivor set.
+    *
+    * Rows the assignment pass cannot assess (null/empty/zero-norm
+    * embeddings — cosine undefined) are PRESERVED, not dropped: a dedup
+    * stage must never delete what it cannot compare. Put
+    * `embedding_guard` in front to drop them explicitly instead.
     */
   class SemDedupTransformer(conf: Conf) extends Transformer {
     private val idCol = conf.strOr("id_column", "vec_id")
@@ -190,9 +195,13 @@ object Transformers {
     }
 
     def transform(df: DataFrame): DataFrame = {
-      val keep = graft.operators.Dedup.semDedup(df, idCol, vecCol, k, iters, threshold)
-        .filter(col("keep")).select(col(idCol))
-      df.join(keep, Seq(idCol), "left_semi")
+      val labeled = graft.operators.Dedup.cachedForReuse(
+        graft.operators.Dedup.semDedup(df, idCol, vecCol, k, iters, threshold)
+          .select(col(idCol), col("keep")))
+      val keepIds = labeled.filter(col("keep")).select(col(idCol))
+      df.join(keepIds, Seq(idCol), "left_semi")
+        // unassessed rows (not in the labeled frame at all) pass through
+        .unionByName(df.join(labeled.select(col(idCol)), Seq(idCol), "left_anti"))
     }
   }
 
@@ -258,10 +267,15 @@ object Transformers {
       val v = Similarity.asDouble(col(vecCol))
       val nrm = Similarity.norm(v)
       val kept = df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0 && nrm > 0.0)
-      // fully-qualified: the class's own transform(df) shadows the HOF
       if (normalize)
-        kept.withColumn(vecCol,
-          org.apache.spark.sql.functions.transform(v, x => x / nrm))
+        // nrm must be a projected ATTRIBUTE before the per-element lambda:
+        // an expression referenced inside the HOF re-evaluates PER ELEMENT
+        // (O(dims²) per row for an O(dims) norm). The HOF itself is
+        // fully-qualified — the class's own transform(df) shadows it.
+        kept.withColumn("__nrm", nrm)
+          .withColumn(vecCol,
+            org.apache.spark.sql.functions.transform(v, x => x / col("__nrm")))
+          .drop("__nrm")
       else kept
     }
   }

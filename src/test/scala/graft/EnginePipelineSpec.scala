@@ -352,6 +352,24 @@ class EnginePipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("sem_dedup preserves rows the assignment pass cannot assess (null embedding)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.transformers.Transformers.register()
+    // vec 1 and 2 are exact duplicates (one survives); vec 3 has no
+    // embedding — a dedup stage must never delete what it cannot compare
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, null.asInstanceOf[Seq[Float]])
+    ).toDF("vec_id", "embedding")
+    val t = Registries.transformers.resolve("sem_dedup")(spark,
+      Map("id_column" -> "vec_id", "embedding_column" -> "embedding",
+        "cells" -> 1, "iters" -> 0, "cosine_threshold" -> 0.9))
+    val kept = t.transform(df).select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept.contains(3L), "null-embedding row must pass through")
+    assert(kept.count(id => id == 1L || id == 2L) == 1, "exactly one duplicate survives")
+  }
+
   test("embedding_guard: null/empty/zero-norm vectors dropped; normalize rescales survivors") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -35,6 +35,40 @@ class KmeansIvfSpec extends AnyFunSuite {
     assert(c3.orderBy("c_id").collect().toSeq == c3b.orderBy("c_id").collect().toSeq)
   }
 
+  test("assignCells: a zero-norm (NaN-cosine) centroid never captures rows, at any array position") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{sqrt => _, _}
+    // centroid 0 is the ZERO vector (cn = 0 → cosine NaN for every row);
+    // centroids 1/2 are the axes. The degenerate centroid must never win —
+    // including for the row most aligned with nothing — and the result
+    // must not depend on where collect_list happened to place it (the
+    // kernel skips NaN; the old window form would have ranked NaN FIRST
+    // and given centroid 0 the whole corpus).
+    val p = Seq(
+      (10L, Array(1.0, 0.0)), (11L, Array(0.0, 1.0)), (12L, Array(1.0, 1.0))
+    ).toDF("vec_id", "v").withColumn("nrm",
+      org.apache.spark.sql.functions.sqrt(
+        org.apache.spark.sql.functions.aggregate(
+          transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    def cents(ids: Seq[(Long, Array[Double])]) = ids.toDF("c_id", "cv")
+      .withColumn("cn", org.apache.spark.sql.functions.sqrt(
+        org.apache.spark.sql.functions.aggregate(
+          transform(col("cv"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val zeroFirst = cents(Seq(0L -> Array(0.0, 0.0), 1L -> Array(1.0, 0.0), 2L -> Array(0.0, 1.0)))
+    val zeroLast = cents(Seq(1L -> Array(1.0, 0.0), 2L -> Array(0.0, 1.0), 0L -> Array(0.0, 0.0)))
+    def asg(c: org.apache.spark.sql.DataFrame) =
+      Similarity.assignCells(p, c).select("vec_id", "cell")
+        .as[(Long, Long)].collect().toMap
+    val a1 = asg(zeroFirst); val a2 = asg(zeroLast)
+    assert(a1 == Map(10L -> 1L, 11L -> 2L, 12L -> 1L), a1.toString)
+    assert(a1 == a2, "assignment must not depend on centroid array order")
+    // all centroids degenerate → deterministic lowest-id fallback, NaN cos
+    val allZero = cents(Seq(7L -> Array(0.0, 0.0), 3L -> Array(0.0, 0.0)))
+    val fb = Similarity.assignCells(p, allZero)
+      .select("vec_id", "cell", "cell_cos").collect()
+    assert(fb.forall(r => r.getLong(1) == 3L && r.getDouble(2).isNaN))
+  }
+
   test("kmeans sampleCap: no-op above the cell sizes, deterministic sample below") {
     val emb = Tables.embeddings(spark, sf)
     val n = emb.count().toInt
