@@ -763,18 +763,63 @@ object Similarity {
     * dependent argmax — the mx28 precondition). Empty centroid frames
     * yield an empty result (the inner-join semantics of the old shape).
     * Output: `(vec_id, v, nrm, cell, cell_cos)`.
+    *
+    * Precondition VIOLATIONS SURFACE instead of silently shrinking the
+    * output: rows whose vector or norm is null (nullSafeEval → null best)
+    * are dropped by the isNotNull filter, and an `observe` metric counts
+    * them just before that filter — a per-session QueryExecutionListener
+    * logs a WARNING with the count whenever an execution drops any. The
+    * metric is a CollectMetrics node AFTER the heavy argmax projection, so
+    * the kernel's whole-stage-codegen span is unchanged; callers that
+    * enforce the precondition upstream (EmbeddingGuardTransformer) never
+    * trigger it.
     */
   def assignCells(p: DataFrame, cents: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(p.sparkSession)
+    installDropWarningListener(p.sparkSession)
     val packed = cents.agg(collect_list(struct(
       col("c_id").cast(LongType).as("c_id"), col("cv"), col("cn"))).as("__cents"))
+    // observation names must be unique within one plan — a Lloyd loop or a
+    // before/after report can compose several assignment passes
+    val metricName = s"assign_cells_${assignObsId.incrementAndGet()}"
     p.crossJoin(broadcast(packed))
       .withColumn("__best",
         call_function("assign_cell", col("v"), col("nrm"), col("__cents")))
+      .observe(metricName,
+        sum(when(col("__best").isNull, 1L).otherwise(0L)).as("dropped_nulls"))
       .filter(col("__best").isNotNull)
       .select(col("vec_id"), col("v"), col("nrm"),
         col("__best.cell").as("cell"), col("__best.cell_cos").as("cell_cos"))
   }
+
+  private val assignObsId = new java.util.concurrent.atomic.AtomicLong
+  private val dropListenerSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean])
+
+  /** Once per session: watch executed plans for `assign_cells_*` observed
+    * metrics and warn when any assignment pass dropped null-vector rows —
+    * the [[assignCells]] precondition audit.
+    */
+  private def installDropWarningListener(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    if (dropListenerSessions.putIfAbsent(spark, java.lang.Boolean.TRUE) == null)
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        private def check(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("assign_cells_") && !row.isNullAt(0) && row.getLong(0) > 0)
+              System.err.println(
+                s"[graft] WARNING: assignCells dropped ${row.getLong(0)} row(s) with " +
+                  "null vector/norm (metric " + name + ") — the no-null/no-zero-norm " +
+                  "precondition is violated upstream (see EmbeddingGuardTransformer)")
+          }
+        override def onSuccess(
+            funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = check(qe)
+        override def onFailure(
+            funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
 
   def ivfTopK(
       df: DataFrame, idCol: String, vecCol: String,

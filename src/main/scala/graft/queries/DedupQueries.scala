@@ -1442,6 +1442,14 @@ object DedupQueries {
     * exact Jaccard keeps false candidates out). Survivors: predicted
     * en/fr docs, deduped on the SCRUBBED text, with per-type redaction
     * counts and the scrubbed md5 (byte-exact without shipping text).
+    *
+    * PARITY BOUNDARY (same note as the hygiene YAML): the oracle's banded
+    * candidate join replays WITHOUT the engine's `maxBucket = 100000` hot-
+    * bucket cap ([[Dedup.capBuckets]]) — the two lanes agree exactly while
+    * no (band, key) bucket exceeds the cap, which holds with enormous
+    * margin at every gate SF (sf0.01 has ~1.5k docs; a capped bucket needs
+    * 100k+ members of one band key). A corpus pathological enough to trip
+    * the cap would drop those boilerplate buckets on the engine side only.
     */
   val dd31HygieneChain: Q = {
     def markersSql(lang: String) = Shared.markersSql(lang)

@@ -131,7 +131,9 @@ object Shared {
     */
   def markersSql(lang: String): String =
     graft.operators.TextAnalysis.langMarkers.toMap.apply(lang)
-      .map(m => s"'$m'").mkString("[", ", ", "]")
+      // SQL-escape embedded apostrophes (French "l'", "d'…") so a future
+      // marker-list change cannot silently break every language-id oracle
+      .map(m => s"'${m.replace("'", "''")}'").mkString("[", ", ", "]")
 
   def srcIdx: org.apache.spark.sql.Column =
     substring(col("source"), 4, 10).cast("int")

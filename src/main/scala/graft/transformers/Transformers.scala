@@ -267,16 +267,20 @@ object Transformers {
       val v = Similarity.asDouble(col(vecCol))
       val nrm = Similarity.norm(v)
       val kept = df.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0 && nrm > 0.0)
-      if (normalize)
+      if (normalize) {
         // nrm must be a projected ATTRIBUTE before the per-element lambda:
         // an expression referenced inside the HOF re-evaluates PER ELEMENT
         // (O(dims²) per row for an O(dims) norm). The HOF itself is
         // fully-qualified — the class's own transform(df) shadows it.
-        kept.withColumn("__nrm", nrm)
+        // The temp column dodges existing names so an input frame that
+        // already carries "__nrm" is never clobbered-then-dropped.
+        val tmp = Iterator.from(0).map(i => s"__nrm$i")
+          .find(n => !df.columns.contains(n)).get
+        kept.withColumn(tmp, nrm)
           .withColumn(vecCol,
-            org.apache.spark.sql.functions.transform(v, x => x / col("__nrm")))
-          .drop("__nrm")
-      else kept
+            org.apache.spark.sql.functions.transform(v, x => x / col(tmp)))
+          .drop(tmp)
+      } else kept
     }
   }
 
