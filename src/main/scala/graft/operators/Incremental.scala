@@ -298,14 +298,26 @@ object Incremental {
     *
     * Scale: one broadcast of k×dims centroids, one narrow pass over the
     * delta, a k-row counts state. Nothing else moves.
+    *
+    * `sharedAssigned`: a precomputed [[Similarity.assignCells]] frame for
+    * exactly THIS delivery's delta under `centroids` — assignment is
+    * per-row and stateless, so several report queries continuing the same
+    * carried index can assign the corpus ONCE and pass per-delivery
+    * filters of that one frame (the mx26/mx27 `sharedKernel` discipline
+    * applied to the ANN family; see [[graft.queries.Shared.ivfAssignedAll]]).
+    * The caller owns the equivalence — the Verify lane clears the memo per
+    * query, so a divergent frame cannot pass the gate.
     */
   def ivfDelta(
       corpus: DataFrame, manifest: DataFrame, shardCol: String,
       centroids: DataFrame, priorCounts: DataFrame,
-      idCol: String, vecCol: String): (DataFrame, DataFrame) = {
-    val (delta, _) = deltaShards(corpus, manifest, shardCol)
-    val assigned = Similarity.assignCells(
-        Similarity.preparedCorpus(delta, idCol, vecCol), centroids)
+      idCol: String, vecCol: String,
+      sharedAssigned: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val assigned = sharedAssigned.getOrElse {
+        val (delta, _) = deltaShards(corpus, manifest, shardCol)
+        Similarity.assignCells(
+          Similarity.preparedCorpus(delta, idCol, vecCol), centroids)
+      }
       .select(col("vec_id").as(idCol), col("cell"))
     val deltaCounts = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
     val newCounts = priorCounts.select(col("cell"), col("n"))
@@ -487,12 +499,19 @@ object Incremental {
     * operator self-contained), k-row drift/centroid frames, a
     * `nDrifted × sampleCap`-bounded retrain set, and query-scale search
     * frames; `queryPred` must select a broadcast-sized query set.
+    *
+    * `sharedAsg`: the full-corpus [[Similarity.assignCells]] frame under
+    * `centroids`, already materialized — the same [[ivfDelta]] hook: a
+    * report suite continuing one carried index assigns the corpus once
+    * ([[graft.queries.Shared.ivfAssignedAll]]) instead of per consumer.
+    * Caller owns the equivalence (Verify clears the memo per query).
     */
   def ivfRetrainReport(
       corpus: DataFrame, manifest: DataFrame, shardCol: String,
       centroids: DataFrame, idCol: String, vecCol: String,
       queryPred: org.apache.spark.sql.Column, k: Int = 10, nProbe: Int = 2,
-      nDrifted: Int = 4, sampleCap: Int = 64): DataFrame = {
+      nDrifted: Int = 4, sampleCap: Int = 64,
+      sharedAsg: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.{LongType, StringType}
     val cov = broadcast(manifest.select(col(shardCol)).distinct()
@@ -501,8 +520,8 @@ object Incremental {
       .join(cov, Seq(shardCol), "left")
       .select(col("vec_id"), coalesce(col("__cov"), lit(false)).as("is_prior"))
     val asg = Dedup.cachedForReuse(
-      Similarity.assignCells(
-          Similarity.preparedCorpus(corpus, idCol, vecCol), centroids)
+      sharedAsg.getOrElse(Similarity.assignCells(
+          Similarity.preparedCorpus(corpus, idCol, vecCol), centroids))
         .join(flags, Seq("vec_id")))
     // drift in exact ppm over the full cell list (mx28's report shape);
     // emptied totals read as zero drift rather than a divide-by-zero
@@ -639,13 +658,20 @@ object Incremental {
       corpus: DataFrame, manifest: DataFrame, shardCol: String,
       centroids: DataFrame, priorState: DataFrame,
       idCol: String, vecCol: String, threshold: Double,
-      materializeState: Boolean = true): (DataFrame, DataFrame) = {
+      materializeState: Boolean = true,
+      sharedAsg: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
-    val (delta, _) = deltaShards(corpus, manifest, shardCol)
-    // (vec_id, v, nrm, cell, cell_cos) — feeds both pair sides and the
-    // final labeling, so materialize once (the semDedup discipline)
-    val asg = Dedup.cachedForReuse(Similarity.assignCells(
-      Similarity.preparedCorpus(delta, idCol, vecCol), centroids))
+    // sharedAsg: this delivery's delta already assigned under `centroids`
+    // and already materialized — the ivfDelta hook (assignment is per-row
+    // stateless, so one corpus-wide pass serves every delivery as filters;
+    // caller owns the equivalence, Verify clears the memo per query).
+    // Without it: (vec_id, v, nrm, cell, cell_cos) feeds both pair sides
+    // and the final labeling, so materialize once (the semDedup discipline).
+    val asg = sharedAsg.getOrElse {
+      val (delta, _) = deltaShards(corpus, manifest, shardCol)
+      Dedup.cachedForReuse(Similarity.assignCells(
+        Similarity.preparedCorpus(delta, idCol, vecCol), centroids))
+    }
     val prior =
       if (materializeState && !provablyEmpty(priorState)) Dedup.cachedForReuse(priorState)
       else priorState

@@ -900,14 +900,25 @@ object Similarity {
   def kmeansCentroids(
       df: DataFrame, idCol: String, vecCol: String, k: Int, iters: Int,
       sampleCap: Int = 1 << 18): DataFrame = {
+    val p = prepared(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try kmeansFromPrepared(p, k, iters, sampleCap)
+    finally { p.unpersist(); () }
+  }
+
+  /** [[kmeansCentroids]] over an ALREADY-prepared (and already-materialized)
+    * `(vec_id, v, nrm)` frame — the entry point for callers that hold the
+    * corpus in a shared memo ([[graft.queries.Shared]]) and must not pay a
+    * second persist/unpersist cycle of the same rows.
+    */
+  def kmeansFromPrepared(
+      p: DataFrame, k: Int, iters: Int, sampleCap: Int = 1 << 18): DataFrame = {
     require(sampleCap > 0, s"sampleCap must be positive, got $sampleCap")
     // iterative Lloyd rounds over a persisted corpus: fixed per-round plan
     // shape, so AQE only multiplies scheduler jobs (Dedup.withStaticPlan)
-    graft.operators.Dedup.withStaticPlan(df.sparkSession) {
-    val spark = df.sparkSession
+    graft.operators.Dedup.withStaticPlan(p.sparkSession) {
+    val spark = p.sparkSession
     import spark.implicits._
-    val p = prepared(df, idCol, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def centFrame(cs: Array[(Long, Array[Double])]): DataFrame =
       cs.toSeq.toDF("c_id", "cv")
         .withColumn("cn", norm(col("cv")))
@@ -950,7 +961,6 @@ object Similarity {
       cents = cents.map { case (id, v) => (id, means.getOrElse(id, v)) }
       it += 1
     }
-    p.unpersist()
     centFrame(cents)
     }
   }

@@ -2193,27 +2193,30 @@ object MiscQueries {
     // (the sim3 rule — deterministic and SQL-replayable; the nrm > 0 guard
     // on BOTH lanes keeps a zero vector from ever becoming a centroid,
     // whose cosine is 0/0 and whose tie-breaking would be engine-
-    // dependent); materialized once, it broadcasts into BOTH deliveries'
-    // assignment passes. Assignment itself assumes no zero-norm DATA
-    // vectors (preparedCorpus passes them through; a zero vector's cosine
-    // to every cell is NaN and its argmax engine-dependent) — holds for
-    // the synthetic embeddings table and any L2-normalized corpus.
-    val cents = Dedup.cachedForReuse(
-      Similarity.preparedCorpus(d1, "vec_id", "embedding")
-        .filter(col("nrm") > 0)
-        .orderBy(col("vec_id")).limit(16)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+    // dependent). Quantizer, prepared corpus AND the one stateless
+    // assignment pass all come from the cross-query memo — mx28 and mx30
+    // continue the SAME carried index, so the suite assigns the corpus
+    // once and each delivery consumes a vec_id-parity filter
+    // (graft.queries.Shared.ivfAssignedAll; Verify clears the memo per
+    // query, keeping the gate hermetic). Assignment assumes no zero-norm
+    // DATA vectors (a zero vector's cosine to every cell is NaN and its
+    // argmax engine-dependent) — holds for the synthetic embeddings table
+    // and any L2-normalized corpus.
+    val cents = Shared.ivfCarriedCents(spark, dir)
+    val asgAll = Shared.ivfAssignedAll(spark, dir)
     val emptyManifest = corpus.select(col("shard")).limit(0)
     val emptyCounts = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       new StructType().add("cell", LongType).add("n", LongType))
     val (_, counts1) = Incremental.ivfDelta(
-      d1, emptyManifest, "shard", cents, emptyCounts, "vec_id", "embedding")
+      d1, emptyManifest, "shard", cents, emptyCounts, "vec_id", "embedding",
+      sharedAssigned = Some(asgAll.filter(col("vec_id") % 2 === 0)))
     // prior counts feed delivery 2's grown state AND the report's n_prior
     val counts1M = Dedup.cachedForReuse(counts1)
     val manifest1 = d1.select(col("shard")).distinct()
     val (a2, _) = Incremental.ivfDelta(
-      corpus, manifest1, "shard", cents, counts1M, "vec_id", "embedding")
+      corpus, manifest1, "shard", cents, counts1M, "vec_id", "embedding",
+      sharedAssigned = Some(asgAll.filter(col("vec_id") % 2 === 1)))
     val nDelta = a2.groupBy(col("cell")).agg(count(lit(1)).as("n_delta"))
     val joined = cents.select(col("c_id").as("cell"))
       .join(counts1M.select(col("cell"), col("n").as("n_prior")), Seq("cell"), "left")
@@ -2321,10 +2324,14 @@ object MiscQueries {
           .select(col("vec_id"), col("embedding"),
             concat(lit("s"), col("vec_id") % 2).as("shard"))
         val d1 = corpus.filter(col("shard") === "s0")
-        // the carried quantizer: trained ONCE on delivery 1, broadcast into
-        // both deliveries' assignment passes (the mx28 discipline)
-        val cents = Dedup.cachedForReuse(
-          Similarity.kmeansCentroids(d1, "vec_id", "embedding", k = 8, iters = 5))
+        // the carried quantizer: trained ONCE on delivery 1 — from the
+        // cross-query memo, which also feeds training from the shared
+        // prepared corpus and assigns the WHOLE corpus in one stateless
+        // pass; each delivery consumes a vec_id-parity filter of that one
+        // frame instead of running its own assignment (the mx28/mx30
+        // ivfAssignedAll discipline; Verify clears the memo per query)
+        val cents = Shared.semKmeansCents(spark, dir)
+        val asgAll = Shared.semAssignedAll(spark, dir)
         val emptyManifest = corpus.select(col("shard")).limit(0)
         // provably-empty LocalRelation bootstrap state — see the mx26 note
         val stateSchema = new StructType()
@@ -2335,10 +2342,12 @@ object MiscQueries {
         val emptyState = spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), stateSchema)
         val (_, state1) = Incremental.semDedupDelta(
-          d1, emptyManifest, "shard", cents, emptyState, "vec_id", "embedding", 0.7)
+          d1, emptyManifest, "shard", cents, emptyState, "vec_id", "embedding", 0.7,
+          sharedAsg = Some(asgAll.filter(col("vec_id") % 2 === 0)))
         val manifest1 = d1.select(col("shard")).distinct()
         val (_, state2) = Incremental.semDedupDelta(
-          corpus, manifest1, "shard", cents, state1, "vec_id", "embedding", 0.7)
+          corpus, manifest1, "shard", cents, state1, "vec_id", "embedding", 0.7,
+          sharedAsg = Some(asgAll.filter(col("vec_id") % 2 === 1)))
         state2.select(col("vec_id"),
             (col("vec_id") % 2 + 1).cast(LongType).as("run_id"),
             col("cell"), col("grp"), col("keep"))
@@ -2469,17 +2478,16 @@ object MiscQueries {
       .select(col("vec_id"), col("embedding"),
         concat(lit("s"), col("vec_id") % 2).as("shard"))
     val d1 = corpus.filter(col("shard") === "s0")
-    // the carried quantizer — mx28's rule verbatim (first 16 nonzero
-    // shard-0 vectors by id), so this query continues mx28's index
-    val cents = Dedup.cachedForReuse(
-      Similarity.preparedCorpus(d1, "vec_id", "embedding")
-        .filter(col("nrm") > 0)
-        .orderBy(col("vec_id")).limit(16)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+    // the carried quantizer — mx28's rule verbatim, straight from the
+    // cross-query memo: this query CONTINUES mx28's index, so it also
+    // consumes the suite's one shared full-corpus assignment pass
+    // (Shared.ivfAssignedAll) instead of re-assigning internally
+    val cents = Shared.ivfCarriedCents(spark, dir)
     val manifest1 = d1.select(col("shard")).distinct()
     Incremental.ivfRetrainReport(corpus, manifest1, "shard", cents,
       "vec_id", "embedding", queryPred = col("vec_id") % 50 === 1,
-      k = 10, nProbe = 2, nDrifted = 4, sampleCap = 64)
+      k = 10, nProbe = 2, nDrifted = 4, sampleCap = 64,
+      sharedAsg = Some(Shared.ivfAssignedAll(spark, dir)))
   }
 
   /** Incremental per-language quota with carried counts

@@ -198,4 +198,67 @@ object Shared {
     memoized(spark, s"ccLabels|$dir") {
       Dedup.connectedComponents(minhashPairs(spark, dir), "doc_a", "doc_b")
     }
+
+  /** The prepared `embeddings` corpus `(vec_id, v, nrm)` — the frame every
+    * vector-family query starts from ([[graft.operators.Similarity
+    * .preparedCorpus]]): doubles + L2 norms computed ONCE per sf dir
+    * instead of once per query (and per delivery inside the incremental
+    * replays). The incremental family's delivery split is derivable
+    * (`vec_id % 2` — shard s0/s1), so per-delivery frames are filters of
+    * this one.
+    */
+  def preparedEmb(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, s"prepEmb|$dir") {
+      Dedup.cachedForReuse(graft.operators.Similarity.preparedCorpus(
+        Tables.embeddings(spark, dir), "vec_id", "embedding"))
+    }
+
+  /** The CARRIED IVF quantizer mx28/mx30 continue (the sim3 rule: delivery
+    * 1's — even `vec_id`s' — first 16 nonzero-norm vectors by id), shared
+    * so the suite holds ONE `(c_id, cv, cn)` frame for the index instead
+    * of one per report query.
+    */
+  def ivfCarriedCents(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, s"ivfCents|$dir") {
+      Dedup.cachedForReuse(preparedEmb(spark, dir)
+        .filter(col("vec_id") % 2 === 0 && col("nrm") > 0)
+        .orderBy(col("vec_id")).limit(16)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")))
+    }
+
+  /** Full-corpus [[graft.operators.Similarity.assignCells]] under
+    * [[ivfCarriedCents]] — assignment is per-row and STATELESS, so every
+    * query continuing the carried index (mx28's two deliveries, mx30's
+    * before/after report) consumes filters of this ONE materialized pass
+    * instead of re-assigning per consumer (the mx26/mx27 banding-kernel
+    * discipline applied to the ANN family). Verify clears the memo per
+    * query, so the CORRECTNESS gate still rebuilds each query's kernels
+    * from scratch.
+    */
+  def ivfAssignedAll(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, s"ivfAsgAll|$dir") {
+      Dedup.cachedForReuse(graft.operators.Similarity.assignCells(
+        preparedEmb(spark, dir), ivfCarriedCents(spark, dir)))
+    }
+
+  /** mx29's carried SemDeDup quantizer: k = 8 / 5-iteration spherical
+    * k-means trained on delivery 1 (even `vec_id`s), fed from
+    * [[preparedEmb]] so training never re-prepares the corpus.
+    */
+  def semKmeansCents(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, s"semCents|$dir") {
+      Dedup.cachedForReuse(graft.operators.Similarity.kmeansFromPrepared(
+        preparedEmb(spark, dir).filter(col("vec_id") % 2 === 0),
+        k = 8, iters = 5))
+    }
+
+  /** Full-corpus assignment under [[semKmeansCents]] — mx29's two
+    * deliveries consume `vec_id % 2` filters of this one pass (same
+    * stateless-assignment argument as [[ivfAssignedAll]]).
+    */
+  def semAssignedAll(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, s"semAsgAll|$dir") {
+      Dedup.cachedForReuse(graft.operators.Similarity.assignCells(
+        preparedEmb(spark, dir), semKmeansCents(spark, dir)))
+    }
 }

@@ -767,14 +767,90 @@ object TextQueries {
     }
   }
 
+  /** The BPE training loop as ONE DuckDB recursive CTE — the oracle for
+    * tx23/tx25, closing the gate's last data-dependent-iteration gap (the
+    * sketch trio stays `no_oracle` by nature; this pair was only
+    * `no_oracle` for want of a replay). The mx29 Lloyd-recursion
+    * discipline applied to rule learning: the ENTIRE word-frequency grid
+    * travels as a list-of-structs in a single recursion row together with
+    * the accumulated merge list, so each round is pure list algebra — no
+    * GROUP BY against the recursive table, one self-reference.
+    *
+    *  - pair counting: every adjacent-symbol occurrence `(l, r, cnt)` is
+    *    scored with its pair's total count by an occurrences×occurrences
+    *    list comprehension — vocabulary-quadratic, which is exactly the
+    *    regime where the replay is cheap (the grid is vocabulary-bounded
+    *    by Heaps' law; the engine side stays the linear aggregate);
+    *  - argmax with the trainer's tie order ((count desc, l, r) asc) =
+    *    `list_sort` on `(-count, l, r)` structs, element [1];
+    *  - greedy leftmost-non-overlapping merge application: a pair
+    *    position merges iff it matches AND its offset inside its
+    *    maximal run of consecutive matches is even — for l ≠ r adjacent
+    *    matches are impossible (the offset is always 0); for l = r this
+    *    is precisely the "aaa" → ["aa","a"] rule;
+    *  - early stop (`top count < 2`) = the recursion's WHERE guard.
+    */
+  private def bpeTrainCte(nMerges: Int): String =
+    s"""WITH RECURSIVE
+       |tok AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS w FROM documents),
+       |grid0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok WHERE len(w) > 0 GROUP BY w),
+       |st AS (
+       |  SELECT 0 AS it,
+       |    CAST([] AS STRUCT(rnk BIGINT, l VARCHAR, r VARCHAR, c BIGINT)[]) AS merges,
+       |    (SELECT list({'w': w,
+       |                  'syms': list_transform(range(1, len(w)+1), i -> substr(w, CAST(i AS INT), 1)),
+       |                  'cnt': cnt} ORDER BY w)
+       |     FROM grid0) AS grid
+       |  UNION ALL
+       |  SELECT it + 1,
+       |    merges || [{'rnk': CAST(it + 1 AS BIGINT), 'l': sbest.l, 'r': sbest.r, 'c': -sbest.nc}],
+       |    list_transform(grid, g -> {'w': g.w, 'syms':
+       |      CASE WHEN len(g.syms) <= 1 THEN g.syms ELSE
+       |        flatten(list_transform(range(1, len(g.syms)+1), i ->
+       |          CASE
+       |            WHEN i < len(g.syms)
+       |             AND g.syms[CAST(i AS INT)] = sbest.l AND g.syms[CAST(i+1 AS INT)] = sbest.r
+       |             AND ((i - coalesce(list_max(list_filter(range(1, i), j ->
+       |                   NOT (g.syms[CAST(j AS INT)] = sbest.l AND g.syms[CAST(j+1 AS INT)] = sbest.r))), 0) - 1) % 2 = 0)
+       |            THEN [sbest.l || sbest.r]
+       |            WHEN i > 1
+       |             AND g.syms[CAST(i-1 AS INT)] = sbest.l AND g.syms[CAST(i AS INT)] = sbest.r
+       |             AND ((i - 1 - coalesce(list_max(list_filter(range(1, i-1), j ->
+       |                   NOT (g.syms[CAST(j AS INT)] = sbest.l AND g.syms[CAST(j+1 AS INT)] = sbest.r))), 0) - 1) % 2 = 0)
+       |            THEN []
+       |            ELSE [g.syms[CAST(i AS INT)]]
+       |          END))
+       |      END, 'cnt': g.cnt})
+       |  FROM (
+       |    SELECT it, merges, grid,
+       |      (list_sort(list_transform(po, p ->
+       |         {'nc': -(list_sum(list_transform(po, p2 ->
+       |                 CASE WHEN p2.l = p.l AND p2.r = p.r THEN p2.c ELSE CAST(0 AS BIGINT) END))),
+       |          'l': p.l, 'r': p.r})))[1] AS sbest
+       |    FROM (
+       |      SELECT it, merges, grid,
+       |        flatten(list_transform(grid, g ->
+       |          list_transform(range(1, len(g.syms)), i ->
+       |            {'l': g.syms[CAST(i AS INT)], 'r': g.syms[CAST(i+1 AS INT)], 'c': g.cnt}))) AS po
+       |      FROM st WHERE it < $nMerges
+       |    )
+       |  )
+       |  WHERE -sbest.nc >= 2
+       |)""".stripMargin
+
   /** BPE merge training ([[graft.operators.TextAnalysis.learnBpeMerges]]):
     * the first 8 learned merge rules over the corpus word-frequency grid.
-    * No DuckDB oracle — each round's tokenization depends on the previous
-    * round's DATA-DEPENDENT winner, which static SQL cannot replay; the
-    * semantics gate is the hand-replayed scalar BPE in BpeTrainSpec
-    * (driver records the rows-only check, like the sketch queries).
+    * Oracle: the [[bpeTrainCte]] recursive replay (the merge list of the
+    * deepest recursion row); the hand-replayed scalar BPE in BpeTrainSpec
+    * stays as the semantics gate for the trainer itself.
     */
-  val tx23BpeTrain: Q = Q.noOracle("tx23_bpe_train") { (spark, dir) =>
+  val tx23BpeTrain: Q = Q(
+    "tx23_bpe_train",
+    bpeTrainCte(8) +
+      """
+        |SELECT u.m.rnk AS rank, u.m.l AS "left", u.m.r AS "right", u.m.c AS pair_count
+        |FROM (SELECT merges FROM st ORDER BY it DESC LIMIT 1) f, unnest(f.merges) AS u(m)
+        |ORDER BY rank""".stripMargin) { (spark, dir) =>
     graft.operators.TextAnalysis
       .learnBpeMerges(Tables.documents(spark, dir), "text", nMerges = 8)
       .orderBy(col("rank"))
@@ -785,11 +861,34 @@ object TextQueries {
     * learner), replay them over every document, and report the per-source
     * subword-token budget — the exact number a context-packing planner
     * consumes, next to the whitespace estimate it replaces
-    * (`tokens_per_word_centi` = how far 8 merges compress a word). Like
-    * tx23, not SQL-expressible (rules are data-dependent); gated by the
-    * BpeTrainSpec replay of the full train→apply→count chain.
+    * (`tokens_per_word_centi` = how far 8 merges compress a word).
+    * Oracle: the [[bpeTrainCte]] recursion's FINAL GRID — each word's
+    * symbol sequence after all learned merges — IS the trained tokenizer
+    * applied to the (closed, corpus-derived) vocabulary, and the applier
+    * replays the identical merge sequence with identical greedy
+    * semantics, so per-doc subword counts are a plain word→`len(syms)`
+    * lookup join. BpeTrainSpec still pins the train→apply→count chain.
     */
-  val tx25BpeBudget: Q = Q.noOracle("tx25_bpe_token_budget") { (spark, dir) =>
+  val tx25BpeBudget: Q = Q(
+    "tx25_bpe_token_budget",
+    bpeTrainCte(8) +
+      """,
+        |fin AS (SELECT grid FROM st ORDER BY it DESC LIMIT 1),
+        |voc AS (SELECT u.g.w AS w, CAST(len(u.g.syms) AS BIGINT) AS nsub
+        |        FROM fin f, unnest(f.grid) u(g)),
+        |dtok AS (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |         FROM documents),
+        |dsub AS (SELECT t.doc_id, CAST(SUM(v.nsub) AS BIGINT) AS subw
+        |         FROM (SELECT * FROM dtok WHERE len(w) > 0) t JOIN voc v USING (w)
+        |         GROUP BY t.doc_id),
+        |base AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS ws
+        |         FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(coalesce(d.subw, 0)) AS BIGINT) AS subword_tokens,
+        |  CAST(SUM(b.ws) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(coalesce(d.subw, 0)) * 100 // SUM(b.ws) AS BIGINT) AS tokens_per_word_centi
+        |FROM base b LEFT JOIN dsub d USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
     val docs = Tables.documents(spark, dir)
     val merges = TextAnalysis.learnBpeMerges(docs, "text", 8)
       .orderBy("rank").collect()

@@ -54,6 +54,11 @@ def fetch_with_timeout(con, sql, seconds=ORACLE_TIMEOUT):
             done[0] = True
         timer.cancel()
 
+def quoted(cols):
+    # reserved-word column names (tx23's left/right) must be quoted
+    return ['"%s"' % c for c in cols]
+
+
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
@@ -81,7 +86,7 @@ def main():
             got = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             got_cols = sorted(got.columns)
             got_rows = con.sql(
-                f"SELECT {', '.join(got_cols)} FROM got ORDER BY ALL").fetchall()
+                f"SELECT {', '.join(quoted(got_cols))} FROM got ORDER BY ALL").fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output unreadable: {e}")
             n_fail += 1
@@ -90,7 +95,7 @@ def main():
             exp = con.sql(sql)
             exp_cols = sorted(exp.columns)
             exp_rows = fetch_with_timeout(
-                con, f"SELECT {', '.join(exp_cols)} FROM exp ORDER BY ALL")
+                con, f"SELECT {', '.join(quoted(exp_cols))} FROM exp ORDER BY ALL")
         except TimeoutError as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
