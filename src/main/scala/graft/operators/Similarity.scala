@@ -775,16 +775,43 @@ object Similarity {
     * trigger it.
     */
   def assignCells(p: DataFrame, cents: DataFrame): DataFrame = {
-    graft.functions.GraftFunctions.register(p.sparkSession)
-    installDropWarningListener(p.sparkSession)
     val packed = cents.agg(collect_list(struct(
       col("c_id").cast(LongType).as("c_id"), col("cv"), col("cn"))).as("__cents"))
+    assignTail(p.crossJoin(broadcast(packed)), col("__cents"))
+  }
+
+  /** [[assignCells]] against a DRIVER-RESIDENT codebook `(c_id, cv, cn)` —
+    * a Lloyd round's current centroids, or any collected/local quantizer:
+    * the packed array becomes a plan LITERAL, so the pass is ONE narrow
+    * projection with NO aggregation job and NO broadcast-future job per
+    * execution (an iterative trainer pays those per round; mx29's Lloyd
+    * loop was 2 scheduler jobs per iteration of pure packing overhead).
+    * Identical kernel, bit-identical assignments.
+    */
+  def assignCellsLit(
+      p: DataFrame, cents: Seq[(Long, Array[Double], Double)]): DataFrame =
+    assignTail(p, typedlit(cents.map { case (id, cv, cn) => (id, cv.toSeq, cn) }))
+
+  /** Exact driver-side mirror of [[norm]]'s sequential-fold L2 norm — the
+    * same left-to-right IEEE accumulation as [[graft.functions
+    * .DotProductExpr]], so a collected codebook's `cn` is bit-identical to
+    * the SQL-computed column.
+    */
+  def normLocal(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  private def assignTail(withCents: DataFrame, centsCol: Column): DataFrame = {
+    graft.functions.GraftFunctions.register(withCents.sparkSession)
+    installDropWarningListener(withCents.sparkSession)
     // observation names must be unique within one plan — a Lloyd loop or a
     // before/after report can compose several assignment passes
     val metricName = s"assign_cells_${assignObsId.incrementAndGet()}"
-    p.crossJoin(broadcast(packed))
+    withCents
       .withColumn("__best",
-        call_function("assign_cell", col("v"), col("nrm"), col("__cents")))
+        call_function("assign_cell", col("v"), col("nrm"), centsCol))
       .observe(metricName,
         sum(when(col("__best").isNull, 1L).otherwise(0L)).as("dropped_nulls"))
       .filter(col("__best").isNotNull)
@@ -919,15 +946,22 @@ object Similarity {
     graft.operators.Dedup.withStaticPlan(p.sparkSession) {
     val spark = p.sparkSession
     import spark.implicits._
+    // norms via the bit-identical driver fold, so the returned codebook is
+    // a PURE LocalRelation (memoizable session-wide, collect-able and
+    // broadcast-able without a single scheduler job)
     def centFrame(cs: Array[(Long, Array[Double])]): DataFrame =
-      cs.toSeq.toDF("c_id", "cv")
-        .withColumn("cn", norm(col("cv")))
+      cs.toSeq.map { case (id, v) => (id, v, normLocal(v)) }
+        .toDF("c_id", "cv", "cn")
     var cents: Array[(Long, Array[Double])] = p.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("v")).as[(Long, Array[Double])].collect()
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
     var it = 0
     while (it < iters) {
-      val means = assignCells(p, centFrame(cents))
+      // the round's codebook lives on the driver — assign via the LITERAL
+      // path (no per-round packing aggregate or broadcast future; norms
+      // computed by the bit-identical driver fold)
+      val means = assignCellsLit(p,
+          cents.toSeq.map { case (id, v) => (id, v, normLocal(v)) })
         .select(col("cell"), col("vec_id"), col("v")).as[(Long, Long, Array[Double])]
         .groupByKey(_._1)
         .mapGroups { (cell: Long, rows: Iterator[(Long, Long, Array[Double])]) =>

@@ -2474,6 +2474,12 @@ object MiscQueries {
       |  FROM hb, tt)
       |ORDER BY phase""".stripMargin) { (spark, dir) =>
     import graft.operators.{Dedup, Incremental, Similarity}
+    // stays ADAPTIVE deliberately: the report's many small-frame exchanges
+    // cost AQE-future jobs, but the measured static-plan variant was
+    // slower (sort-merge fallbacks + per-action broadcast rebuilds
+    // outweigh the saved scheduler jobs — profiled r13, 49j/9s static vs
+    // 59j/5s adaptive standalone; in the bench shard the memo entries are
+    // already built and the adaptive run is ~3-4 s)
     val corpus = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         concat(lit("s"), col("vec_id") % 2).as("shard"))

@@ -32,7 +32,17 @@ import graft.operators.Dedup
   */
 object Shared {
 
-  private final case class Entry(ctxId: Int, df: DataFrame, rddIds: Set[Int])
+  private final case class Entry(ctxId: Int, df: DataFrame, rddIds: Set[Int]) {
+    /** A LocalRelation result (no distributed backing at all) — valid for
+      * the whole session; there is nothing to unpersist out from under it.
+      * Checked on the OPTIMIZED plan so a projection wrapper folded by
+      * ConvertToLocalRelation still counts.
+      */
+    def local: Boolean = df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
+  }
   private val memo = scala.collection.concurrent.TrieMap.empty[String, Entry]
 
   /** RDD ids whose cached blocks back live memo entries — Bench's per-query
@@ -50,16 +60,21 @@ object Shared {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }.toSet
 
-  /** Memoize `build` (which must return an eagerly-materialized frame — a
-    * [[Dedup.cachedForReuse]] checkpoint) under `key` for this session's
-    * SparkContext. Self-healing: a hit whose backing blocks are gone (or
-    * from a different context) rebuilds.
+  /** Memoize `build` under `key` for this session's SparkContext. `build`
+    * must return a frame whose validity is CHECKABLE: an eagerly-
+    * materialized [[Dedup.cachedForReuse]] checkpoint (valid while its
+    * backing blocks stay registered), or a driver-local LocalRelation
+    * (e.g. a trained codebook — immutable driver data, valid for the
+    * session unconditionally). Self-healing: a checkpoint hit whose
+    * backing blocks are gone (or any hit from a different context)
+    * rebuilds.
     */
   def memoized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val ctx = spark.sparkContext
     val ctxId = System.identityHashCode(ctx)
     memo.get(key) match {
-      case Some(e) if e.ctxId == ctxId && e.rddIds.nonEmpty &&
+      case Some(e) if e.ctxId == ctxId &&
+          (e.rddIds.nonEmpty || e.local) &&
           e.rddIds.forall(ctx.getPersistentRDDs.contains) =>
         e.df
       case _ =>
@@ -247,18 +262,27 @@ object Shared {
     */
   def semKmeansCents(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, s"semCents|$dir") {
-      Dedup.cachedForReuse(graft.operators.Similarity.kmeansFromPrepared(
+      // the trainer's result is a driver-local frame already (the codebook
+      // IS driver data) — no checkpoint job; the memo treats LocalRelation
+      // entries as session-valid
+      graft.operators.Similarity.kmeansFromPrepared(
         preparedEmb(spark, dir).filter(col("vec_id") % 2 === 0),
-        k = 8, iters = 5))
+        k = 8, iters = 5)
     }
 
   /** Full-corpus assignment under [[semKmeansCents]] — mx29's two
     * deliveries consume `vec_id % 2` filters of this one pass (same
-    * stateless-assignment argument as [[ivfAssignedAll]]).
+    * stateless-assignment argument as [[ivfAssignedAll]]). The codebook is
+    * a LocalRelation, so its rows lift into the assignment as a plan
+    * LITERAL — no packing aggregate, no broadcast future
+    * ([[graft.operators.Similarity.assignCellsLit]]).
     */
   def semAssignedAll(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, s"semAsgAll|$dir") {
-      Dedup.cachedForReuse(graft.operators.Similarity.assignCells(
-        preparedEmb(spark, dir), semKmeansCents(spark, dir)))
+      val cents = semKmeansCents(spark, dir).collect().toSeq.map { r =>
+        (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2))
+      }
+      Dedup.cachedForReuse(graft.operators.Similarity.assignCellsLit(
+        preparedEmb(spark, dir), cents))
     }
 }
