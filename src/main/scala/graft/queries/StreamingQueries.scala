@@ -319,37 +319,49 @@ object StreamingQueries {
       |WHERE c.c_mktsegment = 'BUILDING'
       |GROUP BY c.c_custkey ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
     import graft.exprs.Exact
-    val tmp = java.nio.file.Files.createTempDirectory("st10_join_mv")
-      .toFile.getAbsolutePath
-    val url = s"jdbc:derby:$tmp/db;create=true"
-    val cust = Tables.customer(spark, dir)
-      .filter(col("c_mktsegment") === "BUILDING")
-      .select(col("c_custkey"))
-    val orders = Tables.orders(spark, dir)
-    val mid = orders.agg(expr("percentile_approx(o_orderkey, 0.5)"))
-      .collect()(0).getLong(0)
-    def view(o: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-        .groupBy(col("c_custkey"))
-        .agg(count(lit(1)).as("n_orders"),
-          Exact.dsum(col("o_totalprice")).as("total_spent"),
-          // NTZ → timestamp under the UTC session pin, then micros (the
-          // same NTZ-as-UTC semantics the oracle's epoch_us applies)
-          max(unix_micros(col("o_orderdate").cast("timestamp")))
-            .as("last_order_us"))
-    def mergeBatch(batch: org.apache.spark.sql.DataFrame): Unit =
-      new graft.sinks.JdbcLoader(Map[String, Any](
-        "connection_string" -> url, "table" -> "customer360",
-        "if_exists" -> "upsert",
-        "primary_keys" -> Seq("c_custkey"))).load(batch)
-    mergeBatch(view(orders.filter(col("o_orderkey") <= mid)))
-    mergeBatch(view(orders))
-    mergeBatch(view(orders))
-    spark.read.format("jdbc")
-      .option("url", url).option("dbtable", "customer360").load()
-      .select(col("c_custkey"), col("n_orders"), col("total_spent"),
-        col("last_order_us"))
-      .orderBy(col("c_custkey"))
+    import graft.operators.Dedup
+    // in-MEMORY Derby: the gate is MERGE convergence + replay idempotency
+    // against a real SQL engine, not disk durability — the on-disk DB
+    // charged ~1-2 s of database-creation I/O per run (a few in-memory DBs
+    // per JVM is the accepted cost; bench runs this query a handful of
+    // times). Batch frames run under the static planner: the join is an
+    // explicit broadcast and the shapes are fixed, so AQE's per-exchange
+    // futures (17 of the 21 jobs) buy nothing.
+    val url = s"jdbc:derby:memory:st10_${java.util.UUID.randomUUID().toString.take(8)};create=true"
+    Dedup.withStaticPlan(spark) {
+      val cust = Tables.customer(spark, dir)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val orders = Tables.orders(spark, dir)
+      val mid = orders.agg(expr("percentile_approx(o_orderkey, 0.5)"))
+        .collect()(0).getLong(0)
+      def view(o: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        o.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            Exact.dsum(col("o_totalprice")).as("total_spent"),
+            // NTZ → timestamp under the UTC session pin, then micros (the
+            // same NTZ-as-UTC semantics the oracle's epoch_us applies)
+            max(unix_micros(col("o_orderdate").cast("timestamp")))
+              .as("last_order_us"))
+      def mergeBatch(batch: org.apache.spark.sql.DataFrame): Unit =
+        new graft.sinks.JdbcLoader(Map[String, Any](
+          "connection_string" -> url, "table" -> "customer360",
+          "if_exists" -> "upsert",
+          "primary_keys" -> Seq("c_custkey"))).load(batch)
+      mergeBatch(view(orders.filter(col("o_orderkey") <= mid)))
+      // the full-stream batch materializes ONCE and merges twice — a
+      // sink-side crash re-delivers the SAME batch rows, so replaying the
+      // materialized frame is the faithful (and cheaper) re-delivery
+      val full = Dedup.cachedForReuse(view(orders))
+      mergeBatch(full)
+      mergeBatch(full)
+      spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "customer360").load()
+        .select(col("c_custkey"), col("n_orders"), col("total_spent"),
+          col("last_order_us"))
+        .orderBy(col("c_custkey"))
+    }
   }
 
   /** Sliding-window (1 h / 30 min) per-type counts
