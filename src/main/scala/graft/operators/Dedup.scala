@@ -30,7 +30,7 @@ object Dedup {
     * input across the cluster's parallelism BEFORE the expensive per-row
     * stages (on a many-file corpus at real scale this is a no-op).
     */
-  private def spread(df: DataFrame): DataFrame = {
+  private[graft] def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -709,7 +709,7 @@ object Dedup {
     * instead of interpreted per-element lambdas (measured ~10× faster).
     * Rows with null text or fewer than k tokens are dropped.
     */
-  private def wordShingleRows(base: DataFrame, shingleK: Int): DataFrame = {
+  private[graft] def wordShingleRows(base: DataFrame, shingleK: Int): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     val outSchema = StructType(Seq(
       base.schema("doc_id").copy(name = "doc_id"),

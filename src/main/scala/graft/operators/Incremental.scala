@@ -726,6 +726,99 @@ object Incremental {
     (deltaResults, newState)
   }
 
+  /** Incremental gram-level CONTAMINATION with a traveling gram store — the
+    * state-travel member for decontamination (dd19/dd30's subject): eval
+    * benchmarks and training corpora BOTH grow over time, and a gram that
+    * arrives in a later training delivery contaminates an eval document
+    * that shipped months earlier. The carried state is three frames:
+    *
+    *  - `priorTrainGrams` `(g)` — every distinct word-`shingleK`-gram ever
+    *    seen in a TRAINING document (the dd30 gram convention:
+    *    lowercase, space-split, k-token shingles, distinct per doc);
+    *  - `priorEvalGrams` `(doc_id, g)` — each historical EVAL document's
+    *    distinct gram set (kept so retroactive probes never re-read or
+    *    re-shingle historical eval text);
+    *  - `priorHits` `(doc_id, n_grams, n_hit)` — the running per-eval-doc
+    *    contamination counters (dd30's report numerators/denominators).
+    *
+    * A delivery (docs split into train/eval by `benchPred`):
+    *  1. shingles ONLY its delta; delta-new train grams = delta's distinct
+    *     grams anti-joined against the store (gram-keyed — with the store
+    *     parquet BUCKETED by `g`, only the delta side moves);
+    *  2. RETROACTIVELY probes historical eval docs against the delta-new
+    *     grams only — one gram-keyed semi-join of store-new × eval-gram
+    *     store; counters can only grow;
+    *  3. probes delta eval docs against the FULL grown train store (the
+    *     dd30 eval-side-bounded shape, per delivery);
+    *  4. grows all three stores.
+    *
+    * Two deliveries ≡ one global pass, exactly: `n_hit(d)` converges to
+    * `|grams(d) ∩ allTrainGrams|`, and each (eval doc, gram) hit is
+    * counted exactly once — in the delivery where BOTH sides first
+    * coexist (gram-first → counted at the doc's arrival via step 3;
+    * doc-first → counted at the gram's arrival via step 2; same-delivery
+    * → step 3, because step 2 probes only the PRIOR eval store). Grams
+    * enter `trainGrams` exactly once (the anti-join), so step 2 can never
+    * double-count. IncrementalSpec pins the replay including the
+    * retroactive case; mx33 oracle-replays it end-to-end.
+    *
+    * Eval docs with fewer than `shingleK` tokens carry no grams: absent
+    * from the report (no contamination semantics at that length — the
+    * [[Dedup.contaminationDepth]] convention). PRECONDITIONS: `idCol`
+    * globally unique across deliveries (the family discipline) and
+    * `benchPred` a pure per-row function of the document (a doc must not
+    * change sides between deliveries).
+    *
+    * Returns `(newTrainGrams, newEvalGrams, newHits)`; report consumers
+    * derive ppm as `1000000 * n_hit div n_grams` (exact integers, dd30's
+    * rendering). Scale: every shuffle is delta-gram- or delta-doc-sized;
+    * the stores are what they must be (the complete gram state) and
+    * history text is never re-read.
+    */
+  def contaminationDelta(
+      corpus: DataFrame, manifest: DataFrame, shardCol: String,
+      priorTrainGrams: DataFrame, priorEvalGrams: DataFrame, priorHits: DataFrame,
+      idCol: String, textCol: String,
+      benchPred: org.apache.spark.sql.Column, shingleK: Int = 5,
+      materializeState: Boolean = true): (DataFrame, DataFrame, DataFrame) = {
+    val (delta, _) = deltaShards(corpus, manifest, shardCol)
+    def side(pred: org.apache.spark.sql.Column) = Dedup.wordShingleRows(
+      Dedup.spread(delta.filter(pred)
+        .select(col(idCol).as("doc_id"), col(textCol).as("txt"))), shingleK)
+    // prior gram stores feed two consumers each (probe + grown-store
+    // union) — the family's materializeState knob; a store read from
+    // bucketed parquet passes false and scans twice instead
+    def mat(df: DataFrame) =
+      if (materializeState && !provablyEmpty(df)) Dedup.cachedForReuse(df) else df
+    val prT = mat(priorTrainGrams.select(col("g")))
+    val prE = mat(priorEvalGrams.select(col("doc_id"), col("g")))
+    // 1. delta-new train grams (each gram enters the store exactly once)
+    val newGrams = Dedup.cachedForReuse(
+      side(!benchPred).select(explode(col("sh")).as("g")).distinct()
+        .join(prT, Seq("g"), "left_anti"))
+    // 2. retroactive increments for HISTORICAL eval docs only
+    val retro = prE.join(newGrams, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("__inc"))
+    // 3. delta eval docs probe the grown store
+    val deltaEvalSh = Dedup.cachedForReuse(side(benchPred))
+    val deltaEvalGrams = deltaEvalSh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val grownTrain = prT.unionByName(newGrams)
+    val deltaHits = deltaEvalGrams.join(grownTrain, Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    val deltaEvalHits = deltaEvalSh
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
+      .join(deltaHits, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_hit"))
+    // 4. grown state
+    val newHits = priorHits.select(col("doc_id"), col("n_grams"), col("n_hit"))
+      .join(retro, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        (col("n_hit") + coalesce(col("__inc"), lit(0L))).as("n_hit"))
+      .unionByName(deltaEvalHits)
+    val newEvalGrams = prE.unionByName(deltaEvalGrams)
+    (grownTrain, newEvalGrams, newHits)
+  }
+
   /** Incremental near-dup CLUSTER maintenance — the retroactivity answer
     * the keep/drop rule of [[nearDedupDelta]] deliberately sidesteps: dd11's
     * min-id connected-component labels, maintained across deliveries by

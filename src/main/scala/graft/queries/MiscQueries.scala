@@ -2600,6 +2600,63 @@ object MiscQueries {
       .orderBy("run_id", "rnk")
   }
 
+  /** Incremental gram-level contamination across two deliveries
+    * ([[graft.operators.Incremental.contaminationDelta]]) — dd30's
+    * contamination-depth report with STATE TRAVEL, the decontamination
+    * member of the incremental family: delivery 1 (sources s0–s9)
+    * bootstraps the train-gram / eval-gram / hit-counter stores from empty
+    * LocalRelations; delivery 2 shingles ONLY its delta, retroactively
+    * re-probes delivery-1 eval docs against its NEW train grams (the gram
+    * that arrives late still contaminates the old benchmark doc), and
+    * probes its own eval docs against the grown store. Each (eval doc,
+    * gram) hit lands exactly once — in the delivery where both sides first
+    * coexist — so two deliveries ≡ one global dd30 pass, which is what the
+    * oracle replays (dd30's SQL plus the delivery tag). Output: per eval
+    * doc — delivery, gram count, hits, exact-ppm contamination.
+    */
+  val mx33IncrementalContamination: Q = Q(
+    "mx33_incremental_contamination",
+    """WITH tok AS (SELECT doc_id,
+      |    CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1 ELSE 2 END AS run_id,
+      |    string_split(lower(text), ' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id, run_id, list_distinct(list_transform(range(1, len(ts) - 3),
+      |         i -> array_to_string(list_slice(ts, i, i + 4), ' '))) AS sh
+      |       FROM tok WHERE len(ts) >= 5),
+      |train AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 7 <> 0),
+      |ev AS (SELECT doc_id, run_id, CAST(len(sh) AS BIGINT) AS n, unnest(sh) AS g
+      |       FROM sh WHERE doc_id % 7 = 0),
+      |agg AS (SELECT ev.doc_id, MAX(ev.run_id) AS run_id, MAX(ev.n) AS n_grams,
+      |    CAST(SUM(CASE WHEN t.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+      |  FROM ev LEFT JOIN train t ON t.g = ev.g GROUP BY ev.doc_id)
+      |SELECT doc_id, CAST(run_id AS BIGINT) AS run_id, n_grams, n_hit,
+      |  CAST((1000000 * n_hit) // n_grams AS BIGINT) AS contaminated_ppm
+      |FROM agg ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    import graft.operators.Incremental
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val corpus = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val d1 = corpus.filter(Shared.srcIdx < 10)
+    val benchPred = col("doc_id") % 7 === 0
+    val emptyManifest = corpus.select(col("source")).limit(0)
+    def empty(schema: StructType) = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val (t1, e1, h1) = Incremental.contaminationDelta(
+      d1, emptyManifest, "source",
+      empty(new StructType().add("g", StringType)),
+      empty(new StructType().add("doc_id", LongType).add("g", StringType)),
+      empty(new StructType().add("doc_id", LongType)
+        .add("n_grams", LongType).add("n_hit", LongType)),
+      "doc_id", "text", benchPred)
+    val manifest1 = d1.select(col("source")).distinct()
+    val (_, _, h2) = Incremental.contaminationDelta(
+      corpus, manifest1, "source", t1, e1, h1, "doc_id", "text", benchPred)
+    h2.join(corpus.select(col("doc_id"),
+        when(Shared.srcIdx < 10, 1L).otherwise(2L).as("run_id")), Seq("doc_id"))
+      .select(col("doc_id"), col("run_id"), col("n_grams"), col("n_hit"),
+        expr("(1000000 * n_hit) div n_grams").as("contaminated_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(p1PassThrough, s10CursorMax, qAsofSignup, qAsofNearest,
     qRangeJoin,
     qOuterJoin, qAntiCustomers, qSemiCustomers, qMedianPrice, qApproxStats,
@@ -2616,5 +2673,5 @@ object MiscQueries {
     mx23IncrementalDedup, mx24MultimodalCuration, mx25IncrementalPipeline,
     mx26IncrementalNearDedup, mx27IncrementalCc, mx28IncrementalIvf,
     mx29IncrementalSemDedup, mx30IvfRetrain, mx31IncrementalQuota,
-    mx32IncrementalVocab)
+    mx32IncrementalVocab, mx33IncrementalContamination)
 }

@@ -418,6 +418,59 @@ class IncrementalSpec extends AnyFunSuite {
       v2.as[(String, Long)].collect().toMap)
   }
 
+  test("contaminationDelta: gram store travels; a late train gram retroactively contaminates an old eval doc") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    // benchPred: id % 7 == 0 → eval docs 7, 14, 21. k = 3 keeps texts short.
+    //  d1: eval 7 "a b c d" (grams: "a b c", "b c d"); train 1 "x y z w"
+    //  d2: train 8 "q a b c" (brings "a b c" — RETROACTIVELY hits doc 7),
+    //      eval 14 "x y z p" (hits "x y z" from d1's train store),
+    //      eval 21 "m n o" + train 9 "m n o" (same-delivery pair → counted
+    //      at doc arrival, not double-counted by the retro probe)
+    val docs = Seq(
+      (7L, "s0", "a b c d"), (1L, "s0", "x y z w"),
+      (8L, "s1", "q a b c"), (14L, "s1", "x y z p"),
+      (21L, "s1", "m n o"), (9L, "s1", "m n o")
+    ).toDF("doc_id", "shard", "text")
+    val benchPred = col("doc_id") % 7 === 0
+    def empty(schema: StructType) = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val emptyT = empty(new StructType().add("g", StringType))
+    val emptyE = empty(new StructType().add("doc_id", LongType).add("g", StringType))
+    val emptyH = empty(new StructType().add("doc_id", LongType)
+      .add("n_grams", LongType).add("n_hit", LongType))
+    val emptyManifest = Seq.empty[String].toDF("shard")
+    val (t1, e1, h1) = Incremental.contaminationDelta(
+      docs.filter(col("shard") === "s0"), emptyManifest, "shard",
+      emptyT, emptyE, emptyH, "doc_id", "text", benchPred, shingleK = 3)
+    assert(h1.as[(Long, Long, Long)].collect().toSet == Set((7L, 2L, 0L)))
+    val (t2, e2, h2) = Incremental.contaminationDelta(
+      docs, Seq("s0").toDF("shard"), "shard", t1, e1, h1,
+      "doc_id", "text", benchPred, shingleK = 3)
+    // doc 7: retroactive hit on "a b c"; doc 14: 2 grams, 1 hit ("x y z");
+    // doc 21: its only gram arrives WITH train doc 9 → 1 hit, once
+    assert(h2.as[(Long, Long, Long)].collect().toSet ==
+      Set((7L, 2L, 1L), (14L, 2L, 1L), (21L, 1L, 1L)))
+    // two deliveries ≡ one global pass (the operator's replay contract),
+    // and ≡ the one-shot contaminationDepth report
+    val (_, _, hAll) = Incremental.contaminationDelta(
+      docs, emptyManifest, "shard", emptyT, emptyE, emptyH,
+      "doc_id", "text", benchPred, shingleK = 3)
+    assert(hAll.as[(Long, Long, Long)].collect().toSet ==
+      h2.as[(Long, Long, Long)].collect().toSet)
+    assert(graft.operators.Dedup.contaminationDepth(
+        docs, "doc_id", "text", benchPred, shingleK = 3)
+      .select("doc_id", "n_grams", "n_hit")
+      .as[(Long, Long, Long)].collect().toSet ==
+      h2.as[(Long, Long, Long)].collect().toSet)
+    // idempotent re-run: full manifest → empty delta, all stores unchanged
+    val (t3, e3, h3) = Incremental.contaminationDelta(
+      docs, Seq("s0", "s1").toDF("shard"), "shard", t2, e2, h2,
+      "doc_id", "text", benchPred, shingleK = 3)
+    assert(h3.as[(Long, Long, Long)].collect().toSet ==
+      h2.as[(Long, Long, Long)].collect().toSet)
+    assert(t3.count() == t2.count() && e3.count() == e2.count())
+  }
+
   test("ivfRetrainReport: drifted-cell Lloyd step + local repair lifts recall on a drift fixture") {
     import graft.operators.Incremental
     def vec(a: Double, b: Double, c: Double, d: Double): Array[Float] =
