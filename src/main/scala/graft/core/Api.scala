@@ -23,6 +23,21 @@ trait Transformer {
   def transform(df: DataFrame): DataFrame
 }
 
+/** A transformer carrying OPERATOR STATE across pipeline runs — the
+  * incremental state-travel family (dedup fingerprint stores, signature
+  * stores, vocab stores) exposed through the engine. `transform` computes
+  * the delivery's output and STAGES the grown state; the engine calls
+  * `commit()` only after a successful load — the reference's cursor
+  * discipline (save-after-load, `state.py:30-77` / `engine.py:126-130`)
+  * extended to data-sized state: a failed load leaves the store untouched,
+  * so the next run re-extracts and re-processes the same delta.
+  */
+trait StatefulTransformer extends Transformer {
+  /** Persist the state staged by the last `transform`; idempotent no-op
+    * when nothing is staged. */
+  def commit(): Unit
+}
+
 trait Loader {
   def connect(): Unit = ()
   def load(df: DataFrame): Unit

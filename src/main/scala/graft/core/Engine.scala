@@ -73,11 +73,13 @@ class Engine(spark: SparkSession) {
 
     // 6. transform chain
     var df = raw
+    val stateful = scala.collection.mutable.Buffer.empty[StatefulTransformer]
     cfg.transform.foreach { step =>
       val mk = Registries.transformers.resolve(step.stepType)
       val t = mk(spark, step.resolved)
       t.validate(df)
       df = t.transform(df)
+      t match { case st: StatefulTransformer => stateful += st; case _ => () }
       if (cfg.settings.logRowCounts) log.info(s"after ${step.stepType}: ${df.count()} rows")
     }
 
@@ -95,6 +97,10 @@ class Engine(spark: SparkSession) {
       case (Some(_), Some(st), Some(nc)) => st.set(cfg.name, nc)
       case _ => ()
     }
+    // 8b. operator state (incremental stores) under the SAME save-after-
+    // load discipline — a load failure above threw before reaching here,
+    // so the stores still describe the last fully-loaded delivery
+    stateful.foreach(_.commit())
     out
   }
 

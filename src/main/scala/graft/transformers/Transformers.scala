@@ -30,6 +30,7 @@ object Transformers {
     Registries.transformers.register("pii_scrub")((_, c) => new PiiScrubTransformer(c))
     Registries.transformers.register("language_filter")((_, c) => new LanguageFilterTransformer(c))
     Registries.transformers.register("embedding_guard")((_, c) => new EmbeddingGuardTransformer(c))
+    Registries.transformers.register("incremental_dedup")((_, c) => new IncrementalDedupTransformer(c))
   }
 
   /** Beyond-reference: the mx17 curation DAG's stages as INDIVIDUAL
@@ -309,6 +310,85 @@ object Transformers {
         maxDupWordFraction = maxDupWordFraction,
         maxSymbolRatio = maxSymbolRatio,
         minTokens = minTokens, threshold = threshold)
+  }
+
+  /** Incremental EXACT dedup as a config-driven pipeline stage — the
+    * state-travel family ([[graft.operators.Incremental.dedupDelta]])
+    * exposed through the SAME engine machinery that drives the reference's
+    * cursor-style incrementality (S9–S11): `state_dir` holds the
+    * processed-shard manifest and the md5 fingerprint store as parquet;
+    * each run deduplicates ONLY the shards the manifest doesn't cover —
+    * against the store and within the delta — and emits the survivors.
+    * The grown state is STAGED at transform time and persisted by the
+    * engine's post-load [[graft.core.StatefulTransformer.commit]] hook,
+    * the cursor's save-after-load discipline extended to operator state: a
+    * failed load leaves both stores untouched, so the next run re-processes
+    * the same delta (EnginePipelineSpec pins this with a failing loader).
+    *
+    * Scale: state IO is store-sized parquet (production would bucket the
+    * fingerprint store by `fp` so only the delta side of the anti-join
+    * moves — BucketedJoinSpec's layout); the commit's rewrite-the-store
+    * write is the simple-filesystem stand-in for a transactional table
+    * format, staged to a temp dir and swapped in.
+    */
+  class IncrementalDedupTransformer(conf: Conf) extends graft.core.StatefulTransformer {
+    private val idCol = conf.strOr("id_column", "doc_id")
+    private val textCol = conf.strOr("text_column", "text")
+    private val shardCol = conf.strOr("shard_column", "source")
+    private val stateDir = conf.str("state_dir").getOrElse(
+      throw new IllegalArgumentException("incremental_dedup: state_dir is required"))
+    private var staged: Option[(DataFrame, DataFrame)] = None
+
+    override def validate(df: DataFrame): Unit = {
+      val have = df.columns.toSet
+      require(Seq(idCol, textCol, shardCol).forall(have.contains),
+        s"incremental_dedup: requires columns '$idCol', '$textCol', '$shardCol', " +
+          s"got ${have.mkString(", ")}")
+    }
+
+    private def readOr(spark: org.apache.spark.sql.SparkSession,
+        path: String, fallback: => DataFrame): DataFrame =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+        spark.read.parquet(path)
+      else fallback
+
+    def transform(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val fps = readOr(spark, s"$stateDir/fingerprints",
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          new org.apache.spark.sql.types.StructType()
+            .add("fp", org.apache.spark.sql.types.StringType)))
+      val manifest = readOr(spark, s"$stateDir/manifest",
+        df.select(col(shardCol)).limit(0))
+      val (survivors, newFps) = graft.operators.Incremental.dedupDelta(
+        df, manifest, shardCol, fps, idCol, textCol)
+      val newManifest = manifest.select(col(shardCol))
+        .union(df.select(col(shardCol))).distinct()
+      staged = Some((newFps, newManifest))
+      survivors
+    }
+
+    def commit(): Unit = staged.foreach { case (fps, manifest) =>
+      writeSwap(fps, s"$stateDir/fingerprints")
+      writeSwap(manifest, s"$stateDir/manifest")
+      staged = None
+    }
+
+    /** Write to a temp sibling (the plan READS the old store), then swap —
+      * crash-safe up to the final directory move.
+      */
+    private def writeSwap(df: DataFrame, path: String): Unit = {
+      val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+      df.write.mode("overwrite").parquet(tmp)
+      val target = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.isDirectory(target)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+    }
   }
 
   /** P1 — identity (`transformers/pass_through.py:15-20`; the copy contract

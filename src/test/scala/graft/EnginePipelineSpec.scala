@@ -179,6 +179,75 @@ class EnginePipelineSpec extends AnyFunSuite {
     assert(st.get("cap_pipe").contains(1))
   }
 
+  test("incremental_dedup plugin: fingerprint/manifest state travels across engine runs; save-after-load") {
+    val dir = tmp()
+    val state = dir.resolve("incstate").toString
+    def jsonl(name: String, rows: Seq[String]): String = {
+      val p = dir.resolve(name); Files.writeString(p, rows.mkString("\n")); p.toString
+    }
+    val s0Rows = Seq(
+      """{"doc_id": 1, "source": "s0", "text": "alpha beta gamma"}""",
+      """{"doc_id": 2, "source": "s0", "text": "alpha beta gamma"}""",
+      """{"doc_id": 3, "source": "s0", "text": "delta epsilon zeta"}""")
+    val d1 = jsonl("inc_d1.jsonl", s0Rows)
+    // delivery 2 RE-DELIVERS s0 (covered by the manifest → not reprocessed)
+    // and brings s1: 11 duplicates the store's content, 12 is new
+    val d2 = jsonl("inc_d2.jsonl", s0Rows ++ Seq(
+      """{"doc_id": 11, "source": "s1", "text": "alpha beta gamma"}""",
+      """{"doc_id": 12, "source": "s1", "text": "eta theta iota"}"""))
+    def cfg(in: String, out: String, loader: String = "jsonl_local") = Config.parse(
+      s"""pipeline:
+         |  name: inc_dedup_pipe
+         |  extract:
+         |    type: jsonl_file
+         |    inline_config: {path: "$in"}
+         |  transform:
+         |    - type: incremental_dedup
+         |      inline_config: {id_column: doc_id, text_column: text,
+         |                      shard_column: source, state_dir: "$state"}
+         |  load:
+         |    type: $loader
+         |    inline_config: {path: "$out", if_exists: replace}
+         |  settings:
+         |    retry: {max_attempts: 1, backoff_seconds: 0}
+         |""".stripMargin)
+    def ids(out: String): Set[Long] =
+      new graft.sources.JsonlFileExtractor(spark, Map("path" -> out))
+        .extract().select("doc_id").collect().map(_.getLong(0)).toSet
+    val out1 = dir.resolve("inc_out1").toString
+    new Engine(spark).run(cfg(d1, out1))
+    assert(ids(out1) == Set(1L, 3L), "within-delta keep-first by id")
+    assert(Files.isDirectory(dir.resolve("incstate/fingerprints")) &&
+      Files.isDirectory(dir.resolve("incstate/manifest")), "state committed after load")
+    // load FAILURE must leave both stores at delivery-1 (save-after-load)
+    Registries.bootstrap()
+    try Registries.loaders.register("boom_loader") { (_, _) =>
+      new Loader { def load(df: DataFrame): Unit = throw new RuntimeException("boom") }
+    } catch { case _: IllegalStateException => () }
+    intercept[RuntimeException](
+      new Engine(spark).run(cfg(d2, dir.resolve("never").toString, "boom_loader")))
+    val out2 = dir.resolve("inc_out2").toString
+    new Engine(spark).run(cfg(d2, out2))
+    assert(ids(out2) == Set(12L),
+      "re-delivered s0 is manifest-covered; 11 dups the store; 12 survives")
+    // plugin ≡ operator: the same two deliveries through dedupDelta directly
+    import org.apache.spark.sql.functions.col
+    val docs = new graft.sources.JsonlFileExtractor(spark, Map("path" -> d2)).extract()
+    val emptyFp = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      new org.apache.spark.sql.types.StructType()
+        .add("fp", org.apache.spark.sql.types.StringType))
+    val emptyManifest = docs.select(col("source")).limit(0)
+    val (k1, fp1) = graft.operators.Incremental.dedupDelta(
+      docs.filter(col("source") === "s0"), emptyManifest, "source", emptyFp,
+      "doc_id", "text")
+    val (k2, _) = graft.operators.Incremental.dedupDelta(
+      docs, docs.filter(col("source") === "s0").select(col("source")).distinct(),
+      "source", fp1, "doc_id", "text")
+    assert(k1.select("doc_id").collect().map(_.getLong(0)).toSet == ids(out1))
+    assert(k2.select("doc_id").collect().map(_.getLong(0)).toSet == ids(out2))
+  }
+
   test("config validation fails fast: missing extract config") {
     val yaml =
       """pipeline:
