@@ -127,7 +127,227 @@ object ScaleSmoke {
     }
   }
 
+  /** The 20M-doc STATE-TRAVEL tier (`runMain graft.tools.ScaleSmoke incr
+    * [n]`): two-delivery dedupDelta / nearDedupDelta / semDedupDelta runs
+    * an order above the 2M tier, with per-phase shuffle read/write
+    * attribution. The economic claims under measurement:
+    *
+    *  - history is never RE-SHINGLED / re-hashed / re-embedded: delivery
+    *    2's wall time and CPU are delta-sized (compare the `delta` line
+    *    against the `global one-shot` line);
+    *  - the store's contribution to delivery-2 SHUFFLE is isolated by an
+    *    empty-store CONTROL run of the same delta (store-side bytes =
+    *    delta-run bytes − control bytes). In this unbucketed in-session
+    *    path the store's band index is re-shuffled once per delivery
+    *    (linear, never quadratic); persisting the store BUCKETED by its
+    *    join key (the BucketedJoinSpec layout) removes exactly that term
+    *    in production — the SCALE.md claim, stated precisely.
+    */
+  private def incrTier(spark: SparkSession, n: Long): Unit = {
+    import spark.implicits._
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    def t[A](name: String)(body: => A): (A, Long, Long) = {
+      org.apache.spark.graft.ListenerBusDrain.waitUntilEmpty(spark.sparkContext)
+      meter.reset()
+      val t0 = System.nanoTime()
+      val r = body
+      org.apache.spark.graft.ListenerBusDrain.waitUntilEmpty(spark.sparkContext)
+      println(f"$name%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+        f"stages ${meter.stages.get}%3d  shuffle r/w " +
+        f"${meter.read.get / 1048576.0}%.0f/${meter.write.get / 1048576.0}%.0f MB")
+      (r, meter.read.get, meter.write.get)
+    }
+    def sweep(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
+    // ---- exact dedupDelta: twins (2k, 2k+1) share a text; delivery 2 =
+    // ids ≡ 19 (mod 20) — every d2 doc is the higher twin of a d1 doc, so
+    // d2 survivors = 0 and d1 survivors = n/2 (keep-first by id), both
+    // closed-form at any n
+    val emptyFp = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      new org.apache.spark.sql.types.StructType()
+        .add("fp", org.apache.spark.sql.types.StringType))
+    val manifest0 = Seq.empty[String].toDF("shard")
+    val manifest1 = Seq("s0").toDF("shard")
+    val dDocs = spark.range(0, n).toDF("id").select(col("id"),
+      when(col("id") % 20 === 19, "s1").otherwise("s0").as("shard"),
+      concat(lit("t"), expr("id div 2")).as("text"))
+    val (store1, _, _) = t(s"dedup_delta d1 store build n=$n") {
+      val (s1, fp1) = graft.operators.Incremental.dedupDelta(
+        dDocs.filter(col("shard") === "s0"), manifest0, "shard", emptyFp, "id", "text")
+      val c1 = s1.count()
+      require(c1 == n / 2, s"d1 survivors $c1 != ${n / 2}")
+      graft.operators.Dedup.cachedForReuse(fp1)
+    }
+    t(s"dedup_delta d2 delta n=${n / 20} vs ${n / 2}-row store") {
+      val (s2, _) = graft.operators.Incremental.dedupDelta(
+        dDocs, manifest1, "shard", store1, "id", "text")
+      val c2 = s2.count()
+      require(c2 == 0, s"d2 survivors $c2 != 0 (all are higher twins)")
+    }
+    sweep()
+
+    // ---- nearDedupDelta (mx26's kernel): ids ≡ 0,1 (mod 4) are exact
+    // twins keyed id div 2; ids ≡ 2,3 are salted-unique. Delivery 2 =
+    // ids ≡ 1 (mod 80): n/80 twin-seconds whose partners sit in the
+    // store, so d2 survivors = 0. k = 32 (8 bands × 4) keeps the 20M
+    // signature store ~halved vs the suite default; the mismatch-budget
+    // guard (6 < 8) still holds, so the kernel shape is identical.
+    val txt = array_join(transform(sequence(lit(0), lit(7)),
+      i => concat(lit("w"),
+        when(col("id") % 4 < 2, expr("id div 2"))
+          .otherwise(col("id") + 1000000000L),
+        lit("x"), i)), " ")
+    val nDocs = spark.range(0, n).toDF("id").select(col("id"),
+      when(col("id") % 80 === 1, "s1").otherwise("s0").as("shard"), txt.as("text"))
+    val d2 = nDocs.filter(col("shard") === "s1")
+    val emptySigs = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      graft.operators.Dedup.minhashSignaturesWithBands(
+        nDocs.limit(0), "id", "text", shingleK = 3, k = 32, bands = 8).schema)
+    // Closed form: d1 keeps one per fully-in-d1 twin pair (n/4 − n/80) +
+    // straddling lower twins (n/80) + all salted (n/2) = 3n/4 — MINUS the
+    // ESTIMATOR'S false-positive tail, which this tier measures: at 20M
+    // docs the 32-bit shingle-hash space is in the birthday regime
+    // (~10⁻⁴ of docs share their MINIMUM hash with some other doc), and
+    // the affine minhash family (a·h+b mod p, small odd a) is order-
+    // correlated, so a min-collision matches many components at once —
+    // measured ~750 false drops / 19.75M (4·10⁻⁵) at this tier, 0 at the
+    // 800k tier. That is the documented estimated-Jaccard trade
+    // (state O(k)/doc; calibration is dd25's subject) — the assert bounds
+    // it instead of pretending it's zero.
+    val fpBudget = math.max(16L, n / 2000) // ~10× the measured 4e-5 tail
+    val (store2, _, _) = t(s"neardedup_delta d1 store build n=${n - n / 80}") {
+      val (s1, sigs1) = graft.operators.Incremental.nearDedupDelta(
+        nDocs.filter(col("shard") === "s0"), manifest0, "shard", emptySigs,
+        "id", "text", shingleK = 3, bands = 8, rowsPerBand = 4)
+      val c1 = s1.count()
+      require(c1 <= 3 * n / 4 && c1 >= 3 * n / 4 - fpBudget,
+        s"d1 survivors $c1 outside [${3 * n / 4 - fpBudget}, ${3 * n / 4}]")
+      if (c1 != 3 * n / 4)
+        println(s"  (estimator false-positive tail: ${3 * n / 4 - c1} extra drops" +
+          s" / ${n - n / 80} docs)")
+      graft.operators.Dedup.cachedForReuse(sigs1)
+    }
+    val (_, r2, w2) = t(s"neardedup_delta d2 delta n=${n / 80} vs store") {
+      val (s2, _) = graft.operators.Incremental.nearDedupDelta(
+        nDocs, manifest1, "shard", store2, "id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 4, materializeState = false)
+      val c2 = s2.count()
+      require(c2 == 0, s"d2 survivors $c2 != 0 (all twin-seconds)")
+    }
+    val (_, rc, wc) = t(s"neardedup_delta d2 CONTROL (empty store)") {
+      val (s2c, _) = graft.operators.Incremental.nearDedupDelta(
+        d2, manifest0, "shard", emptySigs, "id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 4)
+      // without the store every twin-second is unique within the delta
+      // (same estimator-tail bound as d1, scaled to the delta)
+      val c = s2c.count()
+      require(c <= n / 80 && c >= n / 80 - fpBudget, s"control survivors $c")
+    }
+    println(f"neardedup_delta store-side shuffle (delta − control): " +
+      f"r ${(r2 - rc) / 1048576.0}%.0f MB / w ${(w2 - wc) / 1048576.0}%.0f MB " +
+      f"(delta-side: r ${rc / 1048576.0}%.0f / w ${wc / 1048576.0}%.0f MB)")
+    // the same delta under broadcastDelta: the store's band index is
+    // semi-join-filtered map-side instead of sort-merge-shuffled — "only
+    // the delta moves" measured in-session (the d1 line above doubles as
+    // the full-recompute cost a non-incremental rerun would pay)
+    t(s"neardedup_delta d2 delta (broadcastDelta — store scanned, not shuffled)") {
+      val (s2b, _) = graft.operators.Incremental.nearDedupDelta(
+        nDocs, manifest1, "shard", store2, "id", "text",
+        shingleK = 3, bands = 8, rowsPerBand = 4,
+        materializeState = false, broadcastDelta = true)
+      require(s2b.count() == 0, "broadcastDelta path must agree: 0 survivors")
+    }
+    sweep()
+
+    // ---- semDedupDelta (mx29's kernel) against a 20M-vector carried
+    // store: store state is BOOTSTRAPPED analytically (every store vector
+    // its own singleton under the sim3-rule 1024-cell quantizer — the
+    // fabricated-state entry point any production adopter uses), then a
+    // 100k delta arrives with 10k EXACT copies of spread-out store
+    // vectors. Exercises the delta×cell pairing, historical-label
+    // contraction and touched-group keep recompute at full store scale;
+    // pair candidates = delta×corpus/k ≈ 2G, never store².
+    val m = n
+    val nDelta = 100000L
+    val nDup = 10000L
+    val primes = Seq(131, 137, 139, 149, 151, 157, 163, 167)
+    // 3-coordinate congruential generator: 1009³ ≈ 1.03G distinct
+    // directions, so 20M ids collide (become parallel) only by accident —
+    // the asserts below are written to survive rare accidental merges
+    def gen(idc: org.apache.spark.sql.Column) = {
+      val a = idc % 1009
+      val b = (idc.cast("double") / 1009.0).cast("long") % 1009 // exact < 2^53
+      val c = (idc.cast("double") / 1018081.0).cast("long") % 1009
+      array(primes.zipWithIndex.map { case (p, i) =>
+        (((a * p + b * (p + i) + c * 31) % 1009) + 1.0).cast("double")
+      }: _*)
+    }
+    val store = spark.range(0, m).toDF("vec_id")
+      .select(col("vec_id"), lit("s0").as("shard"), gen(col("vec_id")).as("embedding"))
+    val dupSrc = (col("vec_id") - m) * 1999 // delta dup j copies store j·1999
+    val deltaVecs = spark.range(m, m + nDelta).toDF("vec_id")
+      .select(col("vec_id"), lit("s1").as("shard"),
+        when(col("vec_id") - m < nDup, gen(dupSrc))
+          .otherwise(gen(col("vec_id") + 7777777L)).as("embedding"))
+    val semCorpus = store.unionByName(deltaVecs)
+    val (prep, _, _) = t(s"semdedup_delta prepare+assign store n=$m cells=1024") {
+      val p = graft.operators.Dedup.cachedForReuse(
+        graft.operators.Similarity.preparedCorpus(store, "vec_id", "embedding"))
+      val cents = p.filter(col("nrm") > 0).orderBy(col("vec_id")).limit(1024)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+        .localCheckpoint(true)
+      val state = graft.operators.Dedup.cachedForReuse(
+        graft.operators.Similarity.assignCells(p, cents)
+          .withColumn("grp", col("vec_id")).withColumn("keep", lit(true)))
+      require(state.count() == m)
+      (cents, state)
+    }
+    val (cents, state1) = prep
+    t(s"semdedup_delta d2 delta n=$nDelta (dups $nDup) vs $m-row store") {
+      val (_, st2) = graft.operators.Incremental.semDedupDelta(
+        semCorpus, manifest1, "shard", cents, state1,
+        "vec_id", "embedding", threshold = 0.999999, materializeState = false)
+      val stM = graft.operators.Dedup.cachedForReuse(
+        st2.select(col("vec_id"), col("grp"), col("keep")))
+      require(stM.count() == m + nDelta, "state must cover store + delta")
+      // every intended dup shares its partner's group (labels contracted
+      // through the carried state) and every touched group keeps exactly 1
+      // only dups whose partner id actually lands in the store (at the
+      // 20M tier that is all of them; a small-n dry run has j·1999 ≥ m)
+      val dups = stM.filter(col("vec_id") >= m && col("vec_id") < m + nDup)
+        .select(col("vec_id"), col("grp").as("g_dup"))
+        .withColumn("partner", (col("vec_id") - m) * 1999)
+        .filter(col("partner") < m)
+      val mism = dups.join(
+          stM.filter(col("vec_id") < m)
+            .select(col("vec_id").as("partner"), col("grp").as("g_par")),
+          Seq("partner"))
+        .filter(col("g_dup") =!= col("g_par")).count()
+      require(mism == 0, s"$mism dup/partner label mismatches")
+      val badKeep = stM.groupBy("grp")
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("k"), count(lit(1)).as("sz"))
+        .filter(col("sz") > 1 && col("k") =!= 1L).count()
+      require(badKeep == 0, s"$badKeep multi-member groups without exactly 1 keeper")
+    }
+    sweep()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("incr")) {
+      val n = args.lift(1).map(_.toLong).getOrElse(20000000L)
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "128")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      incrTier(spark, n)
+      spark.stop()
+      return
+    }
     if (args.headOption.contains("graph")) {
       val n = args.lift(1).map(_.toLong).getOrElse(20000000L)
       // 128 shuffle partitions at the 20M tier: ~150k edge rows per task

@@ -150,6 +150,24 @@ class IncrementalSpec extends AnyFunSuite {
     val (s3, store3) = Incremental.nearDedupDelta(
       docs, m2, "shard", store2, "id", "text")
     assert(s3.count() == 0 && store3.count() == store2.count())
+
+    // broadcastDelta (store scanned, never shuffled) is bit-identical to
+    // the default join shape — survivors AND grown store, both deliveries
+    val (s2b, store2b) = Incremental.nearDedupDelta(
+      docs, m1, "shard", store1, "id", "text", broadcastDelta = true)
+    assert(s2b.select("id").as[Long].collect().sorted.toSeq ==
+      s2.select("id").as[Long].collect().sorted.toSeq)
+    assert(store2b.select("doc_id").as[Long].collect().sorted.toSeq ==
+      store2.select("doc_id").as[Long].collect().sorted.toSeq)
+    val (lb, _) = Incremental.ccDelta(
+      docs, m1, "shard",
+      store1.withColumn("label", col("doc_id")), "id", "text",
+      broadcastDelta = true)
+    val (ld, _) = Incremental.ccDelta(
+      docs, m1, "shard",
+      store1.withColumn("label", col("doc_id")), "id", "text")
+    assert(lb.as[(Long, Long)].collect().sorted.toSeq ==
+      ld.as[(Long, Long)].collect().sorted.toSeq)
   }
 
   test("ccDelta: label state travel; a phase-2 bridge doc retroactively merges two phase-1 clusters") {
