@@ -198,8 +198,12 @@ object Incremental {
     val cand = candPrior.union(candDelta)
     val allSigs = priorSigs.select(col("doc_id"), col("sig"))
       .union(deltaSigs.select(col("doc_id"), col("sig")))
-    cand
+    val withSd = cand
       .join(deltaSigs.select(col("doc_id").as("d_id"), col("sig").as("sd")), "d_id")
+    // under broadcastDelta the verify probe is delta-bounded too: hint it
+    // broadcast so the signature STORE side is scanned, never shuffled —
+    // the same scan-only contract as the banding semi-join above
+    (if (broadcastDelta) broadcast(withSd) else withSd)
       .join(allSigs.select(col("doc_id").as("e_id"), col("sig").as("se")), "e_id")
       .withColumn("matches",
         expr("aggregate(zip_with(sd, se, (x, y) -> IF(x = y, 1, 0)), 0, (a, x) -> a + x)"))

@@ -30,6 +30,12 @@ object ScaleSmoke {
         read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
         write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       }
+      // attribute failures to the operator call site (stage details carry it)
+      s.stageInfo.failureReason.foreach { why =>
+        System.err.println(s"[smoke] FAILED stage ${s.stageInfo.stageId} " +
+          s"'${s.stageInfo.name}': ${why.linesIterator.take(2).mkString(" | ")}\n" +
+          s"  details: ${s.stageInfo.details.linesIterator.take(4).mkString(" | ")}")
+      }
       stages.incrementAndGet(); ()
     }
     def reset(): Unit = { read.set(0); write.set(0); stages.set(0) }
@@ -143,7 +149,12 @@ object ScaleSmoke {
     *    join key (the BucketedJoinSpec layout) removes exactly that term
     *    in production — the SCALE.md claim, stated precisely.
     */
-  private def incrTier(spark: SparkSession, n: Long): Unit = {
+  private def incrTier(spark: SparkSession, n: Long, bdOnly: Boolean = false): Unit = {
+    // NOTE: unlike the stateless tiers, this one holds a ~13 GB carried
+    // signature store in MEMORY_AND_DISK blocks while running banding
+    // aggregates beside it — run with SPARK_DRIVER_MEM=14g (still under
+    // the measured 16g G1-region cliff); the bench JVM's 8 g leaves the
+    // late phases' aggregates execution-starved (AGGREGATE_OUT_OF_MEMORY).
     import spark.implicits._
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
@@ -160,6 +171,22 @@ object ScaleSmoke {
     }
     def sweep(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // free each phase's internal reuse caches WITHOUT truncating a carried
+    // localCheckpoint store the next phase still reads
+    def backing(df: org.apache.spark.sql.DataFrame): Set[Int] =
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+      }.toSet
+    def sweepExcept(keep: Set[Int]): Unit = {
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keep.contains(id)) rdd.unpersist(false)
+      }
+      // broadcast blocks (the broadcastDelta phase pins a ~100 MB probe)
+      // release via ContextCleaner WEAK references — without a forced GC
+      // the default 30-min periodic GC leaves them resident and the next
+      // phase's sort buffers OOM the 14g heap
+      System.gc()
+    }
 
     // ---- exact dedupDelta: twins (2k, 2k+1) share a text; delivery 2 =
     // ids ≡ 19 (mod 20) — every d2 doc is the higher twin of a d1 doc, so
@@ -174,6 +201,7 @@ object ScaleSmoke {
     val dDocs = spark.range(0, n).toDF("id").select(col("id"),
       when(col("id") % 20 === 19, "s1").otherwise("s0").as("shard"),
       concat(lit("t"), expr("id div 2")).as("text"))
+    if (!bdOnly) {
     val (store1, _, _) = t(s"dedup_delta d1 store build n=$n") {
       val (s1, fp1) = graft.operators.Incremental.dedupDelta(
         dDocs.filter(col("shard") === "s0"), manifest0, "shard", emptyFp, "id", "text")
@@ -188,6 +216,7 @@ object ScaleSmoke {
       require(c2 == 0, s"d2 survivors $c2 != 0 (all are higher twins)")
     }
     sweep()
+    }
 
     // ---- nearDedupDelta (mx26's kernel): ids ≡ 0,1 (mod 4) are exact
     // twins keyed id div 2; ids ≡ 2,3 are salted-unique. Delivery 2 =
@@ -231,6 +260,25 @@ object ScaleSmoke {
           s" / ${n - n / 80} docs)")
       graft.operators.Dedup.cachedForReuse(sigs1)
     }
+    val keepStore = backing(store2)
+    sweepExcept(keepStore) // d1's internal kernels, not the carried store
+    if (bdOnly) {
+      // broadcastDelta runs in its OWN invocation (`incr-bd`): the store's
+      // band index is semi-join-filtered map-side and the verify probe
+      // broadcasts, so the store is scanned, never shuffled — "only the
+      // delta moves" measured in-session. A fresh JVM per measurement:
+      // sharing the tier with the SMJ phases left this phase's AQE stage
+      // materializations intermittently execution-starved beside 13 GB of
+      // carried store blocks (AGGREGATE_OUT_OF_MEMORY at the 14g heap).
+      t(s"neardedup_delta d2 delta (broadcastDelta — store scanned, not shuffled)") {
+        val (s2b, _) = graft.operators.Incremental.nearDedupDelta(
+          nDocs, manifest1, "shard", store2, "id", "text",
+          shingleK = 3, bands = 8, rowsPerBand = 4,
+          materializeState = false, broadcastDelta = true)
+        require(s2b.count() == 0, "broadcastDelta path must agree: 0 survivors")
+      }
+      return
+    }
     val (_, r2, w2) = t(s"neardedup_delta d2 delta n=${n / 80} vs store") {
       val (s2, _) = graft.operators.Incremental.nearDedupDelta(
         nDocs, manifest1, "shard", store2, "id", "text",
@@ -238,6 +286,7 @@ object ScaleSmoke {
       val c2 = s2.count()
       require(c2 == 0, s"d2 survivors $c2 != 0 (all twin-seconds)")
     }
+    sweepExcept(keepStore)
     val (_, rc, wc) = t(s"neardedup_delta d2 CONTROL (empty store)") {
       val (s2c, _) = graft.operators.Incremental.nearDedupDelta(
         d2, manifest0, "shard", emptySigs, "id", "text",
@@ -250,17 +299,6 @@ object ScaleSmoke {
     println(f"neardedup_delta store-side shuffle (delta − control): " +
       f"r ${(r2 - rc) / 1048576.0}%.0f MB / w ${(w2 - wc) / 1048576.0}%.0f MB " +
       f"(delta-side: r ${rc / 1048576.0}%.0f / w ${wc / 1048576.0}%.0f MB)")
-    // the same delta under broadcastDelta: the store's band index is
-    // semi-join-filtered map-side instead of sort-merge-shuffled — "only
-    // the delta moves" measured in-session (the d1 line above doubles as
-    // the full-recompute cost a non-incremental rerun would pay)
-    t(s"neardedup_delta d2 delta (broadcastDelta — store scanned, not shuffled)") {
-      val (s2b, _) = graft.operators.Incremental.nearDedupDelta(
-        nDocs, manifest1, "shard", store2, "id", "text",
-        shingleK = 3, bands = 8, rowsPerBand = 4,
-        materializeState = false, broadcastDelta = true)
-      require(s2b.count() == 0, "broadcastDelta path must agree: 0 survivors")
-    }
     sweep()
 
     // ---- semDedupDelta (mx29's kernel) against a 20M-vector carried
@@ -337,14 +375,14 @@ object ScaleSmoke {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.headOption.contains("incr")) {
+    if (args.headOption.exists(a => a == "incr" || a == "incr-bd")) {
       val n = args.lift(1).map(_.toLong).getOrElse(20000000L)
       val spark = SparkSession.builder().master("local[32]")
         .config("spark.sql.shuffle.partitions", "128")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false").getOrCreate()
       spark.sparkContext.setLogLevel("ERROR")
-      incrTier(spark, n)
+      incrTier(spark, n, bdOnly = args.headOption.contains("incr-bd"))
       spark.stop()
       return
     }
