@@ -34,7 +34,11 @@ trait Transformer {
   */
 trait StatefulTransformer extends Transformer {
   /** Persist the state staged by the last `transform`; idempotent no-op
-    * when nothing is staged. */
+    * when nothing is staged. The engine invokes commits in REVERSE chain
+    * order: a staged state plan is lazy and (transitively) reads upstream
+    * stages' outputs, which read THEIR pre-commit stores — downstream
+    * commits must execute before an upstream swap replaces those files.
+    */
   def commit(): Unit
 }
 

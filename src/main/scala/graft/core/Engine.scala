@@ -99,8 +99,12 @@ class Engine(spark: SparkSession) {
     }
     // 8b. operator state (incremental stores) under the SAME save-after-
     // load discipline — a load failure above threw before reaching here,
-    // so the stores still describe the last fully-loaded delivery
-    stateful.foreach(_.commit())
+    // so the stores still describe the last fully-loaded delivery.
+    // REVERSE chain order: a later stage's staged state plan reads its
+    // upstream stages' output, which (lazily) reads THEIR pre-commit
+    // stores — committing downstream-first preserves every such read
+    // before the upstream swap replaces the files.
+    stateful.reverseIterator.foreach(_.commit())
     out
   }
 

@@ -31,6 +31,8 @@ object Transformers {
     Registries.transformers.register("language_filter")((_, c) => new LanguageFilterTransformer(c))
     Registries.transformers.register("embedding_guard")((_, c) => new EmbeddingGuardTransformer(c))
     Registries.transformers.register("incremental_dedup")((_, c) => new IncrementalDedupTransformer(c))
+    Registries.transformers.register("incremental_near_dedup")((_, c) => new IncrementalNearDedupTransformer(c))
+    Registries.transformers.register("incremental_vocab")((_, c) => new IncrementalVocabTransformer(c))
   }
 
   /** Beyond-reference: the mx17 curation DAG's stages as INDIVIDUAL
@@ -331,6 +333,39 @@ object Transformers {
     * write is the simple-filesystem stand-in for a transactional table
     * format, staged to a temp dir and swapped in.
     */
+  /** Parquet state IO shared by the incremental stage plugins: read a
+    * store directory or bootstrap from a schema-matched empty frame, and
+    * commit the grown store by writing a temp sibling (the plan READS the
+    * old store) then swapping — crash-safe up to the final directory move
+    * (the simple-filesystem stand-in for a transactional table format).
+    */
+  private object IncrState {
+    def readOr(spark: org.apache.spark.sql.SparkSession,
+        path: String, fallback: => DataFrame): DataFrame =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
+        spark.read.parquet(path)
+      else fallback
+
+    def writeSwap(df: DataFrame, path: String): Unit = {
+      val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
+      df.write.mode("overwrite").parquet(tmp)
+      val target = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.isDirectory(target)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+    }
+
+    def requireCols(what: String, df: DataFrame, cols: Seq[String]): Unit = {
+      val have = df.columns.toSet
+      require(cols.forall(have.contains),
+        s"$what: requires columns ${cols.mkString("'", "', '", "'")}, " +
+          s"got ${have.mkString(", ")}")
+    }
+  }
+
   class IncrementalDedupTransformer(conf: Conf) extends graft.core.StatefulTransformer {
     private val idCol = conf.strOr("id_column", "doc_id")
     private val textCol = conf.strOr("text_column", "text")
@@ -339,27 +374,17 @@ object Transformers {
       throw new IllegalArgumentException("incremental_dedup: state_dir is required"))
     private var staged: Option[(DataFrame, DataFrame)] = None
 
-    override def validate(df: DataFrame): Unit = {
-      val have = df.columns.toSet
-      require(Seq(idCol, textCol, shardCol).forall(have.contains),
-        s"incremental_dedup: requires columns '$idCol', '$textCol', '$shardCol', " +
-          s"got ${have.mkString(", ")}")
-    }
-
-    private def readOr(spark: org.apache.spark.sql.SparkSession,
-        path: String, fallback: => DataFrame): DataFrame =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
-        spark.read.parquet(path)
-      else fallback
+    override def validate(df: DataFrame): Unit =
+      IncrState.requireCols("incremental_dedup", df, Seq(idCol, textCol, shardCol))
 
     def transform(df: DataFrame): DataFrame = {
       val spark = df.sparkSession
-      val fps = readOr(spark, s"$stateDir/fingerprints",
+      val fps = IncrState.readOr(spark, s"$stateDir/fingerprints",
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           new org.apache.spark.sql.types.StructType()
             .add("fp", org.apache.spark.sql.types.StringType)))
-      val manifest = readOr(spark, s"$stateDir/manifest",
+      val manifest = IncrState.readOr(spark, s"$stateDir/manifest",
         df.select(col(shardCol)).limit(0))
       val (survivors, newFps) = graft.operators.Incremental.dedupDelta(
         df, manifest, shardCol, fps, idCol, textCol)
@@ -370,24 +395,102 @@ object Transformers {
     }
 
     def commit(): Unit = staged.foreach { case (fps, manifest) =>
-      writeSwap(fps, s"$stateDir/fingerprints")
-      writeSwap(manifest, s"$stateDir/manifest")
+      IncrState.writeSwap(fps, s"$stateDir/fingerprints")
+      IncrState.writeSwap(manifest, s"$stateDir/manifest")
       staged = None
     }
+  }
 
-    /** Write to a temp sibling (the plan READS the old store), then swap —
-      * crash-safe up to the final directory move.
-      */
-    private def writeSwap(df: DataFrame, path: String): Unit = {
-      val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
-      df.write.mode("overwrite").parquet(tmp)
-      val target = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.isDirectory(target)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+  /** [[IncrementalDedupTransformer]]'s banded-LSH sibling — mx26's
+    * [[graft.operators.Incremental.nearDedupDelta]] as a config-driven
+    * stage: the carried `(doc_id, sig, bk)` MinHash-signature store and
+    * the processed-shard manifest live as parquet under `state_dir`, a
+    * run near-deduplicates only uncovered shards against (store ∪ delta),
+    * and the grown store commits save-after-load. `broadcast_delta: true`
+    * opts into the scan-only store path for shard-sized deliveries
+    * (measured 25× less delivery shuffle at a 20M-doc store — SCALE.md
+    * round 13).
+    */
+  class IncrementalNearDedupTransformer(conf: Conf) extends graft.core.StatefulTransformer {
+    private val idCol = conf.strOr("id_column", "doc_id")
+    private val textCol = conf.strOr("text_column", "text")
+    private val shardCol = conf.strOr("shard_column", "source")
+    private val shingleK = conf.intOr("shingle_k", 3)
+    private val bands = conf.intOr("bands", 16)
+    private val rowsPerBand = conf.intOr("rows_per_band", 4)
+    private val maxBucket = conf.intOr("max_bucket", 100000)
+    private val broadcastDelta = conf.bool("broadcast_delta")
+    private val stateDir = conf.str("state_dir").getOrElse(
+      throw new IllegalArgumentException("incremental_near_dedup: state_dir is required"))
+    private var staged: Option[(DataFrame, DataFrame)] = None
+
+    override def validate(df: DataFrame): Unit =
+      IncrState.requireCols("incremental_near_dedup", df, Seq(idCol, textCol, shardCol))
+
+    def transform(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val sigs = IncrState.readOr(spark, s"$stateDir/signatures",
+        graft.operators.Dedup.minhashSignaturesWithBands(
+          df.limit(0), idCol, textCol, shingleK, bands * rowsPerBand, bands))
+      val manifest = IncrState.readOr(spark, s"$stateDir/manifest",
+        df.select(col(shardCol)).limit(0))
+      val (survivors, newSigs) = graft.operators.Incremental.nearDedupDelta(
+        df, manifest, shardCol, sigs, idCol, textCol,
+        shingleK = shingleK, bands = bands, rowsPerBand = rowsPerBand,
+        maxBucket = maxBucket, broadcastDelta = broadcastDelta)
+      val newManifest = manifest.select(col(shardCol))
+        .union(df.select(col(shardCol))).distinct()
+      staged = Some((newSigs, newManifest))
+      survivors
+    }
+
+    def commit(): Unit = staged.foreach { case (sigs, manifest) =>
+      IncrState.writeSwap(sigs, s"$stateDir/signatures")
+      IncrState.writeSwap(manifest, s"$stateDir/manifest")
+      staged = None
+    }
+  }
+
+  /** The vocabulary/document-frequency store ([[graft.operators
+    * .Incremental.vocabDelta]]) as a config-driven stage: carried
+    * `(term, df)` state under `state_dir`, delta-only tokenization, and
+    * the stage's OUTPUT is the touched-term drift report
+    * `(term, df_prior, df_delta, df_total)` — the feed a tokenizer health
+    * monitor loads (new terms are `df_prior = 0`). Store commits
+    * save-after-load like its siblings.
+    */
+  class IncrementalVocabTransformer(conf: Conf) extends graft.core.StatefulTransformer {
+    private val textCol = conf.strOr("text_column", "text")
+    private val shardCol = conf.strOr("shard_column", "source")
+    private val stateDir = conf.str("state_dir").getOrElse(
+      throw new IllegalArgumentException("incremental_vocab: state_dir is required"))
+    private var staged: Option[(DataFrame, DataFrame)] = None
+
+    override def validate(df: DataFrame): Unit =
+      IncrState.requireCols("incremental_vocab", df, Seq(textCol, shardCol))
+
+    def transform(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      val vocab = IncrState.readOr(spark, s"$stateDir/vocab",
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          new org.apache.spark.sql.types.StructType()
+            .add("term", org.apache.spark.sql.types.StringType)
+            .add("df", org.apache.spark.sql.types.LongType)))
+      val manifest = IncrState.readOr(spark, s"$stateDir/manifest",
+        df.select(col(shardCol)).limit(0))
+      val (report, newVocab) = graft.operators.Incremental.vocabDelta(
+        df, manifest, shardCol, vocab, textCol)
+      val newManifest = manifest.select(col(shardCol))
+        .union(df.select(col(shardCol))).distinct()
+      staged = Some((newVocab, newManifest))
+      report
+    }
+
+    def commit(): Unit = staged.foreach { case (vocab, manifest) =>
+      IncrState.writeSwap(vocab, s"$stateDir/vocab")
+      IncrState.writeSwap(manifest, s"$stateDir/manifest")
+      staged = None
     }
   }
 

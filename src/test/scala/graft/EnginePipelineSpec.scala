@@ -248,6 +248,81 @@ class EnginePipelineSpec extends AnyFunSuite {
     assert(k2.select("doc_id").collect().map(_.getLong(0)).toSet == ids(out2))
   }
 
+  test("incremental_near_dedup + incremental_vocab plugins: signature/df stores travel across engine runs") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmp()
+    val ndState = dir.resolve("ndstate").toString
+    val vState = dir.resolve("vstate").toString
+    def jsonl(name: String, rows: Seq[String]): String = {
+      val p = dir.resolve(name); Files.writeString(p, rows.mkString("\n")); p.toString
+    }
+    def words(seed: Int): String =
+      (0 until 40).map(i => s"w${(seed * 31 + i * 7) % 997}_$i").mkString(" ")
+    val s0Rows = Seq(
+      s"""{"doc_id": 1, "source": "s0", "text": "${words(1)}"}""",
+      s"""{"doc_id": 2, "source": "s0", "text": "${words(2)}"}""")
+    val d1 = jsonl("nd_d1.jsonl", s0Rows)
+    // delivery 2: 11 exact-dups history doc 1 (cross-delivery near-dup via
+    // the carried signature store), 12 is fresh
+    val d2 = jsonl("nd_d2.jsonl", s0Rows ++ Seq(
+      s"""{"doc_id": 11, "source": "s1", "text": "${words(1)}"}""",
+      s"""{"doc_id": 12, "source": "s1", "text": "${words(9)}"}"""))
+    def cfg(in: String, out: String) = Config.parse(
+      s"""pipeline:
+         |  name: inc_nd_pipe
+         |  extract:
+         |    type: jsonl_file
+         |    inline_config: {path: "$in"}
+         |  transform:
+         |    - type: incremental_near_dedup
+         |      inline_config: {id_column: doc_id, text_column: text,
+         |                      shard_column: source, state_dir: "$ndState",
+         |                      broadcast_delta: true}
+         |    - type: incremental_vocab
+         |      inline_config: {text_column: text, shard_column: source,
+         |                      state_dir: "$vState"}
+         |  load:
+         |    type: jsonl_local
+         |    inline_config: {path: "$out", if_exists: replace}
+         |""".stripMargin)
+    val out1 = dir.resolve("nd_out1").toString
+    new Engine(spark).run(cfg(d1, out1))
+    // CHAINED stages: the loaded frame is the VOCAB DRIFT REPORT over the
+    // near-dedup survivors — delivery 1 keeps docs 1,2, all terms new
+    val rep1 = new graft.sources.JsonlFileExtractor(spark, Map("path" -> out1)).extract()
+    assert(rep1.filter(col("df_prior") =!= 0L).count() == 0, "bootstrap: all terms new")
+    val out2 = dir.resolve("nd_out2").toString
+    new Engine(spark).run(cfg(d2, out2))
+    val rep2 = new graft.sources.JsonlFileExtractor(spark, Map("path" -> out2)).extract()
+    // delivery 2: doc 11 is dropped by the CARRIED signature store, so the
+    // vocab delta sees ONLY doc 12's fresh terms — every one brand-new,
+    // each with df_delta = 1, and doc 1's terms are NOT re-counted
+    assert(rep2.count() == 40, s"expected 40 fresh terms, got ${rep2.count()}")
+    assert(rep2.filter(col("df_prior") =!= 0L || col("df_delta") =!= 1L).count() == 0)
+    // plugin ≡ operators: same two deliveries composed directly
+    val docs = new graft.sources.JsonlFileExtractor(spark, Map("path" -> d2)).extract()
+    val emptySigs = graft.operators.Dedup.minhashSignaturesWithBands(
+      docs.limit(0), "doc_id", "text", 3, 64, 16)
+    val emptyManifest = docs.select(col("source")).limit(0)
+    val (k1, sig1) = graft.operators.Incremental.nearDedupDelta(
+      docs.filter(col("source") === "s0"), emptyManifest, "source", emptySigs,
+      "doc_id", "text")
+    val (k2, _) = graft.operators.Incremental.nearDedupDelta(
+      docs, docs.filter(col("source") === "s0").select(col("source")).distinct(),
+      "source", sig1, "doc_id", "text")
+    val emptyVocab = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      new org.apache.spark.sql.types.StructType()
+        .add("term", org.apache.spark.sql.types.StringType)
+        .add("df", org.apache.spark.sql.types.LongType))
+    val (_, v1) = graft.operators.Incremental.vocabDelta(
+      k1, emptyManifest, "source", emptyVocab, "text")
+    val (r2op, _) = graft.operators.Incremental.vocabDelta(
+      k2, k1.select(col("source")).distinct(), "source", v1, "text")
+    assert(rep2.select("term").collect().map(_.getString(0)).sorted.toSeq ==
+      r2op.select("term").collect().map(_.getString(0)).sorted.toSeq)
+  }
+
   test("config validation fails fast: missing extract config") {
     val yaml =
       """pipeline:
