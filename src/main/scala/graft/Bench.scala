@@ -55,7 +55,12 @@ import org.apache.spark.sql.SparkSession
   *     against the multi-second ambient scheduler stalls this shared
   *     sandbox injects (BENCH_r12: dd21 10.5 s recorded vs 1.7 s steady).
   *     Both executions are logged in BENCH_TELEMETRY.txt, so an absorbed
-  *     stall is auditable, never silent.
+  *     stall is auditable, never silent. Queries whose first run BUILT
+  *     new cross-query memo entries are exempt from the re-run: their
+  *     cost is the legitimate shared-frame build (charged exactly once
+  *     per record, to the first consumer), not a stall — a memo-warm
+  *     re-run would delete that cost from the record entirely while the
+  *     DuckDB lane pays it in every query.
   */
 object Bench {
 
@@ -194,11 +199,19 @@ object Bench {
           f"jit +${jit1 - jit0}%dms gc +${gc1 - gc0}%dms  jobs ${jobs1 - jobs0}%d " +
             f"stages ${stages1 - stages0}%d tasks ${tasks1 - tasks0}%d")
       }
+      val memoBefore = graft.queries.Shared.protectedRddIds
       val (dt1, tele1) = timedRun()
       // heavy-tail stall guard: one back-to-back re-run, record the min,
-      // log both (see the protocol note — never silent)
+      // log both (see the protocol note — never silent). EXCEPTION: a
+      // query whose first run BUILT new cross-query memo entries is slow
+      // for a legitimate, chargeable reason — its re-run would ride the
+      // memo it just built and the min would silently delete the shared-
+      // frame build cost from the whole record (no consumer would ever
+      // pay it, unlike the DuckDB lane where every query pays full price).
+      val builtMemo = graft.queries.Shared.protectedRddIds != memoBefore
       val (dt, tele) =
         if (dt1 <= rerunFloorSec) (dt1, tele1)
+        else if (builtMemo) (dt1, f"$tele1 (memo build — no stall rerun)")
         else {
           val (dt2, tele2) = timedRun()
           (math.min(dt1, dt2), f"$tele2 (min of $dt1%.3f/$dt2%.3f s; run1 $tele1)")

@@ -103,8 +103,28 @@ class Engine(spark: SparkSession) {
     // REVERSE chain order: a later stage's staged state plan reads its
     // upstream stages' output, which (lazily) reads THEIR pre-commit
     // stores — committing downstream-first preserves every such read
-    // before the upstream swap replaces the files.
-    stateful.reverseIterator.foreach(_.commit())
+    // before the upstream swap replaces the files. Commits are NOT
+    // cross-stage atomic (each stage's own store+manifest pair is
+    // two-phase, but a failure mid-chain leaves later stages committed
+    // and earlier ones not): surface WHICH stage failed loudly so the
+    // operator can reconcile the state dirs before re-running.
+    stateful.reverseIterator.zipWithIndex.foreach { case (st, i) =>
+      try st.commit()
+      catch {
+        case e: Exception =>
+          log.error(s"state commit FAILED at stateful stage " +
+            s"${stateful.size - 1 - i} (${st.getClass.getSimpleName}); stages " +
+            s"after it in the chain are already committed — reconcile the " +
+            s"state dirs before re-running (${e.getMessage})")
+          throw e
+      }
+    }
+    // NOTE: with stateful stages, this frame's LAZY plan references the
+    // pre-commit store files the commits above just replaced — consume it
+    // via the load (already done) rather than re-executing it; a post-run
+    // action on it can throw FAILED_READ_FILE. The reference engine
+    // returns nothing here; the frame is a convenience for tests/callers
+    // that run stateless pipelines.
     out
   }
 

@@ -139,10 +139,14 @@ object Incremental {
     * store layout. Bit-identical results: a key absent from the delta
     * yields no candidates, and for every key present in the delta its
     * (store ∪ delta) bucket population — the cap input — is unchanged by
-    * the store-side restriction. Requires the delta band-key set to be
-    * broadcastable (fine for shard-sized deliveries; a delivery so large
-    * its band index can't broadcast should use the bucketed-store layout
-    * instead — BucketedJoinSpec).
+    * the store-side restriction. Requires the delta band-key set AND the
+    * surfaced candidate set (the verify probe also broadcasts) to be
+    * broadcastable: candidates are bounded by delta-bands × bucket
+    * population, so hot-but-under-cap buckets inflate the probe — size
+    * `maxBucket` so worst-case candidates broadcast, or leave the flag
+    * off (fine for shard-sized deliveries against organic buckets; a
+    * delivery too large for either bound uses the bucketed-store layout
+    * instead — BucketedJoinSpec — which removes the same term at rest).
     */
   private[graft] def estVerifiedPairs(
       deltaSigs: DataFrame, priorSigs: DataFrame, k: Int, bands: Int,

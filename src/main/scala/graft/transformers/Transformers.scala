@@ -346,9 +346,30 @@ object Transformers {
         spark.read.parquet(path)
       else fallback
 
-    def writeSwap(df: DataFrame, path: String): Unit = {
+    /** Two-phase store+manifest commit: BOTH frames write to temp siblings
+      * first (their plans still read the old stores), then the MANIFEST
+      * swaps before the store — a crash between the swaps leaves
+      * "manifest covers the delta, store lacks it", which degrades to
+      * missed future dedup / an undercounted store; the opposite order
+      * would re-process a delta against a store that already contains it
+      * and silently drop its legitimate survivors (data loss). A crash
+      * during the writes leaves both stores untouched.
+      */
+    def commitPair(store: DataFrame, storePath: String,
+        manifest: DataFrame, manifestPath: String): Unit = {
+      val tStore = writeTmp(store, storePath)
+      val tMani = writeTmp(manifest, manifestPath)
+      swap(tMani, manifestPath)
+      swap(tStore, storePath)
+    }
+
+    private def writeTmp(df: DataFrame, path: String): String = {
       val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
       df.write.mode("overwrite").parquet(tmp)
+      tmp
+    }
+
+    private def swap(tmp: String, path: String): Unit = {
       val target = java.nio.file.Paths.get(path)
       if (java.nio.file.Files.isDirectory(target)) {
         import scala.jdk.CollectionConverters._
@@ -357,6 +378,14 @@ object Transformers {
       }
       java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
     }
+
+    /** One consistent snapshot of the stage input: a LAZY localCheckpoint,
+      * materialized by the load action itself, so the staged state plans
+      * executed at commit time read the loaded snapshot's BLOCKS — a live
+      * source (JDBC, API) is never re-queried after the load, and the
+      * committed state can never describe rows that were not loaded.
+      */
+    def snapshot(df: DataFrame): DataFrame = df.localCheckpoint(false)
 
     def requireCols(what: String, df: DataFrame, cols: Seq[String]): Unit = {
       val have = df.columns.toSet
@@ -377,7 +406,8 @@ object Transformers {
     override def validate(df: DataFrame): Unit =
       IncrState.requireCols("incremental_dedup", df, Seq(idCol, textCol, shardCol))
 
-    def transform(df: DataFrame): DataFrame = {
+    def transform(df0: DataFrame): DataFrame = {
+      val df = IncrState.snapshot(df0)
       val spark = df.sparkSession
       val fps = IncrState.readOr(spark, s"$stateDir/fingerprints",
         spark.createDataFrame(
@@ -395,8 +425,8 @@ object Transformers {
     }
 
     def commit(): Unit = staged.foreach { case (fps, manifest) =>
-      IncrState.writeSwap(fps, s"$stateDir/fingerprints")
-      IncrState.writeSwap(manifest, s"$stateDir/manifest")
+      IncrState.commitPair(fps, s"$stateDir/fingerprints",
+        manifest, s"$stateDir/manifest")
       staged = None
     }
   }
@@ -420,6 +450,10 @@ object Transformers {
     private val rowsPerBand = conf.intOr("rows_per_band", 4)
     private val maxBucket = conf.intOr("max_bucket", 100000)
     private val broadcastDelta = conf.bool("broadcast_delta")
+    // the carried store arrives from parquet: scanning it per consumer
+    // beats writing a transient state-sized checkpoint copy first — the
+    // operator's own documented storage discipline, so the default is OFF
+    private val materializeState = conf.bool("materialize_state")
     private val stateDir = conf.str("state_dir").getOrElse(
       throw new IllegalArgumentException("incremental_near_dedup: state_dir is required"))
     private var staged: Option[(DataFrame, DataFrame)] = None
@@ -427,17 +461,29 @@ object Transformers {
     override def validate(df: DataFrame): Unit =
       IncrState.requireCols("incremental_near_dedup", df, Seq(idCol, textCol, shardCol))
 
-    def transform(df: DataFrame): DataFrame = {
+    def transform(df0: DataFrame): DataFrame = {
+      val df = IncrState.snapshot(df0)
       val spark = df.sparkSession
       val sigs = IncrState.readOr(spark, s"$stateDir/signatures",
         graft.operators.Dedup.minhashSignaturesWithBands(
           df.limit(0), idCol, textCol, shingleK, bands * rowsPerBand, bands))
+      // a store trained under DIFFERENT banding parameters must fail fast:
+      // zip_with over mismatched signature lengths null-pads, the verify
+      // predicate goes null, and every store-side pair silently drops
+      sigs.select(size(col("sig")), size(col("bk"))).take(1).foreach { r =>
+        require(r.getInt(0) == bands * rowsPerBand && r.getInt(1) == bands,
+          s"incremental_near_dedup: carried store at $stateDir has k=${r.getInt(0)}/" +
+            s"bands=${r.getInt(1)} but the stage is configured k=${bands * rowsPerBand}/" +
+            s"bands=$bands — signature stores are parameter-bound; retrain or " +
+            "point state_dir elsewhere")
+      }
       val manifest = IncrState.readOr(spark, s"$stateDir/manifest",
         df.select(col(shardCol)).limit(0))
       val (survivors, newSigs) = graft.operators.Incremental.nearDedupDelta(
         df, manifest, shardCol, sigs, idCol, textCol,
         shingleK = shingleK, bands = bands, rowsPerBand = rowsPerBand,
-        maxBucket = maxBucket, broadcastDelta = broadcastDelta)
+        maxBucket = maxBucket, materializeState = materializeState,
+        broadcastDelta = broadcastDelta)
       val newManifest = manifest.select(col(shardCol))
         .union(df.select(col(shardCol))).distinct()
       staged = Some((newSigs, newManifest))
@@ -445,8 +491,8 @@ object Transformers {
     }
 
     def commit(): Unit = staged.foreach { case (sigs, manifest) =>
-      IncrState.writeSwap(sigs, s"$stateDir/signatures")
-      IncrState.writeSwap(manifest, s"$stateDir/manifest")
+      IncrState.commitPair(sigs, s"$stateDir/signatures",
+        manifest, s"$stateDir/manifest")
       staged = None
     }
   }
@@ -469,7 +515,8 @@ object Transformers {
     override def validate(df: DataFrame): Unit =
       IncrState.requireCols("incremental_vocab", df, Seq(textCol, shardCol))
 
-    def transform(df: DataFrame): DataFrame = {
+    def transform(df0: DataFrame): DataFrame = {
+      val df = IncrState.snapshot(df0)
       val spark = df.sparkSession
       val vocab = IncrState.readOr(spark, s"$stateDir/vocab",
         spark.createDataFrame(
@@ -488,8 +535,8 @@ object Transformers {
     }
 
     def commit(): Unit = staged.foreach { case (vocab, manifest) =>
-      IncrState.writeSwap(vocab, s"$stateDir/vocab")
-      IncrState.writeSwap(manifest, s"$stateDir/manifest")
+      IncrState.commitPair(vocab, s"$stateDir/vocab",
+        manifest, s"$stateDir/manifest")
       staged = None
     }
   }
