@@ -83,9 +83,14 @@ class Engine(spark: SparkSession) {
       if (cfg.settings.logRowCounts) log.info(s"after ${step.stepType}: ${df.count()} rows")
     }
 
-    // 7. load
+    // 7. load. With stateful stages in the chain, the frame's lazy plan
+    // reads the store files the commits below will REPLACE — so pin it to
+    // a lazy localCheckpoint first: the load action itself materializes
+    // the blocks, the retry loop replays from them (no store re-read),
+    // and the frame returned to the caller stays valid post-commit
+    // instead of throwing FAILED_READ_FILE on the swapped-out files.
     val mkLoader = Registries.loaders.resolve(cfg.load.stepType)
-    val out = df
+    val out = if (stateful.nonEmpty) df.localCheckpoint(false) else df
     withRetry(cfg.settings.retry, s"load(${cfg.load.stepType})") {
       val ld = mkLoader(spark, cfg.load.resolved)
       ld.connect()
@@ -119,12 +124,10 @@ class Engine(spark: SparkSession) {
           throw e
       }
     }
-    // NOTE: with stateful stages, this frame's LAZY plan references the
-    // pre-commit store files the commits above just replaced — consume it
-    // via the load (already done) rather than re-executing it; a post-run
-    // action on it can throw FAILED_READ_FILE. The reference engine
-    // returns nothing here; the frame is a convenience for tests/callers
-    // that run stateless pipelines.
+    // With stateful stages `out` is the load-materialized localCheckpoint:
+    // post-commit actions on it read the checkpoint BLOCKS, never the
+    // swapped-out store files. (The reference engine returns nothing here;
+    // the frame is a convenience for tests/callers.)
     out
   }
 

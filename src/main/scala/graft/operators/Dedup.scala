@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   * evenly, and skewed hot buckets can be salted).
   *
   * Numerics/hashing: token and shingle hashes derive from `md5` hex prefixes
-  * (32-bit), so signatures are engine-independent and reproducible anywhere
-  * md5 exists (the DuckDB oracles compute the identical signatures in SQL).
+  * (61-bit field values for the MinHash/bottom-k kernels, 32-bit for SimHash
+  * token bits), so signatures are engine-independent and reproducible
+  * anywhere md5 exists (the DuckDB oracles compute the identical signatures
+  * in SQL).
   */
 object Dedup {
 
@@ -225,31 +227,97 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  val MinhashPrime = 4294967311L // smallest prime > 2^32
+  /** The MinHash field: the Mersenne prime p = 2^61 − 1. Shingle hashes are
+    * the first 8 md5 bytes (an unsigned 64-bit value) reduced mod p, and
+    * each of the k permutations is an affine map h ↦ (a_j·h + b_j) mod p
+    * with INDEPENDENT splitmix64-derived 61-bit multipliers — a universal
+    * hash family over GF(p), pairwise-decorrelated across permutations.
+    *
+    * Round 14: replaces the 32-bit hash space (smallest prime > 2^32) and
+    * the small-odd-multiplier family ((2j+1)·h + c_j), whose birthday-regime
+    * min-hash collisions — amplified by the order correlation of small
+    * multipliers (a min collision matches many signature components at
+    * once) — were MEASURED to false-drop ~4·10⁻⁵ of docs at the 20M-doc
+    * smoke tier (SCALE.md Round-13). At 2^61 the expected min-collision
+    * count at that tier is ≪ 1 and the decorrelated family keeps a single
+    * collision from inflating whole signature slices.
+    */
+  val MinhashPrime = (1L << 61) - 1
 
-  /** 32-bit hashes of a (distinct) shingle array column — computed ONCE per
-    * shingle; the k permutations then run over these integers (md5 is ~64×
-    * more expensive than the LCG permutation, so hashing inside the
-    * permutation loop would dominate the whole dedup pipeline).
+  /** splitmix64 finalizer — the deterministic per-permutation constant
+    * generator (public-domain mixing constants, Steele et al.).
+    */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Permutation-j multiplier a_j ∈ [1, p−1]: 61 masked splitmix bits with
+    * the two ≡0 (mod p) endpoints mapped off. Baked as LITERALS into both
+    * the JVM kernel and the DuckDB oracle SQL — determinism is the contract.
+    */
+  def minhashA(j: Int): Long = {
+    val v = splitmix64(0x5851F42D4C957F2DL ^ (2L * j + 1)) & MinhashPrime
+    if (v == 0L || v == MinhashPrime) 1L else v
+  }
+
+  /** Permutation-j offset b_j ∈ [0, p−1]. */
+  def minhashB(j: Int): Long = {
+    val v = splitmix64(0xD1B54A32D192ED03L ^ (2L * j)) & MinhashPrime
+    if (v == MinhashPrime) 0L else v
+  }
+
+  /** (a·h) mod p for a, h < 2^61 via the 128-bit product and a Mersenne
+    * fold: x = hi·2^64 + lo ⇒ x ≡ (x >> 61) + (x & p) (mod p), at most two
+    * subtractions (x < 2^122 so each addend < 2^61).
+    */
+  @inline private[graft] def mulmodP(a: Long, h: Long): Long = {
+    val hi = Math.multiplyHigh(a, h) // operands < 2^61: signed ≡ unsigned
+    val lo = a * h
+    var r = ((hi << 3) | (lo >>> 61)) + (lo & MinhashPrime)
+    while (r >= MinhashPrime) r -= MinhashPrime
+    r
+  }
+
+  /** 61-bit field hashes of a (distinct) shingle array column — computed
+    * ONCE per shingle; the k permutations then run over these integers (md5
+    * is far more expensive than the affine permutation, so hashing inside
+    * the permutation loop would dominate the whole dedup pipeline). The
+    * 16-hex-char md5 prefix exceeds 2^63, so the unsigned decimal string
+    * from `conv` passes through DECIMAL(20,0) before the mod — exact, and
+    * arithmetic-identical to [[hash61Jvm]].
     */
   def shingleHashesExpr(shCol: String): Column = expr(
-    s"transform($shCol, s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))")
+    s"""transform($shCol, s -> cast(
+       |  cast(conv(substring(md5(s),1,16),16,10) as decimal(20,0)) % ${MinhashPrime}L
+       |  as bigint))""".stripMargin)
 
   /** k-permutation MinHash signature over a BIGINT hash-array column named
-    * `hvCol`: h_j = min over hashes of ((2j+1)·h + (104729j + 12345)) mod p.
-    * All arithmetic stays below 2^63.
+    * `hvCol`: h_j = min over hashes of (a_j·h + b_j) mod p, the [[minhashA]]/
+    * [[minhashB]] constants baked as array literals. The 122-bit products
+    * ride DECIMAL(38,0) (exact at scale 0 — 2^122 < 10^37); the compiled
+    * kernel ([[mulmodP]]) computes the identical values in two longs.
     */
-  def minhashSignatureExpr(hvCol: String, k: Int): Column = expr(
-    s"""transform(sequence(0, ${k - 1}), j -> array_min(transform($hvCol, h ->
-       |  (cast(2*j+1 as bigint) * h
-       |   + cast(104729*j + 12345 as bigint)) % ${MinhashPrime}L)))""".stripMargin)
+  def minhashSignatureExpr(hvCol: String, k: Int): Column = {
+    val aLit = (0 until k).map(j => s"${minhashA(j)}L").mkString(", ")
+    val bLit = (0 until k).map(j => s"${minhashB(j)}L").mkString(", ")
+    expr(
+      s"""transform(sequence(0, ${k - 1}), j -> array_min(transform($hvCol, h ->
+         |  cast((element_at(array($aLit), j + 1) * cast(h as decimal(20,0))
+         |        + element_at(array($bLit), j + 1)) % ${MinhashPrime}L
+         |       as bigint))))""".stripMargin)
+  }
 
   /** Full MinHash+LSH near-duplicate pipeline: returns verified pairs
     * (id_a < id_b) with exact Jaccard ≥ `threshold` over word k-shingles.
     * `bands`×`rowsPerBand` = signature length.
     */
   /** Same 32-bit hash as [[hash32]] (`conv(substring(md5(s),1,8),16,10)`):
-    * first 4 MD5 bytes, big-endian, as an unsigned long.
+    * first 4 MD5 bytes, big-endian, as an unsigned long. (SimHash's token
+    * hash — 32 signature bits is that operator's contract; the minhash
+    * kernel uses the 61-bit [[hash61Jvm]].)
     */
   private def hash32Jvm(md: java.security.MessageDigest, s: String): Long = {
     md.reset()
@@ -257,14 +325,27 @@ object Dedup {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
-  /** Tokenize → distinct word k-shingles → 32-bit hashes → k-permutation
+  /** [[shingleHashesExpr]]'s kernel twin: first 8 MD5 bytes, big-endian,
+    * as an unsigned 64-bit value reduced mod p.
+    */
+  private def hash61Jvm(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    java.lang.Long.remainderUnsigned(v, MinhashPrime)
+  }
+
+  /** Tokenize → distinct word k-shingles → 61-bit field hashes → k-permutation
     * MinHash signature, all in ONE compiled partition pass. The expression
     * forms ([[wordShinglesExpr]] + [[minhashSignatureExpr]]) compute the
     * identical values but pay boxed per-element lambda overhead per token ×
     * permutation; this kernel is arithmetic-identical (same `split(lower, ' ')`
     * tokenization with trailing empties, same first-occurrence-distinct
-    * shingles, same md5-prefix hash, same LCG mod p) and keeps the whole
-    * signature stage a narrow map.
+    * shingles, same 61-bit md5-prefix field hash, same splitmix64-derived
+    * affine permutations mod p) and keeps the whole signature stage a
+    * narrow map.
     */
   private def shingleSignatures(
       base: DataFrame, shingleK: Int, k: Int, bands: Int = 0): DataFrame = {
@@ -277,6 +358,8 @@ object Dedup {
       StructField("bk", ArrayType(LongType, containsNull = false))))
     base.mapPartitions { rows =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      val pa = Array.tabulate(k)(minhashA)
+      val pb = Array.tabulate(k)(minhashB)
       rows.flatMap { r =>
         // null text is transparent (dropped), matching the expression
         // pipeline this kernel replaced (split(lower(null)) → null → filtered);
@@ -297,16 +380,17 @@ object Dedup {
           val sh = seen.toArray(new Array[String](seen.size))
           val hv = new Array[Long](sh.length)
           i = 0
-          while (i < sh.length) { hv(i) = hash32Jvm(md, sh(i)); i += 1 }
+          while (i < sh.length) { hv(i) = hash61Jvm(md, sh(i)); i += 1 }
           val sig = new Array[Long](k)
           var j = 0
           while (j < k) {
-            val a = 2L * j + 1
-            val b = 104729L * j + 12345L
+            val a = pa(j)
+            val b = pb(j)
             var best = Long.MaxValue
             i = 0
             while (i < hv.length) {
-              val h = (a * hv(i) + b) % MinhashPrime
+              var h = mulmodP(a, hv(i)) + b // < 2p: one conditional fold
+              if (h >= MinhashPrime) h -= MinhashPrime
               if (h < best) best = h
               i += 1
             }
@@ -366,6 +450,15 @@ object Dedup {
       spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt"))),
       shingleK, k, bands)
       .select(col("doc_id"), col("sig"), col("bk"))
+
+  /** The exploded band index of a `(doc_id, sig, bk)` signature frame:
+    * one `(doc_id, band, key)` row per band — the at-rest layout the
+    * incremental near-dedup store persists BUCKETED by `(band, key)`
+    * (BucketedJoinSpec) so a delivery's banding join reads the historical
+    * index co-located and only the delta's band rows shuffle.
+    */
+  def bandIndex(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), posexplode(col("bk")).as(Seq("band", "key")))
 
   /** Drop rows whose (bucket-key) group exceeds `cap` members — the
     * hot-bucket bound every banded dedup self-join needs at corpus scale: a
@@ -1617,9 +1710,9 @@ object Dedup {
     * Cohen & Kaplan, "Summarizing data using bottom-k sketches", PODC'07;
     * Broder's minwise estimators).
     *
-    * Per document: the distinct word-trigram 32-bit hash set `hv` (exact
-    * size n kept as a scalar), and the bottom-k sketch `bk` = the k
-    * smallest hashes. For candidate pairs (docs sharing a sketch hash,
+    * Per document: the distinct word-trigram 61-bit field-hash set `hv`
+    * ([[shingleHashesExpr]]; exact size n kept as a scalar), and the
+    * bottom-k sketch `bk` = the k smallest hashes. For candidate pairs (docs sharing a sketch hash,
     * df-capped like dd15's rare-fingerprint index):
     *
     *   y = |bottom-k of bk_a ∪ bk_b|   (≤ k)

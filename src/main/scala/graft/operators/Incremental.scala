@@ -151,7 +151,8 @@ object Incremental {
   private[graft] def estVerifiedPairs(
       deltaSigs: DataFrame, priorSigs: DataFrame, k: Int, bands: Int,
       thresholdNum: Int, thresholdDen: Int, maxBucket: Int,
-      broadcastDelta: Boolean = false): DataFrame = {
+      broadcastDelta: Boolean = false,
+      priorBandIndex: Option[DataFrame] = None): DataFrame = {
     // Collision-safety precondition: candidates surface via the 64-bit FNV
     // band-bucket keys, and a key COLLISION between unequal band slices only
     // stays harmless ("a collision only adds candidates; verify filters
@@ -176,17 +177,41 @@ object Incremental {
     def bandFrame(sigs: DataFrame, idOut: String): DataFrame =
       sigs.select(col("doc_id").as(idOut), posexplode(col("bk")).as(Seq("band", "key")))
     val dBands = bandFrame(deltaSigs, "d_id")
-    val pBandsAll = bandFrame(priorSigs, "p_id")
+    // priorBandIndex: the store's band index persisted AT REST as
+    // `(doc_id, band, key)` — bucketed by (band, key), the
+    // BucketedJoinSpec layout — instead of being re-derived (and
+    // re-SHUFFLED) from the signature store every delivery. With it, the
+    // banding join, the cap aggregation and the cap anti-join all land in
+    // the store's own buckets: only the delta's band rows move. The caller
+    // owns equivalence (it must be exactly posexplode(bk) of priorSigs —
+    // the committed layout of the incremental_near_dedup plugin).
+    val pBandsAll = priorBandIndex
+      .map(_.select(col("doc_id").as("p_id"), col("band"), col("key")))
+      .getOrElse(bandFrame(priorSigs, "p_id"))
     val pBands =
       if (broadcastDelta)
         pBandsAll.join(
           broadcast(dBands.select(col("band"), col("key")).distinct()),
           Seq("band", "key"), "left_semi")
       else pBandsAll
-    val over = Dedup.oversizedBuckets(
-      pBands.select(col("band"), col("key"))
-        .union(dBands.select(col("band"), col("key"))),
-      Seq("band", "key"), maxBucket)
+    // Hot-bucket cap over the COMBINED (store ∪ delta) banded population —
+    // computed as two PARTIAL aggregations merged by a full-outer join
+    // rather than a union-then-groupBy (round 14): a union's output
+    // partitioning is unknown, so the single groupBy re-shuffled the whole
+    // STORE index every delivery even when the index is bucketed by
+    // (band, key) at rest. Split, the store-side count lands in the
+    // store's own buckets (no exchange over a bucketed scan) and only the
+    // delta-side counts move; the summed populations are identical.
+    val over = {
+      val pc = pBands.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("__pn"))
+      val dc = dBands.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("__dn"))
+      pc.join(dc, Seq("band", "key"), "full_outer")
+        .filter(coalesce(col("__pn"), lit(0L)) + coalesce(col("__dn"), lit(0L))
+          > maxBucket)
+        .select(col("band"), col("key"))
+    }
     val dB = dBands.join(over, Seq("band", "key"), "left_anti")
     val pB = pBands.join(over, Seq("band", "key"), "left_anti")
     val candPrior = dB.join(pB, Seq("band", "key"))
@@ -198,21 +223,27 @@ object Incremental {
       .select(col("d_id"), col("e_id")).distinct()
     // no outer distinct: the two candidate sets are disjoint by
     // construction (e_id domains are prior-store ids vs delta ids), so a
-    // third full-width dedup shuffle would buy nothing
-    val cand = candPrior.union(candDelta)
-    val allSigs = priorSigs.select(col("doc_id"), col("sig"))
-      .union(deltaSigs.select(col("doc_id"), col("sig")))
-    val withSd = cand
-      .join(deltaSigs.select(col("doc_id").as("d_id"), col("sig").as("sd")), "d_id")
-    // under broadcastDelta the verify probe is delta-bounded too: hint it
-    // broadcast so the signature STORE side is scanned, never shuffled —
-    // the same scan-only contract as the banding semi-join above
-    (if (broadcastDelta) broadcast(withSd) else withSd)
-      .join(allSigs.select(col("doc_id").as("e_id"), col("sig").as("se")), "e_id")
-      .withColumn("matches",
-        expr("aggregate(zip_with(sd, se, (x, y) -> IF(x = y, 1, 0)), 0, (a, x) -> a + x)"))
-      .filter(col("matches") * thresholdDen >= k * thresholdNum)
-      .select(col("d_id"), col("e_id"))
+    // third full-width dedup shuffle would buy nothing. The verify join is
+    // SPLIT along the same domain disjointness (round 14): candPrior's
+    // e_ids resolve against the signature STORE and candDelta's against
+    // the delta's — a union(prior, delta) e_id side would have unknown
+    // partitioning, forcing a store-sized shuffle even when the store is
+    // bucketed by doc_id at rest; split, the store side of the prior
+    // verify reads co-located and only probe rows move.
+    def verify(cand: DataFrame, eSigs: DataFrame): DataFrame = {
+      val withSd = cand
+        .join(deltaSigs.select(col("doc_id").as("d_id"), col("sig").as("sd")), "d_id")
+      // under broadcastDelta the verify probe is delta-bounded too: hint it
+      // broadcast so the signature STORE side is scanned, never shuffled —
+      // the same scan-only contract as the banding semi-join above
+      (if (broadcastDelta) broadcast(withSd) else withSd)
+        .join(eSigs.select(col("doc_id").as("e_id"), col("sig").as("se")), "e_id")
+        .withColumn("matches",
+          expr("aggregate(zip_with(sd, se, (x, y) -> IF(x = y, 1, 0)), 0, (a, x) -> a + x)"))
+        .filter(col("matches") * thresholdDen >= k * thresholdNum)
+        .select(col("d_id"), col("e_id"))
+    }
+    verify(candPrior, priorSigs).union(verify(candDelta, deltaSigs))
   }
 
   /** Incremental NEAR-deduplication with MinHash-signature STATE TRAVEL —
@@ -275,7 +306,8 @@ object Incremental {
       maxBucket: Int = 100000,
       materializeState: Boolean = true,
       sharedKernel: Option[(DataFrame, DataFrame)] = None,
-      broadcastDelta: Boolean = false): (DataFrame, DataFrame) = {
+      broadcastDelta: Boolean = false,
+      priorBandIndex: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val k = bands * rowsPerBand
     val (delta, _) = deltaShards(corpus, manifest, shardCol)
     // sharedKernel = a precomputed (deltaSigs, verifiedPairs) for THIS
@@ -300,7 +332,7 @@ object Incremental {
         // docs precede the delta; within-delta pairs orient d_id > e_id)
         (sigs, estVerifiedPairs(
           sigs, prior, k, bands, thresholdNum, thresholdDen, maxBucket,
-          broadcastDelta))
+          broadcastDelta, priorBandIndex))
     }
     val dropped = pairs.select(col("d_id").as(idCol)).distinct()
     val survivors = delta.join(dropped, Seq(idCol), "left_anti")
@@ -889,7 +921,8 @@ object Incremental {
       maxBucket: Int = 100000,
       materializeState: Boolean = true,
       sharedKernel: Option[(DataFrame, DataFrame)] = None,
-      broadcastDelta: Boolean = false): (DataFrame, DataFrame) = {
+      broadcastDelta: Boolean = false,
+      priorBandIndex: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val k = bands * rowsPerBand
     val (delta, _) = deltaShards(corpus, manifest, shardCol)
     // see the materializeState note on nearDedupDelta; unlike there, the
@@ -908,7 +941,7 @@ object Incremental {
           Dedup.minhashSignaturesWithBands(delta, idCol, textCol, shingleK, k, bands))
         (sigs, estVerifiedPairs(
           sigs, prior, k, bands, thresholdNum, thresholdDen, maxBucket,
-          broadcastDelta))
+          broadcastDelta, priorBandIndex))
     }
     // contract: historical endpoints collapse to their carried labels;
     // delta endpoints stand for themselves

@@ -20,6 +20,33 @@ object DedupQueries {
   private val JaccardSql =
     "len(list_intersect(ga.sh, gb.sh)) / (len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)))"
 
+  /** Shared SQL: the 64-permutation MinHash signature CTE chain over a
+    * prior `sh(doc_id, sh)` CTE — the DuckDB twin of the compiled 61-bit
+    * kernel (`Dedup.shingleSignatures`): one 16-hex-char md5-prefix field
+    * hash per shingle (`mhv`), then per-permutation affine maps whose
+    * [[graft.operators.Dedup.minhashA]]/[[graft.operators.Dedup.minhashB]]
+    * constants are interpolated as HUGEINT list literals (`mperm`) so both
+    * engines run the numerically identical family. The 122-bit products
+    * ride HUGEINT; `sel` is the column list the `sig` CTE carries forward
+    * (`"doc_id, sh"` when the exact-Jaccard verify needs the shingles).
+    * No `.stripMargin` here — the enclosing query literal strips.
+    */
+  private[queries] def SigSql(sel: String): String = {
+    val p = graft.operators.Dedup.MinhashPrime // 2^61 − 1
+    val pa = (0 until 64).map(j =>
+      s"CAST(${graft.operators.Dedup.minhashA(j)} AS HUGEINT)").mkString(", ")
+    val pb = (0 until 64).map(j =>
+      s"CAST(${graft.operators.Dedup.minhashB(j)} AS HUGEINT)").mkString(", ")
+    s"""mperm AS (SELECT [$pa] AS pa, [$pb] AS pb),
+       |mhv AS (SELECT doc_id, sh, list_transform(sh, s ->
+       |    CAST(concat('0x', substr(md5(s),1,16)) AS UBIGINT) % $p) AS hv
+       |  FROM sh),
+       |sig AS (SELECT $sel,
+       |  list_transform(range(0, 64), j -> CAST(list_min(list_transform(hv, h ->
+       |    (pa[j+1] * h + pb[j+1]) % $p)) AS BIGINT)) AS sig
+       |  FROM mhv, mperm)"""
+  }
+
   val dd1ExactDedup: Q = Q(
     "dd1_dedup_exact",
     """SELECT md5(text) AS content_hash, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
@@ -32,11 +59,7 @@ object DedupQueries {
   val dd2MinhashLsh: Q = Q(
     "dd2_minhash_lsh",
     s"""WITH $ShinglesSql,
-       |sig AS (SELECT doc_id, sh,
-       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-       |     + (104729*j + 12345)) % 4294967311))) AS sig
-       |  FROM sh),
+       |${DedupQueries.SigSql("doc_id, sh")},
        |bands AS (SELECT doc_id, t.b AS band,
        |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
        |  FROM sig CROSS JOIN range(0, 16) t(b)),
@@ -176,7 +199,7 @@ object DedupQueries {
     */
   val dd8CleanCorpus: Q = Q(
     "dd8_corpus_clean",
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT doc_id, text FROM documents
       |  WHERE 1.0 - CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
       |            / CAST(len(string_split(lower(text), ' ')) AS DOUBLE) <= 0.5
@@ -193,11 +216,7 @@ object DedupQueries {
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
       |         i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))) AS sh
       |       FROM tok WHERE len(ts) >= 3),
-      |sig AS (SELECT doc_id, sh,
-      |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-      |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-      |     + (104729*j + 12345)) % 4294967311))) AS sig
-      |  FROM sh),
+      |${DedupQueries.SigSql("doc_id, sh")},
       |bands AS (SELECT doc_id, t.b AS band,
       |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
       |  FROM sig CROSS JOIN range(0, 16) t(b)),
@@ -248,11 +267,7 @@ object DedupQueries {
   val dd11DupClusters: Q = Q(
     "dd11_dup_clusters",
     s"""WITH RECURSIVE $ShinglesSql,
-       |sig AS (SELECT doc_id, sh,
-       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-       |     + (104729*j + 12345)) % 4294967311))) AS sig
-       |  FROM sh),
+       |${DedupQueries.SigSql("doc_id, sh")},
        |bands AS (SELECT doc_id, t.b AS band,
        |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
        |  FROM sig CROSS JOIN range(0, 16) t(b)),
@@ -301,11 +316,7 @@ object DedupQueries {
   val dd12ClusterClean: Q = Q(
     "dd12_cluster_clean",
     s"""WITH RECURSIVE $ShinglesSql,
-       |sig AS (SELECT doc_id, sh,
-       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-       |     + (104729*j + 12345)) % 4294967311))) AS sig
-       |  FROM sh),
+       |${DedupQueries.SigSql("doc_id, sh")},
        |bands AS (SELECT doc_id, t.b AS band,
        |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
        |  FROM sig CROSS JOIN range(0, 16) t(b)),
@@ -368,11 +379,7 @@ object DedupQueries {
   val dd14ClusterKeepBest: Q = Q(
     "dd14_cluster_keep_best",
     s"""WITH RECURSIVE $ShinglesSql,
-       |sig AS (SELECT doc_id, sh,
-       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-       |     + (104729*j + 12345)) % 4294967311))) AS sig
-       |  FROM sh),
+       |${DedupQueries.SigSql("doc_id, sh")},
        |bands AS (SELECT doc_id, t.b AS band,
        |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
        |  FROM sig CROSS JOIN range(0, 16) t(b)),
@@ -509,11 +516,7 @@ object DedupQueries {
   val dd16SourceLeakage: Q = Q(
     "dd16_source_leakage",
     s"""WITH $ShinglesSql,
-       |sig AS (SELECT doc_id, sh,
-       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-       |     + (104729*j + 12345)) % 4294967311))) AS sig
-       |  FROM sh),
+       |${DedupQueries.SigSql("doc_id, sh")},
        |bands AS (SELECT doc_id, t.b AS band,
        |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
        |  FROM sig CROSS JOIN range(0, 16) t(b)),
@@ -757,11 +760,7 @@ object DedupQueries {
   val dd22LshCapacity: Q = Q(
     "dd22_lsh_capacity",
     s"""WITH $ShinglesSql,
-       |sig AS (SELECT doc_id, sh,
-       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-       |     + (104729*j + 12345)) % 4294967311))) AS sig
-       |  FROM sh),
+       |${DedupQueries.SigSql("doc_id, sh")},
        |bands AS (SELECT doc_id, t.b AS band,
        |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
        |  FROM sig CROSS JOIN range(0, 16) t(b)),
@@ -800,11 +799,7 @@ object DedupQueries {
   val dd23SoftWeights: Q = Q(
     "dd23_soft_weights",
     s"""WITH RECURSIVE $ShinglesSql,
-       |sig AS (SELECT doc_id, sh,
-       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-       |     + (104729*j + 12345)) % 4294967311))) AS sig
-       |  FROM sh),
+       |${DedupQueries.SigSql("doc_id, sh")},
        |bands AS (SELECT doc_id, t.b AS band,
        |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
        |  FROM sig CROSS JOIN range(0, 16) t(b)),
@@ -919,11 +914,7 @@ object DedupQueries {
   val dd25LshCalibration: Q = Q(
     "dd25_lsh_calibration",
     s"""WITH $ShinglesSql,
-       |sig AS (SELECT doc_id, sh,
-       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-       |     + (104729*j + 12345)) % 4294967311))) AS sig
-       |  FROM sh),
+       |${DedupQueries.SigSql("doc_id, sh")},
        |bands AS (SELECT doc_id, t.b AS band,
        |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
        |  FROM sig CROSS JOIN range(0, 16) t(b)),
@@ -1049,11 +1040,7 @@ object DedupQueries {
   val dd27LshRecall: Q = Q(
     "dd27_lsh_recall",
     s"""WITH $ShinglesSql,
-       |sig AS (SELECT doc_id, sh,
-       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-       |     + (104729*j + 12345)) % 4294967311))) AS sig
-       |  FROM sh),
+       |${DedupQueries.SigSql("doc_id, sh")},
        |bands AS (SELECT doc_id, t.b AS band,
        |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
        |  FROM sig CROSS JOIN range(0, 16) t(b)),
@@ -1132,7 +1119,8 @@ object DedupQueries {
     s"""WITH $ShinglesSql,
        |h AS (SELECT doc_id,
        |    list_sort(list_distinct(list_transform(sh, s ->
-       |      CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)))) AS hv
+       |      CAST(CAST(concat('0x', substr(md5(s),1,16)) AS UBIGINT)
+       |           % ${graft.operators.Dedup.MinhashPrime} AS BIGINT)))) AS hv
        |  FROM sh),
        |k AS (SELECT doc_id, hv, hv[1:32] AS bk,
        |    CAST(len(hv) AS BIGINT) AS n FROM h),
@@ -1165,11 +1153,7 @@ object DedupQueries {
   val dd28ThresholdSweep: Q = Q(
     "dd28_threshold_sweep",
     s"""WITH $ShinglesSql,
-       |sig AS (SELECT doc_id, sh,
-       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-       |     + (104729*j + 12345)) % 4294967311))) AS sig
-       |  FROM sh),
+       |${DedupQueries.SigSql("doc_id, sh")},
        |bands AS (SELECT doc_id, t.b AS band,
        |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
        |  FROM sig CROSS JOIN range(0, 16) t(b)),
@@ -1223,11 +1207,7 @@ object DedupQueries {
   val mx19DedupAwareMix: Q = Q(
     "mx19_dedup_aware_mix",
     s"""WITH RECURSIVE $ShinglesSql,
-       |sig AS (SELECT doc_id, sh,
-       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-       |     + (104729*j + 12345)) % 4294967311))) AS sig
-       |  FROM sh),
+       |${DedupQueries.SigSql("doc_id, sh")},
        |bands AS (SELECT doc_id, t.b AS band,
        |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
        |  FROM sig CROSS JOIN range(0, 16) t(b)),
@@ -1324,11 +1304,7 @@ object DedupQueries {
   val mx20DedupAwareSplit: Q = Q(
     "mx20_dedup_aware_split",
     s"""WITH RECURSIVE $ShinglesSql,
-       |sig AS (SELECT doc_id, sh,
-       |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-       |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-       |     + (104729*j + 12345)) % 4294967311))) AS sig
-       |  FROM sh),
+       |${DedupQueries.SigSql("doc_id, sh")},
        |bands AS (SELECT doc_id, t.b AS band,
        |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
        |  FROM sig CROSS JOIN range(0, 16) t(b)),
@@ -1489,11 +1465,7 @@ object DedupQueries {
          |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
          |         i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))) AS sh
          |       FROM tok WHERE len(ts) >= 3),
-         |sig AS (SELECT doc_id, sh,
-         |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-         |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-         |     + (104729*j + 12345)) % 4294967311))) AS sig
-         |  FROM sh),
+         |${DedupQueries.SigSql("doc_id, sh")},
          |bands AS (SELECT doc_id, t.b AS band,
          |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
          |  FROM sig CROSS JOIN range(0, 16) t(b)),

@@ -1975,7 +1975,7 @@ object MiscQueries {
     */
   val mx26IncrementalNearDedup: Q = Q(
     "mx26_incremental_near_dedup",
-    """WITH tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ts
+    s"""WITH tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ts
       |  FROM documents),
       |d AS (SELECT doc_id, source,
       |    CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1 ELSE 2 END AS run_id,
@@ -1983,11 +1983,7 @@ object MiscQueries {
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
       |         i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))) AS sh
       |       FROM d WHERE len(ts) >= 3),
-      |sig AS (SELECT doc_id,
-      |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-      |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-      |     + (104729*j + 12345)) % 4294967311))) AS sig
-      |  FROM sh),
+      |${DedupQueries.SigSql("doc_id")},
       |bands AS (SELECT doc_id, t.b AS band,
       |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
       |  FROM sig CROSS JOIN range(0, 16) t(b)),
@@ -2057,7 +2053,7 @@ object MiscQueries {
     */
   val mx27IncrementalCc: Q = Q(
     "mx27_incremental_cc",
-    """WITH RECURSIVE tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ts
+    s"""WITH RECURSIVE tok AS (SELECT doc_id, source, string_split(lower(text), ' ') AS ts
       |  FROM documents),
       |d AS (SELECT doc_id, source,
       |    CASE WHEN CAST(substr(source, 4) AS INT) < 10 THEN 1 ELSE 2 END AS run_id,
@@ -2065,11 +2061,7 @@ object MiscQueries {
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(ts) - 1),
       |         i -> concat(ts[i], ' ', ts[i+1], ' ', ts[i+2]))) AS sh
       |       FROM d WHERE len(ts) >= 3),
-      |sig AS (SELECT doc_id,
-      |  list_transform(range(0, 64), j -> list_min(list_transform(sh, s ->
-      |    ((2*j+1) * CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)
-      |     + (104729*j + 12345)) % 4294967311))) AS sig
-      |  FROM sh),
+      |${DedupQueries.SigSql("doc_id")},
       |bands AS (SELECT doc_id, t.b AS band,
       |    array_to_string(list_slice(sig, t.b*4 + 1, t.b*4 + 4), '-') AS band_key
       |  FROM sig CROSS JOIN range(0, 16) t(b)),

@@ -33,6 +33,8 @@ object Transformers {
     Registries.transformers.register("incremental_dedup")((_, c) => new IncrementalDedupTransformer(c))
     Registries.transformers.register("incremental_near_dedup")((_, c) => new IncrementalNearDedupTransformer(c))
     Registries.transformers.register("incremental_vocab")((_, c) => new IncrementalVocabTransformer(c))
+    Registries.transformers.register("incremental_sem_dedup")((_, c) => new IncrementalSemDedupTransformer(c))
+    Registries.transformers.register("incremental_ivf")((_, c) => new IncrementalIvfTransformer(c))
   }
 
   /** Beyond-reference: the mx17 curation DAG's stages as INDIVIDUAL
@@ -338,30 +340,191 @@ object Transformers {
     * commit the grown store by writing a temp sibling (the plan READS the
     * old store) then swapping — crash-safe up to the final directory move
     * (the simple-filesystem stand-in for a transactional table format).
+    *
+    * Round 14:
+    *  - all path operations go through Hadoop `FileSystem`, so a
+    *    `state_dir` on hdfs:// or s3a:// behaves like a local one (the
+    *    java.nio calls this replaces silently saw every remote store as
+    *    "missing" and re-bootstrapped empty state every run);
+    *  - swaps are RENAME-ASIDE (live → .bak, tmp → live, delete .bak): no
+    *    window where the live store is deleted but its replacement not yet
+    *    in place. A crash inside the narrow rename window leaves a `.bak`
+    *    that reads fail LOUDLY on (with the recovery rename spelled out)
+    *    instead of silently bootstrapping an empty store over history;
+    *  - stores carry a `_GRAFT_STATE_VERSION` stamp: readers reject a
+    *    store whose values a kernel change invalidated (the round-14
+    *    61-bit MinHash migration) instead of silently mixing hash spaces;
+    *  - partial state (manifest without stores, or vice versa) fails
+    *    loudly instead of half-bootstrapping;
+    *  - id/band-keyed stores persist BUCKETED (bucketBy + a catalog
+    *    re-register on read), so a delivery's store-side joins read
+    *    co-located — only the delta moves, at rest, without broadcast
+    *    hints (the BucketedJoinSpec layout).
     */
-  private object IncrState {
-    def readOr(spark: org.apache.spark.sql.SparkSession,
-        path: String, fallback: => DataFrame): DataFrame =
-      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)))
-        spark.read.parquet(path)
-      else fallback
+  private[graft] object IncrState {
+    import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+    import org.apache.spark.sql.SparkSession
 
-    /** Two-phase store+manifest commit: BOTH frames write to temp siblings
-      * first (their plans still read the old stores), then the MANIFEST
-      * swaps before the store — a crash between the swaps leaves
+    /** Store layout/value versions. Bump the minhash token whenever the
+      * signature kernel's VALUES change (hash space, permutation family,
+      * banding fold). fp/vocab stores predate stamping and their values
+      * are kernel-independent (`md5(text)` / term counts) — readers accept
+      * an unversioned legacy store for those and stamp it on next commit.
+      */
+    val SigStoreVersion = "minhash-sig-v2-61bit-splitmix-bucketed32"
+    val BandIndexVersion = "minhash-band-index-v2-61bit-splitmix-bucketed32"
+    val FpStoreVersion = "fp-md5-v2-bucketed32"
+    val VocabStoreVersion = "vocab-df-v2-bucketed32"
+    val SemStoreVersion = "semdedup-state-v1-bucketed32"
+    val IvfCountsVersion = "ivf-counts-v1"
+    val IvfCentroidsVersion = "ivf-centroids-v1"
+    val StateBuckets = 32
+
+    private def fsFor(spark: SparkSession, path: String): (FileSystem, HPath) = {
+      val p = new HPath(path)
+      (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+
+    private def dirExists(spark: SparkSession, path: String): Boolean = {
+      val (fs, p) = fsFor(spark, path)
+      fs.exists(p) && fs.getFileStatus(p).isDirectory
+    }
+
+    private def versionFile(path: String) = s"$path/_GRAFT_STATE_VERSION"
+
+    private def stampVersion(spark: SparkSession, dir: String, version: String): Unit = {
+      val (fs, p) = fsFor(spark, versionFile(dir))
+      val out = fs.create(p, true)
+      try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+    private def readVersion(spark: SparkSession, dir: String): Option[String] = {
+      val (fs, p) = fsFor(spark, versionFile(dir))
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](256)
+          var n = in.read(buf)
+          while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          Some(new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8).trim)
+        } finally in.close()
+      }
+    }
+
+    /** All-or-nothing existence across a stage's manifest + store dirs; a
+      * `.bak` left by an interrupted swap fails with the recovery rename.
+      */
+    def requireTogether(spark: SparkSession, what: String,
+        paths: Map[String, String]): Unit = {
+      paths.foreach { case (nm, p) =>
+        if (!dirExists(spark, p) && dirExists(spark, s"$p.bak"))
+          throw new IllegalStateException(
+            s"$what: $nm at $p is missing but $p.bak exists — an interrupted " +
+              s"state swap. Recover by renaming $p.bak back to $p, then re-run.")
+      }
+      val present = paths.map { case (nm, p) => nm -> dirExists(spark, p) }
+      if (present.values.exists(identity) && !present.values.forall(identity))
+        throw new IllegalStateException(
+          s"$what: PARTIAL state — present: " +
+            s"${present.filter(_._2).keys.mkString(", ")}; missing: " +
+            s"${present.filterNot(_._2).keys.mkString(", ")}. Refusing to " +
+            "bootstrap empty state beside existing history (that would " +
+            "silently forget it); restore the missing dirs or clear the " +
+            "whole state_dir.")
+    }
+
+    private def checkVersion(spark: SparkSession, path: String,
+        expect: String, acceptUnversioned: Boolean): Unit =
+      readVersion(spark, path) match {
+        case Some(v) if v == expect => ()
+        case Some(v) => throw new IllegalStateException(
+          s"state store at $path has version '$v' but this build expects " +
+            s"'$expect' — the store's values are not interchangeable across " +
+            "these versions (e.g. the round-14 61-bit MinHash kernel). " +
+            "Rebuild the state from the full corpus (clear the state_dir " +
+            "and re-deliver), or run the matching build.")
+        case None if acceptUnversioned => () // pre-stamping legacy store
+        case None => throw new IllegalStateException(
+          s"state store at $path carries no _GRAFT_STATE_VERSION stamp; " +
+            s"this build expects '$expect'. An unstamped store of this kind " +
+            "predates the round-14 MinHash kernel and its signatures are NOT " +
+            "comparable to current ones — clear the state_dir and re-deliver " +
+            "the full corpus to rebuild it.")
+      }
+
+    def readOr(spark: SparkSession, path: String, expect: String,
+        acceptUnversioned: Boolean, fallback: => DataFrame): DataFrame =
+      if (dirExists(spark, path)) {
+        checkVersion(spark, path, expect, acceptUnversioned)
+        spark.read.parquet(path)
+      } else fallback
+
+    /** Read a store committed by [[writeTmpBucketed]] with its bucketing
+      * VISIBLE to the planner: datasource-table bucket metadata lives in
+      * the (session-scoped) catalog, so re-register an external table over
+      * the store path with the layout the version stamp guarantees. A
+      * legacy (unstamped → plain-parquet) store reads unbucketed.
+      */
+    def readOrBucketed(spark: SparkSession, path: String, expect: String,
+        acceptUnversioned: Boolean, bucketCols: Seq[String],
+        sortCols: Seq[String], fallback: => DataFrame): DataFrame =
+      if (dirExists(spark, path)) {
+        checkVersion(spark, path, expect, acceptUnversioned)
+        if (readVersion(spark, path).isEmpty) spark.read.parquet(path)
+        else {
+          val tbl = "graft_state_" + java.lang.Integer.toHexString(path.hashCode)
+          val schema = spark.read.parquet(path).schema
+          val colsDdl = schema.fields
+            .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
+          spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+          spark.sql(
+            s"""CREATE TABLE `$tbl` ($colsDdl) USING parquet
+               |CLUSTERED BY (${bucketCols.map(c => s"`$c`").mkString(", ")})
+               |${if (sortCols.nonEmpty) s"SORTED BY (${sortCols.map(c => s"`$c`").mkString(", ")})" else ""}
+               |INTO $StateBuckets BUCKETS
+               |LOCATION '$path'""".stripMargin)
+          spark.table(tbl)
+        }
+      } else fallback
+
+    /** One staged store: frame + target path + version stamp; bucketCols
+      * non-empty ⇒ committed via bucketBy in the StateBuckets layout.
+      */
+    case class Staged(df: DataFrame, path: String, version: String,
+        bucketCols: Seq[String] = Nil, sortCols: Seq[String] = Nil)
+
+    /** Two-phase store(s)+manifest commit: EVERY frame writes to a temp
+      * sibling first (their plans still read the old stores), then the
+      * MANIFEST swaps before the stores — a crash between the swaps leaves
       * "manifest covers the delta, store lacks it", which degrades to
       * missed future dedup / an undercounted store; the opposite order
       * would re-process a delta against a store that already contains it
       * and silently drop its legitimate survivors (data loss). A crash
-      * during the writes leaves both stores untouched.
+      * during the writes leaves everything untouched.
       */
-    def commitPair(store: DataFrame, storePath: String,
-        manifest: DataFrame, manifestPath: String): Unit = {
-      val tStore = writeTmp(store, storePath)
+    def commitAll(manifest: DataFrame, manifestPath: String,
+        stores: Staged*): Unit = {
+      val spark = manifest.sparkSession
+      val tStores = stores.map { s =>
+        val tmp =
+          if (s.bucketCols.isEmpty) writeTmp(s.df, s.path)
+          else writeTmpBucketed(s.df, s.path, s.bucketCols, s.sortCols)
+        stampVersion(spark, tmp, s.version)
+        (tmp, s.path)
+      }
       val tMani = writeTmp(manifest, manifestPath)
-      swap(tMani, manifestPath)
-      swap(tStore, storePath)
+      swap(spark, tMani, manifestPath)
+      tStores.foreach { case (tmp, path) => swap(spark, tmp, path) }
     }
+
+    def commitPair(store: DataFrame, storePath: String, version: String,
+        manifest: DataFrame, manifestPath: String,
+        bucketCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Unit =
+      commitAll(manifest, manifestPath,
+        Staged(store, storePath, version, bucketCols, sortCols))
 
     private def writeTmp(df: DataFrame, path: String): String = {
       val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -369,14 +532,37 @@ object Transformers {
       tmp
     }
 
-    private def swap(tmp: String, path: String): Unit = {
-      val target = java.nio.file.Paths.get(path)
-      if (java.nio.file.Files.isDirectory(target)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(target).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
+    /** bucketBy needs the table API: write an EXTERNAL datasource table at
+      * the tmp path, then drop it (external drop keeps the files, whose
+      * names carry the bucket ids the reader's re-registered table maps
+      * back). The bucketed write itself is shuffle-free — tasks route rows
+      * to per-bucket files — so growing a bucketed store never re-shuffles
+      * the carried side.
+      */
+    private def writeTmpBucketed(df: DataFrame, path: String,
+        bucketCols: Seq[String], sortCols: Seq[String]): String = {
+      val id = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = s"$path.tmp-$id"
+      val tbl = s"graft_state_tmp_$id"
+      val w0 = df.write.bucketBy(StateBuckets, bucketCols.head, bucketCols.tail: _*)
+      val w = (if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0)
+        .option("path", tmp).mode("overwrite")
+      w.saveAsTable(tbl)
+      df.sparkSession.sql(s"DROP TABLE `$tbl`")
+      tmp
+    }
+
+    private def swap(spark: SparkSession, tmp: String, path: String): Unit = {
+      val (fs, target) = fsFor(spark, path)
+      val bak = new HPath(s"$path.bak")
+      if (fs.exists(bak)) fs.delete(bak, true)
+      val hadOld = fs.exists(target)
+      if (hadOld) require(fs.rename(target, bak),
+        s"state swap: could not move $path aside to $path.bak")
+      require(fs.rename(new HPath(tmp), target),
+        s"state swap: could not move $tmp into place at $path" +
+          (if (hadOld) s" — the previous store is intact at $path.bak" else ""))
+      if (hadOld) fs.delete(bak, true)
     }
 
     /** One consistent snapshot of the stage input: a LAZY localCheckpoint,
@@ -409,12 +595,22 @@ object Transformers {
     def transform(df0: DataFrame): DataFrame = {
       val df = IncrState.snapshot(df0)
       val spark = df.sparkSession
-      val fps = IncrState.readOr(spark, s"$stateDir/fingerprints",
+      IncrState.requireTogether(spark, "incremental_dedup", Map(
+        "fingerprints" -> s"$stateDir/fingerprints",
+        "manifest" -> s"$stateDir/manifest"))
+      // bucketed by fp at rest: the delta's anti-join lands in the store's
+      // buckets — only the delta side shuffles (the operator's documented
+      // production layout). Pre-stamping stores read plain (md5 values are
+      // kernel-independent) and upgrade to the bucketed layout on commit.
+      val fps = IncrState.readOrBucketed(spark, s"$stateDir/fingerprints",
+        IncrState.FpStoreVersion, acceptUnversioned = true,
+        Seq("fp"), Seq("fp"),
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           new org.apache.spark.sql.types.StructType()
             .add("fp", org.apache.spark.sql.types.StringType)))
       val manifest = IncrState.readOr(spark, s"$stateDir/manifest",
+        IncrState.FpStoreVersion, acceptUnversioned = true,
         df.select(col(shardCol)).limit(0))
       val (survivors, newFps) = graft.operators.Incremental.dedupDelta(
         df, manifest, shardCol, fps, idCol, textCol)
@@ -426,7 +622,8 @@ object Transformers {
 
     def commit(): Unit = staged.foreach { case (fps, manifest) =>
       IncrState.commitPair(fps, s"$stateDir/fingerprints",
-        manifest, s"$stateDir/manifest")
+        IncrState.FpStoreVersion, manifest, s"$stateDir/manifest",
+        bucketCols = Seq("fp"), sortCols = Seq("fp"))
       staged = None
     }
   }
@@ -464,9 +661,26 @@ object Transformers {
     def transform(df0: DataFrame): DataFrame = {
       val df = IncrState.snapshot(df0)
       val spark = df.sparkSession
-      val sigs = IncrState.readOr(spark, s"$stateDir/signatures",
+      IncrState.requireTogether(spark, "incremental_near_dedup", Map(
+        "signatures" -> s"$stateDir/signatures",
+        "band_index" -> s"$stateDir/band_index",
+        "manifest" -> s"$stateDir/manifest"))
+      // value-version-gated (acceptUnversioned = false): a pre-round-14
+      // signature store was computed in the 32-bit hash space and is NOT
+      // comparable to current signatures — reject loudly, never mix.
+      // Bucketed by doc_id at rest so the verify join's store side reads
+      // co-located; the banding side reads the (band, key)-bucketed index.
+      val sigs = IncrState.readOrBucketed(spark, s"$stateDir/signatures",
+        IncrState.SigStoreVersion, acceptUnversioned = false,
+        Seq("doc_id"), Seq("doc_id"),
         graft.operators.Dedup.minhashSignaturesWithBands(
           df.limit(0), idCol, textCol, shingleK, bands * rowsPerBand, bands))
+      val bandIdx =
+        if (stagedFirstRun(spark)) None
+        else Some(IncrState.readOrBucketed(spark, s"$stateDir/band_index",
+          IncrState.BandIndexVersion, acceptUnversioned = false,
+          Seq("band", "key"), Seq("band", "key"),
+          graft.operators.Dedup.bandIndex(sigs.limit(0))))
       // a store trained under DIFFERENT banding parameters must fail fast:
       // zip_with over mismatched signature lengths null-pads, the verify
       // predicate goes null, and every store-side pair silently drops
@@ -478,21 +692,38 @@ object Transformers {
             "point state_dir elsewhere")
       }
       val manifest = IncrState.readOr(spark, s"$stateDir/manifest",
+        IncrState.SigStoreVersion, acceptUnversioned = true,
         df.select(col(shardCol)).limit(0))
       val (survivors, newSigs) = graft.operators.Incremental.nearDedupDelta(
         df, manifest, shardCol, sigs, idCol, textCol,
         shingleK = shingleK, bands = bands, rowsPerBand = rowsPerBand,
         maxBucket = maxBucket, materializeState = materializeState,
-        broadcastDelta = broadcastDelta)
+        broadcastDelta = broadcastDelta, priorBandIndex = bandIdx)
       val newManifest = manifest.select(col(shardCol))
         .union(df.select(col(shardCol))).distinct()
       staged = Some((newSigs, newManifest))
       survivors
     }
 
+    private def stagedFirstRun(spark: org.apache.spark.sql.SparkSession): Boolean = {
+      // band_index arrived with the v2 layout; requireTogether already
+      // rejected half-present state, so "missing" here means bootstrap
+      val p = new org.apache.hadoop.fs.Path(s"$stateDir/band_index")
+      !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+
     def commit(): Unit = staged.foreach { case (sigs, manifest) =>
-      IncrState.commitPair(sigs, s"$stateDir/signatures",
-        manifest, s"$stateDir/manifest")
+      // the band index is the exploded view of the SAME grown signature
+      // frame — committed beside it so the next delivery's banding join
+      // reads (band, key)-co-located. Both stores rewrite in full (the
+      // swap design's cost; a transactional table format would append) but
+      // the bucketed writes are shuffle-free.
+      IncrState.commitAll(manifest, s"$stateDir/manifest",
+        IncrState.Staged(sigs, s"$stateDir/signatures",
+          IncrState.SigStoreVersion, Seq("doc_id"), Seq("doc_id")),
+        IncrState.Staged(graft.operators.Dedup.bandIndex(sigs),
+          s"$stateDir/band_index",
+          IncrState.BandIndexVersion, Seq("band", "key"), Seq("band", "key")))
       staged = None
     }
   }
@@ -518,13 +749,20 @@ object Transformers {
     def transform(df0: DataFrame): DataFrame = {
       val df = IncrState.snapshot(df0)
       val spark = df.sparkSession
-      val vocab = IncrState.readOr(spark, s"$stateDir/vocab",
+      IncrState.requireTogether(spark, "incremental_vocab", Map(
+        "vocab" -> s"$stateDir/vocab", "manifest" -> s"$stateDir/manifest"))
+      // bucketed by term at rest: the delta-count merge join lands in the
+      // store's buckets, only the delta's term counts shuffle
+      val vocab = IncrState.readOrBucketed(spark, s"$stateDir/vocab",
+        IncrState.VocabStoreVersion, acceptUnversioned = true,
+        Seq("term"), Seq("term"),
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           new org.apache.spark.sql.types.StructType()
             .add("term", org.apache.spark.sql.types.StringType)
             .add("df", org.apache.spark.sql.types.LongType)))
       val manifest = IncrState.readOr(spark, s"$stateDir/manifest",
+        IncrState.VocabStoreVersion, acceptUnversioned = true,
         df.select(col(shardCol)).limit(0))
       val (report, newVocab) = graft.operators.Incremental.vocabDelta(
         df, manifest, shardCol, vocab, textCol)
@@ -536,7 +774,172 @@ object Transformers {
 
     def commit(): Unit = staged.foreach { case (vocab, manifest) =>
       IncrState.commitPair(vocab, s"$stateDir/vocab",
-        manifest, s"$stateDir/manifest")
+        IncrState.VocabStoreVersion, manifest, s"$stateDir/manifest",
+        bucketCols = Seq("term"), sortCols = Seq("term"))
+      staged = None
+    }
+  }
+
+  /** [[graft.operators.Incremental.semDedupDelta]] as a config-driven
+    * stage — the embedding-space member of the state-travel family
+    * (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): the carried state is
+    * the full labeled vector frame `(vec_id, v, nrm, cell, cell_cos, grp,
+    * keep)` plus the shard manifest; a run semantically deduplicates ONLY
+    * uncovered shards against the carried groups (delta×touched-cell
+    * pairing, historical-label contraction, retroactive bridge merges —
+    * the mx29 semantics, oracle-pinned there). The stage OUTPUT is the
+    * delta's `(id, cell, grp, keep)` verdict frame. The quantizer arrives
+    * from `centroids_path` (parquet `(c_id, cv[, cn])` — e.g. a
+    * [[graft.operators.Similarity.kmeansCentroids]] dump) and is
+    * FROZEN for the lifetime of the state dir BY CONTRACT: group identity
+    * depends on cell pairing, so a changed codebook would silently change
+    * dedup semantics mid-history (carried rows keep their original `cell`;
+    * a delta assigned under different centroids would pair against the
+    * wrong cells). Retrain ⇒ new state_dir, full re-delivery.
+    */
+  class IncrementalSemDedupTransformer(conf: Conf) extends graft.core.StatefulTransformer {
+    private val idCol = conf.strOr("id_column", "vec_id")
+    private val vecCol = conf.strOr("vector_column", "embedding")
+    private val shardCol = conf.strOr("shard_column", "source")
+    private val threshold = conf.dblOr("threshold", 0.85)
+    private val centroidsPath = conf.str("centroids_path").getOrElse(
+      throw new IllegalArgumentException("incremental_sem_dedup: centroids_path is required"))
+    private val stateDir = conf.str("state_dir").getOrElse(
+      throw new IllegalArgumentException("incremental_sem_dedup: state_dir is required"))
+    private var staged: Option[(DataFrame, DataFrame)] = None
+
+    override def validate(df: DataFrame): Unit =
+      IncrState.requireCols("incremental_sem_dedup", df, Seq(idCol, vecCol, shardCol))
+
+    private def centroids(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      val raw = spark.read.parquet(centroidsPath)
+      require(raw.columns.contains("c_id") && raw.columns.contains("cv"),
+        s"incremental_sem_dedup: centroids at $centroidsPath need (c_id, cv), " +
+          s"got ${raw.columns.mkString(", ")}")
+      if (raw.columns.contains("cn")) raw.select(col("c_id"), col("cv"), col("cn"))
+      else raw.select(col("c_id"), col("cv"),
+        graft.operators.Similarity.norm(col("cv")).as("cn"))
+    }
+
+    def transform(df0: DataFrame): DataFrame = {
+      val df = IncrState.snapshot(df0)
+      val spark = df.sparkSession
+      IncrState.requireTogether(spark, "incremental_sem_dedup", Map(
+        "state" -> s"$stateDir/state", "manifest" -> s"$stateDir/manifest"))
+      import org.apache.spark.sql.types._
+      val stateSchema = new StructType()
+        .add("vec_id", LongType).add("v", ArrayType(DoubleType))
+        .add("nrm", DoubleType).add("cell", LongType)
+        .add("cell_cos", DoubleType).add("grp", LongType)
+        .add("keep", BooleanType)
+      // bucketed by cell at rest: the delta×store pairing joins on cell,
+      // so the carried vectors read co-located — only the delta moves
+      val state = IncrState.readOrBucketed(spark, s"$stateDir/state",
+        IncrState.SemStoreVersion, acceptUnversioned = false,
+        Seq("cell"), Seq("cell"),
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), stateSchema))
+      val manifest = IncrState.readOr(spark, s"$stateDir/manifest",
+        IncrState.SemStoreVersion, acceptUnversioned = true,
+        df.select(col(shardCol)).limit(0))
+      val (verdicts, newState) = graft.operators.Incremental.semDedupDelta(
+        df, manifest, shardCol, centroids(spark), state,
+        idCol, vecCol, threshold)
+      val newManifest = manifest.select(col(shardCol))
+        .union(df.select(col(shardCol))).distinct()
+      staged = Some((newState, newManifest))
+      verdicts
+    }
+
+    def commit(): Unit = staged.foreach { case (state, manifest) =>
+      IncrState.commitPair(state, s"$stateDir/state",
+        IncrState.SemStoreVersion, manifest, s"$stateDir/manifest",
+        bucketCols = Seq("cell"), sortCols = Seq("cell"))
+      staged = None
+    }
+  }
+
+  /** [[graft.operators.Incremental.ivfDelta]] (+ optional
+    * [[graft.operators.Incremental.retrainCentroids]]) as a config-driven
+    * stage — the ANN-index member of the state-travel family: carried
+    * state is the codebook `(c_id, cv, cn)` (seeded from `centroids_path`
+    * on first run) and the per-cell population counts `(cell, n)`; a run
+    * assigns ONLY its delta against the carried codebook (one broadcast
+    * argmax-cosine pass — history is never re-read) and the stage OUTPUT
+    * is the delta's `(id, cell)` assignments. With `retrain: true`, one
+    * deterministic Lloyd refinement over the DELTA's members stages an
+    * updated codebook for the NEXT delivery (online-k-means style;
+    * assignments in THIS delivery are always under the codebook carried
+    * in) — the bounded, delivery-local answer to the drift signal the
+    * counts expose (mx28's subject).
+    */
+  class IncrementalIvfTransformer(conf: Conf) extends graft.core.StatefulTransformer {
+    private val idCol = conf.strOr("id_column", "vec_id")
+    private val vecCol = conf.strOr("vector_column", "embedding")
+    private val shardCol = conf.strOr("shard_column", "source")
+    private val retrain = conf.bool("retrain")
+    private val centroidsPath = conf.str("centroids_path").getOrElse(
+      throw new IllegalArgumentException("incremental_ivf: centroids_path is required"))
+    private val stateDir = conf.str("state_dir").getOrElse(
+      throw new IllegalArgumentException("incremental_ivf: state_dir is required"))
+    private var staged: Option[(DataFrame, DataFrame, DataFrame)] = None
+
+    override def validate(df: DataFrame): Unit =
+      IncrState.requireCols("incremental_ivf", df, Seq(idCol, vecCol, shardCol))
+
+    def transform(df0: DataFrame): DataFrame = {
+      val df = IncrState.snapshot(df0)
+      val spark = df.sparkSession
+      IncrState.requireTogether(spark, "incremental_ivf", Map(
+        "centroids" -> s"$stateDir/centroids", "counts" -> s"$stateDir/counts",
+        "manifest" -> s"$stateDir/manifest"))
+      import org.apache.spark.sql.types._
+      val cents = IncrState.readOr(spark, s"$stateDir/centroids",
+        IncrState.IvfCentroidsVersion, acceptUnversioned = false, {
+          val raw = spark.read.parquet(centroidsPath)
+          require(raw.columns.contains("c_id") && raw.columns.contains("cv"),
+            s"incremental_ivf: centroids at $centroidsPath need (c_id, cv), " +
+              s"got ${raw.columns.mkString(", ")}")
+          if (raw.columns.contains("cn")) raw.select(col("c_id"), col("cv"), col("cn"))
+          else raw.select(col("c_id"), col("cv"),
+            graft.operators.Similarity.norm(col("cv")).as("cn"))
+        })
+      val counts = IncrState.readOr(spark, s"$stateDir/counts",
+        IncrState.IvfCountsVersion, acceptUnversioned = false,
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          new StructType().add("cell", LongType).add("n", LongType)))
+      val manifest = IncrState.readOr(spark, s"$stateDir/manifest",
+        IncrState.IvfCountsVersion, acceptUnversioned = true,
+        df.select(col(shardCol)).limit(0))
+      val (assigned, newCounts) = graft.operators.Incremental.ivfDelta(
+        df, manifest, shardCol, cents, counts, idCol, vecCol)
+      // assignment feeds the stage output, the grown counts, and (under
+      // retrain) the Lloyd members — one delta-sized materialization
+      val asg = graft.operators.Dedup.cachedForReuse(
+        assigned.select(col(idCol), col("cell")))
+      val newCents =
+        if (!retrain) cents
+        else {
+          val (delta, _) = graft.operators.Incremental.deltaShards(df, manifest, shardCol)
+          val members = graft.operators.Similarity.preparedCorpus(delta, idCol, vecCol)
+            .join(asg.select(col(idCol).as("vec_id"), col("cell")), Seq("vec_id"))
+            .select(col("cell"), col("vec_id"), col("v"))
+          graft.operators.Incremental.retrainCentroids(members, cents)
+        }
+      val newManifest = manifest.select(col(shardCol))
+        .union(df.select(col(shardCol))).distinct()
+      val grownCounts = asg.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .unionByName(counts)
+        .groupBy(col("cell")).agg(sum(col("n")).cast("long").as("n"))
+      staged = Some((newCents, grownCounts, newManifest))
+      asg
+    }
+
+    def commit(): Unit = staged.foreach { case (cents, counts, manifest) =>
+      IncrState.commitAll(manifest, s"$stateDir/manifest",
+        IncrState.Staged(counts, s"$stateDir/counts", IncrState.IvfCountsVersion),
+        IncrState.Staged(cents, s"$stateDir/centroids", IncrState.IvfCentroidsVersion))
       staged = None
     }
   }

@@ -172,19 +172,23 @@ class IncrementalSpec extends AnyFunSuite {
 
   test("ccDelta: label state travel; a phase-2 bridge doc retroactively merges two phase-1 clusters") {
     import graft.operators.Dedup
-    // base 200 words; B edits span X, C edits span Y (disjoint), the bridge
+    // base 300 words; B edits span X, C edits span Y (disjoint), the bridge
     // edits BOTH — so est(B,C) < 52/64 (separate clusters in phase 1) while
     // est(bridge,B) and est(bridge,C) both clear the threshold (verified
-    // below from the signatures themselves, not assumed)
-    val base = (0 until 200).map(i => s"w${(31 + i * 7) % 997}_$i").toArray
+    // below from the signatures themselves, not assumed). Span width 32 is
+    // tuned against the round-14 61-bit splitmix-affine family: the
+    // computed estimates land 49 / 54 / 56 around the 51.2 cut — margins
+    // ≥ 1.8 components on each side of the threshold (deterministic
+    // signatures; re-tune if the permutation constants ever change).
+    val base = (0 until 300).map(i => s"w${(31 + i * 7) % 997}_$i").toArray
     def edited(spans: (Range, String)*): String = {
       val w = base.clone()
       spans.foreach { case (r, p) => r.foreach(i => w(i) = s"$p$i") }
       w.mkString(" ")
     }
-    val tB = edited((50 until 58) -> "b")
-    val tC = edited((140 until 148) -> "c")
-    val tBr = edited((50 until 58) -> "b", (140 until 148) -> "c")
+    val tB = edited((50 until 82) -> "b")
+    val tC = edited((190 until 222) -> "c")
+    val tBr = edited((50 until 82) -> "b", (190 until 222) -> "c")
     val docs = Seq(
       (10L, "s0", tB), (20L, "s0", tC),   // phase 1: two separate clusters
       (30L, "s1", tBr)                    // phase 2: bridges them

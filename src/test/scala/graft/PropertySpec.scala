@@ -3,7 +3,7 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalacheck.Gen
 import org.apache.spark.sql.functions._
-import graft.operators.{Cleaning, Ema, MlPrep}
+import graft.operators.{Cleaning, Dedup, Ema, MlPrep}
 
 /** Property-based invariants (ScalaCheck) — the upgrade over the reference's
   * hand-rolled numeric spot checks (SURVEY.md §5).
@@ -915,6 +915,52 @@ class PropertySpec extends AnyFunSuite {
       assert(math.min(sw * sh, w * h) <= w * h)
       assert(r.getLong(8) == gx * 336 * gy * 336 - sw * sh) // waste identity
       assert(r.getLong(9) == gx * gy * 576)
+    }
+  }
+
+  test("mulmodP: equals BigInt (a*h) mod p on random 61-bit operands") {
+    val p = Dedup.MinhashPrime
+    assert(p == (1L << 61) - 1)
+    val g = Gen.zip(Gen.choose(0L, p - 1), Gen.choose(0L, p - 1))
+    forAll(g, n = 200) { case (a, h) =>
+      assert(Dedup.mulmodP(a, h) ==
+        ((BigInt(a) * BigInt(h)) mod BigInt(p)).toLong)
+    }
+  }
+
+  test("minhash permutation constants: a_j in [1, p-1], b_j in [0, p-1], all a_j distinct") {
+    val p = Dedup.MinhashPrime
+    val as = (0 until 256).map(Dedup.minhashA)
+    val bs = (0 until 256).map(Dedup.minhashB)
+    as.foreach(a => assert(a >= 1L && a < p))
+    bs.foreach(b => assert(b >= 0L && b < p))
+    assert(as.distinct.size == as.size, "multipliers must be distinct for a decorrelated family")
+  }
+
+  test("minhash compiled kernel equals the expression pipeline (61-bit field, decimal route)") {
+    // the expression forms are the documented arithmetic spec of the kernel;
+    // the gate's DuckDB SigSql is the third computation of the same values
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different text with unique words nowhere else seen"),
+      (4L, "a b c d e f g h i j k l m n o p"),
+      (5L, "x x x x x x"),
+      (6L, "Short one two")).toDF("doc_id", "text")
+    val viaKernel = Dedup.minhashSignatures(docs, "doc_id", "text", shingleK = 3, k = 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaExpr = docs
+      .withColumn("ts", split(lower(col("text")), " "))
+      .filter(size(col("ts")) >= 3)
+      .withColumn("sh", Dedup.wordShinglesExpr("ts", 3))
+      .withColumn("hv", Dedup.shingleHashesExpr("sh"))
+      .withColumn("sig", Dedup.minhashSignatureExpr("hv", 16))
+      .select(col("doc_id"), col("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaKernel.keySet == viaExpr.keySet)
+    viaKernel.foreach { case (id, sig) =>
+      assert(sig == viaExpr(id), s"doc $id kernel/expr signature mismatch")
+      assert(sig.forall(v => v >= 0L && v < Dedup.MinhashPrime))
     }
   }
 }
