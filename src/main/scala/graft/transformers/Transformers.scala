@@ -824,6 +824,7 @@ object Transformers {
     def transform(df0: DataFrame): DataFrame = {
       val df = IncrState.snapshot(df0)
       val spark = df.sparkSession
+      graft.functions.GraftFunctions.register(spark) // dotp/assign_cell
       IncrState.requireTogether(spark, "incremental_sem_dedup", Map(
         "state" -> s"$stateDir/state", "manifest" -> s"$stateDir/manifest"))
       import org.apache.spark.sql.types._
@@ -890,6 +891,7 @@ object Transformers {
     def transform(df0: DataFrame): DataFrame = {
       val df = IncrState.snapshot(df0)
       val spark = df.sparkSession
+      graft.functions.GraftFunctions.register(spark) // dotp/assign_cell
       IncrState.requireTogether(spark, "incremental_ivf", Map(
         "centroids" -> s"$stateDir/centroids", "counts" -> s"$stateDir/counts",
         "manifest" -> s"$stateDir/manifest"))

@@ -113,4 +113,71 @@ class BucketedJoinSpec extends AnyFunSuite
       spark.sql("DROP TABLE IF EXISTS store_index_bucketed")
     }
   }
+
+  test("incremental_near_dedup plugin delivery 2: bucketed-at-rest stores are NEVER re-shuffled") {
+    // the round-14 at-rest layout (judge task #5): signatures bucketed by
+    // doc_id + band index bucketed by (band, key), committed by the plugin
+    // itself — delivery 2's banding join, hot-bucket cap aggregation, cap
+    // anti-join and estimator verify join must all read the stores
+    // co-located, with only delta-derived rows crossing an exchange.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val dir = Files.createTempDirectory("graft-ndstate").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, "s1").otherwise("s0").as("source"),
+        col("text"))
+    val st1 = new graft.transformers.Transformers.IncrementalNearDedupTransformer(
+      Map("state_dir" -> dir))
+    val surv1 = st1.transform(docs.filter(col("source") === "s0"))
+    val n1 = surv1.count()
+    st1.commit()
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val st2 = new graft.transformers.Transformers.IncrementalNearDedupTransformer(
+        Map("state_dir" -> dir))
+      val out = st2.transform(docs)
+      val n2 = out.count()
+      val plan = out.queryExecution.executedPlan
+      // RAW bucketed-store rows below a shuffle (joins/exchanges cut the
+      // lineage: rows above them are candidate/aggregate output, which may
+      // move freely — they are delta-bounded)
+      def rawBucketedBelow(p: SparkPlan): Boolean = p match {
+        case s: FileSourceScanExec => s.relation.bucketSpec.isDefined
+        case _: BaseJoinExec => false
+        case _: ShuffleExchangeLike => false
+        case other => other.children.exists(rawBucketedBelow)
+      }
+      val offending = collect(plan) {
+        case e: ShuffleExchangeLike if rawBucketedBelow(e.child) => e
+      }
+      assert(offending.isEmpty,
+        s"store rows re-shuffled:\n${offending.mkString("\n")}")
+      val bucketedScans = collect(plan) {
+        case s: FileSourceScanExec if s.relation.bucketSpec.isDefined => s
+      }
+      // both stores appear co-located: the (band,key) index and the
+      // doc_id-keyed signature store (verify join side)
+      assert(bucketedScans.map(_.relation.location.rootPaths.head.getName).toSet
+        == Set("band_index", "signatures"), bucketedScans.mkString("\n"))
+
+      // and the results equal the plain (unbucketed, in-memory) operator path
+      val emptySigs = graft.operators.Dedup.minhashSignaturesWithBands(
+        docs.limit(0), "doc_id", "text", 3, 64, 16)
+      val m0 = docs.select(col("source")).limit(0)
+      val (k1, sig1) = graft.operators.Incremental.nearDedupDelta(
+        docs.filter(col("source") === "s0"), m0, "source", emptySigs, "doc_id", "text")
+      assert(k1.count() == n1)
+      val m1 = docs.filter(col("source") === "s0").select(col("source")).distinct()
+      val (k2, _) = graft.operators.Incremental.nearDedupDelta(
+        docs, m1, "source", sig1, "doc_id", "text")
+      assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+        k2.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+      assert(n2 == k2.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }
