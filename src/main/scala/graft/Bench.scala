@@ -55,12 +55,20 @@ import org.apache.spark.sql.SparkSession
   *     against the multi-second ambient scheduler stalls this shared
   *     sandbox injects (BENCH_r12: dd21 10.5 s recorded vs 1.7 s steady).
   *     Both executions are logged in BENCH_TELEMETRY.txt, so an absorbed
-  *     stall is auditable, never silent. Queries whose first run BUILT
-  *     new cross-query memo entries are exempt from the re-run: their
-  *     cost is the legitimate shared-frame build (charged exactly once
-  *     per record, to the first consumer), not a stall — a memo-warm
-  *     re-run would delete that cost from the record entirely while the
-  *     DuckDB lane pays it in every query.
+  *     stall is auditable, never silent. A first run that BUILT new
+  *     cross-query memo entries re-runs with exactly those entries
+  *     EVICTED (round 14, closing the r13 gap where memo builders were
+  *     exempt and absorbed ambient stalls with no recourse): both runs
+  *     then pay the legitimate shared-frame build — the min can never
+  *     delete it from the record — while a stall in either run is still
+  *     absorbed. The telemetry's `memo built [key=Ns]` split attributes
+  *     build cost per key, so a first consumer's entry is readable as
+  *     plan + build instead of looking like a plan regression.
+  *
+  * Failure protocol (round 14): a query that THROWS records an ERROR (per-
+  * query flag in telemetry, `"errors":N` + `"failed":[...]` in the total
+  * line, process rc 2) — never a fake timing; r13 swallowed the Throwable
+  * and recorded elapsed-until-throw with rc 0.
   */
 object Bench {
 
@@ -123,11 +131,14 @@ object Bench {
     catch { case _: Throwable => () }
   }
 
-  /** Run a slice of the sorted query list in THIS JVM; returns (name, sec). */
-  private def runQueries(
+  /** Run a slice of the sorted query list in THIS JVM; returns
+    * (name, sec, failed). `stopSession = false` is the spec seam (the
+    * shared test JVM must keep its session).
+    */
+  private[graft] def runQueries(
       sfDir: String, cpus: String, shardTag: String,
       slice: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-      totalN: Int): Seq[(String, Double)] = {
+      totalN: Int, stopSession: Boolean = true): Seq[(String, Double, Boolean)] = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -186,47 +197,71 @@ object Bench {
     }
     val rerunFloorSec = 3.0
     val results = slice.zipWithIndex.map { case ((name, fn), idx) =>
-      def timedRun(): (Double, String) = {
+      def timedRun(): (Double, String, Option[String]) = {
         val (jit0, gc0) = jitGcMs()
         val (jobs0, stages0, tasks0) = drainedCounts()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // a query that throws is an ERROR, never a timing (r13 swallowed
+        // the Throwable and recorded elapsed-until-throw as a success)
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         val (jobs1, stages1, tasks1) = drainedCounts()
         sweepCaches()
         val (jit1, gc1) = jitGcMs()
         (dt,
           f"jit +${jit1 - jit0}%dms gc +${gc1 - gc0}%dms  jobs ${jobs1 - jobs0}%d " +
-            f"stages ${stages1 - stages0}%d tasks ${tasks1 - tasks0}%d")
+            f"stages ${stages1 - stages0}%d tasks ${tasks1 - tasks0}%d", err)
       }
-      val memoBefore = graft.queries.Shared.protectedRddIds
-      val (dt1, tele1) = timedRun()
+      val memoBefore = graft.queries.Shared.memoKeys
+      val (dt1, tele1, err1) = timedRun()
+      val builtKeys = graft.queries.Shared.memoKeys -- memoBefore
+      // (query, memo_build_s) split: shared-kernel build cost is charged
+      // to its first consumer BY DESIGN; the split line makes that
+      // attribution explicit instead of reading as plan cost.
+      val memoTele =
+        if (builtKeys.isEmpty) ""
+        else builtKeys.toSeq.sorted.map(k =>
+          f"$k=${graft.queries.Shared.buildSeconds(k).getOrElse(0.0)}%.3fs")
+          .mkString("  memo built [", ", ", "]")
       // heavy-tail stall guard: one back-to-back re-run, record the min,
-      // log both (see the protocol note — never silent). EXCEPTION: a
-      // query whose first run BUILT new cross-query memo entries is slow
-      // for a legitimate, chargeable reason — its re-run would ride the
-      // memo it just built and the min would silently delete the shared-
-      // frame build cost from the whole record (no consumer would ever
-      // pay it, unlike the DuckDB lane where every query pays full price).
-      val builtMemo = graft.queries.Shared.protectedRddIds != memoBefore
+      // log both (see the protocol note — never silent). A first run that
+      // BUILT cross-query memo entries re-runs with exactly those entries
+      // EVICTED (round 14): both runs then pay the legitimate shared-frame
+      // build — the min can never delete it from the record — while an
+      // ambient stall in either run is still absorbed. (r13 exempted memo
+      // builders entirely, which let a 52.8 s ambient stall stand against
+      // an ~8 s steady state with no recourse.)
       val (dt, tele) =
-        if (dt1 <= rerunFloorSec) (dt1, tele1)
-        else if (builtMemo) (dt1, f"$tele1 (memo build — no stall rerun)")
+        if (err1.nonEmpty || dt1 <= rerunFloorSec) (dt1, tele1 + memoTele)
         else {
-          val (dt2, tele2) = timedRun()
-          (math.min(dt1, dt2), f"$tele2 (min of $dt1%.3f/$dt2%.3f s; run1 $tele1)")
+          if (builtKeys.nonEmpty) graft.queries.Shared.evict(builtKeys)
+          val (dt2, tele2, err2) = timedRun()
+          val rebuilt =
+            if (builtKeys.isEmpty) ""
+            else builtKeys.toSeq.sorted.map(k =>
+              f"$k=${graft.queries.Shared.buildSeconds(k).getOrElse(0.0)}%.3fs")
+              .mkString("  memo rebuilt [", ", ", "]")
+          if (err2.nonEmpty) (dt1, tele1 + memoTele) // keep the clean run
+          else (math.min(dt1, dt2),
+            f"$tele2 (min of $dt1%.3f/$dt2%.3f s; run1 $tele1)$memoTele$rebuilt")
         }
+      val err = err1
       val (ccUsed, ccMax, ccPct) = codeCache()
       logTelemetry(
-        f"[bench$shardTag] [${idx + 1}%3d/${slice.size}%d of $totalN%d] $name%-28s ${dt}%8.3f s  codecache ${ccUsed / 1048576}%d/${ccMax / 1048576}%dMB (${ccPct}%.0f%%)  $tele")
+        f"[bench$shardTag] [${idx + 1}%3d/${slice.size}%d of $totalN%d] $name%-28s ${dt}%8.3f s  codecache ${ccUsed / 1048576}%d/${ccMax / 1048576}%dMB (${ccPct}%.0f%%)  $tele" +
+          err.map(m => s"  ERROR: $m").getOrElse(""))
       if (ccPct > 90.0)
         logTelemetry(
           s"[bench$shardTag] WARNING: JIT code cache ${ccPct.round}% full after $name — " +
             "HotSpot may stop compiling and later queries will run interpreted " +
             "(raise -XX:ReservedCodeCacheSize)")
-      name -> dt
+      (name, dt, err.nonEmpty)
     }
-    spark.stop()
+    if (stopSession) spark.stop()
     results
   }
 
@@ -234,9 +269,10 @@ object Bench {
 
   /** Spawn one child JVM per shard (sequentially — full machine per shard),
     * mirroring this JVM's classpath and flags. Returns None if any child
-    * fails, so the caller can fall back to in-process execution.
+    * fails, so the caller can fall back to in-process execution. Failed
+    * queries travel as `"!name":1` marker entries beside the timings.
     */
-  private def runSharded(k: Int, names: Seq[String]): Option[Seq[(String, Double)]] = {
+  private def runSharded(k: Int, names: Seq[String]): Option[Seq[(String, Double, Boolean)]] = {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
@@ -266,7 +302,10 @@ object Bench {
         pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
       }
       val byName = merged.toMap
-      if (names.forall(byName.contains)) Some(names.map(n => n -> byName(n))) else None
+      val failed = byName.keySet.collect { case n if n.startsWith("!") => n.drop(1) }
+      if (names.forall(byName.contains))
+        Some(names.map(n => (n, byName(n), failed.contains(n))))
+      else None
     }
   }
 
@@ -281,7 +320,9 @@ object Bench {
         val Array(i, k) = spec.split('/').map(_.toInt)
         val slices = partition(ordered, k)
         val results = runQueries(sfDir, cpus, s" $i/$k", slices(i), ordered.size)
-        val qs = results.map { case (n, v) => s""""$n":$v""" }.mkString("{", ",", "}")
+        val qs = (results.map { case (n, v, _) => s""""$n":$v""" } ++
+          results.collect { case (n, _, true) => s""""!$n":1""" })
+          .mkString("{", ",", "}")
         new java.io.File("target").mkdirs()
         java.nio.file.Files.writeString(java.nio.file.Paths.get(shardFile(i)), qs + "\n")
 
@@ -308,8 +349,9 @@ object Bench {
     }._2
   }
 
-  private def emit(results: Seq[(String, Double)], sfDir: String): Unit = {
+  private def emit(results: Seq[(String, Double, Boolean)], sfDir: String): Unit = {
     val total = results.map(_._2).sum
+    val errors = results.count(_._3)
     // Per-query times as SHORT sorted chunks (8 queries/line, ms precision),
     // each line self-describing — so a bounded tail-window capture holds the
     // COMPLETE map (BENCH_r01–r04 clipped the head of the old single ~4 KB
@@ -317,16 +359,22 @@ object Bench {
     // line stays the compact total (~100 bytes).
     val chunks = results.sortBy(_._1).grouped(8).toSeq
     chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val qs = chunk.map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+      val qs = chunk.map { case (k, v, _) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
       println(s"""{"metric":"queries_part","part":${i + 1},"of":${chunks.size},"queries":$qs}""")
     }
+    val errList =
+      if (errors == 0) ""
+      else results.collect { case (k, _, true) => s"\"$k\"" }
+        .mkString(""","failed":[""", ",", "]")
     val totalLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errors$errList,"sf":"$sfDir"}"""
     println(totalLine)
     // File artifact too, so the record survives any stdout-protocol mismatch.
-    val qsFull = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val qsFull = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/bench_total.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"queries":$qsFull,"sf":"$sfDir"}""" + "\n")
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errors$errList,"queries":$qsFull,"sf":"$sfDir"}""" + "\n")
+    // a bench with ANY failed query must not read as a clean record
+    if (errors > 0) sys.exit(2)
   }
 }

@@ -55,6 +55,33 @@ object Shared {
     */
   def clear(): Unit = memo.clear()
 
+  /** Live memo keys — [[graft.Bench]] diffs this around a query to know
+    * which shared kernels that query built (telemetry attribution, and the
+    * round-14 stall-guard eviction).
+    */
+  def memoKeys: Set[String] = memo.keySet.toSet
+
+  /** Wall seconds each key's `build` lambda took — the (query, memo_build_s)
+    * split the bench telemetry emits so shared-kernel build cost is
+    * attributable instead of reading as plan cost on its first consumer.
+    */
+  private val buildSecs = scala.collection.concurrent.TrieMap.empty[String, Double]
+  def buildSeconds(key: String): Option[Double] = buildSecs.get(key)
+
+  /** Forget SPECIFIC entries and unpersist their backing blocks — the
+    * bench's memo-aware stall guard: a >floor first run that built memo
+    * entries re-runs with exactly those entries evicted, so BOTH runs pay
+    * the build and the recorded min never silently deletes shared-frame
+    * cost (while an ambient stall in either run is still absorbed).
+    */
+  def evict(keys: Set[String]): Unit = keys.foreach { k =>
+    memo.remove(k).foreach { e =>
+      val ctx = e.df.sparkSession.sparkContext
+      val live = ctx.getPersistentRDDs
+      e.rddIds.foreach(id => live.get(id).foreach(_.unpersist(false)))
+    }
+  }
+
   private def backingRddIds(df: DataFrame): Set[Int] =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
@@ -78,7 +105,9 @@ object Shared {
           e.rddIds.forall(ctx.getPersistentRDDs.contains) =>
         e.df
       case _ =>
+        val t0 = System.nanoTime()
         val df = build
+        buildSecs.update(key, (System.nanoTime() - t0) / 1e9)
         memo.update(key, Entry(ctxId, df, backingRddIds(df)))
         df
     }

@@ -371,18 +371,37 @@ object Transformers {
       * are kernel-independent (`md5(text)` / term counts) — readers accept
       * an unversioned legacy store for those and stamp it on next commit.
       */
-    val SigStoreVersion = "minhash-sig-v2-61bit-splitmix-bucketed32"
-    val BandIndexVersion = "minhash-band-index-v2-61bit-splitmix-bucketed32"
-    val FpStoreVersion = "fp-md5-v2-bucketed32"
-    val VocabStoreVersion = "vocab-df-v2-bucketed32"
-    val SemStoreVersion = "semdedup-state-v1-bucketed32"
+    val SigStoreVersion = "minhash-sig-v2-61bit-splitmix"
+    val BandIndexVersion = "minhash-band-index-v2-61bit-splitmix"
+    val FpStoreVersion = "fp-md5-v2"
+    val VocabStoreVersion = "vocab-df-v2"
+    val SemStoreVersion = "semdedup-state-v1"
     val IvfCountsVersion = "ivf-counts-v1"
     val IvfCentroidsVersion = "ivf-centroids-v1"
+
+    /** Default at-rest bucket count. A DEPLOYMENT knob (`state_buckets` on
+      * the plugins): size it to the cluster's shuffle parallelism — a
+      * bucketed side whose count is below `spark.sql.shuffle.partitions`
+      * makes EnsureRequirements re-shuffle even index-sized aggregates up
+      * to the session parallelism (measured in the incr-bk smoke: 32
+      * buckets under 128 shuffle partitions re-shuffled the cap counts).
+      * The ACTUAL count a store was written with travels in its version
+      * stamp (`<version>;buckets=N`), so readers never guess.
+      */
     val StateBuckets = 32
 
     private def fsFor(spark: SparkSession, path: String): (FileSystem, HPath) = {
       val p = new HPath(path)
       (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+
+    /** Fully-qualified URI for `path` — table-API writers resolve RELATIVE
+      * paths against the warehouse dir while Hadoop renames resolve them
+      * against the working dir; qualifying once removes the divergence.
+      */
+    private def qualified(spark: SparkSession, path: String): String = {
+      val (fs, p) = fsFor(spark, path)
+      fs.makeQualified(p).toString
     }
 
     private def dirExists(spark: SparkSession, path: String): Boolean = {
@@ -436,9 +455,18 @@ object Transformers {
             "whole state_dir.")
     }
 
+    /** Stamp = `<version>` or `<version>;buckets=N`; equality is on the
+      * version part, the layout rider is the reader's bucket count.
+      */
+    private def versionPart(stamp: String): String = stamp.split(';')(0)
+    private def bucketsPart(stamp: String): Option[Int] =
+      stamp.split(';').collectFirst {
+        case s if s.startsWith("buckets=") => s.drop(8).toInt
+      }
+
     private def checkVersion(spark: SparkSession, path: String,
         expect: String, acceptUnversioned: Boolean): Unit =
-      readVersion(spark, path) match {
+      readVersion(spark, path).map(versionPart) match {
         case Some(v) if v == expect => ()
         case Some(v) => throw new IllegalStateException(
           s"state store at $path has version '$v' but this build expects " +
@@ -473,8 +501,10 @@ object Transformers {
         sortCols: Seq[String], fallback: => DataFrame): DataFrame =
       if (dirExists(spark, path)) {
         checkVersion(spark, path, expect, acceptUnversioned)
-        if (readVersion(spark, path).isEmpty) spark.read.parquet(path)
+        val stamp = readVersion(spark, path)
+        if (stamp.isEmpty) spark.read.parquet(path)
         else {
+          val buckets = stamp.flatMap(bucketsPart).getOrElse(StateBuckets)
           val tbl = "graft_state_" + java.lang.Integer.toHexString(path.hashCode)
           val schema = spark.read.parquet(path).schema
           val colsDdl = schema.fields
@@ -484,8 +514,8 @@ object Transformers {
             s"""CREATE TABLE `$tbl` ($colsDdl) USING parquet
                |CLUSTERED BY (${bucketCols.map(c => s"`$c`").mkString(", ")})
                |${if (sortCols.nonEmpty) s"SORTED BY (${sortCols.map(c => s"`$c`").mkString(", ")})" else ""}
-               |INTO $StateBuckets BUCKETS
-               |LOCATION '$path'""".stripMargin)
+               |INTO $buckets BUCKETS
+               |LOCATION '${qualified(spark, path)}'""".stripMargin)
           spark.table(tbl)
         }
       } else fallback
@@ -494,7 +524,8 @@ object Transformers {
       * non-empty ⇒ committed via bucketBy in the StateBuckets layout.
       */
     case class Staged(df: DataFrame, path: String, version: String,
-        bucketCols: Seq[String] = Nil, sortCols: Seq[String] = Nil)
+        bucketCols: Seq[String] = Nil, sortCols: Seq[String] = Nil,
+        buckets: Int = StateBuckets)
 
     /** Two-phase store(s)+manifest commit: EVERY frame writes to a temp
       * sibling first (their plans still read the old stores), then the
@@ -511,8 +542,9 @@ object Transformers {
       val tStores = stores.map { s =>
         val tmp =
           if (s.bucketCols.isEmpty) writeTmp(s.df, s.path)
-          else writeTmpBucketed(s.df, s.path, s.bucketCols, s.sortCols)
-        stampVersion(spark, tmp, s.version)
+          else writeTmpBucketed(s.df, s.path, s.bucketCols, s.sortCols, s.buckets)
+        stampVersion(spark, tmp,
+          if (s.bucketCols.isEmpty) s.version else s"${s.version};buckets=${s.buckets}")
         (tmp, s.path)
       }
       val tMani = writeTmp(manifest, manifestPath)
@@ -522,9 +554,10 @@ object Transformers {
 
     def commitPair(store: DataFrame, storePath: String, version: String,
         manifest: DataFrame, manifestPath: String,
-        bucketCols: Seq[String] = Nil, sortCols: Seq[String] = Nil): Unit =
+        bucketCols: Seq[String] = Nil, sortCols: Seq[String] = Nil,
+        buckets: Int = StateBuckets): Unit =
       commitAll(manifest, manifestPath,
-        Staged(store, storePath, version, bucketCols, sortCols))
+        Staged(store, storePath, version, bucketCols, sortCols, buckets))
 
     private def writeTmp(df: DataFrame, path: String): String = {
       val tmp = s"$path.tmp-${java.util.UUID.randomUUID().toString.take(8)}"
@@ -540,13 +573,13 @@ object Transformers {
       * the carried side.
       */
     private def writeTmpBucketed(df: DataFrame, path: String,
-        bucketCols: Seq[String], sortCols: Seq[String]): String = {
+        bucketCols: Seq[String], sortCols: Seq[String], buckets: Int): String = {
       val id = java.util.UUID.randomUUID().toString.take(8)
       val tmp = s"$path.tmp-$id"
       val tbl = s"graft_state_tmp_$id"
-      val w0 = df.write.bucketBy(StateBuckets, bucketCols.head, bucketCols.tail: _*)
+      val w0 = df.write.bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
       val w = (if (sortCols.nonEmpty) w0.sortBy(sortCols.head, sortCols.tail: _*) else w0)
-        .option("path", tmp).mode("overwrite")
+        .option("path", qualified(df.sparkSession, tmp)).mode("overwrite")
       w.saveAsTable(tbl)
       df.sparkSession.sql(s"DROP TABLE `$tbl`")
       tmp
@@ -583,6 +616,7 @@ object Transformers {
 
   class IncrementalDedupTransformer(conf: Conf) extends graft.core.StatefulTransformer {
     private val idCol = conf.strOr("id_column", "doc_id")
+    private val buckets = conf.intOr("state_buckets", IncrState.StateBuckets)
     private val textCol = conf.strOr("text_column", "text")
     private val shardCol = conf.strOr("shard_column", "source")
     private val stateDir = conf.str("state_dir").getOrElse(
@@ -623,7 +657,7 @@ object Transformers {
     def commit(): Unit = staged.foreach { case (fps, manifest) =>
       IncrState.commitPair(fps, s"$stateDir/fingerprints",
         IncrState.FpStoreVersion, manifest, s"$stateDir/manifest",
-        bucketCols = Seq("fp"), sortCols = Seq("fp"))
+        bucketCols = Seq("fp"), sortCols = Seq("fp"), buckets = buckets)
       staged = None
     }
   }
@@ -640,6 +674,7 @@ object Transformers {
     */
   class IncrementalNearDedupTransformer(conf: Conf) extends graft.core.StatefulTransformer {
     private val idCol = conf.strOr("id_column", "doc_id")
+    private val buckets = conf.intOr("state_buckets", IncrState.StateBuckets)
     private val textCol = conf.strOr("text_column", "text")
     private val shardCol = conf.strOr("shard_column", "source")
     private val shingleK = conf.intOr("shingle_k", 3)
@@ -720,10 +755,11 @@ object Transformers {
       // the bucketed writes are shuffle-free.
       IncrState.commitAll(manifest, s"$stateDir/manifest",
         IncrState.Staged(sigs, s"$stateDir/signatures",
-          IncrState.SigStoreVersion, Seq("doc_id"), Seq("doc_id")),
+          IncrState.SigStoreVersion, Seq("doc_id"), Seq("doc_id"), buckets = buckets),
         IncrState.Staged(graft.operators.Dedup.bandIndex(sigs),
           s"$stateDir/band_index",
-          IncrState.BandIndexVersion, Seq("band", "key"), Seq("band", "key")))
+          IncrState.BandIndexVersion, Seq("band", "key"), Seq("band", "key"),
+          buckets = buckets))
       staged = None
     }
   }
@@ -738,6 +774,7 @@ object Transformers {
     */
   class IncrementalVocabTransformer(conf: Conf) extends graft.core.StatefulTransformer {
     private val textCol = conf.strOr("text_column", "text")
+    private val buckets = conf.intOr("state_buckets", IncrState.StateBuckets)
     private val shardCol = conf.strOr("shard_column", "source")
     private val stateDir = conf.str("state_dir").getOrElse(
       throw new IllegalArgumentException("incremental_vocab: state_dir is required"))
@@ -775,7 +812,7 @@ object Transformers {
     def commit(): Unit = staged.foreach { case (vocab, manifest) =>
       IncrState.commitPair(vocab, s"$stateDir/vocab",
         IncrState.VocabStoreVersion, manifest, s"$stateDir/manifest",
-        bucketCols = Seq("term"), sortCols = Seq("term"))
+        bucketCols = Seq("term"), sortCols = Seq("term"), buckets = buckets)
       staged = None
     }
   }
@@ -799,6 +836,7 @@ object Transformers {
     */
   class IncrementalSemDedupTransformer(conf: Conf) extends graft.core.StatefulTransformer {
     private val idCol = conf.strOr("id_column", "vec_id")
+    private val buckets = conf.intOr("state_buckets", IncrState.StateBuckets)
     private val vecCol = conf.strOr("vector_column", "embedding")
     private val shardCol = conf.strOr("shard_column", "source")
     private val threshold = conf.dblOr("threshold", 0.85)
@@ -855,7 +893,7 @@ object Transformers {
     def commit(): Unit = staged.foreach { case (state, manifest) =>
       IncrState.commitPair(state, s"$stateDir/state",
         IncrState.SemStoreVersion, manifest, s"$stateDir/manifest",
-        bucketCols = Seq("cell"), sortCols = Seq("cell"))
+        bucketCols = Seq("cell"), sortCols = Seq("cell"), buckets = buckets)
       staged = None
     }
   }

@@ -36,9 +36,9 @@ class IncrStateSpec extends AnyFunSuite {
     s1.commit()
     // version stamps present on both stores
     assert(Files.readString(java.nio.file.Paths.get(s"$dir/signatures/_GRAFT_STATE_VERSION"))
-      == IncrState.SigStoreVersion)
+      == s"${IncrState.SigStoreVersion};buckets=32")
     assert(Files.readString(java.nio.file.Paths.get(s"$dir/band_index/_GRAFT_STATE_VERSION"))
-      == IncrState.BandIndexVersion)
+      == s"${IncrState.BandIndexVersion};buckets=32")
     val s2 = stage()
     val out2 = s2.transform(all)
     // doc 11 is an exact twin of carried doc 1 -> dropped by the store
@@ -88,7 +88,7 @@ class IncrStateSpec extends AnyFunSuite {
     assert(out.count() == 3) // 4 docs, one exact-dup pair -> 3 survivors
     st.commit()
     assert(Files.readString(java.nio.file.Paths.get(s"$dir/fingerprints/_GRAFT_STATE_VERSION"))
-      == IncrState.FpStoreVersion)
+      == s"${IncrState.FpStoreVersion};buckets=32")
   }
 
   test("partial state fails loudly instead of half-bootstrapping") {
@@ -182,7 +182,7 @@ class IncrStateSpec extends AnyFunSuite {
     assert(state.filter(col("grp") === 1L && col("keep")).count() == 1)
     assert(state.filter(col("vec_id") === 1L).select("keep").as[Boolean].head() == false)
     assert(Files.readString(java.nio.file.Paths.get(s"$stateDir/state/_GRAFT_STATE_VERSION"))
-      == IncrState.SemStoreVersion)
+      == s"${IncrState.SemStoreVersion};buckets=32")
   }
 
   test("incremental_ivf plugin: assignments/counts travel; retrain stages next-delivery codebook") {
