@@ -261,19 +261,29 @@ object ScaleSmoke {
     sweepExcept(keepStore) // d1's internal kernels, not the carried store
     if (bdOnly) {
       // broadcastDelta runs in its OWN invocation (`incr-bd`): the store's
-      // band index is semi-join-filtered map-side and the verify probe
-      // broadcasts, so the store is scanned, never shuffled — "only the
-      // delta moves" measured in-session. A fresh JVM per measurement:
-      // sharing the tier with the SMJ phases left this phase's AQE stage
-      // materializations intermittently execution-starved beside 13 GB of
-      // carried store blocks (AGGREGATE_OUT_OF_MEMORY at the 14g heap).
+      // band index is semi-join-filtered map-side and the verify probes
+      // broadcast, so the store is scanned, never shuffled — "only the
+      // delta moves" measured in-session. The store is staged to plain
+      // parquet and the ~13 GB cache RELEASED before the measured phase
+      // (round 14 — the split verify broadcasts two delta probes instead
+      // of one, and beside the live cache the phase's aggregations hit
+      // AGGREGATE_OUT_OF_MEMORY at the 14g heap; a disk scan is also the
+      // production shape). Fresh JVM per measurement, as before.
+      val stagedDir = s"target/scalesmoke_bd_$n"
+      val (storeDisk, _, _) = t("store staging write (plain parquet, release cache)") {
+        store2.write.mode("overwrite").parquet(stagedDir)
+        sweep()
+        spark.read.parquet(stagedDir)
+      }
       t(s"neardedup_delta d2 delta (broadcastDelta — store scanned, not shuffled)") {
         val (s2b, _) = graft.operators.Incremental.nearDedupDelta(
-          nDocs, manifest1, "shard", store2, "id", "text",
+          nDocs, manifest1, "shard", storeDisk, "id", "text",
           shingleK = 3, bands = 8, rowsPerBand = 4,
           materializeState = false, broadcastDelta = true)
         require(s2b.count() == 0, "broadcastDelta path must agree: 0 survivors")
       }
+      val sp = new org.apache.hadoop.fs.Path(stagedDir)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
       return
     }
     if (bkOnly) {
@@ -293,6 +303,17 @@ object ScaleSmoke {
         ()
       }
       rmState()
+      // Stage the built store to PLAIN parquet (narrow write) and release
+      // the ~13 GB in-memory copy BEFORE the bucketed commit: the commit's
+      // per-task (bucket-id, key) sorts need the execution pool that the
+      // carried localCheckpoint blocks otherwise squat on (measured
+      // UNABLE_TO_ACQUIRE_MEMORY at the 14g heap with the cache live).
+      // Production plugins never hit this: their old store is a disk scan.
+      val (plainSigs, _, _) = t(s"store staging write (plain parquet, release cache)") {
+        store2.write.mode("overwrite").parquet(s"$stateRoot/_staged")
+        sweep()
+        spark.read.parquet(s"$stateRoot/_staged")
+      }
       t(s"bucketed store COMMIT (one-time layout cost, ${n - n / 80} docs)") {
         // buckets sized to THIS session's shuffle parallelism (128) — the
         // deployment rule the IncrState scaladoc pins: an at-rest bucket
@@ -301,14 +322,13 @@ object ScaleSmoke {
         // parallelism (measured: 61 MB store-side at 800k with 32 buckets,
         // ~0 with matching counts)
         IncrState.commitAll(manifest1, s"$stateRoot/manifest",
-          IncrState.Staged(store2, s"$stateRoot/signatures",
+          IncrState.Staged(plainSigs, s"$stateRoot/signatures",
             IncrState.SigStoreVersion, Seq("doc_id"), Seq("doc_id"), buckets = 128),
-          IncrState.Staged(graft.operators.Dedup.bandIndex(store2),
+          IncrState.Staged(graft.operators.Dedup.bandIndex(plainSigs),
             s"$stateRoot/band_index",
             IncrState.BandIndexVersion, Seq("band", "key"), Seq("band", "key"),
             buckets = 128))
       }
-      sweep() // drop the in-memory d1 store: d2 must read from disk
       val storeAtRest = IncrState.readOrBucketed(spark, s"$stateRoot/signatures",
         IncrState.SigStoreVersion, acceptUnversioned = false,
         Seq("doc_id"), Seq("doc_id"), sys.error("store missing"))
