@@ -313,7 +313,11 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors.toString)
+    // dev-only subset filter (comma-separated names): reproduce one shard
+    // region in isolation when attributing a slow entry to shard context
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
 
     sys.env.get("SPARK_GRAFT_SHARD") match {
       case Some(spec) => // child: run my contiguous slice, write the artifact, exit
