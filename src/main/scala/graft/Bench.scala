@@ -186,6 +186,11 @@ object Bench {
         try { fn(spark, wd).count() } catch { case _: Throwable => () }
         sweepCaches()
       }
+      // release the warmup pass's debris before the timed loop: ~100
+      // queries of swept localCheckpoint blocks and broadcasts free on
+      // ContextCleaner WEAK references, which need a driver GC (the 20M
+      // smoke tier's lesson — the default periodic GC is 30 min away)
+      System.gc()
       logTelemetry(f"[bench$shardTag] warmup pass: ${slice.size}%d queries at " +
         f"$wd in ${(System.nanoTime() - w0) / 1e9}%.1f s (untimed)")
     }
