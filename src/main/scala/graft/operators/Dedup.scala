@@ -743,7 +743,7 @@ object Dedup {
       .filter(length(col("txt")) >= n)
     // compiled distinct-n-gram kernel (same values as the transform/
     // array_distinct expression, first-occurrence order, ~10× faster);
-    // emits the md5-prefix 32-bit hash of each gram alongside the strings
+    // emits the 61-bit md5-prefix field hash of each gram alongside the strings
     val gramSchema = StructType(Seq(
       StructField("doc_id", base.schema("doc_id").dataType),
       StructField("sh", ArrayType(StringType, containsNull = false)),
@@ -760,7 +760,7 @@ object Dedup {
           val sh = seen.toArray(new Array[String](seen.size))
           val hv = new Array[Long](sh.length)
           i = 0
-          while (i < sh.length) { hv(i) = hash32Jvm(md, sh(i)); i += 1 }
+          while (i < sh.length) { hv(i) = hash61Jvm(md, sh(i)); i += 1 }
           Row(r.get(0), sh.toSeq, hv.toSeq)
         }
       }(Encoders.row(gramSchema))
@@ -1696,7 +1696,9 @@ object Dedup {
     * 1-based token bounds, span_end = last_pos + n − 1 — the removal plan
     * an exact-substring dedup pass would execute per document.
     *
-    * Scale: grams travel as 32-bit md5-prefix hashes ([[hash32]] — any
+    * Scale: grams travel as 61-bit md5-prefix field hashes (SQL `hash61`,
+    * round 14 — the 32-bit space saturates at 100 TB gram counts, turning
+    * span grouping into collision noise; any
     * collision is deterministic and merely widens a span identically in
     * every engine); the plan is one gram-keyed count, one semi-join back,
     * and one islands window PARTITIONED BY doc_id — no pairwise expansion,
@@ -1781,7 +1783,7 @@ object Dedup {
     val grams = toks.select(col("doc_id"), explode(expr(
         s"""transform(sequence(1, size(toks) - ${n - 1}),
            |  i -> struct(cast(i as bigint) as pos,
-           |              hash32(concat_ws(' ', slice(toks, i, $n))) as gh))""".stripMargin))
+           |              hash61(concat_ws(' ', slice(toks, i, $n))) as gh))""".stripMargin))
         .as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
       .localCheckpoint(true)

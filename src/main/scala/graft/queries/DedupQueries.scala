@@ -114,7 +114,7 @@ object DedupQueries {
       |    i -> substr(text, CAST(i AS INT), 4))) AS sh
       |  FROM documents WHERE length(text) >= 4),
       |x AS (SELECT doc_id, unnest(list_transform(sh,
-      |    s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT))) AS gh FROM g),
+      |    s -> CAST(CAST(concat('0x', substr(md5(s),1,16)) AS UBIGINT) % 2305843009213693951 AS BIGINT))) AS gh FROM g),
       |r AS (SELECT gh FROM (SELECT gh, COUNT(*) AS df FROM x GROUP BY gh) WHERE df <= 10),
       |xr AS (SELECT x.doc_id, x.gh FROM x JOIN r USING (gh)),
       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -469,7 +469,7 @@ object DedupQueries {
       |    list_transform(range(1, length(text) - 2), i -> substr(text, CAST(i AS INT), 4)) AS gs
       |  FROM documents WHERE length(text) >= 7 AND doc_id % 4 = 0),
       |h AS (SELECT doc_id,
-      |    list_transform(gs, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hv
+      |    list_transform(gs, s -> CAST(CAST(concat('0x', substr(md5(s),1,16)) AS UBIGINT) % 2305843009213693951 AS BIGINT)) AS hv
       |  FROM g),
       |m AS (SELECT doc_id,
       |    list_sort(list_distinct(list_transform(range(1, len(hv) - 2), i -> list_min(hv[i:i+3])))) AS fps
@@ -487,6 +487,7 @@ object DedupQueries {
       |       shared / CAST(LEAST(n_a, n_b) AS DOUBLE) AS containment
       |FROM p WHERE shared / CAST(LEAST(n_a, n_b) AS DOUBLE) >= 0.6
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    graft.functions.GraftFunctions.register(spark) // hash61
     import org.apache.spark.sql.types._
     val n = 4; val w = 4
     // The fingerprint kernel is MATERIALIZED once (the dd2/dd4 cache
@@ -500,7 +501,7 @@ object DedupQueries {
     val m = Dedup.cachedForReuse(Tables.documents(spark, dir)
       .filter(length(col("text")) >= n + w - 1 && col("doc_id") % 4 === 0)
       .withColumn("gs", expr(s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))"))
-      .withColumn("hv", expr("transform(gs, s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))"))
+      .withColumn("hv", expr("transform(gs, s -> hash61(s))"))
       .withColumn("fps", expr(s"array_sort(array_distinct(transform(sequence(1, size(hv) - ${w - 1}), i -> array_min(slice(hv, i, $w)))))"))
       .select(col("doc_id"), col("fps")))
     val e = m.select(col("doc_id"), explode(col("fps")).as("fp"))
@@ -750,7 +751,7 @@ object DedupQueries {
     """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
       |           FROM documents WHERE len(string_split(lower(text), ' ')) >= 8),
       |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
-      |        CAST(concat('0x', substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')), 1, 8)) AS BIGINT) AS gh
+      |        CAST(CAST(concat('0x', substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')),1,16)) AS UBIGINT) % 2305843009213693951 AS BIGINT) AS gh
       |      FROM t, unnest(generate_series(1, len(toks) - 7)) AS u(i)),
       |cnt AS (SELECT gh, COUNT(*) AS c FROM g GROUP BY gh),
       |d AS (SELECT g.doc_id, g.pos FROM g JOIN cnt USING (gh) WHERE cnt.c >= 2),

@@ -131,7 +131,7 @@ object TextQueries {
       |    list_transform(range(1, length(text) - 2), i -> substr(text, CAST(i AS INT), 4)) AS gs
       |  FROM documents WHERE length(text) >= 7),
       |h AS (SELECT doc_id,
-      |    list_transform(gs, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hv
+      |    list_transform(gs, s -> CAST(CAST(concat('0x', substr(md5(s),1,16)) AS UBIGINT) % 2305843009213693951 AS BIGINT)) AS hv
       |  FROM g),
       |m AS (SELECT doc_id,
       |    list_sort(list_distinct(list_transform(range(1, len(hv) - 2), i -> list_min(hv[i:i+3])))) AS fps
@@ -139,11 +139,12 @@ object TextQueries {
       |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
       |  md5(array_to_string(list_transform(fps, x -> CAST(x AS VARCHAR)), '-')) AS winnow_hash
       |FROM m ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    graft.functions.GraftFunctions.register(spark) // hash61
     val n = 4; val w = 4
     Tables.documents(spark, dir)
       .filter(length(col("text")) >= n + w - 1)
       .withColumn("gs", expr(s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))"))
-      .withColumn("hv", expr("transform(gs, s -> cast(conv(substring(md5(s),1,8),16,10) as bigint))"))
+      .withColumn("hv", expr("transform(gs, s -> hash61(s))"))
       .withColumn("fps", expr(s"array_sort(array_distinct(transform(sequence(1, size(hv) - ${w - 1}), i -> array_min(slice(hv, i, $w)))))"))
       .select(
         col("doc_id"),
@@ -306,9 +307,10 @@ object TextQueries {
     * the fraction of its distinct word 5-grams seen in NO earlier document.
     * Near-duplicates of earlier docs score ≈0; fresh content scores ≈1 —
     * the "novel token yield" that survives dedup, computed without running
-    * dedup. Grams travel as 32-bit md5-prefix hashes (the [[graft.operators.Dedup.hash32]]
-    * convention — 4× smaller shuffle than gram strings; any collision is
-    * deterministic and identical in both engines). Plan shape: one
+    * dedup. Grams travel as 61-bit md5-prefix field hashes
+    * ([[graft.functions.Hash61Expr]] — far smaller shuffle than gram
+    * strings, and a hash space that stays collision-free at trillion-gram
+    * corpus scale, round 14; 32-bit saturated there). Plan shape: one
     * gram-hash keyed min-agg (first owner) + one co-partitioned equi-join
     * back to the gram stream + one doc-keyed agg — no pairwise expansion
     * anywhere, so the pass scales like word count, not like documents².
@@ -318,7 +320,7 @@ object TextQueries {
     """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
       |           FROM documents WHERE len(string_split(lower(text), ' ')) >= 5),
       |g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 3),
-      |        i -> CAST(concat('0x', substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')), 1, 8)) AS BIGINT)))) AS gh
+      |        i -> CAST(CAST(concat('0x', substr(md5(array_to_string(list_slice(toks, i, i + 4), ' ')),1,16)) AS UBIGINT) % 2305843009213693951 AS BIGINT)))) AS gh
       |      FROM t),
       |o AS (SELECT gh, MIN(doc_id) AS owner FROM g GROUP BY gh)
       |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
@@ -330,14 +332,12 @@ object TextQueries {
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .filter(size(col("toks")) >= 5)
-    // hash32 is the compiled twin of conv(substring(md5(s),1,8),16,10)
-    // (Hash32Spec pins bit-equality), so the oracle SQL is unchanged while
-    // the per-gram cost drops from a three-expression hex-string round-trip
-    // to one JVM call. The gram stream feeds BOTH the owner aggregate and
+    // hash61 is the compiled twin of the 16-hex-md5-prefix mod 2^61-1
+    // oracle scalar (one JVM call inside whole-stage codegen). The gram stream feeds BOTH the owner aggregate and
     // the join back, so root it on a localCheckpoint — without it the
     // md5-per-token kernel runs twice (the dd15 treatment, SCALE.md #3).
     val grams = toks.select(col("doc_id"), explode(array_distinct(expr(
-      "transform(sequence(1, size(toks) - 4), i -> hash32(concat_ws(' ', slice(toks, i, 5))))"
+      "transform(sequence(1, size(toks) - 4), i -> hash61(concat_ws(' ', slice(toks, i, 5))))"
       ))).as("gh"))
       .localCheckpoint(true)
     val owners = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("owner"))

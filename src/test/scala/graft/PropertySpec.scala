@@ -937,6 +937,22 @@ class PropertySpec extends AnyFunSuite {
     assert(as.distinct.size == as.size, "multipliers must be distinct for a decorrelated family")
   }
 
+  test("hash61: native expression equals the md5-prefix mod-p arithmetic (BigInt reference)") {
+    graft.functions.GraftFunctions.register(spark)
+    val p = BigInt(Dedup.MinhashPrime)
+    val strs = Seq("", "a", "hello world", "the quick brown fox", "ünïcode ✓",
+      "w123_456 w789_012 w345_678")
+    val got = strs.toDF("s").selectExpr("hash61(s) AS h")
+      .collect().map(_.getLong(0)).toSeq
+    val want = strs.map { s =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val v = d.take(8).foldLeft(BigInt(0))((a, b) => (a << 8) | BigInt(b & 0xff))
+      (v mod p).toLong
+    }
+    assert(got == want)
+  }
+
   test("minhash compiled kernel equals the expression pipeline (61-bit field, decimal route)") {
     // the expression forms are the documented arithmetic spec of the kernel;
     // the gate's DuckDB SigSql is the third computation of the same values
