@@ -35,6 +35,8 @@ object Transformers {
     Registries.transformers.register("incremental_vocab")((_, c) => new IncrementalVocabTransformer(c))
     Registries.transformers.register("incremental_sem_dedup")((_, c) => new IncrementalSemDedupTransformer(c))
     Registries.transformers.register("incremental_ivf")((_, c) => new IncrementalIvfTransformer(c))
+    Registries.transformers.register("incremental_quota")((_, c) => new IncrementalQuotaTransformer(c))
+    Registries.transformers.register("incremental_contamination")((_, c) => new IncrementalContaminationTransformer(c))
   }
 
   /** Beyond-reference: the mx17 curation DAG's stages as INDIVIDUAL
@@ -378,6 +380,8 @@ object Transformers {
     val SemStoreVersion = "semdedup-state-v1"
     val IvfCountsVersion = "ivf-counts-v1"
     val IvfCentroidsVersion = "ivf-centroids-v1"
+    val QuotaCountsVersion = "quota-counts-v1"
+    val GramStoreVersion = "grams-string-v1"
 
     /** Default at-rest bucket count. A DEPLOYMENT knob (`state_buckets` on
       * the plugins): size it to the cluster's shuffle parallelism — a
@@ -980,6 +984,137 @@ object Transformers {
       IncrState.commitAll(manifest, s"$stateDir/manifest",
         IncrState.Staged(counts, s"$stateDir/counts", IncrState.IvfCountsVersion),
         IncrState.Staged(cents, s"$stateDir/centroids", IncrState.IvfCentroidsVersion))
+      staged = None
+    }
+  }
+
+  /** [[graft.operators.Incremental.quotaDelta]] as a config-driven stage —
+    * the per-group curation quota with carried counts (mx31's subject):
+    * each run keeps, per group, its first `quota − carried` rows in
+    * `order_column` order and stages the grown `(group, n_kept)` counts.
+    * Two deliveries ≡ one global run over the (delivery, order) total
+    * order; `order_column` must be unique within a group (the operator's
+    * pinned precondition). The stage OUTPUT is the delta's kept rows.
+    */
+  class IncrementalQuotaTransformer(conf: Conf) extends graft.core.StatefulTransformer {
+    private val groupCol = conf.strOr("group_column", "source")
+    private val orderCol = conf.strOr("order_column", "doc_id")
+    private val shardCol = conf.strOr("shard_column", "source")
+    private val quota = conf.intOr("quota", 10).toLong
+    private val stateDir = conf.str("state_dir").getOrElse(
+      throw new IllegalArgumentException("incremental_quota: state_dir is required"))
+    private var staged: Option[(DataFrame, DataFrame)] = None
+
+    override def validate(df: DataFrame): Unit =
+      IncrState.requireCols("incremental_quota", df, Seq(groupCol, orderCol, shardCol))
+
+    def transform(df0: DataFrame): DataFrame = {
+      val df = IncrState.snapshot(df0)
+      val spark = df.sparkSession
+      IncrState.requireTogether(spark, "incremental_quota", Map(
+        "counts" -> s"$stateDir/counts", "manifest" -> s"$stateDir/manifest"))
+      val counts = IncrState.readOr(spark, s"$stateDir/counts",
+        IncrState.QuotaCountsVersion, acceptUnversioned = false,
+        df.select(col(groupCol)).limit(0)
+          .withColumn("n_kept", org.apache.spark.sql.functions.lit(0L)))
+      val manifest = IncrState.readOr(spark, s"$stateDir/manifest",
+        IncrState.QuotaCountsVersion, acceptUnversioned = true,
+        df.select(col(shardCol)).limit(0))
+      val (kept, newCounts) = graft.operators.Incremental.quotaDelta(
+        df, manifest, shardCol, counts, groupCol, orderCol, quota)
+      // kept feeds the stage output AND the grown counts — pin one
+      // evaluation (the operator's own documented consumer discipline)
+      val keptM = graft.operators.Dedup.cachedForReuse(kept)
+      val grown = counts.select(col(groupCol), col("n_kept"))
+        .unionByName(keptM.groupBy(col(groupCol))
+          .agg(count(lit(1)).as("n_kept")))
+        .groupBy(col(groupCol))
+        .agg(sum(col("n_kept")).cast("long").as("n_kept"))
+      val newManifest = manifest.select(col(shardCol))
+        .union(df.select(col(shardCol))).distinct()
+      staged = Some((grown, newManifest))
+      keptM
+    }
+
+    def commit(): Unit = staged.foreach { case (counts, manifest) =>
+      IncrState.commitPair(counts, s"$stateDir/counts",
+        IncrState.QuotaCountsVersion, manifest, s"$stateDir/manifest")
+      staged = None
+    }
+  }
+
+  /** [[graft.operators.Incremental.contaminationDelta]] as a config-driven
+    * stage — gram-level decontamination with a TRAVELING gram store
+    * (mx33's subject): the carried state is the distinct train-gram store,
+    * each historical eval doc's gram set, and the running per-eval-doc
+    * contamination counters. A delivery shingles only its delta; a
+    * late-arriving train gram retroactively contaminates historical eval
+    * docs; each (eval doc, gram) hit counts exactly once. `bench_column`
+    * (boolean) marks the eval side inside the input frame. The stage
+    * OUTPUT is the complete updated `(doc_id, n_grams, n_hit)` counter
+    * report — the contamination monitor's feed. Gram stores commit
+    * BUCKETED by `g` so only the delta side of the gram joins moves.
+    */
+  class IncrementalContaminationTransformer(conf: Conf) extends graft.core.StatefulTransformer {
+    private val idCol = conf.strOr("id_column", "doc_id")
+    private val textCol = conf.strOr("text_column", "text")
+    private val shardCol = conf.strOr("shard_column", "source")
+    private val benchCol = conf.strOr("bench_column", "is_bench")
+    private val shingleK = conf.intOr("shingle_k", 5)
+    private val buckets = conf.intOr("state_buckets", IncrState.StateBuckets)
+    private val stateDir = conf.str("state_dir").getOrElse(
+      throw new IllegalArgumentException("incremental_contamination: state_dir is required"))
+    private var staged: Option[(DataFrame, DataFrame, DataFrame, DataFrame)] = None
+
+    override def validate(df: DataFrame): Unit =
+      IncrState.requireCols("incremental_contamination", df,
+        Seq(idCol, textCol, shardCol, benchCol))
+
+    def transform(df0: DataFrame): DataFrame = {
+      val df = IncrState.snapshot(df0)
+      val spark = df.sparkSession
+      IncrState.requireTogether(spark, "incremental_contamination", Map(
+        "train_grams" -> s"$stateDir/train_grams",
+        "eval_grams" -> s"$stateDir/eval_grams",
+        "hits" -> s"$stateDir/hits",
+        "manifest" -> s"$stateDir/manifest"))
+      import org.apache.spark.sql.types._
+      val trainGrams = IncrState.readOrBucketed(spark, s"$stateDir/train_grams",
+        IncrState.GramStoreVersion, acceptUnversioned = false, Seq("g"), Seq("g"),
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          new StructType().add("g", StringType)))
+      val evalGrams = IncrState.readOrBucketed(spark, s"$stateDir/eval_grams",
+        IncrState.GramStoreVersion, acceptUnversioned = false, Seq("g"), Seq("g"),
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          new StructType().add("doc_id", LongType).add("g", StringType)))
+      val hits = IncrState.readOr(spark, s"$stateDir/hits",
+        IncrState.GramStoreVersion, acceptUnversioned = false,
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          new StructType().add("doc_id", LongType)
+            .add("n_grams", LongType).add("n_hit", LongType)))
+      val manifest = IncrState.readOr(spark, s"$stateDir/manifest",
+        IncrState.GramStoreVersion, acceptUnversioned = true,
+        df.select(col(shardCol)).limit(0))
+      val (newTrain, newEval, newHits) =
+        graft.operators.Incremental.contaminationDelta(
+          df, manifest, shardCol, trainGrams, evalGrams, hits,
+          idCol, textCol, col(benchCol) === true, shingleK = shingleK,
+          materializeState = false)
+      // the counter report feeds the stage output AND the committed store
+      val hitsM = graft.operators.Dedup.cachedForReuse(newHits)
+      val newManifest = manifest.select(col(shardCol))
+        .union(df.select(col(shardCol))).distinct()
+      staged = Some((newTrain, newEval, hitsM, newManifest))
+      hitsM
+    }
+
+    def commit(): Unit = staged.foreach { case (train, eval_, hits, manifest) =>
+      IncrState.commitAll(manifest, s"$stateDir/manifest",
+        IncrState.Staged(train, s"$stateDir/train_grams",
+          IncrState.GramStoreVersion, Seq("g"), Seq("g"), buckets = buckets),
+        IncrState.Staged(eval_, s"$stateDir/eval_grams",
+          IncrState.GramStoreVersion, Seq("g"), Seq("g"), buckets = buckets),
+        IncrState.Staged(hits, s"$stateDir/hits", IncrState.GramStoreVersion))
       staged = None
     }
   }

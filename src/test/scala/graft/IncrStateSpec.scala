@@ -185,6 +185,72 @@ class IncrStateSpec extends AnyFunSuite {
       == s"${IncrState.SemStoreVersion};buckets=32")
   }
 
+  test("incremental_quota plugin: carried counts cap across deliveries == one global run") {
+    val dir = tmp().toString
+    // groups by source-letter prefix; quota 2 per group, order by doc_id
+    val rows = Seq(
+      (1L, "s0", "a"), (2L, "s0", "a"), (3L, "s0", "b"),
+      (11L, "s1", "a"), (12L, "s1", "b"), (13L, "s1", "b")
+    ).toDF("doc_id", "source", "grp")
+    def stage() = new Transformers.IncrementalQuotaTransformer(Map(
+      "state_dir" -> dir, "group_column" -> "grp", "order_column" -> "doc_id",
+      "quota" -> 2))
+    val s1 = stage()
+    val k1 = s1.transform(rows.filter(col("source") === "s0"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(k1 == Seq(1L, 2L, 3L)) // a: 1,2 (quota full); b: 3
+    s1.commit()
+    val s2 = stage()
+    val k2 = s2.transform(rows).select("doc_id").as[Long].collect().sorted.toSeq
+    // a is full; b has 1 kept -> 12 only (13 over quota)
+    assert(k2 == Seq(12L))
+    s2.commit()
+    // == one global run: first 2 per group over the (delivery, doc_id) order
+    val (kAll, _) = graft.operators.Incremental.quotaDelta(
+      rows, rows.select(col("source")).limit(0), "source",
+      rows.select(col("grp")).limit(0).withColumn("n_kept", lit(0L)),
+      "grp", "doc_id", 2L)
+    assert((k1 ++ k2).sorted == kAll.select("doc_id").as[Long].collect().sorted.toSeq)
+    val counts = spark.read.parquet(s"$dir/counts")
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("a" -> 2L, "b" -> 2L))
+  }
+
+  test("incremental_contamination plugin: retroactive hits travel; bucketed gram stores") {
+    val dir = tmp().toString
+    // delivery 1: eval doc 100 + train doc 1 (no overlap yet);
+    // delivery 2: train doc 11 SHARES a 5-gram with eval doc 100 ->
+    // retroactive contamination of the historical eval doc
+    val evalTxt = "alpha beta gamma delta epsilon zeta"
+    val rows = Seq(
+      (1L, "s0", "one two three four five six", false),
+      (100L, "s0", evalTxt, true),
+      (11L, "s1", "xx alpha beta gamma delta epsilon yy", false)
+    ).toDF("doc_id", "source", "text", "is_bench")
+    def stage() = new Transformers.IncrementalContaminationTransformer(Map(
+      "state_dir" -> dir, "shingle_k" -> 5))
+    val s1 = stage()
+    val r1 = s1.transform(rows.filter(col("source") === "s0"))
+      .as[(Long, Long, Long)].collect()
+    // eval doc 100 has 2 distinct 5-grams, 0 hits yet
+    assert(r1.toSeq == Seq((100L, 2L, 0L)))
+    s1.commit()
+    val s2 = stage()
+    val r2 = s2.transform(rows).as[(Long, Long, Long)].collect()
+    // doc 11's "alpha beta gamma delta epsilon" retroactively hits doc 100
+    assert(r2.toSeq == Seq((100L, 2L, 1L)))
+    s2.commit()
+    assert(spark.read.parquet(s"$dir/hits").as[(Long, Long, Long)].collect().toSeq
+      == Seq((100L, 2L, 1L)))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/train_grams/_GRAFT_STATE_VERSION"))
+      == s"${IncrState.GramStoreVersion};buckets=32")
+    // idempotent re-run: grown manifest -> empty delta, counters unchanged
+    val s3 = stage()
+    assert(s3.transform(rows).as[(Long, Long, Long)].collect().toSeq
+      == Seq((100L, 2L, 1L)))
+  }
+
   test("incremental_ivf plugin: assignments/counts travel; retrain stages next-delivery codebook") {
     val dir = tmp()
     val stateDir = dir.resolve("state").toString
