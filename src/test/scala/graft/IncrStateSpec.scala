@@ -251,6 +251,24 @@ class IncrStateSpec extends AnyFunSuite {
       == Seq((100L, 2L, 1L)))
   }
 
+  test("every shipped pipeline config parses and resolves its plugin types") {
+    graft.core.Registries.bootstrap()
+    val dir = java.nio.file.Paths.get("configs")
+    val yamls = java.nio.file.Files.list(dir).iterator()
+    val parsed = scala.jdk.CollectionConverters.IteratorHasAsScala(yamls).asScala
+      .filter(_.toString.endsWith(".yaml")).map { p =>
+        val cfg = graft.core.Config.load(p.toString)
+        // every step type must resolve in its registry (catches a config
+        // shipping ahead of — or typo'd against — the plugin surface)
+        graft.core.Registries.extractors.resolve(cfg.extract.stepType)
+        cfg.transform.foreach(t => graft.core.Registries.transformers.resolve(t.stepType))
+        graft.core.Registries.loaders.resolve(cfg.load.stepType)
+        p.getFileName.toString
+      }.toList
+    assert(parsed.contains("ann_index_pipeline.yaml"))
+    assert(parsed.size >= 7, parsed.mkString(", "))
+  }
+
   test("incremental_ivf plugin: assignments/counts travel; retrain stages next-delivery codebook") {
     val dir = tmp()
     val stateDir = dir.resolve("state").toString
