@@ -487,11 +487,21 @@ object Transformers {
             "the full corpus to rebuild it.")
       }
 
+    /** A committed store can be legitimately EMPTY (e.g. a bootstrap
+      * delivery where no row carried state): the write leaves no parquet
+      * part files, so a bare read would die on schema inference. An empty
+      * store reads as the schema-correct empty fallback.
+      */
+    private def hasParquet(spark: SparkSession, path: String): Boolean = {
+      val (fs, p) = fsFor(spark, path)
+      fs.listStatus(p).exists(_.getPath.getName.endsWith(".parquet"))
+    }
+
     def readOr(spark: SparkSession, path: String, expect: String,
         acceptUnversioned: Boolean, fallback: => DataFrame): DataFrame =
       if (dirExists(spark, path)) {
         checkVersion(spark, path, expect, acceptUnversioned)
-        spark.read.parquet(path)
+        if (hasParquet(spark, path)) spark.read.parquet(path) else fallback
       } else fallback
 
     /** Read a store committed by [[writeTmpBucketed]] with its bucketing
@@ -506,7 +516,8 @@ object Transformers {
       if (dirExists(spark, path)) {
         checkVersion(spark, path, expect, acceptUnversioned)
         val stamp = readVersion(spark, path)
-        if (stamp.isEmpty) spark.read.parquet(path)
+        if (!hasParquet(spark, path)) fallback // empty committed store
+        else if (stamp.isEmpty) spark.read.parquet(path)
         else {
           val buckets = stamp.flatMap(bucketsPart).getOrElse(StateBuckets)
           val tbl = "graft_state_" + java.lang.Integer.toHexString(path.hashCode)
@@ -538,7 +549,12 @@ object Transformers {
       * missed future dedup / an undercounted store; the opposite order
       * would re-process a delta against a store that already contains it
       * and silently drop its legitimate survivors (data loss). A crash
-      * during the writes leaves everything untouched.
+      * during the writes leaves everything untouched. With MULTIPLE stores
+      * a crash between store swaps leaves them mutually stale-by-one-delta
+      * (e.g. signatures updated, band index not): every such mix degrades
+      * to MISSED candidates for the crashed delta only — the same
+      * conservative bias as the manifest-first window, never a wrong keep
+      * of a historical doc.
       */
     def commitAll(manifest: DataFrame, manifestPath: String,
         stores: Staged*): Unit = {

@@ -251,6 +251,23 @@ class IncrStateSpec extends AnyFunSuite {
       == Seq((100L, 2L, 1L)))
   }
 
+  test("an EMPTY committed store (bootstrap with no stateful rows) reads back cleanly") {
+    val dir = tmp().toString
+    // every doc is below shingle_k tokens -> no signatures, empty stores
+    val tiny = Seq((1L, "s0", "one two"), (2L, "s0", "three")).toDF("doc_id", "source", "text")
+    def stage() = new Transformers.IncrementalNearDedupTransformer(Map("state_dir" -> dir))
+    val s1 = stage()
+    assert(s1.transform(tiny).count() == 2) // sig-less docs always kept
+    s1.commit()
+    // second delivery must not die on schema inference over the file-less store
+    val more = tiny.union(Seq((11L, "s1",
+      "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "source", "text"))
+    val s2 = stage()
+    assert(s2.transform(more).select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L))
+    s2.commit()
+    assert(spark.read.parquet(s"$dir/signatures").count() == 1)
+  }
+
   test("every shipped pipeline config parses and resolves its plugin types") {
     graft.core.Registries.bootstrap()
     val dir = java.nio.file.Paths.get("configs")
