@@ -68,7 +68,27 @@ import org.apache.spark.sql.SparkSession
   * Failure protocol (round 14): a query that THROWS records an ERROR (per-
   * query flag in telemetry, `"errors":N` + `"failed":[...]` in the total
   * line, process rc 2) — never a fake timing; r13 swallowed the Throwable
-  * and recorded elapsed-until-throw with rc 0.
+  * and recorded elapsed-until-throw with rc 0. Round 15: the headline
+  * `value` sums SUCCESSFUL queries only (partial elapsed-until-throw
+  * timings would skew cross-round comparisons; the full sum travels as
+  * `total_with_errors` beside the flags).
+  *
+  * Stall self-flagging (round 15): min-of-2 cannot erase a window where
+  * BOTH runs stall (r14's q_pagerank: 19.36/19.90 s recorded vs a 3.9–4.3 s
+  * steady — a ~14 s phantom in the total). The parent therefore compares
+  * every recorded entry against the COMMITTED per-query steady references
+  * (`STEADY.json`, quiet-box min-of-N), re-runs entries >3× steady once at
+  * END OF SUITE in a fresh child JVM (the ambient window has usually
+  * passed), keeps the min, and publishes whatever remains >3× as
+  * `"stalled":[...]` in the total line + telemetry — the record flags its
+  * own phantoms instead of leaving them to cross-round archaeology.
+  * `SPARK_GRAFT_STALL_RERUN=0` disables the rerun (flags still publish);
+  * sub-second entries are never flagged (noise floor 1 s).
+  *
+  * Memo accounting (round 15): beside `memo built [k=Ns]`, a query whose
+  * run HIT memo entries another query built logs `memo consumed [k,...]` —
+  * an entry riding session memos (mx27 on mx26's banding kernel) is
+  * readable as plan + shared-frame luck instead of a standalone time.
   */
 object Bench {
 
@@ -222,8 +242,16 @@ object Bench {
             f"stages ${stages1 - stages0}%d tasks ${tasks1 - tasks0}%d", err)
       }
       val memoBefore = graft.queries.Shared.memoKeys
+      graft.queries.Shared.drainConsumed() // reset hit tracking for this query
       val (dt1, tele1, err1) = timedRun()
       val builtKeys = graft.queries.Shared.memoKeys -- memoBefore
+      // consumption attribution (VERDICT r14): an entry riding ANOTHER
+      // query's session memos is visibly "plan + luck", split per key —
+      // hits on keys this query itself built are internal reuse, not luck
+      val consumedKeys = graft.queries.Shared.drainConsumed() -- builtKeys
+      val consumedTele =
+        if (consumedKeys.isEmpty) ""
+        else consumedKeys.toSeq.sorted.mkString("  memo consumed [", ", ", "]")
       // (query, memo_build_s) split: shared-kernel build cost is charged
       // to its first consumer BY DESIGN; the split line makes that
       // attribution explicit instead of reading as plan cost.
@@ -241,7 +269,7 @@ object Bench {
       // builders entirely, which let a 52.8 s ambient stall stand against
       // an ~8 s steady state with no recourse.)
       val (dt, tele) =
-        if (err1.nonEmpty || dt1 <= rerunFloorSec) (dt1, tele1 + memoTele)
+        if (err1.nonEmpty || dt1 <= rerunFloorSec) (dt1, tele1 + memoTele + consumedTele)
         else {
           if (builtKeys.nonEmpty) graft.queries.Shared.evict(builtKeys)
           val (dt2, tele2, err2) = timedRun()
@@ -250,9 +278,9 @@ object Bench {
             else builtKeys.toSeq.sorted.map(k =>
               f"$k=${graft.queries.Shared.buildSeconds(k).getOrElse(0.0)}%.3fs")
               .mkString("  memo rebuilt [", ", ", "]")
-          if (err2.nonEmpty) (dt1, tele1 + memoTele) // keep the clean run
+          if (err2.nonEmpty) (dt1, tele1 + memoTele + consumedTele) // keep the clean run
           else (math.min(dt1, dt2),
-            f"$tele2 (min of $dt1%.3f/$dt2%.3f s; run1 $tele1)$memoTele$rebuilt")
+            f"$tele2 (min of $dt1%.3f/$dt2%.3f s; run1 $tele1)$memoTele$consumedTele$rebuilt")
         }
       val err = err1
       val (ccUsed, ccMax, ccPct) = codeCache()
@@ -272,47 +300,99 @@ object Bench {
 
   private def shardFile(i: Int) = s"target/bench_shard_$i.json"
 
-  /** Spawn one child JVM per shard (sequentially — full machine per shard),
-    * mirroring this JVM's classpath and flags. Returns None if any child
-    * fails, so the caller can fall back to in-process execution. Failed
-    * queries travel as `"!name":1` marker entries beside the timings.
+  /** Spawn one child bench JVM for shard `i/k`, mirroring this JVM's
+    * classpath and flags; returns true if it exited 0 and wrote its
+    * artifact. `extraEnv` lets the stall-guard rerun restrict the child
+    * to the flagged queries via SPARK_GRAFT_ONLY.
     */
-  private def runSharded(k: Int, names: Seq[String]): Option[Seq[(String, Double, Boolean)]] = {
+  private def spawnChild(i: Int, k: Int, extraEnv: Map[String, String] = Map.empty): Boolean = {
     import scala.jdk.CollectionConverters._
     val javaBin = java.nio.file.Paths.get(
       System.getProperty("java.home"), "bin", "java").toString
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.toSeq
     val cp = System.getProperty("java.class.path")
-    val ok = (0 until k).forall { i =>
-      new java.io.File(shardFile(i)).delete()
-      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
-      val pb = new ProcessBuilder(cmd)
-      pb.environment().put("SPARK_GRAFT_SHARD", s"$i/$k")
-      // children write file artifacts; their stdout is log noise — keep the
-      // parent's stdout protocol clean, surface child stderr telemetry.
-      pb.redirectOutput(ProcessBuilder.Redirect.to(new java.io.File(s"target/bench_shard_$i.out")))
-      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-      val rc = pb.start().waitFor()
-      rc == 0 && new java.io.File(shardFile(i)).isFile
-    }
+    new java.io.File(shardFile(i)).delete()
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench")).asJava
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("SPARK_GRAFT_SHARD", s"$i/$k")
+    extraEnv.foreach { case (n, v) => pb.environment().put(n, v) }
+    // children write file artifacts; their stdout is log noise — keep the
+    // parent's stdout protocol clean, surface child stderr telemetry.
+    pb.redirectOutput(ProcessBuilder.Redirect.to(new java.io.File(s"target/bench_shard_$i.out")))
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val rc = pb.start().waitFor()
+    rc == 0 && new java.io.File(shardFile(i)).isFile
+  }
+
+  /** Shard files are flat {"name":sec,...} with `"!name":1` failure
+    * markers, written by this code — parse with a pair scan, no JSON lib.
+    */
+  private def parseShard(i: Int): Map[String, Double] = {
+    val pair = """"([^"]+)":([-0-9.eE]+)""".r
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(shardFile(i))))
+    pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** Spawn one child JVM per shard (sequentially — full machine per shard).
+    * Returns None if any child fails, so the caller can fall back to
+    * in-process execution. Failed queries travel as `"!name":1` markers.
+    */
+  private def runSharded(k: Int, names: Seq[String]): Option[Seq[(String, Double, Boolean)]] = {
+    val ok = (0 until k).forall(i => spawnChild(i, k))
     if (!ok) None
     else {
-      // shard files are flat {"name":sec,...} written by this code — parse
-      // with a pair scan, no JSON lib needed
-      val pair = """"([^"]+)":([-0-9.eE]+)""".r
-      val merged = (0 until k).flatMap { i =>
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(shardFile(i))))
-        pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
-      }
-      val byName = merged.toMap
+      val byName = (0 until k).flatMap(parseShard).toMap
       val failed = byName.keySet.collect { case n if n.startsWith("!") => n.drop(1) }
       if (names.forall(byName.contains))
         Some(names.map(n => (n, byName(n), failed.contains(n))))
       else None
     }
   }
+
+  /** One end-of-suite rerun of the stall-flagged queries in a FRESH child
+    * JVM (fresh code cache, heap, session — the same isolation as a shard).
+    */
+  private def rerunFlagged(names: Seq[String]): Option[Seq[(String, Double, Boolean)]] =
+    if (!spawnChild(0, 1, Map("SPARK_GRAFT_ONLY" -> names.mkString(",")))) None
+    else {
+      val byName = parseShard(0)
+      val failed = byName.keySet.collect { case n if n.startsWith("!") => n.drop(1) }
+      Some(names.filter(byName.contains).map(n => (n, byName(n), failed.contains(n))))
+    }
+
+  /** Committed per-query steady references ({"name":sec,...} — quiet-box
+    * min-of-N, builder-measured, `STEADY.json` at the repo root; override
+    * with SPARK_GRAFT_STEADY). Empty map when absent: flagging degrades to
+    * off rather than failing the bench.
+    */
+  private[graft] def loadSteady(path: String =
+      sys.env.getOrElse("SPARK_GRAFT_STEADY", "STEADY.json")): Map[String, Double] = {
+    val p = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+    else {
+      val pair = """"([^"]+)":([-0-9.eE]+)""".r
+      val txt = new String(java.nio.file.Files.readAllBytes(p))
+      pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
+  /** The record's self-flagging rule (VERDICT r14 #1): an entry whose
+    * recorded time exceeds `factor`× its committed steady reference is a
+    * suspected ambient stall — min-of-2 cannot erase a window where BOTH
+    * runs stall (q_pagerank r14: 19.36/19.90 s against a 3.9–4.3 s steady).
+    * `floorSec` keeps sub-second noise (0.1 s → 0.35 s is 3.5× and
+    * meaningless) out of the flag list; failed queries are error-flagged
+    * already. Pure — spec-pinned with injected fake stalls (BenchStallSpec).
+    */
+  private[graft] def flagStalled(results: Seq[(String, Double, Boolean)],
+      steady: Map[String, Double], factor: Double = 3.0,
+      floorSec: Double = 1.0): Seq[String] =
+    results.collect {
+      case (n, dt, false) if dt >= floorSec &&
+        steady.get(n).exists(s => dt > factor * s) => n
+    }.sorted
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -340,10 +420,41 @@ object Bench {
           .getOrElse(if (ordered.size > 60) 3 else 0)
         new java.io.File("target").mkdirs()
         try java.nio.file.Files.deleteIfExists(telemetryPath) catch { case _: Throwable => () }
-        val results =
+        var results =
           (if (shards > 1) runSharded(shards, ordered.map(_._1)) else None)
             .getOrElse(runQueries(sfDir, cpus, "", ordered, ordered.size))
-        emit(results, sfDir)
+        // Stall guard against the COMMITTED steady references: entries
+        // >3× steady get ONE end-of-suite rerun in a fresh JVM (the
+        // ambient window that inflated them has usually passed by suite
+        // end); whatever remains above 3× is published as "stalled" so
+        // the record is self-flagging, never silently phantom-inflated.
+        val steady = loadSteady()
+        var stalled = flagStalled(results, steady)
+        if (stalled.nonEmpty && !sys.env.get("SPARK_GRAFT_STALL_RERUN").contains("0")) {
+          logTelemetry(s"[bench] STALL GUARD: ${stalled.size} entries exceed 3x " +
+            s"their committed steady reference (${stalled.mkString(", ")}) — " +
+            "one end-of-suite rerun in a fresh JVM")
+          rerunFlagged(stalled) match {
+            case Some(re) =>
+              val reOk = re.collect { case (n, v, false) => n -> v }.toMap
+              results = results.map { case (n, v, f) =>
+                reOk.get(n).filter(_ => !f) match {
+                  case Some(v2) =>
+                    logTelemetry(f"[bench] STALL GUARD: $n rerun ${v2}%.3f s " +
+                      f"(recorded $v%.3f s) — keeping the min")
+                    (n, math.min(v, v2), f)
+                  case None => (n, v, f)
+                }
+              }
+              stalled = flagStalled(results, steady)
+              if (stalled.nonEmpty)
+                logTelemetry("[bench] STALL GUARD: still above 3x steady after " +
+                  s"rerun: ${stalled.mkString(", ")} — flagged in the total line")
+            case None =>
+              logTelemetry("[bench] STALL GUARD: rerun failed; entries stay flagged")
+          }
+        }
+        emit(results, sfDir, stalled)
     }
   }
 
@@ -358,8 +469,14 @@ object Bench {
     }._2
   }
 
-  private def emit(results: Seq[(String, Double, Boolean)], sfDir: String): Unit = {
-    val total = results.map(_._2).sum
+  private def emit(results: Seq[(String, Double, Boolean)], sfDir: String,
+      stalled: Seq[String]): Unit = {
+    // the headline total sums SUCCESSFUL queries only — a failed query's
+    // elapsed-until-throw is a partial timing that would skew cross-round
+    // total comparisons (ADVICE r14); with errors the full sum is published
+    // separately and the run still exits 2.
+    val total = results.collect { case (_, v, false) => v }.sum
+    val totalWithErrors = results.map(_._2).sum
     val errors = results.count(_._3)
     // Per-query times as SHORT sorted chunks (8 queries/line, ms precision),
     // each line self-describing — so a bounded tail-window capture holds the
@@ -374,15 +491,26 @@ object Bench {
     val errList =
       if (errors == 0) ""
       else results.collect { case (k, _, true) => s"\"$k\"" }
-        .mkString(""","failed":[""", ",", "]")
+        .mkString(""","failed":[""", ",", "]") +
+        s""","total_with_errors":${r3(totalWithErrors)}"""
+    val stalledList =
+      if (stalled.isEmpty) ""
+      else stalled.map(q => s"\"$q\"").mkString(""","stalled":[""", ",", "]")
     val totalLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errors$errList,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errors$errList$stalledList,"sf":"$sfDir"}"""
     println(totalLine)
-    // File artifact too, so the record survives any stdout-protocol mismatch.
+    // File artifacts too, so the record survives any stdout-protocol
+    // mismatch — and a repo-root copy (BENCH_QUERIES.json, committed per
+    // round as BENCH_QUERIES_r{N}.json) so round-over-round per-query
+    // diffs never depend on scraping the driver's stdout tail window.
     val qsFull = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val fullRecord =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errors$errList$stalledList,"queries":$qsFull,"sf":"$sfDir"}""" + "\n"
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_total.json"),
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"errors":$errors$errList,"queries":$qsFull,"sf":"$sfDir"}""" + "\n")
+      java.nio.file.Paths.get("target/bench_total.json"), fullRecord)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_QUERIES.json"), fullRecord)
+    catch { case _: Throwable => () }
     // a bench with ANY failed query must not read as a clean record
     if (errors > 0) sys.exit(2)
   }

@@ -97,6 +97,16 @@ class Engine(spark: SparkSession) {
       try ld.load(out) finally ld.disconnect()
     }
 
+    // The checkpoint is LAZY: the load action materializes the partitions
+    // it consumes, but a loader that consumes only part of the frame
+    // (sampling, limit-based) would leave unmaterialized partitions whose
+    // post-commit evaluation re-reads the swapped-out store files and
+    // throws FAILED_READ_FILE. Force the remainder NOW — before any store
+    // swap — so the returned frame is valid regardless of how much of it
+    // the loader actually read. (Partitions the load already materialized
+    // are served from their blocks; only the remainder computes.)
+    if (stateful.nonEmpty) { out.count(); () }
+
     // 8. cursor persisted only after successful load
     (cfg.incremental, state, newCursor) match {
       case (Some(_), Some(st), Some(nc)) => st.set(cfg.name, nc)

@@ -68,6 +68,21 @@ object Shared {
   private val buildSecs = scala.collection.concurrent.TrieMap.empty[String, Double]
   def buildSeconds(key: String): Option[Double] = buildSecs.get(key)
 
+  /** Keys served from the memo (cache HITS) since the last drain — the
+    * bench's consumption attribution: an entry that rides another query's
+    * session memos (mx27 consuming mx26's banding kernel) records a
+    * flattering time, and the `memo consumed [...]` telemetry line makes
+    * that visible per query instead of requiring standalone-rerun
+    * archaeology (VERDICT r14 finding 2).
+    */
+  private val consumedKeys = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def drainConsumed(): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = consumedKeys.asScala.toSet
+    consumedKeys.clear()
+    s
+  }
+
   /** Forget SPECIFIC entries and unpersist their backing blocks — the
     * bench's memo-aware stall guard: a >floor first run that built memo
     * entries re-runs with exactly those entries evicted, so BOTH runs pay
@@ -103,6 +118,7 @@ object Shared {
       case Some(e) if e.ctxId == ctxId &&
           (e.rddIds.nonEmpty || e.local) &&
           e.rddIds.forall(ctx.getPersistentRDDs.contains) =>
+        consumedKeys.add(key)
         e.df
       case _ =>
         val t0 = System.nanoTime()

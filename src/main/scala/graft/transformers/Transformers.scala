@@ -415,6 +415,11 @@ object Transformers {
 
     private def versionFile(path: String) = s"$path/_GRAFT_STATE_VERSION"
 
+    private[graft] def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString
+
     private def stampVersion(spark: SparkSession, dir: String, version: String): Unit = {
       val (fs, p) = fsFor(spark, versionFile(dir))
       val out = fs.create(p, true)
@@ -439,9 +444,17 @@ object Transformers {
 
     /** All-or-nothing existence across a stage's manifest + store dirs; a
       * `.bak` left by an interrupted swap fails with the recovery rename.
+      *
+      * `versions` (name → expected version stamp): when the state is
+      * PARTIAL, a present dir whose stamp mismatches (or is absent) gets
+      * the version-MIGRATION message instead of the generic restore-the-
+      * missing-dirs one — a pre-round-14 near_dedup store (signatures +
+      * manifest, no band_index) must be told "clear the state_dir and
+      * re-deliver", because restoring the missing dir is impossible for it.
       */
     def requireTogether(spark: SparkSession, what: String,
-        paths: Map[String, String]): Unit = {
+        paths: Map[String, String],
+        versions: Map[String, String] = Map.empty): Unit = {
       paths.foreach { case (nm, p) =>
         if (!dirExists(spark, p) && dirExists(spark, s"$p.bak"))
           throw new IllegalStateException(
@@ -449,7 +462,13 @@ object Transformers {
               s"state swap. Recover by renaming $p.bak back to $p, then re-run.")
       }
       val present = paths.map { case (nm, p) => nm -> dirExists(spark, p) }
-      if (present.values.exists(identity) && !present.values.forall(identity))
+      if (present.values.exists(identity) && !present.values.forall(identity)) {
+        // version check FIRST: a legacy store that predates a sibling dir
+        // reads as partial, but the right remedy is rebuild, not restore
+        present.collect { case (nm, true) => nm }.foreach { nm =>
+          versions.get(nm).foreach(expect =>
+            checkVersion(spark, paths(nm), expect, acceptUnversioned = false))
+        }
         throw new IllegalStateException(
           s"$what: PARTIAL state — present: " +
             s"${present.filter(_._2).keys.mkString(", ")}; missing: " +
@@ -457,6 +476,7 @@ object Transformers {
             "bootstrap empty state beside existing history (that would " +
             "silently forget it); restore the missing dirs or clear the " +
             "whole state_dir.")
+      }
     }
 
     /** Stamp = `<version>` or `<version>;buckets=N`; equality is on the
@@ -520,7 +540,11 @@ object Transformers {
         else if (stamp.isEmpty) spark.read.parquet(path)
         else {
           val buckets = stamp.flatMap(bucketsPart).getOrElse(StateBuckets)
-          val tbl = "graft_state_" + java.lang.Integer.toHexString(path.hashCode)
+          // full-width digest of the QUALIFIED path: String.hashCode is
+          // 32-bit and collision-prone, and the name mutates the session
+          // catalog — two colliding store paths would silently bind one
+          // store's reads to the other's location and bucket layout
+          val tbl = "graft_state_" + md5Hex(qualified(spark, path))
           val schema = spark.read.parquet(path).schema
           val colsDdl = schema.fields
             .map(f => s"`${f.name}` ${f.dataType.sql}").mkString(", ")
@@ -719,7 +743,12 @@ object Transformers {
       IncrState.requireTogether(spark, "incremental_near_dedup", Map(
         "signatures" -> s"$stateDir/signatures",
         "band_index" -> s"$stateDir/band_index",
-        "manifest" -> s"$stateDir/manifest"))
+        "manifest" -> s"$stateDir/manifest"),
+        // a pre-round-14 store (signatures without band_index) is partial
+        // AND unmigratable — the stamp check turns "restore the missing
+        // dirs" into the correct "clear the state_dir and re-deliver"
+        versions = Map("signatures" -> IncrState.SigStoreVersion,
+          "band_index" -> IncrState.BandIndexVersion))
       // value-version-gated (acceptUnversioned = false): a pre-round-14
       // signature store was computed in the 32-bit hash space and is NOT
       // comparable to current signatures — reject loudly, never mix.

@@ -42,4 +42,46 @@ class BenchProtocolSpec extends AnyFunSuite {
     assert(builds == 2, "post-eviction call must rebuild (pay the build again)")
     graft.queries.Shared.evict(Set(key))
   }
+
+  test("stall flagging: injected fake stalls against steady references") {
+    val steady = Map("q_big" -> 4.0, "q_mid" -> 1.0, "q_tiny" -> 0.05, "q_err" -> 1.0)
+    val results = Seq(
+      ("q_big", 19.4, false),  // 4.85x steady — the r14 q_pagerank shape: FLAG
+      ("q_mid", 2.9, false),   // 2.9x — under the 3x factor: clean
+      ("q_tiny", 0.35, false), // 7x but sub-second noise: never flagged
+      ("q_err", 9.0, true),    // failed — error-flagged already, not stalled
+      ("q_new", 50.0, false))  // no steady reference: cannot flag
+    assert(Bench.flagStalled(results, steady) == Seq("q_big"))
+    // a post-rerun min back inside 3x clears the flag
+    assert(Bench.flagStalled(Seq(("q_big", 4.6, false)), steady).isEmpty)
+    // empty steady map (no STEADY.json): flagging degrades to off
+    assert(Bench.flagStalled(results, Map.empty).isEmpty)
+  }
+
+  test("steady references load from a committed {name:sec} JSON file") {
+    val f = java.nio.file.Files.createTempFile("graft-steady", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"q1":0.52,"q_pagerank":4.1,"mx26_incremental_near_dedup":3.2}""")
+    val m = Bench.loadSteady(f.toString)
+    assert(m == Map("q1" -> 0.52, "q_pagerank" -> 4.1,
+      "mx26_incremental_near_dedup" -> 3.2))
+    assert(Bench.loadSteady(f.toString + ".does-not-exist").isEmpty)
+  }
+
+  test("memo consumption accounting: a cache HIT is drained as consumed; a build is not") {
+    val key = s"benchspec-consume-${System.nanoTime()}"
+    graft.queries.Shared.drainConsumed() // reset
+    graft.queries.Shared.memoized(spark, key) {
+      graft.operators.Dedup.cachedForReuse(spark.range(10).toDF("x"))
+    }
+    assert(!graft.queries.Shared.drainConsumed().contains(key),
+      "the building call must not read as consumption")
+    graft.queries.Shared.memoized(spark, key) {
+      fail("second call must be a memo hit"); null
+    }
+    assert(graft.queries.Shared.drainConsumed().contains(key),
+      "a memo hit must drain as consumed")
+    assert(graft.queries.Shared.drainConsumed().isEmpty, "drain clears")
+    graft.queries.Shared.evict(Set(key))
+  }
 }

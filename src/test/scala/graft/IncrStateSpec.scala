@@ -317,4 +317,30 @@ class IncrStateSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(counts == Map(0L -> 2L, 1L -> 2L))
   }
+
+  test("legacy near_dedup state (signatures without band_index) gets the MIGRATION message, not 'restore the missing dirs'") {
+    val dir = tmp().toString
+    // fabricate a pre-round-14 store: unstamped signatures + manifest, no
+    // band_index (that dir arrived with the v2 layout)
+    Seq((1L, Seq(1L, 2L), Seq(3L, 4L))).toDF("doc_id", "sig", "bk")
+      .write.parquet(s"$dir/signatures")
+    Seq("s_old").toDF("source").write.parquet(s"$dir/manifest")
+    val e = intercept[IllegalStateException] {
+      new Transformers.IncrementalNearDedupTransformer(Map("state_dir" -> dir))
+        .transform(docs2("s0", "s1"))
+    }
+    // the remedy for an unmigratable store is rebuild — the generic partial-
+    // state "restore the missing dirs" guidance would be wrong here
+    assert(e.getMessage.contains("no _GRAFT_STATE_VERSION"), e.getMessage)
+    assert(e.getMessage.contains("clear the state_dir"), e.getMessage)
+    assert(!e.getMessage.contains("PARTIAL state"), e.getMessage)
+  }
+
+  test("bucketed-store catalog names use a full-width path digest, not 32-bit hashCode") {
+    // "Aa" and "BB" collide under String.hashCode (the failure mode: two
+    // state paths silently binding to one catalog registration)
+    assert("Aa".hashCode == "BB".hashCode)
+    assert(IncrState.md5Hex("Aa") != IncrState.md5Hex("BB"))
+    assert(IncrState.md5Hex("Aa").length == 32)
+  }
 }
