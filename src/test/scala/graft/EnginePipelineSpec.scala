@@ -533,6 +533,87 @@ class EnginePipelineSpec extends AnyFunSuite {
     assert(v == Seq(0.6, 0.8)) // 3-4-5 triangle, exact in binary floating point
   }
 
+  test("ann_topk serves neighbors from the carried incremental_ivf index; plugin == ivfTopKWithCentroids; read-only") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = tmp()
+    val stateDir = dir.resolve("annstate").toString
+    val centPath = dir.resolve("cents").toString
+    import spark.implicits._
+    Seq((0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0))).toDF("c_id", "cv")
+      .write.parquet(centPath)
+    // two clusters on the unit circle; vec 4 and 8 will be the queries
+    def row(id: Long, x: Double, y: Double) =
+      s"""{"vec_id": $id, "source": "s0", "embedding": [$x, $y]}"""
+    val corpusRows = Seq(
+      row(1, 1.0, 0.02), row(2, 1.0, 0.10), row(3, 1.0, 0.30), row(4, 1.0, 0.05),
+      row(5, 0.02, 1.0), row(6, 0.10, 1.0), row(7, 0.30, 1.0), row(8, 0.05, 1.0))
+    val in = dir.resolve("vecs.jsonl")
+    Files.writeString(in, corpusRows.mkString("\n"))
+    // 1) maintenance run commits the index (assignments load to jsonl)
+    val maintCfg = Config.parse(
+      s"""pipeline:
+         |  name: ann_maint
+         |  extract:
+         |    type: jsonl_file
+         |    inline_config: {path: "${in.toString}"}
+         |  transform:
+         |    - type: incremental_ivf
+         |      inline_config: {id_column: vec_id, vector_column: embedding,
+         |                      shard_column: source, centroids_path: "$centPath",
+         |                      state_dir: "$stateDir"}
+         |  load:
+         |    type: jsonl_local
+         |    inline_config: {path: "${dir.resolve("asg").toString}", if_exists: replace}
+         |""".stripMargin)
+    new Engine(spark).run(maintCfg)
+    val stamp0 = Files.readString(
+      java.nio.file.Paths.get(s"$stateDir/centroids/_GRAFT_STATE_VERSION"))
+    // 2) serving run reads the carried index, never mutates it
+    val out = dir.resolve("neighbors").toString
+    val serveCfg = Config.parse(
+      s"""pipeline:
+         |  name: ann_serve
+         |  extract:
+         |    type: jsonl_file
+         |    inline_config: {path: "${in.toString}"}
+         |  transform:
+         |    - type: ann_topk
+         |      inline_config: {id_column: vec_id, vector_column: embedding,
+         |                      query_filter: "vec_id % 4 = 0", k: 2, n_probe: 1,
+         |                      state_dir: "$stateDir"}
+         |  load:
+         |    type: jsonl_local
+         |    inline_config: {path: "$out", if_exists: replace}
+         |""".stripMargin)
+    new Engine(spark).run(serveCfg)
+    val got = new graft.sources.JsonlFileExtractor(spark, Map("path" -> out))
+      .extract().select("q_id", "neighbor", "rnk")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    // plugin ≡ operator on the same corpus + carried codebook
+    val corpus = new graft.sources.JsonlFileExtractor(
+      spark, Map("path" -> in.toString)).extract()
+    val p = graft.operators.Similarity.preparedCorpus(corpus, "vec_id", "embedding")
+    val cents = spark.read.parquet(s"$stateDir/centroids")
+    val want = graft.operators.Similarity.ivfTopKWithCentroids(
+        p, cents, expr("vec_id % 4 = 0"), 2, nProbe = 1)
+      .select("q_id", "neighbor", "rnk").as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got.nonEmpty && got == want)
+    // q4 lives in cell 0 with 1,2,3: top-2 by cosine are 1 then 2
+    assert(got.filter(_._1 == 4L).map(t => (t._2, t._3)) == Seq((1L, 1L), (2L, 2L)))
+    // serving is READ-ONLY: the committed store is untouched
+    assert(Files.readString(java.nio.file.Paths.get(
+      s"$stateDir/centroids/_GRAFT_STATE_VERSION")) == stamp0)
+    assert(!Files.exists(java.nio.file.Paths.get(s"$stateDir/centroids.bak")))
+    // serving from a missing index fails LOUDLY, never 0 neighbors
+    val e = intercept[IllegalStateException] {
+      new graft.transformers.Transformers.AnnTopKTransformer(Map(
+        "query_filter" -> "vec_id % 4 = 0",
+        "state_dir" -> dir.resolve("no-such-state").toString))
+        .transform(corpus)
+    }
+    assert(e.getMessage.contains("no committed index"), e.getMessage)
+  }
+
   test("inline config wins over config file on merge") {
     val dir = tmp()
     Files.writeString(dir.resolve("step.yaml"), "path: /from/file\nindent: 4\n")
