@@ -20,6 +20,10 @@ import java.nio.file.{Files, Paths}
   *    write — no more evidence evaporating with the sandbox.
   *  - `_DEBUG.json` (per query dir): prefix-sum partition bounds and
   *    per-split pass-1 totals for any PrefixSum the query ran.
+  *  - `_BOUNDS.json` (per query dir, for the three `no_oracle` sketch
+  *    queries): every estimate in the written parquet bounded against its
+  *    exact twin computed in the same session ([[graft.queries.MiscQueries
+  *    .approxBounds]]); `bounds_ok` also travels in the manifest line.
   *  - `_PARITY.json` / `_PARITY_DIFF.json` (per query dir, for queries with
   *    a registered parity witness): the same result computed through an
   *    INDEPENDENT plan (for mx3: the single-partition `SUM() OVER` window
@@ -176,11 +180,24 @@ object Verify {
         if (status != "ok") s"""{"status":"failed"}"""
         else {
           runParity(spark, name, sfDir, dest)
+          // Error-bound witness for the no-oracle sketch trio (round 15):
+          // the exact twin computed IN THIS RUN bounds every estimate in
+          // the written parquet — `_BOUNDS.json` beside the result and
+          // `bounds_ok` in the manifest make the gate carry evidence for
+          // queries it cannot oracle.
+          val bounds =
+            try graft.queries.MiscQueries.approxBounds(
+                name, spark, sfDir, spark.read.parquet(dest.getPath))
+              .map { case (ok, rep) =>
+                Files.writeString(Paths.get(dest.getPath, "_BOUNDS.json"), rep + "\n")
+                s""","bounds_ok":$ok"""
+              }.getOrElse("")
+            catch { case e: Throwable => s""","bounds_error":${q(e.toString)}""" }
           try {
             val (rows, sha) = contentChecksum(spark.read.parquet(dest.getPath))
-            s"""{"status":"ok","rows":$rows,"sha256":"$sha"}"""
+            s"""{"status":"ok","rows":$rows,"sha256":"$sha"$bounds}"""
           } catch { case e: Throwable =>
-            s"""{"status":"ok","checksum_error":${q(e.toString)}}"""
+            s"""{"status":"ok","checksum_error":${q(e.toString)}$bounds}"""
           }
         }
       spark.catalog.clearCache()

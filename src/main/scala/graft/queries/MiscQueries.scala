@@ -277,6 +277,77 @@ object MiscQueries {
     profileDf(Tables.lineitem(spark, dir), ProfileColsLi, approx = true)
   }
 
+  /** In-run error-bound witness for the gate's three `no_oracle` sketch
+    * queries (round 15; VERDICT r14 #7): no SQL oracle can pin HLL/KLL
+    * estimates (sketch parameters are implementation-defined across
+    * engines), so [[graft.Verify]] recomputes the EXACT twin in the same
+    * session and bounds every estimate in the WRITTEN result — the driver
+    * gate then carries per-run evidence (`_BOUNDS.json` beside the parquet,
+    * `bounds_ok` in `_MANIFEST.json`) instead of trusting a spec that ran
+    * elsewhere. Bounds are the ApproxAggSpec contract: HLL within 3×rsd of
+    * exact COUNT(DISTINCT); percentile_approx(10⁴) within ±10% of the exact
+    * percentile; rows/null counts (exact in both plans) equal exactly.
+    * Returns (all bounds hold, JSON report) — None for non-sketch queries.
+    */
+  def approxBounds(name: String, spark: org.apache.spark.sql.SparkSession,
+      dir: String, back: org.apache.spark.sql.DataFrame): Option[(Boolean, String)] = {
+    def j(d: Double): String =
+      if (d.isNaN || d.isInfinite) "null" else f"$d%.6f"
+    def check(key: String, estimate: Double, exact: Double, bound: Double) = {
+      // max(|exact|, 1) denominator: keeps the equality checks (bound 0)
+      // well-defined when the exact value is legitimately 0 (null counts)
+      val relErr = math.abs(estimate - exact) / math.max(math.abs(exact), 1.0)
+      (relErr <= bound,
+        s"""{"key":"$key","estimate":${j(estimate)},"exact":${j(exact)},""" +
+          s""""rel_err":${j(relErr)},"bound":${j(bound)},"ok":${relErr <= bound}}""")
+    }
+    def render(checks: Seq[(Boolean, String)]): (Boolean, String) = {
+      val ok = checks.forall(_._1)
+      (ok, s"""{"query":"$name","bounds_ok":$ok,"checks":[""" + "\n  " +
+        checks.map(_._2).mkString(",\n  ") + "\n]}")
+    }
+    def profileReport(exactDf: org.apache.spark.sql.DataFrame, rsd: Double) = {
+      val exact = exactDf.collect().map(r => r.getString(0) -> r).toMap
+      render(back.collect().toSeq.sortBy(_.getString(0)).flatMap { a =>
+        val c = a.getString(0); val e = exact(c)
+        // rows and nulls are exact in BOTH plans: bound 0 (equality)
+        Seq(
+          check(s"$c.n_rows", a.getAs[Long]("n_rows").toDouble,
+            e.getAs[Long]("n_rows").toDouble, 0.0),
+          check(s"$c.n_null", a.getAs[Long]("n_null").toDouble,
+            e.getAs[Long]("n_null").toDouble, 0.0),
+          check(s"$c.n_distinct", a.getAs[Long]("n_distinct_approx").toDouble,
+            e.getAs[Long]("n_distinct").toDouble, 3 * rsd))
+      })
+    }
+    name match {
+      case "q_profile_approx" => Some(profileReport(
+        profileDf(Tables.orders(spark, dir), ProfileCols, approx = false), 0.02))
+      case "q_profile_li_approx" => Some(profileReport(
+        profileDf(Tables.lineitem(spark, dir), ProfileColsLi, approx = false), 0.02))
+      case "q_approx_stats" =>
+        val exact = Tables.orders(spark, dir)
+          .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(countDistinct(col("o_custkey")).as("nd"),
+            expr("percentile(o_totalprice, 0.5)").as("p50"),
+            expr("percentile(o_totalprice, 0.9)").as("p90"))
+          .collect().map(r => r.getString(0) -> r).toMap
+        Some(render(back.collect().toSeq.sortBy(_.getString(0)).flatMap { a =>
+          val seg = a.getString(0); val e = exact(seg)
+          Seq(
+            check(s"$seg.approx_customers",
+              a.getAs[Long]("approx_customers").toDouble,
+              e.getAs[Long]("nd").toDouble, 0.03), // 3x the configured rsd 0.01
+            check(s"$seg.approx_p50", a.getAs[Double]("approx_p50"),
+              e.getAs[Double]("p50"), 0.1),
+            check(s"$seg.approx_p90", a.getAs[Double]("approx_p90"),
+              e.getAs[Double]("p90"), 0.1))
+        }))
+      case _ => None
+    }
+  }
+
   /** Correlated scalar subquery through the SQL surface — Catalyst
     * decorrelates it into an aggregate + join (no per-row re-execution),
     * which is the 100 TB-safe plan. The inner mean uses the exact-decimal

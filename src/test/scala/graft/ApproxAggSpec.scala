@@ -114,6 +114,25 @@ class ApproxAggSpec extends AnyFunSuite {
     assert(got == exact)
   }
 
+  test("in-run bounds witness: all three no-oracle sketch queries report bounds_ok; a corrupted estimate is caught") {
+    for (name <- Seq("q_approx_stats", "q_profile_approx", "q_profile_li_approx")) {
+      val back = graft.SparkEntry.queries(name)(spark, sf)
+      val (ok, rep) = graft.queries.MiscQueries.approxBounds(name, spark, sf, back)
+        .getOrElse(fail(s"$name must have a bounds witness"))
+      assert(ok, s"$name bounds violated:\n$rep")
+      assert(rep.contains("\"bounds_ok\":true"))
+    }
+    // injected corruption: a 2x-inflated HLL estimate must flip bounds_ok
+    val corrupted = graft.queries.MiscQueries.qProfileApprox.run(spark, sf)
+      .withColumn("n_distinct_approx", col("n_distinct_approx") * 2L)
+    val (ok2, rep2) = graft.queries.MiscQueries.approxBounds(
+      "q_profile_approx", spark, sf, corrupted).get
+    assert(!ok2 && rep2.contains("\"bounds_ok\":false"), rep2)
+    // non-sketch queries have no witness
+    assert(graft.queries.MiscQueries.approxBounds("q1_agg", spark, sf,
+      spark.range(1).toDF()).isEmpty)
+  }
+
   test("sketch aggregation is a single-pass partial aggregate — one exchange, no sort") {
     val p = graft.queries.MiscQueries.qApproxStats.run(spark, sf)
       .queryExecution.executedPlan.toString
