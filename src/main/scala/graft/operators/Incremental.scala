@@ -777,15 +777,24 @@ object Incremental {
       .unionByName(deltaLab)
       .join(touched, Seq("grp"), "left_semi")
       .withColumn("keep", row_number().over(wKeep) === 1)
+    val singletons = deltaLab.join(touched, Seq("grp"), "left_anti")
+      .withColumn("keep", lit(true))
+      .select(rescored.columns.map(col): _*)
     val newState = prior
       .join(cc.select(col("id").as("grp")), Seq("grp"), "left_anti")
       .select(rescored.columns.map(col): _*) // untouched: labels+keep carried
       .unionByName(rescored)
-      .unionByName(deltaLab.join(touched, Seq("grp"), "left_anti")
-        .withColumn("keep", lit(true))
-        .select(rescored.columns.map(col): _*))
-    val deltaResults = newState
+      .unionByName(singletons)
+    // Delta verdicts straight from the branches that CONTAIN delta rows
+    // (rescored is touched-group-sized, singletons delta-sized) — round 15:
+    // semi-joining the full newState union on vec_id re-shuffled the whole
+    // carried store every delivery (the union's partitioning is unknown),
+    // the one store-sized term left after the at-rest cell bucketing; the
+    // untouched-prior branch holds no delta ids, so the results are
+    // row-identical.
+    val deltaResults = rescored
       .join(asg.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .unionByName(singletons)
       .select(col("vec_id").as(idCol), col("cell"), col("grp"), col("keep"))
     (deltaResults, newState)
   }
@@ -867,8 +876,20 @@ object Incremental {
     val deltaEvalSh = Dedup.cachedForReuse(side(benchPred))
     val deltaEvalGrams = deltaEvalSh.select(col("doc_id"), explode(col("sh")).as("g"))
     val grownTrain = prT.unionByName(newGrams)
-    val deltaHits = deltaEvalGrams.join(grownTrain, Seq("g"), "left_semi")
+    // the delta-eval probe is SPLIT along the store/new-gram domain (round
+    // 15): probing the grownTrain UNION re-shuffled the whole carried gram
+    // store every delivery (a union's output partitioning is unknown, so
+    // the at-rest `g` bucketing is invisible to the join); prT and newGrams
+    // are DISJOINT by the anti-join above, so each (doc, gram) row hits at
+    // most one side and the per-doc counts are exactly additive
+    val deltaHits = deltaEvalGrams.join(prT, Seq("g"), "left_semi")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+      .join(deltaEvalGrams.join(newGrams, Seq("g"), "left_semi")
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("__nh2")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("n_hit"), lit(0L)) + coalesce(col("__nh2"), lit(0L)))
+          .as("n_hit"))
     val deltaEvalHits = deltaEvalSh
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
       .join(deltaHits, Seq("doc_id"), "left")
