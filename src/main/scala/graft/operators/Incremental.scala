@@ -752,9 +752,18 @@ object Incremental {
     val pairsPrior = dA.join(eSide(prior), "cell")
       .filter(pairCos >= lit(threshold))
       .select(col("d_id"), col("e_id"))
-    // contract: historical endpoints collapse to their carried labels
-    val contracted = pairsDelta.union(pairsPrior)
-      .join(prior.select(col("vec_id").as("e_id"), col("grp")), Seq("e_id"), "left")
+    // contract: historical endpoints collapse to their carried labels. The
+    // label lookup is delta-bounded on BOTH sides by construction (pairs
+    // are delta-sized; a LEFT join can only broadcast its right side, so
+    // semi-filter the store's label columns down to the touched e_ids
+    // first) — the carried store is scanned map-side, never shuffled by
+    // vec_id (round 15; the at-rest bucketing is by cell, so an e_id-keyed
+    // SMJ here would re-shuffle the whole store every delivery).
+    val pairsAll = Dedup.cachedForReuse(pairsDelta.union(pairsPrior))
+    val touchedLabels = prior.select(col("vec_id").as("e_id"), col("grp"))
+      .join(broadcast(pairsAll.select(col("e_id")).distinct()), Seq("e_id"), "left_semi")
+    val contracted = pairsAll
+      .join(broadcast(touchedLabels), Seq("e_id"), "left")
       .select(col("d_id").as("a"), coalesce(col("grp"), col("e_id")).as("b"))
     val cc = Dedup.connectedComponentsStar(contracted, "a", "b")
     val deltaLab = asg
@@ -762,9 +771,12 @@ object Incremental {
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("cell_cos"),
         coalesce(col("comp"), col("vec_id")).as("grp"))
     // store docs relabel through their OLD label's node — the retroactive
-    // bridge merge, one state-sized join, no vectors re-read
+    // bridge merge, one state-scan with the delta-sized label map broadcast
+    // (cc is CC over the contracted delta graph — bounded by the pair set,
+    // the operator's scale contract), no vectors re-read or re-shuffled
+    val ccB = broadcast(cc)
     val priorLab = prior
-      .join(cc.select(col("id").as("grp"), col("comp")), Seq("grp"), "left")
+      .join(ccB.select(col("id").as("grp"), col("comp")), Seq("grp"), "left")
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"), col("cell_cos"),
         coalesce(col("comp"), col("grp")).as("grp"), col("keep"))
     // touched groups = exactly the CC components (a pairless delta doc's
@@ -781,7 +793,7 @@ object Incremental {
       .withColumn("keep", lit(true))
       .select(rescored.columns.map(col): _*)
     val newState = prior
-      .join(cc.select(col("id").as("grp")), Seq("grp"), "left_anti")
+      .join(ccB.select(col("id").as("grp")), Seq("grp"), "left_anti")
       .select(rescored.columns.map(col): _*) // untouched: labels+keep carried
       .unionByName(rescored)
       .unionByName(singletons)

@@ -458,7 +458,308 @@ object ScaleSmoke {
     sweep()
   }
 
+  /** Bucketed-at-rest measurement for the REMAINING carried stores (round
+    * 15 — VERDICT r14 #2): `incr-bk` proved delivery-2's store-side shuffle
+    * ≤ delta-sized for the exact-fp and signature/band stores; these modes
+    * run the SAME discipline for the other three state-travel plugins —
+    * build the delivery-1 store, commit it through IncrState's bucketed
+    * layout (the plugin's own commit path), re-read it through the catalog,
+    * run delivery 2 on the default path, isolate the store's shuffle
+    * contribution with an empty-store CONTROL over the same delta, and
+    * REQUIRE store-side extra shuffle ≤ delta-sized (+ a fixed 64 MB floor):
+    *
+    *   incr-bk-sem    [[graft.operators.Incremental.semDedupDelta]]
+    *                  (state bucketed by cell; labels/keep via broadcast
+    *                  delta-sized maps — the round-15 join shapes)
+    *   incr-bk-vocab  [[graft.operators.Incremental.vocabDelta]]
+    *                  (vocab bucketed by term; the full-outer merge cannot
+    *                  broadcast, so bucketing is the ONLY thing standing
+    *                  between a delivery and a store-sized re-shuffle)
+    *   incr-bk-gram   [[graft.operators.Incremental.contaminationDelta]]
+    *                  (train/eval gram stores bucketed by g, the counter
+    *                  store by doc_id)
+    *
+    * Each runs in its own JVM (SPARK_DRIVER_MEM=14g — same sizing note as
+    * the `incr` tier).
+    */
+  private def bucketedStoreTier(spark: SparkSession, n: Long, which: String): Unit = {
+    import spark.implicits._
+    import graft.transformers.Transformers.IncrState
+    import graft.operators.{Dedup, Incremental, Similarity}
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    def t[A](name: String)(body: => A): (A, Long, Long) = {
+      org.apache.spark.graft.ListenerBusDrain.waitUntilEmpty(spark.sparkContext)
+      meter.reset()
+      val t0 = System.nanoTime()
+      val r = body
+      org.apache.spark.graft.ListenerBusDrain.waitUntilEmpty(spark.sparkContext)
+      println(f"$name%-52s ${(System.nanoTime() - t0) / 1e9}%7.2f s  " +
+        f"stages ${meter.stages.get}%3d  shuffle r/w " +
+        f"${meter.read.get / 1048576.0}%.0f/${meter.write.get / 1048576.0}%.0f MB")
+      (r, meter.read.get, meter.write.get)
+    }
+    def sweep(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc() // release broadcast/checkpoint blocks via ContextCleaner
+    }
+    val stateRoot = s"target/scalesmoke_bk_${which}_$n"
+    def rmState(): Unit = {
+      val p = new org.apache.hadoop.fs.Path(stateRoot)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+    rmState()
+    val manifest0 = Seq.empty[String].toDF("shard")
+    val manifest1 = Seq("s0").toDF("shard")
+    // the judged bound, as in incr-bk: the d2 run may pay the delta a
+    // second time across split store-side joins — one delta-worth of slack
+    // plus a fixed floor
+    def requireDeltaSized(what: String, r2: Long, w2: Long, rc: Long, wc: Long): Unit = {
+      println(f"$what BUCKETED store-side shuffle (delta − control): " +
+        f"r ${(r2 - rc) / 1048576.0}%.0f MB / w ${(w2 - wc) / 1048576.0}%.0f MB " +
+        f"(delta-side: r ${rc / 1048576.0}%.0f / w ${wc / 1048576.0}%.0f MB)")
+      require(w2 - wc <= wc + (64L << 20),
+        f"$what bucketed delivery-2 store-side shuffle write " +
+          f"${(w2 - wc) / 1048576.0}%.0f MB exceeds delta-sized bound " +
+          f"${(wc + (64L << 20)) / 1048576.0}%.0f MB")
+    }
+    def emptyFrame(schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    import org.apache.spark.sql.types._
+
+    which match {
+      case "sem" =>
+        // the incr tier's analytic-bootstrap fixture: every store vector its
+        // own singleton under a 1024-cell quantizer; the 100k delta carries
+        // 10k EXACT copies of spread-out store vectors (j·1999)
+        val m = n
+        val nDelta = 100000L
+        val nDup = 10000L
+        val primes = Seq(131, 137, 139, 149, 151, 157, 163, 167)
+        def gen(idc: org.apache.spark.sql.Column) = {
+          val a = idc % 1009
+          val b = (idc.cast("double") / 1009.0).cast("long") % 1009
+          val c = (idc.cast("double") / 1018081.0).cast("long") % 1009
+          array(primes.zipWithIndex.map { case (p, i) =>
+            (((a * p + b * (p + i) + c * 31) % 1009) + 1.0).cast("double")
+          }: _*)
+        }
+        require(m >= nDup * 2, s"sem tier needs n >= ${nDup * 2}")
+        // dup j copies store vector j·(m/nDup) — spread across the WHOLE
+        // store at any tier size (a fixed stride would point past the store
+        // on a small-n dry run, silently turning dups into uniques)
+        val stride = m / nDup
+        val store = spark.range(0, m).toDF("vec_id")
+          .select(col("vec_id"), lit("s0").as("shard"), gen(col("vec_id")).as("embedding"))
+        val deltaVecs = spark.range(m, m + nDelta).toDF("vec_id")
+          .select(col("vec_id"), lit("s1").as("shard"),
+            when(col("vec_id") - m < nDup, gen((col("vec_id") - m) * stride))
+              .otherwise(gen(col("vec_id") + 7777777L)).as("embedding"))
+        t(s"sem state bootstrap build n=$m cells=1024 (staged plain)") {
+          val p = Dedup.cachedForReuse(
+            Similarity.preparedCorpus(store, "vec_id", "embedding"))
+          p.filter(col("nrm") > 0).orderBy(col("vec_id")).limit(1024)
+            .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+            .write.mode("overwrite").parquet(s"$stateRoot/_cents")
+          Similarity.assignCells(p, spark.read.parquet(s"$stateRoot/_cents"))
+            .withColumn("grp", col("vec_id")).withColumn("keep", lit(true))
+            .write.mode("overwrite").parquet(s"$stateRoot/_staged")
+          sweep()
+        }
+        t(s"bucketed store COMMIT (one-time layout cost, $m rows)") {
+          IncrState.commitAll(manifest1, s"$stateRoot/manifest",
+            IncrState.Staged(spark.read.parquet(s"$stateRoot/_staged"),
+              s"$stateRoot/state", IncrState.SemStoreVersion,
+              Seq("cell"), Seq("cell"), buckets = 128))
+        }
+        val stateAtRest = IncrState.readOrBucketed(spark, s"$stateRoot/state",
+          IncrState.SemStoreVersion, acceptUnversioned = false,
+          Seq("cell"), Seq("cell"), sys.error("store missing"))
+        val cents = spark.read.parquet(s"$stateRoot/_cents")
+        val (_, r2, w2) = t(s"semdedup_delta d2 (bucketed store at rest) delta=$nDelta") {
+          val (verdicts, _) = Incremental.semDedupDelta(
+            store.unionByName(deltaVecs), manifest1, "shard", cents, stateAtRest,
+            "vec_id", "embedding", threshold = 0.999999, materializeState = false)
+          val v = Dedup.cachedForReuse(verdicts)
+          require(v.count() == nDelta, s"verdict rows ${v.count()} != $nDelta")
+          val dupKeeps = v.filter(col("vec_id") < m + nDup && col("keep")).count()
+          require(dupKeeps == 0,
+            s"$dupKeeps exact dups kept — each must lose to its lower-id store partner")
+        }
+        sweep()
+        val semSchema = new StructType()
+          .add("vec_id", LongType).add("v", ArrayType(DoubleType))
+          .add("nrm", DoubleType).add("cell", LongType)
+          .add("cell_cos", DoubleType).add("grp", LongType)
+          .add("keep", BooleanType)
+        val (_, rc, wc) = t("semdedup_delta d2 CONTROL (empty store)") {
+          val (vc, _) = Incremental.semDedupDelta(
+            deltaVecs, manifest0, "shard", cents, emptyFrame(semSchema),
+            "vec_id", "embedding", threshold = 0.999999)
+          require(vc.count() == nDelta, "control verdict rows")
+        }
+        requireDeltaSized("semdedup_delta", r2, w2, rc, wc)
+
+      case "vocab" =>
+        // every doc = the corpus-wide token "c" + one pair-shared key token
+        // w(id div 2); delta = ids ≡ 1 (mod 80). Closed forms: the store is
+        // n/2+1 terms after d1 already (every w_j is covered by its even
+        // twin 2j, and even ids are never ≡ 1 mod 80); delivery 2 touches
+        // n/80 w-terms (df_prior = 1 → 2) plus c (df → n); 0 new terms.
+        val d = spark.range(0, n).toDF("id").select(col("id"),
+          when(col("id") % 80 === 1, "s1").otherwise("s0").as("shard"),
+          concat(lit("c w"), expr("id div 2")).as("text"))
+        val emptyVocab = emptyFrame(new StructType()
+          .add("term", StringType).add("df", LongType))
+        t(s"vocab d1 store build (${n - n / 80} docs, ${n / 2 + 1} terms, staged plain)") {
+          val (_, v1) = Incremental.vocabDelta(
+            d.filter(col("shard") === "s0"), manifest0, "shard", emptyVocab,
+            "text", materializeState = false)
+          v1.write.mode("overwrite").parquet(s"$stateRoot/_staged")
+          sweep()
+        }
+        t(s"bucketed store COMMIT (one-time layout cost, ${n / 2 + 1} terms)") {
+          IncrState.commitAll(manifest1, s"$stateRoot/manifest",
+            IncrState.Staged(spark.read.parquet(s"$stateRoot/_staged"),
+              s"$stateRoot/vocab", IncrState.VocabStoreVersion,
+              Seq("term"), Seq("term"), buckets = 128))
+        }
+        val vocabAtRest = IncrState.readOrBucketed(spark, s"$stateRoot/vocab",
+          IncrState.VocabStoreVersion, acceptUnversioned = false,
+          Seq("term"), Seq("term"), sys.error("store missing"))
+        val (_, r2, w2) = t(s"vocab_delta d2 (bucketed store at rest) delta=${n / 80}") {
+          val (rep, _) = Incremental.vocabDelta(
+            d, manifest1, "shard", vocabAtRest, "text", materializeState = false)
+          val chk = rep.agg(count(lit(1)),
+            sum(when(col("df_prior") === 0L, 1L).otherwise(0L)),
+            max(col("df_total")), sum(col("df_delta"))).head()
+          require(chk.getLong(0) == n / 80 + 1,
+            s"touched terms ${chk.getLong(0)} != ${n / 80 + 1}")
+          require(chk.getLong(1) == 0L, s"${chk.getLong(1)} new terms, expected 0")
+          require(chk.getLong(2) == n, s"df_total(c) ${chk.getLong(2)} != $n")
+          require(chk.getLong(3) == n / 40, s"delta df mass ${chk.getLong(3)} != ${n / 40}")
+        }
+        sweep()
+        val (_, rc, wc) = t("vocab_delta d2 CONTROL (empty store)") {
+          val (repC, _) = Incremental.vocabDelta(
+            d.filter(col("shard") === "s1"), manifest0, "shard", emptyVocab,
+            "text", materializeState = false)
+          require(repC.count() == n / 80 + 1, "control touched terms")
+        }
+        requireDeltaSized("vocab_delta", r2, w2, rc, wc)
+
+      case "gram" =>
+        // even ids are TRAIN docs (one unique 5-gram each: "t<id> a b c d");
+        // odd ids are EVAL docs referencing a train gram: ids ≡ 21 (mod 80)
+        // reference the DELTA train doc id+61 (same-delivery new-gram hit),
+        // every other eval references its even predecessor id−1. Delta =
+        // ids ≡ 1, 2, 21 (mod 80). Closed forms:
+        //  - d1 hits: 9.5M eval rows; evals ≡ 3 (mod 80) reference the
+        //    not-yet-delivered train doc id−1 ≡ 2 → n_hit 0; all others 1;
+        //  - d2: +n/80 retroactive increments (≡3 evals hit by delta-new
+        //    grams), delta evals ≡1 hit the carried store, ≡21 hit the
+        //    delta-new grams → EVERY eval doc ends at exactly n_hit = 1.
+        val txt = when(col("id") % 2 === 0,
+            concat(lit("t"), col("id"), lit(" a b c d")))
+          .when(col("id") % 80 === 21, // +61 ≡ 2 (mod 80) — a delta train
+            // doc; wrap at n so the LAST ≡21 eval doesn't reference past
+            // the corpus (n ≡ 0 mod 80 keeps the residue class intact)
+            concat(lit("t"), (col("id") + 61) % n, lit(" a b c d")))
+          .otherwise(concat(lit("t"), col("id") - 1, lit(" a b c d")))
+        val docs = spark.range(0, n).toDF("id").select(col("id"),
+          when(col("id") % 80 === 1 || col("id") % 80 === 2 || col("id") % 80 === 21,
+            "s1").otherwise("s0").as("shard"),
+          txt.as("text"), (col("id") % 2 === 1).as("is_bench"))
+        val emptyT = emptyFrame(new StructType().add("g", StringType))
+        val emptyE = emptyFrame(new StructType()
+          .add("doc_id", LongType).add("g", StringType))
+        val emptyH = emptyFrame(new StructType().add("doc_id", LongType)
+          .add("n_grams", LongType).add("n_hit", LongType))
+        t(s"gram d1 store build (${n - 3 * n / 80} docs, staged plain)") {
+          val (t1, e1, h1) = Incremental.contaminationDelta(
+            docs.filter(col("shard") === "s0"), manifest0, "shard",
+            emptyT, emptyE, emptyH, "id", "text", col("is_bench"),
+            shingleK = 5, materializeState = false)
+          t1.write.mode("overwrite").parquet(s"$stateRoot/_stagedT")
+          e1.write.mode("overwrite").parquet(s"$stateRoot/_stagedE")
+          h1.write.mode("overwrite").parquet(s"$stateRoot/_stagedH")
+          val chk = spark.read.parquet(s"$stateRoot/_stagedH")
+            .agg(count(lit(1)), sum(col("n_hit"))).head()
+          require(chk.getLong(0) == n / 2 - 2 * (n / 80),
+            s"d1 eval rows ${chk.getLong(0)} != ${n / 2 - 2 * (n / 80)}")
+          require(chk.getLong(1) == n / 2 - 3 * (n / 80),
+            s"d1 hit mass ${chk.getLong(1)} != ${n / 2 - 3 * (n / 80)} " +
+              "(evals ≡3 mod 80 must be unhit before their gram arrives)")
+          sweep()
+        }
+        t(s"bucketed store COMMIT (one-time layout cost)") {
+          IncrState.commitAll(manifest1, s"$stateRoot/manifest",
+            IncrState.Staged(spark.read.parquet(s"$stateRoot/_stagedT"),
+              s"$stateRoot/train_grams", IncrState.GramStoreVersion,
+              Seq("g"), Seq("g"), buckets = 128),
+            IncrState.Staged(spark.read.parquet(s"$stateRoot/_stagedE"),
+              s"$stateRoot/eval_grams", IncrState.GramStoreVersion,
+              Seq("g"), Seq("g"), buckets = 128),
+            IncrState.Staged(spark.read.parquet(s"$stateRoot/_stagedH"),
+              s"$stateRoot/hits", IncrState.GramStoreVersion,
+              Seq("doc_id"), Seq("doc_id"), buckets = 128))
+        }
+        val trainAtRest = IncrState.readOrBucketed(spark, s"$stateRoot/train_grams",
+          IncrState.GramStoreVersion, acceptUnversioned = false,
+          Seq("g"), Seq("g"), sys.error("train store missing"))
+        val evalAtRest = IncrState.readOrBucketed(spark, s"$stateRoot/eval_grams",
+          IncrState.GramStoreVersion, acceptUnversioned = false,
+          Seq("g"), Seq("g"), sys.error("eval store missing"))
+        val hitsAtRest = IncrState.readOrBucketed(spark, s"$stateRoot/hits",
+          IncrState.GramStoreVersion, acceptUnversioned = false,
+          Seq("doc_id"), Seq("doc_id"), sys.error("hits store missing"))
+        val (_, r2, w2) = t(s"contamination_delta d2 (bucketed stores at rest) delta=${3 * n / 80}") {
+          val (_, _, h2) = Incremental.contaminationDelta(
+            docs, manifest1, "shard", trainAtRest, evalAtRest, hitsAtRest,
+            "id", "text", col("is_bench"), shingleK = 5, materializeState = false)
+          val chk = h2.agg(count(lit(1)), sum(col("n_hit")),
+            min(col("n_hit")), max(col("n_hit")),
+            min(col("n_grams")), max(col("n_grams"))).head()
+          require(chk.getLong(0) == n / 2, s"eval rows ${chk.getLong(0)} != ${n / 2}")
+          require(chk.getLong(1) == n / 2,
+            s"hit mass ${chk.getLong(1)} != ${n / 2} — retroactive or " +
+              "new-gram-side hits lost")
+          require(chk.getLong(2) == 1L && chk.getLong(3) == 1L,
+            s"n_hit range [${chk.getLong(2)}, ${chk.getLong(3)}] != [1, 1]")
+          require(chk.getLong(4) == 1L && chk.getLong(5) == 1L, "n_grams must be 1")
+        }
+        sweep()
+        val (_, rc, wc) = t("contamination_delta d2 CONTROL (empty stores)") {
+          val (_, _, hc) = Incremental.contaminationDelta(
+            docs.filter(col("shard") === "s1"), manifest0, "shard",
+            emptyT, emptyE, emptyH, "id", "text", col("is_bench"),
+            shingleK = 5, materializeState = false)
+          val chk = hc.agg(count(lit(1)), sum(col("n_hit"))).head()
+          require(chk.getLong(0) == 2 * (n / 80), "control eval rows")
+          require(chk.getLong(1) == n / 80,
+            "control hit mass (only ≡21 evals can hit within the delta)")
+        }
+        requireDeltaSized("contamination_delta", r2, w2, rc, wc)
+
+      case other => sys.error(s"unknown bucketed-store tier '$other'")
+    }
+    rmState()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.exists(a => a.startsWith("incr-bk-"))) {
+      val n = args.lift(1).map(_.toLong).getOrElse(20000000L)
+      val spark = SparkSession.builder().master("local[32]")
+        .config("spark.sql.shuffle.partitions", "128")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      bucketedStoreTier(spark, n, args.head.stripPrefix("incr-bk-"))
+      spark.stop()
+      return
+    }
     if (args.headOption.exists(a => a == "incr" || a == "incr-bd" || a == "incr-bk")) {
       val n = args.lift(1).map(_.toLong).getOrElse(20000000L)
       val spark = SparkSession.builder().master("local[32]")

@@ -537,10 +537,17 @@ object Transformers {
       if (dirExists(spark, path)) {
         checkVersion(spark, path, expect, acceptUnversioned)
         val stamp = readVersion(spark, path)
+        // a stamp WITHOUT a buckets rider means the store was committed
+        // UNBUCKETED (commitAll always stamps bucketed writes with
+        // `;buckets=N`): read it plain — registering plain part files as a
+        // bucketed table would lie about the layout and mis-route the
+        // bucket-pruned joins (e.g. an r14-era hits store read by the
+        // round-15 doc_id-bucketed path)
         if (!hasParquet(spark, path)) fallback // empty committed store
-        else if (stamp.isEmpty) spark.read.parquet(path)
+        else if (stamp.isEmpty || stamp.flatMap(bucketsPart).isEmpty)
+          spark.read.parquet(path)
         else {
-          val buckets = stamp.flatMap(bucketsPart).getOrElse(StateBuckets)
+          val buckets = stamp.flatMap(bucketsPart).get
           // full-width digest of the QUALIFIED path: String.hashCode is
           // 32-bit and collision-prone, and the name mutates the session
           // catalog — two colliding store paths would silently bind one
@@ -1197,8 +1204,14 @@ object Transformers {
         IncrState.GramStoreVersion, acceptUnversioned = false, Seq("g"), Seq("g"),
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           new StructType().add("doc_id", LongType).add("g", StringType)))
-      val hits = IncrState.readOr(spark, s"$stateDir/hits",
+      // bucketed by doc_id at rest (round 15): the retroactive-increment
+      // merge joins the full historical counter store on doc_id — bucketed,
+      // the store reads co-located and only the delta-sized increments move
+      // (an r14-era plain-committed store reads unbucketed via the
+      // stamp-rider check and upgrades on its next commit)
+      val hits = IncrState.readOrBucketed(spark, s"$stateDir/hits",
         IncrState.GramStoreVersion, acceptUnversioned = false,
+        Seq("doc_id"), Seq("doc_id"),
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           new StructType().add("doc_id", LongType)
             .add("n_grams", LongType).add("n_hit", LongType)))
@@ -1224,7 +1237,8 @@ object Transformers {
           IncrState.GramStoreVersion, Seq("g"), Seq("g"), buckets = buckets),
         IncrState.Staged(eval_, s"$stateDir/eval_grams",
           IncrState.GramStoreVersion, Seq("g"), Seq("g"), buckets = buckets),
-        IncrState.Staged(hits, s"$stateDir/hits", IncrState.GramStoreVersion))
+        IncrState.Staged(hits, s"$stateDir/hits", IncrState.GramStoreVersion,
+          Seq("doc_id"), Seq("doc_id"), buckets = buckets))
       staged = None
     }
   }
