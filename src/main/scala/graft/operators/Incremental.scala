@@ -891,17 +891,14 @@ object Incremental {
     // the delta-eval probe is SPLIT along the store/new-gram domain (round
     // 15): probing the grownTrain UNION re-shuffled the whole carried gram
     // store every delivery (a union's output partitioning is unknown, so
-    // the at-rest `g` bucketing is invisible to the join); prT and newGrams
-    // are DISJOINT by the anti-join above, so each (doc, gram) row hits at
-    // most one side and the per-doc counts are exactly additive
+    // the at-rest `g` bucketing is invisible to the join). prT and newGrams
+    // are DISJOINT by the anti-join above, so each (doc, gram) row survives
+    // at most ONE of the two semi-joins and the union of the survivors
+    // counts exactly like the union probe — while each semi's store side
+    // reads co-located and only delta-sized rows reach the aggregate
     val deltaHits = deltaEvalGrams.join(prT, Seq("g"), "left_semi")
+      .unionByName(deltaEvalGrams.join(newGrams, Seq("g"), "left_semi"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-      .join(deltaEvalGrams.join(newGrams, Seq("g"), "left_semi")
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("__nh2")),
-        Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        (coalesce(col("n_hit"), lit(0L)) + coalesce(col("__nh2"), lit(0L)))
-          .as("n_hit"))
     val deltaEvalHits = deltaEvalSh
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_grams"))
       .join(deltaHits, Seq("doc_id"), "left")
