@@ -372,7 +372,10 @@ object Bench {
     val p = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isRegularFile(p)) Map.empty
     else {
-      val pair = """"([^"]+)":([-0-9.eE]+)""".r
+      // tolerate whitespace after the colon: json.dump(indent=0) emits
+      // `"name": 1.2` and the round-15 STEADY.json shipped that way — the
+      // stricter pattern silently parsed NOTHING and flagging degraded off
+      val pair = """"([^"]+)"\s*:\s*([-0-9.eE]+)""".r
       val txt = new String(java.nio.file.Files.readAllBytes(p))
       pair.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
     }

@@ -42,7 +42,8 @@ def main(argv):
             steady[k] = min(steady.get(k, v), v)
     steady.update(overrides)
     with open(out, "w") as f:
-        json.dump(dict(sorted(steady.items())), f, indent=0, sort_keys=True)
+        json.dump(dict(sorted(steady.items())), f, indent=0,
+                  sort_keys=True, separators=(",", ":"))
         f.write("\n")
     print(f"wrote {out}: {len(steady)} steady references "
           f"({len(overrides)} explicit overrides)")
