@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -146,6 +146,65 @@ object PrefixSum {
       df: DataFrame, orderCol: String, valueCol: String, outCol: String): DataFrame =
     withStartOffsets(df, orderCol, Seq(valueCol -> outCol))
 
+  /** Equal-width bucket descriptor for the windowed fast path: `pidOf` maps
+    * the integral order key (or the integral FIRST FIELD of a struct key —
+    * rows sharing a first-field value share a bucket, and the struct's
+    * lexicographic order never crosses bucket order) to a bucket id in
+    * [0, nPids).
+    */
+  private final case class Buckets(pidOf: Column, nPids: Int, lo: Long, hi: Long, width: Long)
+
+  /** The integral key expression the bucketing derives from, if the key
+    * SCHEMA admits one (decided without running a job).
+    */
+  private def integralKeyExpr(df: DataFrame, orderCol: String): Option[Column] =
+    df.schema(orderCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType => Some(col(orderCol))
+      case st: StructType if st.fields.nonEmpty =>
+        st.fields(0).dataType match {
+          case LongType | IntegerType | ShortType | ByteType =>
+            Some(col(orderCol).getField(st.fields(0).name))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** One narrow min/max/null-count pass → the equal-width bucket map. The
+    * bucket count targets ~8 buckets per core (guide §2.5: a synthetic
+    * partitioning key needs several× more distinct values than partitions
+    * for the hash to spread evenly), capped by the key span. None when the
+    * key has nulls or the span arithmetic would overflow — the caller falls
+    * back to the sampled-range RDD path, which sorts nulls first.
+    */
+  private def bucketed(mat: DataFrame, key: Column): Option[Buckets] = {
+    val parts = mat.sparkSession.sparkContext.defaultParallelism
+    val mm = mat.agg(min(key).cast(LongType), max(key).cast(LongType),
+      count(when(key.isNull, 1))).head()
+    if (mm.isNullAt(0) || mm.getLong(2) > 0) None
+    else {
+      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+      if (hi - lo < 0) None // span overflow → fallback
+      else {
+        val slots = math.max(1L, parts.toLong * 8)
+        val width = (hi - lo) / slots + 1
+        val n = ((hi - lo) / width + 1).toInt
+        Some(Buckets(((key.cast(LongType) - lit(lo)) / lit(width)).cast(LongType),
+          n, lo, hi, width))
+      }
+    }
+  }
+
+  /** The bounds pass, the per-bucket stats pass and the caller's action all
+    * scan the input — materialize it once (InternalRow blocks, no row-format
+    * conversion) unless it already is a materialized or driver-local frame.
+    */
+  private def materializedOnce(df: DataFrame): DataFrame =
+    df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => df
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => df
+      case _ => df.localCheckpoint(true)
+    }
+
   /** [[withStartOffset]] that ALSO returns the grand total of `valueCol`.
     * The total is the sum of the pass-1 per-partition totals, which are
     * already collected on the driver — so a caller that needs it (any
@@ -170,9 +229,84 @@ object PrefixSum {
     withStartOffsetsAndTotals(df, orderCol, cols)._1
 
   /** [[withStartOffsets]] plus the grand totals (one per value column) —
-    * free from the pass-1 collect; see [[withStartOffsetAndTotal]].
+    * free from the per-bucket stats collect; see [[withStartOffsetAndTotal]].
+    *
+    * Fast path (round 15, integral or integral-first-field keys — every
+    * production caller after the q_rfm key change): the scan stays entirely
+    * in Tungsten. The key buckets by one equal-width pass ([[bucketed]]),
+    * per-bucket value totals come from ONE map-side-combined aggregate
+    * (≤ nPids rows to the driver — the same driver-bounded collect as
+    * before, minus the RDD sort-shuffle that used to precede it), the
+    * exclusive scan of the totals joins back as a broadcast bases table,
+    * and the running sum within each bucket is a hash-PARTITIONED window
+    * (never a single-task global window — nPids ≥ 8× parallelism keeps
+    * every task multi-bucket-balanced). The old RDD kernel paid a
+    * Java-serialized row shuffle + object sort + a per-pass Row↔InternalRow
+    * conversion for the same result (ProfJobs r15: 1.5–2.5 s of the layout
+    * queries' wall was that pass-1 sort+collect at sf0.1); the windowed
+    * form is whole-stage-codegen end to end. Non-integral keys keep the
+    * RDD path below.
     */
   def withStartOffsetsAndTotals(
+      df: DataFrame, orderCol: String, cols: Seq[(String, String)]): (DataFrame, Seq[Long]) = {
+    integralKeyExpr(df, orderCol) match {
+      case Some(key) =>
+        val mat = materializedOnce(df)
+        bucketed(mat, key) match {
+          case Some(b) => return windowedStartOffsets(mat, orderCol, cols, b)
+          case None => return legacyStartOffsetsAndTotals(mat, orderCol, cols)
+        }
+      case None => ()
+    }
+    legacyStartOffsetsAndTotals(df, orderCol, cols)
+  }
+
+  private def windowedStartOffsets(
+      mat: DataFrame, orderCol: String, cols: Seq[(String, String)], b: Buckets)
+      : (DataFrame, Seq[Long]) = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = mat.sparkSession
+    val nCols = cols.length
+    val withPid = mat.withColumn("__psb", b.pidOf)
+    // per-bucket totals: the window columns are absent from this branch, so
+    // column pruning reduces it to a partially-aggregated groupBy — the
+    // shuffle moves ≤ nPids·(nCols+1) longs
+    val statRows = withPid.groupBy(col("__psb"))
+      .agg(sum(col(cols.head._1)).as("__s0"),
+        cols.tail.zipWithIndex.map { case ((v, _), i) => sum(col(v)).as(s"__s${i + 1}") }: _*)
+      .collect()
+      .map(r => r.getLong(0) -> Array.tabulate(nCols)(i => r.getLong(i + 1)))
+      .sortBy(_._1)
+    record(DebugRec("withStartOffsets", orderCol, "equal-width-window",
+      statRows.length, b.nPids, s"[${b.lo},${b.hi}] width=${b.width}",
+      statRows.map(_._2.toSeq).toSeq))
+    // exclusive scan of the observed buckets' totals = per-bucket bases
+    val running = new Array[Long](nCols)
+    val baseRows = statRows.map { case (pid, tots) =>
+      val base = running.clone()
+      var i = 0
+      while (i < nCols) { running(i) += tots(i); i += 1 }
+      Row.fromSeq(pid +: base.toSeq)
+    }
+    val baseSchema = (0 until nCols).foldLeft(
+      new StructType().add("__psb", LongType, nullable = false)) {
+      (s, i) => s.add(s"__psbase$i", LongType, nullable = false)
+    }
+    val bases = spark.createDataFrame(
+      java.util.Arrays.asList(baseRows: _*), baseSchema)
+    val w = Window.partitionBy(col("__psb")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = cols.zipWithIndex.foldLeft(withPid) { case (d, ((v, _), i)) =>
+      d.withColumn(s"__psl$i", sum(col(v)).over(w))
+    }
+    val out = local.join(broadcast(bases), Seq("__psb"))
+      .select(mat.columns.map(col) ++ cols.zipWithIndex.map { case ((v, o), i) =>
+        (col(s"__psbase$i") + col(s"__psl$i") - col(v)).as(o)
+      }: _*)
+    (out, running.toSeq) // post-scan running = grand totals
+  }
+
+  private def legacyStartOffsetsAndTotals(
       df: DataFrame, orderCol: String, cols: Seq[(String, String)]): (DataFrame, Seq[Long]) = {
     val spark = df.sparkSession
     val valIdxs = cols.map { case (v, _) => df.schema.fieldIndex(v) }.toArray
@@ -246,6 +380,64 @@ object PrefixSum {
     */
   def withCusum(
       df: DataFrame, orderCol: String, valueCol: String, outCol: String): DataFrame = {
+    integralKeyExpr(df, orderCol) match {
+      case Some(key) =>
+        val mat = materializedOnce(df)
+        bucketed(mat, key) match {
+          case Some(b) => return windowedCusum(mat, orderCol, valueCol, outCol, b)
+          case None => return legacyCusum(mat, orderCol, valueCol, outCol)
+        }
+      case None => ()
+    }
+    legacyCusum(df, orderCol, valueCol, outCol)
+  }
+
+  /** Windowed twin of the RDD cusum (same bucket discipline as
+    * [[windowedStartOffsets]]): per row, P = base(bucket) + running bucket
+    * sum, and the reflected running min is min(minBefore(bucket),
+    * base(bucket) + running bucket min of the local prefix) — the identical
+    * (sum, minOfLocalPrefix) monoid, with the exclusive combine done on the
+    * driver over the ≤ nPids collected bucket stats (0-anchored, so S_0 = 0
+    * exactly as the recurrence).
+    */
+  private def windowedCusum(
+      mat: DataFrame, orderCol: String, valueCol: String, outCol: String,
+      b: Buckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = mat.sparkSession
+    val w = Window.partitionBy(col("__psb")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = mat.withColumn("__psb", b.pidOf)
+      .withColumn("__pslp", sum(col(valueCol)).over(w))
+    val stats = local.groupBy(col("__psb"))
+      .agg(sum(col(valueCol)).as("__s"), min(col("__pslp")).as("__m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    record(DebugRec("withCusum", orderCol, "equal-width-window",
+      stats.length, b.nPids, s"[${b.lo},${b.hi}] width=${b.width}",
+      stats.map(t => Seq(t._2, t._3)).toSeq))
+    var base = 0L; var minBefore = 0L // 0 anchors P_0, the empty prefix
+    val baseRows = stats.map { case (pid, s, m) =>
+      val row = Row(pid, base, minBefore)
+      minBefore = math.min(minBefore, base + m)
+      base += s
+      row
+    }
+    val baseSchema = new StructType()
+      .add("__psb", LongType, nullable = false)
+      .add("__psbase", LongType, nullable = false)
+      .add("__psmb", LongType, nullable = false)
+    val bases = spark.createDataFrame(
+      java.util.Arrays.asList(baseRows: _*), baseSchema)
+    local.withColumn("__psrm", min(col("__pslp")).over(w))
+      .join(broadcast(bases), Seq("__psb"))
+      .select(mat.columns.map(col) :+
+        (col("__psbase") + col("__pslp") -
+          least(col("__psmb"), col("__psbase") + col("__psrm"))).as(outCol): _*)
+  }
+
+  private def legacyCusum(
+      df: DataFrame, orderCol: String, valueCol: String, outCol: String): DataFrame = {
     val spark = df.sparkSession
     val valIdx = df.schema.fieldIndex(valueCol)
     // Same single-RDD discipline as withStartOffsets: one set of bounds
@@ -299,6 +491,55 @@ object PrefixSum {
     * series length.
     */
   def withLag(
+      df: DataFrame, orderCol: String, valueCol: String, outCol: String): DataFrame = {
+    integralKeyExpr(df, orderCol) match {
+      case Some(key) =>
+        val mat = materializedOnce(df)
+        bucketed(mat, key) match {
+          case Some(b) => return windowedLag(mat, orderCol, valueCol, outCol, b)
+          case None => return legacyLag(mat, orderCol, valueCol, outCol)
+        }
+      case None => ()
+    }
+    legacyLag(df, orderCol, valueCol, outCol)
+  }
+
+  /** Windowed twin of the RDD lag: within a bucket `lag(1)` over the bucket
+    * window; each bucket's FIRST row takes the last value of the nearest
+    * non-empty bucket before it (order-free per-bucket `max_by` stats —
+    * empty buckets simply don't appear). Null for the global first row.
+    */
+  private def windowedLag(
+      mat: DataFrame, orderCol: String, valueCol: String, outCol: String,
+      b: Buckets): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = mat.sparkSession
+    val withPid = mat.withColumn("__psb", b.pidOf)
+    val stats = withPid.groupBy(col("__psb"))
+      .agg(max_by(col(valueCol), col(orderCol)).as("__last"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    record(DebugRec("withLag", orderCol, "equal-width-window",
+      stats.length, b.nPids, s"[${b.lo},${b.hi}] width=${b.width}",
+      stats.map(t => Seq(1L, t._2)).toSeq))
+    var prev: Option[Long] = None
+    val seedRows = stats.map { case (pid, last) =>
+      val row = Row(pid, prev.map(java.lang.Long.valueOf).orNull)
+      prev = Some(last)
+      row
+    }
+    val seedSchema = new StructType()
+      .add("__psb", LongType, nullable = false)
+      .add("__psseed", LongType, nullable = true)
+    val seeds = spark.createDataFrame(
+      java.util.Arrays.asList(seedRows: _*), seedSchema)
+    val w = Window.partitionBy(col("__psb")).orderBy(col(orderCol))
+    withPid.join(broadcast(seeds), Seq("__psb"))
+      .select(mat.columns.map(col) :+
+        coalesce(lag(col(valueCol), 1).over(w), col("__psseed")).as(outCol): _*)
+  }
+
+  private def legacyLag(
       df: DataFrame, orderCol: String, valueCol: String, outCol: String): DataFrame = {
     val spark = df.sparkSession
     val valIdx = df.schema.fieldIndex(valueCol)

@@ -158,7 +158,8 @@ object TextAnalysis {
     // round-8 job lever)
     graft.operators.Dedup.withStaticPlan(spark) {
     val words = graft.operators.Dedup.cachedForReuse(
-      df.select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
+      graft.operators.Dedup.spread(df)
+        .select(explode(split(lower(col(textCol)), "\\s+")).as("w"))
         .filter(length(col("w")) > 0)
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
         .select(split(col("w"), "").as("syms"), col("cnt")))
@@ -231,7 +232,7 @@ object TextAnalysis {
                 concat(slice(st, lit(1), size(st) - 1), array(lit(a + b))))
               .otherwise(concat(st, array(x))))))
     }
-    df.select(col(idCol).as("doc_id"),
+    graft.operators.Dedup.spread(df).select(col(idCol).as("doc_id"),
       aggregate(folded, lit(0L), (acc, syms) => acc + size(syms))
         .as("n_subword_tokens"))
   }
@@ -291,7 +292,7 @@ object TextAnalysis {
     import org.apache.spark.sql.types.LongType
     val stops = langMarkers.toMap.apply("en")
     val splitRe = "\\b(?:" + stops.mkString("|") + ")\\b"
-    val ph = df.select(col(idCol).as("doc_id"),
+    val ph = graft.operators.Dedup.spread(df).select(col(idCol).as("doc_id"),
         explode(split(lower(col(textCol)), splitRe)).as("seg"))
       .select(col("doc_id"), trim(col("seg")).as("phrase"))
       .filter(col("phrase") =!= "")
@@ -378,7 +379,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.LongType
     require(buckets >= 1, "buckets must be >= 1")
-    val toks = df.select(col(idCol).cast(LongType).as("doc_id"),
+    val toks = graft.operators.Dedup.spread(df)
+      .select(col(idCol).cast(LongType).as("doc_id"),
         explode(tokens(col(textCol))).as("w"))
       .filter(col("w") =!= "")
     val scale = df.select((max(col(idCol)).cast(LongType) + 1L).as("__n"))
@@ -439,7 +441,8 @@ object TextAnalysis {
   def bigramFluencyPpm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val l = tokens(col(textCol))
-    val bg = df.select(col(idCol).as("doc_id"),
+    val bg = graft.operators.Dedup.spread(df)
+      .select(col(idCol).as("doc_id"),
         explode(zip_with(
           slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
           (a, b) => struct(a.as("w1"), b.as("w2")))).as("bgm"))
@@ -472,7 +475,7 @@ object TextAnalysis {
   def sttr(df: DataFrame, idCol: String, textCol: String,
       segTokens: Int = 25): DataFrame = {
     require(segTokens >= 1, "sttr: segTokens must be >= 1")
-    val seg = df
+    val seg = graft.operators.Dedup.spread(df)
       .select(col(idCol).as("doc_id"),
         posexplode(split(lower(col(textCol)), " ")).as(Seq("pos", "w")))
       .withColumn("seg", expr(s"pos div $segTokens"))

@@ -808,19 +808,32 @@ object AnalyticsQueries {
         .select(
           when(col("du") < col("dv") ||
                (col("du") === col("dv") && col("u") < col("v")),
-            struct(col("u").as("s"), col("v").as("t"), col("dv").as("dt")))
+            struct(col("u").as("s"), col("v").as("t")))
           .otherwise(
-            struct(col("v").as("s"), col("u").as("t"), col("du").as("dt")))
+            struct(col("v").as("s"), col("u").as("t")))
           .as("r"))
-        .select(col("r.s").as("s"), col("r.t").as("t"), col("r.dt").as("dt")))
-    val tri = o.as("o1")
-      .join(o.as("o2"),
-        col("o2.s") === col("o1.s") &&
-          (col("o1.dt") < col("o2.dt") ||
-            (col("o1.dt") === col("o2.dt") && col("o1.t") < col("o2.t"))))
-      .join(o.as("o3"),
-        col("o3.s") === col("o1.t") && col("o3.t") === col("o2.t"))
-      .agg(count(lit(1)).as("n_triangles"))
+        .select(col("r.s").as("s"), col("r.t").as("t")))
+    // Count each triangle once at its two LOWEST (orientation-order)
+    // vertices' edge: a triangle s<a<b (in the (deg, id) orientation order)
+    // is oriented s→a, s→b, a→b, so it appears exactly once as b ∈
+    // N⁺(s) ∩ N⁺(a) on edge (s, a) — and never on (s, b) or (a, b), whose
+    // out-neighborhoods cannot contain the lower vertices. Summing
+    // |N⁺(u) ∩ N⁺(v)| over oriented edges therefore counts every triangle
+    // exactly once (round 15: replaces the two-step wedge join, which
+    // materialized the full O(Σ d⁺²) wedge stream — ~40M rows at sf0.1 —
+    // through a second join; the adjacency form intersects two ≤ O(√m)
+    // sorted lists per EDGE inside one codegen stage, no wedge
+    // materialization, same arboricity bound on the per-row work). The
+    // node-keyed adjacency table is vocabulary-sized — broadcast on both
+    // probes, so the edge frame never shuffles.
+    val adj = o.groupBy(col("s")).agg(sort_array(collect_list(col("t"))).as("nb"))
+    val tri = o
+      .join(broadcast(adj.select(col("s").as("u1"), col("nb").as("nb1"))),
+        col("s") === col("u1"))
+      .join(broadcast(adj.select(col("s").as("u2"), col("nb").as("nb2"))),
+        col("t") === col("u2"))
+      .agg(coalesce(sum(size(array_intersect(col("nb1"), col("nb2")))), lit(0L))
+        .cast(LongType).as("n_triangles"))
     e.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(tri))
       .select(col("n_edges"), col("n_triangles"))
   }
@@ -882,7 +895,12 @@ object AnalyticsQueries {
         // round's blocks deterministically.
         var release: () => Unit = () => ()
         for (_ <- 1 to 5) {
-          val next = ed.join(rk, ed("u") === rk("node"))
+          // shuffled-HASH on the rank side: the checkpointed rank frame has
+          // no size statistics, so the static planner would fall back to
+          // sort-merge and re-sort the stationary edge partitions EVERY
+          // round; hashing the small per-partition rank build side skips
+          // that sort at any scale (guide §3.1)
+          val next = ed.join(rk.hint("shuffle_hash"), ed("u") === rk("node"))
             .groupBy(col("v"))
             .agg((floor(lit(0.85) * sum(
               floor(col("r").cast(DoubleType) / col("deg")))) + 150000L)
@@ -1219,14 +1237,21 @@ object AnalyticsQueries {
       .groupBy(col("o_custkey").as("custkey"), col("maxd"))
       .agg(datediff(col("maxd"), max(to_date(col("o_orderdate")))).as("recency_days"),
         count(lit(1)).as("frequency"),
-        Exact.dsum(col("o_totalprice")).as("monetary"))
+        Exact.dsum(col("o_totalprice")).as("monetary"),
+        // the monetary sort key as an exact integer (cents of the same
+        // DECIMAL(18,2) sum): cents/100 → double is exact below 2^53, so
+        // ordering by cents ≡ ordering by the double — and an integral
+        // first field puts this scan on the prefix-sum kernel's windowed
+        // fast path (the R/F scans qualify already)
+        (sum(Exact.money(col("o_totalprice"))) * 100)
+          .cast(LongType).as("cents"))
       .withColumn("one", lit(1L))
       // r orders most-recent LAST (recency_days DESC): negate for the
       // ascending scan; ties by custkey in every order → unique total order
       .withColumn("ordR",
         struct((-col("recency_days")).cast(LongType), col("custkey")))
       .withColumn("ordF", struct(col("frequency"), col("custkey")))
-      .withColumn("ordM", struct(col("monetary"), col("custkey")))
+      .withColumn("ordM", struct(col("cents"), col("custkey")))
       .localCheckpoint(eager = false)
     // NTILE(5) from a 1-based rank in closed form: the first n%5 buckets
     // carry ceil(n/5) rows (SQL NTILE's contract), identical to the window
@@ -1392,7 +1417,9 @@ object AnalyticsQueries {
           var release: () => Unit = () => ()
           for (_ <- 1 to 3) {
             val next = dist
-              .unionAll(e.join(dist, col("u") === col("node"))
+              // shuffled-hash on the frontier side — the q_pagerank round
+              // treatment: never re-sort the stationary edge partitions
+              .unionAll(e.join(dist.hint("shuffle_hash"), col("u") === col("node"))
                 .select(col("v").as("node"), (col("d") + 1L).as("d")))
               .groupBy(col("node")).agg(min(col("d")).as("d"))
               .localCheckpoint(true)
@@ -1676,7 +1703,17 @@ object AnalyticsQueries {
       .withColumn("dy", explode(lit(Array(-1, 0, 1))))
       .select(col("id2"), col("x2"), col("y2"),
         (col("cx2") + col("dx")).as("jx"), (col("cy2") + col("dy")).as("jy"))
-    val pairs = pts.join(nbr,
+    // The join's INPUT is tiny (a few MB of point rows) but its OUTPUT is
+    // the candidate-pair stream — AQE sizes the post-shuffle partition
+    // count from input bytes and coalesced this stage to ~6 tasks at sf0.1,
+    // serializing the distance evaluation on a 32-core box (guide §2.2/2.5:
+    // size partitions for the work, not the bytes). Pin the cell-key
+    // shuffle at defaultParallelism on BOTH sides — explicit user
+    // repartitions are exempt from AQE coalescing, and the width tracks
+    // the core count at any scale.
+    val P = spark.sparkContext.defaultParallelism
+    val pairs = pts.repartition(P, col("cx"), col("cy"))
+      .join(nbr.repartition(P, col("jx"), col("jy")),
         col("jx") === col("cx") && col("jy") === col("cy")
           && col("id") < col("id2"))
       .select(col("id").as("id1"), col("id2"),

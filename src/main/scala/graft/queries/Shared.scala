@@ -163,18 +163,26 @@ object Shared {
     */
   def partEdges(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, s"partEdges|$dir") {
-      import org.apache.spark.sql.expressions.Window
       Dedup.withStaticPlan(spark) {
         val li = Tables.lineitem(spark, dir)
           .select(col("l_orderkey"), col("l_partkey")).distinct()
+        // ONE exchange keyed on u replaces the old distinct-pairs shuffle +
+        // degree-window shuffle + explicit repartition (3 exchanges → 1,
+        // round 15): collect_set dedups (u, v) with map-side partial
+        // aggregation, the degree is the set size, and the explode is a
+        // narrow projection that PRESERVES the groupBy's hashpartitioning
+        // on u — exactly the layout both iterative consumers join against.
+        // Skew bound unchanged: the old degree window already funneled each
+        // u's rows through one task; the set aggregate has the same
+        // per-hub bound with two fewer data-sized shuffles.
         Dedup.cachedForReuse(
           li.as("a").join(li.as("b"),
               col("a.l_orderkey") === col("b.l_orderkey") &&
                 col("a.l_partkey") =!= col("b.l_partkey"))
-            .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-            .distinct()
-            .withColumn("deg", count(lit(1)).over(Window.partitionBy(col("u"))))
-            .repartition(col("u")))
+            .groupBy(col("a.l_partkey").as("u"))
+            .agg(collect_set(col("b.l_partkey")).as("vs"))
+            .select(col("u"), explode(col("vs")).as("v"),
+              size(col("vs")).cast("long").as("deg")))
       }
     }
 

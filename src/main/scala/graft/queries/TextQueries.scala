@@ -141,8 +141,11 @@ object TextQueries {
       |FROM m ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     graft.functions.GraftFunctions.register(spark) // hash61
     val n = 4; val w = 4
-    Tables.documents(spark, dir)
-      .filter(length(col("text")) >= n + w - 1)
+    // fan the one-file scan out to the core count before the per-char gram
+    // kernel (Dedup.spread — identity on any multi-split table); the filter
+    // stays below the exchange so it still pushes to the scan
+    graft.operators.Dedup.spread(Tables.documents(spark, dir)
+        .filter(length(col("text")) >= n + w - 1))
       .withColumn("gs", expr(s"transform(sequence(1, length(text) - ${n - 1}), i -> substring(text, i, $n))"))
       .withColumn("hv", expr("transform(gs, s -> hash61(s))"))
       .withColumn("fps", expr(s"array_sort(array_distinct(transform(sequence(1, size(hv) - ${w - 1}), i -> array_min(slice(hv, i, $w)))))"))
@@ -190,7 +193,7 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val n = docs.agg(count(lit(1)).as("n"))
-    val t = docs
+    val t = graft.operators.Dedup.spread(docs)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("doc_id"), col("token"))
@@ -227,7 +230,7 @@ object TextQueries {
       |GROUP BY value, tot.n
       |HAVING COUNT(*) > tot.n // 51
       |ORDER BY cnt DESC, value""".stripMargin) { (spark, dir) =>
-    val toks = Tables.documents(spark, dir)
+    val toks = graft.operators.Dedup.spread(Tables.documents(spark, dir))
       .select(explode(split(col("text"), " ")).as("value"))
     graft.operators.Sketches.heavyHitters(toks, col("value"), k = 50)
       .orderBy(col("cnt").desc, col("value"))
@@ -253,7 +256,7 @@ object TextQueries {
       |SELECT token, total_count, n_docs,
       |  CAST(ROW_NUMBER() OVER (ORDER BY total_count DESC, token) AS BIGINT) AS rank
       |FROM t ORDER BY rank""".stripMargin) { (spark, dir) =>
-    val t = Tables.documents(spark, dir)
+    val t = graft.operators.Dedup.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token"))
@@ -289,7 +292,7 @@ object TextQueries {
     // (the old single-select form) recomputed the split per reference
     // inside the interpreted HOF chain.
     val l = col("l")
-    Tables.documents(spark, dir)
+    graft.operators.Dedup.spread(Tables.documents(spark, dir))
       .select(split(lower(col("text")), " ").as("l"))
       .select(explode(zip_with(
         slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
@@ -329,7 +332,7 @@ object TextQueries {
       |FROM g JOIN o USING (gh)
       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (spark, dir) =>
     graft.functions.GraftFunctions.register(spark)
-    val toks = Tables.documents(spark, dir)
+    val toks = graft.operators.Dedup.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), split(lower(col("text")), " ").as("toks"))
       .filter(size(col("toks")) >= 5)
     // hash61 is the compiled twin of the 16-hex-md5-prefix mod 2^61-1
@@ -390,7 +393,7 @@ object TextQueries {
       |SELECT doc_a, doc_b, dot FROM j
       |ORDER BY dot DESC, doc_a, doc_b LIMIT 50""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val t = Tables.documents(spark, dir)
+    val t = graft.operators.Dedup.spread(Tables.documents(spark, dir))
       .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
       .filter(size(col("w")) >= 3)
     val p = t.select(col("doc_id"), explode(expr(
@@ -439,7 +442,8 @@ object TextQueries {
       |ORDER BY lift_bp DESC, w1, w2 LIMIT 50""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.expressions.Window
     val l = split(lower(col("text")), " ")
-    val bg = graft.operators.Dedup.cachedForReuse(Tables.documents(spark, dir)
+    val bg = graft.operators.Dedup.cachedForReuse(
+      graft.operators.Dedup.spread(Tables.documents(spark, dir))
       .select(explode(zip_with(
         slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bgm"))
@@ -644,7 +648,7 @@ object TextQueries {
       |FROM d GROUP BY dim ORDER BY dim""".stripMargin) { (spark, dir) =>
     import org.apache.spark.sql.types.LongType
     graft.functions.GraftFunctions.register(spark)
-    Tables.documents(spark, dir)
+    graft.operators.Dedup.spread(Tables.documents(spark, dir))
       .select(explode(split(lower(col("text")), " ")).as("t"))
       .filter(col("t") =!= "")
       .withColumn("hv", expr("hash32(t)"))
@@ -715,7 +719,8 @@ object TextQueries {
       |  CAST(SUM(c2 * 1000000 // c1) // COUNT(*) AS BIGINT) AS fluency_ppm
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     graft.operators.TextAnalysis
-      .bigramFluencyPpm(Tables.documents(spark, dir), "doc_id", "text")
+      .bigramFluencyPpm(
+        graft.operators.Dedup.spread(Tables.documents(spark, dir)), "doc_id", "text")
       .orderBy(col("doc_id"))
   }
 
@@ -754,7 +759,7 @@ object TextQueries {
          |  lang = predicted AS correct
          |FROM c ORDER BY lang, predicted""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      Tables.documents(spark, dir)
+      graft.operators.Dedup.spread(Tables.documents(spark, dir))
         .select(col("lang"),
           TextAnalysis.languageId(col("text")).as("predicted"))
         .groupBy(col("lang"), col("predicted"))

@@ -63,7 +63,7 @@ class JobCountSpec extends AnyFunSuite {
       "tx23_bpe_train" -> 16, // 8 training rounds, 1 job each under static plans
       "tx25_bpe_token_budget" -> 22, // train (as tx23) + one apply/aggregate pass
       "w22_vortex" -> 6,
-      "tx26_rake_keywords" -> 6, // one explode chain, 3 doc-keyed shuffles
+      "tx26_rake_keywords" -> 7, // one explode chain, 3 doc-keyed shuffles + the r15 scan fan-out exchange
       "w24_holt" -> 6,
       "w27_kama" -> 6, // one keyed WindowExec: warmup lags/sums + VarEwm recursion
       "m42_kruskal_wallis" -> 5, // grid agg + grid window + single-row agg (m33 shape)
@@ -71,7 +71,7 @@ class JobCountSpec extends AnyFunSuite {
       "dd29_bottomk_containment" -> 10, // sketch kernel + df-cap index + pair join
       "m43_jonckheere" -> 5, // grid agg + grid window + single-row agg (m33 shape)
       "mm6_quality_gate" -> 5, // projection + (modality,verdict) agg + ppm window
-      "tx30_sttr" -> 5, // posexplode + (doc,seg) agg + doc agg, all doc-keyed
+      "tx30_sttr" -> 6, // posexplode + (doc,seg) agg + doc agg, all doc-keyed + the r15 scan fan-out exchange
       "mx21_multimodal_packing" -> 8, // length projection + range-part pack + bin agg
       "m44_friedman" -> 6, // (block,treatment) agg + block windows + scalar row
       "q_boxplot" -> 7, // quartile grid pass + broadcast fence re-join

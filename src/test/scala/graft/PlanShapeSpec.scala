@@ -104,15 +104,21 @@ class PlanShapeSpec extends AnyFunSuite {
       .withColumn("v", (col("k") % 37) + 1)
     val fast = graft.operators.PrefixSum.withStartOffset(df, "k", "v", "off")
     val p = plan(fast)
-    assert(!p.contains("Window ["), "two-pass prefix sum must not plan a window")
-    // the range shuffle lives in the cached RDD's lineage now; the visible
-    // guarantee is a multi-partition output (no single-task funnel)
-    assert(fast.rdd.getNumPartitions > 1, "output must stay partitioned, not one task")
-    // equal-width integral-key path shuffles at the RDD level (ShuffledRDD);
-    // the sampled-range fallback shuffles in Catalyst (ShuffledRowRDD) —
-    // either way the order must come from a shuffle upstream
+    // the running sum must NEVER serialize into one task: the windowed fast
+    // path (round 15) partitions its window by the equal-width bucket id, so
+    // the plan may contain Window nodes but no single-partition exchange
+    assert(!p.contains("Exchange SinglePartition"),
+      "prefix sum must not funnel through a single partition:\n" + p)
+    // partition-count probe with AQE off: under AQE the tiny test shuffle is
+    // legitimately coalesced to one partition (data-sized, not a plan cliff)
+    graft.operators.Dedup.withStaticPlan(TestSpark.spark) {
+      assert(fast.rdd.getNumPartitions > 1, "output must stay partitioned, not one task")
+    }
+    // bucketed windowed path shuffles in Catalyst (ShuffledRowRDD); the
+    // sampled-range RDD fallback shuffles at the RDD level (ShuffledRDD) —
+    // either way the per-bucket order must come from a shuffle upstream
     assert(fast.rdd.toDebugString.contains("ShuffledR"),
-      "order must come from a range shuffle upstream")
+      "order must come from a shuffle upstream")
     val naive = df.withColumn("off",
       coalesce(sum(col("v")).over(
         Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
