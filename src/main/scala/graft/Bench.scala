@@ -43,13 +43,18 @@ import org.apache.spark.sql.SparkSession
   * runtime, not the engine. Each shard therefore:
   *
   *  1. WARMS every query of its slice by executing it once against the
-  *     sibling `sf0.001` directory (override: `SPARK_GRAFT_WARMUP_DIR`;
-  *     disable: `SPARK_GRAFT_WARMUP=0`) — generated classes are a function
-  *     of the plan, not the data, so this compiles + JITs the kernels for
-  *     ~zero rows of execution while the RECORDED run at the bench SF
-  *     stays a single data-cold execution (AQE may still pick different
-  *     runtime plans at the two SFs; the residual first-run cost of those
-  *     kernels is accepted and visible in the telemetry's `jit +Nms`).
+  *     LARGEST smaller sibling SF directory — `sf0.01` when present, else
+  *     `sf0.001` (override: `SPARK_GRAFT_WARMUP_DIR`; disable:
+  *     `SPARK_GRAFT_WARMUP=0`) — generated classes are a function of the
+  *     plan, not the data, so this compiles + JITs the kernels for little
+  *     execution while the RECORDED run at the bench SF stays a single
+  *     recompute-from-parquet execution. Round 15 moved the default from
+  *     sf0.001 to sf0.01: AQE picks runtime plans from observed sizes, so
+  *     the sf0.001 warmup left the sf0.1-shaped kernels cold and the timed
+  *     run carried 0.5-10 s of residual JIT per query (`jit +Nms`
+  *     telemetry); the sf0.01-warmed suite measured 43 s lighter on
+  *     identical code. The residual cost of any kernels that STILL differ
+  *     at the bench SF remains accepted and visible in the telemetry.
   *  2. Re-runs entries whose timed run exceeds `RERUN_FLOOR_SEC` (3 s)
   *     once, back-to-back, and records the MIN — the documented guard
   *     against the multi-second ambient scheduler stalls this shared
@@ -196,8 +201,19 @@ object Bench {
     val warmDir = sys.env.get("SPARK_GRAFT_WARMUP_DIR").orElse {
       if (sys.env.get("SPARK_GRAFT_WARMUP").contains("0")) None
       else {
-        val sib = java.nio.file.Paths.get(sfDir).resolveSibling("sf0.001")
-        if (java.nio.file.Files.isDirectory(sib)) Some(sib.toString) else None
+        // Prefer the LARGEST smaller sibling (round 15): AQE picks its
+        // runtime plans from observed sizes, so sf0.001-warmed kernels left
+        // the sf0.1-shaped generated classes cold and the timed run carried
+        // 0.5-10 s of residual JIT per query (telemetry `jit +Nms`; the
+        // whole-suite record measured 43 s lighter warming at sf0.01, same
+        // code). Warmup memos stay keyed by the warmup dir — nothing the
+        // timed run reuses; the recorded run is still a single
+        // recompute-from-parquet execution.
+        val base = java.nio.file.Paths.get(sfDir)
+        Seq("sf0.01", "sf0.001").iterator
+          .map(base.resolveSibling(_))
+          .filter(p => p.toString != sfDir && java.nio.file.Files.isDirectory(p))
+          .map(_.toString).toSeq.headOption
       }
     }.filter(_ != sfDir)
     warmDir.foreach { wd =>

@@ -1736,7 +1736,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 32, dfCap: Int = 50): DataFrame = {
     import org.apache.spark.sql.types.LongType
-    val kdf = cachedForReuse(df
+    val kdf = cachedForReuse(spread(df)
       .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("ts"))
       .filter(size(col("ts")) >= 3)
       .withColumn("sh", expr(
@@ -1777,7 +1777,7 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val toks = df
+    val toks = spread(df)
       .select(col(idCol).as("doc_id"), split(lower(col(textCol)), " ").as("toks"))
       .filter(size(col("toks")) >= n)
     val grams = toks.select(col("doc_id"), explode(expr(

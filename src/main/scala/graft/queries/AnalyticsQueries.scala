@@ -1082,10 +1082,20 @@ object AnalyticsQueries {
     // one shuffle builds the baskets; pair generation is a per-basket HOF
     // (collect_set dedups in-place), replacing the distinct + self-join
     // two-shuffle plan — per-basket cost O(k²) with k the basket size
+    // spread the checkpointed basket table to the core count when the input
+    // is a narrow small-file scan: AQE coalesces the small basket aggregate
+    // to a handful of partitions, and every narrow consumer stage — in
+    // particular the O(k²) per-basket pair explode — inherits that width
+    // (the q_grid_closest_pair lesson: size partitions for the work, not
+    // the bytes). The probe reads the SCAN's split count (plan-only, no
+    // execution — probing the aggregate itself would run it under AQE);
+    // a real multi-split table at scale skips the extra exchange.
+    val P = spark.sparkContext.defaultParallelism
+    val li = graft.Tables.lineitem(spark, dir)
+    val agg = li.groupBy(col("l_orderkey").as("o"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
     val baskets = graft.operators.Dedup.cachedForReuse(
-      graft.Tables.lineitem(spark, dir)
-        .groupBy(col("l_orderkey").as("o"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps")))
+      if (li.rdd.getNumPartitions < P) agg.repartition(P) else agg)
     val n = baskets.agg(count(lit(1)).as("n_orders"))
     val s = baskets.select(explode(col("ps")).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("cnt"))
