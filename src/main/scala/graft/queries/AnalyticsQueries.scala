@@ -781,17 +781,10 @@ object AnalyticsQueries {
       |SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
       |       CAST(t.n_triangles AS BIGINT) AS n_triangles
       |FROM t""".stripMargin) { (spark, dir) =>
-    val p = Tables.events(spark, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-      .distinct()
     // edge table feeds FOUR consumers (degree build ×2, orientation join,
-    // edge count) — materialize once (SCALE.md invariant #3)
-    val e = graft.operators.Dedup.cachedForReuse(
-      p.as("a").join(p.as("b"),
-          col("a.h") === col("b.h") && col("a.user_id") < col("b.user_id"))
-        .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
-        .distinct())
+    // edge count) and is built IDENTICALLY by q_kcore — one cross-query
+    // materialization (round 15; SCALE.md invariant #3)
+    val e = Shared.purchaseCoEdges(spark, dir)
     // Degree orientation (the standard compact-forward algorithm): point
     // every edge from its lower-(degree, id) endpoint to the higher one and
     // build wedges only from ORIENTED out-edges. Triangle counts are
@@ -1002,11 +995,15 @@ object AnalyticsQueries {
         .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("t")).as("st"), max(col("t")).as("en"))
         .localCheckpoint(true)
-      val ev = sess.groupBy((col("st") * 2).as("k"))
-          .agg(count(lit(1)).as("delta"))
-        .unionAll(sess.groupBy((col("en") * 2 + 1).as("k"))
-          .agg((-count(lit(1))).as("delta")))
-      val g = ev.groupBy(col("k")).agg(sum(col("delta")).as("delta"))
+      // both boundary branches in ONE exchange (round 15): each session row
+      // explodes into its (+1 at st·2, −1 at en·2+1) boundary pair — a
+      // narrow projection — and a single keyed aggregate sums the deltas;
+      // the old two-aggregate union + re-aggregate shuffled sess twice and
+      // the merged grid a third time for the same sums
+      val g = sess.select(explode(array(
+          struct((col("st") * 2).as("k"), lit(1L).as("delta")),
+          struct((col("en") * 2 + 1).as("k"), lit(-1L).as("delta")))).as("b"))
+        .groupBy(col("b.k").as("k")).agg(sum(col("b.delta")).as("delta"))
       val c = graft.operators.PrefixSum
         .withStartOffset(g, "k", "delta", "c0")
         .select(col("k"), (col("c0") + col("delta")).as("conc"))
@@ -1791,15 +1788,8 @@ object AnalyticsQueries {
       |  ) g)
       |SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS deg
       |FROM rec WHERE NOT go GROUP BY a ORDER BY node""".stripMargin) { (spark, dir) =>
-    val p = graft.Tables.events(spark, dir)
-      .filter(col("event_type") === "purchase")
-      .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
-      .distinct()
-    val e = p.as("a").join(p.as("b"),
-        col("a.h") === col("b.h") && col("a.user_id") < col("b.user_id"))
-      .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
-      .distinct()
-    graft.operators.Dedup.kCore(e, "u", "v", k = 3)
+    graft.operators.Dedup.kCore(
+        Shared.purchaseCoEdges(spark, dir), "u", "v", k = 3)
       .orderBy(col("node"))
   }
 

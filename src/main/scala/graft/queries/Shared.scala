@@ -161,6 +161,25 @@ object Shared {
     * Same lifecycle contract as the MinHash memo; Verify's per-query
     * [[clear]] keeps the gate hermetic.
     */
+  /** The purchase co-occurrence edge table over `events` — DISTINCT
+    * (u < v) user pairs sharing a purchase hour — built identically (and
+    * until round 15, twice) by q_triangles and q_kcore. One
+    * materialization, same lifecycle contract as [[partEdges]]; Verify's
+    * per-query [[clear]] keeps the CORRECTNESS gate hermetic.
+    */
+  def purchaseCoEdges(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, s"purchEdges|$dir") {
+      val p = Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .distinct()
+      Dedup.cachedForReuse(
+        p.as("a").join(p.as("b"),
+            col("a.h") === col("b.h") && col("a.user_id") < col("b.user_id"))
+          .select(col("a.user_id").as("u"), col("b.user_id").as("v"))
+          .distinct())
+    }
+
   def partEdges(spark: SparkSession, dir: String): DataFrame =
     memoized(spark, s"partEdges|$dir") {
       Dedup.withStaticPlan(spark) {

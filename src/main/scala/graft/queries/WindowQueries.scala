@@ -523,12 +523,17 @@ object WindowQueries {
         .agg(min(when(col("rn") ===
           floor(lit(0.5) * (col("cnt") - 1)).cast(LongType) + 1L,
           col(valueCol))).as(out))
-    val r = graft.Tables.orders(spark, dir)
+    // r feeds the median pass AND the deviation frame; dev feeds the MAD
+    // pass AND the final ranking — materialize each once (round 15) so the
+    // orders⋈customer join and the deviation projection run one time, not
+    // once per consumer
+    val r = graft.operators.Dedup.cachedForReuse(graft.Tables.orders(spark, dir)
       .join(graft.Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
-      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
-    val dev = r.join(broadcast(medianOf(r, "o_totalprice", "med")),
+      .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice")))
+    val dev = graft.operators.Dedup.cachedForReuse(
+      r.join(broadcast(medianOf(r, "o_totalprice", "med")),
         col("c_mktsegment") === col("seg")).drop("seg")
-      .withColumn("ad", abs(col("o_totalprice") - col("med")))
+      .withColumn("ad", abs(col("o_totalprice") - col("med"))))
     val rz = lit(0.6745) * (col("o_totalprice") - col("med")) / col("mad")
     dev.join(broadcast(medianOf(dev, "ad", "mad")), col("c_mktsegment") === col("seg"))
       .withColumn("rk", row_number().over(
