@@ -694,6 +694,15 @@ object Dedup {
     // reused by band explode + both sides of the Hamming verify join;
     // leak-free cache (ContextCleaner-released), see cachedForReuse
     val h = cachedForReuse(simhashes64(df, idCol, textCol))
+    // Band rows CARRY the two signature halves through the bucket self-join
+    // (round 15, guide §2.4 "remove shuffles outright"): the Hamming verify
+    // evaluates inline on the join output, so the two corpus-sized
+    // sig-attach joins the old plan paid after the distinct are gone. The
+    // carried payload is 16 bytes/band-row — far cheaper at any scale than
+    // re-shuffling the full signature table twice by doc id. Filter before
+    // distinct: the Hamming value is a pure function of the pair, identical
+    // in every band that surfaces it, so filter∘distinct ≡ distinct∘filter
+    // and the distinct dedups only surviving pairs.
     val b = capBuckets(
       h.select(col("doc_id"), explode(expr("sequence(0, 3)")).as("band"),
           col("sim_hi"), col("sim_lo"))
@@ -702,22 +711,17 @@ object Dedup {
             |     WHEN band = 1 THEN (sim_lo >> 16) & 65535
             |     WHEN band = 2 THEN sim_hi & 65535
             |     ELSE (sim_hi >> 16) & 65535 END""".stripMargin))
-        .select("doc_id", "band", "bv"),
+        .select("doc_id", "band", "bv", "sim_hi", "sim_lo"),
       Seq("band", "bv"), maxBucket)
-    val cand = b.as("a").join(b.as("b2"),
+    b.as("a").join(b.as("b2"),
         col("a.band") === col("b2.band") && col("a.bv") === col("b2.bv") &&
           col("a.doc_id") < col("b2.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"))
-      .distinct()
-    cand.join(h.select(col("doc_id").as("doc_a"),
-        col("sim_hi").as("ha"), col("sim_lo").as("la")), "doc_a")
-      .join(h.select(col("doc_id").as("doc_b"),
-        col("sim_hi").as("hb"), col("sim_lo").as("lb")), "doc_b")
-      .withColumn("hamming",
-        (bit_count(col("ha").bitwiseXOR(col("hb"))) +
-          bit_count(col("la").bitwiseXOR(col("lb")))).cast(LongType))
+      .select(col("a.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"),
+        (bit_count(col("a.sim_hi").bitwiseXOR(col("b2.sim_hi"))) +
+          bit_count(col("a.sim_lo").bitwiseXOR(col("b2.sim_lo")))).cast(LongType)
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select("doc_a", "doc_b", "hamming")
+      .distinct()
   }
 
   // ------------------------------------------------- n-gram inverted index

@@ -983,18 +983,19 @@ object AnalyticsQueries {
       |m AS (SELECT MAX(conc) AS peak FROM c)
       |SELECT peak, MIN(k) // 2 AS at_us FROM c, m WHERE conc = peak
       |GROUP BY peak""".stripMargin) { (spark, dir) =>
-    // the session frame feeds BOTH boundary branches (+1 at starts, −1 at
-    // ends) — root it on a localCheckpoint or the sessionize window +
-    // aggregate run twice (the tx13 treatment). The whole sweep runs
-    // eagerly under a static plan (fixed shapes over bounded frames;
-    // AQE would schedule every exchange as its own job).
+    // The whole sweep runs eagerly under a static plan (fixed shapes over
+    // bounded frames; AQE would schedule every exchange as its own job).
+    // The session frame has exactly ONE consumer since the round-15
+    // boundary-explode fusion (both ±1 branches come from one explode), so
+    // it is NOT checkpointed here — the prefix-sum kernel's materializedOnce
+    // roots the boundary grid, and the sessionize window runs exactly once
+    // inside that single materialization (one fewer eager pass).
     graft.operators.Dedup.withStaticPlan(spark) {
       val sess = graft.operators.Temporal.sessionize(
           Tables.events(spark, dir), Seq("user_id"), "ts", gapUs = 1800000000L)
         .select(col("user_id"), col("session_id"), unix_micros(col("ts")).as("t"))
         .groupBy(col("user_id"), col("session_id"))
         .agg(min(col("t")).as("st"), max(col("t")).as("en"))
-        .localCheckpoint(true)
       // both boundary branches in ONE exchange (round 15): each session row
       // explodes into its (+1 at st·2, −1 at en·2+1) boundary pair — a
       // narrow projection — and a single keyed aggregate sums the deltas;

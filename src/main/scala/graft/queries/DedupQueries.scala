@@ -154,19 +154,20 @@ object DedupQueries {
     val h = Dedup.cachedForReuse(
       Dedup.simhashes(Tables.documents(spark, dir), "doc_id", "text")
         .withColumnRenamed("simhash", "sim"))
+    // band rows carry `sim` through the bucket self-join so the Hamming
+    // verify is inline — no post-distinct sig-attach joins (the dd9 move,
+    // round 15); filter∘distinct ≡ distinct∘filter since hamming is a pure
+    // function of the pair
     val b = h.select(col("doc_id"), col("sim"),
       explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("bv", expr("(sim >> cast(band*8 as int)) & 255"))
-    val cand = b.as("a").join(b.as("b2"),
+    b.as("a").join(b.as("b2"),
         col("a.band") === col("b2.band") && col("a.bv") === col("b2.bv") &&
           col("a.doc_id") < col("b2.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"))
-      .distinct()
-    cand.join(h.select(col("doc_id").as("doc_a"), col("sim").as("sa")), "doc_a")
-      .join(h.select(col("doc_id").as("doc_b"), col("sim").as("sb")), "doc_b")
-      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .select(col("a.doc_id").as("doc_a"), col("b2.doc_id").as("doc_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b2.sim"))).cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
-      .select("doc_a", "doc_b", "hamming")
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
