@@ -941,8 +941,8 @@ object Similarity {
   def kmeansFromPrepared(
       p: DataFrame, k: Int, iters: Int, sampleCap: Int = 1 << 18): DataFrame = {
     require(sampleCap > 0, s"sampleCap must be positive, got $sampleCap")
-    // iterative Lloyd rounds over a persisted corpus: fixed per-round plan
-    // shape, so AQE only multiplies scheduler jobs (Dedup.withStaticPlan)
+    // the one Catalyst action left (the init scan) runs non-adaptively: a
+    // fixed orderBy-limit shape where AQE only adds scheduler jobs
     graft.operators.Dedup.withStaticPlan(p.sparkSession) {
     val spark = p.sparkSession
     import spark.implicits._
@@ -955,45 +955,85 @@ object Similarity {
     var cents: Array[(Long, Array[Double])] = p.orderBy("vec_id").limit(k)
       .select(col("vec_id"), col("v")).as[(Long, Array[Double])].collect()
       .zipWithIndex.map { case ((_, v), i) => (i.toLong, v) }
-    var it = 0
-    while (it < iters) {
-      // the round's codebook lives on the driver — assign via the LITERAL
-      // path (no per-round packing aggregate or broadcast future; norms
-      // computed by the bit-identical driver fold)
-      val means = assignCellsLit(p,
-          cents.toSeq.map { case (id, v) => (id, v, normLocal(v)) })
-        .select(col("cell"), col("vec_id"), col("v")).as[(Long, Long, Array[Double])]
-        .groupByKey(_._1)
-        .mapGroups { (cell: Long, rows: Iterator[(Long, Long, Array[Double])]) =>
-          // Keep the `sampleCap` members with the smallest (sampleHash, id)
-          // via a bounded max-heap — O(cap × dims) task memory streaming,
-          // never the whole cell. Under the cap the heap holds every member
-          // and the kernel is bit-identical to the unbounded form.
-          implicit val ord: Ordering[(Long, Long, Array[Double])] =
+    // The Lloyd rounds run as PLAIN RDD jobs over ONE planned conversion of
+    // the prepared corpus (round 16): the previous shape re-planned a fresh
+    // Catalyst DAG per round — the literal codebook makes every round's plan
+    // NEW, so each of the `iters` rounds paid analyzer + optimizer + codegen
+    // on the driver (~0.2 s × iters × every kmeansFromPrepared consumer,
+    // the dd26/mx29 ProfStages planning gap). An RDD round has NO planning:
+    // the codebook travels as a per-round broadcast and the kernel below
+    // mirrors the Catalyst path bit-exactly —
+    //  - assignment mirrors [[graft.functions.AssignCellExpr.assign]]
+    //    (same sequential-fold dot, strict->, ties to lowest id, NaN skip);
+    //  - the cap-smallest-(sampleHash, id) member sample is a SET function,
+    //    so per-partition bounded heaps merged by reduceByKey (map-side
+    //    combining — strictly less shuffle than the old groupByKey) select
+    //    exactly the global cap-smallest set;
+    //  - means accumulate in vec_id order, the shuffle-order-independent
+    //    fold the kmeansCentroids discipline pins.
+    if (iters > 0) {
+      val vecs = p.select(col("vec_id"), col("v"), col("nrm"))
+        .as[(Long, Array[Double], Double)].rdd
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cap = sampleCap
+        var it = 0
+        while (it < iters) {
+          val bc = spark.sparkContext.broadcast(
+            cents.map { case (id, v) => (id, v, normLocal(v)) })
+          type Member = (Long, Long, Array[Double]) // (sampleHash, id, v)
+          implicit val ord: Ordering[Member] =
             Ordering.by { case (h, id, _) => (h, id) } // max-heap on (hash, id)
-          val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long, Array[Double])]
-          rows.foreach { case (_, id, v) =>
-            val key = sampleHash(id)
-            if (heap.size < sampleCap) heap.enqueue((key, id, v))
-            else if (ord.lt((key, id, v), heap.head)) {
-              heap.dequeue(); heap.enqueue((key, id, v))
+          def push(heap: scala.collection.mutable.PriorityQueue[Member], m: Member): Unit = {
+            if (heap.size < cap) heap.enqueue(m)
+            else if (ord.lt(m, heap.head)) { heap.dequeue(); heap.enqueue(m) }
+          }
+          val means = vecs.mapPartitions { rows =>
+            val cs = bc.value
+            val heaps = scala.collection.mutable.LongMap
+              .empty[scala.collection.mutable.PriorityQueue[Member]]
+            rows.foreach { case (id, v, nrm) =>
+              // AssignCellExpr.assign, verbatim on driver-side arrays
+              var bestId = 0L; var bestCos = 0.0
+              var found = false; var minId = Long.MaxValue
+              var i = 0
+              while (i < cs.length) {
+                val (cid, cv, cn) = cs(i)
+                if (cid < minId) minId = cid
+                val n = math.min(v.length, cv.length)
+                var acc = 0.0; var j = 0
+                while (j < n) { acc += v(j) * cv(j); j += 1 }
+                val cos = acc / (nrm * cn)
+                if (!cos.isNaN &&
+                    (!found || cos > bestCos || (cos == bestCos && cid < bestId))) {
+                  found = true; bestCos = cos; bestId = cid
+                }
+                i += 1
+              }
+              val cell = if (found) bestId else minId
+              push(heaps.getOrElseUpdate(cell,
+                scala.collection.mutable.PriorityQueue.empty[Member]), (sampleHash(id), id, v))
             }
-          }
-          // Accumulate in vec_id order so the double sum is bit-reproducible
-          // regardless of shuffle-arrival order (distributed fetch order is
-          // nondeterministic).
-          val members = heap.dequeueAll.toArray
-            .map(t => (t._2, t._3)).sortBy(_._1)
-          val acc = new Array[Double](members(0)._2.length)
-          members.foreach { case (_, v) =>
-            var i = 0
-            while (i < v.length) { acc(i) += v(i); i += 1 }
-          }
-          (cell, acc.map(_ / members.length))
+            heaps.iterator.map { case (cell, h) => (cell, h.dequeueAll.toArray) }
+          }.reduceByKey { (a, b) =>
+            // merge two partial cap-smallest sets: the union's cap smallest
+            val heap = scala.collection.mutable.PriorityQueue.empty[Member]
+            a.foreach(push(heap, _)); b.foreach(push(heap, _))
+            heap.dequeueAll.toArray
+          }.mapValues { members0 =>
+            val members = members0.map(t => (t._2, t._3)).sortBy(_._1)
+            val acc = new Array[Double](members(0)._2.length)
+            members.foreach { case (_, v) =>
+              var i = 0
+              while (i < v.length) { acc(i) += v(i); i += 1 }
+            }
+            acc.map(_ / members.length)
+          }.collect().toMap
+          bc.unpersist(false)
+          cents = cents.map { case (id, v) => (id, means.getOrElse(id, v)) }
+          it += 1
         }
-        .collect().toMap
-      cents = cents.map { case (id, v) => (id, means.getOrElse(id, v)) }
-      it += 1
+      } finally { vecs.unpersist(false); () }
     }
     centFrame(cents)
     }
