@@ -691,7 +691,8 @@ object Dedup {
   def simhash64NearDuplicates(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
-    // reused by band explode + both sides of the Hamming verify join;
+    // reused by both sides of the banded bucket self-join (the signature
+    // rides the band rows since round 15 — no attach joins remain);
     // leak-free cache (ContextCleaner-released), see cachedForReuse
     val h = cachedForReuse(simhashes64(df, idCol, textCol))
     // Band rows CARRY the two signature halves through the bucket self-join

@@ -150,9 +150,81 @@ object PrefixSum {
     * the integral order key (or the integral FIRST FIELD of a struct key —
     * rows sharing a first-field value share a bucket, and the struct's
     * lexicographic order never crosses bucket order) to a bucket id in
-    * [0, nPids).
+    * [0, nPids) — or, after one skew refinement ([[refine]]), to a SPARSE
+    * monotone id in [0, nPids × SubSlots).
     */
-  private final case class Buckets(pidOf: Column, nPids: Int, lo: Long, hi: Long, width: Long)
+  private final case class Buckets(
+      pidOf: Column, nPids: Int, lo: Long, hi: Long, width: Long,
+      refined: Boolean = false)
+
+  /** Rows at or under this count take the SMALL path: one single-bucket
+    * window instead of the stats-pass + broadcast-bases + bucketed-window
+    * machinery — one scheduler job and two plan stages fewer per call
+    * (round 16; the r15 VERDICT measured the windowed kernel's fixed
+    * stages costing 0.2–0.3 s of per-query latency on small-grid callers
+    * like q_pareto/tx11). The gate is a ROW COUNT read from the same
+    * bounds pass the bucketing already pays, so smallness is a measured
+    * property of the data, not of the cluster: a ≤2^18-row sort is
+    * bounded fixed work on one task at ANY corpus scale (the
+    * q_weighted_median argument), while every larger input keeps the
+    * multi-bucket scaled path. Tunable for ops experiments via
+    * `spark.graft.prefixsum.smallRows` (set 0 to force the scaled path —
+    * what the PlanShapeSpec scale pin does).
+    */
+  private def smallRowsThreshold(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.prefixsum.smallRows", (1L << 18).toString).toLong
+
+  /** A bucket whose row count exceeds `SkewFactor ×` the even share flags
+    * the equal-width map as skew-sensitive (the r15 VERDICT caveat: a
+    * clustered integral key — hot-hour epochs — lands most rows in few
+    * equal-width buckets, and each bucket is ONE window task). [[refine]]
+    * then sub-splits exactly the hot buckets on their OBSERVED per-bucket
+    * [min, max] spans — distribution-adaptive bounds from the same stats
+    * pass, no extra scan to decide — and the kernel re-aggregates once
+    * under the refined map. Uniform keys never pay: the counts ride the
+    * stats aggregate the kernel runs anyway.
+    */
+  private val SkewFactor = 4L
+  private val SubSlots = 4096L // refined id = pid × SubSlots + sub (monotone)
+  private val MaxHotBuckets = 128 // CASE-chain bound; beyond this keep as-is
+
+  /** Per-bucket stats row shared by the windowed kernels: id, row count and
+    * observed key span (for refinement), plus the kernel's own payload.
+    */
+  private final case class BucketStat(pid: Long, cnt: Long, kMin: Long, kMax: Long)
+
+  /** One-level skew refinement: every bucket holding more than
+    * `SkewFactor × max(1, total/nPids)` rows AND spanning more than one key
+    * value is sub-split equal-width on its observed [kMin, kMax] into
+    * enough sub-slots to bring the EXPECTED share back to the even target.
+    * The refined id `pid × SubSlots + sub` is monotone in the key (sub-
+    * ranges nest inside their bucket's range), so the exclusive driver
+    * scan over sorted ids stays correct. Returns None when no bucket
+    * qualifies (the near-uniform fast path — zero extra work) or when more
+    * than [[MaxHotBuckets]] qualify (a pathological key; the CASE chain
+    * would dominate — keep the coarse map and let the window tasks be
+    * uneven, exactly the pre-refinement behavior).
+    */
+  private def refine(key: Column, b: Buckets, stats: Seq[BucketStat]): Option[Buckets] = {
+    if (b.refined) return None
+    val total = stats.map(_.cnt).sum
+    val target = math.max(1L, total / math.max(1, b.nPids))
+    val hot = stats.filter(s => s.cnt > SkewFactor * target && s.kMax > s.kMin)
+    if (hot.isEmpty || hot.size > MaxHotBuckets) None
+    else {
+      val pid0 = b.pidOf
+      val base = (pid0 * lit(SubSlots)).cast(LongType)
+      val pid2 = hot.foldLeft(base) { (acc, s) =>
+        val m = math.min(SubSlots, (s.cnt + target - 1) / target)
+        val subW = (s.kMax - s.kMin) / m + 1
+        when(pid0 === lit(s.pid),
+          lit(s.pid * SubSlots) +
+            ((key.cast(LongType) - lit(s.kMin)) / lit(subW)).cast(LongType))
+          .otherwise(acc)
+      }
+      Some(b.copy(pidOf = pid2, refined = true))
+    }
+  }
 
   /** The integral key expression the bucketing derives from, if the key
     * SCHEMA admits one (decided without running a job).
@@ -169,29 +241,51 @@ object PrefixSum {
       case _ => None
     }
 
-  /** One narrow min/max/null-count pass → the equal-width bucket map. The
-    * bucket count targets ~8 buckets per core (guide §2.5: a synthetic
-    * partitioning key needs several× more distinct values than partitions
-    * for the hash to spread evenly), capped by the key span. None when the
-    * key has nulls or the span arithmetic would overflow — the caller falls
-    * back to the sampled-range RDD path, which sorts nulls first.
+  /** One narrow min/max/null-count/row-count pass (plus any fused value
+    * sums) → the equal-width bucket map. The bucket count targets ~8
+    * buckets per core (guide §2.5: a synthetic partitioning key needs
+    * several× more distinct values than partitions for the hash to spread
+    * evenly), capped by the key span. Buckets are None when the key has
+    * nulls or the span arithmetic would overflow — the caller falls back
+    * to the sampled-range RDD path, which sorts nulls first. The row count
+    * drives the small-input gate and the fused sums serve the small path's
+    * grand totals, so smallness costs NO extra pass.
     */
-  private def bucketed(mat: DataFrame, key: Column): Option[Buckets] = {
+  private def bucketed(mat: DataFrame, key: Column, sumCols: Seq[Column])
+      : (Option[Buckets], Long, Seq[Long]) = {
     val parts = mat.sparkSession.sparkContext.defaultParallelism
-    val mm = mat.agg(min(key).cast(LongType), max(key).cast(LongType),
-      count(when(key.isNull, 1))).head()
-    if (mm.isNullAt(0) || mm.getLong(2) > 0) None
-    else {
-      val (lo, hi) = (mm.getLong(0), mm.getLong(1))
-      if (hi - lo < 0) None // span overflow → fallback
+    val aggs = Seq(min(key).cast(LongType), max(key).cast(LongType),
+      count(when(key.isNull, 1)), count(lit(1))) ++
+      sumCols.map(c => sum(c).cast(LongType))
+    val mm = mat.agg(aggs.head, aggs.tail: _*).head()
+    val rows = mm.getLong(3)
+    val sums = sumCols.indices.map(i => if (mm.isNullAt(4 + i)) 0L else mm.getLong(4 + i))
+    val b =
+      if (mm.isNullAt(0) || mm.getLong(2) > 0) None
       else {
-        val slots = math.max(1L, parts.toLong * 8)
-        val width = (hi - lo) / slots + 1
-        val n = ((hi - lo) / width + 1).toInt
-        Some(Buckets(((key.cast(LongType) - lit(lo)) / lit(width)).cast(LongType),
-          n, lo, hi, width))
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        if (hi - lo < 0) None // span overflow → fallback
+        else {
+          val slots = math.max(1L, parts.toLong * 8)
+          val width = (hi - lo) / slots + 1
+          val n = ((hi - lo) / width + 1).toInt
+          Some(Buckets(((key.cast(LongType) - lit(lo)) / lit(width)).cast(LongType),
+            n, lo, hi, width))
+        }
       }
-    }
+    (b, rows, sums)
+  }
+
+  /** The single-bucket window the small gate buys: identical ordering
+    * semantics to the bucketed window (it IS the same Window operator, with
+    * one constant partition), no stats pass, no broadcast-bases join — one
+    * job and two stages fewer per call. Gated by [[smallRowsThreshold]], so
+    * the one task is bounded work by construction.
+    */
+  private def smallWindow(orderCol: String) = {
+    import org.apache.spark.sql.expressions.Window
+    Window.partitionBy(lit(0L)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
   }
 
   /** The bounds pass, the per-bucket stats pass and the caller's action all
@@ -252,8 +346,17 @@ object PrefixSum {
     integralKeyExpr(df, orderCol) match {
       case Some(key) =>
         val mat = materializedOnce(df)
-        bucketed(mat, key) match {
-          case Some(b) => return windowedStartOffsets(mat, orderCol, cols, b)
+        val (bOpt, rows, sums) = bucketed(mat, key, cols.map { case (v, _) => col(v) })
+        if (rows <= smallRowsThreshold(mat.sparkSession)) {
+          record(DebugRec("withStartOffsets", orderCol, "small-window",
+            1, 1, s"rows=$rows", Seq(sums)))
+          val w = smallWindow(orderCol)
+          val out = mat.select(mat.columns.map(col) ++
+            cols.map { case (v, o) => (sum(col(v)).over(w) - col(v)).as(o) }: _*)
+          return (out, sums)
+        }
+        bOpt match {
+          case Some(b) => return windowedStartOffsets(mat, orderCol, cols, key, b)
           case None => return legacyStartOffsetsAndTotals(mat, orderCol, cols)
         }
       case None => ()
@@ -262,31 +365,42 @@ object PrefixSum {
   }
 
   private def windowedStartOffsets(
-      mat: DataFrame, orderCol: String, cols: Seq[(String, String)], b: Buckets)
-      : (DataFrame, Seq[Long]) = {
+      mat: DataFrame, orderCol: String, cols: Seq[(String, String)],
+      key: Column, b0: Buckets): (DataFrame, Seq[Long]) = {
     import org.apache.spark.sql.expressions.Window
     val spark = mat.sparkSession
     val nCols = cols.length
-    val withPid = mat.withColumn("__psb", b.pidOf)
     // per-bucket totals: the window columns are absent from this branch, so
     // column pruning reduces it to a partially-aggregated groupBy — the
-    // shuffle moves ≤ nPids·(nCols+1) longs
-    val statRows = withPid.groupBy(col("__psb"))
-      .agg(sum(col(cols.head._1)).as("__s0"),
-        cols.tail.zipWithIndex.map { case ((v, _), i) => sum(col(v)).as(s"__s${i + 1}") }: _*)
-      .collect()
-      .map(r => r.getLong(0) -> Array.tabulate(nCols)(i => r.getLong(i + 1)))
-      .sortBy(_._1)
-    record(DebugRec("withStartOffsets", orderCol, "equal-width-window",
+    // shuffle moves ≤ nPids·(nCols+4) longs. Count + key span ride along to
+    // drive the one-level skew refinement ([[refine]]): near-uniform keys
+    // pay nothing extra, a clustered key re-aggregates ONCE under
+    // distribution-adaptive sub-bucket bounds.
+    def collectStats(b: Buckets): Array[(BucketStat, Array[Long])] =
+      mat.withColumn("__psb", b.pidOf).groupBy(col("__psb"))
+        .agg(count(lit(1)).as("__cnt"),
+          (Seq(min(key.cast(LongType)).as("__kmin"), max(key.cast(LongType)).as("__kmax")) ++
+            cols.zipWithIndex.map { case ((v, _), i) => sum(col(v)).as(s"__s$i") }): _*)
+        .collect()
+        .map(r => (BucketStat(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+          Array.tabulate(nCols)(i => r.getLong(4 + i))))
+        .sortBy(_._1.pid)
+    var b = b0
+    var statRows = collectStats(b)
+    refine(key, b, statRows.map(_._1).toSeq).foreach { rb =>
+      b = rb; statRows = collectStats(rb)
+    }
+    record(DebugRec("withStartOffsets", orderCol,
+      if (b.refined) "equal-width-window-refined" else "equal-width-window",
       statRows.length, b.nPids, s"[${b.lo},${b.hi}] width=${b.width}",
       statRows.map(_._2.toSeq).toSeq))
     // exclusive scan of the observed buckets' totals = per-bucket bases
     val running = new Array[Long](nCols)
-    val baseRows = statRows.map { case (pid, tots) =>
+    val baseRows = statRows.map { case (s, tots) =>
       val base = running.clone()
       var i = 0
       while (i < nCols) { running(i) += tots(i); i += 1 }
-      Row.fromSeq(pid +: base.toSeq)
+      Row.fromSeq(s.pid +: base.toSeq)
     }
     val baseSchema = (0 until nCols).foldLeft(
       new StructType().add("__psb", LongType, nullable = false)) {
@@ -296,6 +410,7 @@ object PrefixSum {
       java.util.Arrays.asList(baseRows: _*), baseSchema)
     val w = Window.partitionBy(col("__psb")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withPid = mat.withColumn("__psb", b.pidOf)
     val local = cols.zipWithIndex.foldLeft(withPid) { case (d, ((v, _), i)) =>
       d.withColumn(s"__psl$i", sum(col(v)).over(w))
     }
@@ -383,8 +498,18 @@ object PrefixSum {
     integralKeyExpr(df, orderCol) match {
       case Some(key) =>
         val mat = materializedOnce(df)
-        bucketed(mat, key) match {
-          case Some(b) => return windowedCusum(mat, orderCol, valueCol, outCol, b)
+        val (bOpt, rows, _) = bucketed(mat, key, Nil)
+        if (rows <= smallRowsThreshold(mat.sparkSession)) {
+          record(DebugRec("withCusum", orderCol, "small-window", 1, 1, s"rows=$rows", Nil))
+          val w = smallWindow(orderCol)
+          // P = inclusive prefix sum; S = P − min(0, running min of P) —
+          // the identical recurrence, one constant window partition
+          val local = mat.withColumn("__pslp", sum(col(valueCol)).over(w))
+          return local.select(mat.columns.map(col) :+
+            (col("__pslp") - least(lit(0L), min(col("__pslp")).over(w))).as(outCol): _*)
+        }
+        bOpt match {
+          case Some(b) => return windowedCusum(mat, orderCol, valueCol, outCol, key, b)
           case None => return legacyCusum(mat, orderCol, valueCol, outCol)
         }
       case None => ()
@@ -402,19 +527,32 @@ object PrefixSum {
     */
   private def windowedCusum(
       mat: DataFrame, orderCol: String, valueCol: String, outCol: String,
-      b: Buckets): DataFrame = {
+      key: Column, b0: Buckets): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = mat.sparkSession
-    val w = Window.partitionBy(col("__psb")).orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = mat.withColumn("__psb", b.pidOf)
-      .withColumn("__pslp", sum(col(valueCol)).over(w))
-    val stats = local.groupBy(col("__psb"))
-      .agg(sum(col(valueCol)).as("__s"), min(col("__pslp")).as("__m"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
+    def statsOf(b: Buckets): (Array[(Long, Long, Long)], DataFrame,
+        org.apache.spark.sql.expressions.WindowSpec) = {
+      val w = Window.partitionBy(col("__psb")).orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val local = mat.withColumn("__psb", b.pidOf)
+        .withColumn("__pslp", sum(col(valueCol)).over(w))
+      val rows = local.groupBy(col("__psb"))
+        .agg(count(lit(1)).as("__cnt"),
+          min(key.cast(LongType)).as("__kmin"), max(key.cast(LongType)).as("__kmax"),
+          sum(col(valueCol)).as("__s"), min(col("__pslp")).as("__m"))
+        .collect()
+        .map(r => (BucketStat(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+          (r.getLong(0), r.getLong(4), r.getLong(5))))
+        .sortBy(_._2._1)
+      // one-level skew refinement, same discipline as windowedStartOffsets
+      refine(key, b, rows.map(_._1).toSeq) match {
+        case Some(rb) => statsOf(rb)
+        case None => (rows.map(_._2), local, w)
+      }
+    }
+    val (stats, local, w) = statsOf(b0)
     record(DebugRec("withCusum", orderCol, "equal-width-window",
-      stats.length, b.nPids, s"[${b.lo},${b.hi}] width=${b.width}",
+      stats.length, b0.nPids, s"[${b0.lo},${b0.hi}] width=${b0.width}",
       stats.map(t => Seq(t._2, t._3)).toSeq))
     var base = 0L; var minBefore = 0L // 0 anchors P_0, the empty prefix
     val baseRows = stats.map { case (pid, s, m) =>
@@ -495,8 +633,17 @@ object PrefixSum {
     integralKeyExpr(df, orderCol) match {
       case Some(key) =>
         val mat = materializedOnce(df)
-        bucketed(mat, key) match {
-          case Some(b) => return windowedLag(mat, orderCol, valueCol, outCol, b)
+        val (bOpt, rows, _) = bucketed(mat, key, Nil)
+        if (rows <= smallRowsThreshold(mat.sparkSession)) {
+          record(DebugRec("withLag", orderCol, "small-window", 1, 1, s"rows=$rows", Nil))
+          // lag() rejects an explicit frame — same constant partition, no frame
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(lit(0L)).orderBy(col(orderCol))
+          return mat.select(mat.columns.map(col) :+
+            lag(col(valueCol), 1).over(w).as(outCol): _*)
+        }
+        bOpt match {
+          case Some(b) => return windowedLag(mat, orderCol, valueCol, outCol, key, b)
           case None => return legacyLag(mat, orderCol, valueCol, outCol)
         }
       case None => ()
@@ -511,14 +658,25 @@ object PrefixSum {
     */
   private def windowedLag(
       mat: DataFrame, orderCol: String, valueCol: String, outCol: String,
-      b: Buckets): DataFrame = {
+      key: Column, b0: Buckets): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = mat.sparkSession
+    def statsOf(bIn: Buckets): (Buckets, Array[(Long, Long)]) = {
+      val rows = mat.withColumn("__psb", bIn.pidOf).groupBy(col("__psb"))
+        .agg(count(lit(1)).as("__cnt"),
+          min(key.cast(LongType)).as("__kmin"), max(key.cast(LongType)).as("__kmax"),
+          max_by(col(valueCol), col(orderCol)).as("__last"))
+        .collect()
+        .map(r => (BucketStat(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)),
+          (r.getLong(0), r.getLong(4))))
+        .sortBy(_._2._1)
+      refine(key, bIn, rows.map(_._1).toSeq) match {
+        case Some(rb) => statsOf(rb)
+        case None => (bIn, rows.map(_._2))
+      }
+    }
+    val (b, stats) = statsOf(b0)
     val withPid = mat.withColumn("__psb", b.pidOf)
-    val stats = withPid.groupBy(col("__psb"))
-      .agg(max_by(col(valueCol), col(orderCol)).as("__last"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-      .sortBy(_._1)
     record(DebugRec("withLag", orderCol, "equal-width-window",
       stats.length, b.nPids, s"[${b.lo},${b.hi}] width=${b.width}",
       stats.map(t => Seq(1L, t._2)).toSeq))

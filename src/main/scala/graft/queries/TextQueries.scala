@@ -230,7 +230,12 @@ object TextQueries {
       |GROUP BY value, tot.n
       |HAVING COUNT(*) > tot.n // 51
       |ORDER BY cnt DESC, value""".stripMargin) { (spark, dir) =>
-    val toks = graft.operators.Dedup.spread(Tables.documents(spark, dir))
+    // NO scan fan-out here (round 16, reverting a round-15 change): the MG
+    // sketch is a treeAggregate whose per-partition summaries the added
+    // exchange multiplies — measured 1.03-1.42 s warm WITH spread vs
+    // 0.41-0.48 s without (and 0.48 s recorded pre-round-15). Same class as
+    // the measured-and-reverted tx18/19/21/29 fan-outs.
+    val toks = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("value"))
     graft.operators.Sketches.heavyHitters(toks, col("value"), k = 50)
       .orderBy(col("cnt").desc, col("value"))

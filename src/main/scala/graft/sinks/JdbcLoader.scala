@@ -53,6 +53,11 @@ class JdbcLoader(conf: Conf) extends Loader {
   private def upsert(df: DataFrame): Unit = {
     if (primaryKeys.isEmpty)
       throw new IllegalArgumentException("sql_database: upsert requires 'primary_keys'")
+    // (measured round 16: checkpointing the batch to dodge the isEmpty +
+    // merge double-execution cost MORE than the recompute it saves at
+    // aggregate-batch sizes — +1 job per batch, st6 +0.4 s — so the probe
+    // stays a plain action; callers with expensive batches checkpoint
+    // themselves, as st10 does)
     if (df.isEmpty) return // empty frame: no-op, no table created (L3)
 
     val schema = df.schema
@@ -82,7 +87,7 @@ class JdbcLoader(conf: Conf) extends Loader {
     // reference's sequential row-wise upsert let later rows win), then the
     // key-partitioned window shuffle guarantees each PK lands in exactly one
     // partition exactly once.
-    val deduped = {
+    val deduped0 = {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
       val w = Window.partitionBy(primaryKeys.map(col): _*)
@@ -92,6 +97,16 @@ class JdbcLoader(conf: Conf) extends Loader {
         .filter(col("__rn") === 1)
         .drop("__seq", "__rn")
     }
+    // Bound the sink-side concurrency (round 16): every post-dedup partition
+    // pays connection + staging DDL + its own MERGE, and concurrent MERGEs
+    // against one table serialize on the target's locks anyway — on the
+    // embedded Derby dialect they ONLY contend. A narrow coalesce (each PK
+    // is already globally unique after the window, so any partitioning
+    // keeps the disjointness invariant) caps that at `write_partitions`
+    // (default 4; a remote pooled database can raise it, a bench-profile
+    // st6/st10 measured 32 single-digit-row merges per batch before).
+    val writeParts = conf.intOr("write_partitions", 4)
+    val deduped = deduped0.coalesce(math.max(1, writeParts))
 
     // Derby's MERGE requires a base table as source, so each partition batch-
     // inserts into its own staging table and merges from it — which is also

@@ -15,7 +15,12 @@ import scala.collection.mutable
 object ProfStages {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val n = args.lift(1).map(_.toInt).getOrElse(2)
+    val n = args.lift(1).flatMap(a => scala.util.Try(a.toInt).toOption).getOrElse {
+      if (args.length > 1)
+        System.err.println(
+          s"usage: ProfStages <sfDir> <n> <query...> — '${args(1)}' is not a count; using 2")
+      2
+    }
     val names = args.drop(2).toSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -24,19 +29,21 @@ object ProfStages {
     val lock = new Object
     // one row per stage: (id, name, tasks, rows, executorRunTime ms, wall ms)
     val rows = mutable.ArrayBuffer[(Int, String, Int, Long, Long, Long)]()
-    spark.sparkContext.addSparkListener(new SparkListener {
+    val listener = new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         lock.synchronized {
           val si = s.stageInfo
           val wall = (for (a <- si.completionTime; b <- si.submissionTime)
             yield a - b).getOrElse(0L)
-          val m = si.taskMetrics
-          rows += ((si.stageId, si.name, si.numTasks,
-            m.outputMetrics.recordsWritten + m.shuffleWriteMetrics.recordsWritten,
-            m.executorRunTime, wall))
+          Option(si.taskMetrics).foreach { m => // null for never-started stages
+            rows += ((si.stageId, si.name, si.numTasks,
+              m.outputMetrics.recordsWritten + m.shuffleWriteMetrics.recordsWritten,
+              m.executorRunTime, wall))
+          }
           ()
         }
-    })
+    }
+    spark.sparkContext.addSparkListener(listener)
     val qs = graft.SparkEntry.queries
     names.foreach { name =>
       val fn = qs(name)
@@ -58,6 +65,7 @@ object ProfStages {
         graft.queries.Shared.clear()
       }
     }
+    spark.sparkContext.removeSparkListener(listener)
     spark.stop()
   }
 }
