@@ -541,6 +541,7 @@ object Dedup {
       shingleK: Int = 3, bands: Int = 16, rowsPerBand: Int = 4,
       maxBucket: Int = 100000): DataFrame = {
     val k = bands * rowsPerBand
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val base = spread(df.select(col(idCol).as("doc_id"), col(textCol).as("txt")))
     val withSh = cachedForReuse(shingleSignatures(base, shingleK, k, bands))
     val bandsDf = capBuckets(withSh.select(col("doc_id"),
@@ -569,8 +570,10 @@ object Dedup {
         s"""exists(sequence(0, ${bands - 1}),
            |  b -> slice(sig_a, b * $rowsPerBand + 1, $rowsPerBand)
            |       = slice(sig_b, b * $rowsPerBand + 1, $rowsPerBand))""".stripMargin))
+      // native equal-component count — same integer as the zip_with/filter
+      // fold it replaces, codegen'd (see SigMatchesExpr)
       .withColumn("match_n",
-        expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))"))
+        call_function("sig_matches", col("sig_a"), col("sig_b")).cast(LongType))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(LongType))
       .withColumn("uni",
         (size(col("sh_a")) + size(col("sh_b"))).cast(LongType) - col("inter"))

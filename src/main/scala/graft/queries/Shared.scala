@@ -238,12 +238,17 @@ object Shared {
     */
   def incrDeliverySigs(spark: SparkSession, dir: String, deliv: Int): DataFrame =
     memoized(spark, s"incrSigs|$deliv|$dir") {
-      val corpus = Tables.documents(spark, dir)
-        .select(col("doc_id"), col("source"), col("text"))
-      val delta =
-        if (deliv == 1) corpus.filter(srcIdx < 10) else corpus.filter(srcIdx >= 10)
-      Dedup.cachedForReuse(Dedup.minhashSignaturesWithBands(
-        delta, "doc_id", "text", shingleK = 3, k = 64, bands = 16))
+      // one materialization per delivery, non-adaptive: the build is a fixed
+      // narrow scan→kernel shape where AQE only adds per-exchange jobs (the
+      // minhashPairs memo discipline)
+      Dedup.withStaticPlan(spark) {
+        val corpus = Tables.documents(spark, dir)
+          .select(col("doc_id"), col("source"), col("text"))
+        val delta =
+          if (deliv == 1) corpus.filter(srcIdx < 10) else corpus.filter(srcIdx >= 10)
+        Dedup.cachedForReuse(Dedup.minhashSignaturesWithBands(
+          delta, "doc_id", "text", shingleK = 3, k = 64, bands = 16))
+      }
     }
 
   /** Verified `(d_id, e_id)` pairings for one delivery of the replay —
@@ -270,9 +275,14 @@ object Shared {
             java.util.Collections.emptyList[org.apache.spark.sql.Row](),
             deltaSigs.schema))
         else incrDeliverySigs(spark, dir, 1)
-      Dedup.cachedForReuse(graft.operators.Incremental.estVerifiedPairs(
-        deltaSigs, prior, k = 64, bands = 16,
-        thresholdNum = 8, thresholdDen = 10, maxBucket = 100000))
+      // non-adaptive build, same discipline as the sig memo above: the
+      // candidate kernel is a fixed join/aggregate shape over two already-
+      // materialized frames
+      Dedup.withStaticPlan(spark) {
+        Dedup.cachedForReuse(graft.operators.Incremental.estVerifiedPairs(
+          deltaSigs, prior, k = 64, bands = 16,
+          thresholdNum = 8, thresholdDen = 10, maxBucket = 100000))
+      }
     }
 
   /** Connected-component labels (id → min reachable id) over
