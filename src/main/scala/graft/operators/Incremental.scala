@@ -608,24 +608,31 @@ object Incremental {
         .join(flags, Seq("vec_id")))
     // drift in exact ppm over the full cell list (mx28's report shape);
     // emptied totals read as zero drift rather than a divide-by-zero
+    // Drift selection on the DRIVER (round 16): the counts/total/rank chain
+    // is k-row work (the codebook size — bounded by construction, same class
+    // as the PrefixSum stats collect), but planned distributed it cost a
+    // crossJoin + rank-window + broadcast subtree that every consumer of
+    // `drifted` (the semi-join, the anti-join, both searches) re-planned and
+    // re-ran. One k-row collect of the per-cell counts replaces it; the ppm
+    // arithmetic below is the exact integer form of the removed SQL
+    // (non-negative longs, floor division, ties → lowest cell).
     val cellCounts = asg.groupBy(col("cell")).agg(
       sum(when(col("is_prior"), 1L).otherwise(0L)).as("n_prior"),
       sum(when(col("is_prior"), 0L).otherwise(1L)).as("n_delta"))
-    val fullCounts = centroids.select(col("c_id").as("cell"))
-      .join(cellCounts, Seq("cell"), "left")
-      .na.fill(0L, Seq("n_prior", "n_delta"))
-    val tot = fullCounts.agg(sum(col("n_prior")).cast(LongType).as("tp"),
-      sum(col("n_delta")).cast(LongType).as("td"))
-    val drifted = broadcast(fullCounts.crossJoin(broadcast(tot))
-      .select(col("cell"), expr(
-        """abs(coalesce(1000000 * n_prior div nullif(tp, 0L), 0L)
-          |  - coalesce(1000000 * n_delta div nullif(td, 0L), 0L))""".stripMargin)
-        .as("drift_ppm"))
-      .withColumn("__rn", row_number().over(
-        Window.orderBy(col("drift_ppm").desc, col("cell"))))
-      .filter(col("__rn") <= nDrifted)
-      .select(col("cell")))
-    val inDrift = asg.join(drifted, Seq("cell"), "left_semi")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fullCounts = centroids.select(col("c_id")).collect()
+      .map(r => r.getLong(0) -> cellCounts.getOrElse(r.getLong(0), (0L, 0L)))
+    val tp = fullCounts.map(_._2._1).sum
+    val td = fullCounts.map(_._2._2).sum
+    val driftedCells: Seq[Long] = fullCounts
+      .map { case (cell, (np, nd)) =>
+        val sp = if (tp == 0) 0L else 1000000L * np / tp
+        val sd = if (td == 0) 0L else 1000000L * nd / td
+        (cell, math.abs(sp - sd))
+      }
+      .sortBy { case (cell, drift) => (-drift, cell) }
+      .take(nDrifted).map(_._1).toSeq
+    val inDrift = asg.filter(col("cell").isInCollection(driftedCells))
     val deltaMembers = inDrift.filter(!col("is_prior"))
       .select(col("cell"), col("vec_id"), col("v"))
     val priorSample = inDrift.filter(col("is_prior"))
@@ -639,7 +646,7 @@ object Incremental {
       retrainCentroids(deltaMembers.unionByName(priorSample), centroids))
     // local repair: drifted cells' vectors re-assign against the updated
     // codebook; everything else keeps its cell
-    val idxAfter = asg.join(drifted, Seq("cell"), "left_anti")
+    val idxAfter = asg.filter(!col("cell").isInCollection(driftedCells))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       .unionByName(Similarity.assignCells(
           inDrift.select(col("vec_id"), col("v"), col("nrm")), newCents)

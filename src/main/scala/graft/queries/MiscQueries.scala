@@ -2703,6 +2703,10 @@ object MiscQueries {
     val emptyManifest = corpus.select(col("source")).limit(0)
     def empty(schema: StructType) = spark.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    // (measured round 16: checkpointing h1 to truncate delivery-1's probe
+    // plan was a wash on time and +4 jobs — the counters chain roots on
+    // delivery-1's cached shingle/gram frames already, so the re-planned
+    // subtree is shallow. Left lazy.)
     val (t1, e1, h1) = Incremental.contaminationDelta(
       d1, emptyManifest, "source",
       empty(new StructType().add("g", StringType)),

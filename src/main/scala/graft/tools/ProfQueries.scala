@@ -17,6 +17,10 @@ object ProfQueries {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // dev A/B knob: SPARK_GRAFT_PROF_AQE=0 times the same queries with
+    // adaptive execution off (job-count vs plan-quality attribution)
+    if (sys.env.get("SPARK_GRAFT_PROF_AQE").contains("0"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
